@@ -1,0 +1,32 @@
+from .kinematics import cum_index, group_min_offset, lag_diff, lead_diff
+from .windows import (
+    argmax_rows,
+    closest_to_median,
+    dedup_keep_last,
+    rank_desc,
+    topk_per_group,
+    zscore_in_group,
+)
+from .joins import attach_labels, enrich_left, nearest_in_group, semi_join_on
+from .aggregates import (
+    group_stats,
+    ols_slope,
+    scalar_threshold,
+    trajectory_features,
+    value_counts,
+)
+from .sequences import build_sequences, unpivot_sequences
+from .normalize import add_postthrow_geometry, normalize_coordinates
+from .separation import separation_at_frame, separation_at_max_frame
+
+__all__ = [
+    "cum_index", "group_min_offset", "lag_diff", "lead_diff",
+    "argmax_rows", "closest_to_median", "dedup_keep_last", "rank_desc",
+    "topk_per_group", "zscore_in_group",
+    "attach_labels", "enrich_left", "nearest_in_group", "semi_join_on",
+    "group_stats", "ols_slope", "scalar_threshold", "trajectory_features",
+    "value_counts",
+    "build_sequences", "unpivot_sequences",
+    "add_postthrow_geometry", "normalize_coordinates",
+    "separation_at_frame", "separation_at_max_frame",
+]

@@ -1,0 +1,105 @@
+"""Aggregation operators (SURVEY §2.4, A1–A18).
+
+All are single hash-aggregations with map-side partial combine; the
+"trajectory feature" block computes the reference's entire 15-feature route
+table (routes.py:34-172) in ONE groupBy pass instead of pandas' eight
+sequential groupby calls — one shuffle, one reduce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import nan_to_null
+from ..schemas import require_columns
+
+
+def trajectory_features(df: DataFrame, group: list[str], order: str,
+                        x: str, y: str, speed: str | None = None,
+                        direction: str | None = None,
+                        turn_thresh: float = 30.0) -> DataFrame:
+    """A3–A8 fused: per-group ordered-trajectory features
+    (engineer_route_features, bdb2026/routes.py:34-172):
+
+    start/end coords (A3, min_by/max_by on the order column — no sort),
+    net displacement + path length (A4, lag-diff then sum), speed mean/max/
+    std (A5; stddev_samp = pandas ddof=1 default at routes.py:102),
+    direction-change count over ``turn_thresh`` degrees with wraparound
+    (A6, routes.py:117-126), lateral range (A7), frame count (A8).
+
+    One window pass for the lag diffs + one groupBy — two stages total on a
+    single shuffle key.
+    """
+    require_columns(df, group + [order, x, y], "trajectory_features")
+    w = Window.partitionBy(*group).orderBy(order)
+    step = F.sqrt(F.pow(F.col(x) - F.lag(x, 1).over(w), 2)
+                  + F.pow(F.col(y) - F.lag(y, 1).over(w), 2))
+    enriched = df.withColumn("__step", step)
+    if direction is not None:
+        d = F.abs(F.col(direction) - F.lag(direction, 1).over(w)) % 360
+        enriched = enriched.withColumn(
+            "__turn", F.when(F.least(d, 360 - d) > turn_thresh, 1).otherwise(0))
+
+    aggs = [
+        F.min_by(x, order).alias("start_x"),
+        F.min_by(y, order).alias("start_y"),
+        F.max_by(x, order).alias("end_x"),
+        F.max_by(y, order).alias("end_y"),
+        F.sum("__step").alias("path_length"),
+        (F.max(y) - F.min(y)).alias("lateral_range"),
+        F.count(F.lit(1)).alias("n_frames"),
+    ]
+    if speed is not None:
+        aggs += [F.avg(speed).alias("speed_mean"),
+                 F.max(speed).alias("speed_max"),
+                 F.stddev_samp(speed).alias("speed_std")]
+    if direction is not None:
+        aggs.append(F.sum("__turn").alias("direction_changes"))
+    out = enriched.groupBy(*group).agg(*aggs)
+    return out.withColumn(
+        "net_displacement",
+        F.sqrt(F.pow(F.col("end_x") - F.col("start_x"), 2)
+               + F.pow(F.col("end_y") - F.col("start_y"), 2)))
+
+
+def scalar_threshold(df: DataFrame, agg: Column, alias: str = "__threshold") -> DataFrame:
+    """A13: a global scalar aggregate broadcast against every row —
+    the ``max()*0.5`` volume-threshold idiom (metrics.py:329-330).  A
+    1-row crossJoin(broadcast(...)) keeps the whole thing in one job
+    (no ``.first()`` round-trip through the driver)."""
+    return df.crossJoin(F.broadcast(df.agg(agg.alias(alias))))
+
+
+def value_counts(df: DataFrame, col: str) -> DataFrame:
+    """A15: frequency table (notebook ``value_counts`` everywhere)."""
+    return df.groupBy(col).agg(F.count(F.lit(1)).alias("count")) \
+             .orderBy(F.desc("count"), F.asc(col))
+
+
+def group_stats(df: DataFrame, group: list[str], col: str,
+                ddof: int = 1) -> DataFrame:
+    """A5/A14 summary block: mean/max/min/std/median per group; exact median
+    (Spark `median` interpolates like DuckDB quantile_cont)."""
+    std = F.stddev_samp(col) if ddof == 1 else F.stddev_pop(col)
+    return df.groupBy(*group).agg(
+        F.avg(col).alias("mean"),
+        F.max(col).alias("max"),
+        F.min(col).alias("min"),
+        nan_to_null(std).alias("std"),
+        F.median(col).alias("median"),
+        F.count(col).alias("n"),
+    )
+
+
+def ols_slope(df: DataFrame, group: list[str], x: str, y: str) -> DataFrame:
+    """A18: Pearson r and OLS slope/intercept from covariance aggregates
+    (np.polyfit(deg=1) at viz.py:431-436) — pure SQL aggregates, no MLlib
+    needed for a 1-D trendline."""
+    slope = F.covar_samp(x, y) / F.var_samp(x)
+    return df.groupBy(*group).agg(
+        nan_to_null(F.corr(x, y)).alias("pearson_r"),
+        slope.alias("slope"),
+        (F.avg(y) - slope * F.avg(x)).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )

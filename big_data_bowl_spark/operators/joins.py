@@ -1,0 +1,86 @@
+"""Join operators (SURVEY §2.3, J1–J10).
+
+Design rules for 100 TB:
+- play/user-level dimensions are small → ``broadcast()`` them explicitly so
+  the fact side never shuffles (the reference's supp table is 18K rows; our
+  per-group aggregates are similar).
+- the within-group cross join (J6/J7) is the only quadratic operator: it is
+  an equi-join on the group keys whose per-key fan-out is bounded (≤22×22
+  players per frame in the reference), so it scales linearly in groups.  A
+  cardinality guard documents the bound instead of a custom strategy
+  (SURVEY §4.3 item 3).
+- J8's row-at-a-time Python nested loop ("This may take a minute...",
+  BDB_2026.ipynb#cell69) is *banned*: per-frame nearest-neighbor is the same
+  J6 equi-join keyed one level deeper.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+
+def semi_join_on(df: DataFrame, keys_df: DataFrame, keys: list[str]) -> DataFrame:
+    """J3: left-semi join — the idiomatic form of the reference's
+    dedup-key-table-then-inner-merge emulation
+    (preprocess.py:302-327 filter_to_completed_catches).  No payload columns
+    cross the wire and the probe side never duplicates rows."""
+    return df.join(F.broadcast(keys_df.select(keys).distinct()), keys, "left_semi")
+
+
+def enrich_left(df: DataFrame, dim: DataFrame, keys: list[str],
+                fill: dict[str, float] | None = None,
+                broadcast_dim: bool = True) -> DataFrame:
+    """J4: left enrichment join + fill (merge_route_embeddings,
+    preprocess.py:206-255: left merge then fillna(0) on embedding cols).
+    Dimension side broadcast by default — play/player-level tables are tiny
+    relative to frame-level facts."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    out = df.join(d, keys, "left")
+    return out.na.fill(fill) if fill else out
+
+
+def nearest_in_group(left: DataFrame, right: DataFrame, group: list[str],
+                     left_id: str, distance: Column,
+                     out: str = "min_dist", default: float | None = None,
+                     right_cols: list[str] | None = None) -> DataFrame:
+    """J6/J7/J8-as-join: within-group cross product → distance → min per
+    left entity (compute_catch_separation, preprocess.py:441-513).
+
+    ``left × right`` on the group keys gives every pair per group; the
+    aggregate keeps the nearest.  ``default`` fills groups with no right
+    rows (the notebook's 20.0-when-no-defenders, #cell69) via the left join
+    on the original left rows — the set-based replacement for J8.
+
+    The map-side combine of the min() aggregation means the shuffle carries
+    one row per (group, left_id) per input partition, not the full pair
+    fan-out.
+    """
+    require_columns(left, group + [left_id], "nearest_in_group")
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in group]
+    pairs = (left.alias("l")
+             .join(right.select(*group, *rcols).alias("r"), group, "inner")
+             .withColumn("__dist", distance))
+    mins = (pairs.groupBy(*[F.col(c) for c in group], F.col(f"l.{left_id}"))
+                 .agg(F.min("__dist").alias(out)))
+    base = left.select(*group, left_id).distinct()
+    res = base.join(mins, group + [left_id], "left")
+    if default is not None:
+        res = res.withColumn(out, F.coalesce(F.col(out), F.lit(default)))
+    return res
+
+
+def attach_labels(df: DataFrame, labels: DataFrame, keys: list[str],
+                  how: str = "inner", expect_rows: bool = True) -> DataFrame:
+    """J1/J2: exact-key label attachment (attach_output_labels,
+    preprocess.py:516-563).  Keeps the reference's 0-row fail-loud check
+    (preprocess.py:547-549) as a data-quality guard — an empty inner join
+    almost always means a key-type mismatch."""
+    out = df.join(labels, keys, how)
+    if expect_rows and how == "inner" and out.isEmpty():
+        raise ValueError(f"attach_labels: 0-row inner join on {keys} — "
+                         "check join keys/dtypes")
+    return out

@@ -1,0 +1,82 @@
+"""Partitioned analytic windows (SURVEY §2.5, W6–W11).
+
+Each replaces a reference idiom that in pandas needs a sort + groupby +
+join-back; in Spark each is one window over the same (group, order) spec so
+a single hash-shuffle on the group keys serves all of them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import zscore_expr
+from ..schemas import require_columns
+
+
+def zscore_in_group(df: DataFrame, col: str, group: list[str], out: str,
+                    ddof: int = 0, clip3: bool = False,
+                    negate: bool = False) -> DataFrame:
+    """W6: within-group z-score transform (metrics.py:97-122).  ddof=0 →
+    stddev_pop (the reference's default at metrics.py:112); ddof=1 →
+    stddev_samp (routes.py:102 uses pandas default).  Divide-by-zero → 0.0,
+    optional ±3 clip, optional negation (Phase3#cell14 RouteExecIQ)."""
+    w = Window.partitionBy(*group)
+    std = F.stddev_pop(col).over(w) if ddof == 0 else F.stddev_samp(col).over(w)
+    z = zscore_expr(F.col(col), F.avg(col).over(w), std, clip3=clip3)
+    return df.withColumn(out, -z if negate else z)
+
+
+def rank_desc(df: DataFrame, score: str, out: str = "rank",
+              group: list[str] | None = None) -> DataFrame:
+    """W7: competition rank, highest score = 1 (metrics.py:348
+    ``rank(method='min', ascending=False)``).  Cast long so the schema
+    matches SQL oracles (DuckDB rank() is BIGINT)."""
+    w = (Window.partitionBy(*group) if group else Window.partitionBy())
+    return df.withColumn(out, F.rank().over(w.orderBy(F.desc(score))).cast("long"))
+
+
+def argmax_rows(df: DataFrame, col: str, group: list[str]) -> DataFrame:
+    """W8: keep rows where ``col == max(col) per group`` — the reference's
+    throw-frame / catch-frame selection (preprocess.py:366-373,479-482),
+    expressed as a window filter instead of agg + join-back."""
+    require_columns(df, [col, *group], "argmax_rows")
+    w = Window.partitionBy(*group)
+    return (df.withColumn("__gmax", F.max(col).over(w))
+              .filter(F.col(col) == F.col("__gmax"))
+              .drop("__gmax"))
+
+
+def dedup_keep_last(df: DataFrame, keys: list[str], order: list[str],
+                    tiebreak: list[str] | None = None) -> DataFrame:
+    """W9: one row per key, keeping the last by ``order`` —
+    ``sort_values().drop_duplicates(keep='last')`` (metrics.py:260-265).
+    pandas relies on stable sort order; Spark needs the explicit tie-break
+    (SURVEY §7.5 risk 4), appended after the ordering columns."""
+    ordering = [F.desc(c) for c in order] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*ordering)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def topk_per_group(df: DataFrame, group: list[str], order: list[str],
+                   k: int, ascending: bool = False) -> DataFrame:
+    """W10/O3: top-k rows per group (grp.tail(n), nlargest, top player per
+    route — sequences.py:82, viz.py:586-594, _inisghts.ipynb#cell3)."""
+    cols = [F.asc(c) if ascending else F.desc(c) for c in order]
+    w = Window.partitionBy(*group).orderBy(*cols)
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def closest_to_median(df: DataFrame, col: str, group: list[str],
+                      tiebreak: list[str]) -> DataFrame:
+    """W11: the group's most-representative row — argmin |x − median(group)|
+    (viz.py:327-336).  Exact percentile (not approx) so oracle comparisons
+    hold (SURVEY §4.3 item 5)."""
+    w = Window.partitionBy(*group)
+    dist = F.abs(F.col(col) - F.percentile(col, F.lit(0.5)).over(w))
+    w_rank = Window.partitionBy(*group).orderBy(
+        dist.asc(), *[F.asc(c) for c in tiebreak])
+    return (df.withColumn("__rn", F.row_number().over(w_rank))
+              .filter(F.col("__rn") == 1).drop("__rn"))

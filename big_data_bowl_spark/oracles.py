@@ -1,0 +1,424 @@
+"""DuckDB oracle SQL twins for :mod:`queries`.
+
+Every statement mirrors its Spark query's semantics EXACTLY: same column
+names (driver sorts columns by name before hashing), same types (counts/
+ranks BIGINT, floats DOUBLE), same rounding (6 decimals applied at the same
+point in the computation), same tie-breaks.  Tables are pre-registered
+views: region nation customer supplier part orders lineitem events
+documents embeddings.
+"""
+
+from __future__ import annotations
+
+# shared fragments -----------------------------------------------------------
+
+_STOP_ALL = "('a','and','das','der','des','die','ein','el','et','la','le','les','los','of','por','que','the','to','una','und')"
+_EN = "('the','a','of','and','to')"
+_FR = "('le','la','et','les','des')"
+_DE = "('der','die','und','das','ein')"
+_ES = "('el','los','una','por','que')"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["q_flagship_truespeed"] = """
+WITH resid AS (
+    SELECT user_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS resid
+    FROM events),
+board AS (
+    SELECT r.user_id, c.c_name,
+           avg(abs(r.resid)) AS truespeed, count(*) AS n_frames
+    FROM resid r LEFT JOIN customer c ON r.user_id = c.c_custkey
+    WHERE r.resid IS NOT NULL
+    GROUP BY 1, 2)
+SELECT user_id, c_name, round(truespeed, 6) AS truespeed, n_frames,
+       rank() OVER (ORDER BY truespeed DESC) AS rank
+FROM board
+"""
+
+ORACLES["q_filter_project"] = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       round(l_extendedprice, 6) AS l_extendedprice
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity > 25
+"""
+
+ORACLES["q_case_norm_filter"] = """
+SELECT c_custkey, c_name, upper(c_mktsegment) AS segment
+FROM customer
+WHERE lower(c_mktsegment) = 'building'
+"""
+
+ORACLES["q_set_membership"] = """
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_type NOT IN ('error', 'signup')
+"""
+
+ORACLES["q_null_range_filter"] = """
+SELECT event_id, user_id, round(value, 6) AS value,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE value IS NOT NULL AND value > 100.0
+  AND json_extract_string(props, '$.k') IS NOT NULL
+"""
+
+ORACLES["q_label_attach"] = """
+SELECT l_orderkey, l_linenumber, o_orderstatus,
+       round(o_totalprice, 6) AS o_totalprice
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+ORACLES["q_semi_join"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+FROM orders
+WHERE o_custkey IN (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'AMERICA')
+"""
+
+ORACLES["q_enrich_left"] = """
+WITH totals AS (
+    SELECT user_id AS c_custkey, sum(value) AS total_value
+    FROM events GROUP BY 1)
+SELECT c.c_custkey, c.c_name,
+       round(coalesce(t.total_value, 0.0), 6) AS total_value
+FROM customer c LEFT JOIN totals t ON c.c_custkey = t.c_custkey
+"""
+
+ORACLES["q_nearest_in_group"] = """
+WITH mins AS (
+    SELECT c_custkey, min(abs(c_acctbal - s_acctbal)) AS md
+    FROM customer JOIN supplier ON c_nationkey = s_nationkey
+    GROUP BY 1)
+SELECT c.c_nationkey AS nationkey, c.c_custkey,
+       round(m.md, 6) AS min_bal_dist
+FROM customer c LEFT JOIN mins m ON c.c_custkey = m.c_custkey
+"""
+
+ORACLES["q_frame_diff"] = """
+SELECT event_id, user_id,
+       round(coalesce(value - lag(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS dvalue
+FROM events
+"""
+
+ORACLES["q_converge_rate_lead"] = """
+SELECT event_id, user_id,
+       round(coalesce(value - lead(value) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 6) AS converge_rate
+FROM events
+"""
+
+ORACLES["q_cum_index"] = """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS seq_idx,
+       event_id - min(event_id) OVER (PARTITION BY user_id) AS id_offset
+FROM events
+"""
+
+ORACLES["q_zscore_in_group"] = """
+SELECT event_id, event_type,
+       round(greatest(least(
+           CASE WHEN stddev_pop(value) OVER (PARTITION BY event_type) = 0
+                  OR stddev_pop(value) OVER (PARTITION BY event_type) IS NULL
+                THEN 0.0
+                ELSE (value - avg(value) OVER (PARTITION BY event_type))
+                     / stddev_pop(value) OVER (PARTITION BY event_type)
+           END, 3.0), -3.0), 6) AS z
+FROM events
+"""
+
+ORACLES["q_rank_leaderboard"] = """
+WITH board AS (
+    SELECT user_id, avg(value) AS mean_value, count(*) AS n_events
+    FROM events GROUP BY 1)
+SELECT user_id, round(mean_value, 6) AS mean_value, n_events,
+       rank() OVER (ORDER BY mean_value DESC) AS rank
+FROM board
+"""
+
+ORACLES["q_argmax_frame"] = """
+SELECT user_id, event_id, event_type, round(value, 6) AS value
+FROM events
+QUALIFY event_id = max(event_id) OVER (PARTITION BY user_id)
+"""
+
+ORACLES["q_dedup_keep_last"] = """
+SELECT user_id, event_type, event_id, round(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+ORACLES["q_topk_per_group"] = """
+SELECT user_id, event_id, round(value, 6) AS value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY value DESC, event_id DESC) <= 3
+"""
+
+ORACLES["q_tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+ORACLES["q_trajectory_features"] = """
+SELECT user_id,
+       round(arg_min(value, event_id), 6) AS start_value,
+       round(arg_max(value, event_id), 6) AS end_value,
+       round(max(value) - min(value), 6) AS value_range,
+       count(*) AS n_frames,
+       round(avg(value), 6) AS value_mean,
+       round(max(value), 6) AS value_max,
+       round(stddev_samp(value), 6) AS value_std
+FROM events
+GROUP BY user_id
+"""
+
+ORACLES["q_group_stats"] = """
+SELECT event_type,
+       round(avg(value), 6) AS mean,
+       round(max(value), 6) AS max,
+       round(min(value), 6) AS min,
+       round(stddev_samp(value), 6) AS std,
+       round(median(value), 6) AS median,
+       count(value) AS n
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["q_quantiles"] = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.75), 6) AS q75,
+       round(quantile_cont(value, 0.90), 6) AS q90
+FROM events
+GROUP BY event_type
+"""
+
+ORACLES["q_value_counts"] = """
+SELECT event_type, count(*) AS count
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_distinct_users"] = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+ORACLES["q_scalar_threshold"] = """
+WITH counts AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+SELECT user_id, n FROM counts
+WHERE n >= (SELECT max(n) * 0.5 FROM counts)
+"""
+
+ORACLES["q_conditional_flags"] = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN value > 150.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       round(avg(CASE WHEN value > 150.0 THEN 1.0 ELSE 0.0 END), 6) AS big_rate
+FROM events GROUP BY user_id
+"""
+
+ORACLES["q_corr_trend"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS pearson_r,
+       round(covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity), 6) AS slope,
+       round(avg(l_extendedprice)
+             - (covar_samp(l_quantity, l_extendedprice) / var_samp(l_quantity))
+               * avg(l_quantity), 6) AS intercept,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_minmax_norm"] = """
+WITH board AS (SELECT user_id, avg(value) AS mv FROM events GROUP BY 1)
+SELECT user_id,
+       round(CASE WHEN max(mv) OVER () = min(mv) OVER () THEN 50.0
+                  ELSE 100.0 * (mv - min(mv) OVER ())
+                       / (max(mv) OVER () - min(mv) OVER ())
+             END, 6) AS score_100
+FROM board
+"""
+
+ORACLES["q_safe_div"] = """
+WITH agg AS (
+    SELECT user_id, sum(value) AS total_value,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n
+    FROM events GROUP BY 1)
+SELECT user_id,
+       round(CASE WHEN n = 0 THEN NULL ELSE total_value / n END, 6) AS value_per_purchase
+FROM agg
+"""
+
+ORACLES["q_piecewise_score"] = """
+WITH agg AS (
+    SELECT user_id, avg(value) AS ts, stddev_pop(value) AS re,
+           avg(value) / 50.0 AS sep
+    FROM events GROUP BY 1)
+SELECT user_id,
+       round(CASE WHEN sep > 5.0 THEN ts + 0.05
+                  ELSE 0.8 * ts * (1.0 + 0.5 * (1.0 - (greatest(least(sep, 2.0), 0.5) - 0.5) / 1.5))
+                       + 0.2 * re
+             END, 6) AS hybrid_iq
+FROM agg
+"""
+
+ORACLES["q_scorecard"] = """
+WITH board AS (
+    SELECT user_id, avg(value) AS mean_value, count(*) AS n_events,
+           sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_value
+    FROM events GROUP BY 1),
+qual AS (
+    SELECT * FROM board
+    WHERE n_events >= (SELECT max(n_events) * 0.25 FROM board)),
+scored AS (
+    SELECT *,
+           CASE WHEN max(mean_value) OVER () = min(mean_value) OVER () THEN 50.0
+                ELSE 100.0 * (mean_value - min(mean_value) OVER ())
+                     / (max(mean_value) OVER () - min(mean_value) OVER ())
+           END AS score_100
+    FROM qual)
+SELECT user_id, round(mean_value, 6) AS mean_value, n_events,
+       round(purchase_value, 6) AS purchase_value,
+       round(score_100, 6) AS score_100,
+       rank() OVER (ORDER BY score_100 DESC) AS rank
+FROM scored
+"""
+
+ORACLES["q_top_orders"] = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+ORACLES["q_union_dedup"] = """
+SELECT event_id, user_id, event_type, round(value, 6) AS value
+FROM events
+WHERE value > 150.0 OR event_type = 'error'
+"""
+
+ORACLES["q_sequence_build"] = """
+WITH seqs AS (
+    SELECT user_id, list(value ORDER BY event_id) AS vals
+    FROM events GROUP BY user_id),
+kept AS (
+    SELECT user_id,
+           list_slice(vals, greatest(len(vals) - 9, 1), len(vals)) AS k
+    FROM seqs)
+SELECT user_id,
+       CAST(len(k) AS BIGINT) AS real_len,
+       concat(array_to_string(list_transform(k, x -> printf('%.2f', x)), ','),
+              repeat(',0.00', 10 - len(k))) AS seq_str
+FROM kept
+"""
+
+ORACLES["q_unpivot_sequences"] = """
+WITH base AS (
+    SELECT user_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS t,
+           round(value, 6) AS actual,
+           round(avg(value) OVER (PARTITION BY user_id), 6) AS pred
+    FROM events)
+SELECT user_id, t, actual, pred, round(actual - pred, 6) AS residual
+FROM base
+"""
+
+ORACLES["q_dedup_exact"] = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS canonical_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+ORACLES["q_text_quality"] = f"""
+WITH base AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+           length(replace(text, ' ', '')) AS n_nospace,
+           length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_nopunct
+    FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE CAST(len(list_filter(toks, t -> t IN {_STOP_ALL})) AS DOUBLE)
+                       / len(toks) END, 6) AS stopword_ratio,
+       round(CASE WHEN len(toks) = 0 THEN NULL
+                  ELSE CAST(n_nospace AS DOUBLE) / len(toks) END, 6) AS mean_token_len,
+       round(CASE WHEN n_chars = 0 THEN NULL
+                  ELSE CAST(n_chars - n_nopunct AS DOUBLE) / n_chars END, 6) AS punct_ratio
+FROM base
+"""
+
+ORACLES["q_language_id"] = f"""
+WITH base AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents),
+hits AS (
+    SELECT doc_id,
+           CAST(len(list_filter(toks, t -> t IN {_EN})) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(toks, t -> t IN {_FR})) AS BIGINT) AS fr_hits,
+           CAST(len(list_filter(toks, t -> t IN {_DE})) AS BIGINT) AS de_hits,
+           CAST(len(list_filter(toks, t -> t IN {_ES})) AS BIGINT) AS es_hits
+    FROM base)
+SELECT doc_id, en_hits, fr_hits, de_hits, es_hits,
+       CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+            WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+            WHEN de_hits >= es_hits THEN 'de'
+            ELSE 'es' END AS predicted_lang
+FROM hits
+"""
+
+ORACLES["q_ngram_jaccard"] = """
+WITH raw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, source, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 50 = 0
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
+"""
+
+ORACLES["q_cosine_topk"] = """
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id IN (0, 1, 2, 3, 4))
+SELECT query_id, neighbor_id, cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 3
+"""

@@ -1,0 +1,183 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four tiers, cheapest to richest, all shuffle-architected for 100 TB:
+
+- exact: hash-groupBy on a content digest — one shuffle on the digest, the
+  canonical-id choice is a min() aggregate (map-side combinable).
+- n-gram Jaccard: explode→equi-join on token — the classic set-similarity
+  join; candidates bounded by a probe set / LSH bucket so the common-token
+  fan-out never goes quadratic in the corpus.
+- MinHash + LSH: signature = k independent min-hashes over shingle hashes
+  (all JVM-side xxhash64 + aggregate, no Python); banding buckets are the
+  join key, so only same-bucket docs ever meet — the scale path.
+- SimHash: 64-bit fingerprint via per-token hash bit-voting; near-dup
+  candidates share a fingerprint band.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import roundn
+from ..schemas import require_columns
+
+
+def _tokens_distinct(df: DataFrame, id_col: str, text_col: str,
+                     extra: list[str]) -> DataFrame:
+    """Distinct (id, token) pairs: explode once, dedup before any join so
+    token multiplicity never inflates the join."""
+    return (df.select(id_col, *extra,
+                      F.explode(F.split(F.col(text_col), " ")).alias("token"))
+              .filter(F.col("token") != "")
+              .distinct())
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by md5 digest: one row per distinct content,
+    with the canonical (min) id and the copy count.
+
+    Returns (content_hash, canonical_doc_id, n_copies).
+    """
+    require_columns(df, [id_col, text_col], "exact_dedup")
+    return (df.select(F.md5(F.col(text_col)).alias("content_hash"),
+                      F.col(id_col))
+              .groupBy("content_hash")
+              .agg(F.min(id_col).alias("canonical_doc_id"),
+                   F.count(F.lit(1)).alias("n_copies")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        probe_mod: int = 50, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bucket_col: str = "source") -> DataFrame:
+    """Token-set Jaccard similarity join, bucketed.
+
+    Probes (``id % probe_mod == 0``) are compared against every doc in the
+    same bucket: explode to distinct (doc, token), equi-join on
+    (bucket, token) to count intersections, then |A∪B| = |A|+|B|−|A∩B|.
+    The bucket key keeps the candidate set linear in the corpus; swap the
+    probe filter for an LSH band (``minhash_lsh_pairs``) to get all-pairs
+    behavior at scale.
+
+    Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, a ≠ b.
+    """
+    require_columns(df, [id_col, text_col, bucket_col], "ngram_jaccard_pairs")
+    tok = _tokens_distinct(df, id_col, text_col, [bucket_col])
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    probes = tok.filter(F.col(id_col) % probe_mod == 0)
+    inter = (probes.alias("a")
+             .join(tok.alias("b"),
+                   (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+                   & (F.col("a.token") == F.col("b.token"))
+                   & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+                 .withColumn("jaccard", roundn(jac))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+
+
+N_MINHASH = 32
+LSH_BANDS = 8  # 8 bands × 4 rows — s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
+
+
+def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
+                      shingle_len: int = 3) -> Column:
+    """MinHash signature as an array<long>, fully JVM-side.
+
+    Word shingles of ``shingle_len`` are hashed with xxhash64 under
+    ``n_hashes`` seeds; each signature slot is the min hash.  No UDF: the
+    shingling is a ``transform`` over a ``sequence``, the min-reduce is
+    ``array_min``.
+    """
+    words = F.split(text, " ")
+    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
+    return F.array(*[
+        F.array_min(F.transform(shingles,
+                                lambda s: F.xxhash64(s, F.lit(seed))))
+        for seed in range(n_hashes)])
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+                      min_est_jaccard: float = 0.5) -> DataFrame:
+    """MinHash + LSH near-duplicate candidate pairs.
+
+    Banding: the signature splits into ``bands`` groups; docs sharing any
+    band hash collide into a bucket (the ONLY join key — no all-pairs
+    shuffle).  Within a bucket, the estimated Jaccard is the fraction of
+    agreeing signature slots.  Probabilistic → no SQL oracle (driver runs
+    the weaker rows-only check); correctness is covered by property tests
+    (identical docs → est 1.0, disjoint docs → est ~0).
+
+    Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
+    """
+    require_columns(df, [id_col, text_col], "minhash_lsh_pairs")
+    rows_per_band = n_hashes // bands
+    sig = df.select(F.col(id_col),
+                    minhash_signature(F.col(text_col), n_hashes).alias("sig"))
+    banded = sig.select(
+        id_col, "sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                       for r in range(rows_per_band)]), F.lit(b))
+            for b in range(bands)])).alias("band", "bucket"))
+    pairs = (banded.alias("a")
+             .join(banded.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"),
+                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: x == y), lambda v: v))
+    est = agree.cast("double") / F.lit(float(N_MINHASH))
+    return (pairs.withColumn("est_jaccard", roundn(est))
+                 .filter(F.col("est_jaccard") >= min_est_jaccard)
+                 .select("doc_a", "doc_b", "est_jaccard"))
+
+
+def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document + a 16-bit band for bucketing.
+
+    Each token votes its xxhash64 bit-pattern (+1/−1 per bit); the sign of
+    the vote sum is the fingerprint bit.  All expressed as array transforms
+    over the token list — JVM-side.  Near-dups share bands; Hamming distance
+    between fingerprints refines.  Returns (doc_id, simhash, band0..band3).
+    """
+    require_columns(df, [id_col, text_col], "simhash_buckets")
+    tokens = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # vote per bit: sum over tokens of (+1 if bit set else -1)
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda b: F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), b).cast("long")) != 0,
+                                        1).otherwise(-1)))
+    fingerprint = F.aggregate(
+        F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(bits - 1)),
+                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1), b).cast("long"))
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+    out = df.select(F.col(id_col), fingerprint.alias("simhash"))
+    for i in range(4):
+        out = out.withColumn(
+            f"band{i}",
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)))
+    return out

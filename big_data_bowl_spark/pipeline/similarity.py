@@ -1,0 +1,113 @@
+"""Similarity search over an embedding column (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+against the candidate corpus, dot products computed with zip_with/aggregate
+entirely JVM-side.  At 100 TB the corpus side stays partitioned and is
+scanned once; only the query set moves.
+
+Scale path: LSH-bucketed variant — random-hyperplane signs bucket the
+vectors; queries only meet candidates in their own bucket, turning the
+brute-force O(Q×N) into O(Q×N/2^bits) per probe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import roundn
+from ..schemas import require_columns
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force exact cosine top-k: for each query vector, the k nearest
+    other vectors.  Query side is broadcast; ranking is a per-query window
+    with a deterministic id tie-break.
+
+    Returns (query_id, neighbor_id, cosine) — floats cast to double BEFORE
+    any arithmetic so the element-order summation matches the oracle bit-
+    for-bit (then rounded).
+    """
+    require_columns(df, [id_col, vec_col], "cosine_topk")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    q = (vecs.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")))
+    pairs = (F.broadcast(q)
+             .crossJoin(vecs.select(F.col(id_col).alias("neighbor_id"),
+                                    F.col("v").alias("nv")))
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    scored = pairs.withColumn("cosine", roundn(cos))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .select("query_id", "neighbor_id", "cosine"))
+
+
+N_PLANES = 8
+
+
+def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = N_PLANES, dim: int = 64,
+                      seed: int = 42) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    Hyperplanes are deterministic pseudo-random vectors derived from
+    xxhash64(seed, plane, component) — reproducible across runs with no
+    driver-side RNG state.  Vectors sharing the sign-pattern bucket are the
+    only candidates, so the join is bucket-equi, not cross.  Approximate →
+    no SQL oracle; tested by containment against the exact result.
+    """
+    require_columns(df, [id_col, vec_col], "lsh_bucketed_topk")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
+    def plane_component(p: int, i: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), i)
+        return (h % 1000).cast("double") / 500.0 - 1.0
+
+    def bucket_bits(v: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)),
+                               lambda x, i: x * plane_component(p, i)),
+                    F.lit(0.0), lambda acc, x: acc + x) > 0, 1).otherwise(0)
+            for p in range(n_planes)]
+        out = F.lit(0)
+        for b in bits:
+            out = F.shiftleft(out, 1) + b
+        return out
+
+    bucketed = vecs.withColumn("bucket", bucket_bits(F.col("v")))
+    q = (bucketed.filter(F.col(id_col).isin(query_ids))
+                 .select(F.col(id_col).alias("query_id"),
+                         F.col("v").alias("qv"), "bucket"))
+    pairs = (F.broadcast(q)
+             .join(bucketed.select(F.col(id_col).alias("neighbor_id"),
+                                   F.col("v").alias("nv"), "bucket"),
+                   "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("cosine", roundn(cos))
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= k)
+                 .select("query_id", "neighbor_id", "cosine"))

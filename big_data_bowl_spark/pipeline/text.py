@@ -1,0 +1,97 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  All native Spark SQL expressions (zero Python in
+the hot path) so they run inside whole-stage codegen and have exact DuckDB
+oracle twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import roundn, safe_div
+from ..schemas import require_columns
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+    "es": ("el", "los", "una", "por", "que"),
+}
+STOPWORDS_ALL = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+
+
+def _tokens(text_col: str = "text"):
+    return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (chars/4 heuristic —
+    the standard quick token estimator) per document."""
+    require_columns(df, [id_col, text_col], "token_counts")
+    toks = _tokens(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("est_bpe_tokens"))
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token/char counts, stopword ratio, mean
+    token length, punctuation ratio — the standard pre-training corpus
+    filters, one projection."""
+    require_columns(df, [id_col, text_col], "quality_features")
+    toks = _tokens(text_col)
+    n_tok = F.size(toks).cast("long")
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_ALL))).cast("long")
+    n_chars = F.length(text_col).cast("long")
+    no_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    no_punct = F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        roundn(safe_div(stop_hits.cast("double"), n_tok.cast("double")))
+            .alias("stopword_ratio"),
+        roundn(safe_div(no_space.cast("double"), n_tok.cast("double")))
+            .alias("mean_token_len"),
+        roundn(safe_div((n_chars - no_punct).cast("double"), n_chars.cast("double")))
+            .alias("punct_ratio"))
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with a fixed deterministic tie-break order
+    (en > fr > de > es).  Returns per-language hit counts + prediction so
+    the oracle can verify the whole decision, not just the argmax."""
+    require_columns(df, [id_col, text_col], "language_id")
+    toks = _tokens(text_col)
+    hits = {lang: F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
+            for lang, ws in LANG_STOPWORDS.items()}
+    pred = (F.when((hits["en"] >= hits["fr"]) & (hits["en"] >= hits["de"])
+                   & (hits["en"] >= hits["es"]), "en")
+             .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
+             .when(hits["de"] >= hits["es"], "de")
+             .otherwise("es"))
+    return df.select(
+        F.col(id_col),
+        hits["en"].alias("en_hits"), hits["fr"].alias("fr_hits"),
+        hits["de"].alias("de_hits"), hits["es"].alias("es_hits"),
+        pred.alias("predicted_lang"))
+
+
+def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          window: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum token-shingle hash
+    per position window (rolling-hash class).  Deterministic; used as a
+    cheap near-dup prefilter.  Returns (doc_id, fingerprint)."""
+    require_columns(df, [id_col, text_col], "fingerprint_documents")
+    toks = _tokens(text_col)
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    fp = F.array_min(F.slice(hashes, 1, window))
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

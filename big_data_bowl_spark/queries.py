@@ -1,0 +1,596 @@
+"""Named correctness-suite queries (SURVEY §5.3) on the synthetic tables.
+
+Each query is ``(spark, sf_dir) -> DataFrame`` and has a DuckDB oracle twin
+in :mod:`oracles` with IDENTICAL column names and types.  Mapping of the
+reference domain onto the synthetic star schema (TESTDATA.md):
+
+- ``events`` (user_id, ts, value)  ≙ tracking frames (player, frame, coord):
+  every window/kinematics operator runs here.
+- ``lineitem``/``orders``/``customer`` ≙ play-level fact + dimensions:
+  joins, aggregations, scorecards.
+- ``documents``/``embeddings``: the training-data-pipeline operators
+  (dedup, text analysis, similarity search).
+
+Hash-stability conventions (SURVEY §7.5 risks 4/5):
+- every float output rounded to 6 decimals on BOTH sides (`roundn`);
+- ranks/counts cast to long to match DuckDB BIGINT;
+- timestamps emitted as formatted strings, never raw;
+- all computed columns aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.scalar import (
+    minmax_100,
+    nan_to_null,
+    piecewise_multiplier,
+    roundn,
+    safe_div,
+)
+from .operators import (
+    argmax_rows,
+    build_sequences,
+    cum_index,
+    dedup_keep_last,
+    enrich_left,
+    group_min_offset,
+    group_stats,
+    lag_diff,
+    lead_diff,
+    nearest_in_group,
+    ols_slope,
+    rank_desc,
+    semi_join_on,
+    topk_per_group,
+    trajectory_features,
+    unpivot_sequences,
+    value_counts,
+    zscore_in_group,
+)
+from .pipeline.dedup import exact_dedup, ngram_jaccard_pairs
+from .pipeline.similarity import cosine_topk
+from .pipeline.text import language_id, quality_features
+from .sources.io import read_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# P-family: projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+def q_filter_project(spark, sf_dir):
+    """P1+P2+P5: conjunctive filter + projection, pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 25))
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      roundn(F.col("l_extendedprice")).alias("l_extendedprice")))
+
+
+def q_case_norm_filter(spark, sf_dir):
+    """P3: case-normalized equality (str.lower().eq, preprocess.py:296-298)."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.filter(F.lower(F.col("c_mktsegment")) == "building")
+             .select("c_custkey", "c_name",
+                     F.upper(F.col("c_mktsegment")).alias("segment")))
+
+
+def q_set_membership(spark, sf_dir):
+    """P4: junk-route-style anti-membership filter (~isin)."""
+    e = _t(spark, sf_dir, "events")
+    return (e.filter(~F.col("event_type").isin("error", "signup"))
+             .select("event_id", "user_id", "event_type"))
+
+
+def q_null_range_filter(spark, sf_dir):
+    """P6+P7+P9: dropna + range predicate + coerce-cast on the JSON props."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (e.withColumn("k", k)
+             .filter(F.col("value").isNotNull() & (F.col("value") > 100.0))
+             .filter(F.col("k").isNotNull())
+             .select("event_id", "user_id", roundn(F.col("value")).alias("value"), "k"))
+
+
+# ---------------------------------------------------------------------------
+# J-family: joins
+# ---------------------------------------------------------------------------
+
+def q_label_attach(spark, sf_dir):
+    """J1: exact-key inner label attach (lineitem ⋈ orders), facts keep their
+    grain; orders side is the smaller input → broadcast by Catalyst/AQE."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus",
+                                           "o_totalprice")
+    return (li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+              .select("l_orderkey", "l_linenumber", "o_orderstatus",
+                      roundn(F.col("o_totalprice")).alias("o_totalprice")))
+
+
+def q_semi_join(spark, sf_dir):
+    """J3: left-semi — orders whose customer sits in region AMERICA
+    (the reference's dedup-then-inner-merge emulation, preprocess.py:302-327)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    keys = (c.join(n, c.c_nationkey == n.n_nationkey)
+             .join(r, n.n_regionkey == r.r_regionkey)
+             .select(F.col("c_custkey").alias("o_custkey")))
+    return (semi_join_on(o, keys, ["o_custkey"])
+            .select("o_orderkey", "o_custkey",
+                    roundn(F.col("o_totalprice")).alias("o_totalprice")))
+
+
+def q_enrich_left(spark, sf_dir):
+    """J4: left enrichment join + fillna (merge_route_embeddings shape):
+    per-user event totals left-joined back onto customers, missing → 0."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    totals = e.groupBy(F.col("user_id").alias("c_custkey")) \
+              .agg(F.sum("value").alias("total_value"))
+    out = enrich_left(c.select("c_custkey", "c_name"), totals,
+                      ["c_custkey"], fill={"total_value": 0.0})
+    return out.select("c_custkey", "c_name",
+                      roundn(F.col("total_value")).alias("total_value"))
+
+
+def q_nearest_in_group(spark, sf_dir):
+    """J6+A9: within-group cross join → min distance.  Customers × suppliers
+    per nation; nearest supplier by |acctbal difference| (the
+    compute_catch_separation shape, preprocess.py:441-513)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_custkey", "c_acctbal")
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), "s_acctbal")
+    dist = F.abs(F.col("l.c_acctbal") - F.col("r.s_acctbal"))
+    out = nearest_in_group(c, s, ["nationkey"], "c_custkey", dist,
+                           out="min_bal_dist", default=None,
+                           right_cols=["s_acctbal"])
+    return out.select("nationkey", "c_custkey",
+                      roundn(F.col("min_bal_dist")).alias("min_bal_dist"))
+
+
+# ---------------------------------------------------------------------------
+# W-family: windows
+# ---------------------------------------------------------------------------
+
+def q_frame_diff(spark, sf_dir):
+    """W1+F1: lag-diff kinematics — per-user ordered value diff ≙ frame-to-
+    frame speed (preprocess.py:125-127), first row filled 0."""
+    e = _t(spark, sf_dir, "events")
+    out = lag_diff(e, "value", ["user_id"], ["ts", "event_id"],
+                   out="dvalue", fill=0.0)
+    return out.select("event_id", "user_id", roundn(F.col("dvalue")).alias("dvalue"))
+
+
+def q_converge_rate_lead(spark, sf_dir):
+    """W3: notebook-dialect converge rate — value[t] − value[t+1], last
+    row → 0 (BDB_2026.ipynb#cell80)."""
+    e = _t(spark, sf_dir, "events")
+    out = lead_diff(e, "value", ["user_id"], ["ts", "event_id"],
+                    out="converge_rate", fill=0.0)
+    return out.select("event_id", "user_id",
+                      roundn(F.col("converge_rate")).alias("converge_rate"))
+
+
+def q_cum_index(spark, sf_dir):
+    """W4+W5: cumcount within group + offset from group min
+    (frame_since_throw / time_since_throw, preprocess.py:196-201)."""
+    e = _t(spark, sf_dir, "events")
+    out = cum_index(e, ["user_id"], ["ts", "event_id"], out="seq_idx")
+    out = group_min_offset(out, "event_id", ["user_id"], out="id_offset")
+    return out.select("event_id", "user_id", "seq_idx",
+                      F.col("id_offset").cast("long").alias("id_offset"))
+
+
+def q_zscore_in_group(spark, sf_dir):
+    """W6: within-group z-score, ddof=0, clipped ±3 (metrics.py:97-122)."""
+    e = _t(spark, sf_dir, "events")
+    out = zscore_in_group(e, "value", ["event_type"], out="z",
+                          ddof=0, clip3=True)
+    return out.select("event_id", "event_type", roundn(F.col("z")).alias("z"))
+
+
+def q_rank_leaderboard(spark, sf_dir):
+    """W7+O2+A1: leaderboard — mean value per user, competition-ranked desc
+    (build_truespeed_scorecard rank, metrics.py:348)."""
+    e = _t(spark, sf_dir, "events")
+    board = e.groupBy("user_id").agg(F.avg("value").alias("mean_value"),
+                                     F.count(F.lit(1)).alias("n_events"))
+    out = rank_desc(board, "mean_value", out="rank")
+    return out.select("user_id", roundn(F.col("mean_value")).alias("mean_value"),
+                      "n_events", "rank")
+
+
+def q_argmax_frame(spark, sf_dir):
+    """W8: rows at the per-group max ordering key (throw-frame selection,
+    preprocess.py:366-373) — window filter, no join-back."""
+    e = _t(spark, sf_dir, "events")
+    out = argmax_rows(e, "event_id", ["user_id"])
+    return out.select("user_id", "event_id", "event_type",
+                      roundn(F.col("value")).alias("value"))
+
+
+def q_dedup_keep_last(spark, sf_dir):
+    """W9: one row per (user, type), keeping latest by ts with explicit
+    event_id tie-break (metrics.py:260-265; SURVEY risk 4)."""
+    e = _t(spark, sf_dir, "events")
+    out = dedup_keep_last(e, ["user_id", "event_type"], ["ts"],
+                          tiebreak=["event_id"])
+    return out.select("user_id", "event_type", "event_id",
+                      roundn(F.col("value")).alias("value"))
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W10/O3: top-3 events per user by value (nlargest / top player per
+    route, _inisghts.ipynb#cell3), event_id tie-break."""
+    e = _t(spark, sf_dir, "events")
+    out = topk_per_group(e, ["user_id"], ["value", "event_id"], k=3)
+    return out.select("user_id", "event_id", roundn(F.col("value")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# A-family: aggregations
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf_dir):
+    """A1/A11 flagship: TPC-H Q1-shaped pricing summary — the multi-metric
+    named aggregation block (metrics.py:296-322) on lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(roundn(F.sum("l_quantity")).alias("sum_qty"),
+                   roundn(F.sum("l_extendedprice")).alias("sum_base_price"),
+                   roundn(F.sum(disc_price)).alias("sum_disc_price"),
+                   roundn(F.sum(charge)).alias("sum_charge"),
+                   roundn(F.avg("l_quantity")).alias("avg_qty"),
+                   roundn(F.avg("l_extendedprice")).alias("avg_price"),
+                   roundn(F.avg("l_discount")).alias("avg_disc"),
+                   F.count(F.lit(1)).alias("count_order")))
+
+
+def q_trajectory_features(spark, sf_dir):
+    """A3–A8 fused: the route-feature block (routes.py:34-172) over events —
+    start/end/path-length/range/count per user in ONE groupBy pass."""
+    e = _t(spark, sf_dir, "events")
+    ts_s = F.col("ts").cast("double")
+    e2 = e.withColumn("__t", ts_s)
+    out = trajectory_features(e2, ["user_id"], "event_id",
+                              x="__t", y="value", speed="value")
+    return out.select(
+        "user_id",
+        roundn(F.col("start_y")).alias("start_value"),
+        roundn(F.col("end_y")).alias("end_value"),
+        roundn(F.col("lateral_range")).alias("value_range"),
+        "n_frames",
+        roundn(F.col("speed_mean")).alias("value_mean"),
+        roundn(F.col("speed_max")).alias("value_max"),
+        roundn(nan_to_null(F.col("speed_std"))).alias("value_std"))
+
+
+def q_group_stats(spark, sf_dir):
+    """A5+A14: group summary incl. exact median (Spark `median` ==
+    DuckDB quantile_cont 0.5; SURVEY §4.3 item 5)."""
+    e = _t(spark, sf_dir, "events")
+    out = group_stats(e, ["event_type"], "value", ddof=1)
+    return out.select("event_type", roundn(F.col("mean")).alias("mean"),
+                      roundn(F.col("max")).alias("max"),
+                      roundn(F.col("min")).alias("min"),
+                      roundn(F.col("std")).alias("std"),
+                      roundn(F.col("median")).alias("median"), "n")
+
+
+def q_quantiles(spark, sf_dir):
+    """A14: exact quantile thresholds (tight/open q25/q75,
+    BDB_2026.ipynb#cell71)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        roundn(F.percentile("value", F.lit(0.25))).alias("q25"),
+        roundn(F.percentile("value", F.lit(0.75))).alias("q75"),
+        roundn(F.percentile("value", F.lit(0.90))).alias("q90"))
+
+
+def q_value_counts(spark, sf_dir):
+    """A15: frequency table."""
+    return value_counts(_t(spark, sf_dir, "events"), "event_type")
+
+
+def q_distinct_users(spark, sf_dir):
+    """A12: distinct + per-group distinct-count (nunique)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"))
+
+
+def q_scalar_threshold(spark, sf_dir):
+    """A13+P7: global scalar agg feeding a filter — users with ≥50% of the
+    max event count (the metrics.py:329-330 volume-threshold idiom), via a
+    broadcast 1-row cross join (no driver round-trip)."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    thresh = counts.agg((F.max("n") * 0.5).alias("__thr"))
+    return (counts.crossJoin(F.broadcast(thresh))
+                  .filter(F.col("n") >= F.col("__thr"))
+                  .select("user_id", "n"))
+
+
+def q_conditional_flags(spark, sf_dir):
+    """A11+F11: boolean→int flag aggregation (is_explosive / is_successful,
+    metrics.py:306-308): per user, share of purchases and big events."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .cast("long").alias("n_purchases"),
+        F.sum(F.when(F.col("value") > 150.0, 1).otherwise(0))
+         .cast("long").alias("n_big"),
+        roundn(F.avg(F.when(F.col("value") > 150.0, 1.0).otherwise(0.0)))
+         .alias("big_rate"))
+
+
+def q_corr_trend(spark, sf_dir):
+    """A18: Pearson r + OLS slope per group from covariance aggregates
+    (np.polyfit deg=1, viz.py:431-436)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = ols_slope(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    return out.select("l_returnflag",
+                      roundn(F.col("pearson_r")).alias("pearson_r"),
+                      roundn(F.col("slope")).alias("slope"),
+                      roundn(F.col("intercept")).alias("intercept"), "n")
+
+
+# ---------------------------------------------------------------------------
+# Metric layer: F10/F12/F15 + scorecard
+# ---------------------------------------------------------------------------
+
+def q_minmax_norm(spark, sf_dir):
+    """F10+A13: 0–100 min-max normalized per-user mean value
+    (normalize_scores_to_100, metrics.py:129-137)."""
+    e = _t(spark, sf_dir, "events")
+    board = e.groupBy("user_id").agg(F.avg("value").alias("mv"))
+    w = Window.partitionBy()
+    score = minmax_100(F.col("mv"), F.min("mv").over(w), F.max("mv").over(w))
+    return board.select("user_id", roundn(score).alias("score_100"))
+
+
+def q_safe_div(spark, sf_dir):
+    """F12: null-on-zero-denominator ratio (yards/target shape,
+    metrics.py:321-322)."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(
+        F.sum("value").alias("total_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+         .cast("long").alias("n_purchases"))
+    return agg.select("user_id",
+                      roundn(safe_div(F.col("total_value"),
+                                      F.col("n_purchases"))).alias("value_per_purchase"))
+
+
+def q_piecewise_score(spark, sf_dir):
+    """F15: the AirPlayIQ piecewise hybrid expression
+    (Phase3_Metrics.ipynb#cell18:237-260) as pure nested CASE arithmetic:
+    wide-open branch (sep > 5 → ts + 0.05), else 0.8*ts*mult + 0.2*re."""
+    e = _t(spark, sf_dir, "events")
+    agg = e.groupBy("user_id").agg(F.avg("value").alias("ts"),
+                                   F.stddev_pop("value").alias("re"),
+                                   (F.avg("value") / 50.0).alias("sep"))
+    mult = piecewise_multiplier(F.col("sep"))
+    score = F.when(F.col("sep") > 5.0, F.col("ts") + 0.05) \
+             .otherwise(0.8 * F.col("ts") * mult + 0.2 * F.col("re"))
+    return agg.select("user_id", roundn(score).alias("hybrid_iq"))
+
+
+def q_scorecard(spark, sf_dir):
+    """A11+W7+P7+F10 composite: the build_truespeed_scorecard pipeline
+    (metrics.py:198-367) — process metrics + production metrics + volume
+    threshold + 0-100 normalize + rank, one declarative plan."""
+    e = _t(spark, sf_dir, "events")
+    board = e.groupBy("user_id").agg(
+        F.avg("value").alias("mean_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
+               .otherwise(0.0)).alias("purchase_value"))
+    thresh = board.agg((F.max("n_events") * 0.25).alias("__thr"))
+    w = Window.partitionBy()
+    score = minmax_100(F.col("mean_value"),
+                       F.min("mean_value").over(w), F.max("mean_value").over(w))
+    qualified = (board.crossJoin(F.broadcast(thresh))
+                      .filter(F.col("n_events") >= F.col("__thr"))
+                      .withColumn("score_100", score))
+    out = rank_desc(qualified, "score_100", out="rank")
+    return out.select("user_id", roundn(F.col("mean_value")).alias("mean_value"),
+                      "n_events", roundn(F.col("purchase_value")).alias("purchase_value"),
+                      roundn(F.col("score_100")).alias("score_100"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# O/U-family: sorts, sets
+# ---------------------------------------------------------------------------
+
+def q_top_orders(spark, sf_dir):
+    """O2: global top-N by score (nlargest, viz.py:449)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+             .select("o_orderkey", "o_custkey",
+                     roundn(F.col("o_totalprice")).alias("o_totalprice")))
+
+
+def q_union_dedup(spark, sf_dir):
+    """U1: union of two filtered slices + key-dedup (viz.py:597 exemplar
+    union; weekly-shard concat data_io.py:38).  Overlapping slices make the
+    dedup meaningful."""
+    e = _t(spark, sf_dir, "events")
+    hi = e.filter(F.col("value") > 150.0)
+    err = e.filter(F.col("event_type") == "error")
+    out = hi.unionByName(err).dropDuplicates(["event_id"])
+    return out.select("event_id", "user_id", "event_type",
+                      roundn(F.col("value")).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# T-family: sequence bridge
+# ---------------------------------------------------------------------------
+
+SEQ_LEN = 10
+
+
+def q_sequence_build(spark, sf_dir):
+    """T1: per-user ordered, last-N, padded sequence (build_sequences,
+    sequences.py:21-88) — emitted as a comma-joined string of rounded values
+    so the DuckDB oracle can hash-match the tensor content exactly."""
+    e = _t(spark, sf_dir, "events")
+    seq = build_sequences(e, ["user_id"], "event_id", ["value"],
+                          max_len=SEQ_LEN, keep="last")
+    flat = F.transform(F.col("seq"),
+                       lambda r: F.format_string("%.2f", r[0].cast("double")))
+    return seq.select("user_id", "real_len",
+                      F.concat_ws(",", flat).alias("seq_str"))
+
+
+def q_unpivot_sequences(spark, sf_dir):
+    """T2: posexplode un-pivot of (actual, pred) arrays → long residual
+    table (Submission.ipynb#cell7), padded steps dropped.  'pred' here is a
+    deterministic stand-in (value shifted by the per-user mean) so the
+    oracle can reproduce it."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    e2 = (e.withColumn("pred", F.avg("value").over(w))
+           .withColumn("actual", F.col("value")))
+    seq = e2.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("event_id", "actual", "pred")))
+         .alias("steps"))
+    # residual is derived from the ROUNDED actual/pred: a difference of two
+    # 6-decimal values never lands on a round-half tie, where Spark
+    # (half-away-from-zero) and DuckDB (half-toward-+inf) disagree for
+    # negative values (found by driving sf0.01: -33.2609375).
+    out = (seq.select("user_id", F.posexplode("steps").alias("t", "s"))
+              .select("user_id", F.col("t").cast("long").alias("t"),
+                      roundn(F.col("s.actual")).alias("actual"),
+                      roundn(F.col("s.pred")).alias("pred")))
+    return out.withColumn("residual",
+                          roundn(F.col("actual") - F.col("pred")))
+
+
+# ---------------------------------------------------------------------------
+# Pipeline family: dedup / text / similarity (documents, embeddings)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash: canonical doc id per md5(text)."""
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, text_col="text", id_col="doc_id")
+
+
+def q_text_quality(spark, sf_dir):
+    """Text quality features: char/token counts, stopword & punctuation
+    ratios, mean token length — all native expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return quality_features(d)
+
+
+def q_language_id(spark, sf_dir):
+    """Heuristic language ID from stopword hit counts (n-gram heuristic
+    class); deterministic, SQL-expressible."""
+    d = _t(spark, sf_dir, "documents")
+    return language_id(d)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Near-dup candidate pairs: token-set Jaccard ≥ 0.5 between documents
+    of the same source (token-sorted-join shape: explode → join on token →
+    count intersection — the shuffle-friendly set-similarity plan)."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embedding column: for the first 5
+    vectors, the 3 nearest others.  Dot products via F.aggregate/zip_with —
+    JVM-side, no Python."""
+    em = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(em, query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+# ---------------------------------------------------------------------------
+# flagship (SURVEY §7.3): scan → window → join → agg → rank — the spine of
+# every reference pipeline in one query
+# ---------------------------------------------------------------------------
+
+def q_flagship_truespeed(spark, sf_dir):
+    """TrueSpeed-shaped residual aggregation: per-user ordered lag-diff of
+    ``value`` (≙ W1/W2 converge rate), left-join the customer dimension
+    (≙ J4, broadcast), mean |residual| per user (≙ A1/A2 MAE), rank desc
+    (≙ W7).  One shuffle for the window, one for the agg; the dimension
+    join is broadcast and free."""
+    e = _t(spark, sf_dir, "events")
+    d = lag_diff(e, "value", ["user_id"], ["ts", "event_id"], out="resid")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name")
+    joined = d.filter(F.col("resid").isNotNull()) \
+              .join(F.broadcast(dim), "user_id", "left")
+    board = joined.groupBy("user_id", "c_name").agg(
+        F.avg(F.abs(F.col("resid"))).alias("truespeed"),
+        F.count(F.lit(1)).alias("n_frames"))
+    out = rank_desc(board, "truespeed", out="rank")
+    return out.select("user_id", "c_name",
+                      roundn(F.col("truespeed")).alias("truespeed"),
+                      "n_frames", "rank")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q_flagship_truespeed": q_flagship_truespeed,
+    "q_filter_project": q_filter_project,
+    "q_case_norm_filter": q_case_norm_filter,
+    "q_set_membership": q_set_membership,
+    "q_null_range_filter": q_null_range_filter,
+    "q_label_attach": q_label_attach,
+    "q_semi_join": q_semi_join,
+    "q_enrich_left": q_enrich_left,
+    "q_nearest_in_group": q_nearest_in_group,
+    "q_frame_diff": q_frame_diff,
+    "q_converge_rate_lead": q_converge_rate_lead,
+    "q_cum_index": q_cum_index,
+    "q_zscore_in_group": q_zscore_in_group,
+    "q_rank_leaderboard": q_rank_leaderboard,
+    "q_argmax_frame": q_argmax_frame,
+    "q_dedup_keep_last": q_dedup_keep_last,
+    "q_topk_per_group": q_topk_per_group,
+    "q_tpch_q1": q_tpch_q1,
+    "q_trajectory_features": q_trajectory_features,
+    "q_group_stats": q_group_stats,
+    "q_quantiles": q_quantiles,
+    "q_value_counts": q_value_counts,
+    "q_distinct_users": q_distinct_users,
+    "q_scalar_threshold": q_scalar_threshold,
+    "q_conditional_flags": q_conditional_flags,
+    "q_corr_trend": q_corr_trend,
+    "q_minmax_norm": q_minmax_norm,
+    "q_safe_div": q_safe_div,
+    "q_piecewise_score": q_piecewise_score,
+    "q_scorecard": q_scorecard,
+    "q_top_orders": q_top_orders,
+    "q_union_dedup": q_union_dedup,
+    "q_sequence_build": q_sequence_build,
+    "q_unpivot_sequences": q_unpivot_sequences,
+    "q_dedup_exact": q_dedup_exact,
+    "q_text_quality": q_text_quality,
+    "q_language_id": q_language_id,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_cosine_topk": q_cosine_topk,
+}

@@ -1,0 +1,83 @@
+"""Sources and sinks (SURVEY §2.1, S1–S6).
+
+The reference globs weekly CSV shards, concatenates them in pandas, and
+caches the combined frame back to CSV (bdb2026/data_io.py:19-79).  In Spark
+all three steps collapse into declarative equivalents:
+
+- S1/S2: a glob path IS the multi-file scan — ``spark.read.csv(dir/prefix*)``
+  unions shards at the source with no driver-side concat;
+  ``unionByName(allowMissingColumns=True)`` covers schema drift.
+- S3: materialize-if-missing becomes a write-once Parquet staging table
+  (``mode("ignore")``) — columnar, splittable, statistics-bearing; at 100 TB
+  this is the difference between re-parsing CSV per run and pruned scans.
+- S4: the three-table loader becomes a named catalog of temp views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import TEST_TABLES
+
+TEST_TABLE_NAMES = tuple(TEST_TABLES)
+
+
+# Columns written as parquet TIMESTAMP(NANOS): Spark refuses them natively
+# (PARQUET_TYPE_ILLEGAL) while DuckDB silently truncates to micros.  We read
+# them as nano longs (legacy conf) and truncate to micros with INTEGER
+# division — bit-identical to the DuckDB oracle's value.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: single-table parquet scan. Parquet carries its own schema; column
+    pruning and predicate pushdown happen at the scan (SURVEY §4.2)."""
+    nanos = _NANOS_TS_COLS.get(name, ())
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in nanos:
+        if dtypes.get(c) == "bigint":  # actually-nano column, read as long
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_catalog(spark: SparkSession, sf_dir: str,
+                 names: tuple[str, ...] = TEST_TABLE_NAMES) -> dict[str, DataFrame]:
+    """S4: load all tables and register them as temp views so both the
+    DataFrame API and ``spark.sql`` can address them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_csv_glob(spark: SparkSession, pattern: str, schema: StructType,
+                  header: bool = True) -> DataFrame:
+    """S2: multi-file CSV scan.  Replaces _find_weekly_files + _concat_csvs
+    (bdb2026/data_io.py:19-38): the glob is expanded by the scan, each file is
+    a split, and the declared schema skips the inference pass entirely."""
+    return (spark.read.schema(schema)
+            .option("header", str(header).lower())
+            .csv(pattern))
+
+
+def stage_parquet(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None,
+                  mode: str = "ignore") -> None:
+    """S3/S5: write-once Parquet staging (mode='ignore' == materialize-if-
+    missing, bdb2026/data_io.py:41-79).  ``partition_by`` (e.g. a game/date
+    key) gives partition pruning to every downstream per-key lookup (P8)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
