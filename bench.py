@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with the noop sink (full computation, no driver
+transfer) after a warmup query that pays JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the flagship spine + the heaviest operator families
+# (multi-agg, 4-key join, window chain, sequence build, set-similarity
+# join, ANN, scorecard composite)
+HEADLINE = [
+    "q_flagship_truespeed",
+    "q_tpch_q1",
+    "q_label_attach",
+    "q_zscore_in_group",
+    "q_trajectory_features",
+    "q_sequence_build",
+    "q_scorecard",
+    "q_dedup_exact",
+    "q_ngram_jaccard",
+    "q_cosine_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from big_data_bowl_spark.queries import QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("bdb-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    # warmup: JVM, codegen, parquet footers
+    force(QUERIES["q_tpch_q1"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
