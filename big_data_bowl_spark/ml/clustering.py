@@ -1,0 +1,111 @@
+"""ML operators (SURVEY §2.9, M1–M5): the reference's sklearn clustering
+path re-expressed as a Spark ML pipeline, plus the centroid-distance score
+as a pure relational plan.
+
+Reference: cluster_routes_kmeans (bdb2026/routes.py:173-233) = median
+imputation → StandardScaler → KMeans(k=12, seed=42); RouteExecution score
+(bdb2026/metrics.py:139-187) = L2 distance to own centroid → mean per play
+→ negate → min-max 0-100.
+
+Cluster LABELS are not comparable across implementations (SURVEY §7.5
+risk 3) — tests verify label-invariant properties (inertia, sizes,
+centroid-set distance), and the score path accepts ANY assignment column so
+it can run on fixed assignments (e.g. the embeddings table's ``label``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import minmax_100, roundn
+from ..schemas import require_columns
+
+
+def fit_route_clusters(df: DataFrame, feature_cols: list[str], k: int = 12,
+                       seed: int = 42):
+    """M1–M3: Imputer(median) → StandardScaler → KMeans as one Spark ML
+    pipeline.  Returns (model, predictions DataFrame with a ``cluster``
+    column).  The fitted PipelineModel persists with ``model.save(path)``
+    (S6)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Imputer, StandardScaler, VectorAssembler
+
+    require_columns(df, feature_cols, "fit_route_clusters")
+    imputed = [f"{c}__imp" for c in feature_cols]
+    pipe = Pipeline(stages=[
+        Imputer(strategy="median", inputCols=feature_cols, outputCols=imputed),
+        VectorAssembler(inputCols=imputed, outputCol="__features_raw"),
+        StandardScaler(inputCol="__features_raw", outputCol="__features",
+                       withMean=True, withStd=True),
+        KMeans(k=k, seed=seed, featuresCol="__features",
+               predictionCol="cluster"),
+    ])
+    model = pipe.fit(df)
+    preds = model.transform(df).drop("__features_raw", "__features", *imputed)
+    return model, preds
+
+
+def pca_2d(df: DataFrame, feature_cols: list[str]):
+    """M4: 2-component PCA for viz (BDB_2026.ipynb#cell39)."""
+    from pyspark.ml.feature import PCA, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembled = VectorAssembler(inputCols=feature_cols, outputCol="__f") \
+        .transform(df)
+    model = PCA(k=2, inputCol="__f", outputCol="__pc").fit(assembled)
+    out = model.transform(assembled)
+    return out.withColumn("pc", vector_to_array("__pc")) \
+              .withColumn("pc1", F.col("pc")[0]) \
+              .withColumn("pc2", F.col("pc")[1]) \
+              .drop("__f", "__pc", "pc")
+
+
+def cluster_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """A17 on array columns: element-wise mean vector per cluster.
+
+    posexplode → groupBy(label, dim) avg — fully distributed; the result is
+    a tiny (k × dim) table that broadcasts into the scoring join.
+    Returns (label, dim, centroid).
+    """
+    require_columns(df, [label_col, vec_col], "cluster_centroids")
+    return (df.select(label_col,
+                      F.posexplode(vec_col).alias("dim", "__x"))
+              .groupBy(label_col, "dim")
+              .agg(F.avg(F.col("__x").cast("double")).alias("centroid")))
+
+
+def centroid_distance_score(df: DataFrame, id_col: str, label_col: str,
+                            vec_col: str) -> DataFrame:
+    """M5+F10: L2 distance of each vector to its own cluster centroid,
+    negated and min-max scaled to 0–100 (metrics.py:139-187).
+
+    The centroid table (k × dim rows) broadcasts; the distance is a
+    sum-of-squares aggregation over the exploded dims — no Python, no
+    driver loop.  Returns (id, label, dist, score_100).
+    """
+    cents = cluster_centroids(df, label_col, vec_col)
+    dims = (df.select(id_col, label_col,
+                      F.posexplode(vec_col).alias("dim", "__x"))
+              .withColumn("__x", F.col("__x").cast("double")))
+    dist = (dims.join(F.broadcast(cents), [label_col, "dim"])
+                .groupBy(id_col, label_col)
+                .agg(F.sqrt(F.sum(F.pow(F.col("__x") - F.col("centroid"), 2)))
+                      .alias("dist")))
+    w = Window.partitionBy()
+    neg = -F.col("dist")
+    score = minmax_100(neg, F.min(neg).over(w), F.max(neg).over(w))
+    return dist.withColumn("score_100", score)
+
+
+def one_hot_labels(df: DataFrame, label_col: str, k: int,
+                   prefix: str = "emb") -> DataFrame:
+    """F17: K one-hot float columns from an integer label
+    (make_route_embedding_table, routes.py:279-295)."""
+    out = df
+    for i in range(k):
+        out = out.withColumn(
+            f"{prefix}_{i}",
+            F.when(F.col(label_col) == i, 1.0).otherwise(0.0))
+    return out

@@ -407,6 +407,142 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
 """
 
+ORACLES["q_cluster_centroids"] = """
+SELECT label,
+       round(avg(embedding[1]::DOUBLE), 6) AS c0,
+       round(avg(embedding[2]::DOUBLE), 6) AS c1,
+       round(avg(embedding[3]::DOUBLE), 6) AS c2,
+       count(*) AS n
+FROM embeddings GROUP BY label
+"""
+
+ORACLES["q_centroid_score"] = """
+WITH dims AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding)::DOUBLE AS x
+    FROM embeddings),
+cents AS (
+    SELECT label, dim, avg(x) AS centroid
+    FROM dims GROUP BY label, dim),
+dists AS (
+    SELECT d.vec_id, d.label,
+           sqrt(sum((d.x - c.centroid) ^ 2)) AS dist
+    FROM dims d JOIN cents c ON d.label = c.label AND d.dim = c.dim
+    GROUP BY d.vec_id, d.label)
+SELECT vec_id, label, round(dist, 6) AS dist,
+       round(CASE WHEN max(-dist) OVER () = min(-dist) OVER () THEN 50.0
+                  ELSE 100.0 * (-dist - min(-dist) OVER ())
+                       / (max(-dist) OVER () - min(-dist) OVER ())
+             END, 6) AS score_100
+FROM dists
+"""
+
+ORACLES["q_onehot"] = """
+SELECT event_id,
+       CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END AS is_click,
+       CASE WHEN event_type = 'error' THEN 1.0 ELSE 0.0 END AS is_error,
+       CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS is_purchase,
+       CASE WHEN event_type = 'signup' THEN 1.0 ELSE 0.0 END AS is_signup,
+       CASE WHEN event_type = 'view' THEN 1.0 ELSE 0.0 END AS is_view
+FROM events
+"""
+
+ORACLES["q_group_split"] = """
+SELECT CASE WHEN user_id % 5 = 0 THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+ORACLES["q_closest_to_median"] = """
+WITH scored AS (
+    SELECT event_type, event_id, value,
+           round(quantile_cont(value, 0.5) OVER (PARTITION BY event_type), 6) AS med,
+           round(abs(value - quantile_cont(value, 0.5)
+                     OVER (PARTITION BY event_type)), 6) AS dist
+    FROM events)
+SELECT event_type, event_id, round(value, 6) AS value, med
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY dist ASC, event_id ASC) = 1
+"""
+
+ORACLES["q_tpch_q3"] = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+GROUP BY l_orderkey, order_date
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["q_tpch_q5"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""
+
+ORACLES["q_window_agg_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 6) AS total_value,
+       round(avg(value), 6) AS mean_value
+FROM events
+GROUP BY 1, 2
+"""
+
+ORACLES["q_sessionize"] = """
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events),
+islands AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 6) AS session_value
+FROM islands
+GROUP BY user_id, session_id
+"""
+
+ORACLES["q_token_counts"] = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents
+"""
+
+ORACLES["q_union_by_name"] = """
+SELECT event_id, user_id, round(value, 6) AS value
+FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, NULL AS value
+FROM events WHERE event_type = 'error'
+"""
+
 ORACLES["q_cosine_topk"] = """
 WITH vecs AS (
     SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

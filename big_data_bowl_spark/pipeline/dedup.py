@@ -163,18 +163,24 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
     require_columns(df, [id_col, text_col], "simhash_buckets")
     tokens = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-    # vote per bit: sum over tokens of (+1 if bit set else -1)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda b: F.aggregate(
+    # vote per bit: sum over tokens of (+1 if bit set else -1); the bit
+    # masks are Python-side constants (shift amounts must be literals in
+    # the DataFrame API), so this unrolls to `bits` aggregate expressions
+    # over the shared token-hash array — still one projection, JVM-side.
+    def _vote(mask: Column) -> Column:
+        return F.aggregate(
             hashes, F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(F.shiftleft(F.lit(1), b).cast("long")) != 0,
-                                        1).otherwise(-1)))
-    fingerprint = F.aggregate(
-        F.zip_with(bit_votes, F.sequence(F.lit(0), F.lit(bits - 1)),
-                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1), b).cast("long"))
-                                 .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"), lambda acc, x: acc.bitwiseXOR(x))
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1)
+                                  .otherwise(-1))
+
+    fingerprint = F.lit(0).cast("long")
+    for b in range(bits):
+        # two's-complement: bit 63's mask is the sign bit (1<<63 overflows
+        # a signed Java long)
+        mask_val = (1 << b) if b < 63 else -(1 << 63)
+        mask = F.lit(mask_val).cast("long")
+        fingerprint = fingerprint + F.when(_vote(mask) > 0, mask) \
+                                     .otherwise(F.lit(0).cast("long"))
     out = df.select(F.col(id_col), fingerprint.alias("simhash"))
     for i in range(4):
         out = out.withColumn(

@@ -1,0 +1,107 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` columns with
+typed metadata, processed by Arrow-batched pandas UDFs over mapInPandas.
+
+The decode step is STUBBED (no image/audio libs in this container): a
+clearly-marked seam where PIL/librosa/ffmpeg would plug in, with a
+deterministic fake implementation so the Spark-side plumbing — schema,
+partitioning, UDF signature, batch shape — is real and tested.
+
+At 100 TB the pattern is: binary payloads stay in parquet (or are
+pointers into object storage), partitions are sized by
+``spark.sql.files.maxPartitionBytes`` so a batch of payloads fits executor
+memory, and every transform is mapInPandas (one Python worker per
+partition, Arrow transfer, zero per-row overhead).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..schemas import require_columns
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("media_type", StringType()),
+    StructField("declared_bytes", LongType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("media_type", StringType()),
+    StructField("n_bytes", LongType()),
+    StructField("checksum", LongType()),
+    StructField("feat_mean", DoubleType()),
+    StructField("feat_std", DoubleType()),
+])
+
+
+def attach_binary_payload(df: DataFrame, id_col: str, text_col: str,
+                          media_type: str = "image/fake") -> DataFrame:
+    """Build a media table from any source column: payload = utf-8 bytes
+    (stand-in for real image/audio payloads), plus typed metadata.  In a
+    real pipeline this is the parquet scan of the media table itself."""
+    require_columns(df, [id_col, text_col], "attach_binary_payload")
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit(media_type).alias("media_type"),
+        F.octet_length(F.col(text_col)).cast("long").alias("declared_bytes"))
+
+
+def _decode_stub(payload: bytes) -> list[float]:
+    """THE DECODE SEAM.  Real implementation would be e.g.
+    ``np.asarray(PIL.Image.open(io.BytesIO(payload)))`` — the libs are not
+    in this container.  Deterministic fake: the byte values themselves act
+    as the "pixel" intensities, so downstream feature math is real and
+    reproducible.  Replace body; keep signature."""
+    return [float(b) for b in payload[:256]]
+
+
+def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
+    """Decode + feature-extract via mapInPandas: one Arrow batch in, one
+    out; byte length, a checksum, and simple intensity stats per payload.
+    The UDF never sees single rows — ``iterator`` semantics let one Python
+    worker stream an entire partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mid, payload, mtype in zip(pdf["media_id"], pdf["payload"],
+                                           pdf["media_type"]):
+                raw = bytes(payload)
+                vals = _decode_stub(raw)
+                n = len(vals)
+                mean = sum(vals) / n if n else 0.0
+                var = (sum((v - mean) ** 2 for v in vals) / n) if n else 0.0
+                feats.append({
+                    "media_id": int(mid),
+                    "media_type": str(mtype),
+                    "n_bytes": len(raw),
+                    "checksum": sum(raw) % (1 << 31),
+                    "feat_mean": mean,
+                    "feat_std": var ** 0.5,
+                })
+            yield pd.DataFrame(feats, columns=[f.name for f in FEATURE_SCHEMA])
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame-sampling shape for video payloads: deterministic stride over a
+    per-media frame index — pure relational (no decode needed when frame
+    index is a column), keeping the expensive decode for sampled rows
+    only."""
+    return df.filter(F.col("media_id") % every_n == 0)

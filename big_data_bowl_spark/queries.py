@@ -524,6 +524,225 @@ def q_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ML-adjacent relational queries (M5/A17/F17/M8 — deterministic parts)
+# ---------------------------------------------------------------------------
+
+def q_cluster_centroids(spark, sf_dir):
+    """A17: per-cluster mean of the first 3 embedding dims (groupby-mean
+    centroid table, Phase3_Metrics.ipynb#cell10)."""
+    em = _t(spark, sf_dir, "embeddings")
+    def dim(i):
+        return F.element_at("embedding", i + 1).cast("double")
+    return em.groupBy("label").agg(
+        roundn(F.avg(dim(0))).alias("c0"),
+        roundn(F.avg(dim(1))).alias("c1"),
+        roundn(F.avg(dim(2))).alias("c2"),
+        F.count(F.lit(1)).alias("n"))
+
+
+def q_centroid_score(spark, sf_dir):
+    """M5+F10: L2 distance of each vector to its own cluster centroid
+    (RouteExecution score, metrics.py:139-187) on the fixed ``label``
+    assignment — exploded-dim join against the broadcast centroid table,
+    then negate + min-max 0-100."""
+    from .ml.clustering import centroid_distance_score
+    em = _t(spark, sf_dir, "embeddings")
+    out = centroid_distance_score(em, "vec_id", "label", "embedding")
+    return out.select("vec_id", "label", roundn(F.col("dist")).alias("dist"),
+                      roundn(F.col("score_100")).alias("score_100"))
+
+
+def q_onehot(spark, sf_dir):
+    """F17: one-hot encode event_type into K float columns
+    (make_route_embedding_table, routes.py:279-295)."""
+    e = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    cols = [F.when(F.col("event_type") == t, 1.0).otherwise(0.0)
+            .alias(f"is_{t}") for t in types]
+    return e.select("event_id", *cols)
+
+
+def q_group_split(spark, sf_dir):
+    """M8: leakage-safe group split — every event of a user lands on one
+    side; split sizes per side prove the grouping (by-game 80/20 split,
+    BDB_2026.ipynb#cell91).  Modulo hasher here for oracle parity; the
+    library's crc32 hasher is covered by property tests."""
+    e = _t(spark, sf_dir, "events")
+    split = F.when(F.col("user_id") % 5 == 0, "val").otherwise("train")
+    return (e.withColumn("split", split)
+             .groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users")))
+
+
+def q_closest_to_median(spark, sf_dir):
+    """W11: the most-representative row per group — argmin |value −
+    median(group)| (viz.py:327-336).  Distance is rounded BEFORE ordering
+    so interpolated-median ulp differences between engines can't flip
+    near-ties; event_id breaks exact ties."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.percentile("value", F.lit(0.5)).over(w)
+    dist = roundn(F.abs(F.col("value") - med))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        dist.asc(), F.asc("event_id"))
+    return (e.withColumn("med", roundn(med))
+             .withColumn("__rn", F.row_number().over(w_rank))
+             .filter(F.col("__rn") == 1)
+             .select("event_type", "event_id",
+                     roundn(F.col("value")).alias("value"), "med"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped multi-join aggregates (join-perf headliners)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q3(spark, sf_dir):
+    """Q3 shape: 3-table join, filter both sides of the date, top-10 revenue.
+    customer is the small build side (broadcast); the orders⋈lineitem join
+    shuffles once on orderkey."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2024-06-01 00:00:00"))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2024-06-01 00:00:00"))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .groupBy("l_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd")
+                        .alias("order_date"))
+              .agg(roundn(rev).alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+              .limit(10))
+
+
+def q_tpch_q5(spark, sf_dir):
+    """Q5 shape: 6-table snowflake join — revenue by nation where customer
+    and supplier share the nation.  Dimensions (region/nation/customer/
+    supplier) broadcast; the single big shuffle is lineitem⋈orders."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
+                    & (c.c_nationkey == s.s_nationkey))
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .groupBy("n_name")
+              .agg(roundn(rev).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+# ---------------------------------------------------------------------------
+# event-time windows (streaming-shaped, batch-checkable)
+# ---------------------------------------------------------------------------
+
+def q_window_agg_hourly(spark, sf_dir):
+    """Event-time tumbling window aggregation — the batch twin of the
+    Structured Streaming operator (streaming/stream_ops.py); epoch-aligned
+    1-hour windows ≙ date_trunc('hour')."""
+    from .streaming.stream_ops import hourly_window_agg
+    e = _t(spark, sf_dir, "events")
+    out = hourly_window_agg(e)
+    return out.select("window_start", "event_type", "n",
+                      roundn(F.col("total_value")).alias("total_value"),
+                      roundn(F.col("mean_value")).alias("mean_value"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization per user (session_window, 30-min gap) —
+    oracle via the gaps-and-islands formulation (new session when the gap
+    to the previous event is ≥ 30 min)."""
+    from .streaming.stream_ops import sessionize
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, gap="30 minutes")
+    return out.select("user_id", "session_start", "n_events",
+                      roundn(F.col("session_value")).alias("session_value"))
+
+
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + chars + BPE-ish estimate."""
+    from .pipeline.text import token_counts
+    return token_counts(_t(spark, sf_dir, "documents"))
+
+
+def q_union_by_name(spark, sf_dir):
+    """S2/U1: schema-drift union — two projections with different columns
+    combined by NAME with nulls for the missing side
+    (unionByName(allowMissingColumns=True), the weekly-shard concat fix)."""
+    e = _t(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "purchase") \
+         .select("event_id", "user_id", roundn(F.col("value")).alias("value"))
+    b = e.filter(F.col("event_type") == "error") \
+         .select("event_id", "user_id")
+    return a.unionByName(b.withColumn("value", F.lit(None).cast("double")),
+                         allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (probabilistic / hash-based / pandas-UDF ops: no SQL
+# oracle — the driver records the weaker rows-only check; property tests in
+# tests/ cover their semantics)
+# ---------------------------------------------------------------------------
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates over documents (scale path)."""
+    from .pipeline.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                             min_est_jaccard=0.4)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash 64-bit fingerprints + 16-bit bands."""
+    from .pipeline.dedup import simhash_buckets
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH approximate cosine top-k."""
+    from .pipeline.similarity import lsh_bucketed_topk
+    return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"),
+                             query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def q_fingerprint(spark, sf_dir):
+    """Winnowing-style min-hash document fingerprint."""
+    from .pipeline.text import fingerprint_documents
+    return fingerprint_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-column multimodal plumbing: utf-8 payloads → mapInPandas
+    decode-stub → per-payload features (Arrow-batched, schema-typed)."""
+    from .pipeline.multimodal import attach_binary_payload, extract_features
+    d = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    return extract_features(media)
+
+
+def q_route_clusters(spark, sf_dir):
+    """M1-M3: Spark ML impute→scale→KMeans pipeline over embedding dims;
+    output is label-invariant (cluster sizes), rows-only checked."""
+    from .ml.clustering import fit_route_clusters
+    em = _t(spark, sf_dir, "embeddings")
+    feats = em.select(
+        "vec_id",
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+          for i in range(8)])
+    _, preds = fit_route_clusters(feats, [f"d{i}" for i in range(8)],
+                                  k=10, seed=42)
+    return (preds.groupBy("cluster")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy("cluster"))
+
+
+# ---------------------------------------------------------------------------
 # flagship (SURVEY §7.3): scan → window → join → agg → rank — the spine of
 # every reference pipeline in one query
 # ---------------------------------------------------------------------------
@@ -593,4 +812,21 @@ QUERIES: dict[str, QueryFn] = {
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_cosine_topk": q_cosine_topk,
+    "q_cluster_centroids": q_cluster_centroids,
+    "q_centroid_score": q_centroid_score,
+    "q_onehot": q_onehot,
+    "q_group_split": q_group_split,
+    "q_closest_to_median": q_closest_to_median,
+    "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q5": q_tpch_q5,
+    "q_window_agg_hourly": q_window_agg_hourly,
+    "q_sessionize": q_sessionize,
+    "q_token_counts": q_token_counts,
+    "q_union_by_name": q_union_by_name,
+    "q_minhash_pairs": q_minhash_pairs,
+    "q_simhash": q_simhash,
+    "q_lsh_topk": q_lsh_topk,
+    "q_fingerprint": q_fingerprint,
+    "q_multimodal_features": q_multimodal_features,
+    "q_route_clusters": q_route_clusters,
 }
