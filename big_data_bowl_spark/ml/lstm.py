@@ -105,7 +105,11 @@ def predict_sequences(spark: SparkSession, seq_df: DataFrame, model,
     def infer(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         local = bc.value  # one deserialize per task, amortized over batches
         for series in batches:
-            x = np.asarray([np.asarray(v, dtype=np.float32) for v in series])
+            # Arrow hands nested arrays as object arrays — stack explicitly
+            # so the tensor is always (N, T, F)
+            x = np.stack([
+                np.stack([np.asarray(step, dtype=np.float32) for step in v])
+                for v in series])
             preds = local.predict(x)
             yield pd.Series(list(preds.astype(np.float32)))
 

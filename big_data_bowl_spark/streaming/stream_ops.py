@@ -26,10 +26,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     nanos→micros normalization as the batch reader.  One file per
     micro-batch keeps tests deterministic."""
     batch = read_table(spark, sf_dir, "events")
+    # FileStreamSource watches a DIRECTORY; pathGlobFilter narrows it to
+    # the events table (at scale this is a partitioned landing dir)
     stream = (spark.readStream.schema(
         spark.read.parquet(f"{sf_dir}/events.parquet").schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(f"{sf_dir}/events.parquet"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir))
     # re-apply the nanos normalization if the raw column read as long
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn(

@@ -1,0 +1,137 @@
+"""Property tests for operators without SQL oracles: probabilistic dedup,
+approximate similarity, multimodal plumbing, ML invariants, splits."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from big_data_bowl_spark.ml.clustering import fit_route_clusters
+from big_data_bowl_spark.ml.lstm import EmaFallbackModel, predict_sequences
+from big_data_bowl_spark.ml.split import group_split
+from big_data_bowl_spark.operators.sequences import build_sequences, unpivot_sequences
+from big_data_bowl_spark.pipeline.dedup import minhash_lsh_pairs, simhash_buckets
+from big_data_bowl_spark.pipeline.multimodal import (
+    attach_binary_payload,
+    extract_features,
+)
+from big_data_bowl_spark.pipeline.similarity import cosine_topk, lsh_bucketed_topk
+from big_data_bowl_spark.sources.io import read_table
+
+from tests.conftest import SF_SMALL
+
+
+def test_minhash_identical_docs_estimate_one(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again"),
+        Row(doc_id=3, text="completely different words entirely unrelated content here now ok"),
+    ])
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.0).collect()
+    by_pair = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
+    assert by_pair.get((1, 2)) == 1.0
+    assert (1, 3) not in by_pair or by_pair[(1, 3)] < 0.3
+
+
+def test_minhash_near_dup_detected(spark):
+    # 30 distinct words, one substitution → shingle jaccard ≈ 27/33 ≈ 0.82,
+    # comfortably above the 8×4 banding s-curve threshold (~0.59)
+    words = [f"w{i}" for i in range(30)]
+    base = " ".join(words)
+    near = " ".join(["sub" if w == "w15" else w for w in words])
+    docs = spark.createDataFrame([Row(doc_id=1, text=base),
+                                  Row(doc_id=2, text=near)])
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.3).collect()
+    assert pairs and pairs[0].est_jaccard > 0.5
+
+
+def test_simhash_identical_docs_same_fingerprint(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="one two three four five"),
+        Row(doc_id=2, text="one two three four five"),
+        Row(doc_id=3, text="zebra yak xylophone wombat vulture"),
+    ])
+    rows = {r.doc_id: r.simhash for r in simhash_buckets(docs).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_lsh_topk_contained_in_exact_candidates(spark):
+    """Approximate results must be genuine vectors with correct cosine
+    values (subset of the exact all-pairs scores)."""
+    em = read_table(spark, SF_SMALL, "embeddings")
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(em, [0, 1, 2], k=50).collect()}
+    approx = lsh_bucketed_topk(em, [0, 1, 2], k=3).collect()
+    for r in approx:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:
+            assert abs(exact[key] - r.cosine) < 1e-9
+
+
+def test_group_split_is_leakage_safe(spark):
+    e = read_table(spark, SF_SMALL, "events")
+    tagged = group_split(e, "user_id", val_fraction=0.3)
+    both = (tagged.groupBy("user_id")
+                  .agg(F.countDistinct("split").alias("n_sides"))
+                  .filter(F.col("n_sides") > 1).count())
+    assert both == 0
+    sides = {r.split for r in tagged.select("split").distinct().collect()}
+    assert sides <= {"train", "val"} and "train" in sides
+
+
+def test_multimodal_features_match_python(spark):
+    d = read_table(spark, SF_SMALL, "documents").limit(20)
+    media = attach_binary_payload(d, "doc_id", "text")
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    for row in d.collect():
+        raw = row.text.encode("utf-8")
+        vals = [float(b) for b in raw[:256]]
+        mean = sum(vals) / len(vals)
+        got = feats[row.doc_id]
+        assert got.n_bytes == len(raw)
+        assert got.checksum == sum(raw) % (1 << 31)
+        assert abs(got.feat_mean - mean) < 1e-9
+
+
+def test_sequence_roundtrip_with_fallback_model(spark):
+    """T1 → M7 (pandas-UDF inference with broadcast model) → T2 unpivot:
+    the full sequence-model spine without Keras."""
+    e = read_table(spark, SF_SMALL, "events")
+    seq = build_sequences(e, ["user_id"], "event_id", ["value"], max_len=10)
+    pred = predict_sequences(spark, seq, EmaFallbackModel())
+    actual = seq.select(
+        "user_id", "real_len",
+        F.transform("seq", lambda r: r[0]).alias("actual"))
+    joined = pred.join(actual, ["user_id", "real_len"])
+    long = unpivot_sequences(joined, ["user_id"], "actual", "pred")
+    rows = long.collect()
+    assert rows
+    # padded steps dropped: every user contributes exactly real_len rows
+    per_user = {r.user_id: 0 for r in rows}
+    for r in rows:
+        per_user[r.user_id] += 1
+    lens = {r.user_id: r.real_len for r in seq.collect()}
+    assert per_user == lens
+    # EMA at t=0 equals the first value → residual 0 on first steps
+    first = [r for r in rows if r.t == 0]
+    assert all(abs(r.residual) < 1e-5 for r in first)
+
+
+def test_kmeans_invariants(spark):
+    """M3 label-invariant checks (SURVEY §5.2): cluster count, full
+    coverage, deterministic under fixed seed."""
+    em = read_table(spark, SF_SMALL, "embeddings")
+    feats = em.select(
+        "vec_id",
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+          for i in range(8)])
+    cols = [f"d{i}" for i in range(8)]
+    _, p1 = fit_route_clusters(feats, cols, k=5, seed=42)
+    _, p2 = fit_route_clusters(feats, cols, k=5, seed=42)
+    sizes1 = sorted(r.n for r in
+                    p1.groupBy("cluster").agg(F.count("*").alias("n")).collect())
+    sizes2 = sorted(r.n for r in
+                    p2.groupBy("cluster").agg(F.count("*").alias("n")).collect())
+    assert len(sizes1) == 5 and sum(sizes1) == feats.count()
+    assert sizes1 == sizes2  # same seed → same partition of the data
