@@ -18,6 +18,20 @@ from .aggregates import (
 from .sequences import build_sequences, unpivot_sequences
 from .normalize import add_postthrow_geometry, normalize_coordinates
 from .separation import separation_at_frame, separation_at_max_frame
+from .tracking import (
+    add_converge_rate,
+    add_frame_kinematics,
+    add_time_since_throw,
+    attach_output_labels,
+    compute_catch_separation,
+    compute_defender_separation_per_frame,
+    compute_initial_separation,
+    compute_truespeed,
+    filter_to_completed_catches,
+    one_name_row_per_play,
+    route_features,
+    select_target_receiver_rows,
+)
 
 __all__ = [
     "cum_index", "group_min_offset", "lag_diff", "lead_diff",
@@ -29,4 +43,9 @@ __all__ = [
     "build_sequences", "unpivot_sequences",
     "add_postthrow_geometry", "normalize_coordinates",
     "separation_at_frame", "separation_at_max_frame",
+    "add_converge_rate", "add_frame_kinematics", "add_time_since_throw",
+    "attach_output_labels", "compute_catch_separation",
+    "compute_defender_separation_per_frame", "compute_initial_separation",
+    "compute_truespeed", "filter_to_completed_catches",
+    "one_name_row_per_play", "route_features", "select_target_receiver_rows",
 ]
