@@ -1,0 +1,57 @@
+"""As-of join — the classic time-series operator Spark lacks natively.
+
+``asof_join(left, right)`` attaches, to every left row, the most recent
+right row at-or-before its timestamp within the same key group (backward
+direction; the quotes-to-trades pattern).
+
+Implementation is the union + carry-forward-window plan, NOT a range cross
+join: both sides are tagged and unioned, one window per key ordered by
+(ts, side) carries the last right-side payload forward, and left rows are
+filtered back out.  Cost is one shuffle on the keys + one sort — linear,
+skew-tolerant, and streaming-compatible — versus the quadratic per-key
+fan-out of the naive ``left.ts >= right.ts`` theta join.
+
+Right-side ties on the same timestamp are broken by largest ``tie_col``
+(deterministic); a right row at exactly left.ts matches (inclusive), which
+is DuckDB ASOF JOIN semantics — the oracle for this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: list[str], ts: str,
+              payload: list[str], tie_col: str | None = None,
+              suffix: str = "_asof") -> DataFrame:
+    """Backward as-of join: left rows keep all columns; each gains
+    ``<payload><suffix>`` columns from the latest right row with
+    ``right.ts <= left.ts`` in the same ``by`` group (null when none).
+    """
+    require_columns(left, by + [ts], "asof_join(left)")
+    require_columns(right, by + [ts, *payload], "asof_join(right)")
+
+    # side marker orders right rows BEFORE left rows at equal timestamps,
+    # so an exact-ts right row is visible to the left row (inclusive match)
+    l_tag = left.withColumn("__side", F.lit(1))
+    r_proj = right.select(
+        *by, F.col(ts),
+        *[F.col(p).alias(f"__p_{p}") for p in payload],
+        *([F.col(tie_col).alias("__tie")] if tie_col else []))
+    r_tag = r_proj.withColumn("__side", F.lit(0))
+
+    unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    order = [F.asc(ts), F.asc("__side")] + \
+            ([F.asc("__tie")] if tie_col else [])
+    w = (Window.partitionBy(*by).orderBy(*order)
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = unioned
+    for p in payload:
+        out = out.withColumn(
+            f"{p}{suffix}",
+            F.last(f"__p_{p}", ignorenulls=True).over(w))
+    keep = [c for c in left.columns] + [f"{p}{suffix}" for p in payload]
+    return out.filter(F.col("__side") == 1).select(*keep)

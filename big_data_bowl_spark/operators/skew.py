@@ -1,0 +1,57 @@
+"""Skew-handling operators: salted two-phase aggregation and salted
+broadcast join.
+
+At 100 TB a handful of hot keys (5 event types, a star receiver's plays)
+concentrate a shuffle partition onto one executor.  AQE's skew-join
+splitting covers sort-merge joins; for *aggregations* over low-cardinality
+keys the fix is salting: phase 1 aggregates on (key, salt) — fanning each
+hot key over N reducers — phase 2 merges the partials.  Only
+decomposable aggregates (sum/count/min/max, and avg via sum+count)
+participate; the result is bit-compatible with the direct groupBy up to
+float association order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(df: DataFrame, keys: list[str], value: str,
+               n_salts: int = 16, salt_on: str | None = None) -> DataFrame:
+    """Two-phase skew-tolerant aggregation: sum/count/min/max/avg of
+    ``value`` per ``keys``.
+
+    Phase 1 groups on (keys, salt) where salt spreads rows of a hot key
+    across ``n_salts`` reducers; phase 2 re-aggregates the ≤ n_salts
+    partial rows per key — a trivially small shuffle.
+    """
+    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.sum(value).alias("__sum"),
+        F.count(value).alias("__cnt"),
+        F.min(value).alias("__min"),
+        F.max(value).alias("__max"))
+    return partial.groupBy(*keys).agg(
+        F.sum("__sum").alias("total"),
+        F.sum("__cnt").alias("n"),
+        F.min("__min").alias("min"),
+        F.max("__max").alias("max"),
+        (F.sum("__sum") / F.sum("__cnt")).alias("mean"))
+
+
+def salted_broadcast_join(fact: DataFrame, dim: DataFrame, key: str,
+                          n_salts: int = 8) -> DataFrame:
+    """Replicated-dimension salted join for when one fact key dominates AND
+    the dimension is too large to broadcast outright but small enough to
+    replicate n_salts ways: fact rows get a random salt, dim rows are
+    exploded across all salts, and the join key becomes (key, salt) —
+    spreading the hot key over n_salts tasks."""
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                         F.lit(n_salts)))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return (fact_s.join(dim_s, [key, "__salt"], "left")
+                  .drop("__salt"))

@@ -407,6 +407,26 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
 """
 
+ORACLES["q_asof_join"] = """
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       round(p.value, 6) AS purchase_value,
+       round(v.value, 6) AS last_view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+ORACLES["q_salted_agg"] = """
+SELECT event_type,
+       round(sum(value), 6) AS total,
+       count(value) AS n,
+       round(min(value), 6) AS min,
+       round(max(value), 6) AS max,
+       round(avg(value), 6) AS mean
+FROM events GROUP BY event_type
+"""
+
 ORACLES["q_cluster_centroids"] = """
 SELECT label,
        round(avg(embedding[1]::DOUBLE), 6) AS c0,

@@ -524,6 +524,41 @@ def q_cosine_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# time-series + skew operators (beyond the reference's inventory)
+# ---------------------------------------------------------------------------
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase gets the most recent prior (or
+    simultaneous) view's value for the same user.  Spark has no native
+    as-of join — implemented as union + carry-forward window (one shuffle,
+    linear); DuckDB's native ASOF JOIN is the oracle."""
+    from .operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts", "value", "event_id")
+    out = asof_join(purchases, views, by=["user_id"], ts="ts",
+                    payload=["value"], tie_col="event_id")
+    return out.select("event_id", "user_id",
+                      roundn(F.col("value")).alias("purchase_value"),
+                      roundn(F.col("value_asof")).alias("last_view_value"))
+
+
+def q_salted_agg(spark, sf_dir):
+    """Skew-tolerant two-phase aggregation over hot keys (5 event types →
+    5 hot partitions at scale): phase 1 on (key, salt) spreads each hot key
+    over 16 reducers; phase 2 merges partials.  Result must equal the
+    direct groupBy — the oracle IS the direct formulation."""
+    from .operators.skew import salted_agg
+    e = _t(spark, sf_dir, "events")
+    out = salted_agg(e, ["event_type"], "value", n_salts=16)
+    return out.select("event_type", roundn(F.col("total")).alias("total"),
+                      "n", roundn(F.col("min")).alias("min"),
+                      roundn(F.col("max")).alias("max"),
+                      roundn(F.col("mean")).alias("mean"))
+
+
+# ---------------------------------------------------------------------------
 # ML-adjacent relational queries (M5/A17/F17/M8 — deterministic parts)
 # ---------------------------------------------------------------------------
 
@@ -812,6 +847,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_cosine_topk": q_cosine_topk,
+    "q_asof_join": q_asof_join,
+    "q_salted_agg": q_salted_agg,
     "q_cluster_centroids": q_cluster_centroids,
     "q_centroid_score": q_centroid_score,
     "q_onehot": q_onehot,
