@@ -32,6 +32,8 @@ HEADLINE = [
     "q_dedup_exact",
     "q_ngram_jaccard",
     "q_cosine_topk",
+    "q_tpch_q5",
+    "q_asof_join",
 ]
 
 
