@@ -496,8 +496,8 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '2024-06-01 00:00:00'
-  AND l_shipdate > TIMESTAMP '2024-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
 GROUP BY l_orderkey, order_date
 ORDER BY revenue DESC, l_orderkey ASC
 LIMIT 10

@@ -638,9 +638,9 @@ def q_tpch_q3(spark, sf_dir):
     shuffles once on orderkey."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("2024-06-01 00:00:00"))
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00"))
     li = _t(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("2024-06-01 00:00:00"))
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00"))
     rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
