@@ -578,3 +578,32 @@ FROM pairs
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id ASC) <= 3
 """
+
+ORACLES["q_fingerprint"] = """
+SELECT doc_id,
+       list_min(list_transform(
+         list_filter(string_split(text, ' '), t -> t <> '')[1:8],
+         t -> list_reduce(
+                list_prepend(7::BIGINT,
+                  list_transform(range(1, length(t) + 1),
+                                 i -> ascii(substr(t, i, 1))::BIGINT)),
+                (acc, c) -> (acc * 31 + c) % 1000000007)
+       )) AS fingerprint
+FROM documents
+"""
+
+ORACLES["q_multimodal_features"] = """
+WITH codes AS (
+  SELECT doc_id, text,
+    list_transform(range(1, least(length(text), 256) + 1),
+                   i -> ascii(substr(text, i, 1))::DOUBLE) AS vals,
+    list_transform(range(1, length(text) + 1),
+                   i -> ascii(substr(text, i, 1))::BIGINT) AS allb
+  FROM documents)
+SELECT doc_id AS media_id, 'image/fake' AS media_type,
+       length(text)::BIGINT AS n_bytes,
+       (list_sum(allb) % 2147483648)::BIGINT AS checksum,
+       list_avg(vals) AS feat_mean,
+       coalesce(list_aggregate(vals, 'stddev_pop'), 0.0) AS feat_std
+FROM codes
+"""

@@ -84,14 +84,30 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
         pred.alias("predicted_lang"))
 
 
+FP_PRIME = 1_000_000_007  # 31-bit modulus: products stay < 2^63 under ANSI
+
+
+def polynomial_token_hash(token) -> "F.Column":
+    """Rolling polynomial hash of a token's characters,
+    ``h = (h*31 + code) mod P`` with h0 = 7 — explicit arithmetic (no
+    engine-specific hash function) so any SQL engine reproduces it
+    bit-for-bit; stays JVM-side via ``aggregate`` over a char sequence."""
+    codes = F.transform(F.sequence(F.lit(1), F.length(token)),
+                        lambda i: F.ascii(F.substr(token, i, F.lit(1)))
+                                   .cast("long"))
+    return F.aggregate(codes, F.lit(7).cast("long"),
+                       lambda acc, c: (acc * 31 + c) % FP_PRIME)
+
+
 def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           window: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: the minimum token-shingle hash
-    per position window (rolling-hash class).  Deterministic; used as a
-    cheap near-dup prefilter.  Returns (doc_id, fingerprint)."""
+    """Winnowing-style document fingerprint: the minimum token hash over the
+    leading position window (rolling-hash class).  Deterministic and
+    oracle-checkable (polynomial hash, not an engine-specific digest); used
+    as a cheap near-dup prefilter.  Returns (doc_id, fingerprint)."""
     require_columns(df, [id_col, text_col], "fingerprint_documents")
     toks = _tokens(text_col)
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, polynomial_token_hash)
     fp = F.array_min(F.slice(hashes, 1, window))
     return df.select(F.col(id_col), fp.alias("fingerprint"))

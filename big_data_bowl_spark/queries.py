@@ -747,7 +747,8 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """Winnowing-style min-hash document fingerprint."""
+    """Winnowing-style document fingerprint (polynomial rolling hash —
+    explicit arithmetic, so the DuckDB oracle reproduces it exactly)."""
     from .pipeline.text import fingerprint_documents
     return fingerprint_documents(_t(spark, sf_dir, "documents"))
 
