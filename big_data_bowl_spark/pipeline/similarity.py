@@ -5,9 +5,17 @@ against the candidate corpus, dot products computed with zip_with/aggregate
 entirely JVM-side.  At 100 TB the corpus side stays partitioned and is
 scanned once; only the query set moves.
 
-Scale path: LSH-bucketed variant — random-hyperplane signs bucket the
-vectors; queries only meet candidates in their own bucket, turning the
-brute-force O(Q×N) into O(Q×N/2^bits) per probe.
+Scale paths:
+- LSH-bucketed variant — random-hyperplane signs bucket the vectors;
+  queries only meet candidates in their own bucket, turning the
+  brute-force O(Q×N) into O(Q×N/2^bits) per probe.
+- IVF (inverted-file) variant — a KMeans coarse quantizer assigns every
+  vector to a cell; queries probe only their ``nprobe`` nearest cells and
+  re-rank exactly within them.  With ``nprobe == n_cells`` the search is
+  exhaustive and provably equals the brute-force result (the equivalence
+  test); with small ``nprobe`` the corpus side touches ~nprobe/n_cells of
+  the data.  At 100 TB the cell id becomes the physical partition key so a
+  probe is a partition-pruned scan.
 """
 
 from __future__ import annotations
@@ -103,6 +111,67 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
              .join(bucketed.select(F.col(id_col).alias("neighbor_id"),
                                    F.col("v").alias("nv"), "bucket"),
                    "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("cosine", roundn(cos))
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= k)
+                 .select("query_id", "neighbor_id", "cosine"))
+
+
+def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+             n_cells: int = 8, nprobe: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k via an IVF coarse quantizer.
+
+    Index build: Spark ML KMeans(``n_cells``) assigns each vector a cell in
+    one JVM pass (``model.transform`` — no shuffle).  Search: the query set
+    scores all ``n_cells`` centroids (a tiny q×cells broadcast product),
+    keeps its ``nprobe`` nearest cells, and meets the corpus with an
+    equi-join on the cell id — candidates are the probed cells only, then
+    exact cosine re-rank with the same tie-break as :func:`cosine_topk`.
+
+    ``nprobe == n_cells`` probes everything → exactly the brute-force
+    result (tested); smaller ``nprobe`` trades recall for a
+    ~nprobe/n_cells candidate fraction.
+
+    Returns (query_id, neighbor_id, cosine).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    require_columns(df, [id_col, vec_col], "ivf_topk")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
+    # --- index build: coarse quantizer + cell assignment (one pass) -----
+    assembled = vecs.withColumn("__f", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__f",
+                   predictionCol="cell").fit(assembled)
+    corpus = model.transform(assembled).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("nv"), "cell")
+
+    # --- cell probe list: q × n_cells scored driver-free ----------------
+    centroids = vecs.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    q = (vecs.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")))
+    l2 = F.aggregate(F.zip_with("qv", "centroid", lambda x, c: (x - c) * (x - c)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    w_cell = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(centroids))
+                .withColumn("__d", l2)
+                .withColumn("__rn", F.row_number().over(w_cell))
+                .filter(F.col("__rn") <= nprobe)
+                .select("query_id", "qv", "cell"))
+
+    # --- candidate join on cell id + exact re-rank ----------------------
+    pairs = (F.broadcast(probes)
+             .join(corpus, "cell")
              .filter(F.col("query_id") != F.col("neighbor_id")))
     cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),

@@ -746,6 +746,15 @@ def q_lsh_topk(spark, sf_dir):
                              query_ids=[0, 1, 2, 3, 4], k=3)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN: KMeans cells + nprobe probing + exact
+    re-rank.  Approximate (rows-only check); equivalence to brute force at
+    nprobe == n_cells is pinned by test_ivf_full_probe_equals_brute_force."""
+    from .pipeline.similarity import ivf_topk
+    return ivf_topk(_t(spark, sf_dir, "embeddings"),
+                    query_ids=[0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=2)
+
+
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint (polynomial rolling hash —
     explicit arithmetic, so the DuckDB oracle reproduces it exactly)."""
@@ -864,6 +873,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_minhash_pairs": q_minhash_pairs,
     "q_simhash": q_simhash,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
     "q_fingerprint": q_fingerprint,
     "q_multimodal_features": q_multimodal_features,
     "q_route_clusters": q_route_clusters,

@@ -9,8 +9,12 @@ the parquet testdata and assert equality with the batch plan.
 
 Scale notes: watermarks bound state; the windowed agg is a streaming
 hash-agg with partial aggregation per micro-batch; sessionization uses
-``session_window`` (gap-based), Spark's native stateful operator — no
-custom applyInPandasWithState needed for these shapes.
+``session_window`` (gap-based), Spark's native stateful operator.  The one
+shape that DOES need a custom stateful operator is the per-key ordered
+diff (W1 kinematics): ``lag`` is unsupported on streams, so
+:func:`stateful_lag_diff` carries the last value per key across
+micro-batches with ``applyInPandasWithState`` — state is one float per
+key, O(keys) not O(rows).
 """
 
 from __future__ import annotations
@@ -79,11 +83,55 @@ def sessionize(events: DataFrame, gap: str = "30 minutes",
 
 
 def run_stream_to_memory(df: DataFrame, name: str,
-                         timeout_s: int = 120) -> None:
+                         timeout_s: int = 120,
+                         output_mode: str = "complete") -> None:
     """Execute a streaming frame to a memory sink with AvailableNow (drain
-    all available input, then stop) — the test/replay harness."""
+    all available input, then stop) — the test/replay harness.  Stateful
+    append operators (``applyInPandasWithState``) pass
+    ``output_mode='append'``."""
     q = (df.writeStream.format("memory").queryName(name)
-           .outputMode("complete")
+           .outputMode(output_mode)
            .trigger(availableNow=True)
            .start())
     q.awaitTermination(timeout_s)
+
+
+LAG_DIFF_OUT_SCHEMA = "event_id long, user_id long, dvalue double"
+LAG_DIFF_STATE_SCHEMA = "last_value double, has_null boolean"
+
+
+def stateful_lag_diff(events: DataFrame) -> DataFrame:
+    """Streaming form of W1 (kinematics lag-diff): per-user
+    ``value - lag(value)`` ordered by (ts, event_id), first/null diffs
+    coalesced to 0.0 — exactly the batch ``q_frame_diff`` semantics.
+
+    ``lag`` is not allowed on streaming frames, so this is the engine's
+    one genuinely custom stateful operator: ``applyInPandasWithState``
+    keeps the last observed value per user (one float + one null flag)
+    and seeds each micro-batch's first diff from it.  Requires
+    time-ordered micro-batches per key (file source with ordered file
+    mtimes, or a log source with per-key ordering) — the same invariant
+    the batch window's ``orderBy`` enforces globally.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        prev = rows["value"].shift(1)
+        if state.exists:
+            last_value, has_null = state.get
+            prev.iloc[0] = float("nan") if has_null else last_value
+        last = rows["value"].iloc[-1]
+        state.update((None if pd.isna(last) else float(last),
+                      bool(pd.isna(last))))
+        yield pd.DataFrame({
+            "event_id": rows["event_id"],
+            "user_id": key[0],
+            "dvalue": (rows["value"] - prev).fillna(0.0),
+        })
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, LAG_DIFF_OUT_SCHEMA, LAG_DIFF_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)

@@ -135,3 +135,35 @@ def test_kmeans_invariants(spark):
                     p2.groupBy("cluster").agg(F.count("*").alias("n")).collect())
     assert len(sizes1) == 5 and sum(sizes1) == feats.count()
     assert sizes1 == sizes2  # same seed → same partition of the data
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_cells probes every cell — the IVF result must EQUAL the
+    exact brute-force top-k (same tie-breaks), proving the index only
+    prunes, never re-ranks differently."""
+    from big_data_bowl_spark.pipeline.similarity import ivf_topk
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    exact = sorted(tuple(r) for r in cosine_topk(em, [0, 1, 2], k=3).collect())
+    full = sorted(tuple(r) for r in
+                  ivf_topk(em, [0, 1, 2], k=3, n_cells=4, nprobe=4).collect())
+    assert full == exact
+
+
+def test_ivf_partial_probe_shape_and_recall(spark):
+    """Small nprobe: per-query at most k rows, every neighbor real, and
+    deterministic recall vs exact stays useful (seeded KMeans)."""
+    from big_data_bowl_spark.pipeline.similarity import ivf_topk
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(em, [0, 1, 2], k=3).collect()}
+    approx = ivf_topk(em, [0, 1, 2], k=3, n_cells=4, nprobe=1).collect()
+    per_q: dict[int, int] = {}
+    for r in approx:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert r.neighbor_id != r.query_id
+    assert all(v <= 3 for v in per_q.values())
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.3, f"recall {recall} collapsed"
