@@ -81,3 +81,17 @@ def stage_parquet(df: DataFrame, path: str,
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def stage_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   n_buckets: int = 32, mode: str = "ignore") -> None:
+    """Bucketed staging table: ``bucketBy(n, keys) + sortBy(keys)`` into the
+    session catalog.  Two tables bucketed the same way equi-join WITHOUT a
+    shuffle (both sides arrive hash-distributed on disk) — at 100 TB this
+    converts every recurring fact⋈fact join on the bucket key from a
+    full-data exchange into a zero-exchange sort-merge.  Pick ``n_buckets``
+    so one bucket ≈ one task's memory budget at target scale."""
+    (df.write.mode(mode)
+       .bucketBy(n_buckets, *bucket_cols)
+       .sortBy(*bucket_cols)
+       .saveAsTable(table))

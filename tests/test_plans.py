@@ -10,6 +10,8 @@ a 100× scale-up.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from big_data_bowl_spark.plans import (
     assert_broadcast_join,
     assert_pushed_filters,
@@ -73,3 +75,32 @@ def test_whole_stage_codegen_present(spark):
     assert "isFinalPlan=true" in plan
     # codegen stages print as `*(n) Operator` in the finalized tree
     assert "*(" in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key must sort-merge-join with ZERO
+    exchanges — the co-located-join contract that bucketed staging buys at
+    100 TB (each recurring fact⋈fact join skips the full-data shuffle)."""
+    from big_data_bowl_spark.sources.io import read_table, stage_bucketed
+
+    orders = read_table(spark, SF_SMALL, "orders")
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        stage_bucketed(orders.select("o_orderkey", "o_totalprice"),
+                       "orders_b", ["o_orderkey"], n_buckets=4)
+        stage_bucketed(lineitem.select("l_orderkey", "l_quantity"),
+                       "lineitem_b", ["l_orderkey"], n_buckets=4)
+        joined = (spark.table("lineitem_b")
+                  .join(spark.table("orders_b"),
+                        F.col("l_orderkey") == F.col("o_orderkey"))
+                  .groupBy("o_orderkey")
+                  .agg(F.sum("l_quantity").alias("qty")))
+        # no exchange of ANY kind: join and agg both reuse bucket layout
+        assert count_exchanges(joined.filter(F.col("qty") > 0)
+                               .select("o_orderkey", "qty")) == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
