@@ -1,0 +1,96 @@
+"""Data-quality checks (SURVEY §5.1 → §7.2 item 8).
+
+The reference enforces correctness with inline notebook assertion cells:
+one-route-per-play uniqueness, no-NaN embeddings, feature-range bounds,
+cluster-id validity (notebooks/BDB_2026.ipynb#cell53), tensor NaN and
+padding-mask audits (#cell88), missing-value / outlier scans
+(#cell23,#cell77).  Here each becomes a reusable check over a DataFrame
+that computes ONE distributed aggregate pass (violation counts + a small
+sample of offending rows) and fails loud — no ``collect()`` of the data,
+so a check costs a scan at 100 TB, never driver memory.
+
+Checks return the input frame on success so they chain inside pipelines:
+``df = check_unique(check_no_nulls(df, cols), keys)``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+_SAMPLE = 5
+
+
+class DataQualityError(ValueError):
+    """A data-quality check failed; message carries counts + samples."""
+
+
+def _fail(name: str, n_bad: int, sample_df: DataFrame) -> None:
+    rows = [tuple(r) for r in sample_df.limit(_SAMPLE).collect()]
+    raise DataQualityError(
+        f"{name}: {n_bad} violating rows; sample (≤{_SAMPLE}): {rows}")
+
+
+def check_unique(df: DataFrame, keys: list[str],
+                 name: str = "check_unique") -> DataFrame:
+    """One row per key (e.g. one route per (game, play) —
+    BDB_2026.ipynb#cell53's ``groupby(...).size()==1`` assertion)."""
+    require_columns(df, keys, name)
+    dupes = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+               .filter(F.col("n") > 1))
+    n_bad = dupes.count()
+    if n_bad:
+        _fail(name, n_bad, dupes)
+    return df
+
+
+def check_no_nulls(df: DataFrame, cols: list[str],
+                   name: str = "check_no_nulls") -> DataFrame:
+    """No nulls/NaNs in the given columns (no-NaN embedding assertion,
+    #cell53; post-imputation NaN guard, routes.py:209-211)."""
+    require_columns(df, cols, name)
+    dtypes = dict(df.dtypes)
+    preds = [F.col(c).isNull() | (F.isnan(c) if dtypes[c] in ("float", "double")
+                                  else F.lit(False)) for c in cols]
+    bad = df.filter(reduce(lambda a, b: a | b, preds))
+    n_bad = bad.count()
+    if n_bad:
+        _fail(name, n_bad, bad.select(*cols))
+    return df
+
+
+def check_in_range(df: DataFrame, col: str, lo: float, hi: float,
+                   name: str = "check_in_range") -> DataFrame:
+    """Feature-range bound (−20 ≤ route_depth ≤ 80 class of assertion,
+    #cell53; speed ≤ 15 yd/s outlier scan, #cell23).  Nulls pass — pair
+    with :func:`check_no_nulls` when they must not."""
+    require_columns(df, [col], name)
+    bad = df.filter(F.col(col).isNotNull()
+                    & ((F.col(col) < lo) | (F.col(col) > hi)))
+    n_bad = bad.count()
+    if n_bad:
+        _fail(f"{name}[{lo},{hi}]", n_bad, bad.select(col))
+    return df
+
+
+def check_values_in(df: DataFrame, col: str, allowed: list,
+                    name: str = "check_values_in") -> DataFrame:
+    """Categorical validity (cluster ids ∈ 0..k−1, #cell53)."""
+    require_columns(df, [col], name)
+    bad = df.filter(~F.col(col).isin(allowed) | F.col(col).isNull())
+    n_bad = bad.count()
+    if n_bad:
+        _fail(name, n_bad, bad.select(col))
+    return df
+
+
+def check_nonempty(df: DataFrame, name: str = "check_nonempty") -> DataFrame:
+    """Fail on an empty frame — the 0-row inner-join guard
+    (preprocess.py:547-549) as a standalone check."""
+    if df.isEmpty():
+        raise DataQualityError(f"{name}: frame is empty (0 rows)")
+    return df
