@@ -165,3 +165,42 @@ def test_sequence_build_on_tracking(tracking):
                                 ["x_norm", "y"], max_len=3, keep="first")
     rf = {row.play_id: row for row in seq_first.collect()}
     assert [step[0] for step in rf[1].seq] == [12.0, 14.0, 16.0]
+
+
+def test_submission_pipeline_end_to_end(spark, tracking):
+    """§3.1 entry point A composed end-to-end: every stage returns a frame,
+    the scorecard ranks the (single) receiver, TrueSpeed is finite, and the
+    sequence/prediction plumbing round-trips through the fallback model."""
+    from big_data_bowl_spark.pipeline.submission import run_submission_pipeline
+
+    supp = spark.createDataFrame([
+        Row(game_id=1, play_id=1, pass_result="C", yards_gained=12.0,
+            expected_points_added=0.8),
+        Row(game_id=1, play_id=2, pass_result="C", yards_gained=5.0,
+            expected_points_added=-0.2),
+    ])
+    labels = spark.createDataFrame([
+        Row(game_id=1, play_id=p, nfl_id=10, frame_id=f,
+            x=10.0 + 2.0 * f + 0.5, y=20.0)
+        for p in (1, 2) for f in range(1, 6)])
+
+    out = run_submission_pipeline(spark, tracking, labels, supp,
+                                  k_clusters=2, max_len=4)
+    assert set(out) == {"normalized", "targets", "postthrow",
+                        "route_features", "route_embeddings", "sequences",
+                        "predictions", "truespeed", "scorecard"}
+    # both completed plays survive to sequences (one receiver each)
+    assert out["sequences"].count() == 2
+    seq_row = out["sequences"].first()
+    assert len(seq_row.seq) == 4 and seq_row.real_len == 4
+
+    # un-pivot drops padded steps: every t is inside the real length
+    assert out["predictions"].filter(F.col("t") >= 4).count() == 0
+    ts = {r.play_id: r.truespeed for r in out["truespeed"].collect()}
+    assert set(ts) == {1, 2} and all(v >= 0.0 for v in ts.values())
+
+    card = out["scorecard"].collect()
+    assert len(card) == 1                      # one receiver overall
+    assert card[0].nfl_id == 10 and card[0].rank == 1
+    assert card[0].n_targets == 2
+    assert abs(card[0].total_yards - 17.0) < 1e-9
