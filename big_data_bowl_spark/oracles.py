@@ -607,3 +607,33 @@ SELECT doc_id AS media_id, 'image/fake' AS media_type,
        coalesce(list_aggregate(vals, 'stddev_pop'), 0.0) AS feat_std
 FROM codes
 """
+
+ORACLES["q_dup_components"] = """
+WITH RECURSIVE raw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, source, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 50 = 0
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs),
+walk(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a)
+SELECT node::BIGINT AS doc_id, min(reach)::BIGINT AS component
+FROM walk GROUP BY node
+"""

@@ -187,3 +187,42 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
             f"band{i}",
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)))
     return out
+
+
+def duplicate_components(pairs: DataFrame, id_a: str = "doc_a",
+                         id_b: str = "doc_b",
+                         max_iter: int = 25) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    by iterative min-label propagation (the same fixpoint GraphX/Pregel
+    computes; dedup clusters are near-cliques, so convergence takes
+    O(cluster diameter) ≈ 2-3 rounds, each one equi-join + min-agg on the
+    node key).  ``localCheckpoint`` cuts lineage growth per round so the
+    plan stays O(1) deep at any scale.
+
+    Returns (doc_id, component) where component = min doc id reachable —
+    canonical-keeper selection falls out of the label choice.
+    """
+    e = pairs.select(F.col(id_a).cast("long").alias("a"),
+                     F.col(id_b).cast("long").alias("b"))
+    edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+              .distinct().persist())
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+                   .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        neigh = (edges.join(labels, edges.b == labels.node)
+                      .groupBy("a").agg(F.min("label").alias("nlabel")))
+        merged = (labels.join(neigh, labels.node == neigh.a, "left")
+                        .select(F.col("node"),
+                                F.least(F.col("label"),
+                                        F.coalesce(F.col("nlabel"),
+                                                   F.col("label")))
+                                 .alias("new_label"),
+                                F.col("label").alias("old_label")))
+        merged = merged.localCheckpoint()
+        if merged.filter(F.col("new_label") != F.col("old_label")).isEmpty():
+            labels = merged.select("node", F.col("new_label").alias("label"))
+            break
+        labels = merged.select("node", F.col("new_label").alias("label"))
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("component"))

@@ -515,6 +515,16 @@ def q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.5)
 
 
+def q_dup_components(spark, sf_dir):
+    """Duplicate GROUPS from near-dup pairs: Jaccard candidate pairs →
+    connected components via iterative min-label propagation.  The oracle
+    twin computes the same fixpoint with a recursive CTE — an exact check
+    on a genuinely iterative distributed algorithm."""
+    from .pipeline.dedup import duplicate_components, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return duplicate_components(pairs)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column: for the first 5
     vectors, the 3 nearest others.  Dot products via F.aggregate/zip_with —
@@ -856,6 +866,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_text_quality": q_text_quality,
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dup_components": q_dup_components,
     "q_cosine_topk": q_cosine_topk,
     "q_asof_join": q_asof_join,
     "q_salted_agg": q_salted_agg,

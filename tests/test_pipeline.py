@@ -167,3 +167,19 @@ def test_ivf_partial_probe_shape_and_recall(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.3, f"recall {recall} collapsed"
+
+
+def test_duplicate_components_transitive(spark):
+    """a-b and b-c must land in ONE component (two propagation rounds);
+    the canonical label is the min id."""
+    from pyspark.sql import Row
+
+    from big_data_bowl_spark.pipeline.dedup import duplicate_components
+
+    pairs = spark.createDataFrame([
+        Row(doc_a=2, doc_b=3), Row(doc_a=3, doc_b=9),   # chain 2-3-9
+        Row(doc_a=20, doc_b=21),                        # separate pair
+    ])
+    got = {r.doc_id: r.component
+           for r in duplicate_components(pairs).collect()}
+    assert got == {2: 2, 3: 2, 9: 2, 20: 20, 21: 20}
