@@ -637,3 +637,32 @@ walk(node, reach) AS (
 SELECT node::BIGINT AS doc_id, min(reach)::BIGINT AS component
 FROM walk GROUP BY node
 """
+
+ORACLES["q_rollup_revenue"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["q_sliding_window"] = """
+SELECT event_id, user_id,
+       round(avg(value) OVER w, 6) AS trailing_mean,
+       round(max(value) OVER w, 6) AS trailing_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["q_tpch_q18"] = """
+WITH big AS (
+    SELECT l_orderkey, sum(l_quantity) AS total_qty
+    FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150)
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       round(o_totalprice, 6) AS o_totalprice,
+       round(total_qty, 6) AS total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+"""

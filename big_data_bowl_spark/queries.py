@@ -684,6 +684,46 @@ def q_tpch_q5(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_items")))
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical subtotals: ROLLUP over (returnflag, linestatus) with a
+    grouping id — the multi-grain agg the reference computes as separate
+    groupbys, in one shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.rollup("l_returnflag", "l_linestatus")
+              .agg(roundn(F.sum("l_quantity")).alias("sum_qty"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.grouping_id().cast("long").alias("gid")))
+
+
+def q_sliding_window(spark, sf_dir):
+    """Sliding-frame window (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW):
+    trailing mean + max per user — the moving-average shape the reference
+    never needed but any kinematics smoothing does."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(-3, 0))
+    return e.select("event_id", "user_id",
+                    roundn(F.avg("value").over(w)).alias("trailing_mean"),
+                    roundn(F.max("value").over(w)).alias("trailing_max"))
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18 shape: large-quantity orders — HAVING over a fact-side agg,
+    then semi-join back to enrich.  The agg's build side is tiny after the
+    threshold, so the enrich join broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum("l_quantity").alias("total_qty"))
+             .filter(F.col("total_qty") > 150))
+    return (o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+             .select("o_orderkey", "o_custkey",
+                     F.date_format("o_orderdate", "yyyy-MM-dd")
+                      .alias("order_date"),
+                     roundn(F.col("o_totalprice")).alias("o_totalprice"),
+                     roundn(F.col("total_qty")).alias("total_qty")))
+
+
 # ---------------------------------------------------------------------------
 # event-time windows (streaming-shaped, batch-checkable)
 # ---------------------------------------------------------------------------
@@ -876,6 +916,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_group_split": q_group_split,
     "q_closest_to_median": q_closest_to_median,
     "q_tpch_q3": q_tpch_q3,
+    "q_tpch_q18": q_tpch_q18,
+    "q_rollup_revenue": q_rollup_revenue,
+    "q_sliding_window": q_sliding_window,
     "q_tpch_q5": q_tpch_q5,
     "q_window_agg_hourly": q_window_agg_hourly,
     "q_sessionize": q_sessionize,
