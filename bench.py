@@ -34,6 +34,7 @@ HEADLINE = [
     "q_cosine_topk",
     "q_tpch_q5",
     "q_asof_join",
+    "q_tpch_q18",
 ]
 
 

@@ -551,7 +551,9 @@ ORACLES["q_token_counts"] = """
 SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+            AS BIGINT) AS n_bpe_pieces
 FROM documents
 """
 

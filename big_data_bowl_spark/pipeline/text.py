@@ -26,17 +26,24 @@ def _tokens(text_col: str = "text"):
     return F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other non-space —
+# the GPT-2-style split that upper-bounds merge-based BPE piece counts
+BPE_SPLIT_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
 def token_counts(df: DataFrame, id_col: str = "doc_id",
                  text_col: str = "text") -> DataFrame:
-    """Whitespace token count + BPE-ish subword estimate (chars/4 heuristic —
-    the standard quick token estimator) per document."""
+    """Token counting per document: whitespace tokens, chars, the chars/4
+    quick estimator, and a BPE-ish regex pre-tokenization count."""
     require_columns(df, [id_col, text_col], "token_counts")
     toks = _tokens(text_col)
     return df.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length(text_col).cast("long").alias("n_chars"),
-        F.ceil(F.length(text_col) / 4).cast("long").alias("est_bpe_tokens"))
+        F.ceil(F.length(text_col) / 4).cast("long").alias("est_bpe_tokens"),
+        F.size(F.regexp_extract_all(text_col, F.lit(BPE_SPLIT_RE), 0))
+         .cast("long").alias("n_bpe_pieces"))
 
 
 def quality_features(df: DataFrame, id_col: str = "doc_id",

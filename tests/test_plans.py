@@ -104,3 +104,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_partitioned_staging_prunes_partitions(spark, tmp_path):
+    """P8: a per-key lookup on a partitioned staging table must scan ONLY
+    that key's partition directory (partition pruning at the source)."""
+    from big_data_bowl_spark.sources.io import read_table, stage_parquet
+
+    ev = read_table(spark, SF_SMALL, "events")
+    path = str(tmp_path / "events_by_type")
+    stage_parquet(ev, path, partition_by=["event_type"])
+
+    one = (spark.read.parquet(path)
+           .filter(F.col("event_type") == "purchase")
+           .select("event_id", "value"))
+    plan = explain_formatted(one)
+    # the scan's partition filter must carry the predicate...
+    assert "PartitionFilters" in plan and "purchase" in plan
+    # ...and the non-matching partitions must not be read
+    got_types = [r.event_type for r in
+                 one.join(spark.read.parquet(path).select("event_id",
+                                                          "event_type"),
+                          "event_id").select("event_type").distinct().collect()]
+    assert got_types == ["purchase"]
