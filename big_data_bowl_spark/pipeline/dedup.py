@@ -206,8 +206,10 @@ def duplicate_components(pairs: DataFrame, id_a: str = "doc_a",
                      F.col(id_b).cast("long").alias("b"))
     edges = (e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
               .distinct().persist())
-    labels = (edges.select(F.col("a").alias("node")).distinct()
-                   .withColumn("label", F.col("node")))
+    # seed with min(self, direct neighbors) — one propagation round for free
+    labels = (edges.groupBy("a").agg(F.min("b").alias("__nb"))
+                   .select(F.col("a").alias("node"),
+                           F.least(F.col("a"), F.col("__nb")).alias("label")))
     for _ in range(max_iter):
         neigh = (edges.join(labels, edges.b == labels.node)
                       .groupBy("a").agg(F.min("label").alias("nlabel")))
