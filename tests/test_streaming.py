@@ -88,3 +88,57 @@ def test_stateful_lag_diff_stream_equals_batch(spark, tmp_path):
     run_stream_to_memory(out, "lag_diff_test", output_mode="append")
     got = spark.sql("SELECT * FROM lag_diff_test")
     assert _rows(got) == _rows(batch)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: with a 30-minute watermark, a row arriving two
+    micro-batches later but stamped hours earlier must NOT resurrect its
+    (already finalized) window."""
+    import glob
+    import os
+    import shutil
+
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from big_data_bowl_spark.streaming.stream_ops import hourly_window_agg
+
+    def write_chunk(rows, i):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(chunk_dir)
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(tmp_path / "watch" / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+
+    (tmp_path / "watch").mkdir()
+    t = dt.datetime(2024, 1, 1, 10, 30)
+    on_time = [Row(event_id=1, user_id=1, ts=t, value=1.0,
+                   event_type="view"),
+               Row(event_id=2, user_id=1, ts=t.replace(hour=15), value=1.0,
+                   event_type="view")]   # advances the watermark far past 10:xx
+    filler = [Row(event_id=3, user_id=1, ts=t.replace(hour=15, minute=35),
+                  value=1.0, event_type="view")]
+    late = [Row(event_id=4, user_id=1, ts=t.replace(minute=45), value=1.0,
+                event_type="view")]      # 10:45 — hours behind the watermark
+    # watermark advancement takes effect for FILTERING one batch after it
+    # is committed, so the late row goes in the third micro-batch
+    write_chunk(on_time, 0)
+    write_chunk(filler, 1)
+    write_chunk(late, 2)
+
+    stream = (spark.readStream.schema(
+        spark.createDataFrame(on_time).schema)
+        .option("maxFilesPerTrigger", 1).parquet(str(tmp_path / "watch")))
+    agg = hourly_window_agg(stream, watermark="30 minutes")
+    q = (agg.writeStream.format("memory").queryName("wm_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(p["stateOperators"][0]["numRowsDroppedByWatermark"]
+                  for p in q.recentProgress)
+    got = {r.window_start: r.n
+           for r in spark.sql("SELECT * FROM wm_test").collect()}
+    # the 10:00 window closed with ONE row; the late 10:45 row was dropped
+    assert got.get("2024-01-01 10:00:00") == 1
+    assert dropped == 1
