@@ -1,0 +1,82 @@
+"""Hypothesis property tests (SURVEY §5.2): algebraic equivalences the
+example-based suites can't sweep — salted ≡ plain aggregation, as-of join
+≡ brute force, sequence-build padding invariants.  Few examples, tiny
+frames: each example runs real Spark jobs.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+
+from big_data_bowl_spark.operators.asof import asof_join
+from big_data_bowl_spark.operators.sequences import build_sequences
+from big_data_bowl_spark.operators.skew import salted_agg
+
+# integer-valued doubles: exact under any summation order, so the salted
+# two-phase total matches the plain agg bit-for-bit
+_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-100, 100)),
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=_rows, n_salts=st.integers(1, 8))
+def test_salted_agg_equals_plain(spark, rows, n_salts):
+    df = spark.createDataFrame(
+        [Row(k=k, v=float(v)) for k, v in rows])
+    got = {r.k: (r.total, r.n, r.min, r.max, r.mean)
+           for r in salted_agg(df, ["k"], "v", n_salts=n_salts).collect()}
+    from collections import defaultdict
+    by_k = defaultdict(list)
+    for k, v in rows:
+        by_k[k].append(float(v))
+    for k, vs in by_k.items():
+        total, n, mn, mx, mean = got[k]
+        assert total == sum(vs) and n == len(vs)
+        assert mn == min(vs) and mx == max(vs)
+        assert abs(mean - sum(vs) / len(vs)) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_asof_join_matches_bruteforce(spark, data):
+    left = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=12), label="left")
+    right_keys = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1, max_size=12, unique=True), label="right")
+    ldf = spark.createDataFrame(
+        [Row(k=k, ts=t, lid=i) for i, (k, t) in enumerate(left)])
+    rdf = spark.createDataFrame(
+        [Row(k=k, ts=t, payload=float(k * 1000 + t))
+         for k, t in right_keys])
+    got = {r.lid: r.payload_asof
+           for r in asof_join(ldf, rdf, ["k"], "ts", ["payload"]).collect()}
+    for i, (k, lts) in enumerate(left):
+        cands = [t for (rk, t) in right_keys if rk == k and t <= lts]
+        expected = float(k * 1000 + max(cands)) if cands else None
+        assert got[i] == expected, (i, k, lts, cands)
+
+
+@settings(max_examples=6, deadline=None)
+@given(sizes=st.lists(st.integers(1, 9), min_size=1, max_size=5),
+       max_len=st.integers(1, 6))
+def test_sequence_build_padding_invariants(spark, sizes, max_len):
+    rows = [Row(g=gi, o=j, f=float(j + 1))
+            for gi, n in enumerate(sizes) for j in range(n)]
+    seq = build_sequences(spark.createDataFrame(rows), ["g"], "o", ["f"],
+                          max_len=max_len, keep="last")
+    got = {r.g: r for r in seq.collect()}
+    assert set(got) == set(range(len(sizes)))
+    for gi, n in enumerate(sizes):
+        r = got[gi]
+        assert len(r.seq) == max_len               # always padded/truncated
+        assert r.real_len == min(n, max_len)
+        # kept steps are the LAST real_len order values, ascending
+        kept = [step[0] for step in r.seq[:r.real_len]]
+        assert kept == [float(j + 1) for j in range(max(0, n - max_len), n)]
+        # padding rows are all zeros
+        assert all(step[0] == 0.0 for step in r.seq[r.real_len:])
