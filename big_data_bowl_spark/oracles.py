@@ -668,3 +668,66 @@ SELECT o_orderkey, o_custkey,
        round(total_qty, 6) AS total_qty
 FROM orders JOIN big ON o_orderkey = l_orderkey
 """
+
+ORACLES["q_phase3_pipeline"] = """
+WITH dims AS (
+    SELECT vec_id, label, i AS dim, embedding[i]::DOUBLE AS val
+    FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+centroids AS (
+    SELECT label, dim, avg(val) AS c FROM dims GROUP BY 1, 2),
+dist AS (
+    SELECT d.vec_id, d.label, sqrt(sum((d.val - c.c) ^ 2)) AS dist
+    FROM dims d JOIN centroids c USING (label, dim)
+    GROUP BY 1, 2),
+iqz AS (
+    SELECT vec_id, label,
+           CASE WHEN stddev_pop(dist) OVER (PARTITION BY label) = 0
+                  OR stddev_pop(dist) OVER (PARTITION BY label) IS NULL
+                THEN 0.0
+                ELSE (dist - avg(dist) OVER (PARTITION BY label))
+                     / stddev_pop(dist) OVER (PARTITION BY label)
+           END AS z
+    FROM dist),
+route AS (
+    SELECT vec_id % 15 AS user_id, avg(-z) AS route_exec
+    FROM iqz GROUP BY 1),
+resid AS (
+    SELECT user_id, value,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS resid
+    FROM events),
+ts AS (
+    SELECT user_id, avg(abs(resid)) AS truespeed, count(*) AS n_frames,
+           avg(value) / 100.0 AS sep
+    FROM resid WHERE resid IS NOT NULL GROUP BY 1),
+prod AS (
+    SELECT o_custkey AS user_id, sum(o_totalprice) AS total_value,
+           count(*) AS n_orders
+    FROM orders GROUP BY 1),
+master AS (
+    SELECT t.user_id, t.truespeed, t.sep, t.n_frames,
+           coalesce(r.route_exec, 0.0) AS route_exec,
+           coalesce(p.total_value, 0.0) AS total_value,
+           coalesce(p.n_orders, 0)::BIGINT AS n_orders
+    FROM ts t
+    LEFT JOIN route r USING (user_id)
+    LEFT JOIN prod p USING (user_id)),
+qual AS (
+    SELECT * FROM master
+    WHERE n_frames >= (SELECT max(n_frames) * 0.5 FROM master)),
+scored AS (
+    SELECT *,
+           CASE WHEN sep > 2.0 THEN truespeed + 0.05
+                ELSE 0.8 * truespeed
+                     * (1.0 + 0.5 * (1.0 - (greatest(least(sep, 2.0), 0.5)
+                                            - 0.5) / 1.5))
+                     + 0.2 * route_exec
+           END AS air_iq
+    FROM qual)
+SELECT user_id, round(truespeed, 6) AS truespeed,
+       round(route_exec, 6) AS route_exec, n_frames,
+       round(air_iq, 6) AS air_play_iq,
+       round(total_value, 6) AS total_value, n_orders,
+       rank() OVER (ORDER BY air_iq DESC) AS rank
+FROM scored
+"""

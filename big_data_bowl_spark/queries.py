@@ -684,6 +684,63 @@ def q_tpch_q5(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_items")))
 
 
+def q_phase3_pipeline(spark, sf_dir):
+    """SURVEY §3.3 entry point C END-TO-END as one oracle-checked query:
+    centroid distance (M5) → within-cluster negated z-score (W6, RouteExec)
+    → per-entity mean, joined with lag-diff TrueSpeed (W1+A1), hybrid
+    piecewise AirPlayIQ (F15), production context join (A11), volume
+    threshold (A13), rank (W7).  The reference runs this as four notebook
+    stages with CSV hops; here it is ONE lazy plan."""
+    from .functions.scalar import piecewise_multiplier
+    from .ml.clustering import centroid_distance_score
+    from .operators.kinematics import lag_diff as _lag_diff
+
+    em = _t(spark, sf_dir, "embeddings")
+    dist = centroid_distance_score(em, "vec_id", "label", "embedding") \
+        .select("vec_id", "label", "dist")
+    iq = zscore_in_group(dist, "dist", ["label"], out="route_exec",
+                         negate=True)
+    route = (iq.withColumn("user_id", F.col("vec_id") % 15)
+               .groupBy("user_id")
+               .agg(F.avg("route_exec").alias("route_exec")))
+
+    e = _t(spark, sf_dir, "events")
+    resid = _lag_diff(e, "value", ["user_id"], ["ts", "event_id"],
+                      out="resid")
+    ts = (resid.filter(F.col("resid").isNotNull())
+               .groupBy("user_id")
+               .agg(F.avg(F.abs("resid")).alias("truespeed"),
+                    F.count(F.lit(1)).alias("n_frames"),
+                    (F.avg("value") / 100.0).alias("sep")))
+
+    o = _t(spark, sf_dir, "orders")
+    prod = (o.groupBy(F.col("o_custkey").alias("user_id"))
+             .agg(F.sum("o_totalprice").alias("total_value"),
+                  F.count(F.lit(1)).alias("n_orders")))
+
+    master = (ts.join(F.broadcast(route), "user_id", "left")
+                .join(F.broadcast(prod), "user_id", "left")
+                .withColumn("route_exec",
+                            F.coalesce("route_exec", F.lit(0.0)))
+                .withColumn("total_value",
+                            F.coalesce("total_value", F.lit(0.0)))
+                .withColumn("n_orders",
+                            F.coalesce("n_orders", F.lit(0)).cast("long")))
+    thr = master.agg((F.max("n_frames") * 0.5).alias("__thr"))
+    qual = (master.crossJoin(F.broadcast(thr))
+                  .filter(F.col("n_frames") >= F.col("__thr")))
+    air_iq = F.when(F.col("sep") > 2.0, F.col("truespeed") + 0.05) \
+              .otherwise(0.8 * F.col("truespeed")
+                         * piecewise_multiplier(F.col("sep"))
+                         + 0.2 * F.col("route_exec"))
+    out = rank_desc(qual.withColumn("air_iq", air_iq), "air_iq")
+    return out.select("user_id", roundn(F.col("truespeed")).alias("truespeed"),
+                      roundn(F.col("route_exec")).alias("route_exec"),
+                      "n_frames", roundn(F.col("air_iq")).alias("air_play_iq"),
+                      roundn(F.col("total_value")).alias("total_value"),
+                      "n_orders", "rank")
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical subtotals: ROLLUP over (returnflag, linestatus) with a
     grouping id — the multi-grain agg the reference computes as separate
@@ -917,6 +974,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_closest_to_median": q_closest_to_median,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q18": q_tpch_q18,
+    "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,
     "q_sliding_window": q_sliding_window,
     "q_tpch_q5": q_tpch_q5,
