@@ -35,6 +35,7 @@ HEADLINE = [
     "q_tpch_q5",
     "q_asof_join",
     "q_tpch_q18",
+    "q_phase3_pipeline",
 ]
 
 

@@ -127,3 +127,10 @@ def test_partitioned_staging_prunes_partitions(spark, tmp_path):
                                                           "event_type"),
                           "event_id").select("event_type").distinct().collect()]
     assert got_types == ["purchase"]
+
+
+def test_phase3_pipeline_all_joins_broadcast(spark):
+    """The composed metrics pipeline joins only play/player-grain frames
+    onto the per-entity board — every join must broadcast (no SMJ)."""
+    assert_broadcast_join(_q(spark, "q_phase3_pipeline"), min_count=3,
+                          max_sort_merge=0)
