@@ -135,3 +135,18 @@ def stateful_lag_diff(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, LAG_DIFF_OUT_SCHEMA, LAG_DIFF_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout)
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once dedup: drop rows whose ``keys`` were already
+    seen, with state bounded by the watermark
+    (``dropDuplicatesWithinWatermark`` — state for a key is evicted once
+    the watermark passes its event time, so re-ingesting a file days later
+    cannot grow state unboundedly).  The batch twin is ``dropDuplicates``.
+    The first op a 100 TB ingestion stream runs: upstream at-least-once
+    delivery becomes exactly-once before anything else sees the rows."""
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                      .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)

@@ -142,3 +142,44 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 10:00 window closed with ONE row; the late 10:45 row was dropped
     assert got.get("2024-01-01 10:00:00") == 1
     assert dropped == 1
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """A row re-delivered in a later micro-batch (at-least-once upstream)
+    must appear exactly once downstream."""
+    import glob
+    import os
+    import shutil
+
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from big_data_bowl_spark.streaming.stream_ops import stream_dedup
+
+    def write_chunk(rows, i):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(chunk_dir)
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(tmp_path / "watch" / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (1_700_000_000 + i * 60,) * 2)
+
+    (tmp_path / "watch").mkdir()
+    t = dt.datetime(2024, 1, 1, 12, 0)
+    a = Row(event_id=1, user_id=1, ts=t, value=1.0)
+    b = Row(event_id=2, user_id=1, ts=t.replace(minute=5), value=2.0)
+    c = Row(event_id=3, user_id=2, ts=t.replace(minute=10), value=3.0)
+    write_chunk([a, b], 0)
+    write_chunk([a, c], 1)          # duplicate delivery of A
+
+    stream = (spark.readStream.schema(spark.createDataFrame([a]).schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(tmp_path / "watch")))
+    out = stream_dedup(stream, ["event_id"])
+    q = (out.writeStream.format("memory").queryName("dedup_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in
+                 spark.sql("SELECT * FROM dedup_test").collect())
+    assert got == [1, 2, 3]
