@@ -183,3 +183,33 @@ def test_duplicate_components_transitive(spark):
     got = {r.doc_id: r.component
            for r in duplicate_components(pairs).collect()}
     assert got == {2: 2, 3: 2, 9: 2, 20: 20, 21: 20}
+
+
+def test_pca_2d_variance_ordering(spark):
+    """M4: pc1 must capture at least as much variance as pc2, and the
+    projection must be centered near zero (PCA invariants that hold for
+    any correct implementation)."""
+    from big_data_bowl_spark.ml.clustering import pca_2d
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    feats = em.select(
+        "vec_id",
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
+          for i in range(8)])
+    out = pca_2d(feats, [f"d{i}" for i in range(8)])
+    stats = out.agg(F.variance("pc1").alias("v1"),
+                    F.variance("pc2").alias("v2")).first()
+    assert stats.v1 >= stats.v2 > 0.0
+
+
+def test_csv_sink_round_trip(spark, tmp_path):
+    """S5: header CSV sink → schema-declared read recovers the same rows."""
+    from big_data_bowl_spark.sources.io import read_csv_glob, read_table
+
+    ev = read_table(spark, SF_SMALL, "events") \
+        .select("event_id", "user_id", "value")
+    path = str(tmp_path / "out_csv")
+    ev.coalesce(1).write.option("header", True).csv(path)
+    back = read_csv_glob(spark, path + "/*.csv", ev.schema)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, ev.collect()))
