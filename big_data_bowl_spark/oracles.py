@@ -731,3 +731,14 @@ SELECT user_id, round(truespeed, 6) AS truespeed,
        rank() OVER (ORDER BY air_iq DESC) AS rank
 FROM scored
 """
+
+ORACLES["q_pivot_event_types"] = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click')    AS n_click,
+       count(*) FILTER (event_type = 'error')    AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup')   AS n_signup,
+       count(*) FILTER (event_type = 'view')     AS n_view
+FROM events
+GROUP BY user_id
+"""

@@ -684,6 +684,23 @@ def q_tpch_q5(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_items")))
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot (wide one-hot aggregation, the F17 one-hot family as a single
+    operator): per-user event counts spread across explicit type columns.
+    The explicit value list skips the extra values-discovery job — at
+    scale the domain is a catalog fact, not something to re-scan for."""
+    e = _t(spark, sf_dir, "events")
+    out = (e.groupBy("user_id")
+            .pivot("event_type", EVENT_TYPES)
+            .agg(F.count(F.lit(1))))
+    return out.select("user_id",
+                      *[F.coalesce(F.col(t), F.lit(0)).cast("long")
+                         .alias(f"n_{t}") for t in EVENT_TYPES])
+
+
 def q_phase3_pipeline(spark, sf_dir):
     """SURVEY §3.3 entry point C END-TO-END as one oracle-checked query:
     centroid distance (M5) → within-cluster negated z-score (W6, RouteExec)
@@ -974,6 +991,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_closest_to_median": q_closest_to_median,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q18": q_tpch_q18,
+    "q_pivot_event_types": q_pivot_event_types,
     "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,
     "q_sliding_window": q_sliding_window,
