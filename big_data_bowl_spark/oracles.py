@@ -742,3 +742,12 @@ SELECT user_id,
 FROM events
 GROUP BY user_id
 """
+
+ORACLES["q_range_window"] = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(sum(value) OVER w, 6) AS sum_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""

@@ -781,6 +781,20 @@ def q_sliding_window(spark, sf_dir):
                     roundn(F.max("value").over(w)).alias("trailing_max"))
 
 
+def q_range_window(spark, sf_dir):
+    """RANGE-frame window: per-user trailing 1-hour event count/sum by
+    event TIME, not row position — the frame family time-series smoothing
+    needs when sampling is irregular.  Ordered on epoch seconds so the
+    range arithmetic is integral in both engines."""
+    e = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").cast("long")
+    w = (Window.partitionBy("user_id").orderBy(epoch)
+               .rangeBetween(-3600, 0))
+    return (e.withColumn("n_1h", F.count(F.lit(1)).over(w).cast("long"))
+             .withColumn("sum_1h", roundn(F.sum("value").over(w)))
+             .select("event_id", "user_id", "n_1h", "sum_1h"))
+
+
 def q_tpch_q18(spark, sf_dir):
     """Q18 shape: large-quantity orders — HAVING over a fact-side agg,
     then semi-join back to enrich.  The agg's build side is tiny after the
@@ -995,6 +1009,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,
     "q_sliding_window": q_sliding_window,
+    "q_range_window": q_range_window,
     "q_tpch_q5": q_tpch_q5,
     "q_window_agg_hourly": q_window_agg_hourly,
     "q_sessionize": q_sessionize,
