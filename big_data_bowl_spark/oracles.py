@@ -751,3 +751,13 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """
+
+ORACLES["q_tpch_q14"] = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""

@@ -781,6 +781,20 @@ def q_sliding_window(spark, sf_dir):
                     roundn(F.max("value").over(w)).alias("trailing_max"))
 
 
+def q_tpch_q14(spark, sf_dir):
+    """Q14 shape: promo-revenue share — lineitem⋈part broadcast join with
+    a conditional aggregate over the joined rows (CASE inside sum / total
+    sum, one pass)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .agg(roundn(100.0 * promo / F.sum(rev)).alias("promo_pct"),
+                   roundn(F.sum(rev)).alias("total_revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
 def q_range_window(spark, sf_dir):
     """RANGE-frame window: per-user trailing 1-hour event count/sum by
     event TIME, not row position — the frame family time-series smoothing
@@ -1010,6 +1024,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_rollup_revenue": q_rollup_revenue,
     "q_sliding_window": q_sliding_window,
     "q_range_window": q_range_window,
+    "q_tpch_q14": q_tpch_q14,
     "q_tpch_q5": q_tpch_q5,
     "q_window_agg_hourly": q_window_agg_hourly,
     "q_sessionize": q_sessionize,
