@@ -213,3 +213,16 @@ def test_csv_sink_round_trip(spark, tmp_path):
     back = read_csv_glob(spark, path + "/*.csv", ev.schema)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, ev.collect()))
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """The 100 TB path for A12: HyperLogLog approx_count_distinct must land
+    within its configured relative error of the exact count (documents'
+    doc_id and events' user_id at sf0.001)."""
+    for table, col in (("documents", "doc_id"), ("events", "user_id")):
+        df = read_table(spark, SF_SMALL, table)
+        exact = df.select(col).distinct().count()
+        approx = df.agg(
+            F.approx_count_distinct(col, rsd=0.05).alias("a")).first().a
+        assert abs(approx - exact) <= max(1, 0.10 * exact), \
+            (table, exact, approx)
