@@ -88,13 +88,33 @@ N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows — s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
 
 
+_MH_PRIME = 2_147_483_647  # 2^31 − 1: keeps a*h + b < 2^62 under ANSI
+
+
+def _mh_coeffs(n: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the affine universal-hash family
+    h_i(x) = (a_i·x + b_i) mod p — derived from a fixed LCG so signatures
+    are reproducible across runs with no RNG state."""
+    out, s = [], 0x9E3779B9
+    for _ in range(n):
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        a = (s % (_MH_PRIME - 1)) + 1     # a ∈ [1, p−1]
+        s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 62)
+        b = s % _MH_PRIME                 # b ∈ [0, p−1]
+        out.append((a, b))
+    return out
+
+
 def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
                       shingle_len: int = 3) -> Column:
     """MinHash signature as an array<long>, fully JVM-side.
 
-    Word shingles of ``shingle_len`` are hashed with xxhash64 under
-    ``n_hashes`` seeds; each signature slot is the min hash.  No UDF: the
-    shingling is a ``transform`` over a ``sequence``, the min-reduce is
+    Each word shingle is string-hashed ONCE (xxhash64); the ``n_hashes``
+    signature slots are derived with affine universal hashes
+    ``(a_i·h + b_i) mod p`` over that single base hash — 1 string-hash
+    pass + n cheap integer passes instead of n string-hash passes, which
+    is the difference between O(n·shingles) string hashing and
+    O(shingles) at 100 TB.  No UDF anywhere; the min-reduce is
     ``array_min``.
     """
     words = F.split(text, " ")
@@ -102,10 +122,12 @@ def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
     shingles = F.transform(
         F.sequence(F.lit(0), n_sh - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
+    base = F.transform(shingles,
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
     return F.array(*[
-        F.array_min(F.transform(shingles,
-                                lambda s: F.xxhash64(s, F.lit(seed))))
-        for seed in range(n_hashes)])
+        F.array_min(F.transform(
+            base, lambda h: (F.lit(a) * h + F.lit(b)) % _MH_PRIME))
+        for a, b in _mh_coeffs(n_hashes)])
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
