@@ -826,6 +826,118 @@ def q_tpch_q18(spark, sf_dir):
                      roundn(F.col("total_qty")).alias("total_qty")))
 
 
+def q_tpch_q6(spark, sf_dir):
+    """Q6 shape: single-table filtered aggregate.  Every predicate is
+    scan-eligible (date range, discount band, quantity cap) so the whole
+    WHERE clause pushes into the parquet reader and the only exchange is
+    the final one-row reduce — the cheapest possible 100 TB full-scan
+    query, bounded by IO not shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return sel.agg(
+        roundn(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+def q_exists_late_ship(spark, sf_dir):
+    """Q4 shape: correlated EXISTS as a non-equi left-semi join — orders
+    with at least one lineitem shipped >60 days after the order date,
+    counted by priority.  The semi-join stops probing an order on first
+    match; the extra inequality rides on the equi-join, no theta join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li, (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Q10 shape: returned-item revenue per customer, top 20.  The
+    returnflag filter prunes lineitem before the one orderkey shuffle;
+    customer and nation broadcast onto the aggregated (small) side."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .groupBy("c_custkey", "c_name", "n_name")
+              .agg(roundn(rev).alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+              .limit(20))
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12 shape: conditional bucket counts after a fact-fact join —
+    per linestatus, how many 1997 shipments belonged to high- vs
+    low-priority orders.  One shuffle (orderkey); the CASE buckets are
+    map-side expressions feeding a partial agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")))
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy("l_linestatus")
+              .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                    .alias("high_line_count"),
+                   F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                    .alias("low_line_count")))
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no URGENT order.
+    Complements J3's left-semi — same broadcast-able build side (the
+    filtered key set), opposite polarity.  The reference's ``~isin`` (P4)
+    is this operator with a driver-side list; anti-join is the form that
+    survives when the exclusion set no longer fits on the driver."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
+    return (c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+             .select("c_custkey", "c_name",
+                     roundn(F.col("c_acctbal")).alias("c_acctbal")))
+
+
+def q_cube_qty(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — all four grain combinations
+    (detail, each single-axis subtotal, grand total) in ONE shuffle, where
+    the reference runs a separate groupby per grain.  grouping() flags
+    disambiguate real NULLs from subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(roundn(F.sum("l_quantity")).alias("sum_qty"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.grouping_id().cast("long").alias("gid")))
+
+
+def q_distribution_windows(spark, sf_dir):
+    """Distribution window functions over a global ordering: decile
+    (ntile), percent_rank, cume_dist of customer balances.  The total
+    order (acctbal, custkey) is tie-free so all three are deterministic.
+    Scale note: a global ORDER BY window is single-reducer by nature —
+    at 100 TB replace ntile with bucketing on pre-computed approx
+    percentile boundaries (see SCALE.md); this query pins the exact
+    small-dimension form."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        roundn(F.percent_rank().over(w)).alias("pct_rank"),
+        roundn(F.cume_dist().over(w)).alias("cume"))
+
+
 # ---------------------------------------------------------------------------
 # event-time windows (streaming-shaped, batch-checkable)
 # ---------------------------------------------------------------------------
@@ -1019,6 +1131,13 @@ QUERIES: dict[str, QueryFn] = {
     "q_closest_to_median": q_closest_to_median,
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q18": q_tpch_q18,
+    "q_tpch_q6": q_tpch_q6,
+    "q_exists_late_ship": q_exists_late_ship,
+    "q_tpch_q10": q_tpch_q10,
+    "q_tpch_q12": q_tpch_q12,
+    "q_anti_join": q_anti_join,
+    "q_cube_qty": q_cube_qty,
+    "q_distribution_windows": q_distribution_windows,
     "q_pivot_event_types": q_pivot_event_types,
     "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,

@@ -134,3 +134,32 @@ def test_phase3_pipeline_all_joins_broadcast(spark):
     onto the per-entity board — every join must broadcast (no SMJ)."""
     assert_broadcast_join(_q(spark, "q_phase3_pipeline"), min_count=3,
                           max_sort_merge=0)
+
+
+def test_tpch_q6_full_pushdown(spark):
+    """Q6's whole WHERE clause is scan-eligible: date range, discount
+    band, and quantity cap must all reach PushedFilters, so a 100 TB scan
+    reads only row groups whose stats intersect the predicate."""
+    assert_pushed_filters(_q(spark, "q_tpch_q6"),
+                          "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_anti_join_broadcasts_exclusion_set(spark):
+    """NOT EXISTS compiles to a broadcast LeftAnti — the filtered key set
+    ships to executors; the customer side is never shuffled."""
+    plan = executed_plan(_q(spark, "q_anti_join"))
+    assert "LeftAnti" in plan
+    assert_broadcast_join(_q(spark, "q_anti_join"), min_count=1)
+
+
+def test_tpch_q10_broadcasts_dimensions(spark):
+    """customer and nation ride broadcast; the only shuffle joins the two
+    facts on orderkey."""
+    assert_broadcast_join(_q(spark, "q_tpch_q10"), min_count=2,
+                          max_sort_merge=1)
+
+
+def test_cube_single_shuffle(spark):
+    """CUBE computes all four grains with one exchange (the expand feeds
+    a single hash aggregate), not one shuffle per grain."""
+    assert count_exchanges(_q(spark, "q_cube_qty")) <= 2
