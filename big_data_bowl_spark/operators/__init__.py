@@ -15,6 +15,7 @@ from .aggregates import (
     trajectory_features,
     value_counts,
 )
+from .ranges import interval_join
 from .sequences import build_sequences, unpivot_sequences
 from .normalize import add_postthrow_geometry, normalize_coordinates
 from .separation import separation_at_frame, separation_at_max_frame
@@ -40,7 +41,7 @@ __all__ = [
     "attach_labels", "enrich_left", "nearest_in_group", "semi_join_on",
     "group_stats", "ols_slope", "scalar_threshold", "trajectory_features",
     "value_counts",
-    "build_sequences", "unpivot_sequences",
+    "build_sequences", "interval_join", "unpivot_sequences",
     "add_postthrow_geometry", "normalize_coordinates",
     "separation_at_frame", "separation_at_max_frame",
     "add_converge_rate", "add_frame_kinematics", "add_time_since_throw",

@@ -713,6 +713,60 @@ FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
+ORACLES["q_interval_join"] = """
+SELECT a.event_id, err.err_event_id, a.user_id, a.event_type,
+       round(a.value, 6) AS value
+FROM events a
+JOIN (SELECT user_id, event_id AS err_event_id,
+             ts - INTERVAL 6 HOUR AS w_start,
+             ts + INTERVAL 6 HOUR AS w_end
+      FROM events WHERE event_type = 'error') err
+  ON a.user_id = err.user_id
+ AND a.ts >= err.w_start AND a.ts <= err.w_end
+ AND a.event_id <> err.err_event_id
+"""
+
+ORACLES["q_training_prep"] = f"""
+WITH canon AS (
+    SELECT * FROM documents
+    QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+feats AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks,
+           length(text) AS n_chars,
+           length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_nopunct
+    FROM canon),
+scored AS (
+    SELECT doc_id, lang,
+           len(toks) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN {_STOP_ALL})) AS DOUBLE)
+               / len(toks) AS stopword_ratio,
+           CAST(n_chars - n_nopunct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(len(list_filter(toks, t -> t IN {_EN})) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(toks, t -> t IN {_FR})) AS BIGINT) AS fr_hits,
+           CAST(len(list_filter(toks, t -> t IN {_DE})) AS BIGINT) AS de_hits,
+           CAST(len(list_filter(toks, t -> t IN {_ES})) AS BIGINT) AS es_hits
+    FROM feats),
+labeled AS (
+    SELECT *,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits
+                     AND en_hits >= es_hits THEN 'en'
+                WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+                WHEN de_hits >= es_hits THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM scored
+    WHERE n_tokens >= 20 AND round(stopword_ratio, 6) >= 0.01)
+SELECT predicted_lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(round(stopword_ratio, 6)), 6) AS avg_stopword_ratio,
+       round(avg(round(punct_ratio, 6)), 6) AS avg_punct_ratio,
+       round(avg(CASE WHEN predicted_lang = lang THEN 1.0 ELSE 0.0 END), 6)
+           AS langid_accuracy
+FROM labeled
+GROUP BY predicted_lang
+"""
+
 ORACLES["q_distribution_windows"] = """
 SELECT c_custkey,
        ntile(10) OVER w AS decile,

@@ -921,6 +921,55 @@ def q_cube_qty(spark, sf_dir):
                    F.grouping_id().cast("long").alias("gid")))
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval (range) join, bucketed scale path: every event of a user
+    within ±6 h of one of that user's error events — pairs, not a window
+    frame, so downstream can aggregate per error.  The 6 h bucket width
+    matches the interval length (explode factor ≤ 3); the plan is a pure
+    equi-join on (user_id, bucket) + exact containment filter."""
+    from .operators.ranges import interval_join
+    e = _t(spark, sf_dir, "events")
+    errs = (e.filter(F.col("event_type") == "error")
+             .select("user_id", F.col("event_id").alias("err_event_id"),
+                     (F.col("ts") - F.expr("INTERVAL 6 HOURS")).alias("w_start"),
+                     (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("w_end")))
+    out = interval_join(
+        e.select("event_id", "user_id", "ts", "event_type", "value"),
+        errs, left_ts="ts", right_start="w_start", right_end="w_end",
+        on=[("user_id", "user_id")], payload=["err_event_id"],
+        bucket_seconds=21600)
+    return (out.filter(F.col("event_id") != F.col("err_event_id"))
+               .select("event_id", "err_event_id", "user_id", "event_type",
+                       roundn(F.col("value")).alias("value")))
+
+
+def q_training_prep(spark, sf_dir):
+    """Composed training-data prep — the pipeline a pre-training corpus
+    runs, end to end in ONE lazy plan: window-dedup to canonical docs
+    (one shuffle on content hash, no join-back), language-ID + quality
+    features (pure projections, fused by codegen), a length/stopword
+    keep-filter, then per-language corpus stats including language-ID
+    accuracy against the table's ground-truth ``lang`` column."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (docs.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+    qual = quality_features(canon)
+    lang = language_id(canon).select("doc_id", "predicted_lang")
+    truth = canon.select("doc_id", "lang")
+    kept = (qual.join(lang, "doc_id").join(truth, "doc_id")
+                .filter((F.col("n_tokens") >= 20)
+                        & (F.col("stopword_ratio") >= 0.01)))
+    return (kept.groupBy("predicted_lang")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").alias("total_tokens"),
+                     roundn(F.avg("stopword_ratio")).alias("avg_stopword_ratio"),
+                     roundn(F.avg("punct_ratio")).alias("avg_punct_ratio"),
+                     roundn(F.avg(F.when(F.col("predicted_lang")
+                                         == F.col("lang"), 1.0)
+                                   .otherwise(0.0))).alias("langid_accuracy")))
+
+
 def q_distribution_windows(spark, sf_dir):
     """Distribution window functions over a global ordering: decile
     (ntile), percent_rank, cume_dist of customer balances.  The total
@@ -1138,6 +1187,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_anti_join": q_anti_join,
     "q_cube_qty": q_cube_qty,
     "q_distribution_windows": q_distribution_windows,
+    "q_interval_join": q_interval_join,
+    "q_training_prep": q_training_prep,
     "q_pivot_event_types": q_pivot_event_types,
     "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,

@@ -8,6 +8,7 @@ from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from big_data_bowl_spark.operators.asof import asof_join
+from big_data_bowl_spark.operators.ranges import interval_join
 from big_data_bowl_spark.operators.skew import salted_agg, salted_broadcast_join
 from big_data_bowl_spark.sources.io import read_table
 
@@ -82,3 +83,74 @@ def test_salted_broadcast_join_equals_plain(spark):
     plain = e.join(dim, "event_type", "left").select("event_id", "weight")
     assert sorted(map(tuple, salted.collect())) == \
         sorted(map(tuple, plain.collect()))
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+def _ij_fixture(spark):
+    left = spark.createDataFrame([
+        Row(k=1, ts=_ts(10), ev="a"),
+        Row(k=1, ts=_ts(20), ev="b"),
+        Row(k=1, ts=_ts(31), ev="c"),      # 1 min outside every window
+        Row(k=2, ts=_ts(10), ev="d"),      # right key, wrong interval
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, s=_ts(5), e=_ts(25), tag="w1"),   # catches a, b
+        Row(k=1, s=_ts(20), e=_ts(30), tag="w2"),  # catches b (boundary)
+        Row(k=2, s=_ts(40), e=_ts(50), tag="w3"),  # catches nothing
+    ])
+    return left, right
+
+
+def _pairs(df):
+    return sorted((r.ev, r.tag) for r in df.collect())
+
+
+def test_interval_join_containment(spark):
+    left, right = _ij_fixture(spark)
+    out = interval_join(left, right, left_ts="ts", right_start="s",
+                        right_end="e", on=[("k", "k")], payload=["tag"])
+    # both interval ends inclusive; boundary row b ∈ w2 at exactly s=20
+    assert _pairs(out) == [("a", "w1"), ("b", "w1"), ("b", "w2")]
+
+
+def test_interval_join_bucketed_equals_naive(spark):
+    """The bucketed plan is an optimization, never a semantics change —
+    identical pairs for bucket widths far smaller and far larger than the
+    interval length, and for the no-equi-key (pure overlap) case."""
+    left, right = _ij_fixture(spark)
+    naive = _pairs(interval_join(
+        left, right, left_ts="ts", right_start="s", right_end="e",
+        on=[("k", "k")], payload=["tag"], bucket_seconds=None))
+    for width in (60, 300, 86400):
+        got = _pairs(interval_join(
+            left, right, left_ts="ts", right_start="s", right_end="e",
+            on=[("k", "k")], payload=["tag"], bucket_seconds=width))
+        assert got == naive, width
+    no_keys_naive = _pairs(interval_join(
+        left, right, left_ts="ts", right_start="s", right_end="e",
+        on=[], payload=["tag"], bucket_seconds=None))
+    no_keys_bucketed = _pairs(interval_join(
+        left, right, left_ts="ts", right_start="s", right_end="e",
+        on=[], payload=["tag"], bucket_seconds=300))
+    assert no_keys_bucketed == no_keys_naive
+
+
+def test_interval_join_bucketing_removes_nested_loop(spark):
+    """With no equi keys the naive plan can only be a nested-loop cross
+    product; the bucket column gives Catalyst an equi-join key, which is
+    the entire point of the strategy at 100 TB."""
+    left, right = _ij_fixture(spark)
+    naive = interval_join(left, right, left_ts="ts", right_start="s",
+                          right_end="e", on=[], payload=["tag"],
+                          bucket_seconds=None)
+    bucketed = interval_join(left, right, left_ts="ts", right_start="s",
+                             right_end="e", on=[], payload=["tag"],
+                             bucket_seconds=300)
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+    quadratic = ("NestedLoop", "CartesianProduct")
+    assert any(q in plan(naive) for q in quadratic)
+    assert not any(q in plan(bucketed) for q in quadratic)
