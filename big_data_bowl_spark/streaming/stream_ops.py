@@ -137,6 +137,39 @@ def stateful_lag_diff(events: DataFrame) -> DataFrame:
         "append", GroupStateTimeout.NoTimeout)
 
 
+def stream_interval_join(events: DataFrame, window: str = "6 hours",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream time-bound self-join — the streaming twin of
+    ``operators/ranges.interval_join``'s q_interval_join shape: every
+    event of a user within ±``window`` of one of that user's error
+    events, emitted as pairs.
+
+    Both inputs carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict join state deterministically: a left row
+    leaves state once the watermark passes ``l_ts + window``, a right row
+    once it passes ``r_ts + window`` — state is O(rows in one window +
+    watermark span), not O(stream history).  On a batch frame the same
+    code is a plain non-equi join (unified API, one implementation).
+    """
+    iv = F.expr(f"INTERVAL {window}")
+    left = events.select("event_id", "user_id",
+                         F.col("ts").alias("l_ts"), "event_type", "value")
+    right = (events.filter(F.col("event_type") == "error")
+                   .select(F.col("event_id").alias("err_event_id"),
+                           F.col("user_id").alias("r_user_id"),
+                           F.col("ts").alias("r_ts")))
+    if events.isStreaming:
+        left = left.withWatermark("l_ts", watermark)
+        right = right.withWatermark("r_ts", watermark)
+    cond = ((F.col("user_id") == F.col("r_user_id"))
+            & (F.col("l_ts") >= F.col("r_ts") - iv)
+            & (F.col("l_ts") <= F.col("r_ts") + iv)
+            & (F.col("event_id") != F.col("err_event_id")))
+    return (left.join(right, cond)
+                .select("event_id", "err_event_id", "user_id",
+                        "event_type", "value"))
+
+
 def stream_dedup(events: DataFrame, keys: list[str],
                  watermark: str = "2 hours") -> DataFrame:
     """Streaming exactly-once dedup: drop rows whose ``keys`` were already

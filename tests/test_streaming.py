@@ -183,3 +183,53 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     got = sorted(r.event_id for r in
                  spark.sql("SELECT * FROM dedup_test").collect())
     assert got == [1, 2, 3]
+
+
+def test_stream_interval_join_equals_batch(spark, tmp_path):
+    """Stream-stream time-bound self-join must produce exactly the batch
+    pairs even when an event and its matching error arrive in DIFFERENT
+    micro-batches: the table is split into 3 time-ordered files, so pairs
+    spanning a chunk boundary (within the ±6 h window) only appear if
+    join state survives across batches and watermark eviction is not
+    premature."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.streaming.stream_ops import stream_interval_join
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    batch = stream_interval_join(ev)
+    assert not batch.isStreaming
+
+    ranked = ev.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    n = ranked.count()
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    bounds = [0, n // 3, 2 * n // 3, n]
+    t0 = 1_700_000_000
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (ranked.filter((F.col("__rn") > bounds[i])
+                       & (F.col("__rn") <= bounds[i + 1]))
+               .drop("__rn").coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    out = stream_interval_join(stream)
+    assert out.isStreaming
+    run_stream_to_memory(out, "ij_test", output_mode="append")
+    got = spark.sql("SELECT * FROM ij_test")
+    assert _rows(got) == _rows(batch)
+    # sanity: the join is non-trivial at this SF
+    assert got.count() > 0
