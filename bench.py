@@ -36,6 +36,11 @@ HEADLINE = [
     "q_asof_join",
     "q_tpch_q18",
     "q_phase3_pipeline",
+    "q_tpch_q6",
+    "q_tpch_q10",
+    "q_interval_join",
+    "q_training_prep",
+    "q_minhash_pairs",
 ]
 
 

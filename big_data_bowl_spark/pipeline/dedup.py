@@ -105,18 +105,45 @@ def _mh_coeffs(n: int) -> list[tuple[int, int]]:
     return out
 
 
+def shingle_base_hashes(text: Column, shingle_len: int = 3) -> Column:
+    """Word-shingle base hashes as an array<long>: each ``shingle_len``
+    word shingle hashed once with xxhash64, reduced mod p.  The expensive
+    string work — split, slice, concat, hash — happens HERE, exactly once
+    per shingle."""
+    words = F.split(text, " ")
+    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
+    return F.transform(shingles,
+                       lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
+
+
+def minhash_slots(base_col: str, n_hashes: int = N_MINHASH) -> Column:
+    """The ``n_hashes`` MinHash signature slots over a MATERIALIZED base-
+    hash array column: slot i is min over the affine universal hash
+    ``(a_i·h + b_i) mod p``, folded with ``aggregate`` so no per-slot
+    intermediate array is built.
+
+    The base hashes MUST be a named column (``shingle_base_hashes``
+    staged via ``withColumn``), not an inlined expression: higher-order
+    functions are interpreted (outside codegen), and Catalyst does not
+    common-subexpression-eliminate through lambda bodies — inlining the
+    base recomputes split+concat+xxhash64 once PER SLOT, a measured ~45×
+    slowdown at sf0.1."""
+    return F.array(*[
+        F.aggregate(base_col, F.lit(_MH_PRIME).cast("long"),
+                    lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b))
+                                           % _MH_PRIME))
+        for a, b in _mh_coeffs(n_hashes)])
+
+
 def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
                       shingle_len: int = 3) -> Column:
-    """MinHash signature as an array<long>, fully JVM-side.
-
-    Each word shingle is string-hashed ONCE (xxhash64); the ``n_hashes``
-    signature slots are derived with affine universal hashes
-    ``(a_i·h + b_i) mod p`` over that single base hash — 1 string-hash
-    pass + n cheap integer passes instead of n string-hash passes, which
-    is the difference between O(n·shingles) string hashing and
-    O(shingles) at 100 TB.  No UDF anywhere; the min-reduce is
-    ``array_min``.
-    """
+    """Single-Column MinHash signature (array<long>), fully JVM-side, for
+    contexts that can't stage a named column.  Prefer the staged
+    ``shingle_base_hashes`` + ``minhash_slots`` pair in any hot path —
+    see :func:`minhash_slots` for why."""
     words = F.split(text, " ")
     n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
     shingles = F.transform(
@@ -125,8 +152,9 @@ def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
     base = F.transform(shingles,
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
     return F.array(*[
-        F.array_min(F.transform(
-            base, lambda h: (F.lit(a) * h + F.lit(b)) % _MH_PRIME))
+        F.aggregate(base, F.lit(_MH_PRIME).cast("long"),
+                    lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b))
+                                           % _MH_PRIME))
         for a, b in _mh_coeffs(n_hashes)])
 
 
@@ -147,8 +175,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     require_columns(df, [id_col, text_col], "minhash_lsh_pairs")
     rows_per_band = n_hashes // bands
-    sig = df.select(F.col(id_col),
-                    minhash_signature(F.col(text_col), n_hashes).alias("sig"))
+    # Hashing is CPU-bound and the corpus often lands as few large files:
+    # fan out to every core first if the scan gives fewer partitions.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    # Two staged projections (base hashes, then slots): see minhash_slots
+    # for why inlining the base into each slot is a ~45× slowdown.
+    sig = (narrow
+           .withColumn("_base", shingle_base_hashes(F.col(text_col)))
+           .select(F.col(id_col), minhash_slots("_base", n_hashes)
+                   .alias("sig")))
     banded = sig.select(
         id_col, "sig",
         F.posexplode(F.array(*[
