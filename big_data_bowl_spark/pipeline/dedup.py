@@ -221,15 +221,27 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
     between fingerprints refines.  Returns (doc_id, simhash, band0..band3).
     """
     require_columns(df, [id_col, text_col], "simhash_buckets")
-    tokens = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    # Stage the token hashes as a NAMED column first (HOF lambdas are
+    # interpreted and Catalyst does not CSE through them — inlining this
+    # array into the 64 vote folds recomputes split+filter+xxhash64 per
+    # bit; see SCALE.md "Higher-order-function caveat").  CPU-bound, so
+    # fan out if the scan gave fewer partitions than cores.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(F.col(id_col), F.col(text_col))
+    if narrow.rdd.getNumPartitions() < parallelism:
+        narrow = narrow.repartition(parallelism)
+    staged = narrow.withColumn(
+        "_th", F.transform(F.filter(F.split(F.col(text_col), " "),
+                                    lambda t: t != ""),
+                           lambda t: F.xxhash64(t)))
+
     # vote per bit: sum over tokens of (+1 if bit set else -1); the bit
     # masks are Python-side constants (shift amounts must be literals in
     # the DataFrame API), so this unrolls to `bits` aggregate expressions
-    # over the shared token-hash array — still one projection, JVM-side.
+    # over the shared materialized token-hash array.
     def _vote(mask: Column) -> Column:
         return F.aggregate(
-            hashes, F.lit(0),
+            F.col("_th"), F.lit(0),
             lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1)
                                   .otherwise(-1))
 
@@ -241,7 +253,7 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
         mask = F.lit(mask_val).cast("long")
         fingerprint = fingerprint + F.when(_vote(mask) > 0, mask) \
                                      .otherwise(F.lit(0).cast("long"))
-    out = df.select(F.col(id_col), fingerprint.alias("simhash"))
+    out = staged.select(F.col(id_col), fingerprint.alias("simhash"))
     for i in range(4):
         out = out.withColumn(
             f"band{i}",
