@@ -767,6 +767,12 @@ FROM labeled
 GROUP BY predicted_lang
 """
 
+ORACLES["q_hash_sample"] = """
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+"""
+
 ORACLES["q_distribution_windows"] = """
 SELECT c_custkey,
        ntile(10) OVER w AS decile,

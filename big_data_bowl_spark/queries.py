@@ -970,6 +970,25 @@ def q_training_prep(spark, sf_dir):
                                    .otherwise(0.0))).alias("langid_accuracy")))
 
 
+HASH_SAMPLE_MULT = 2654435761  # Knuth multiplicative constant (2^32·φ)
+HASH_SAMPLE_MOD = 1 << 32
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling — the stable-split idiom every
+    training-data pipeline needs: membership depends only on the row KEY
+    (multiplicative hash, explicit arithmetic — engine-neutral, unlike
+    ``rand(seed)`` or engine hash builtins), so the same 20% sample falls
+    out on any engine, any partitioning, any run.  Map-side filter: no
+    shuffle, combines with predicate pushdown of the id column."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(HASH_SAMPLE_MULT),
+                    F.lit(HASH_SAMPLE_MOD))
+    return (d.filter(bucket < int(0.2 * HASH_SAMPLE_MOD))
+             .select("doc_id", "lang", "source",
+                     F.col("n_chars").cast("long").alias("n_chars")))
+
+
 def q_distribution_windows(spark, sf_dir):
     """Distribution window functions over a global ordering: decile
     (ntile), percent_rank, cume_dist of customer balances.  The total
@@ -1189,6 +1208,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_distribution_windows": q_distribution_windows,
     "q_interval_join": q_interval_join,
     "q_training_prep": q_training_prep,
+    "q_hash_sample": q_hash_sample,
     "q_pivot_event_types": q_pivot_event_types,
     "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,
