@@ -767,6 +767,22 @@ FROM labeled
 GROUP BY predicted_lang
 """
 
+ORACLES["q_tpch_q7"] = """
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
 ORACLES["q_hash_sample"] = """
 SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents

@@ -970,6 +970,38 @@ def q_training_prep(spark, sf_dir):
                                    .otherwise(0.0))).alias("langid_accuracy")))
 
 
+def q_tpch_q7(spark, sf_dir):
+    """Q7 shape: shipping volume between two nations by year, both
+    directions — the double-dimension join where the customer nation and
+    supplier nation are DIFFERENT dimension rows of the same table (two
+    broadcast aliases), with a disjunctive pair predicate and a year
+    rollup of the fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    pair = (((F.col("cust_nation") == "NATION_1")
+             & (F.col("supp_nation") == "NATION_2"))
+            | ((F.col("cust_nation") == "NATION_2")
+               & (F.col("supp_nation") == "NATION_1")))
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+              .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+              .filter(pair)
+              .groupBy("supp_nation", "cust_nation",
+                       F.year("l_shipdate").cast("long").alias("ship_year"))
+              .agg(roundn(rev).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
 HASH_SAMPLE_MULT = 2654435761  # Knuth multiplicative constant (2^32·φ)
 HASH_SAMPLE_MOD = 1 << 32
 
@@ -1209,6 +1241,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_interval_join": q_interval_join,
     "q_training_prep": q_training_prep,
     "q_hash_sample": q_hash_sample,
+    "q_tpch_q7": q_tpch_q7,
     "q_pivot_event_types": q_pivot_event_types,
     "q_phase3_pipeline": q_phase3_pipeline,
     "q_rollup_revenue": q_rollup_revenue,

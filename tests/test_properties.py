@@ -80,3 +80,44 @@ def test_sequence_build_padding_invariants(spark, sizes, max_len):
         assert kept == [float(j + 1) for j in range(max(0, n - max_len), n)]
         # padding rows are all zeros
         assert all(step[0] == 0.0 for step in r.seq[r.real_len:])
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_interval_join_matches_bruteforce(spark, data):
+    """Bucketed interval join ≡ Python brute force for arbitrary point
+    sets and intervals, across bucket widths smaller than, comparable to,
+    and larger than the intervals — including zero-length and
+    bucket-boundary-straddling intervals."""
+    import datetime as dt
+
+    from big_data_bowl_spark.operators.ranges import interval_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def m(minute):
+        return base + dt.timedelta(minutes=minute)
+
+    left = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 240)),
+        min_size=1, max_size=10), label="left")
+    right = data.draw(st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 240),
+                  st.integers(0, 90)),
+        min_size=1, max_size=6), label="right")
+    ldf = spark.createDataFrame(
+        [Row(k=k, ts=m(t), lid=i) for i, (k, t) in enumerate(left)])
+    rdf = spark.createDataFrame(
+        [Row(k=k, s=m(t), e=m(t + d), tag=j)
+         for j, (k, t, d) in enumerate(right)])
+    expected = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(left)
+        for j, (rk, rt, rd) in enumerate(right)
+        if lk == rk and rt <= lt <= rt + rd)
+    width = data.draw(st.sampled_from([60, 1800, 86400]), label="width")
+    got = sorted((r.lid, r.tag) for r in interval_join(
+        ldf, rdf, left_ts="ts", right_start="s", right_end="e",
+        on=[("k", "k")], payload=["tag"],
+        bucket_seconds=width).collect())
+    assert got == expected
