@@ -910,3 +910,77 @@ SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
        count(*) AS n_items
 FROM lineitem JOIN part ON l_partkey = p_partkey
 """
+
+ORACLES["q_tpch_q13"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+    SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey)
+GROUP BY c_count
+"""
+
+ORACLES["q_tpch_q15"] = """
+WITH rev AS (
+    SELECT l_suppkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+"""
+
+ORACLES["q_tpch_q16"] = """
+SELECT p_brand, p_type,
+       ((p_size - 1) // 10)::BIGINT AS size_bucket,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#4'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, size_bucket
+"""
+
+ORACLES["q_tpch_q17"] = """
+WITH branded AS (
+    SELECT l_partkey, l_quantity, l_extendedprice
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#4'),
+avg_qty AS (
+    SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty
+    FROM branded GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+       count(*) AS n_small
+FROM branded JOIN avg_qty ON l_partkey = ak
+WHERE l_quantity < 0.5 * avg_qty
+"""
+
+ORACLES["q_tpch_q19"] = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#2' AND p_size <= 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#17' AND p_size <= 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#19' AND p_size <= 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+ORACLES["q_tpch_q22"] = """
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+       round(sum(c_acctbal), 6) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_nationkey
+"""

@@ -1177,6 +1177,127 @@ def q_flagship_truespeed(spark, sf_dir):
                       "n_frames", "rank")
 
 
+def q_tpch_q13(spark, sf_dir):
+    """Q13 shape: customer order-count distribution — LEFT OUTER join so
+    zero-order customers survive into the 0 bucket, then a second agg over
+    the first's output.  Two shuffles total (custkey, then count key); the
+    second agg's input is one row per customer, so it is tiny regardless
+    of fact scale — the classic two-level agg that needs no broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+                    .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """Q15 shape: top supplier by windowed revenue — agg to one row per
+    supplier, take the global max as a 1-row broadcast, keep the arg-max
+    rows by equality join.  The whole 'view + scalar subquery' lowers to
+    agg → crossJoin(broadcast(max)) → filter; no second scan of the
+    fact."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy("l_suppkey")
+             .agg(roundn(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+              .alias("total_revenue")))
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (rev.crossJoin(F.broadcast(top))
+               .filter(F.col("total_revenue") == F.col("max_rev"))
+               .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+               .select(F.col("s_suppkey"), F.col("s_name"),
+                       F.col("total_revenue")))
+
+
+def q_tpch_q16(spark, sf_dir):
+    """Q16 shape: distinct-supplier counts per part attribute, minus an
+    exclusion set — the partsupp bridge is played by lineitem (this
+    schema has no partsupp).  Suppliers in bad standing (negative
+    acctbal) are removed with a broadcast LEFT ANTI before the distinct
+    agg; count(DISTINCT) shuffles on the (brand,type,size-bucket) key."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#4")
+    bad = (_t(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (li.join(F.broadcast(bad),
+                    li.l_suppkey == bad.s_suppkey, "left_anti")
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .groupBy("p_brand", "p_type",
+                       F.floor((F.col("p_size") - 1) / 10).cast("long")
+                       .alias("size_bucket"))
+              .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_tpch_q17(spark, sf_dir):
+    """Q17 shape: small-quantity revenue — per-part average quantity as a
+    correlated scalar subquery, lowered to agg + broadcast join-back (the
+    per-part agg is |part| rows, always broadcastable), then the
+    below-threshold filter and a one-row reduce.  Avoids the window-over-
+    partkey alternative, which would shuffle the full fact on partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    branded = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    avg_qty = (branded.groupBy(F.col("l_partkey").alias("ak"))
+                      .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (branded.join(F.broadcast(avg_qty),
+                         branded.l_partkey == avg_qty.ak)
+                   .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+                   .agg(roundn(F.sum("l_extendedprice") / 7.0)
+                        .alias("avg_yearly"),
+                        F.count(F.lit(1)).alias("n_small")))
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19 shape: disjunctive multi-band predicate over a fact-dim join.
+    Each OR arm pairs a brand with a size band and quantity band; the
+    part side prunes to the union of arms BEFORE the join (derived
+    predicate), the residual disjunction evaluates post-join — exactly
+    what Catalyst's constraint propagation does with an OR of
+    conjunctions."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm1 = ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 5)
+            & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+    arm2 = ((F.col("p_brand") == "Brand#17") & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+    arm3 = ((F.col("p_brand") == "Brand#19") & (F.col("p_size") <= 15)
+            & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    return (j.filter(arm1 | arm2 | arm3)
+             .agg(roundn(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))))
+                  .alias("revenue"),
+                  F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q22(spark, sf_dir):
+    """Q22 shape: above-average balances with no recent orders — global
+    scalar AVG (one-row broadcast) feeding the filter, LEFT ANTI against
+    the recent-order keys, grouped by the nation code.  (Reference Q22
+    uses phone-prefix country codes and an empty-orders NOT EXISTS; this
+    schema's customers all have old orders, so 'recent' keeps the anti
+    join meaningful.)"""
+    c = _t(spark, sf_dir, "customer")
+    recent = (_t(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+              .select("o_custkey"))
+    pos_avg = (c.filter(F.col("c_acctbal") > 0.0)
+                .agg(F.avg("c_acctbal").alias("avg_bal")))
+    return (c.crossJoin(F.broadcast(pos_avg))
+             .filter(F.col("c_acctbal") > F.col("avg_bal"))
+             .join(F.broadcast(recent),
+                   c.c_custkey == recent.o_custkey, "left_anti")
+             .groupBy(F.col("c_nationkey").alias("cntry"))
+             .agg(F.count(F.lit(1)).alias("numcust"),
+                  roundn(F.sum("c_acctbal")).alias("totacctbal")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1260,4 +1381,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_fingerprint": q_fingerprint,
     "q_multimodal_features": q_multimodal_features,
     "q_route_clusters": q_route_clusters,
+    "q_tpch_q13": q_tpch_q13,
+    "q_tpch_q15": q_tpch_q15,
+    "q_tpch_q16": q_tpch_q16,
+    "q_tpch_q17": q_tpch_q17,
+    "q_tpch_q19": q_tpch_q19,
+    "q_tpch_q22": q_tpch_q22,
 }
