@@ -984,3 +984,106 @@ WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
         AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 GROUP BY c_nationkey
 """
+
+ORACLES["q_tpch_q2"] = """
+WITH cand AS (
+    SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name, n_name, s_acctbal
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+    JOIN part ON b.l_partkey = p_partkey
+    JOIN supplier ON b.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE p_type = 'ECONOMY' AND p_size < 10 AND r_name = 'EUROPE')
+SELECT p_partkey, p_name, s_suppkey, s_name, n_name,
+       round(s_acctbal, 6) AS s_acctbal
+FROM cand c
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = c.p_partkey)
+"""
+
+ORACLES["q_tpch_q8"] = """
+SELECT year(o_orderdate)::BIGINT AS o_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_2'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_volume
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN region ON nc.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year
+"""
+
+ORACLES["q_tpch_q9"] = """
+SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity), 6) AS sum_profit,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+ORACLES["q_tpch_q11"] = """
+WITH val AS (
+    SELECT l_partkey, sum(l_extendedprice * l_quantity) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_1', 'NATION_2')
+    GROUP BY l_partkey)
+SELECT l_partkey, round(value, 6) AS value
+FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+"""
+
+ORACLES["q_tpch_q20"] = """
+WITH pair AS (
+    SELECT l_partkey, l_suppkey, sum(l_quantity) AS pair_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_partkey, l_suppkey),
+dominant AS (
+    SELECT DISTINCT l_suppkey
+    FROM (SELECT l_suppkey, pair_qty,
+                 sum(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty
+          FROM pair)
+    WHERE pair_qty > 0.3 * part_qty)
+SELECT s_suppkey, s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_0', 'NATION_3')
+  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+"""
+
+ORACLES["q_tpch_q21"] = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                               THEN l_suppkey END) AS n_late,
+           max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                    THEN l_suppkey END) AS late_supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY l_orderkey)
+SELECT s_name, count(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""

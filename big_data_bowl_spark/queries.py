@@ -1298,6 +1298,165 @@ def q_tpch_q22(spark, sf_dir):
                   roundn(F.sum("c_acctbal")).alias("totacctbal")))
 
 
+def q_tpch_q2(spark, sf_dir):
+    """Q2 shape: groupwise-min supplier per part within a region — the
+    correlated MIN subquery, lowered to agg + join-back on (part, min)
+    equality.  (No partsupp in this schema: lineitem is the part↔supplier
+    bridge and s_acctbal stands in for ps_supplycost.)  All dimension
+    joins broadcast; only the bridge dedup shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (_t(spark, sf_dir, "part")
+         .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") < 10)))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cand = (li.dropDuplicates(["l_partkey", "l_suppkey"])
+              .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    best = (cand.groupBy(F.col("p_partkey").alias("bk"))
+                .agg(F.min("s_acctbal").alias("min_bal")))
+    return (cand.join(F.broadcast(best),
+                      (cand.p_partkey == best.bk)
+                      & (cand.s_acctbal == best.min_bal))
+                .select("p_partkey", "p_name", "s_suppkey", "s_name",
+                        "n_name", roundn(F.col("s_acctbal"))
+                        .alias("s_acctbal")))
+
+
+def q_tpch_q8(spark, sf_dir):
+    """Q8 shape: market share — one nation's revenue fraction by order
+    year among a region's customers for one part type.  The share is a
+    conditional-sum / sum ratio inside one agg, so the whole query is one
+    fact shuffle (orderkey) plus broadcast dims."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00")))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nc = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_regionkey").alias("c_rk"))
+    ns = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+              .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+              .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(roundn(F.sum(F.when(F.col("supp_nation") == "NATION_2",
+                                       vol).otherwise(0.0))
+                          / F.sum(vol)).alias("mkt_share"),
+                   roundn(F.sum(vol)).alias("total_volume")))
+
+
+def q_tpch_q9(spark, sf_dir):
+    """Q9 shape: profit by supplier nation and year over a name-pattern
+    part filter.  Cost side uses p_retailprice·quantity·0.6 as the
+    supplycost proxy (no partsupp here).  The contains() filter cannot
+    push to a dictionary but prunes the broadcast side before the fact
+    join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    p = (_t(spark, sf_dir, "part")
+         .filter(F.col("p_name").contains("widget")))
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .groupBy(F.col("n_name").alias("nation"),
+                       F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(roundn(F.sum(amount)).alias("sum_profit"),
+                   F.count(F.lit(1)).alias("n_items")))
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11 shape: per-part inventory value for one nation's suppliers,
+    kept only where it exceeds a fraction of the GLOBAL value — the
+    HAVING-against-scalar-subquery idiom: same aggregated table feeds
+    both sides, the global reduce is one broadcast row, no second fact
+    scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name").isin("NATION_1", "NATION_2")))
+    val = (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .groupBy("l_partkey")
+             .agg(F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                  .alias("value")))
+    total = val.agg((F.sum("value") * 0.001).alias("threshold"))
+    return (val.crossJoin(F.broadcast(total))
+               .filter(F.col("value") > F.col("threshold"))
+               .select("l_partkey", roundn(F.col("value")).alias("value")))
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20 shape: suppliers who dominate a part's flow — per
+    (part, supplier) shipped quantity against 30% of the part's total,
+    then a semi-join up to the supplier dimension.  Two aggs over one
+    scan shape: the per-pair agg reshuffles to per-part with a window
+    instead of a second scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00")))
+    s = _t(spark, sf_dir, "supplier")
+    n = (_t(spark, sf_dir, "nation")
+         .filter(F.col("n_name").isin("NATION_0", "NATION_3")))
+    pair = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("l_quantity").alias("pair_qty")))
+    w = Window.partitionBy("l_partkey")
+    dominant = (pair.withColumn("part_qty", F.sum("pair_qty").over(w))
+                    .filter(F.col("pair_qty") > 0.3 * F.col("part_qty"))
+                    .select("l_suppkey").distinct())
+    return (s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey", "s_name", "n_name"))
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21 shape: suppliers-who-kept-the-order-waiting — on orders with
+    ≥2 distinct suppliers, the SOLE late supplier (late = shipped >90
+    days after the order date).  The classic EXISTS/NOT-EXISTS pair
+    lowers to ONE per-order aggregate (distinct-supplier count, late-
+    supplier count, the late supplier key via conditional max) — one
+    orderkey shuffle instead of two correlated self-probes of the
+    fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 90 DAYS")
+    per_order = (li.join(o, li.l_orderkey == o.o_orderkey)
+                   .groupBy("l_orderkey")
+                   .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                        F.countDistinct(F.when(late, F.col("l_suppkey")))
+                         .alias("n_late"),
+                        F.max(F.when(late, F.col("l_suppkey")))
+                         .alias("late_supp")))
+    blamed = per_order.filter((F.col("n_supp") >= 2)
+                              & (F.col("n_late") == 1))
+    return (blamed.groupBy("late_supp")
+                  .agg(F.count(F.lit(1)).alias("numwait"))
+                  .join(F.broadcast(s),
+                        F.col("late_supp") == s.s_suppkey)
+                  .select(F.col("s_name"), F.col("numwait"))
+                  .orderBy(F.desc("numwait"), F.asc("s_name"))
+                  .limit(20))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1387,4 +1546,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q17": q_tpch_q17,
     "q_tpch_q19": q_tpch_q19,
     "q_tpch_q22": q_tpch_q22,
+    "q_tpch_q2": q_tpch_q2,
+    "q_tpch_q8": q_tpch_q8,
+    "q_tpch_q9": q_tpch_q9,
+    "q_tpch_q11": q_tpch_q11,
+    "q_tpch_q20": q_tpch_q20,
+    "q_tpch_q21": q_tpch_q21,
 }
