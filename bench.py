@@ -41,6 +41,9 @@ HEADLINE = [
     "q_interval_join",
     "q_training_prep",
     "q_minhash_pairs",
+    "q_tpch_q9",
+    "q_tpch_q13",
+    "q_tpch_q21",
 ]
 
 

@@ -163,3 +163,29 @@ def test_cube_single_shuffle(spark):
     """CUBE computes all four grains with one exchange (the expand feeds
     a single hash aggregate), not one shuffle per grain."""
     assert count_exchanges(_q(spark, "q_cube_qty")) <= 2
+
+
+def test_tpch_q9_broadcasts_all_dimensions(spark):
+    """Q9's four dimension joins all broadcast; the only sort-merge
+    candidate is the lineitem⋈orders fact join."""
+    assert_broadcast_join(_q(spark, "q_tpch_q9"), min_count=3,
+                          max_sort_merge=1)
+
+
+def test_tpch_q21_scans_fact_once(spark):
+    """The EXISTS/NOT-EXISTS pair is lowered to one per-order aggregate:
+    lineitem is scanned ONCE, not re-probed per correlated subquery.
+    (The two-distinct-count agg itself legitimately plans as Spark's
+    expand + two-level exchange on l_orderkey.)"""
+    plan = executed_plan(_q(spark, "q_tpch_q21"))
+    assert plan.count("lineitem.parquet") == 1
+    assert count_exchanges(_q(spark, "q_tpch_q21"), "l_orderkey") <= 2
+
+
+def test_tpch_q17_avoids_partkey_window_shuffle(spark):
+    """Q17's correlated per-part average is agg + broadcast join-back;
+    the full fact is never hash-exchanged on l_partkey (the branded
+    subset is, once, for the avg — but never windowed)."""
+    plan = executed_plan(_q(spark, "q_tpch_q17"))
+    assert "Window" not in plan
+    assert_broadcast_join(_q(spark, "q_tpch_q17"), min_count=2)
