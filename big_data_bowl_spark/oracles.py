@@ -1087,3 +1087,61 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 20
 """
+
+ORACLES["q_repetition"] = """
+WITH tok AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS tok
+          FROM documents)
+    GROUP BY doc_id, tok)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       count(*) AS n_distinct,
+       CAST(max(c) AS BIGINT) AS top_token_count,
+       round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS distinct_ratio,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_token_share
+FROM tok GROUP BY doc_id
+"""
+
+ORACLES["q_stratified_sample"] = """
+SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
+FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+      < CASE lang WHEN 'en' THEN 0.1 ELSE 0.5 END
+"""
+
+ORACLES["q_nearest_centroid"] = """
+WITH comp AS (
+    SELECT label, i AS dim, avg(v) AS c
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)
+    GROUP BY label, i),
+vec AS (
+    SELECT vec_id, i AS dim, CAST(v AS DOUBLE) AS v
+    FROM (SELECT vec_id, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings)),
+dots AS (
+    SELECT vec_id, label AS cand_label, sum(v * c) AS dot
+    FROM vec JOIN comp USING (dim)
+    GROUP BY 1, 2),
+ranked AS (
+    SELECT vec_id, cand_label, dot,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dot DESC, cand_label ASC) AS rn
+    FROM dots)
+SELECT vec_id, cand_label AS assigned_label, round(dot, 6) AS score
+FROM ranked WHERE rn = 1
+"""
+
+ORACLES["q_doc_histogram"] = """
+SELECT (n_chars // 50)::BIGINT AS bucket,
+       count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       count(DISTINCT lang) AS n_langs
+FROM documents
+GROUP BY bucket
+"""

@@ -180,3 +180,46 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                  .withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= k)
                  .select("query_id", "neighbor_id", "cosine"))
+
+
+def label_centroids(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label mean embedding via posexplode → (label, dim) average →
+    re-assemble with sort_array(collect_list).  The exploded shuffle
+    carries (labels × dims) partial sums after map-side combine —
+    constant-size output regardless of fact scale.  Returns
+    (label, centroid array<double>)."""
+    require_columns(df, [id_col, vec_col, label_col], "label_centroids")
+    comp = (df.select(F.col(label_col),
+                      F.posexplode(_as_double(F.col(vec_col)))
+                       .alias("dim", "v"))
+              .groupBy(label_col, "dim")
+              .agg(F.avg("v").alias("c")))
+    return (comp.groupBy(label_col)
+                .agg(F.transform(
+                        F.sort_array(F.collect_list(F.struct("dim", "c"))),
+                        lambda s: s["c"]).alias("centroid")))
+
+
+def nearest_centroid(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Assign every vector to its nearest per-label mean centroid by dot
+    product (vectors are unit-norm, so dot = cosine).  The centroid table
+    is K rows — broadcast cross join, K dot products per row, argmax via
+    one row_number window keyed by the vector id.  This is the assignment
+    step of an IVF coarse quantizer / one Lloyd iteration, expressed
+    relationally."""
+    cents = label_centroids(df, id_col, vec_col, label_col)
+    c = cents.select(F.col(label_col).alias("cand_label"), "centroid")
+    scored = (df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+                .crossJoin(F.broadcast(c))
+                .withColumn("dot", _dot(F.col("v"), F.col("centroid"))))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.desc("dot"), F.asc("cand_label"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") == 1)
+                  .select(F.col(id_col),
+                          F.col("cand_label").alias("assigned_label"),
+                          roundn(F.col("dot")).alias("score")))

@@ -118,3 +118,30 @@ def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
     hashes = F.transform(toks, polynomial_token_hash)
     fp = F.array_min(F.slice(hashes, 1, window))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Within-document repetition features: distinct-token ratio and the
+    share of the single most frequent token — the standard boilerplate /
+    degenerate-generation filters (cf. Gopher/MassiveText rules).
+
+    Explode → two-level agg, not per-row array scans: the (doc, token)
+    partial aggregation combines map-side, so the shuffle carries at most
+    one row per distinct token per doc — linear at 100 TB where a
+    per-row O(tokens²) array fold is not."""
+    require_columns(df, [id_col, text_col], "repetition_features")
+    tok = (df.select(F.col(id_col),
+                     F.explode(_tokens(text_col)).alias("tok"))
+             .groupBy(id_col, "tok")
+             .agg(F.count(F.lit(1)).alias("c")))
+    return (tok.groupBy(id_col)
+               .agg(F.sum("c").cast("long").alias("n_tokens"),
+                    F.count(F.lit(1)).cast("long").alias("n_distinct"),
+                    F.max("c").cast("long").alias("top_token_count"))
+               .select(F.col(id_col),
+                       "n_tokens", "n_distinct", "top_token_count",
+                       roundn(F.col("n_distinct") / F.col("n_tokens"))
+                       .alias("distinct_ratio"),
+                       roundn(F.col("top_token_count") / F.col("n_tokens"))
+                       .alias("top_token_share")))

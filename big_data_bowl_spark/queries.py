@@ -1457,6 +1457,48 @@ def q_tpch_q21(spark, sf_dir):
                   .limit(20))
 
 
+def q_repetition(spark, sf_dir):
+    """Within-document repetition filters (distinct-token ratio, top-token
+    share) — explode → two-level agg so the shuffle carries one row per
+    distinct (doc, token) after map-side combine."""
+    from .pipeline.text import repetition_features
+    return repetition_features(_t(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic downsampling: dominant language at 10%,
+    tail languages at 50% — rate is a broadcast when-chain, membership is
+    a key hash, the whole thing a map-side filter (no shuffle, no rand())."""
+    from .pipeline.sampling import stratified_hash_sample
+    d = _t(spark, sf_dir, "documents")
+    rates = {"en": 0.1, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.5}
+    return (stratified_hash_sample(d, "doc_id", "lang", rates)
+            .select("doc_id", "lang", "source",
+                    F.col("n_chars").cast("long").alias("n_chars")))
+
+
+def q_nearest_centroid(spark, sf_dir):
+    """IVF coarse-quantizer assignment step: per-label mean centroids
+    (posexplode → (label, dim) avg — constant-size shuffle), then each
+    vector scored against the K-row broadcast centroid table, argmax by
+    one row_number window."""
+    from .pipeline.similarity import nearest_centroid
+    return nearest_centroid(_t(spark, sf_dir, "embeddings"))
+
+
+def q_doc_histogram(spark, sf_dir):
+    """Corpus length histogram: fixed-width buckets by integer floor
+    arithmetic (engine-neutral, unlike width_bucket variants), count +
+    mean per bucket — the one-pass profile every corpus audit starts
+    with."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy(F.floor(F.col("n_chars") / 50).cast("long")
+                       .alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  roundn(F.avg("n_chars")).alias("avg_chars"),
+                  F.countDistinct("lang").alias("n_langs")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1552,4 +1594,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q11": q_tpch_q11,
     "q_tpch_q20": q_tpch_q20,
     "q_tpch_q21": q_tpch_q21,
+    "q_repetition": q_repetition,
+    "q_stratified_sample": q_stratified_sample,
+    "q_nearest_centroid": q_nearest_centroid,
+    "q_doc_histogram": q_doc_histogram,
 }
