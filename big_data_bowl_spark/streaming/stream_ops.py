@@ -183,3 +183,38 @@ def stream_dedup(events: DataFrame, keys: list[str],
         return (events.withWatermark("ts", watermark)
                       .dropDuplicatesWithinWatermark(keys))
     return events.dropDuplicates(keys)
+
+
+def stream_static_enrich(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join — the most common streaming shape:
+    each micro-batch of the fact stream joins a static (or slowly
+    refreshed) dimension.  The dimension is broadcast, so the stream side
+    never shuffles and needs NO watermark (static side is not stateful:
+    Spark re-plans the broadcast per micro-batch, which is also how dim
+    refreshes propagate).  Works identically on a batch frame — one
+    implementation, both modes."""
+    d = F.broadcast(dim.select(F.col("c_custkey").alias("user_id"),
+                               "c_name", "c_mktsegment"))
+    return (events.join(d, "user_id", "left")
+                  .select("event_id", "user_id", "event_type", "value",
+                          "c_name", "c_mktsegment"))
+
+
+def foreach_batch_upsert(df: DataFrame, out_dir: str,
+                         checkpoint_dir: str):
+    """Idempotent micro-batch sink: ``foreachBatch`` writes each batch to
+    ``out_dir/batch_id=N`` with overwrite.  Replayed batches (failure →
+    restart re-delivers the LAST batch with the SAME batch_id) overwrite
+    their own partition instead of appending duplicates — that overwrite-
+    by-deterministic-key is what turns at-least-once delivery into
+    effectively-exactly-once output, the standard pattern for sinks
+    without transactional commit.  Returns the started query."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+                 .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    return (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .trigger(availableNow=True)
+              .start())

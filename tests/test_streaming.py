@@ -233,3 +233,40 @@ def test_stream_interval_join_equals_batch(spark, tmp_path):
     assert _rows(got) == _rows(batch)
     # sanity: the join is non-trivial at this SF
     assert got.count() > 0
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_events_stream, run_stream_to_memory, stream_static_enrich)
+    from big_data_bowl_spark.sources.io import read_table
+
+    dim = read_table(spark, SF_SMALL, "customer")
+    stream = stream_static_enrich(read_events_stream(spark, SF_SMALL), dim)
+    run_stream_to_memory(stream, "enriched", output_mode="append")
+    got = _rows(spark.table("enriched"))
+    want = _rows(stream_static_enrich(
+        read_table(spark, SF_SMALL, "events"), dim))
+    assert got == want
+
+
+def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
+    """Re-delivering a batch with the same batch_id must overwrite its own
+    output, not append duplicates — the exactly-once property."""
+    from big_data_bowl_spark.streaming.stream_ops import (
+        foreach_batch_upsert, read_events_stream)
+
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q = foreach_batch_upsert(read_events_stream(spark, SF_SMALL), out, ck)
+    q.awaitTermination(120)
+    first = spark.read.parquet(out)
+    n1 = first.count()
+    assert n1 == spark.read.parquet(f"{SF_SMALL}/events.parquet").count()
+
+    # simulate at-least-once re-delivery: re-run batch 0's writer with the
+    # same rows (materialized first — a real retry re-reads the source,
+    # not its own output)
+    b0 = spark.read.parquet(f"{out}/batch_id=0")
+    redelivered = spark.createDataFrame(b0.collect(), b0.schema)
+    redelivered.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == n1
