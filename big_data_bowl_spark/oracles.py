@@ -1145,3 +1145,12 @@ SELECT (n_chars // 50)::BIGINT AS bucket,
 FROM documents
 GROUP BY bucket
 """
+
+ORACLES["q_grouping_sets"] = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       count(*) AS n,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""

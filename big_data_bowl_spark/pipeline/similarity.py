@@ -213,13 +213,74 @@ def nearest_centroid(df: DataFrame, id_col: str = "vec_id",
     relationally."""
     cents = label_centroids(df, id_col, vec_col, label_col)
     c = cents.select(F.col(label_col).alias("cand_label"), "centroid")
+    return assign_to_centroids(df, c, id_col, vec_col)
+
+
+def assign_to_centroids(df: DataFrame, cents: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        metric: str = "dot") -> DataFrame:
+    """Score every vector against a (cand_label, centroid) table (K rows,
+    broadcast) and keep the best assignment — argmax dot (``metric='dot'``,
+    cosine for unit vectors) or argmin squared Euclidean distance
+    (``metric='l2'``, the true k-means objective — the two differ once
+    centroid norms diverge, e.g. after a mean update).  Deterministic
+    tie-break on the smaller label.  Returns (id, assigned_label, score)
+    where score is the winning dot / squared distance."""
     scored = (df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-                .crossJoin(F.broadcast(c))
-                .withColumn("dot", _dot(F.col("v"), F.col("centroid"))))
+                .crossJoin(F.broadcast(cents)))
+    if metric == "dot":
+        scored = scored.withColumn(
+            "_s", _dot(F.col("v"), F.col("centroid")))
+        order = F.desc("_s")
+    elif metric == "l2":
+        diff = F.zip_with(F.col("v"), F.col("centroid"),
+                          lambda x, y: (x - y) * (x - y))
+        scored = scored.withColumn(
+            "_s", F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
+        order = F.asc("_s")
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(F.desc("dot"), F.asc("cand_label"))
+    w = Window.partitionBy(id_col).orderBy(order, F.asc("cand_label"))
     return (scored.withColumn("rn", F.row_number().over(w))
                   .filter(F.col("rn") == 1)
                   .select(F.col(id_col),
                           F.col("cand_label").alias("assigned_label"),
-                          roundn(F.col("dot")).alias("score")))
+                          roundn(F.col("_s")).alias("score")))
+
+
+def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """Full Lloyd k-means loop as pure DataFrame ops — the iterative-
+    algorithm pattern (cf. ``duplicate_components``): each round is
+    assignment (broadcast K centroids, argmax window) + update (posexplode
+    → (cluster, dim) mean → re-assembled arrays).  ``localCheckpoint`` on
+    the K-row centroid table cuts lineage each round, so the final plan
+    depth is O(1) in ``iters`` — without it every iteration would replay
+    all previous ones.  Initial centroids are the per-``label_col`` means
+    (deterministic — no random init, so results are engine-reproducible).
+
+    Returns (id, cluster, score) plus per-cluster sizes would be one more
+    agg; kept minimal to compose."""
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = (label_centroids(df, id_col, vec_col, label_col)
+             .select(F.col(label_col).cast("long").alias("cand_label"),
+                     "centroid"))
+    for _ in range(iters):
+        assign = assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
+        comp = (vecs.join(assign.select(id_col, "assigned_label"), id_col)
+                    .select(F.col("assigned_label").alias("cand_label"),
+                            F.posexplode("v").alias("dim", "val"))
+                    .groupBy("cand_label", "dim")
+                    .agg(F.avg("val").alias("c")))
+        cents = (comp.groupBy("cand_label")
+                     .agg(F.transform(
+                             F.sort_array(F.collect_list(
+                                 F.struct("dim", "c"))),
+                             lambda s: s["c"]).alias("centroid"))
+                     .localCheckpoint(eager=True))
+    return (assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
+            .select(F.col(id_col),
+                    F.col("assigned_label").alias("cluster"), "score"))

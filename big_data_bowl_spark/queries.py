@@ -1499,6 +1499,29 @@ def q_doc_histogram(spark, sf_dir):
                   F.countDistinct("lang").alias("n_langs")))
 
 
+def q_lloyd_kmeans(spark, sf_dir):
+    """Pure-DataFrame Lloyd k-means (3 rounds, deterministic per-label
+    init): iterative assignment (broadcast centroids, argmin-L2 window) +
+    update (posexplode mean), lineage cut per round with localCheckpoint.
+    Rows-only check (iterative float fixpoint); the monotone-inertia and
+    self-consistency properties are pinned in tests."""
+    from .pipeline.similarity import lloyd_kmeans
+    return lloyd_kmeans(_t(spark, sf_dir, "embeddings"), iters=3)
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the generalization of rollup/cube: per
+    (returnflag), per (linestatus), and grand total in ONE pass (single
+    shuffle with grouping-id expansion), not three scans unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupingSets([["l_returnflag"], ["l_linestatus"], []],
+                            "l_returnflag", "l_linestatus")
+              .agg(roundn(F.sum("l_quantity")).alias("sum_qty"),
+                   F.count(F.lit(1)).alias("n"),
+                   F.grouping_id("l_returnflag", "l_linestatus")
+                    .cast("long").alias("gid")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1598,4 +1621,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_stratified_sample": q_stratified_sample,
     "q_nearest_centroid": q_nearest_centroid,
     "q_doc_histogram": q_doc_histogram,
+    "q_lloyd_kmeans": q_lloyd_kmeans,
+    "q_grouping_sets": q_grouping_sets,
 }

