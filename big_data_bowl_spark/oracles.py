@@ -1154,3 +1154,25 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
+
+ORACLES["q_forward_fill"] = """
+SELECT event_id, user_id,
+       round(last_value(CASE WHEN event_type = 'error' THEN NULL
+                             ELSE value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS filled
+FROM events
+"""
+
+ORACLES["q_pct_of_total"] = """
+WITH per_user AS (
+    SELECT user_id, event_type, sum(value) AS user_value
+    FROM events GROUP BY 1, 2)
+SELECT user_id, event_type,
+       round(user_value, 6) AS user_value,
+       round(user_value / sum(user_value)
+             OVER (PARTITION BY event_type), 6) AS pct_of_type,
+       round(user_value / sum(user_value) OVER (), 6) AS pct_of_total
+FROM per_user
+"""

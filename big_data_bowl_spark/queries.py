@@ -1439,13 +1439,21 @@ def q_tpch_q21(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         "INTERVAL 90 DAYS")
-    per_order = (li.join(o, li.l_orderkey == o.o_orderkey)
-                   .groupBy("l_orderkey")
-                   .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                        F.countDistinct(F.when(late, F.col("l_suppkey")))
-                         .alias("n_late"),
-                        F.max(F.when(late, F.col("l_suppkey")))
-                         .alias("late_supp")))
+    # pre-aggregate to one row per (order, supplier) instead of the double
+    # countDistinct: the distinct-agg planner would Expand every fact row
+    # into 2 grouping replicas; this shape combines map-side, then the
+    # per-order rollup is one row per supplier-order — strictly less data
+    # through both exchanges
+    per_pair = (li.join(o, li.l_orderkey == o.o_orderkey)
+                  .groupBy("l_orderkey", "l_suppkey")
+                  .agg(F.max(late).alias("is_late")))
+    per_order = (per_pair.groupBy("l_orderkey")
+                         .agg(F.count(F.lit(1)).alias("n_supp"),
+                              F.sum(F.col("is_late").cast("long"))
+                               .alias("n_late"),
+                              F.max(F.when(F.col("is_late"),
+                                           F.col("l_suppkey")))
+                               .alias("late_supp")))
     blamed = per_order.filter((F.col("n_supp") >= 2)
                               & (F.col("n_late") == 1))
     return (blamed.groupBy("late_supp")
@@ -1520,6 +1528,41 @@ def q_grouping_sets(spark, sf_dir):
                    F.count(F.lit(1)).alias("n"),
                    F.grouping_id("l_returnflag", "l_linestatus")
                     .cast("long").alias("gid")))
+
+
+def q_forward_fill(spark, sf_dir):
+    """Gap repair by forward-fill: ``last_value(..., ignorenulls)`` over an
+    unbounded-preceding frame — the sensor-dropout fix for tracking
+    streams (masking error-frames as the gaps here, since the synthetic
+    table has no nulls).  Same single partition-shuffle as every W-family
+    window; no self-join, no loop."""
+    e = _t(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "error", None) \
+              .otherwise(F.col("value"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.withColumn("masked", masked)
+             .select("event_id", "user_id",
+                     roundn(F.last("masked", ignorenulls=True).over(w))
+                     .alias("filled")))
+
+
+def q_pct_of_total(spark, sf_dir):
+    """Percent-of-total (ratio_to_report): each user's share of their
+    event-type's total value and of the grand total — two window sums at
+    different grains over ONE scan of the aggregated (small) table."""
+    e = _t(spark, sf_dir, "events")
+    per_user = (e.groupBy("user_id", "event_type")
+                 .agg(F.sum("value").alias("user_value")))
+    w_type = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    return per_user.select(
+        "user_id", "event_type",
+        roundn(F.col("user_value")).alias("user_value"),
+        roundn(F.col("user_value") / F.sum("user_value").over(w_type))
+        .alias("pct_of_type"),
+        roundn(F.col("user_value") / F.sum("user_value").over(w_all))
+        .alias("pct_of_total"))
 
 
 # ---------------------------------------------------------------------------
@@ -1623,4 +1666,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_doc_histogram": q_doc_histogram,
     "q_lloyd_kmeans": q_lloyd_kmeans,
     "q_grouping_sets": q_grouping_sets,
+    "q_forward_fill": q_forward_fill,
+    "q_pct_of_total": q_pct_of_total,
 }
