@@ -1176,3 +1176,31 @@ SELECT user_id, event_type,
        round(user_value / sum(user_value) OVER (), 6) AS pct_of_total
 FROM per_user
 """
+
+ORACLES["q_truespeed_variants"] = """
+WITH resid AS (
+    SELECT user_id,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS resid
+    FROM events)
+SELECT user_id,
+       round(avg(resid), 6) AS ts_mean,
+       round(median(resid), 6) AS ts_median,
+       round(sum(resid), 6) AS ts_sum,
+       round(avg(abs(resid)), 6) AS ts_mae,
+       round(sqrt(avg(resid * resid)), 6) AS ts_rmse
+FROM resid
+WHERE resid IS NOT NULL
+GROUP BY user_id
+"""
+
+ORACLES["q_normalize_flip"] = """
+SELECT event_id, user_id,
+       round(CASE WHEN event_type = 'error' THEN 120.0 - value
+                  ELSE value END, 6) AS x_norm,
+       round(CASE WHEN event_type = 'error'
+                  THEN fmod(fmod(fmod(event_id::DOUBLE, 360.0) + 180.0,
+                                 360.0) + 360.0, 360.0)
+                  ELSE fmod(event_id::DOUBLE, 360.0) END, 6) AS dir_norm
+FROM events
+"""

@@ -1565,6 +1565,40 @@ def q_pct_of_total(spark, sf_dir):
         .alias("pct_of_total"))
 
 
+def q_truespeed_variants(spark, sf_dir):
+    """A1/A2 full dispatch in one pass: mean, median, sum, MAE, RMSE of
+    the per-user lag-diff residual — the reference's five
+    ``compute_truespeed`` variants (metrics.py:13-57) as one multi-agg
+    (everything shares the single user_id window shuffle)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    resid = (e.withColumn("resid", F.col("value") - F.lag("value").over(w))
+              .filter(F.col("resid").isNotNull()))
+    r = F.col("resid")
+    return (resid.groupBy("user_id")
+                 .agg(roundn(F.avg(r)).alias("ts_mean"),
+                      roundn(F.median(r)).alias("ts_median"),
+                      roundn(F.sum(r)).alias("ts_sum"),
+                      roundn(F.avg(F.abs(r))).alias("ts_mae"),
+                      roundn(F.sqrt(F.avg(F.pow(r, 2)))).alias("ts_rmse")))
+
+
+def q_normalize_flip(spark, sf_dir):
+    """F4 direction-normalization on the synthetic table: conditional
+    mirror (120−x for 'left' rows ≙ error-type events) and the 180°
+    wraparound rotation via pmod — pure map-side expressions, zero
+    shuffle."""
+    e = _t(spark, sf_dir, "events")
+    left = F.col("event_type") == "error"
+    angle = F.pmod(F.col("event_id").cast("double"), F.lit(360.0))
+    return e.select(
+        "event_id", "user_id",
+        roundn(F.when(left, 120.0 - F.col("value"))
+                .otherwise(F.col("value"))).alias("x_norm"),
+        roundn(F.when(left, F.pmod(angle + 180.0, F.lit(360.0)))
+                .otherwise(angle)).alias("dir_norm"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1668,4 +1702,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_grouping_sets": q_grouping_sets,
     "q_forward_fill": q_forward_fill,
     "q_pct_of_total": q_pct_of_total,
+    "q_truespeed_variants": q_truespeed_variants,
+    "q_normalize_flip": q_normalize_flip,
 }
