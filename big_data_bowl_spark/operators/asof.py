@@ -26,10 +26,17 @@ from ..schemas import require_columns
 
 def asof_join(left: DataFrame, right: DataFrame, by: list[str], ts: str,
               payload: list[str], tie_col: str | None = None,
-              suffix: str = "_asof") -> DataFrame:
+              suffix: str = "_asof",
+              tolerance_seconds: float | None = None) -> DataFrame:
     """Backward as-of join: left rows keep all columns; each gains
     ``<payload><suffix>`` columns from the latest right row with
     ``right.ts <= left.ts`` in the same ``by`` group (null when none).
+
+    ``tolerance_seconds`` bounds the lookback (pandas ``merge_asof``
+    tolerance): a match older than the bound yields null payloads.  The
+    bound rides on the same carry-forward window — the matched right
+    timestamp is carried alongside the payloads and the age test is a
+    map-side expression, so tolerance costs nothing extra at scale.
     """
     require_columns(left, by + [ts], "asof_join(left)")
     require_columns(right, by + [ts, *payload], "asof_join(right)")
@@ -49,9 +56,20 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str], ts: str,
     w = (Window.partitionBy(*by).orderBy(*order)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     out = unioned
-    for p in payload:
+    if tolerance_seconds is not None:
         out = out.withColumn(
-            f"{p}{suffix}",
-            F.last(f"__p_{p}", ignorenulls=True).over(w))
+            "__rts", F.when(F.col("__side") == 0, F.col(ts)))
+        out = out.withColumn(
+            "__rts_match", F.last("__rts", ignorenulls=True).over(w))
+        # cast("double") = fractional epoch seconds (unix_timestamp would
+        # truncate sub-second gaps); DuckDB's epoch() matches
+        in_tol = (F.col(ts).cast("double")
+                  - F.col("__rts_match").cast("double")
+                  <= F.lit(float(tolerance_seconds)))
+    for p in payload:
+        carried = F.last(f"__p_{p}", ignorenulls=True).over(w)
+        if tolerance_seconds is not None:
+            carried = F.when(in_tol, carried)
+        out = out.withColumn(f"{p}{suffix}", carried)
     keep = [c for c in left.columns] + [f"{p}{suffix}" for p in payload]
     return out.filter(F.col("__side") == 1).select(*keep)

@@ -1204,3 +1204,14 @@ SELECT event_id, user_id,
                   ELSE fmod(event_id::DOUBLE, 360.0) END, 6) AS dir_norm
 FROM events
 """
+
+ORACLES["q_asof_tolerance"] = """
+WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+SELECT p.event_id, p.user_id,
+       round(p.value, 6) AS purchase_value,
+       round(CASE WHEN epoch(p.ts) - epoch(v.ts) <= 3600.0
+                  THEN v.value END, 6) AS recent_view_value
+FROM purchases p ASOF LEFT JOIN views v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""

@@ -1599,6 +1599,24 @@ def q_normalize_flip(spark, sf_dir):
                 .otherwise(angle)).alias("dir_norm"))
 
 
+def q_asof_tolerance(spark, sf_dir):
+    """As-of join with a lookback bound (pandas ``merge_asof`` tolerance):
+    purchases match the latest prior view ONLY within 1 hour — older
+    matches go null.  Same single union+window shuffle as the unbounded
+    form; the age test is map-side."""
+    from .operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    views = e.filter(F.col("event_type") == "view") \
+             .select("user_id", "ts", "value", "event_id")
+    out = asof_join(purchases, views, by=["user_id"], ts="ts",
+                    payload=["value"], tie_col="event_id",
+                    tolerance_seconds=3600.0)
+    return out.select("event_id", "user_id",
+                      roundn(F.col("value")).alias("purchase_value"),
+                      roundn(F.col("value_asof")).alias("recent_view_value"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1704,4 +1722,5 @@ QUERIES: dict[str, QueryFn] = {
     "q_pct_of_total": q_pct_of_total,
     "q_truespeed_variants": q_truespeed_variants,
     "q_normalize_flip": q_normalize_flip,
+    "q_asof_tolerance": q_asof_tolerance,
 }
