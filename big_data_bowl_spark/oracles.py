@@ -1215,3 +1215,12 @@ SELECT p.event_id, p.user_id,
 FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
+
+ORACLES["q_group_ksample"] = """
+SELECT doc_id, lang, n_chars::BIGINT AS n_chars
+FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang
+    ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0 ASC,
+             doc_id ASC) <= 10
+"""

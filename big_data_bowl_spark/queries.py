@@ -1617,6 +1617,23 @@ def q_asof_tolerance(spark, sf_dir):
                       roundn(F.col("value_asof")).alias("recent_view_value"))
 
 
+def q_group_ksample(spark, sf_dir):
+    """Deterministic fixed-k per-group sample ("reservoir" without the
+    sequential reservoir): rank rows inside each language by the key hash
+    and keep k=10 — the exact-k cousin of rate-based stratified sampling
+    (same engine-neutral hash, so the SAME 10 docs survive on any engine
+    or partitioning).  One window shuffle on the group key; no global
+    sort, no rand()."""
+    from .pipeline.sampling import hash_bucket
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("__hb"), F.asc("doc_id"))
+    return (d.withColumn("__hb", hash_bucket("doc_id"))
+             .withColumn("rn", F.row_number().over(w))
+             .filter(F.col("rn") <= 10)
+             .select("doc_id", "lang",
+                     F.col("n_chars").cast("long").alias("n_chars")))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1723,4 +1740,5 @@ QUERIES: dict[str, QueryFn] = {
     "q_truespeed_variants": q_truespeed_variants,
     "q_normalize_flip": q_normalize_flip,
     "q_asof_tolerance": q_asof_tolerance,
+    "q_group_ksample": q_group_ksample,
 }
