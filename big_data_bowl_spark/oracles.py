@@ -1224,3 +1224,27 @@ QUALIFY row_number() OVER (
     ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0 ASC,
              doc_id ASC) <= 10
 """
+
+ORACLES["q_json_struct"] = """
+WITH parsed AS (
+    SELECT event_type,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events)
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       max(k) AS max_k
+FROM parsed GROUP BY event_type
+"""
+
+ORACLES["q_array_hof"] = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(list_sum(embedding) / len(embedding), 6) AS mean_comp,
+       round(list_min(embedding), 6) AS min_comp,
+       round(list_max(embedding), 6) AS max_comp,
+       round(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
+FROM embeddings
+"""

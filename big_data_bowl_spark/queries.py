@@ -1634,6 +1634,41 @@ def q_group_ksample(spark, sf_dir):
                      F.col("n_chars").cast("long").alias("n_chars")))
 
 
+def q_json_struct(spark, sf_dir):
+    """Structured JSON parsing: ``from_json`` with a declared schema (the
+    scale path — parsed ONCE into a struct, pruned/pushed like any column,
+    vs per-reference get_json_object re-parsing per extraction), then an
+    aggregate over the typed field."""
+    e = _t(spark, sf_dir, "events")
+    props = F.from_json(F.col("props"), "k BIGINT")
+    return (e.withColumn("k", props["k"])
+             .groupBy(F.col("event_type"))
+             .agg(F.count("k").alias("n_with_k"),
+                  F.sum("k").cast("long").alias("sum_k"),
+                  roundn(F.avg("k")).alias("avg_k"),
+                  F.max("k").cast("long").alias("max_k")))
+
+
+def q_array_hof(spark, sf_dir):
+    """Higher-order array functions over the embedding column — the
+    JVM-side vector math path (transform/filter/aggregate run in codegen;
+    no Python, no explode): component mean/min/max, L2 norm, and the
+    count of positive components per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        roundn(total / F.size("embedding")).alias("mean_comp"),
+        roundn(F.array_min(v)).alias("min_comp"),
+        roundn(F.array_max(v)).alias("max_comp"),
+        roundn(F.sqrt(F.aggregate(v, F.lit(0.0),
+                                  lambda a, x: a + x * x))).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long")
+         .alias("n_positive"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1741,4 +1776,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_normalize_flip": q_normalize_flip,
     "q_asof_tolerance": q_asof_tolerance,
     "q_group_ksample": q_group_ksample,
+    "q_json_struct": q_json_struct,
+    "q_array_hof": q_array_hof,
 }
