@@ -119,14 +119,18 @@ def predict_sequences(spark: SparkSession, seq_df: DataFrame, model,
 def eval_predictions(long_df: DataFrame, actual: str = "actual",
                      pred: str = "pred") -> DataFrame:
     """M9: MSE/RMSE/MAE/R² over non-padded steps (BDB_2026.ipynb#cell102).
-    R² needs the global mean, which an aggregate can't nest — a
-    whole-partition window supplies it first."""
-    from pyspark.sql import Window
-    w = Window.partitionBy()
-    e2 = F.pow(F.col(actual) - F.col(pred), 2)
-    tot2 = F.pow(F.col(actual) - F.avg(actual).over(w), 2)
-    return (long_df.withColumn("__e2", e2).withColumn("__t2", tot2)
-            .agg(F.avg("__e2").alias("mse"),
-                 F.sqrt(F.avg("__e2")).alias("rmse"),
-                 F.avg(F.sqrt(F.col("__e2"))).alias("mae"),
-                 (1 - F.sum("__e2") / F.sum("__t2")).alias("r2")))
+
+    R² is computed ALGEBRAICALLY — SStot = Σy² − (Σy)²/n — so the whole
+    evaluation is ONE partial-aggregable pass: map-side combine on every
+    partition, one tiny merge.  (The naive form needs the global mean
+    first; supplying it via an empty-partition window funnels every row
+    through a single task — a scale-killer on exploded prediction rows.)"""
+    e = F.col(actual) - F.col(pred)
+    y = F.col(actual)
+    ss_tot = (F.sum(F.pow(y, 2))
+              - F.pow(F.sum(y), 2) / F.count(F.lit(1)))
+    return long_df.agg(
+        F.avg(F.pow(e, 2)).alias("mse"),
+        F.sqrt(F.avg(F.pow(e, 2))).alias("rmse"),
+        F.avg(F.abs(e)).alias("mae"),
+        (1 - F.sum(F.pow(e, 2)) / ss_tot).alias("r2"))

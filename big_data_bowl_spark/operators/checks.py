@@ -88,6 +88,21 @@ def check_values_in(df: DataFrame, col: str, allowed: list,
     return df
 
 
+def check_group_cardinality(df: DataFrame, keys: list[str], max_n: int,
+                            name: str = "check_group_cardinality") -> DataFrame:
+    """No group exceeds ``max_n`` rows — the SURVEY §4.3 item-3 guard for
+    the within-group cross join (J6/J8): the per-play pair fan-out is only
+    safe because groups are bounded (≤22 players per frame key in the
+    reference); an unbounded group turns the equi-join quadratic."""
+    require_columns(df, keys, name)
+    big = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") > max_n))
+    n_bad = big.count()
+    if n_bad:
+        _fail(f"{name}[max={max_n}]", n_bad, big)
+    return df
+
+
 def check_nonempty(df: DataFrame, name: str = "check_nonempty") -> DataFrame:
     """Fail on an empty frame — the 0-row inner-join guard
     (preprocess.py:547-549) as a standalone check."""

@@ -45,7 +45,8 @@ def enrich_left(df: DataFrame, dim: DataFrame, keys: list[str],
 def nearest_in_group(left: DataFrame, right: DataFrame, group: list[str],
                      left_id: str, distance: Column,
                      out: str = "min_dist", default: float | None = None,
-                     right_cols: list[str] | None = None) -> DataFrame:
+                     right_cols: list[str] | None = None,
+                     max_group: int | None = None) -> DataFrame:
     """J6/J7/J8-as-join: within-group cross product → distance → min per
     left entity (compute_catch_separation, preprocess.py:441-513).
 
@@ -57,6 +58,13 @@ def nearest_in_group(left: DataFrame, right: DataFrame, group: list[str],
     The map-side combine of the min() aggregation means the shuffle carries
     one row per (group, left_id) per input partition, not the full pair
     fan-out.
+
+    ``max_group`` arms the SURVEY §4.3 item-3 cardinality guard IN-PLAN:
+    the pair count per (group, left_id) equals the right-side group size,
+    so an ``assert_true`` on the same aggregate fails the job loudly the
+    moment any group exceeds the documented bound — zero extra passes
+    (unlike the eager ``checks.check_group_cardinality``, which costs its
+    own scan and suits pipeline entry points).
     """
     require_columns(left, group + [left_id], "nearest_in_group")
     rcols = right_cols if right_cols is not None else [
@@ -65,7 +73,18 @@ def nearest_in_group(left: DataFrame, right: DataFrame, group: list[str],
              .join(right.select(*group, *rcols).alias("r"), group, "inner")
              .withColumn("__dist", distance))
     mins = (pairs.groupBy(*[F.col(c) for c in group], F.col(f"l.{left_id}"))
-                 .agg(F.min("__dist").alias(out)))
+                 .agg(F.min("__dist").alias(out),
+                      F.count(F.lit(1)).alias("__n_pairs")))
+    if max_group is not None:
+        # assert_true yields NULL when the predicate holds and raises at
+        # execution when it doesn't; expressing the guard as a filter keeps
+        # it in the plan (a dropped column would be pruned away).
+        mins = mins.filter(F.assert_true(
+            F.col("__n_pairs") <= max_group,
+            F.concat(F.lit(f"nearest_in_group: group exceeds max_group="
+                           f"{max_group} (got "),
+                     F.col("__n_pairs"), F.lit(" right rows))"))).isNull())
+    mins = mins.drop("__n_pairs")
     base = left.select(*group, left_id).distinct()
     res = base.join(mins, group + [left_id], "left")
     if default is not None:

@@ -25,9 +25,16 @@ def salted_agg(df: DataFrame, keys: list[str], value: str,
     Phase 1 groups on (keys, salt) where salt spreads rows of a hot key
     across ``n_salts`` reducers; phase 2 re-aggregates the ≤ n_salts
     partial rows per key — a trivially small shuffle.
+
+    The salt must be deterministic per row content: a shuffle-map retry
+    (executor loss) recomputes the task, and a nondeterministic salt
+    (rand / monotonically_increasing_id) could route the same row to a
+    different reducer than the original attempt — double-counting or
+    dropping it.  Default: hash of every column.
     """
-    salt_src = F.col(salt_on) if salt_on else F.monotonically_increasing_id()
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    salt_cols = [F.col(salt_on)] if salt_on else [F.col(c) for c in df.columns]
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.sum(value).alias("__sum"),
         F.count(value).alias("__cnt"),
@@ -47,9 +54,11 @@ def salted_broadcast_join(fact: DataFrame, dim: DataFrame, key: str,
     the dimension is too large to broadcast outright but small enough to
     replicate n_salts ways: fact rows get a random salt, dim rows are
     exploded across all salts, and the join key becomes (key, salt) —
-    spreading the hot key over n_salts tasks."""
+    spreading the hot key over n_salts tasks.  Salt is content-hashed
+    (not monotonically_increasing_id) so shuffle-map retries re-derive
+    identical routing — see salted_agg."""
     fact_s = fact.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]),
                          F.lit(n_salts)))
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))

@@ -138,9 +138,15 @@ def route_features(tracking: DataFrame) -> DataFrame:
 
 
 def compute_truespeed(residuals: DataFrame, agg: str = "mean",
-                      residual_col: str = "residual") -> DataFrame:
+                      residual_col: str = "residual",
+                      id_cols: list[str] | None = None) -> DataFrame:
     """A1/A2 (compute_truespeed, metrics.py:13-57): per-play residual
-    reduction with the reference's agg dispatch."""
+    reduction with the reference's agg dispatch.
+
+    ``id_cols`` mirrors the reference signature and defaults to the
+    per-play grain (metrics.py id_cols=(game_id, play_id), the grain every
+    reference call site uses); pass PLAYER_KEYS when nfl_id is needed
+    downstream (as the Submission pipeline does)."""
     c = F.col(residual_col)
     dispatch = {
         "mean": F.avg(c), "median": F.median(c), "sum": F.sum(c),
@@ -148,5 +154,5 @@ def compute_truespeed(residuals: DataFrame, agg: str = "mean",
     }
     if agg not in dispatch:
         raise ValueError(f"agg must be one of {sorted(dispatch)}, got {agg!r}")
-    return (residuals.groupBy(*PLAYER_KEYS)
+    return (residuals.groupBy(*(id_cols or PLAY_KEYS))
                      .agg(dispatch[agg].alias("truespeed")))

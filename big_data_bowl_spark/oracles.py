@@ -786,7 +786,7 @@ GROUP BY 1, 2, 3
 ORACLES["q_hash_sample"] = """
 SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 < 858993459
+WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 858993459
 """
 
 ORACLES["q_distribution_windows"] = """
@@ -1108,7 +1108,7 @@ FROM tok GROUP BY doc_id
 ORACLES["q_stratified_sample"] = """
 SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
 FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+WHERE (((doc_id % 4294967296) * 2654435761) % 4294967296) / 4294967296.0
       < CASE lang WHEN 'en' THEN 0.1 ELSE 0.5 END
 """
 
@@ -1221,7 +1221,8 @@ SELECT doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents
 QUALIFY row_number() OVER (
     PARTITION BY lang
-    ORDER BY ((doc_id * 2654435761) % 4294967296) / 4294967296.0 ASC,
+    ORDER BY (((doc_id % 4294967296) * 2654435761) % 4294967296)
+             / 4294967296.0 ASC,
              doc_id ASC) <= 10
 """
 
@@ -1247,4 +1248,35 @@ SELECT vec_id,
        round(sqrt(list_dot_product(embedding, embedding)), 6) AS l2_norm,
        CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_positive
 FROM embeddings
+"""
+
+ORACLES["q_eval_metrics"] = """
+WITH p AS (
+    SELECT value AS actual,
+           lag(value) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS pred
+    FROM events)
+SELECT round(avg((actual - pred) * (actual - pred)), 6) AS mse,
+       round(sqrt(avg((actual - pred) * (actual - pred))), 6) AS rmse,
+       round(avg(abs(actual - pred)), 6) AS mae,
+       round(1 - sum((actual - pred) * (actual - pred))
+               / (sum(actual * actual)
+                  - sum(actual) * sum(actual) / count(*)), 6) AS r2
+FROM p WHERE pred IS NOT NULL
+"""
+
+ORACLES["q_embed_dup"] = """
+-- embeddings are FLOAT[]; cast to DOUBLE[] so the fold runs in double
+-- like Spark's cast("double") zip_with/aggregate (FLOAT accumulation
+-- diverges in the 6th decimal)
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT * FROM (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.emb, b.emb)
+                 / (sqrt(list_dot_product(a.emb, a.emb))
+                    * sqrt(list_dot_product(b.emb, b.emb))), 6)
+               AS cosine
+    FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.25
 """

@@ -75,10 +75,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
              .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
                       F.col(f"b.{id_col}").alias("doc_b"))
              .agg(F.count(F.lit(1)).alias("n_inter")))
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
+    # Only the probe-side size table is broadcast-safe: probes are bounded
+    # by probe_mod, but sizes is one row per CORPUS doc — broadcasting it
+    # would ship the whole corpus to every executor at 100 TB.  The
+    # candidate-side join stays a shuffle join (AQE may still broadcast it
+    # at small SF, which is fine — that's a runtime decision, not a hint).
+    sa = (sizes.filter(F.col(id_col) % probe_mod == 0)
+               .select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a")))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
     jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-    return (inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    return (inter.join(F.broadcast(sa), "doc_a").join(sb, "doc_b")
                  .withColumn("jaccard", roundn(jac))
                  .filter(F.col("jaccard") >= threshold)
                  .select("doc_a", "doc_b", "jaccard"))
@@ -174,38 +180,58 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     """
     require_columns(df, [id_col, text_col], "minhash_lsh_pairs")
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes ({n_hashes}) must be divisible by "
+                         f"bands ({bands}) — trailing slots would be "
+                         "silently excluded from banding")
     rows_per_band = n_hashes // bands
     # Hashing is CPU-bound and the corpus often lands as few large files:
-    # fan out to every core first if the scan gives fewer partitions.
+    # fan out across the cluster first (round-robin, no key skew).  At a
+    # scale where the scan already yields ≥ cores partitions, callers can
+    # pass fan_out=False — kept unconditional here rather than probing
+    # .rdd.getNumPartitions(), which forces plan analysis + an RDD
+    # conversion on the driver.
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    narrow = df.select(F.col(id_col), F.col(text_col))
-    if narrow.rdd.getNumPartitions() < parallelism:
-        narrow = narrow.repartition(parallelism)
+    narrow = df.select(F.col(id_col), F.col(text_col)) \
+               .repartition(parallelism)
     # Two staged projections (base hashes, then slots): see minhash_slots
     # for why inlining the base into each slot is a ~45× slowdown.
+    # The signature table feeds BOTH sides of the band self-join and the
+    # two post-dedup signature join-backs; persist it (memory-and-disk,
+    # spillable) so the CPU-bound hashing runs exactly once — it is the
+    # narrow (id, 32 longs) table any LSH index materializes anyway.
     sig = (narrow
            .withColumn("_base", shingle_base_hashes(F.col(text_col)))
            .select(F.col(id_col), minhash_slots("_base", n_hashes)
-                   .alias("sig")))
+                   .alias("sig"))
+           .persist())
     banded = sig.select(
-        id_col, "sig",
+        id_col,
         F.posexplode(F.array(*[
             F.xxhash64(F.concat_ws(
                 ",", *[F.element_at("sig", b * rows_per_band + r + 1)
                        for r in range(rows_per_band)]), F.lit(b))
             for b in range(bands)])).alias("band", "bucket"))
+    # Candidate pairs carry ONLY the two ids through the band shuffle and
+    # the pair-dedup; the 2 × n_hashes-long signature arrays are joined
+    # back AFTER dropDuplicates, so the widest shuffle stays 2 longs per
+    # row instead of 2 + 2·n_hashes.
     pairs = (banded.alias("a")
              .join(banded.alias("b"),
                    (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
              .select(F.col(f"a.{id_col}").alias("doc_a"),
-                     F.col(f"b.{id_col}").alias("doc_b"),
-                     F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+                     F.col(f"b.{id_col}").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    pairs = (pairs
+             .join(sig.select(F.col(id_col).alias("doc_a"),
+                              F.col("sig").alias("sig_a")), "doc_a")
+             .join(sig.select(F.col(id_col).alias("doc_b"),
+                              F.col("sig").alias("sig_b")), "doc_b"))
     agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                        lambda x, y: x == y), lambda v: v))
-    est = agree.cast("double") / F.lit(float(N_MINHASH))
+    est = agree.cast("double") / F.lit(float(n_hashes))
     return (pairs.withColumn("est_jaccard", roundn(est))
                  .filter(F.col("est_jaccard") >= min_est_jaccard)
                  .select("doc_a", "doc_b", "est_jaccard"))
@@ -223,42 +249,84 @@ def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
     require_columns(df, [id_col, text_col], "simhash_buckets")
     # Stage the token hashes as a NAMED column first (HOF lambdas are
     # interpreted and Catalyst does not CSE through them — inlining this
-    # array into the 64 vote folds recomputes split+filter+xxhash64 per
-    # bit; see SCALE.md "Higher-order-function caveat").  CPU-bound, so
-    # fan out if the scan gave fewer partitions than cores.
+    # array into the vote fold recomputes split+filter+xxhash64; see
+    # SCALE.md "Higher-order-function caveat").  CPU-bound, so fan out
+    # round-robin (unconditional — probing .rdd.getNumPartitions() forces
+    # plan analysis + an RDD conversion on the driver).
     parallelism = df.sparkSession.sparkContext.defaultParallelism
-    narrow = df.select(F.col(id_col), F.col(text_col))
-    if narrow.rdd.getNumPartitions() < parallelism:
-        narrow = narrow.repartition(parallelism)
+    narrow = df.select(F.col(id_col), F.col(text_col)) \
+               .repartition(parallelism)
     staged = narrow.withColumn(
         "_th", F.transform(F.filter(F.split(F.col(text_col), " "),
                                     lambda t: t != ""),
                            lambda t: F.xxhash64(t)))
 
-    # vote per bit: sum over tokens of (+1 if bit set else -1); the bit
-    # masks are Python-side constants (shift amounts must be literals in
-    # the DataFrame API), so this unrolls to `bits` aggregate expressions
-    # over the shared materialized token-hash array.
-    def _vote(mask: Column) -> Column:
-        return F.aggregate(
-            F.col("_th"), F.lit(0),
-            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1)
-                                  .otherwise(-1))
-
-    fingerprint = F.lit(0).cast("long")
-    for b in range(bits):
-        # two's-complement: bit 63's mask is the sign bit (1<<63 overflows
-        # a signed Java long)
-        mask_val = (1 << b) if b < 63 else -(1 << 63)
-        mask = F.lit(mask_val).cast("long")
-        fingerprint = fingerprint + F.when(_vote(mask) > 0, mask) \
-                                     .otherwise(F.lit(0).cast("long"))
-    out = staged.select(F.col(id_col), fingerprint.alias("simhash"))
+    # Single-pass bit voting: ONE aggregate over the token-hash array whose
+    # accumulator is an array of `bits` counters (+1/−1 per bit per token),
+    # instead of `bits` separate folds — one array traversal per document,
+    # not 64.  Bit masks are constant literals (two's-complement: bit 63's
+    # mask is the sign bit, 1<<63 overflows a signed Java long).
+    masks = F.array(*[
+        F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long")
+        for b in range(bits)])
+    counters = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)))
+    # fingerprint = Σ masks where counter > 0 (disjoint masks, so signed
+    # addition ≡ bitwise OR, sign bit included)
+    fingerprint = F.aggregate(
+        F.zip_with(F.col("_cnt"), masks,
+                   lambda c, m: F.when(c > 0, m)
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    out = (staged.withColumn("_cnt", counters)
+                 .select(F.col(id_col), fingerprint.alias("simhash")))
     for i in range(4):
         out = out.withColumn(
             f"band{i}",
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF)))
     return out
+
+
+def embedding_dup_pairs(df: DataFrame, threshold: float = 0.9,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        bucket_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the fifth dedup tier: two
+    docs are near-dups when their embedding cosine ≥ ``threshold``.
+
+    Candidate generation is BLOCKED on ``bucket_col`` (a cluster label /
+    IVF cell / LSH bucket — any coarse partition of the vector space):
+    the equi-join on the block key bounds candidates per block, so the
+    pair count is Σ|block|², never |corpus|² — the same discipline as
+    every other tier in this module.  The cosine itself is JVM-side
+    ``zip_with``/``aggregate`` on the staged double arrays (no UDF).
+    Feed the output to :func:`duplicate_components` for dup groups.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b, cosine pre-rounded.
+    """
+    require_columns(df, [id_col, vec_col, bucket_col], "embedding_dup_pairs")
+    v = df.select(F.col(id_col), F.col(bucket_col),
+                  F.transform(vec_col, lambda x: x.cast("double"))
+                   .alias("__v"))
+    # stage the self-norm once per row (CSE does not cross the join)
+    v = v.withColumn(
+        "__n", F.sqrt(F.aggregate("__v", F.lit(0.0),
+                                  lambda acc, x: acc + x * x)))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (v.alias("a")
+             .join(v.alias("b"),
+                   (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"),
+                     roundn(dot / (F.col("a.__n") * F.col("b.__n")))
+                     .alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold)
 
 
 def duplicate_components(pairs: DataFrame, id_a: str = "doc_a",

@@ -19,8 +19,14 @@ HASH_MOD = 1 << 32
 
 def hash_bucket(key_col) -> F.Column:
     """Uniform [0, 1) bucket from an integer key — explicit arithmetic so
-    DuckDB / any engine computes the identical value."""
-    return (F.pmod(F.col(key_col) * F.lit(HASH_MULT), F.lit(HASH_MOD))
+    DuckDB / any engine computes the identical value.
+
+    The key is reduced mod 2^32 BEFORE the multiply: (2^32−1)·HASH_MULT
+    < 2^63, so the product never overflows int64.  Without the reduction,
+    keys ≳ 3.5e9 overflow — Spark (ANSI off) wraps silently while DuckDB
+    promotes to HUGEINT, silently breaking cross-engine reproducibility."""
+    return (F.pmod(F.pmod(F.col(key_col), F.lit(HASH_MOD)) * F.lit(HASH_MULT),
+                   F.lit(HASH_MOD))
             / F.lit(float(HASH_MOD)))
 
 

@@ -88,7 +88,9 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
     pred = predict_sequences(spark, seq, model or EmaFallbackModel())
     pred = pred.withColumn("actual", F.transform("seq", lambda s: s[0]))
     long = unpivot_sequences(pred, PLAYER_KEYS, "actual", "pred")
-    ts = compute_truespeed(long, agg=truespeed_agg)
+    # Player grain here (not the reference's play-grain default): the
+    # scorecard below groups by nfl_id, so keep it through the reduction.
+    ts = compute_truespeed(long, agg=truespeed_agg, id_cols=PLAYER_KEYS)
 
     # Scorecard — production context + rank (A11, J4, W7)
     prod_cols = [c for c in ("yards_gained", "expected_points_added")

@@ -46,20 +46,17 @@ def token_counts(df: DataFrame, id_col: str = "doc_id",
          .cast("long").alias("n_bpe_pieces"))
 
 
-def quality_features(df: DataFrame, id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
-    """Quality-scoring features: token/char counts, stopword ratio, mean
-    token length, punctuation ratio — the standard pre-training corpus
-    filters, one projection."""
-    require_columns(df, [id_col, text_col], "quality_features")
+def quality_columns(text_col: str = "text") -> list["F.Column"]:
+    """The quality-feature block as aliased Column expressions, so callers
+    can fuse it with other blocks in ONE projection over a shared parent
+    (zero joins — see q_training_prep) instead of branch-join-recombining."""
     toks = _tokens(text_col)
     n_tok = F.size(toks).cast("long")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_ALL))).cast("long")
     n_chars = F.length(text_col).cast("long")
     no_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
     no_punct = F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
-    return df.select(
-        F.col(id_col),
+    return [
         n_chars.alias("n_chars"),
         n_tok.alias("n_tokens"),
         roundn(safe_div(stop_hits.cast("double"), n_tok.cast("double")))
@@ -67,15 +64,23 @@ def quality_features(df: DataFrame, id_col: str = "doc_id",
         roundn(safe_div(no_space.cast("double"), n_tok.cast("double")))
             .alias("mean_token_len"),
         roundn(safe_div((n_chars - no_punct).cast("double"), n_chars.cast("double")))
-            .alias("punct_ratio"))
+            .alias("punct_ratio"),
+    ]
 
 
-def language_id(df: DataFrame, id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
-    """Stopword-hit language ID with a fixed deterministic tie-break order
-    (en > fr > de > es).  Returns per-language hit counts + prediction so
-    the oracle can verify the whole decision, not just the argmax."""
-    require_columns(df, [id_col, text_col], "language_id")
+def quality_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: token/char counts, stopword ratio, mean
+    token length, punctuation ratio — the standard pre-training corpus
+    filters, one projection."""
+    require_columns(df, [id_col, text_col], "quality_features")
+    return df.select(F.col(id_col), *quality_columns(text_col))
+
+
+def language_id_columns(text_col: str = "text") -> list["F.Column"]:
+    """The language-ID block (per-language hit counts + deterministic
+    argmax, tie-break en > fr > de > es) as aliased Column expressions —
+    fusable into a shared projection like :func:`quality_columns`."""
     toks = _tokens(text_col)
     hits = {lang: F.size(F.filter(toks, lambda t: t.isin(*ws))).cast("long")
             for lang, ws in LANG_STOPWORDS.items()}
@@ -84,11 +89,20 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
              .when((hits["fr"] >= hits["de"]) & (hits["fr"] >= hits["es"]), "fr")
              .when(hits["de"] >= hits["es"], "de")
              .otherwise("es"))
-    return df.select(
-        F.col(id_col),
+    return [
         hits["en"].alias("en_hits"), hits["fr"].alias("fr_hits"),
         hits["de"].alias("de_hits"), hits["es"].alias("es_hits"),
-        pred.alias("predicted_lang"))
+        pred.alias("predicted_lang"),
+    ]
+
+
+def language_id(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with a fixed deterministic tie-break order
+    (en > fr > de > es).  Returns per-language hit counts + prediction so
+    the oracle can verify the whole decision, not just the argmax."""
+    require_columns(df, [id_col, text_col], "language_id")
+    return df.select(F.col(id_col), *language_id_columns(text_col))
 
 
 FP_PRIME = 1_000_000_007  # 31-bit modulus: products stay < 2^63 under ANSI

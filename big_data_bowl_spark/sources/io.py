@@ -83,6 +83,28 @@ def stage_parquet(df: DataFrame, path: str,
     writer.parquet(path)
 
 
+def write_csv(df: DataFrame, path: str, header: bool = True,
+              single_file: bool = True, mode: str = "overwrite") -> None:
+    """S5: CSV sink matching the reference's ``to_csv(path, index=False)``
+    semantics (bdb2026/data_io.py:71,77: header row, no index column).
+    ``single_file`` coalesces to one part — right for the reference's
+    play/player-level outputs (≤18K rows); leave False for frame-level
+    tables so the write stays parallel."""
+    out = df.coalesce(1) if single_file else df
+    (out.write.mode(mode)
+        .option("header", str(header).lower())
+        .csv(path))
+
+
+def read_csv_dir(spark: SparkSession, path: str, schema: StructType,
+                 header: bool = True) -> DataFrame:
+    """Re-read a :func:`write_csv` output directory with a declared schema
+    (the S5 round-trip; inference is never used — SURVEY §1.1)."""
+    return (spark.read.schema(schema)
+            .option("header", str(header).lower())
+            .csv(path))
+
+
 def stage_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 32, mode: str = "ignore") -> None:
     """Bucketed staging table: ``bucketBy(n, keys) + sortBy(keys)`` into the

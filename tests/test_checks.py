@@ -60,3 +60,30 @@ def test_check_values_in(spark):
 def test_check_nonempty(spark):
     with pytest.raises(DataQualityError, match="0 rows"):
         check_nonempty(_df(spark).filter("g > 99"))
+
+
+def test_check_group_cardinality(spark):
+    df = _df(spark)
+    from big_data_bowl_spark.operators.checks import check_group_cardinality
+    assert check_group_cardinality(df, ["g"], max_n=2) is df
+    with pytest.raises(DataQualityError, match="check_group_cardinality"):
+        check_group_cardinality(df, ["g"], max_n=1)
+
+
+def test_nearest_in_group_guard_fails_loud_on_oversized_group(spark):
+    """SURVEY §4.3 item 3: the within-group cross join is only safe for
+    bounded groups — the in-plan assert_true guard must fail the job the
+    moment a group exceeds max_group, and pass untouched below it."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.joins import nearest_in_group
+
+    left = spark.createDataFrame([Row(k=1, i=1, x=0.0), Row(k=1, i=2, x=5.0)])
+    right = spark.createDataFrame(
+        [Row(k=1, y=float(v)) for v in range(25)])  # 25 > a 22-player bound
+    dist = F.abs(F.col("l.x") - F.col("r.y"))
+    ok = nearest_in_group(left, right, ["k"], "i", dist, max_group=30)
+    assert {r.i: r.min_dist for r in ok.collect()} == {1: 0.0, 2: 0.0}
+    bad = nearest_in_group(left, right, ["k"], "i", dist, max_group=22)
+    with pytest.raises(Exception, match="max_group"):
+        bad.collect()

@@ -252,3 +252,65 @@ def test_lloyd_inertia_monotone_and_self_consistent(spark):
     n_vecs = emb.count()
     assert final.count() == n_vecs
     assert final.select("vec_id").distinct().count() == n_vecs
+
+
+def test_pca_2d_invariants(spark):
+    """M4 (BDB_2026.ipynb#cell39): label-invariant PCA checks — component
+    variances ordered, loadings orthonormal, scores centered, and the
+    2-component projection reproduces the top of the spectrum."""
+    import numpy as np
+
+    from big_data_bowl_spark.ml.clustering import pca_2d
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    cols = [f"d{i}" for i in range(5)]
+    feats = em.select(
+        "vec_id",
+        *[F.element_at("embedding", i + 1).cast("double").alias(c)
+          for i, c in enumerate(cols)])
+    out = pca_2d(feats, cols)
+    assert set(out.columns) == {"vec_id", *cols, "pc1", "pc2"}
+    pcs = np.array([[r.pc1, r.pc2] for r in out.collect()])
+    assert pcs.shape == (feats.count(), 2)
+    # variance along pc1 ≥ variance along pc2 (component ordering)
+    v1, v2 = pcs.var(axis=0, ddof=1)
+    assert v1 >= v2 > 0
+    # scores of distinct components are uncorrelated (orthogonal loadings
+    # of a PCA ⇒ zero sample covariance between score columns)
+    cov = np.cov(pcs.T)
+    assert abs(cov[0, 1]) < 1e-6 * max(v1, 1.0)
+    # pc1 variance ≥ every single original feature's variance (it is the
+    # max-variance direction over the 5-dim cloud)
+    X = np.array([r[1:6] for r in feats.collect()], dtype=float)
+    assert v1 >= X.var(axis=0, ddof=1).max() - 1e-9
+
+
+def test_csv_sink_round_trip(spark, tmp_path):
+    """S5 (bdb2026/data_io.py:71,77: to_csv(index=False) → read back):
+    write → re-read with the declared schema → frame equality."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_bowl_spark.sources.io import read_csv_dir, write_csv
+
+    df = (read_table(spark, SF_SMALL, "events")
+          .select("event_id", "user_id", "event_type",
+                  F.round("value", 6).alias("value"))
+          .limit(200))
+    path = str(tmp_path / "csv_sink")
+    write_csv(df, path)
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    back = read_csv_dir(spark, path, schema)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b

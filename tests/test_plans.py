@@ -189,3 +189,35 @@ def test_tpch_q17_avoids_partkey_window_shuffle(spark):
     plan = executed_plan(_q(spark, "q_tpch_q17"))
     assert "Window" not in plan
     assert_broadcast_join(_q(spark, "q_tpch_q17"), min_count=2)
+
+
+def test_training_prep_fused_projection_zero_joins(spark):
+    """The quality/language/truth feature blocks are pure projections of
+    one deduped parent — the plan must contain NO joins and exactly two
+    exchanges (the dedup window's content-hash shuffle + the final
+    language rollup), not the three branch-joins the naive composition
+    writes."""
+    plan = executed_plan(_q(spark, "q_training_prep"))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange ") <= 2, plan
+
+
+def test_eval_predictions_has_no_global_window(spark):
+    """M9: R² is algebraic (SStot = Σy² − (Σy)²/n), so the metric pass is
+    ONE partial-aggregable aggregate — no empty-partition Window funneling
+    every prediction row through a single task, and the only
+    SinglePartition exchange carries the per-partition partials (1 row
+    each), not the data."""
+    from big_data_bowl_spark.ml.lstm import eval_predictions
+    from big_data_bowl_spark.sources.io import read_table
+
+    e = read_table(spark, SF_SMALL, "events")
+    m = eval_predictions(
+        e.select(F.col("value").alias("actual"),
+                 (F.col("value") * 0.9).alias("pred")))
+    plan = executed_plan(m)
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange SinglePartition") == 1, plan
+    assert "partial_avg" in plan or "HashAggregate" in plan
+    row = m.first()
+    assert row.mse >= 0 and row.r2 <= 1.0
