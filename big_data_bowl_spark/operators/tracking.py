@@ -78,14 +78,17 @@ def filter_to_completed_catches(df: DataFrame, supp: DataFrame) -> DataFrame:
     return df.join(F.broadcast(completed.distinct()), PLAY_KEYS, "left_semi")
 
 
-def attach_output_labels(df: DataFrame, out_df: DataFrame) -> DataFrame:
+def attach_output_labels(df: DataFrame, out_df: DataFrame,
+                         expect_rows: bool = True) -> DataFrame:
     """J1 (preprocess.py:516-563): ground-truth positions on the 4-key
-    frame grain; fails loud on the 0-row join (key/dtype mismatch)."""
+    frame grain; fails loud on the 0-row join (key/dtype mismatch).
+    ``expect_rows=False`` skips the eager emptiness action (an extra pass
+    over the chain) for pre-validated inputs."""
     labels = out_df.select(*FRAME_KEYS,
                            F.col("x").alias("y_true_x"),
                            F.col("y").alias("y_true_y"))
     joined = df.join(labels, FRAME_KEYS, "inner")
-    if joined.isEmpty():
+    if expect_rows and joined.isEmpty():
         raise ValueError("attach_output_labels: 0-row inner join — "
                          "check join keys/dtypes")
     return joined

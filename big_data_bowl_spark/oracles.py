@@ -1280,3 +1280,73 @@ SELECT * FROM (
     FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
 WHERE cosine >= 0.25
 """
+
+ORACLES["q_text_normalize"] = """
+WITH n AS (
+    SELECT doc_id,
+           trim(regexp_replace(
+               regexp_replace(lower(text), '[.,!?;:]', '', 'g'),
+               '\\s+', ' ', 'g')) AS norm_text
+    FROM documents)
+SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars
+FROM n
+"""
+
+ORACLES["q_chunk_docs"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+c AS (
+    SELECT doc_id, toks,
+           unnest(generate_series(
+               0, CAST(ceil(len(toks) / 32.0) AS BIGINT) - 1)) AS chunk_id
+    FROM t
+    WHERE len(toks) > 0)
+SELECT doc_id, chunk_id,
+       array_to_string(list_slice(toks, chunk_id * 32 + 1,
+                                  chunk_id * 32 + 32), ' ') AS chunk_text,
+       CAST(len(list_slice(toks, chunk_id * 32 + 1,
+                           chunk_id * 32 + 32)) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+ORACLES["q_frame_sample"] = """
+WITH t AS (
+    SELECT doc_id AS media_id,
+           CAST(floor(octet_length(encode(text)) / 32) AS BIGINT) AS n_frames
+    FROM documents),
+f AS (
+    SELECT media_id,
+           unnest(generate_series(0, n_frames - 1)) AS frame_idx
+    FROM t WHERE n_frames > 0)
+SELECT media_id, frame_idx, CAST(32 AS BIGINT) AS n_bytes
+FROM f WHERE frame_idx % 2 = 0
+"""
+
+ORACLES["q_pack_chunks"] = """
+WITH t AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+c AS (
+    SELECT doc_id, lang, toks,
+           unnest(generate_series(
+               0, CAST(ceil(len(toks) / 32.0) AS BIGINT) - 1)) AS chunk_id
+    FROM t WHERE len(toks) > 0),
+n AS (
+    SELECT doc_id, lang, chunk_id,
+           len(list_slice(toks, chunk_id * 32 + 1,
+                          chunk_id * 32 + 32)) AS n_tokens
+    FROM c),
+b AS (
+    SELECT lang, doc_id, chunk_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+                           ORDER BY doc_id, chunk_id) - n_tokens)
+                      / 256) AS BIGINT) AS bin
+    FROM n)
+SELECT lang, bin, count(*) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       count(DISTINCT doc_id) AS n_docs
+FROM b GROUP BY lang, bin
+"""

@@ -21,8 +21,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
+    FloatType,
     LongType,
     StringType,
     StructField,
@@ -105,3 +107,65 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     index is a column), keeping the expensive decode for sampled rows
     only."""
     return df.filter(F.col("media_id") % every_n == 0)
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("resized", ArrayType(FloatType())),
+])
+
+
+def resize_payloads(df: DataFrame, size: int = 16) -> DataFrame:
+    """The "resize" transform shape: decode each payload and average-pool
+    the intensity sequence down to a fixed ``size``-vector — the
+    downsample-before-embed step every image pipeline runs, as the same
+    mapInPandas seam as :func:`extract_features` (real resize = PIL
+    ``Image.resize`` in the decode stub; the pooling math stays).
+    Returns (media_id, resized: array<float> of length ``size``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                vals = _decode_stub(bytes(payload))
+                if not vals:
+                    out.append({"media_id": int(mid),
+                                "resized": [0.0] * size})
+                    continue
+                # average-pool into `size` equal buckets (ragged tail)
+                n = len(vals)
+                pooled = []
+                for b in range(size):
+                    lo, hi = (b * n) // size, ((b + 1) * n) // size
+                    seg = vals[lo:hi] or [vals[min(lo, n - 1)]]
+                    pooled.append(float(sum(seg) / len(seg)))
+                out.append({"media_id": int(mid), "resized": pooled})
+            yield pd.DataFrame(out, columns=["media_id", "resized"])
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def explode_frames(df: DataFrame, frame_bytes: int = 32,
+                   every_n: int = 1) -> DataFrame:
+    """Frame EXTRACTION from the raw payload, fully JVM-side: treat the
+    binary as fixed-size ``frame_bytes`` windows (a stand-in for fixed-
+    size video frames), generate the stride-sampled frame indexes with
+    ``sequence`` and slice with binary ``substring`` — rows fan out on the
+    executors via posexplode, and the expensive *decode* (Python) is
+    deferred to only the sampled frames.  Returns
+    (media_id, frame_idx, frame: binary, n_bytes)."""
+    require_columns(df, ["media_id", "payload", "declared_bytes"],
+                    "explode_frames")
+    n_frames = F.floor(F.col("declared_bytes") / frame_bytes).cast("int")
+    idxs = F.filter(
+        F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1))
+         .otherwise(F.array().cast("array<int>")),
+        lambda i: i % every_n == 0)
+    out = df.select("media_id", "payload",
+                    F.explode(idxs).alias("frame_idx"))
+    frame = F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, "
+                   f"{frame_bytes})")
+    return out.select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
+        frame.alias("frame"),
+        F.octet_length(frame).cast("long").alias("n_bytes"))

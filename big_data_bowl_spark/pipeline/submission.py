@@ -48,31 +48,45 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
                             output_labels: DataFrame, supp: DataFrame, *,
                             k_clusters: int = 12, max_len: int = 25,
                             seed: int = 42, model=None,
-                            truespeed_agg: str = "mae") -> dict[str, DataFrame]:
+                            truespeed_agg: str = "mae",
+                            eager_checks: bool = True) -> dict[str, DataFrame]:
     """Run the full §3.1 chain; returns every named intermediate so callers
     can persist/inspect any stage (the reference writes each to CSV).
 
     ``model=None`` uses the deterministic EMA fallback (Keras not in this
     container — ml/lstm.py gates the real trainer behind an import-try).
+    ``eager_checks=False`` skips the fail-loud data-quality actions (each
+    one is an extra pass over the chain) — for callers that already
+    validated the inputs or run the checks out-of-band.
     """
+    chk_nonempty = check_nonempty if eager_checks else lambda df, *a: df
+    chk_unique = check_unique if eager_checks else lambda df, *a: df
+
     # Phase 1 — normalize + target selection (F4, J7, P5, J3)
     norm = normalize_coordinates(tracking, dialect="package")
     init_sep = compute_initial_separation(norm)
-    targets = check_nonempty(select_target_receiver_rows(norm), "targets")
-    completed = check_nonempty(filter_to_completed_catches(targets, supp),
-                               "completed-catches")
+    targets = chk_nonempty(select_target_receiver_rows(norm), "targets")
+    completed = chk_nonempty(filter_to_completed_catches(targets, supp),
+                             "completed-catches")
     sep_keys = [c for c in PLAYER_KEYS if c in init_sep.columns]  # J5
     enriched = completed.join(init_sep, sep_keys, "left")
 
     # Phase 2 — post-throw features + labels + converge rate (W1-W5, J1)
     post = add_frame_kinematics(enriched)
     post = add_postthrow_geometry(post, y="y", land_y="ball_land_y")
-    labeled = attach_output_labels(post, output_labels)
+    labeled = attach_output_labels(post, output_labels,
+                                   expect_rows=eager_checks)
     conv = add_converge_rate(labeled, dialect="package")
 
     # Route features → clusters → one-hot embeddings (A3-A8, M1-M3, F17)
-    feats = check_unique(route_features(targets), PLAYER_KEYS,
-                         "one-route-per-player")
+    # The clustering input is a PLAY-grain aggregate (orders of magnitude
+    # smaller than the frame facts) feeding an ITERATIVE fit: Imputer's
+    # per-column median, the scaler moments, and every k-means iteration
+    # each re-run the whole upstream chain unless it is persisted —
+    # caching the small derived table here is the difference between one
+    # upstream pass and ~k_iter+3 of them, at any scale.
+    feats = chk_unique(route_features(targets), PLAYER_KEYS,
+                       "one-route-per-player").persist()
     _, preds = fit_route_clusters(feats, ROUTE_FEATURE_COLS,
                                   k=k_clusters, seed=seed)
     emb = one_hot_labels(preds.select(*PLAYER_KEYS, "cluster"),

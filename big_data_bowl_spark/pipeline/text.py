@@ -105,6 +105,51 @@ def language_id(df: DataFrame, id_col: str = "doc_id",
     return df.select(F.col(id_col), *language_id_columns(text_col))
 
 
+def normalize_text(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the standard pre-step before exact
+    dedup so trivial variants (case, punctuation, spacing) hash equal:
+    lowercase → strip punctuation → collapse runs of whitespace → trim.
+    Pure codegen projection; oracle-exact (regexes avoid any engine-
+    specific character classes).  Returns (doc_id, norm_text, n_chars)."""
+    require_columns(df, [id_col, text_col], "normalize_text")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[.,!?;:]", ""),
+        r"\s+", " "))
+    return df.select(F.col(id_col), norm.alias("norm_text"),
+                     F.length(norm).cast("long").alias("n_chars"))
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    carry: tuple[str, ...] = ()) -> DataFrame:
+    """Fixed-size token chunking — the sequence-packing step a pretraining
+    pipeline runs on every document: split into ⌈n/chunk_size⌉ consecutive
+    token windows (last chunk ragged).  The token array is STAGED as a
+    named column before the per-chunk slices reference it (the HOF-CSE
+    rule, see SCALE.md), and the chunk fan-out is a ``posexplode`` — rows
+    multiply on the executors, never on the driver.  Zero-token documents
+    yield zero chunks.  ``carry`` names document columns to project
+    through the fan-out (so downstream grouping never joins back to the
+    corpus).  Returns (doc_id, *carry, chunk_id, chunk_text, n_tokens).
+    """
+    require_columns(df, [id_col, text_col, *carry], "chunk_documents")
+    staged = df.select(F.col(id_col), *[F.col(c) for c in carry],
+                       _tokens(text_col).alias("__toks"))
+    n_chunks = F.ceil(F.size("__toks") / F.lit(float(chunk_size))).cast("int")
+    ids = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)) \
+           .otherwise(F.array().cast("array<int>"))
+    chunked = staged.select(
+        F.col(id_col), *[F.col(c) for c in carry], "__toks",
+        F.explode(ids).alias("chunk_id"))
+    piece = F.slice("__toks", F.col("chunk_id") * chunk_size + 1, chunk_size)
+    return chunked.select(
+        F.col(id_col), *[F.col(c) for c in carry],
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"))
+
+
 FP_PRIME = 1_000_000_007  # 31-bit modulus: products stay < 2^63 under ANSI
 
 

@@ -1091,6 +1091,23 @@ def q_token_counts(spark, sf_dir):
     return token_counts(_t(spark, sf_dir, "documents"))
 
 
+def q_text_normalize(spark, sf_dir):
+    """Canonical text normalization (lower → punct-strip → whitespace-
+    collapse → trim): the pre-step that makes trivial variants hash equal
+    in exact dedup.  Pure codegen projection, exact oracle."""
+    from .pipeline.text import normalize_text
+    return normalize_text(_t(spark, sf_dir, "documents"))
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Sequence packing: every document split into consecutive 32-token
+    chunks (last ragged) — the pretraining chunking step as a staged
+    token array + executor-side posexplode fan-out.  Exact oracle over
+    doc_id × chunk_id with the chunk text and its token count."""
+    from .pipeline.text import chunk_documents
+    return chunk_documents(_t(spark, sf_dir, "documents"), chunk_size=32)
+
+
 def q_union_by_name(spark, sf_dir):
     """S2/U1: schema-drift union — two projections with different columns
     combined by NAME with nulls for the missing side
@@ -1153,6 +1170,40 @@ def q_multimodal_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(d, "doc_id", "text")
     return extract_features(media)
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video-frame extraction shape, fully JVM-side: the binary payload
+    treated as fixed 32-byte frames, stride-2 sampled via sequence/filter
+    and sliced with binary substring — executor-side fan-out, decode
+    deferred to sampled frames only.  Oracle checks the frame grid
+    (media_id × frame_idx) and each frame's byte length arithmetically."""
+    from .pipeline.multimodal import attach_binary_payload, explode_frames
+    d = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    return explode_frames(media, frame_bytes=32, every_n=2) \
+        .select("media_id", "frame_idx", "n_bytes")
+
+
+def q_pack_chunks(spark, sf_dir):
+    """Greedy sequence packing as a WINDOW CUMSUM — how a pretraining
+    pipeline assigns token chunks to fixed-size context windows at scale:
+    within each language stream (ordered by doc, then chunk), bin =
+    floor(running-token-total / 256); then per-bin occupancy stats.  The
+    sequential 'packer' is one window shuffle per language partition —
+    never a driver loop, never a global single-partition ordering."""
+    from .pipeline.text import chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, chunk_size=32, carry=("lang",))
+    w = Window.partitionBy("lang").orderBy("doc_id", "chunk_id")
+    binned = chunks.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256)
+         .cast("long"))
+    return (binned.groupBy("lang", "bin")
+                  .agg(F.count(F.lit(1)).alias("n_chunks"),
+                       F.sum("n_tokens").alias("bin_tokens"),
+                       F.countDistinct("doc_id").alias("n_docs")))
 
 
 def q_route_clusters(spark, sf_dir):
@@ -1621,6 +1672,67 @@ def q_truespeed_variants(spark, sf_dir):
                       roundn(F.sqrt(F.avg(F.pow(r, 2)))).alias("ts_rmse")))
 
 
+def q_submission_pipeline(spark, sf_dir):
+    """Entry point A (§3.1, Submission.ipynb) END TO END under the driver:
+    normalize → initial separation → target select → completed semi-join →
+    post-throw geometry → label attach → converge rate → route features →
+    k-means clusters → one-hot embeddings → sequence build → broadcast-
+    model inference (EMA fallback) → un-pivot → TrueSpeed → scorecard.
+
+    Tracking-shaped inputs are derived DETERMINISTICALLY from ``events``
+    (user → play, ordered rows → frames, value → coordinates; one receiver
+    + one trailing defender per play).  Rows-only: the spine includes
+    k-means labels and a pandas-UDF model, so no single SQL twin — every
+    relational stage inside it has its own oracle-checked query."""
+    from .pipeline.submission import run_submission_pipeline
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (e.filter(F.col("user_id") < 300)
+             .withColumn("frame_id", F.row_number().over(w))
+             .filter(F.col("frame_id") <= 8)
+             .select(F.lit(1).cast("long").alias("game_id"),
+                     F.col("user_id").alias("play_id"), "frame_id",
+                     F.when(F.col("user_id") % 2 == 0, "left")
+                      .otherwise("right").alias("play_direction"),
+                     (F.pmod(F.col("value"), F.lit(100.0)) + 10.0).alias("x"),
+                     F.pmod(F.col("value") * 7.0, F.lit(50.0)).alias("y"),
+                     F.lit(2.0).alias("s"), F.lit(90.0).alias("dir"),
+                     F.lit(60.0).alias("ball_land_x"),
+                     F.lit(25.0).alias("ball_land_y")))
+    off = base.select(
+        "*", F.col("play_id").alias("nfl_id"),
+        F.lit(True).alias("player_to_predict"),
+        F.lit("Offense").alias("player_side"),
+        F.lit("WR").alias("player_position"),
+        F.lit("Targeted Receiver").alias("player_role"))
+    deff = base.select(
+        "*", (F.col("play_id") + 1_000_000).alias("nfl_id"),
+        F.lit(False).alias("player_to_predict"),
+        F.lit("Defense").alias("player_side"),
+        F.lit("CB").alias("player_position"),
+        F.lit("Defensive Coverage").alias("player_role")) \
+        .withColumn("y", F.col("y") + 3.0)
+    tracking = off.unionByName(deff)
+    labels = off.select("game_id", "play_id", "nfl_id", "frame_id",
+                        (F.col("x") + 0.5).alias("x"), "y")
+    supp = (base.select("game_id", "play_id").distinct()
+                .withColumn("pass_result",
+                            F.when(F.col("play_id") % 10 < 8, "C")
+                             .otherwise("I"))
+                .withColumn("yards_gained",
+                            (F.col("play_id") % 20).cast("double"))
+                .withColumn("expected_points_added",
+                            (F.col("play_id") % 7).cast("double") / 7.0 - 0.4))
+    out = run_submission_pipeline(spark, tracking, labels, supp,
+                                  k_clusters=4, max_len=8,
+                                  eager_checks=False)
+    return out["scorecard"].select(
+        "nfl_id", roundn(F.col("truespeed")).alias("truespeed"),
+        F.col("n_targets").cast("long").alias("n_targets"),
+        roundn(F.col("total_yards")).alias("total_yards"),
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_eval_metrics(spark, sf_dir):
     """M9 (eval_predictions; BDB_2026.ipynb#cell102): MSE/RMSE/MAE/R² of a
     persistence forecast (lag-1 of value per user) in ONE partial-
@@ -1792,6 +1904,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_array_hof": q_array_hof,
     "q_eval_metrics": q_eval_metrics,
     "q_embed_dup": q_embed_dup,
+    "q_text_normalize": q_text_normalize,
+    "q_chunk_docs": q_chunk_docs,
+    "q_frame_sample": q_frame_sample,
+    "q_pack_chunks": q_pack_chunks,
     "q_pca_embed": q_pca_embed,
     "q_flagship_truespeed": q_flagship_truespeed,
     "q_filter_project": q_filter_project,
@@ -1843,4 +1959,5 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q3": q_tpch_q3,
     "q_tpch_q18": q_tpch_q18,
     "q_tpch_q6": q_tpch_q6,
+    "q_submission_pipeline": q_submission_pipeline,
 }

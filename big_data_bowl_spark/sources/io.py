@@ -105,6 +105,39 @@ def read_csv_dir(spark: SparkSession, path: str, schema: StructType,
             .csv(path))
 
 
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format most document corpora ship
+    in.  One JSON object per line per row; splittable on read."""
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str,
+               schema: StructType) -> DataFrame:
+    """JSON-lines source with a DECLARED schema (never inference — the
+    S1 rule): malformed fields go null, extra fields are dropped, and the
+    scan prunes to the requested columns."""
+    return spark.read.schema(schema).json(path)
+
+
+def compact_parquet(spark: SparkSession, src: str, dst: str,
+                    target_bytes: int = 256 << 20) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ⌈total/target⌉ files of ~``target_bytes`` each.  Streaming ingestion
+    and fine-grained partitioning both leave thousands of tiny files whose
+    per-file open/footer cost dominates scans at 100 TB; periodic
+    compaction to row-group-sized files restores scan efficiency.  Round-
+    robin repartition (no keys, no skew).  Returns the file count."""
+    import math
+
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(src)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = fs.getContentSummary(jpath).getLength()
+    n = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src).repartition(n) \
+        .write.mode("overwrite").parquet(dst)
+    return n
+
+
 def stage_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    n_buckets: int = 32, mode: str = "ignore") -> None:
     """Bucketed staging table: ``bucketBy(n, keys) + sortBy(keys)`` into the

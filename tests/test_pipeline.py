@@ -314,3 +314,86 @@ def test_csv_sink_round_trip(spark, tmp_path):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_resize_and_frame_explode(spark):
+    """Multimodal resize (mapInPandas avg-pool to fixed k) and JVM-side
+    binary frame extraction: fixed vector length, frame grid and sizes."""
+    from big_data_bowl_spark.pipeline.multimodal import (
+        attach_binary_payload,
+        explode_frames,
+        resize_payloads,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(50)
+    media = attach_binary_payload(docs, "doc_id", "text")
+    resized = resize_payloads(media, size=16).collect()
+    assert len(resized) == 50
+    assert all(len(r.resized) == 16 for r in resized)
+    # pooling preserves the global mean over the pooled range
+    one = media.filter(F.col("media_id") == resized[0].media_id).first()
+    vals = [float(b) for b in bytes(one.payload)[:256]]
+    n = len(vals)
+    expect = sum(
+        sum(vals[(b * n) // 16:((b + 1) * n) // 16])
+        / max(1, ((b + 1) * n) // 16 - (b * n) // 16)
+        for b in range(16)) / 16
+    got = sum(resized[0].resized) / 16
+    assert abs(got - expect) < 1e-3
+
+    frames = explode_frames(media, frame_bytes=16, every_n=3)
+    rows = frames.collect()
+    assert rows and all(r.n_bytes == 16 for r in rows)
+    assert all(r.frame_idx % 3 == 0 for r in rows)
+    # frame count per media matches the arithmetic grid
+    import collections
+    per = collections.Counter(r.media_id for r in rows)
+    for m in media.collect():
+        nf = len(bytes(m.payload)) // 16
+        expect_n = len([i for i in range(nf) if i % 3 == 0])
+        if expect_n:
+            assert per[m.media_id] == expect_n
+
+
+def test_jsonl_round_trip(spark, tmp_path):
+    """S-family widening: documents → JSONL → declared-schema read-back."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from big_data_bowl_spark.sources.io import read_jsonl, write_jsonl
+
+    docs = (read_table(spark, SF_SMALL, "documents")
+            .select("doc_id", "lang", "text").limit(100))
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("text", StringType()),
+    ])
+    back = read_jsonl(spark, path, schema)
+    assert sorted(map(tuple, docs.collect())) == \
+        sorted(map(tuple, back.select("doc_id", "lang", "text").collect()))
+
+
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    """The small-files fix: 64 tiny files → ⌈total/target⌉ files with the
+    same rows."""
+    import glob
+
+    from big_data_bowl_spark.sources.io import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    e = read_table(spark, SF_SMALL, "events")
+    e.repartition(64).write.parquet(src)
+    n_src = len(glob.glob(src + "/part-*"))
+    assert n_src == 64
+    compact_parquet(spark, src, dst, target_bytes=256 << 20)
+    n_dst = len(glob.glob(dst + "/part-*"))
+    assert n_dst < n_src
+    assert spark.read.parquet(dst).count() == e.count()
