@@ -1,9 +1,26 @@
-from .dedup import exact_dedup, minhash_lsh_pairs, ngram_jaccard_pairs, simhash_buckets
+from .bpe import bpe_learn_merges, bpe_segment, word_frequencies
+from .dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
 from .similarity import cosine_topk, lsh_bucketed_topk
-from .text import fingerprint_documents, language_id, quality_features, token_counts
+from .text import (
+    chunk_documents,
+    fingerprint_documents,
+    language_id,
+    normalize_text,
+    quality_features,
+    token_counts,
+)
 
 __all__ = [
-    "exact_dedup", "minhash_lsh_pairs", "ngram_jaccard_pairs", "simhash_buckets",
+    "bpe_learn_merges", "bpe_segment", "word_frequencies",
+    "embedding_dup_pairs", "exact_dedup", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "simhash_buckets",
     "cosine_topk", "lsh_bucketed_topk",
-    "fingerprint_documents", "language_id", "quality_features", "token_counts",
+    "chunk_documents", "fingerprint_documents", "language_id",
+    "normalize_text", "quality_features", "token_counts",
 ]

@@ -1206,6 +1206,17 @@ def q_pack_chunks(spark, sf_dir):
                        F.countDistinct("doc_id").alias("n_docs")))
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE merge learning (pipeline/bpe.py): the tokenizer-
+    training loop as iterative DataFrame aggregation over the word-
+    frequency table — per-round shuffle is on |vocab|, never the corpus;
+    only the 1-row argmax merge decision reaches the driver.  Rows-only
+    (iterative argmax is not expressible as one SQL statement) but fully
+    deterministic: gold-corpus and determinism tests pin the algorithm."""
+    from .pipeline.bpe import bpe_learn_merges
+    return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
 def q_route_clusters(spark, sf_dir):
     """M1-M3: Spark ML impute→scale→KMeans pipeline over embedding dims;
     output is label-invariant (cluster sizes), rows-only checked."""
@@ -1908,6 +1919,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_chunk_docs": q_chunk_docs,
     "q_frame_sample": q_frame_sample,
     "q_pack_chunks": q_pack_chunks,
+    "q_bpe_merges": q_bpe_merges,
     "q_pca_embed": q_pca_embed,
     "q_flagship_truespeed": q_flagship_truespeed,
     "q_filter_project": q_filter_project,

@@ -397,3 +397,71 @@ def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     n_dst = len(glob.glob(dst + "/part-*"))
     assert n_dst < n_src
     assert spark.read.parquet(dst).count() == e.count()
+
+
+def test_chunk_documents_round_trip_and_normalize_idempotent(spark):
+    """Chunking partitions the token stream exactly (re-concatenation
+    reproduces the tokenized document; sizes sum to n_tokens); text
+    normalization is idempotent."""
+    from big_data_bowl_spark.pipeline.text import (
+        chunk_documents,
+        normalize_text,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(80)
+    chunks = chunk_documents(docs, chunk_size=7).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_id)):
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in docs.collect():
+        toks = [t for t in d.text.split(" ") if t]
+        got = by_doc.get(d.doc_id, [])
+        if not toks:
+            assert got == []
+            continue
+        rebuilt = " ".join(c.chunk_text for c in got).split(" ")
+        assert rebuilt == toks
+        assert sum(c.n_tokens for c in got) == len(toks)
+        assert all(c.n_tokens == 7 for c in got[:-1])  # only tail ragged
+
+    once = normalize_text(docs)
+    twice = normalize_text(
+        once.select(F.col("doc_id"), F.col("norm_text").alias("text")))
+    a = {r.doc_id: r.norm_text for r in once.collect()}
+    b = {r.doc_id: r.norm_text for r in twice.collect()}
+    assert a == b
+
+
+def test_bpe_gold_corpus_and_segment(spark):
+    """BPE merges on a hand-computable corpus: 'aaab aaab' + 'ab' yields
+    (a,a,4) then (a,b,3) then (aa,ab,2) — the greedy left-to-right
+    application rule ('a a a' merges to [aa, a]) and the count-desc/
+    lexicographic tie-break, exactly."""
+    from big_data_bowl_spark.pipeline.bpe import bpe_learn_merges, bpe_segment
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="aaab aaab"),
+                                  Row(doc_id=2, text="ab")])
+    rows = bpe_learn_merges(docs, n_merges=3).collect()
+    assert [(r.left, r.right, r.pair_count) for r in rows] == \
+        [("a", "a", 4), ("a", "b", 3), ("aa", "ab", 2)]
+    seg = {r.doc_id: r.n_pieces
+           for r in bpe_segment(
+               docs, [(r.left, r.right) for r in rows]).collect()}
+    assert seg == {1: 2, 2: 1}
+
+
+def test_bpe_deterministic_and_monotone(spark):
+    """Same corpus → identical merge table on re-run; each applied merge
+    strictly reduces the corpus piece count."""
+    from big_data_bowl_spark.pipeline.bpe import bpe_learn_merges, bpe_segment
+
+    docs = read_table(spark, SF_SMALL, "documents").limit(60)
+    a = bpe_learn_merges(docs, n_merges=4).collect()
+    b = bpe_learn_merges(docs, n_merges=4).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    merges = [(r.left, r.right) for r in a]
+    totals = []
+    for k in range(len(merges) + 1):
+        seg = bpe_segment(docs, merges[:k])
+        totals.append(seg.agg(F.sum("n_pieces")).first()[0])
+    assert all(x > y for x, y in zip(totals, totals[1:])), totals

@@ -221,3 +221,31 @@ def test_eval_predictions_has_no_global_window(spark):
     assert "partial_avg" in plan or "HashAggregate" in plan
     row = m.first()
     assert row.mse >= 0 and row.r2 <= 1.0
+
+
+def test_chunk_docs_prunes_scan_to_two_columns(spark):
+    """The chunk fan-out reads ONLY (doc_id, text) from the corpus scan —
+    column pruning must reach ReadSchema, or a 100 TB chunking pass drags
+    every column through the explode."""
+    plan = explain_formatted(_q(spark, "q_chunk_docs"))
+    scan = plan.split("ReadSchema")[1][:200]
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan
+
+
+def test_pack_chunks_single_window_shuffle(spark):
+    """Greedy packing = one hash exchange on the language stream (plus the
+    final stats agg); no joins, no global ordering."""
+    df = _q(spark, "q_pack_chunks")
+    plan = executed_plan(df)
+    assert "Join" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_frame_sample_no_python_and_no_shuffle(spark):
+    """Frame extraction is a pure map-side fan-out: no Exchange at all and
+    no Python evaluation in the plan."""
+    plan = executed_plan(_q(spark, "q_frame_sample"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
