@@ -28,6 +28,21 @@ def roundn(c: Column, n: int = 6) -> Column:
     return F.round(c, n)
 
 
+def cents(c: Column) -> Column:
+    """Exact integer cents from a 2-decimal money column.
+
+    Rounding alone cannot make float AVERAGES engine-stable: when the
+    exact decimal mean lands on a rounding boundary (e.g. 47.4728125 at
+    6 dp — common, since means of 2-decimal data over n = 2^a·5^b rows
+    terminate within a few digits), a 1-ulp association difference
+    between engines flips the rounded digit.  Summing exact integer
+    cents instead makes the pre-round value BIT-IDENTICAL on any engine
+    and any partition order: long sums are exact, and long/long division
+    on identical operands yields identical doubles.  DuckDB twin:
+    ``CAST(round(x * 100) AS BIGINT)``."""
+    return F.round(c * 100, 0).cast("long")
+
+
 def safe_div(num: Column, den: Column) -> Column:
     """F12: NULL on zero denominator (metrics.py:321-322 ``replace(0,nan)``).
     Explicit guard rather than relying on ANSI-off division semantics —

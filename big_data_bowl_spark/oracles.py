@@ -21,15 +21,22 @@ _ES = "('el','los','una','por','que')"
 ORACLES: dict[str, str] = {}
 
 ORACLES["q_flagship_truespeed"] = """
-WITH resid AS (
-    SELECT user_id,
-           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS resid
+-- integer-cents residuals (functions.scalar.cents): exact long sums make
+-- the mean bit-identical to Spark at any SF / partition order
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS vc
     FROM events),
+resid AS (
+    SELECT user_id,
+           vc - lag(vc) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rc
+    FROM c),
 board AS (
-    SELECT r.user_id, c.c_name,
-           avg(abs(r.resid)) AS truespeed, count(*) AS n_frames
-    FROM resid r LEFT JOIN customer c ON r.user_id = c.c_custkey
-    WHERE r.resid IS NOT NULL
+    SELECT r.user_id, cu.c_name,
+           CAST(sum(abs(r.rc)) AS BIGINT) / count(*) / 100.0 AS truespeed,
+           count(*) AS n_frames
+    FROM resid r LEFT JOIN customer cu ON r.user_id = cu.c_custkey
+    WHERE r.rc IS NOT NULL
     GROUP BY 1, 2)
 SELECT user_id, c_name, round(truespeed, 6) AS truespeed, n_frames,
        rank() OVER (ORDER BY truespeed DESC) AS rank
@@ -133,7 +140,10 @@ FROM events
 
 ORACLES["q_rank_leaderboard"] = """
 WITH board AS (
-    SELECT user_id, avg(value) AS mean_value, count(*) AS n_events
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           / count(value) / 100.0 AS mean_value,
+           count(*) AS n_events
     FROM events GROUP BY 1)
 SELECT user_id, round(mean_value, 6) AS mean_value, n_events,
        rank() OVER (ORDER BY mean_value DESC) AS rank
@@ -161,17 +171,26 @@ QUALIFY row_number() OVER (PARTITION BY user_id
 """
 
 ORACLES["q_tpch_q1"] = """
+-- integer-cents pricing: price*(1-disc)[*(1+tax)] as exact long products
+-- (2/4/6 implied decimals), so billion-scale sums agree bit-for-bit
+WITH c AS (
+    SELECT l_returnflag, l_linestatus, l_quantity,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+           CAST(round(l_discount * 100) AS BIGINT) AS dc,
+           CAST(round(l_tax * 100) AS BIGINT) AS tc
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00')
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,
-       round(sum(l_extendedprice), 6) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(CAST(sum(pc) AS BIGINT) / 100.0, 6) AS sum_base_price,
+       round(CAST(sum(pc * (100 - dc)) AS BIGINT) / 1e4, 6) AS sum_disc_price,
+       round(CAST(sum(pc * (100 - dc) * (100 + tc)) AS BIGINT) / 1e6, 6)
+           AS sum_charge,
+       round(sum(l_quantity) / count(*), 6) AS avg_qty,
+       round(CAST(sum(pc) AS BIGINT) / count(*) / 100.0, 6) AS avg_price,
+       round(CAST(sum(dc) AS BIGINT) / count(*) / 100.0, 6) AS avg_disc,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '2024-09-02 00:00:00'
+FROM c
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -281,8 +300,13 @@ FROM agg
 
 ORACLES["q_scorecard"] = """
 WITH board AS (
-    SELECT user_id, avg(value) AS mean_value, count(*) AS n_events,
-           sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_value
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           / count(value) / 100.0 AS mean_value,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN event_type = 'purchase'
+                         THEN CAST(round(value * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) / 100.0 AS purchase_value
     FROM events GROUP BY 1),
 qual AS (
     SELECT * FROM board
@@ -517,11 +541,14 @@ GROUP BY n_name
 """
 
 ORACLES["q_window_agg_hourly"] = """
+-- integer-cents value reduction (engine-invariant mean, see cents())
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS n,
-       round(sum(value), 6) AS total_value,
-       round(avg(value), 6) AS mean_value
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / 100.0, 6) AS total_value,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / count(value) / 100.0, 6) AS mean_value
 FROM events
 GROUP BY 1, 2
 """
@@ -841,14 +868,17 @@ route AS (
     SELECT vec_id % 15 AS user_id, avg(-z) AS route_exec
     FROM iqz GROUP BY 1),
 resid AS (
-    SELECT user_id, value,
-           value - lag(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS resid
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+           CAST(round(value * 100) AS BIGINT)
+           - lag(CAST(round(value * 100) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rc
     FROM events),
 ts AS (
-    SELECT user_id, avg(abs(resid)) AS truespeed, count(*) AS n_frames,
-           avg(value) / 100.0 AS sep
-    FROM resid WHERE resid IS NOT NULL GROUP BY 1),
+    SELECT user_id,
+           CAST(sum(abs(rc)) AS BIGINT) / count(*) / 100.0 AS truespeed,
+           count(*) AS n_frames,
+           CAST(sum(vc) AS BIGINT) / count(*) / 10000.0 AS sep
+    FROM resid WHERE rc IS NOT NULL GROUP BY 1),
 prod AS (
     SELECT o_custkey AS user_id, sum(o_totalprice) AS total_value,
            count(*) AS n_orders
@@ -897,8 +927,12 @@ SELECT event_id, user_id,
        count(*) OVER w AS n_1h,
        round(sum(value) OVER w, 6) AS sum_1h
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)::BIGINT
+WINDOW w AS (PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+-- floor() before the cast: DuckDB's double->BIGINT cast ROUNDS while
+-- Spark's unix_timestamp truncates; sub-second timestamps would shift
+-- the frame boundary by one second without it
 """
 
 ORACLES["q_tpch_q14"] = """
@@ -1178,19 +1212,25 @@ FROM per_user
 """
 
 ORACLES["q_truespeed_variants"] = """
-WITH resid AS (
+-- integer-cents residuals: every reduction below is over exact longs
+WITH c AS (
+    SELECT user_id, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events),
+resid AS (
     SELECT user_id,
-           value - lag(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id) AS resid
-    FROM events)
+           vc - lag(vc) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rc
+    FROM c)
 SELECT user_id,
-       round(avg(resid), 6) AS ts_mean,
-       round(median(resid), 6) AS ts_median,
-       round(sum(resid), 6) AS ts_sum,
-       round(avg(abs(resid)), 6) AS ts_mae,
-       round(sqrt(avg(resid * resid)), 6) AS ts_rmse
+       round(CAST(sum(rc) AS BIGINT) / count(*) / 100.0, 6) AS ts_mean,
+       round(median(rc) / 100.0, 6) AS ts_median,
+       round(CAST(sum(rc) AS BIGINT) / 100.0, 6) AS ts_sum,
+       round(CAST(sum(abs(rc)) AS BIGINT) / count(*) / 100.0, 6) AS ts_mae,
+       round(sqrt(CAST(sum(rc * rc) AS BIGINT) / count(*)) / 100.0, 6)
+           AS ts_rmse
 FROM resid
-WHERE resid IS NOT NULL
+WHERE rc IS NOT NULL
 GROUP BY user_id
 """
 

@@ -49,7 +49,8 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
                             k_clusters: int = 12, max_len: int = 25,
                             seed: int = 42, model=None,
                             truespeed_agg: str = "mae",
-                            eager_checks: bool = True) -> dict[str, DataFrame]:
+                            eager_checks: bool = True,
+                            persist_dir: str | None = None) -> dict[str, DataFrame]:
     """Run the full §3.1 chain; returns every named intermediate so callers
     can persist/inspect any stage (the reference writes each to CSV).
 
@@ -119,7 +120,7 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
         aggs.append(F.avg("expected_points_added").alias("epa_per_target"))
     scorecard = rank_desc(plays.groupBy("nfl_id").agg(*aggs), "truespeed")
 
-    return {
+    out = {
         "normalized": norm,
         "targets": targets,
         "postthrow": conv,
@@ -130,3 +131,20 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
         "truespeed": ts,
         "scorecard": scorecard,
     }
+    if persist_dir is not None:
+        # Reference behavior: every pipeline stage lands as CSV
+        # (Submission.ipynb#cell9, BDB_2026.ipynb#cell43/#cell70/#cell107).
+        # Play/player-grain stages coalesce to one file like to_csv; the
+        # frame-grain stages keep their parallelism.  The sequence stage
+        # carries array columns, which CSV can't represent — it stages as
+        # parquet, the engine's native format for tensors.
+        from ..sources.io import stage_parquet, write_csv
+        frame_grain = {"normalized", "targets", "postthrow"}
+        for stage, df_out in out.items():
+            if stage == "sequences":
+                stage_parquet(df_out, f"{persist_dir}/{stage}",
+                              mode="overwrite")
+            else:
+                write_csv(df_out, f"{persist_dir}/{stage}",
+                          single_file=stage not in frame_grain)
+    return out

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.scalar import (
+    cents,
     minmax_100,
     nan_to_null,
     piecewise_multiplier,
@@ -205,8 +206,11 @@ def q_rank_leaderboard(spark, sf_dir):
     """W7+O2+A1: leaderboard — mean value per user, competition-ranked desc
     (build_truespeed_scorecard rank, metrics.py:348)."""
     e = _t(spark, sf_dir, "events")
-    board = e.groupBy("user_id").agg(F.avg("value").alias("mean_value"),
-                                     F.count(F.lit(1)).alias("n_events"))
+    # integer-cents mean (see cents()): engine-invariant before rounding
+    vc = cents(F.col("value"))
+    board = e.groupBy("user_id").agg(
+        (F.sum(vc) / F.count("value") / 100.0).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_events"))
     out = rank_desc(board, "mean_value", out="rank")
     return out.select("user_id", roundn(F.col("mean_value")).alias("mean_value"),
                       "n_events", "rank")
@@ -247,17 +251,24 @@ def q_tpch_q1(spark, sf_dir):
     """A1/A11 flagship: TPC-H Q1-shaped pricing summary — the multi-metric
     named aggregation block (metrics.py:296-322) on lineitem."""
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # integer-cents pricing arithmetic (see cents()): price×(1−disc) and
+    # ×(1+tax) become exact long products (2+2 and 2+2+2 decimals), so
+    # every sum/avg below is engine- and partition-order-invariant even
+    # when the billion-scale sums would otherwise wobble past 6 decimals
+    pc, dc, tc = cents(F.col("l_extendedprice")), \
+        cents(F.col("l_discount")), cents(F.col("l_tax"))
+    disc_c = pc * (100 - dc)              # 1e-4 dollar units
+    charge_c = disc_c * (100 + tc)        # 1e-6 dollar units
+    n = F.count(F.lit(1))
     return (li.filter(F.col("l_shipdate") <= F.lit("2024-09-02 00:00:00"))
               .groupBy("l_returnflag", "l_linestatus")
               .agg(roundn(F.sum("l_quantity")).alias("sum_qty"),
-                   roundn(F.sum("l_extendedprice")).alias("sum_base_price"),
-                   roundn(F.sum(disc_price)).alias("sum_disc_price"),
-                   roundn(F.sum(charge)).alias("sum_charge"),
-                   roundn(F.avg("l_quantity")).alias("avg_qty"),
-                   roundn(F.avg("l_extendedprice")).alias("avg_price"),
-                   roundn(F.avg("l_discount")).alias("avg_disc"),
+                   roundn(F.sum(pc) / 100.0).alias("sum_base_price"),
+                   roundn(F.sum(disc_c) / 1e4).alias("sum_disc_price"),
+                   roundn(F.sum(charge_c) / 1e6).alias("sum_charge"),
+                   roundn(F.sum("l_quantity") / n).alias("avg_qty"),
+                   roundn(F.sum(pc) / n / 100.0).alias("avg_price"),
+                   roundn(F.sum(dc) / n / 100.0).alias("avg_disc"),
                    F.count(F.lit(1)).alias("count_order")))
 
 
@@ -397,11 +408,14 @@ def q_scorecard(spark, sf_dir):
     (metrics.py:198-367) — process metrics + production metrics + volume
     threshold + 0-100 normalize + rank, one declarative plan."""
     e = _t(spark, sf_dir, "events")
+    # integer-cents reductions (see cents()): engine-invariant mean/sum
+    vc = cents(F.col("value"))
     board = e.groupBy("user_id").agg(
-        F.avg("value").alias("mean_value"),
+        (F.sum(vc) / F.count("value") / 100.0).alias("mean_value"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))
-               .otherwise(0.0)).alias("purchase_value"))
+        (F.sum(F.when(F.col("event_type") == "purchase", vc)
+                .otherwise(F.lit(0).cast("long"))) / 100.0)
+        .alias("purchase_value"))
     thresh = board.agg((F.max("n_events") * 0.25).alias("__thr"))
     w = Window.partitionBy()
     score = minmax_100(F.col("mean_value"),
@@ -734,13 +748,16 @@ def q_phase3_pipeline(spark, sf_dir):
                .agg(F.avg("route_exec").alias("route_exec")))
 
     e = _t(spark, sf_dir, "events")
-    resid = _lag_diff(e, "value", ["user_id"], ["ts", "event_id"],
-                      out="resid")
-    ts = (resid.filter(F.col("resid").isNotNull())
+    # integer-cents residual/mean (see cents()): engine-invariant averages
+    vc = e.withColumn("__vc", cents(F.col("value")))
+    resid = _lag_diff(vc, "__vc", ["user_id"], ["ts", "event_id"],
+                      out="resid_c")
+    n = F.count(F.lit(1))
+    ts = (resid.filter(F.col("resid_c").isNotNull())
                .groupBy("user_id")
-               .agg(F.avg(F.abs("resid")).alias("truespeed"),
+               .agg((F.sum(F.abs("resid_c")) / n / 100.0).alias("truespeed"),
                     F.count(F.lit(1)).alias("n_frames"),
-                    (F.avg("value") / 100.0).alias("sep")))
+                    (F.sum("__vc") / n / 10000.0).alias("sep")))
 
     o = _t(spark, sf_dir, "orders")
     prod = (o.groupBy(F.col("o_custkey").alias("user_id"))
@@ -1068,7 +1085,7 @@ def q_window_agg_hourly(spark, sf_dir):
     1-hour windows ≙ date_trunc('hour')."""
     from .streaming.stream_ops import hourly_window_agg
     e = _t(spark, sf_dir, "events")
-    out = hourly_window_agg(e)
+    out = hourly_window_agg(e, exact_cents=True)
     return out.select("window_start", "event_type", "n",
                       roundn(F.col("total_value")).alias("total_value"),
                       roundn(F.col("mean_value")).alias("mean_value"))
@@ -1263,13 +1280,17 @@ def q_flagship_truespeed(spark, sf_dir):
     (≙ W7).  One shuffle for the window, one for the agg; the dimension
     join is broadcast and free."""
     e = _t(spark, sf_dir, "events")
-    d = lag_diff(e, "value", ["user_id"], ["ts", "event_id"], out="resid")
+    # integer-cents residuals: exact long arithmetic end to end, so the
+    # mean is bit-identical across engines/partitionings (see cents())
+    vc = e.withColumn("__vc", cents(F.col("value")))
+    d = lag_diff(vc, "__vc", ["user_id"], ["ts", "event_id"], out="resid_c")
     dim = _t(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_name")
-    joined = d.filter(F.col("resid").isNotNull()) \
+    joined = d.filter(F.col("resid_c").isNotNull()) \
               .join(F.broadcast(dim), "user_id", "left")
     board = joined.groupBy("user_id", "c_name").agg(
-        F.avg(F.abs(F.col("resid"))).alias("truespeed"),
+        ((F.sum(F.abs(F.col("resid_c"))) / F.count(F.lit(1))) / 100.0)
+        .alias("truespeed"),
         F.count(F.lit(1)).alias("n_frames"))
     out = rank_desc(board, "truespeed", out="rank")
     return out.select("user_id", "c_name",
@@ -1672,15 +1693,19 @@ def q_truespeed_variants(spark, sf_dir):
     (everything shares the single user_id window shuffle)."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    resid = (e.withColumn("resid", F.col("value") - F.lag("value").over(w))
-              .filter(F.col("resid").isNotNull()))
-    r = F.col("resid")
+    # integer-cents residuals (see cents()): every aggregate below reduces
+    # exact longs, so the pre-round doubles are engine/partition-invariant
+    resid = (e.withColumn("__vc", cents(F.col("value")))
+              .withColumn("rc", F.col("__vc") - F.lag("__vc").over(w))
+              .filter(F.col("rc").isNotNull()))
+    rc, n = F.col("rc"), F.count(F.lit(1))
     return (resid.groupBy("user_id")
-                 .agg(roundn(F.avg(r)).alias("ts_mean"),
-                      roundn(F.median(r)).alias("ts_median"),
-                      roundn(F.sum(r)).alias("ts_sum"),
-                      roundn(F.avg(F.abs(r))).alias("ts_mae"),
-                      roundn(F.sqrt(F.avg(F.pow(r, 2)))).alias("ts_rmse")))
+                 .agg(roundn(F.sum(rc) / n / 100.0).alias("ts_mean"),
+                      roundn(F.median(rc) / 100.0).alias("ts_median"),
+                      roundn(F.sum(rc) / 100.0).alias("ts_sum"),
+                      roundn(F.sum(F.abs(rc)) / n / 100.0).alias("ts_mae"),
+                      roundn(F.sqrt((F.sum(rc * rc) / n)) / 100.0)
+                      .alias("ts_rmse")))
 
 
 def q_submission_pipeline(spark, sf_dir):

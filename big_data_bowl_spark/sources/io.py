@@ -105,6 +105,20 @@ def read_csv_dir(spark: SparkSession, path: str, schema: StructType,
             .csv(path))
 
 
+def stage_sorted(df: DataFrame, path: str, range_cols: list[str],
+                 n_files: int = 8, mode: str = "overwrite") -> None:
+    """Range-clustered sorted staging: ``repartitionByRange`` +
+    ``sortWithinPartitions`` so each output file owns a DISJOINT range of
+    the sort key.  Parquet footers then carry tight min/max stats per
+    file/row-group, and any range predicate on the key skips every file
+    outside its span — the single-dimension cousin of Z-ordering, free in
+    stock Spark.  Use for time-range-scanned event tables (the 100 TB
+    access pattern behind W1–W5)."""
+    (df.repartitionByRange(n_files, *[F.col(c) for c in range_cols])
+       .sortWithinPartitions(*range_cols)
+       .write.mode(mode).parquet(path))
+
+
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink — the interchange format most document corpora ship
     in.  One JSON object per line per row; splittable on read."""

@@ -45,18 +45,31 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def hourly_window_agg(events: DataFrame,
-                      watermark: str = "2 hours") -> DataFrame:
+def hourly_window_agg(events: DataFrame, watermark: str = "2 hours",
+                      exact_cents: bool = False) -> DataFrame:
     """Event-time tumbling-window aggregation (count + sum + avg per
     (window, event_type)); watermark bounds late data and state size.
-    Works identically on batch and stream inputs."""
+    Works identically on batch and stream inputs.
+
+    ``exact_cents=True`` reduces the 2-decimal value column as integer
+    cents so the mean is bit-identical across engines and partition
+    orders (functions.scalar.cents rationale) — used by the oracle-
+    checked batch twin; streaming semantics are unaffected either way."""
     src = events
     if src.isStreaming:
         src = src.withWatermark("ts", watermark)
+    if exact_cents:
+        from ..functions.scalar import cents
+        vc = cents(F.col("value"))
+        aggs = [F.count(F.lit(1)).alias("n"),
+                (F.sum(vc) / 100.0).alias("total_value"),
+                (F.sum(vc) / F.count("value") / 100.0).alias("mean_value")]
+    else:
+        aggs = [F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total_value"),
+                F.avg("value").alias("mean_value")]
     return (src.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-               .agg(F.count(F.lit(1)).alias("n"),
-                    F.sum("value").alias("total_value"),
-                    F.avg("value").alias("mean_value"))
+               .agg(*aggs)
                .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                         .alias("window_start"),
                        "event_type", "n", "total_value", "mean_value"))

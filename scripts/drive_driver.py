@@ -3,6 +3,7 @@ entry(), then run every queries() entry at sf0.01 and compare against
 oracle_sql() via DuckDB — row count, sorted columns, order-insensitive
 value multiset."""
 import importlib.util
+import os
 import math
 import sys
 import time
@@ -29,7 +30,7 @@ assert len(rows) > 0
 
 import duckdb
 con = duckdb.connect()
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 for name in ("region nation customer supplier part orders lineitem events "
              "documents embeddings").split():
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")

@@ -249,3 +249,27 @@ def test_frame_sample_no_python_and_no_shuffle(spark):
     plan = executed_plan(_q(spark, "q_frame_sample"))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_stage_sorted_files_own_disjoint_ranges(spark, tmp_path):
+    """Range-clustered staging: every output file owns a disjoint span of
+    the sort key — the layout property parquet min/max skipping needs for
+    a range predicate to prune files."""
+    import glob
+
+    from big_data_bowl_spark.sources.io import read_table, stage_sorted
+
+    e = read_table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    path = str(tmp_path / "sorted_events")
+    stage_sorted(e, path, ["event_id"], n_files=6)
+    spans = []
+    for f in glob.glob(path + "/part-*"):
+        stats = spark.read.parquet(f).agg(
+            F.min("event_id"), F.max("event_id")).first()
+        if stats[0] is not None:
+            spans.append((stats[0], stats[1]))
+    spans.sort()
+    assert len(spans) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans  # disjoint, ordered ranges
+    assert spark.read.parquet(path).count() == e.count()

@@ -204,3 +204,30 @@ def test_submission_pipeline_end_to_end(spark, tracking):
     assert card[0].nfl_id == 10 and card[0].rank == 1
     assert card[0].n_targets == 2
     assert abs(card[0].total_yards - 17.0) < 1e-9
+
+
+def test_submission_pipeline_persists_stages(spark, tracking, tmp_path):
+    """persist_dir lands every stage like the reference's to_csv chain:
+    CSV per relational stage (single file at play/player grain), parquet
+    for the array-typed sequence stage; all re-readable."""
+    from big_data_bowl_spark.pipeline.submission import run_submission_pipeline
+
+    supp = spark.createDataFrame([
+        Row(game_id=1, play_id=p, pass_result="C", yards_gained=7.0,
+            expected_points_added=0.1) for p in (1, 2)])
+    labels = spark.createDataFrame([
+        Row(game_id=1, play_id=p, nfl_id=10, frame_id=f,
+            x=10.0 + 2.0 * f + 0.5, y=20.0)
+        for p in (1, 2) for f in range(1, 6)])
+    out_dir = str(tmp_path / "stages")
+    out = run_submission_pipeline(spark, tracking, labels, supp,
+                                  k_clusters=2, max_len=4,
+                                  persist_dir=out_dir)
+    import glob
+    for stage in out:
+        files = glob.glob(f"{out_dir}/{stage}/part-*")
+        assert files, f"stage {stage} not persisted"
+    card = spark.read.option("header", "true").csv(f"{out_dir}/scorecard")
+    assert card.count() == out["scorecard"].count()
+    seq = spark.read.parquet(f"{out_dir}/sequences")
+    assert seq.count() == 2
