@@ -529,7 +529,8 @@ LIMIT 10
 
 ORACLES["q_tpch_q5"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 1e4, 6)
+           AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -677,7 +678,7 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 ORACLES["q_tpch_q6"] = """
-SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+SELECT round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) / 1e4, 6) AS revenue,
        count(*) AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -797,7 +798,8 @@ GROUP BY predicted_lang
 ORACLES["q_tpch_q7"] = """
 SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
        CAST(year(l_shipdate) AS BIGINT) AS ship_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) / 1e4, 6)
+           AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -936,13 +938,18 @@ WINDOW w AS (PARTITION BY user_id
 """
 
 ORACLES["q_tpch_q14"] = """
-SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                              THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END)
-             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
-       round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue,
+-- integer-cents revenue (functions.scalar.cents rationale)
+WITH c AS (
+    SELECT p_type,
+           CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c4
+    FROM lineitem JOIN part ON l_partkey = p_partkey)
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_c4
+                               ELSE 0 END) AS BIGINT)
+             / CAST(sum(rev_c4) AS BIGINT), 6) AS promo_pct,
+       round(CAST(sum(rev_c4) AS BIGINT) / 1e4, 6) AS total_revenue,
        count(*) AS n_items
-FROM lineitem JOIN part ON l_partkey = p_partkey
+FROM c
 """
 
 ORACLES["q_tpch_q13"] = """
@@ -1058,8 +1065,10 @@ GROUP BY o_year
 
 ORACLES["q_tpch_q9"] = """
 SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * p_retailprice * l_quantity), 6) AS sum_profit,
+       round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                   * CAST(l_quantity AS BIGINT)) AS BIGINT) / 1e4, 6)
+           AS sum_profit,
        count(*) AS n_items
 FROM lineitem
 JOIN part ON l_partkey = p_partkey

@@ -698,7 +698,10 @@ def q_tpch_q5(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # integer-cents revenue (see cents()): per-nation sums reach 1e9+ at
+    # bench SF, where a float sum's association error crosses 6 decimals
+    rev_c4 = cents(F.col("l_extendedprice")) \
+        * (100 - cents(F.col("l_discount")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey)
@@ -706,7 +709,7 @@ def q_tpch_q5(spark, sf_dir):
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
               .groupBy("n_name")
-              .agg(roundn(rev).alias("revenue"),
+              .agg(roundn(F.sum(rev_c4) / 1e4).alias("revenue"),
                    F.count(F.lit(1)).alias("n_items")))
 
 
@@ -816,11 +819,15 @@ def q_tpch_q14(spark, sf_dir):
     sum, one pass)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    # integer-cents revenue (see cents()): the global total is a
+    # billion-scale sum where float association error crosses 6 decimals
+    rev_c4 = cents(F.col("l_extendedprice")) \
+        * (100 - cents(F.col("l_discount")))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev_c4)
+                   .otherwise(F.lit(0).cast("long")))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-              .agg(roundn(100.0 * promo / F.sum(rev)).alias("promo_pct"),
-                   roundn(F.sum(rev)).alias("total_revenue"),
+              .agg(roundn(100.0 * promo / F.sum(rev_c4)).alias("promo_pct"),
+                   roundn(F.sum(rev_c4) / 1e4).alias("total_revenue"),
                    F.count(F.lit(1)).alias("n_items")))
 
 
@@ -868,7 +875,8 @@ def q_tpch_q6(spark, sf_dir):
         & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24))
     return sel.agg(
-        roundn(F.sum(F.col("l_extendedprice") * F.col("l_discount")))
+        roundn(F.sum(cents(F.col("l_extendedprice"))
+                     * cents(F.col("l_discount"))) / 1e4)
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"))
 
@@ -1022,7 +1030,10 @@ def q_tpch_q7(spark, sf_dir):
              & (F.col("supp_nation") == "NATION_2"))
             | ((F.col("cust_nation") == "NATION_2")
                & (F.col("supp_nation") == "NATION_1")))
-    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    # integer-cents revenue (see cents()): nation-pair-year sums are
+    # large enough for float association error to cross 6 decimals
+    rev_c4 = cents(F.col("l_extendedprice")) \
+        * (100 - cents(F.col("l_discount")))
     return (li.join(o, li.l_orderkey == o.o_orderkey)
               .join(F.broadcast(c), o.o_custkey == c.c_custkey)
               .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
@@ -1031,7 +1042,7 @@ def q_tpch_q7(spark, sf_dir):
               .filter(pair)
               .groupBy("supp_nation", "cust_nation",
                        F.year("l_shipdate").cast("long").alias("ship_year"))
-              .agg(roundn(rev).alias("revenue"),
+              .agg(roundn(F.sum(rev_c4) / 1e4).alias("revenue"),
                    F.count(F.lit(1)).alias("n_items")))
 
 
@@ -1491,15 +1502,20 @@ def q_tpch_q9(spark, sf_dir):
     p = (_t(spark, sf_dir, "part")
          .filter(F.col("p_name").contains("widget")))
     n = _t(spark, sf_dir, "nation")
-    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
-              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    # integer-cents profit in 1e-4-dollar units: price·(1−disc) is
+    # pc·(100−dc); 0.6·retail·qty dollars is 60·retail_cents·qty (exact —
+    # quantity is integral).  Long arithmetic end to end (see cents()).
+    amount_c4 = (cents(F.col("l_extendedprice"))
+                 * (100 - cents(F.col("l_discount")))
+                 - 60 * cents(F.col("p_retailprice"))
+                 * F.col("l_quantity").cast("long"))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .join(o, li.l_orderkey == o.o_orderkey)
               .groupBy(F.col("n_name").alias("nation"),
                        F.year("o_orderdate").cast("long").alias("o_year"))
-              .agg(roundn(F.sum(amount)).alias("sum_profit"),
+              .agg(roundn(F.sum(amount_c4) / 1e4).alias("sum_profit"),
                    F.count(F.lit(1)).alias("n_items")))
 
 
