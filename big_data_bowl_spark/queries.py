@@ -1069,6 +1069,22 @@ def q_hash_sample(spark, sf_dir):
                      F.col("n_chars").cast("long").alias("n_chars")))
 
 
+def q_approx_quantiles(spark, sf_dir):
+    """A14 scale path: ``percentile_approx`` with an explicit accuracy
+    knob — the mergeable-sketch percentile for 100 TB, where the exact
+    percentile's per-group full sort is the bottleneck.  Rows-only (the
+    sketch is engine-specific); the containment contract vs the EXACT
+    per-group quantiles (approx within the rank-error bound) is pinned by
+    tests/test_pipeline.py::test_approx_quantiles_within_rank_error."""
+    e = _t(spark, sf_dir, "events")
+    acc = 1000  # rank error ≤ n / acc per group
+    return (e.groupBy("event_type")
+             .agg(roundn(F.percentile_approx("value", 0.5, acc)).alias("p50"),
+                  roundn(F.percentile_approx("value", 0.9, acc)).alias("p90"),
+                  roundn(F.percentile_approx("value", 0.99, acc)).alias("p99"),
+                  F.count("value").alias("n")))
+
+
 def q_distribution_windows(spark, sf_dir):
     """Distribution window functions over a global ordering: decile
     (ntile), percent_rank, cume_dist of customer balances.  The total
@@ -1961,6 +1977,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_frame_sample": q_frame_sample,
     "q_pack_chunks": q_pack_chunks,
     "q_bpe_merges": q_bpe_merges,
+    "q_approx_quantiles": q_approx_quantiles,
     "q_pca_embed": q_pca_embed,
     "q_flagship_truespeed": q_flagship_truespeed,
     "q_filter_project": q_filter_project,

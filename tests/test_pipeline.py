@@ -465,3 +465,25 @@ def test_bpe_deterministic_and_monotone(spark):
         seg = bpe_segment(docs, merges[:k])
         totals.append(seg.agg(F.sum("n_pieces")).first()[0])
     assert all(x > y for x, y in zip(totals, totals[1:])), totals
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """A14 scale path: percentile_approx(acc=1000) must land within the
+    documented rank-error bound of the exact per-group quantile — the
+    containment contract that makes the sketch a safe drop-in at scale."""
+    from big_data_bowl_spark.queries import QUERIES
+
+    approx = {r.event_type: r
+              for r in QUERIES["q_approx_quantiles"](spark, SF_SMALL)
+              .collect()}
+    e = read_table(spark, SF_SMALL, "events").filter(F.col("value").isNotNull())
+    for etype, row in approx.items():
+        vals = sorted(r.value for r in
+                      e.filter(F.col("event_type") == etype).collect())
+        n = len(vals)
+        assert row.n == n
+        for q, got in ((0.5, row.p50), (0.9, row.p90), (0.99, row.p99)):
+            # rank window: target rank ± n/acc (±1 for rounding slack)
+            lo = max(0, int(q * n) - n // 1000 - 2)
+            hi = min(n - 1, int(q * n) + n // 1000 + 2)
+            assert vals[lo] <= got <= vals[hi], (etype, q, got)

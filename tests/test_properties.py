@@ -121,3 +121,21 @@ def test_interval_join_matches_bruteforce(spark, data):
         on=[("k", "k")], payload=["tag"],
         bucket_seconds=width).collect())
     assert got == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(vals=st.lists(st.integers(-10_000_000, 10_000_000),
+                     min_size=1, max_size=25))
+def test_cents_roundtrip_exact(spark, vals):
+    """cents(): any 2-decimal money value (here cents/100 over ±1e5
+    dollars) maps back to its exact integer cents — the invariant the
+    engine-stable averages depend on."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.functions.scalar import cents
+
+    df = spark.createDataFrame(
+        [Row(i=i, v=c / 100.0) for i, c in enumerate(vals)])
+    got = {r.i: r.c for r in
+           df.select("i", cents(F.col("v")).alias("c")).collect()}
+    assert got == {i: c for i, c in enumerate(vals)}
