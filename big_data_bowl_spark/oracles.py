@@ -1389,13 +1389,13 @@ n AS (
                           chunk_id * 32 + 32)) AS n_tokens
     FROM c),
 b AS (
-    SELECT lang, doc_id, chunk_id, n_tokens,
-           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang
+    SELECT lang, doc_id % 8 AS stream, doc_id, chunk_id, n_tokens,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY lang, doc_id % 8
                            ORDER BY doc_id, chunk_id) - n_tokens)
                       / 256) AS BIGINT) AS bin
     FROM n)
-SELECT lang, bin, count(*) AS n_chunks,
+SELECT lang, stream, bin, count(*) AS n_chunks,
        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
        count(DISTINCT doc_id) AS n_docs
-FROM b GROUP BY lang, bin
+FROM b GROUP BY lang, stream, bin
 """

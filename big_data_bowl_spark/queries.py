@@ -1232,19 +1232,25 @@ def q_frame_sample(spark, sf_dir):
 def q_pack_chunks(spark, sf_dir):
     """Greedy sequence packing as a WINDOW CUMSUM — how a pretraining
     pipeline assigns token chunks to fixed-size context windows at scale:
-    within each language stream (ordered by doc, then chunk), bin =
-    floor(running-token-total / 256); then per-bin occupancy stats.  The
-    sequential 'packer' is one window shuffle per language partition —
-    never a driver loop, never a global single-partition ordering."""
+    within each packing stream (ordered by doc, then chunk), bin =
+    floor(running-token-total / 256); then per-bin occupancy stats.
+
+    Streams are (lang, doc_id mod 8): ANY deterministic partition of
+    documents is a valid set of packing streams, and sharding within
+    language keeps the window parallelism at streams × langs instead of
+    capping it at the language count (4-5 values would serialize a
+    100 TB corpus onto a handful of tasks).  Never a driver loop, never
+    a global single-partition ordering."""
     from .pipeline.text import chunk_documents
     d = _t(spark, sf_dir, "documents")
-    chunks = chunk_documents(d, chunk_size=32, carry=("lang",))
-    w = Window.partitionBy("lang").orderBy("doc_id", "chunk_id")
+    chunks = chunk_documents(d, chunk_size=32, carry=("lang",)) \
+        .withColumn("stream", F.pmod(F.col("doc_id"), F.lit(8)).cast("long"))
+    w = Window.partitionBy("lang", "stream").orderBy("doc_id", "chunk_id")
     binned = chunks.withColumn(
         "bin",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 256)
          .cast("long"))
-    return (binned.groupBy("lang", "bin")
+    return (binned.groupBy("lang", "stream", "bin")
                   .agg(F.count(F.lit(1)).alias("n_chunks"),
                        F.sum("n_tokens").alias("bin_tokens"),
                        F.countDistinct("doc_id").alias("n_docs")))
