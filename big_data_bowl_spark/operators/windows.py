@@ -20,11 +20,24 @@ def zscore_in_group(df: DataFrame, col: str, group: list[str], out: str,
     """W6: within-group z-score transform (metrics.py:97-122).  ddof=0 →
     stddev_pop (the reference's default at metrics.py:112); ddof=1 →
     stddev_samp (routes.py:102 uses pandas default).  Divide-by-zero → 0.0,
-    optional ±3 clip, optional negation (Phase3#cell14 RouteExecIQ)."""
-    w = Window.partitionBy(*group)
-    std = F.stddev_pop(col).over(w) if ddof == 0 else F.stddev_samp(col).over(w)
-    z = zscore_expr(F.col(col), F.avg(col).over(w), std, clip3=clip3)
-    return df.withColumn(out, -z if negate else z)
+    optional ±3 clip, optional negation (Phase3#cell14 RouteExecIQ).
+
+    Group stats come from an AGGREGATE + broadcast join-back, not an
+    unbounded window: the grouping keys here are LOW-cardinality (5
+    event types, 12 route clusters), so a whole-partition window would
+    cap parallelism at the group count and funnel the full fact table
+    through a handful of tasks.  The aggregate partial-combines map-side
+    at full parallelism, the k-row stats table broadcasts, and the
+    z-score itself stays a map-side expression — no wide shuffle of the
+    fact at all (plan-shape-tested)."""
+    stats = df.groupBy(*group).agg(
+        F.avg(col).alias("__mu"),
+        (F.stddev_pop(col) if ddof == 0
+         else F.stddev_samp(col)).alias("__sd"))
+    z = zscore_expr(F.col(col), F.col("__mu"), F.col("__sd"), clip3=clip3)
+    return (df.join(F.broadcast(stats), group, "left")
+              .withColumn(out, -z if negate else z)
+              .drop("__mu", "__sd"))
 
 
 def rank_desc(df: DataFrame, score: str, out: str = "rank",
@@ -73,10 +86,22 @@ def closest_to_median(df: DataFrame, col: str, group: list[str],
                       tiebreak: list[str]) -> DataFrame:
     """W11: the group's most-representative row — argmin |x − median(group)|
     (viz.py:327-336).  Exact percentile (not approx) so oracle comparisons
-    hold (SURVEY §4.3 item 5)."""
-    w = Window.partitionBy(*group)
-    dist = F.abs(F.col(col) - F.percentile(col, F.lit(0.5)).over(w))
-    w_rank = Window.partitionBy(*group).orderBy(
-        dist.asc(), *[F.asc(c) for c in tiebreak])
-    return (df.withColumn("__rn", F.row_number().over(w_rank))
-              .filter(F.col("__rn") == 1).drop("__rn"))
+    hold (SURVEY §4.3 item 5; swap in percentile_approx at corpus scale,
+    where exact percentile buffers the group).
+
+    Shape: median via aggregate + broadcast join-back, argmin via
+    ``min(struct(dist, tiebreak…, row))`` — both partial-aggregable at
+    full parallelism.  The former window form sorted every group on a
+    single task, capping parallelism at the (low-cardinality) group
+    count."""
+    require_columns(df, [col, *group, *tiebreak], "closest_to_median")
+    stats = df.groupBy(*group).agg(
+        F.percentile(col, F.lit(0.5)).alias("__med"))
+    rest = [c for c in df.columns if c not in group]
+    ordered = [*tiebreak, *[c for c in rest if c not in tiebreak]]
+    picked = (df.join(F.broadcast(stats), group)
+                .withColumn("__dist", F.abs(F.col(col) - F.col("__med")))
+                .groupBy(*group)
+                .agg(F.min(F.struct("__dist", *ordered)).alias("__best")))
+    return picked.select(
+        *group, *[F.col(f"__best.{c}").alias(c) for c in rest])

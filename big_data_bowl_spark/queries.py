@@ -652,16 +652,20 @@ def q_closest_to_median(spark, sf_dir):
     so interpolated-median ulp differences between engines can't flip
     near-ties; event_id breaks exact ties."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    med = F.percentile("value", F.lit(0.5)).over(w)
-    dist = roundn(F.abs(F.col("value") - med))
-    w_rank = Window.partitionBy("event_type").orderBy(
-        dist.asc(), F.asc("event_id"))
-    return (e.withColumn("med", roundn(med))
-             .withColumn("__rn", F.row_number().over(w_rank))
-             .filter(F.col("__rn") == 1)
-             .select("event_type", "event_id",
-                     roundn(F.col("value")).alias("value"), "med"))
+    # median via aggregate + broadcast join-back, argmin via a combinable
+    # min(struct(...)) — no per-group sort, no low-cardinality window
+    # (operators/windows.py:closest_to_median rationale)
+    stats = e.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("__med"))
+    scored = (e.join(F.broadcast(stats), "event_type")
+               .withColumn("__d", roundn(F.abs(F.col("value")
+                                               - F.col("__med")))))
+    pick = scored.groupBy("event_type").agg(
+        F.min(F.struct("__d", "event_id", "value", "__med")).alias("b"))
+    return pick.select("event_type",
+                       F.col("b.event_id").alias("event_id"),
+                       roundn(F.col("b.value")).alias("value"),
+                       roundn(F.col("b.__med")).alias("med"))
 
 
 # ---------------------------------------------------------------------------

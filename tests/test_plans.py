@@ -273,3 +273,14 @@ def test_stage_sorted_files_own_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, spans  # disjoint, ordered ranges
     assert spark.read.parquet(path).count() == e.count()
+
+
+def test_zscore_no_whole_partition_window(spark):
+    """W6 at scale: group stats are an aggregate + broadcast join-back —
+    no unbounded window over the low-cardinality group key (which would
+    cap parallelism at the group count), and the fact side is never
+    hash-exchanged on it."""
+    df = _q(spark, "q_zscore_in_group")
+    plan = executed_plan(df)
+    assert "Window" not in plan, plan
+    assert_broadcast_join(df, min_count=1)
