@@ -164,6 +164,78 @@ def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
         for a, b in _mh_coeffs(n_hashes)])
 
 
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_hashes: int = N_MINHASH) -> DataFrame:
+    """The (id, sig) MinHash signature table — the persistable INDEX of a
+    continuously-ingested corpus (stage it as parquet; signatures never
+    need recomputing for already-seen documents).  Fan-out + the staged
+    base-hash projection as in minhash_lsh_pairs."""
+    require_columns(df, [id_col, text_col], "minhash_signatures")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(F.col(id_col), F.col(text_col)) \
+               .repartition(parallelism)
+    return (narrow
+            .withColumn("_base", shingle_base_hashes(F.col(text_col)))
+            .select(F.col(id_col), minhash_slots("_base", n_hashes)
+                    .alias("sig")))
+
+
+def _band_buckets(sig_df: DataFrame, id_col: str,
+                  n_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bucket) banding table from a signature table — the LSH
+    join key generator shared by the batch and incremental paths."""
+    rows_per_band = n_hashes // bands
+    return sig_df.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws(
+                ",", *[F.element_at("sig", b * rows_per_band + r + 1)
+                       for r in range(rows_per_band)]), F.lit(b))
+            for b in range(bands)])).alias("band", "bucket"))
+
+
+def minhash_lsh_match(new_df: DataFrame, index_sig: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
+                      min_est_jaccard: float = 0.5) -> DataFrame:
+    """INCREMENTAL near-dup matching: a new batch against an EXISTING
+    signature index (``minhash_signatures`` output, typically read back
+    from parquet).  Only the new batch's text is hashed; the index side
+    re-derives band buckets from stored signatures (cheap folds over 32
+    longs — no shingling).  Candidates are new×index per (band, bucket),
+    so ingesting a batch never rescans the corpus text — the shape a
+    continuously-fed training pipeline needs.
+
+    Returns (new_id, index_id, est_jaccard) ≥ threshold.
+    """
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes ({n_hashes}) must be divisible by "
+                         f"bands ({bands})")
+    new_sig = minhash_signatures(new_df, id_col, text_col, n_hashes) \
+        .persist()
+    nb = _band_buckets(new_sig, id_col, n_hashes, bands)
+    ib = _band_buckets(index_sig, id_col, n_hashes, bands)
+    pairs = (nb.alias("a")
+             .join(ib.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket")))
+             .select(F.col(f"a.{id_col}").alias("new_id"),
+                     F.col(f"b.{id_col}").alias("index_id"))
+             .dropDuplicates(["new_id", "index_id"]))
+    pairs = (pairs
+             .join(new_sig.select(F.col(id_col).alias("new_id"),
+                                  F.col("sig").alias("sig_a")), "new_id")
+             .join(index_sig.select(F.col(id_col).alias("index_id"),
+                                    F.col("sig").alias("sig_b")), "index_id"))
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                       lambda x, y: x == y), lambda v: v))
+    est = agree.cast("double") / F.lit(float(n_hashes))
+    return (pairs.withColumn("est_jaccard", roundn(est))
+                 .filter(F.col("est_jaccard") >= min_est_jaccard)
+                 .select("new_id", "index_id", "est_jaccard"))
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
@@ -184,34 +256,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by "
                          f"bands ({bands}) — trailing slots would be "
                          "silently excluded from banding")
-    rows_per_band = n_hashes // bands
-    # Hashing is CPU-bound and the corpus often lands as few large files:
-    # fan out across the cluster first (round-robin, no key skew).  At a
-    # scale where the scan already yields ≥ cores partitions, callers can
-    # pass fan_out=False — kept unconditional here rather than probing
-    # .rdd.getNumPartitions(), which forces plan analysis + an RDD
-    # conversion on the driver.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    narrow = df.select(F.col(id_col), F.col(text_col)) \
-               .repartition(parallelism)
-    # Two staged projections (base hashes, then slots): see minhash_slots
-    # for why inlining the base into each slot is a ~45× slowdown.
     # The signature table feeds BOTH sides of the band self-join and the
     # two post-dedup signature join-backs; persist it (memory-and-disk,
     # spillable) so the CPU-bound hashing runs exactly once — it is the
-    # narrow (id, 32 longs) table any LSH index materializes anyway.
-    sig = (narrow
-           .withColumn("_base", shingle_base_hashes(F.col(text_col)))
-           .select(F.col(id_col), minhash_slots("_base", n_hashes)
-                   .alias("sig"))
-           .persist())
-    banded = sig.select(
-        id_col,
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws(
-                ",", *[F.element_at("sig", b * rows_per_band + r + 1)
-                       for r in range(rows_per_band)]), F.lit(b))
-            for b in range(bands)])).alias("band", "bucket"))
+    # narrow (id, 32 longs) table any LSH index materializes anyway
+    # (minhash_signatures is the persistable-index form of this step).
+    sig = minhash_signatures(df, id_col, text_col, n_hashes).persist()
+    banded = _band_buckets(sig, id_col, n_hashes, bands)
     # Candidate pairs carry ONLY the two ids through the band shuffle and
     # the pair-dedup; the 2 × n_hashes-long signature arrays are joined
     # back AFTER dropDuplicates, so the widest shuffle stays 2 longs per

@@ -487,3 +487,44 @@ def test_approx_quantiles_within_rank_error(spark):
             lo = max(0, int(q * n) - n // 1000 - 2)
             hi = min(n - 1, int(q * n) + n // 1000 + 2)
             assert vals[lo] <= got <= vals[hi], (etype, q, got)
+
+
+def test_stage_parquet_materialize_if_missing(spark, tmp_path):
+    """S3 (data_io.py:41-79 prepare-or-reuse): mode='ignore' writes once;
+    a second write against the same path is a no-op, so the staged
+    content survives re-runs unchanged."""
+    from big_data_bowl_spark.sources.io import stage_parquet
+
+    path = str(tmp_path / "staged")
+    first = read_table(spark, SF_SMALL, "events").limit(100)
+    stage_parquet(first, path)
+    again = read_table(spark, SF_SMALL, "events").limit(50)
+    stage_parquet(again, path)  # ignored: already materialized
+    assert spark.read.parquet(path).count() == 100
+
+
+def test_minhash_incremental_match_against_index(spark):
+    """Incremental dedup: a new batch matched against a persisted
+    signature index finds the cross-batch near-dup without rescanning the
+    corpus text, and agrees with the batch-mode pair estimate."""
+    from big_data_bowl_spark.pipeline.dedup import (
+        minhash_lsh_match,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again"),
+        Row(doc_id=2, text="completely different words entirely unrelated content here now ok"),
+    ])
+    index = minhash_signatures(corpus)
+    batch = spark.createDataFrame([
+        Row(doc_id=10, text="the quick brown fox jumps over the lazy dog again"),
+        Row(doc_id=11, text="nothing like anything stored before in any index at all"),
+    ])
+    hits = minhash_lsh_match(batch, index, min_est_jaccard=0.5).collect()
+    assert {(r.new_id, r.index_id): r.est_jaccard for r in hits} == \
+        {(10, 1): 1.0}
+    # batch mode over the union sees the same cross-pair
+    both = minhash_lsh_pairs(corpus.union(batch), min_est_jaccard=0.5)
+    assert any((r.doc_a, r.doc_b) == (1, 10) for r in both.collect())
