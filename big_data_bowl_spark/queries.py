@@ -539,6 +539,19 @@ def q_dup_components(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def q_minhash_incremental(spark, sf_dir):
+    """Incremental dedup under the driver: ~1/7 of the corpus arrives as
+    the 'new batch' and is matched against the signature INDEX of the
+    rest — only the batch is shingled; index buckets derive from stored
+    signatures.  Rows-only (probabilistic banding); the cross-batch
+    match ≡ batch-mode equivalence is property-tested."""
+    from .pipeline.dedup import minhash_lsh_match, minhash_signatures
+    d = _t(spark, sf_dir, "documents")
+    index = minhash_signatures(d.filter(F.col("doc_id") % 7 != 0))
+    batch = d.filter(F.col("doc_id") % 7 == 0)
+    return minhash_lsh_match(batch, index, min_est_jaccard=0.5)
+
+
 def q_embed_dup(spark, sf_dir):
     """Embedding-cosine near-dup pairs (the fifth dedup tier): label-
     blocked candidate generation, JVM-side cosine, threshold keep.  The
@@ -1873,12 +1886,23 @@ def q_group_ksample(spark, sf_dir):
     sort, no rand()."""
     from .pipeline.sampling import hash_bucket
     d = _t(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.asc("__hb"), F.asc("doc_id"))
-    return (d.withColumn("__hb", hash_bucket("doc_id"))
-             .withColumn("rn", F.row_number().over(w))
-             .filter(F.col("rn") <= 10)
-             .select("doc_id", "lang",
-                     F.col("n_chars").cast("long").alias("n_chars")))
+    # Two-phase exact top-k: a single window per LANGUAGE would rank the
+    # whole language on one task (4-5 partitions for the corpus).  Phase 1
+    # takes the k smallest hashes within (lang, doc_id mod 16) shards —
+    # full parallelism; phase 2 ranks the ≤ 16k survivors per language —
+    # entity-grain.  Top-k of the union ≡ top-k of per-shard top-ks, so
+    # the result is identical to the one-window form.
+    hb = d.withColumn("__hb", hash_bucket("doc_id")) \
+          .withColumn("__shard", F.pmod(F.col("doc_id"), F.lit(16)))
+    w1 = Window.partitionBy("lang", "__shard") \
+               .orderBy(F.asc("__hb"), F.asc("doc_id"))
+    survivors = (hb.withColumn("__rn1", F.row_number().over(w1))
+                   .filter(F.col("__rn1") <= 10))
+    w2 = Window.partitionBy("lang").orderBy(F.asc("__hb"), F.asc("doc_id"))
+    return (survivors.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= 10)
+            .select("doc_id", "lang",
+                    F.col("n_chars").cast("long").alias("n_chars")))
 
 
 def q_json_struct(spark, sf_dir):
@@ -1988,6 +2012,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_pack_chunks": q_pack_chunks,
     "q_bpe_merges": q_bpe_merges,
     "q_approx_quantiles": q_approx_quantiles,
+    "q_minhash_incremental": q_minhash_incremental,
     "q_pca_embed": q_pca_embed,
     "q_flagship_truespeed": q_flagship_truespeed,
     "q_filter_project": q_filter_project,
