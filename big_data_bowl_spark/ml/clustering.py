@@ -15,7 +15,7 @@ it can run on fixed assignments (e.g. the embeddings table's ``label``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scalar import minmax_100, roundn
@@ -93,10 +93,17 @@ def centroid_distance_score(df: DataFrame, id_col: str, label_col: str,
                 .groupBy(id_col, label_col)
                 .agg(F.sqrt(F.sum(F.pow(F.col("__x") - F.col("centroid"), 2)))
                       .alias("dist")))
-    w = Window.partitionBy()
+    # Global extrema via aggregate + 1-row broadcast crossJoin: dist is
+    # CORPUS-grain (one row per vector), so a whole-partition window here
+    # would funnel the entire corpus through a single task — the same
+    # scale-killer class as the eval_predictions finding.  The aggregate
+    # partial-combines map-side; the 1-row result broadcasts.
     neg = -F.col("dist")
-    score = minmax_100(neg, F.min(neg).over(w), F.max(neg).over(w))
-    return dist.withColumn("score_100", score)
+    ext = dist.agg(F.min(neg).alias("__lo"), F.max(neg).alias("__hi"))
+    score = minmax_100(neg, F.col("__lo"), F.col("__hi"))
+    return (dist.crossJoin(F.broadcast(ext))
+                .withColumn("score_100", score)
+                .drop("__lo", "__hi"))
 
 
 def one_hot_labels(df: DataFrame, label_col: str, k: int,

@@ -371,9 +371,13 @@ def q_minmax_norm(spark, sf_dir):
     (normalize_scores_to_100, metrics.py:129-137)."""
     e = _t(spark, sf_dir, "events")
     board = e.groupBy("user_id").agg(F.avg("value").alias("mv"))
-    w = Window.partitionBy()
-    score = minmax_100(F.col("mv"), F.min("mv").over(w), F.max("mv").over(w))
-    return board.select("user_id", roundn(score).alias("score_100"))
+    # global extrema via aggregate + 1-row broadcast crossJoin — a
+    # whole-partition window would funnel the entity-grain board through
+    # ONE task; the aggregate partial-combines at full parallelism.
+    ext = board.agg(F.min("mv").alias("__lo"), F.max("mv").alias("__hi"))
+    score = minmax_100(F.col("mv"), F.col("__lo"), F.col("__hi"))
+    return (board.crossJoin(F.broadcast(ext))
+                 .select("user_id", roundn(score).alias("score_100")))
 
 
 def q_safe_div(spark, sf_dir):
@@ -417,12 +421,15 @@ def q_scorecard(spark, sf_dir):
                 .otherwise(F.lit(0).cast("long"))) / 100.0)
         .alias("purchase_value"))
     thresh = board.agg((F.max("n_events") * 0.25).alias("__thr"))
-    w = Window.partitionBy()
-    score = minmax_100(F.col("mean_value"),
-                       F.min("mean_value").over(w), F.max("mean_value").over(w))
     qualified = (board.crossJoin(F.broadcast(thresh))
-                      .filter(F.col("n_events") >= F.col("__thr"))
-                      .withColumn("score_100", score))
+                      .filter(F.col("n_events") >= F.col("__thr")))
+    # normalize over the QUALIFIED set (reference normalizes post-filter);
+    # extrema via aggregate + 1-row broadcast, not a whole-partition window
+    ext = qualified.agg(F.min("mean_value").alias("__lo"),
+                        F.max("mean_value").alias("__hi"))
+    score = minmax_100(F.col("mean_value"), F.col("__lo"), F.col("__hi"))
+    qualified = (qualified.crossJoin(F.broadcast(ext))
+                          .withColumn("score_100", score))
     out = rank_desc(qualified, "score_100", out="rank")
     return out.select("user_id", roundn(F.col("mean_value")).alias("mean_value"),
                       "n_events", roundn(F.col("purchase_value")).alias("purchase_value"),
@@ -1730,15 +1737,23 @@ def q_pct_of_total(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     per_user = (e.groupBy("user_id", "event_type")
                  .agg(F.sum("value").alias("user_value")))
-    w_type = Window.partitionBy("event_type")
-    w_all = Window.partitionBy()
-    return per_user.select(
-        "user_id", "event_type",
-        roundn(F.col("user_value")).alias("user_value"),
-        roundn(F.col("user_value") / F.sum("user_value").over(w_type))
-        .alias("pct_of_type"),
-        roundn(F.col("user_value") / F.sum("user_value").over(w_all))
-        .alias("pct_of_total"))
+    # Denominators via aggregates + broadcast join-backs, not windows: a
+    # whole-partition window single-tasks the table and the 5-value
+    # event_type window caps parallelism at 5.  Both aggregates partial-
+    # combine; exchange reuse shares the per_user shuffle across branches.
+    by_type = per_user.groupBy("event_type") \
+                      .agg(F.sum("user_value").alias("__type_total"))
+    total = per_user.agg(F.sum("user_value").alias("__grand_total"))
+    return (per_user
+            .join(F.broadcast(by_type), "event_type")
+            .crossJoin(F.broadcast(total))
+            .select(
+                "user_id", "event_type",
+                roundn(F.col("user_value")).alias("user_value"),
+                roundn(F.col("user_value") / F.col("__type_total"))
+                .alias("pct_of_type"),
+                roundn(F.col("user_value") / F.col("__grand_total"))
+                .alias("pct_of_total")))
 
 
 def q_truespeed_variants(spark, sf_dir):

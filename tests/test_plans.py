@@ -284,3 +284,21 @@ def test_zscore_no_whole_partition_window(spark):
     plan = executed_plan(df)
     assert "Window" not in plan, plan
     assert_broadcast_join(df, min_count=1)
+
+
+def test_global_normalizers_no_window(spark):
+    """Global min-max / percent-of-total denominators come from an
+    aggregate + 1-row broadcast crossJoin, never a whole-partition window
+    (which funnels the full table through ONE task).  q_scorecard keeps
+    exactly one Window — the leaderboard rank (inherent total order on
+    the entity-grain board); everything else is window-free."""
+    for name in ("q_minmax_norm", "q_pct_of_total", "q_centroid_score"):
+        plan = executed_plan(_q(spark, name))
+        assert "Window" not in plan, (name, plan)
+        # every join is broadcast (1-row scalars lower to
+        # BroadcastNestedLoopJoin; dims to BroadcastHashJoin) — the fact
+        # side is never shuffled for a join
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "Broadcast" in plan, (name, plan)
+    plan = executed_plan(_q(spark, "q_scorecard"))
+    assert plan.count("Window") == 1, plan
