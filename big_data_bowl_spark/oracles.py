@@ -668,6 +668,32 @@ SELECT node::BIGINT AS doc_id, min(reach)::BIGINT AS component
 FROM walk GROUP BY node
 """
 
+ORACLES["q_decontaminate"] = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents),
+bgrams AS (
+    SELECT DISTINCT array_to_string(list_slice(tk, i, i + 1), ' ') AS g
+    FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+    WHERE doc_id % 97 = 0),
+dgrams AS (
+    SELECT DISTINCT doc_id, array_to_string(list_slice(tk, i, i + 1), ' ') AS g
+    FROM toks, UNNEST(generate_series(1, len(tk) - 1)) AS t(i)
+    WHERE doc_id % 97 <> 0),
+cnt AS (
+    SELECT d.doc_id,
+           count(b.g) AS n_overlap,
+           count(*) AS n_grams
+    FROM dgrams d LEFT JOIN bgrams b USING (g)
+    GROUP BY 1)
+SELECT doc_id,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       round(n_overlap / n_grams, 6) AS overlap_frac
+FROM cnt
+WHERE n_overlap >= 5
+"""
+
 ORACLES["q_rollup_revenue"] = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 6) AS sum_qty,

@@ -546,6 +546,20 @@ def q_dup_components(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/PaLM n-gram rule): docs with
+    doc_id % 97 == 0 play the eval benchmark; every other doc sharing ≥ 5
+    distinct word 2-grams with ANY benchmark doc is reported with its
+    overlap counts.  (Real pipelines use 8-13-grams; the synthetic corpus
+    is too short/random for that — 2-grams exercise the same plan.)
+    Benchmark n-gram set broadcasts; one count shuffle."""
+    from .pipeline.decontam import ngram_contamination
+    d = _t(spark, sf_dir, "documents")
+    benchmark = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, benchmark, n=2, min_overlap=5)
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental dedup under the driver: ~1/7 of the corpus arrives as
     the 'new batch' and is matched against the signature INDEX of the
@@ -1965,6 +1979,7 @@ def q_array_hof(spark, sf_dir):
 # maximizing fresh coverage per round; all 106 pass the identical
 # check locally (tests/test_oracle_parity.py + scripts/drive_driver.py).
 QUERIES: dict[str, QueryFn] = {
+    "q_decontaminate": q_decontaminate,
     "q_exists_late_ship": q_exists_late_ship,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,

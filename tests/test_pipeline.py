@@ -528,3 +528,57 @@ def test_minhash_incremental_match_against_index(spark):
     # batch mode over the union sees the same cross-pair
     both = minhash_lsh_pairs(corpus.union(batch), min_est_jaccard=0.5)
     assert any((r.doc_a, r.doc_b) == (1, 10) for r in both.collect())
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3/PaLM n-gram rule)
+# ---------------------------------------------------------------------------
+
+def test_ngram_contamination_counts_and_short_doc_guard(spark):
+    from big_data_bowl_spark.pipeline.decontam import ngram_contamination
+    bench = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta")])
+    corpus = spark.createDataFrame([
+        # shares 2-grams "alpha beta" and "beta gamma" with the benchmark
+        Row(doc_id=1, text="alpha beta gamma unrelated tail words"),
+        # no shared 2-grams
+        Row(doc_id=2, text="totally different content with no overlap at all"),
+        # single-token doc: zero 2-grams — must not crash (sequence(1,0)
+        # would DESCEND without the guard) and must not appear
+        Row(doc_id=3, text="alpha"),
+    ])
+    out = {r["doc_id"]: r for r in
+           ngram_contamination(corpus, bench, n=2, min_overlap=1).collect()}
+    assert set(out) == {1}
+    assert out[1]["n_overlap"] == 2
+    assert out[1]["n_grams"] == 5
+    assert abs(out[1]["overlap_frac"] - 0.4) < 1e-9
+
+
+def test_decontaminate_drops_flagged_docs(spark):
+    from big_data_bowl_spark.pipeline.decontam import decontaminate
+    bench = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta")])
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma unrelated tail words"),
+        Row(doc_id=2, text="totally different content with no overlap at all"),
+    ])
+    kept = decontaminate(corpus, bench, n=2, min_overlap=1)
+    assert [r["doc_id"] for r in kept.collect()] == [2]
+    # corpus columns survive untouched
+    assert kept.columns == corpus.columns
+
+
+def test_decontamination_corpus_side_single_shuffle(spark):
+    """Scale shape: the benchmark gram set broadcasts and per-doc gram
+    dedup is in-row (array_distinct) — the corpus side sees exactly ONE
+    exchange (the count aggregate), never a shuffle keyed on n-grams."""
+    from big_data_bowl_spark.plans import executed_plan
+    from big_data_bowl_spark.queries import QUERIES
+    plan = executed_plan(QUERIES["q_decontaminate"](spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # corpus-side exchanges: every Exchange except the benchmark subtree's
+    # distinct (bounded by the benchmark size) must be the doc_id count
+    import re
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    corpus_ex = [e for e in exchanges if "doc_id" in e]
+    assert corpus_ex and all("gh" not in e for e in corpus_ex), exchanges
