@@ -182,6 +182,139 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                  .select("query_id", "neighbor_id", "cosine"))
 
 
+def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 64) -> DataFrame:
+    """Product-quantization codebooks: split each vector into ``m``
+    subvectors and k-means each subspace into ``k`` codes — the index that
+    stores a 100 TB embedding corpus as ``m`` small ints per vector
+    instead of ``dim`` floats (64:1 at the defaults with float64).
+
+    ALL ``m`` subspaces train in ONE Lloyd loop: vectors explode to
+    (subspace, subvector) rows and the subspace id rides the grouping
+    keys, so adding subspaces widens the aggregate instead of multiplying
+    driver-side iterations.  Init is deterministic (code = xxhash64(id) %
+    k — no RNG, engine-reproducible); the m×k-row codebook
+    ``localCheckpoint``s each round so plan depth is O(1) in ``iters``.
+
+    Returns (subspace, code, centroid array<double>) — m·k rows.
+    """
+    require_columns(df, [id_col, vec_col], "pq_codebooks")
+    if dim % m != 0:
+        raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
+    d_sub = dim // m
+    sub = (df.select(
+               F.col(id_col),
+               F.posexplode(F.array(*[
+                   F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+                   for s in range(m)])).alias("subspace", "sv")))
+    # deterministic init: spread ids across codes within every subspace
+    assigned = sub.withColumn(
+        "code", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int"))
+    books = None
+    for _ in range(iters):
+        comp = (assigned.select("subspace", "code",
+                                F.posexplode("sv").alias("d", "x"))
+                        .groupBy("subspace", "code", "d")
+                        .agg(F.avg("x").alias("c")))
+        books = (comp.groupBy("subspace", "code")
+                     .agg(F.transform(
+                             F.sort_array(F.collect_list(F.struct("d", "c"))),
+                             lambda s: s["c"]).alias("centroid"))
+                     .localCheckpoint(eager=True))
+        assigned = _pq_assign(sub, books)
+    return books
+
+
+def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
+    """Nearest-code assignment per (row, subspace): broadcast the m×k
+    codebook, equi-join on subspace, argmin via a combinable
+    min(struct(dist, code)) aggregate — no window, no per-id partition."""
+    d2 = F.aggregate(F.zip_with("sv", "centroid",
+                                lambda x, c: (x - c) * (x - c)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    group_keys = [c for c in sub.columns if c != "sv"]
+    # sv is functionally determined by the group keys — carry it with
+    # first() instead of hashing the array as a grouping key
+    return (sub.join(F.broadcast(books), "subspace")
+               .withColumn("__d", d2)
+               .groupBy(*group_keys)
+               .agg(F.min(F.struct(F.col("__d").alias("d"),
+                                   F.col("code").alias("code"))).alias("__b"),
+                    F.first("sv").alias("sv"))
+               .select(*group_keys, "sv",
+                       F.col("__b.code").alias("code")))
+
+
+def pq_encode(df: DataFrame, books: DataFrame, m: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              dim: int = 64) -> DataFrame:
+    """Encode vectors to PQ codes: (id, codes array<int>) with
+    ``codes[s]`` the nearest codebook entry of subspace ``s``.  One
+    broadcast join + one combinable argmin + one collect per id — the
+    codes table is what an index persists (m ints/vector)."""
+    require_columns(df, [id_col, vec_col], "pq_encode")
+    d_sub = dim // m
+    sub = (df.select(
+               F.col(id_col),
+               F.posexplode(F.array(*[
+                   F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+                   for s in range(m)])).alias("subspace", "sv")))
+    assigned = _pq_assign(sub, books)
+    return (assigned.groupBy(id_col)
+            .agg(F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("subspace", "code"))),
+                    lambda s: s["code"]).alias("codes")))
+
+
+def pq_topk_adc(codes: DataFrame, books: DataFrame, queries: DataFrame,
+                k: int = 3, m: int = 8,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                dim: int = 64, shards: int = 16) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
+    query's per-(subspace, code) distance table (q·m·k rows — tiny) is
+    broadcast, the corpus CODES explode to (id, subspace, code) and look
+    their partial distances up with a broadcast equi-join, and the
+    approximate distance is the per-(query, id) sum (map-side combinable).
+    The original vectors are never read — the scan is m ints per corpus
+    row, the whole point of PQ at 100 TB.
+
+    Top-k uses the two-phase shard trick (per-(query, id%shards) top-k,
+    then top-k of ≤ shards·k survivors) so the final ranking never funnels
+    a query's full candidate list through one task.
+
+    Returns (query_id, neighbor_id, approx_d2) — smaller is nearer.
+    """
+    d_sub = dim // m
+    qsub = (queries.select(
+                F.col(id_col).alias("query_id"),
+                F.posexplode(F.array(*[
+                    F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
+                    for s in range(m)])).alias("subspace", "qv")))
+    d2 = F.aggregate(F.zip_with("qv", "centroid",
+                                lambda x, c: (x - c) * (x - c)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    adc = (qsub.join(F.broadcast(books), "subspace")
+               .select("query_id", "subspace", "code", d2.alias("pd")))
+    corpus = (codes.select(F.col(id_col).alias("neighbor_id"),
+                           F.posexplode("codes").alias("subspace", "code")))
+    scored = (corpus.join(F.broadcast(adc), ["subspace", "code"])
+                    .groupBy("query_id", "neighbor_id")
+                    .agg(roundn(F.sum("pd")).alias("approx_d2"))
+                    .filter(F.col("query_id") != F.col("neighbor_id")))
+    w1 = Window.partitionBy(
+        "query_id", F.pmod(F.col("neighbor_id"), F.lit(shards))).orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id"))
+    survivors = (scored.withColumn("__rn", F.row_number().over(w1))
+                       .filter(F.col("__rn") <= k).drop("__rn"))
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
+                                                F.asc("neighbor_id"))
+    return (survivors.withColumn("__rn", F.row_number().over(w2))
+                     .filter(F.col("__rn") <= k)
+                     .select("query_id", "neighbor_id", "approx_d2"))
+
+
 def label_centroids(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding",
                     label_col: str = "label") -> DataFrame:

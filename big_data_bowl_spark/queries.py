@@ -585,6 +585,20 @@ def q_embed_dup(spark, sf_dir):
     return embedding_dup_pairs(em, threshold=0.25)
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN end-to-end: train m=8×k=16 codebooks (one
+    Lloyd loop for all subspaces), encode the corpus to 8-int codes, then
+    ADC top-3 for the first 5 vectors — the search scans CODES only, never
+    the original vectors.  Rows-only (iterative/approximate by nature);
+    recall containment and prototype-exactness are property-tested."""
+    from .pipeline.similarity import pq_codebooks, pq_encode, pq_topk_adc
+    em = _t(spark, sf_dir, "embeddings")
+    books = pq_codebooks(em, m=8, k=16, iters=2)
+    codes = pq_encode(em, books, m=8)
+    queries = em.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
+    return pq_topk_adc(codes, books, queries, k=3, m=8)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k over the embedding column: for the first 5
     vectors, the 3 nearest others.  Dot products via F.aggregate/zip_with —
@@ -1980,6 +1994,7 @@ def q_array_hof(spark, sf_dir):
 # check locally (tests/test_oracle_parity.py + scripts/drive_driver.py).
 QUERIES: dict[str, QueryFn] = {
     "q_decontaminate": q_decontaminate,
+    "q_pq_topk": q_pq_topk,
     "q_exists_late_ship": q_exists_late_ship,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,

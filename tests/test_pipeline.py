@@ -582,3 +582,78 @@ def test_decontamination_corpus_side_single_shuffle(spark):
     exchanges = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
     corpus_ex = [e for e in exchanges if "doc_id" in e]
     assert corpus_ex and all("gh" not in e for e in corpus_ex), exchanges
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN
+# ---------------------------------------------------------------------------
+
+def _prototype_vectors(spark, n_protos=4, copies=5, dim=16):
+    """copies × n_protos vectors, each an exact copy of one prototype —
+    with k ≥ n_protos every subspace codebook can represent every
+    subvector exactly, so PQ becomes lossless on this corpus."""
+    import itertools
+    rows = []
+    vid = 0
+    for p, _ in itertools.product(range(n_protos), range(copies)):
+        # deterministic prototype: orthogonal-ish blocks
+        vec = [float((p + 1) * (1 if (i // 4) % n_protos == p else 0))
+               for i in range(dim)]
+        rows.append(Row(vec_id=vid, proto=p, embedding=vec))
+        vid += 1
+    return spark.createDataFrame(rows)
+
+
+def test_pq_codes_shape_and_range(spark):
+    from big_data_bowl_spark.pipeline.similarity import pq_codebooks, pq_encode
+    df = _prototype_vectors(spark)
+    books = pq_codebooks(df, m=4, k=4, iters=2, dim=16)
+    codes = pq_encode(df, books, m=4, dim=16)
+    rows = codes.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
+def test_pq_lossless_on_prototype_corpus(spark):
+    """With k ≥ #distinct subvectors the trained codebook reproduces every
+    subvector exactly: copies of the same prototype get IDENTICAL codes
+    and ADC distance 0, while different prototypes keep distance > 0 —
+    so ADC top-k returns exactly the same-prototype copies first."""
+    from big_data_bowl_spark.pipeline.similarity import (
+        pq_codebooks, pq_encode, pq_topk_adc)
+    df = _prototype_vectors(spark)
+    books = pq_codebooks(df, m=4, k=4, iters=3, dim=16)
+    codes = pq_encode(df, books, m=4, dim=16)
+    by_id = {r["vec_id"]: tuple(r["codes"]) for r in codes.collect()}
+    protos = {r["vec_id"]: r["proto"] for r in df.select("vec_id", "proto").collect()}
+    # same prototype ⇒ same codes
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for vid, cd in by_id.items():
+        seen[protos[vid]].add(cd)
+    assert all(len(s) == 1 for s in seen.values()), seen
+    # ADC: query vec 0 (proto 0) — its 4 same-proto copies at distance 0
+    out = pq_topk_adc(codes, books, df.filter(F.col("vec_id") == 0),
+                      k=4, m=4, dim=16).collect()
+    assert len(out) == 4
+    assert all(r["approx_d2"] == 0.0 for r in out), out
+    assert {r["neighbor_id"] for r in out} == {1, 2, 3, 4}
+
+
+def test_pq_adc_no_vector_scan_single_window_shard(spark):
+    """Scale shape: the ADC search plan reads the CODES relation and the
+    broadcast distance table only — the embedding column never appears in
+    the search subtree, and every join is broadcast."""
+    from big_data_bowl_spark.pipeline.similarity import (
+        pq_codebooks, pq_encode, pq_topk_adc)
+    from big_data_bowl_spark.plans import executed_plan
+    df = _prototype_vectors(spark)
+    books = pq_codebooks(df, m=4, k=4, iters=1, dim=16)
+    codes = pq_encode(df, books, m=4, dim=16).localCheckpoint(eager=True)
+    plan = executed_plan(pq_topk_adc(
+        codes, books.localCheckpoint(eager=True),
+        df.filter(F.col("vec_id") == 0), k=2, m=4, dim=16))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
