@@ -638,6 +638,32 @@ SELECT doc_id AS media_id, 'image/fake' AS media_type,
 FROM codes
 """
 
+# Z-order: the 32-term Morton interleave is generated, not hand-typed —
+# bit b of the normalized x lands at position 2b, of y at 2b+1.
+_Z_TERMS = " + ".join(
+    f"(((zx >> {b}) & 1) << {2 * b}) + (((zy >> {b}) & 1) << {2 * b + 1})"
+    for b in range(16))
+ORACLES["q_zorder_values"] = f"""
+WITH base AS (
+    SELECT event_id, user_id AS x,
+           CAST(floor(epoch(ts)) AS BIGINT) AS y
+    FROM events),
+ext AS (
+    SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi
+    FROM base),
+nrm AS (
+    SELECT event_id,
+           CASE WHEN xhi = xlo THEN 0
+                ELSE CAST(floor((x - xlo) * 65535 / (xhi - xlo)) AS BIGINT)
+           END AS zx,
+           CASE WHEN yhi = ylo THEN 0
+                ELSE CAST(floor((y - ylo) * 65535 / (yhi - ylo)) AS BIGINT)
+           END AS zy
+    FROM base, ext)
+SELECT event_id, CAST({_Z_TERMS} AS BIGINT) AS zval
+FROM nrm
+"""
+
 ORACLES["q_dup_components"] = """
 WITH RECURSIVE raw AS (
     SELECT doc_id, source, unnest(string_split(text, ' ')) AS token

@@ -560,6 +560,20 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(corpus, benchmark, n=2, min_overlap=5)
 
 
+def q_zorder_values(spark, sf_dir):
+    """Z-order (Morton) values over (user_id, event time): the layout key
+    that makes parquet min-max stats selective on BOTH columns after a
+    repartitionByRange write (sources/layout.py).  Pure integer
+    arithmetic — exact DuckDB oracle twin; the pruning effect itself is
+    pinned by the layout locality test."""
+    from .sources.layout import with_zorder
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id",
+                    F.unix_timestamp("ts").alias("__ep"))
+    return (with_zorder(base, "user_id", "__ep", bits=16)
+            .select("event_id", "zval"))
+
+
 def q_minhash_incremental(spark, sf_dir):
     """Incremental dedup under the driver: ~1/7 of the corpus arrives as
     the 'new batch' and is matched against the signature INDEX of the
@@ -1995,6 +2009,7 @@ def q_array_hof(spark, sf_dir):
 QUERIES: dict[str, QueryFn] = {
     "q_decontaminate": q_decontaminate,
     "q_pq_topk": q_pq_topk,
+    "q_zorder_values": q_zorder_values,
     "q_exists_late_ship": q_exists_late_ship,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,

@@ -657,3 +657,42 @@ def test_pq_adc_no_vector_scan_single_window_shard(spark):
         df.filter(F.col("vec_id") == 0), k=2, m=4, dim=16))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout
+# ---------------------------------------------------------------------------
+
+def test_zorder_layout_localizes_both_dims(spark, tmp_path):
+    """After a Z-ordered write, each parquet file covers only a fraction
+    of BOTH dimensions' domains (so min-max stats prune filters on either
+    column).  A 1-D range layout on user_id leaves the time dimension at
+    ~full span per file — the contrast that justifies the interleave."""
+    from big_data_bowl_spark.sources.layout import write_zordered
+    e = (read_table(spark, SF_SMALL, "events")
+         .select("event_id", "user_id",
+                 F.unix_timestamp("ts").alias("ep")))
+    zpath = str(tmp_path / "z")
+    write_zordered(e, zpath, "user_id", "ep", n_files=8)
+
+    def mean_span_frac(path, col):
+        df = spark.read.parquet(path).withColumn(
+            "__f", F.input_file_name())
+        dom = df.agg((F.max(col) - F.min(col)).alias("d")).collect()[0]["d"]
+        spans = (df.groupBy("__f")
+                   .agg((F.max(col) - F.min(col)).alias("s")).collect())
+        return sum(r["s"] for r in spans) / (len(spans) * dom)
+
+    # 1-D contrast layout: range-partition by user_id only
+    lpath = str(tmp_path / "lin")
+    (e.repartitionByRange(8, "user_id").sortWithinPartitions("user_id")
+      .write.parquet(lpath))
+
+    z_user, z_ep = mean_span_frac(zpath, "user_id"), mean_span_frac(zpath, "ep")
+    l_ep = mean_span_frac(lpath, "ep")
+    # z-order: both dims localized; 1-D layout: the other dim un-localized
+    assert z_user < 0.8, z_user
+    assert z_ep < 0.8, z_ep
+    assert l_ep > 0.9, l_ep
+    # and the z files are strictly better-localized in time than linear's
+    assert z_ep < l_ep
