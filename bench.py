@@ -44,6 +44,13 @@ HEADLINE = [
     "q_tpch_q9",
     "q_tpch_q13",
     "q_tpch_q21",
+    # round-2 additions: decontamination sweep, PQ ANN end-to-end,
+    # Z-order key computation (r1 comparisons use the 22 keys above)
+    "q_decontaminate",
+    "q_pq_topk",
+    "q_zorder_values",
+    "q_bloom_semi_join",
+    "q_heavy_hitters",
 ]
 
 

@@ -103,3 +103,71 @@ def attach_labels(df: DataFrame, labels: DataFrame, keys: list[str],
         raise ValueError(f"attach_labels: 0-row inner join on {keys} — "
                          "check join keys/dtypes")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prune (beyond ref — the 100 TB shuffle-avoidance
+# pattern for key sets too big to broadcast whole)
+# ---------------------------------------------------------------------------
+
+def bloom_build(keys_df: DataFrame, key_col: str,
+                m_words: int = 1024, k: int = 4) -> DataFrame:
+    """Relational Bloom filter over a key set: an (word, bits) table of at
+    most ``m_words`` rows covering ``m_words·64`` bits, built with one
+    map-side-combinable ``bit_or`` aggregate — no driver collect, no UDF.
+
+    Each key sets ``k`` bits derived from ``xxhash64(key, i)``; the word
+    index and in-word mask are pure integer exprs.  The result is tiny
+    (8 KiB of bits at the default) regardless of key-set size — that is
+    the point: a 10⁹-row key set that could never broadcast as a hash
+    relation still broadcasts as a Bloom table.
+    """
+    require_columns(keys_df, [key_col], "bloom_build")
+    total_bits = m_words * 64
+    probes = F.array(*[
+        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(total_bits))
+        for i in range(k)])
+    exploded = keys_df.select(F.explode(probes).alias("bit"))
+    # shiftleft's bit-count arg must be a literal in the DataFrame API —
+    # the variable shift goes through the SQL expression instead
+    return (exploded
+            .select((F.col("bit") / 64).cast("long").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pmod(bit, 64) AS INT))").alias("mask"))
+            .groupBy("word")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_semi_join(fact: DataFrame, keys_df: DataFrame, key_col: str,
+                    m_words: int = 1024, k: int = 4) -> DataFrame:
+    """Exact semi-join with a Bloom prefilter: the fact side is pruned by
+    ``k`` BROADCAST joins against the (word, bits) table — constant-size
+    build side, zero fact shuffle, no row fan-out — and only survivors
+    (true matches + the ~(1−e^{−kn/m})^k false positives) reach the real
+    semi-join.  Result is EXACT: false positives are removed by the final
+    join, false negatives are impossible.
+
+    At 100 TB this turns "shuffle every fact row to discover most match
+    nothing" into "shuffle only plausible rows"; Spark's own runtime
+    filters apply the same idea, but only when statistics trigger them —
+    this operator is the explicit, always-on form.
+    """
+    require_columns(fact, [key_col], "bloom_semi_join")
+    bloom = bloom_build(keys_df, key_col, m_words=m_words, k=k)
+    total_bits = m_words * 64
+    pruned = fact
+    for i in range(k):
+        h = F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(total_bits))
+        word = (h / 64).cast("long")
+        b = bloom.select(F.col("word").alias(f"__w{i}"),
+                         F.col("bits").alias(f"__b{i}"))
+        # a fact word with no bloom row has no bits set → the inner join
+        # itself is the reject; set bits are probed with bit_get (variable
+        # positions are fine there, unlike shiftleft)
+        pruned = (pruned.join(F.broadcast(b),
+                              word == F.col(f"__w{i}"), "inner")
+                        .filter(F.bit_get(F.col(f"__b{i}"),
+                                          F.pmod(h, F.lit(64))) == 1)
+                        .drop(f"__w{i}", f"__b{i}"))
+    return pruned.join(keys_df.select(key_col).distinct(), key_col,
+                       "left_semi")

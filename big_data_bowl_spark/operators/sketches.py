@@ -1,0 +1,77 @@
+"""Count-min sketch: bounded-memory frequency estimation + exact heavy
+hitters with a sketch prefilter.
+
+The sketch is a d×w counter table built RELATIONALLY (explode each
+occurrence to its d (row, bucket) cells, one map-side-combinable count
+aggregate) — no driver state, no UDF; at any corpus size the table is at
+most d·w rows, so it broadcasts.
+
+The CMS guarantee (est ≥ true count, always) makes it a sound PREFILTER:
+`cms_heavy_hitters` drops every occurrence whose estimate is below the
+threshold BEFORE the exact count shuffle, so the long tail — the
+overwhelming majority of a 100 TB token stream — never moves, and the
+surviving candidates are counted exactly.  The final result is therefore
+EXACT (overestimates only add candidates, which the exact count then
+rejects), and carries a plain GROUP BY/HAVING oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+
+def cms_build(df: DataFrame, col: str, w: int = 2048,
+              d: int = 4) -> DataFrame:
+    """Build the (row, bucket, cnt) counter table: each occurrence of
+    ``col`` increments d counters at ``pmod(xxhash64(value, i), w)``.
+    One explode (×d, constant) + one count aggregate — partial combine
+    collapses each partition to ≤ d·w cells before the shuffle."""
+    require_columns(df, [col], "cms_build")
+    cells = F.array(*[
+        F.struct(F.lit(i).alias("row"),
+                 F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(w))
+                  .alias("bucket"))
+        for i in range(d)])
+    return (df.select(F.explode(cells).alias("c"))
+              .select("c.row", "c.bucket")
+              .groupBy("row", "bucket")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def with_cms_estimate(df: DataFrame, cms: DataFrame, col: str,
+                      w: int = 2048, d: int = 4,
+                      out: str = "cms_est") -> DataFrame:
+    """Append the CMS frequency estimate of ``col`` to every row: d
+    broadcast joins against the counter table (constant build side, zero
+    shuffle of ``df``), estimate = least of the d counters.  A cell
+    missing from the table means zero occurrences → estimate 0."""
+    require_columns(df, [col], "with_cms_estimate")
+    est = df
+    cols = []
+    for i in range(d):
+        b = cms.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"__k{i}"), F.col("cnt").alias(f"__c{i}"))
+        key = F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(w))
+        est = (est.join(F.broadcast(b), key == F.col(f"__k{i}"), "left")
+                  .drop(f"__k{i}"))
+        cols.append(F.coalesce(F.col(f"__c{i}"), F.lit(0)))
+    return est.withColumn(out, F.least(*cols)).drop(
+        *[f"__c{i}" for i in range(d)])
+
+
+def cms_heavy_hitters(df: DataFrame, col: str, min_count: int,
+                      w: int = 2048, d: int = 4) -> DataFrame:
+    """EXACT heavy hitters (values with true count ≥ ``min_count``) with
+    a CMS prefilter: occurrences whose estimate is already below the
+    threshold are dropped map-side (est ≥ true ⇒ no true heavy hitter is
+    lost); only candidates reach the exact count shuffle, which then
+    rejects the sketch's false positives.  Returns (value, n)."""
+    cms = cms_build(df, col, w=w, d=d)
+    candidates = (with_cms_estimate(df, cms, col, w=w, d=d)
+                  .filter(F.col("cms_est") >= min_count))
+    return (candidates.groupBy(F.col(col))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count))

@@ -638,6 +638,23 @@ SELECT doc_id AS media_id, 'image/fake' AS media_type,
 FROM codes
 """
 
+ORACLES["q_heavy_hitters"] = """
+SELECT l_partkey, count(*) AS n
+FROM lineitem
+GROUP BY 1
+HAVING count(*) >= 40
+"""
+
+ORACLES["q_bloom_semi_join"] = """
+SELECT l_returnflag,
+       count(*) AS n_items,
+       round(sum(l_quantity), 6) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_totalprice > 450000)
+GROUP BY 1
+"""
+
 # Z-order: the 32-term Morton interleave is generated, not hand-typed —
 # bit b of the normalized x lands at position 2b, of y at 2b+1.
 _Z_TERMS = " + ".join(

@@ -560,6 +560,34 @@ def q_decontaminate(spark, sf_dir):
     return ngram_contamination(corpus, benchmark, n=2, min_overlap=5)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters (parts ordered ≥ 40 times) with a count-min
+    prefilter: occurrences whose CMS estimate is under the threshold drop
+    map-side (est ≥ true ⇒ lossless), only candidates reach the exact
+    count shuffle.  Result is exact — plain GROUP BY/HAVING oracle."""
+    from .operators.sketches import cms_heavy_hitters
+    l = _t(spark, sf_dir, "lineitem")
+    return (cms_heavy_hitters(l, "l_partkey", min_count=40)
+            .select(F.col("l_partkey"), F.col("n")))
+
+
+def q_bloom_semi_join(spark, sf_dir):
+    """Bloom-prefiltered semi-join: lineitem rows whose order is in the
+    top-decile-value key set.  The key set's Bloom table (≤1024 words)
+    broadcasts where a 10⁹-key hash relation could not; false positives
+    are removed by the final semi-join, so the result is EXACT — the
+    oracle is the plain IN-subquery."""
+    from .operators.joins import bloom_semi_join
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    keys = (o.filter(F.col("o_totalprice") > 450000)
+             .select(F.col("o_orderkey").alias("l_orderkey")))
+    kept = bloom_semi_join(l, keys, "l_orderkey")
+    return (kept.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n_items"),
+                     roundn(F.sum("l_quantity")).alias("sum_qty")))
+
+
 def q_zorder_values(spark, sf_dir):
     """Z-order (Morton) values over (user_id, event time): the layout key
     that makes parquet min-max stats selective on BOTH columns after a
@@ -2010,6 +2038,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_decontaminate": q_decontaminate,
     "q_pq_topk": q_pq_topk,
     "q_zorder_values": q_zorder_values,
+    "q_bloom_semi_join": q_bloom_semi_join,
+    "q_heavy_hitters": q_heavy_hitters,
     "q_exists_late_ship": q_exists_late_ship,
     "q_tpch_q10": q_tpch_q10,
     "q_tpch_q12": q_tpch_q12,

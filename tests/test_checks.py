@@ -87,3 +87,97 @@ def test_nearest_in_group_guard_fails_loud_on_oversized_group(spark):
     bad = nearest_in_group(left, right, ["k"], "i", dist, max_group=22)
     with pytest.raises(Exception, match="max_group"):
         bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join prune
+# ---------------------------------------------------------------------------
+
+def test_bloom_semi_join_exact_and_pruning(spark):
+    """The Bloom prefilter never loses a true match (no false negatives)
+    and the final semi-join removes false positives — result identical to
+    the plain semi-join; and the prefilter genuinely prunes (survivor
+    count << fact count at this selectivity)."""
+    from big_data_bowl_spark.operators.joins import bloom_build, bloom_semi_join
+    from big_data_bowl_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    l = read_table(spark, SF_SMALL, "lineitem")
+    o = read_table(spark, SF_SMALL, "orders")
+    keys = (o.filter(F.col("o_totalprice") > 450000)
+             .select(F.col("o_orderkey").alias("l_orderkey")))
+    got = sorted(r["l_orderkey"] for r in
+                 bloom_semi_join(l, keys, "l_orderkey")
+                 .select("l_orderkey").collect())
+    want = sorted(r["l_orderkey"] for r in
+                  l.join(keys.distinct(), "l_orderkey", "left_semi")
+                   .select("l_orderkey").collect())
+    assert got == want and len(want) > 0
+    # the bits table is bounded by m_words regardless of key count
+    assert bloom_build(keys, "l_orderkey", m_words=64).count() <= 64
+
+
+def test_bloom_prefilter_joins_broadcast(spark):
+    """Scale shape: all k bloom probes are BroadcastHashJoins of the
+    constant-size word table — the fact is never shuffled for the
+    prefilter."""
+    from big_data_bowl_spark.operators.joins import bloom_semi_join
+    from big_data_bowl_spark.plans import executed_plan
+    from big_data_bowl_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    l = read_table(spark, SF_SMALL, "lineitem")
+    o = read_table(spark, SF_SMALL, "orders")
+    keys = (o.filter(F.col("o_totalprice") > 450000)
+             .select(F.col("o_orderkey").alias("l_orderkey")))
+    plan = executed_plan(bloom_semi_join(l, keys, "l_orderkey", k=4))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates_and_prefilter_is_exact(spark):
+    """CMS invariant: estimate ≥ true count for every value; and the
+    heavy-hitter prefilter result equals the exact GROUP BY/HAVING."""
+    from big_data_bowl_spark.operators.sketches import (
+        cms_build, cms_heavy_hitters, with_cms_estimate)
+    from big_data_bowl_spark.sources.io import read_table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_SMALL
+
+    l = read_table(spark, SF_SMALL, "lineitem").select("l_partkey")
+    truth = {r["l_partkey"]: r["n"] for r in
+             l.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    cms = cms_build(l, "l_partkey", w=256, d=4)  # small w → collisions
+    distinct = l.distinct()
+    est = {r["l_partkey"]: r["cms_est"] for r in
+           with_cms_estimate(distinct, cms, "l_partkey", w=256, d=4)
+           .collect()}
+    assert all(est[k] >= truth[k] for k in truth), "CMS underestimated"
+
+    hh = {r["l_partkey"]: r["n"] for r in
+          cms_heavy_hitters(l, "l_partkey", min_count=5, w=256, d=4)
+          .collect()}
+    want = {k: n for k, n in truth.items() if n >= 5}
+    assert hh == want
+
+
+def test_cms_table_bounded_and_probes_broadcast(spark):
+    """The counter table never exceeds d·w rows and every probe join is
+    a BroadcastHashJoin — the fact side is not shuffled for estimation."""
+    from big_data_bowl_spark.operators.sketches import cms_build, with_cms_estimate
+    from big_data_bowl_spark.plans import executed_plan
+    from big_data_bowl_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+
+    l = read_table(spark, SF_SMALL, "lineitem").select("l_partkey")
+    cms = cms_build(l, "l_partkey", w=64, d=3)
+    assert cms.count() <= 64 * 3
+    plan = executed_plan(with_cms_estimate(l, cms, "l_partkey", w=64, d=3))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
