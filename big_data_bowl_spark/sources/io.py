@@ -37,7 +37,14 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1: single-table parquet scan. Parquet carries its own schema; column
-    pruning and predicate pushdown happen at the scan (SURVEY §4.2)."""
+    pruning and predicate pushdown happen at the scan (SURVEY §4.2).
+
+    Timestamp normalization: pandas-written parquet stores timestamps with
+    isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ by default.
+    The engine (and the DuckDB oracles, via an Etc/UTC session) treats event
+    time as instants, so we disable NTZ inference and read them as TIMESTAMP
+    — the same dtype every query was validated against."""
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos = _NANOS_TS_COLS.get(name, ())
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
