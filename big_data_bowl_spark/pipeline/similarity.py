@@ -184,7 +184,7 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 
 def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, train_frac: float = 1.0) -> DataFrame:
     """Product-quantization codebooks: split each vector into ``m``
     subvectors and k-means each subspace into ``k`` codes — the index that
     stores a 100 TB embedding corpus as ``m`` small ints per vector
@@ -197,75 +197,115 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
     k — no RNG, engine-reproducible); the m×k-row codebook
     ``localCheckpoint``s each round so plan depth is O(1) in ``iters``.
 
+    ``train_frac`` < 1 trains on a deterministic hash sample of the corpus
+    (``xxhash64(id) % 1000 < 1000·frac``) — the 100 TB shape: codebooks
+    need only O(k·m) well-spread examples to converge (FAISS trains on
+    ~max(256·k, 100k) samples), so the Lloyd loop touches a fixed-size
+    training set while encode/search still cover every vector.
+
     Returns (subspace, code, centroid array<double>) — m·k rows.
     """
     require_columns(df, [id_col, vec_col], "pq_codebooks")
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     d_sub = dim // m
-    sub = (df.select(
+    train = df
+    if train_frac < 1.0:
+        train = df.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000))
+            < F.lit(int(1000 * train_frac)))
+    sub = (train.select(
                F.col(id_col),
                F.posexplode(F.array(*[
                    F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
                    for s in range(m)])).alias("subspace", "sv")))
+    # the training set is re-scanned every Lloyd round (assign + recompute):
+    # materialize the explode once instead of re-reading/re-exploding
+    sub = sub.persist()
     # deterministic init: spread ids across codes within every subspace
     assigned = sub.withColumn(
         "code", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int"))
     books = None
-    for _ in range(iters):
-        comp = (assigned.select("subspace", "code",
-                                F.posexplode("sv").alias("d", "x"))
-                        .groupBy("subspace", "code", "d")
-                        .agg(F.avg("x").alias("c")))
-        books = (comp.groupBy("subspace", "code")
-                     .agg(F.transform(
-                             F.sort_array(F.collect_list(F.struct("d", "c"))),
-                             lambda s: s["c"]).alias("centroid"))
-                     .localCheckpoint(eager=True))
-        assigned = _pq_assign(sub, books)
+    try:
+        for _ in range(iters):
+            comp = (assigned.select("subspace", "code",
+                                    F.posexplode("sv").alias("d", "x"))
+                            .groupBy("subspace", "code", "d")
+                            .agg(F.avg("x").alias("c")))
+            books = (comp.groupBy("subspace", "code")
+                         .agg(F.transform(
+                                 F.sort_array(
+                                     F.collect_list(F.struct("d", "c"))),
+                                 lambda s: s["c"]).alias("centroid"))
+                         .localCheckpoint(eager=True))
+            assigned = _pq_assign(sub, books)
+    finally:
+        sub.unpersist()
     return books
 
 
+def _argmin_code(sv, cents):
+    """Per-row nearest-code argmin: ``cents`` is the subspace's codebook as
+    array<array<double>> ordered by code; distances materialize as an
+    in-row array and ``array_position(min)`` picks the LOWEST code on ties
+    (same tie-break as min(struct(dist, code))).  Pure expression — runs
+    inside whole-stage codegen, no join fan-out, no aggregate."""
+    dists = F.transform(
+        cents,
+        lambda c: F.aggregate(F.zip_with(sv, c, lambda x, cc:
+                                         (x - cc) * (x - cc)),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _books_per_subspace(books: DataFrame) -> DataFrame:
+    """(subspace, code, centroid) → (subspace, cents array<array<double>>)
+    with cents ordered by code — m rows, broadcastable."""
+    return (books.groupBy("subspace")
+                 .agg(F.transform(
+                         F.array_sort(F.collect_list(
+                             F.struct("code", "centroid"))),
+                         lambda s: s["centroid"]).alias("cents")))
+
+
 def _pq_assign(sub: DataFrame, books: DataFrame) -> DataFrame:
-    """Nearest-code assignment per (row, subspace): broadcast the m×k
-    codebook, equi-join on subspace, argmin via a combinable
-    min(struct(dist, code)) aggregate — no window, no per-id partition."""
-    d2 = F.aggregate(F.zip_with("sv", "centroid",
-                                lambda x, c: (x - c) * (x - c)),
-                     F.lit(0.0), lambda acc, x: acc + x)
-    group_keys = [c for c in sub.columns if c != "sv"]
-    # sv is functionally determined by the group keys — carry it with
-    # first() instead of hashing the array as a grouping key
-    return (sub.join(F.broadcast(books), "subspace")
-               .withColumn("__d", d2)
-               .groupBy(*group_keys)
-               .agg(F.min(F.struct(F.col("__d").alias("d"),
-                                   F.col("code").alias("code"))).alias("__b"),
-                    F.first("sv").alias("sv"))
-               .select(*group_keys, "sv",
-                       F.col("__b.code").alias("code")))
+    """Nearest-code assignment per (row, subspace): broadcast the codebook
+    nested per subspace (m rows) and compute the argmin IN-ROW — the big
+    side is never fanned out ×k and never shuffled (the old
+    join-then-groupBy shape shuffled n·m subvector arrays per round)."""
+    return (sub.join(F.broadcast(_books_per_subspace(books)), "subspace")
+               .withColumn("code", _argmin_code(F.col("sv"), F.col("cents")))
+               .drop("cents"))
 
 
 def pq_encode(df: DataFrame, books: DataFrame, m: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding",
               dim: int = 64) -> DataFrame:
     """Encode vectors to PQ codes: (id, codes array<int>) with
-    ``codes[s]`` the nearest codebook entry of subspace ``s``.  One
-    broadcast join + one combinable argmin + one collect per id — the
-    codes table is what an index persists (m ints/vector)."""
+    ``codes[s]`` the nearest codebook entry of subspace ``s``.
+
+    MAP-ONLY: the whole m×k codebook nests into ONE broadcast row
+    (m·k·d_sub doubles — a few KB) and all m argmins run as in-row array
+    expressions, so encoding a 100 TB corpus is a single scan with zero
+    exchanges (the old explode → join → groupBy shape shuffled n·m
+    subvector rows twice)."""
     require_columns(df, [id_col, vec_col], "pq_encode")
     d_sub = dim // m
-    sub = (df.select(
-               F.col(id_col),
-               F.posexplode(F.array(*[
-                   F.slice(_as_double(F.col(vec_col)), s * d_sub + 1, d_sub)
-                   for s in range(m)])).alias("subspace", "sv")))
-    assigned = _pq_assign(sub, books)
-    return (assigned.groupBy(id_col)
-            .agg(F.transform(
-                    F.sort_array(F.collect_list(
-                        F.struct("subspace", "code"))),
-                    lambda s: s["code"]).alias("codes")))
+    nested = (_books_per_subspace(books)
+              .groupBy()
+              .agg(F.transform(
+                      F.array_sort(F.collect_list(
+                          F.struct("subspace", "cents"))),
+                      lambda s: s["cents"]).alias("bf")))
+    v = _as_double(F.col(vec_col))
+    # unrolled over the m subspaces (m is tiny and known) — one lambda
+    # level less than transform(sequence(...)) keeps analysis cheap
+    codes = F.array(*[
+        _argmin_code(F.slice(v, s * d_sub + 1, d_sub),
+                     F.element_at(F.col("bf"), s + 1))
+        for s in range(m)])
+    return (df.crossJoin(F.broadcast(nested))
+              .select(F.col(id_col), codes.alias("codes")))
 
 
 def pq_topk_adc(codes: DataFrame, books: DataFrame, queries: DataFrame,
@@ -273,12 +313,13 @@ def pq_topk_adc(codes: DataFrame, books: DataFrame, queries: DataFrame,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 dim: int = 64, shards: int = 16) -> DataFrame:
     """Asymmetric-distance (ADC) top-k over a PQ-encoded corpus: the
-    query's per-(subspace, code) distance table (q·m·k rows — tiny) is
-    broadcast, the corpus CODES explode to (id, subspace, code) and look
-    their partial distances up with a broadcast equi-join, and the
-    approximate distance is the per-(query, id) sum (map-side combinable).
-    The original vectors are never read — the scan is m ints per corpus
-    row, the whole point of PQ at 100 TB.
+    query's per-(subspace, code) distance table (q·m·k doubles — tiny)
+    nests into ONE broadcast row; each corpus row looks its m partial
+    distances up IN-ROW (``pdm[s][codes[s]]``) and sums them with a
+    zip_with/aggregate expression.  The original vectors are never read —
+    the scan is m ints per corpus row, the whole point of PQ at 100 TB —
+    and scoring is map-only: the first exchange in the plan is the
+    top-k shard window over n·q scored rows.
 
     Top-k uses the two-phase shard trick (per-(query, id%shards) top-k,
     then top-k of ≤ shards·k survivors) so the final ranking never funnels
@@ -297,12 +338,29 @@ def pq_topk_adc(codes: DataFrame, books: DataFrame, queries: DataFrame,
                      F.lit(0.0), lambda acc, x: acc + x)
     adc = (qsub.join(F.broadcast(books), "subspace")
                .select("query_id", "subspace", "code", d2.alias("pd")))
-    corpus = (codes.select(F.col(id_col).alias("neighbor_id"),
-                           F.posexplode("codes").alias("subspace", "code")))
-    scored = (corpus.join(F.broadcast(adc), ["subspace", "code"])
-                    .groupBy("query_id", "neighbor_id")
-                    .agg(roundn(F.sum("pd")).alias("approx_d2"))
-                    .filter(F.col("query_id") != F.col("neighbor_id")))
+    # nest the distance tables: (query_id, pdm[m][k]) rows → one row
+    qrow = (adc.groupBy("query_id", "subspace")
+               .agg(F.transform(
+                       F.array_sort(F.collect_list(F.struct("code", "pd"))),
+                       lambda s: s["pd"]).alias("pds"))
+               .groupBy("query_id")
+               .agg(F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("subspace", "pds"))),
+                       lambda s: s["pds"]).alias("pdm"))
+               .groupBy()
+               .agg(F.collect_list(F.struct("query_id", "pdm")).alias("qs")))
+    approx = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("q.pdm"),
+                   lambda c, pds: F.element_at(pds, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+                   .crossJoin(F.broadcast(qrow))
+                   .select("neighbor_id", "codes",
+                           F.explode("qs").alias("q"))
+                   .select(F.col("q.query_id").alias("query_id"),
+                           "neighbor_id", roundn(approx).alias("approx_d2"))
+                   .filter(F.col("query_id") != F.col("neighbor_id")))
     w1 = Window.partitionBy(
         "query_id", F.pmod(F.col("neighbor_id"), F.lit(shards))).orderBy(
         F.asc("approx_d2"), F.asc("neighbor_id"))

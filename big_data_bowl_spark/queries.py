@@ -635,7 +635,7 @@ def q_pq_topk(spark, sf_dir):
     recall containment and prototype-exactness are property-tested."""
     from .pipeline.similarity import pq_codebooks, pq_encode, pq_topk_adc
     em = _t(spark, sf_dir, "embeddings")
-    books = pq_codebooks(em, m=8, k=16, iters=2)
+    books = pq_codebooks(em, m=8, k=16, iters=2, train_frac=0.25)
     codes = pq_encode(em, books, m=8)
     queries = em.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
     return pq_topk_adc(codes, books, queries, k=3, m=8)

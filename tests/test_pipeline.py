@@ -656,7 +656,10 @@ def test_pq_adc_no_vector_scan_single_window_shard(spark):
         codes, books.localCheckpoint(eager=True),
         df.filter(F.col("vec_id") == 0), k=2, m=4, dim=16))
     assert "SortMergeJoin" not in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
+    # map-only scoring: the distance table arrives as a 1-row broadcast
+    # (query-side embedding reads feed that broadcast; the corpus side
+    # is the checkpointed CODES relation only)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
 
 
 # ---------------------------------------------------------------------------
