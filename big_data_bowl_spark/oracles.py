@@ -1468,3 +1468,100 @@ SELECT lang, stream, bin, count(*) AS n_chunks,
        count(DISTINCT doc_id) AS n_docs
 FROM b GROUP BY lang, stream, bin
 """
+
+ORACLES["q_bm25_rank"] = """
+WITH tok AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    t -> t <> ''))) AS BIGINT) AS sum_dl
+    FROM documents),
+tf AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM tok WHERE term IN ('spark', 'join', 'window')
+    GROUP BY doc_id, dl, term),
+dfreq AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term)
+SELECT tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                    / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))),
+             6) AS score
+FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
+
+ORACLES["q_unigram_scores"] = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents),
+counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+lp AS (
+    SELECT term,
+           round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS logp
+    FROM counts CROSS JOIN total)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(logp), 6) AS avg_logp
+FROM tok JOIN lp ON tok.term = lp.term
+GROUP BY tok.doc_id
+"""
+
+ORACLES["q_redact_pii"] = """
+WITH planted AS (
+    SELECT doc_id,
+           text || ' contact u' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com ref '
+                || CAST(doc_id * 1234567 + 1000000 AS VARCHAR) AS text
+    FROM documents),
+r1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS red1
+    FROM planted)
+SELECT doc_id, n_emails,
+       CAST(len(regexp_extract_all(red1, '[0-9]{7,}')) AS BIGINT)
+         AS n_longnums,
+       regexp_replace(red1, '[0-9]{7,}', '<NUM>', 'g') AS redacted,
+       CAST(length(regexp_replace(red1, '[0-9]{7,}', '<NUM>', 'g')) AS BIGINT)
+         AS n_chars
+FROM r1
+"""
+
+ORACLES["q_merge_upsert"] = """
+WITH base AS (
+    SELECT event_id, user_id, event_type, round(value, 6) AS value
+    FROM events),
+changes AS (
+    SELECT event_id, user_id, 'updated' AS event_type,
+           round(round(value, 6) + 100.0, 6) AS value, 'U' AS op
+    FROM events WHERE event_id % 7 = 0
+    UNION ALL
+    SELECT event_id, user_id, event_type, round(value, 6) AS value, 'D' AS op
+    FROM events WHERE event_id % 11 = 0 AND event_id % 7 <> 0
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id, user_id,
+           'inserted' AS event_type, round(value, 6) AS value, 'U' AS op
+    FROM events WHERE event_id % 97 = 0)
+SELECT coalesce(c.event_id, b.event_id) AS event_id,
+       CASE WHEN c.op IS NOT NULL THEN c.user_id ELSE b.user_id END AS user_id,
+       CASE WHEN c.op IS NOT NULL THEN c.event_type ELSE b.event_type END
+         AS event_type,
+       CASE WHEN c.op IS NOT NULL THEN c.value ELSE b.value END AS value
+FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id
+WHERE c.op IS NULL OR c.op <> 'D'
+"""

@@ -1,0 +1,101 @@
+"""Corpus-statistics scoring operators: BM25 keyword retrieval and unigram
+language-model quality scoring.
+
+Both are two-pass corpus shapes a training-data pipeline runs constantly:
+a global-statistics pass (document frequencies / token frequencies — small,
+broadcastable results) followed by a per-document scoring pass that joins
+those statistics back.  Everything is native Spark SQL expressions with
+exact DuckDB oracle twins; zero Python in the hot path.
+
+Scale notes (100 TB):
+- The exploded token stream is never materialized twice: statistics
+  aggregate with map-side combine (term cardinality is bounded by
+  vocabulary, not corpus size), and the scoring pass re-derives tokens in
+  the same stage that consumes them.
+- BM25 filters the exploded stream to the QUERY terms before any shuffle —
+  the per-(doc, term) aggregate carries only matching tokens, so cost
+  scales with hit count, not corpus token count.
+- The unigram vocabulary (≤ a few M rows for natural text) broadcasts; if
+  a tokenizer explodes vocabulary beyond broadcast range, the join falls
+  back to a shuffle join on the term — still linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalar import roundn
+from ..schemas import require_columns
+from .text import _tokens
+
+
+def bm25_rank(docs: DataFrame, query_terms: list[str], k1: float = 1.2,
+              b: float = 0.75, topk: int = 10, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """BM25 top-k retrieval for one keyword query (Robertson/Sparck Jones;
+    the Okapi formula with the +1 idf floor used by Lucene):
+
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+
+    Shape: tokens explode once, filter to the query terms IMMEDIATELY
+    (so the shuffle carries hits only), aggregate (doc, term) tf, then
+    broadcast the tiny df table and the 1-row corpus stats back over it.
+    Scores round before ranking; doc_id breaks ties deterministically.
+
+    Returns the topk (doc_id, n_terms, score) rows, highest score first.
+    """
+    require_columns(docs, [id_col, text_col], "bm25_rank")
+    toks = _tokens(text_col)
+    dl = F.size(toks).cast("long")
+    tok = (docs.select(F.col(id_col), dl.alias("dl"),
+                       F.explode(toks).alias("term"))
+               .filter(F.col("term").isin(*query_terms)))
+    tf = (tok.groupBy(id_col, "dl", "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("term")
+               .agg(F.count(F.lit(1)).alias("df")))  # one row per (doc,term)
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(dl).alias("sum_dl"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tscore = (idf * F.col("tf") * (k1 + 1)
+              / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    return (tf.join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy(id_col)
+              .agg(F.count(F.lit(1)).alias("n_terms"),
+                   roundn(F.sum(tscore)).alias("score"))
+              .orderBy(F.desc("score"), F.asc(id_col))
+              .limit(topk))
+
+
+def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Unigram language-model quality score — the cheap KenLM stand-in
+    every corpus-quality filter starts from: learn token log-probabilities
+    from the corpus itself (count/total), then score each document by its
+    mean token log-probability (higher = more typical text; gibberish and
+    boilerplate outliers fall out at both ends).
+
+    Per-token logp is rounded BEFORE the per-document mean so engine
+    association differences in the double sums stay below the final
+    rounding (the round-operands-first rule).
+
+    Returns (doc_id, n_tokens, avg_logp).
+    """
+    require_columns(docs, [id_col, text_col], "unigram_scores")
+    tok = docs.select(F.col(id_col), F.explode(_tokens(text_col)).alias("term"))
+    counts = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lp = (counts.crossJoin(F.broadcast(total))
+                .select("term",
+                        F.round(F.log(F.col("cnt").cast("double")
+                                      / F.col("total").cast("double")),
+                                6).alias("logp")))
+    return (tok.join(F.broadcast(lp), "term")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    roundn(F.avg("logp")).alias("avg_logp")))

@@ -150,6 +150,34 @@ def chunk_documents(df: DataFrame, chunk_size: int = 32,
         F.size(piece).cast("long").alias("n_tokens"))
 
 
+# PII patterns kept to constructs with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): explicit classes, no lookaround, no \d shorthand
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM_RE = r"[0-9]{7,}"
+
+
+def redact_pii(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """PII scrubbing — the redaction pass every shared corpus goes through
+    before training: replace email addresses with ``<EMAIL>`` and long
+    digit runs (phone/account/ID numbers, ≥7 digits) with ``<NUM>``,
+    reporting per-document match counts for audit.  Emails are redacted
+    FIRST so their local-part digits don't double-count as numbers.
+    Pure codegen projection — regexp_count/regexp_replace, no Python.
+    Returns (doc_id, n_emails, n_longnums, redacted, n_chars)."""
+    require_columns(df, [id_col, text_col], "redact_pii")
+    n_emails = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+    red1 = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    n_longnums = F.regexp_count(red1, F.lit(PII_LONGNUM_RE))
+    red2 = F.regexp_replace(red1, PII_LONGNUM_RE, "<NUM>")
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_longnums.cast("long").alias("n_longnums"),
+        red2.alias("redacted"),
+        F.length(red2).cast("long").alias("n_chars"))
+
+
 FP_PRIME = 1_000_000_007  # 31-bit modulus: products stay < 2^63 under ANSI
 
 

@@ -699,3 +699,76 @@ def test_zorder_layout_localizes_both_dims(spark, tmp_path):
     assert l_ep > 0.9, l_ep
     # and the z files are strictly better-localized in time than linear's
     assert z_ep < l_ep
+
+
+# ---------------------------------------------------------------------------
+# merge upsert, BM25, redaction, unigram LM
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_three_branches(spark):
+    """UPDATE overwrites matched keys, DELETE removes them, INSERT adds
+    unmatched 'U' rows; untouched base rows pass through unchanged."""
+    from big_data_bowl_spark.operators.merge import merge_upsert
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k int, s string, v double")
+    changes = spark.createDataFrame(
+        [(2, "B", 20.0, "U"),   # update
+         (3, None, 0.0, "D"),   # delete
+         (4, "d", 4.0, "U"),    # insert
+         (5, None, 0.0, "D")],  # delete of a missing key = no-op
+        "k int, s string, v double, op string")
+    out = {r["k"]: (r["s"], r["v"])
+           for r in merge_upsert(base, changes, keys=["k"]).collect()}
+    assert out == {1: ("a", 1.0), 2: ("B", 20.0), 4: ("d", 4.0)}
+
+
+def test_merge_upsert_broadcasts_nothing_big(spark):
+    """The merge is a key-partitioned join (sort-merge or shuffled hash),
+    never a nested loop — the shape that scales to a bucketed base."""
+    from big_data_bowl_spark.operators.merge import merge_upsert
+    from big_data_bowl_spark.plans import executed_plan
+    e = read_table(spark, SF_SMALL, "events").select("event_id", "value")
+    ch = e.limit(10).withColumn("op", F.lit("U"))
+    plan = executed_plan(merge_upsert(e, ch, keys=["event_id"]))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
+def test_bm25_orders_by_relevance(spark):
+    """A doc that repeats a rare query term outranks one with a single
+    common-term hit, and non-matching docs don't appear."""
+    from big_data_bowl_spark.pipeline.ranking import bm25_rank
+    rows = [(0, "rare rare rare pad pad"),
+            (1, "common pad pad pad pad"),
+            (2, "pad pad pad pad pad")]
+    # make 'common' common: it also appears in 8 filler docs
+    rows += [(10 + i, "common filler text here now") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_rank(docs, ["rare", "common"], topk=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 2 not in ids
+    assert ids[0] == 0, out
+    assert out[0]["score"] > 0
+
+
+def test_redact_pii_counts_and_text(spark):
+    from big_data_bowl_spark.pipeline.text import redact_pii
+    docs = spark.createDataFrame(
+        [(0, "mail a.b+c@x.co and 12345678 and 123"),
+         (1, "clean text only")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[0]["n_emails"] == 1 and out[0]["n_longnums"] == 1
+    assert out[0]["redacted"] == "mail <EMAIL> and <NUM> and 123"
+    assert out[1]["n_emails"] == 0 and out[1]["redacted"] == "clean text only"
+
+
+def test_unigram_scores_rank_typicality(spark):
+    """Docs made of frequent tokens score higher (closer to 0) than docs
+    of rare tokens."""
+    from big_data_bowl_spark.pipeline.ranking import unigram_scores
+    rows = [(i, "the the the the") for i in range(9)]
+    rows.append((100, "zyzzyva qwyjibo"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["avg_logp"] for r in unigram_scores(docs).collect()}
+    assert out[0] > out[100]
