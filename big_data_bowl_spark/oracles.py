@@ -1565,3 +1565,48 @@ SELECT coalesce(c.event_id, b.event_id) AS event_id,
 FROM base b FULL OUTER JOIN changes c ON b.event_id = c.event_id
 WHERE c.op IS NULL OR c.op <> 'D'
 """
+
+ORACLES["q_scd2_history"] = """
+WITH runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+hist AS (
+    SELECT user_id, event_type, ts AS valid_from, event_id,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM runs WHERE chg = 1)
+SELECT user_id, event_type,
+       CAST(floor(epoch(valid_from)) AS BIGINT) AS valid_from_ep,
+       CAST(floor(epoch(valid_to)) AS BIGINT) AS valid_to_ep,
+       valid_to IS NULL AS is_current
+FROM hist
+"""
+
+ORACLES["q_funnel_stages"] = """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.t GROUP BY e.user_id),
+t3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN t2 ON e.user_id = t2.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t GROUP BY e.user_id)
+SELECT e.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage,
+       count(*) AS n_events
+FROM events e
+LEFT JOIN t1 ON e.user_id = t1.user_id
+LEFT JOIN t2 ON e.user_id = t2.user_id
+LEFT JOIN t3 ON e.user_id = t3.user_id
+GROUP BY 1, 2
+"""

@@ -2088,6 +2088,33 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_scd2_history(spark, sf_dir):
+    """Type-2 SCD build over the events feed: per-user event_type runs
+    with validity intervals.  Consecutive-duplicate collapse (lag) + next
+    change (lead) — one window partitioning, single shuffle.  Epochs
+    floor-truncate (the DuckDB-cast gotcha, verify skill)."""
+    from .operators.scd import scd2_history
+    e = _t(spark, sf_dir, "events")
+    h = scd2_history(e, keys=["user_id"], ts_col="ts",
+                     attr_cols=["event_type"], tie_cols=["event_id"])
+    return h.select(
+        "user_id", "event_type",
+        F.unix_timestamp("valid_from").alias("valid_from_ep"),
+        F.unix_timestamp("valid_to").alias("valid_to_ep"),
+        "is_current")
+
+
+def q_funnel_stages(spark, sf_dir):
+    """Ordered funnel view → click → purchase per user (each step must
+    come STRICTLY after the previous step's first hit).  One shuffle: a
+    per-user sorted event array and a single fold — vs the k-shuffle
+    aggregate+join chain per step the SQL oracle spells out."""
+    from .operators.scd import funnel_stages
+    e = _t(spark, sf_dir, "events")
+    return funnel_stages(e, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"], tie_col="event_id")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2098,6 +2125,8 @@ def q_merge_upsert(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_scd2_history": q_scd2_history,
+    "q_funnel_stages": q_funnel_stages,
     "q_bm25_rank": q_bm25_rank,
     "q_unigram_scores": q_unigram_scores,
     "q_redact_pii": q_redact_pii,

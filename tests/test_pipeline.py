@@ -772,3 +772,39 @@ def test_unigram_scores_rank_typicality(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["avg_logp"] for r in unigram_scores(docs).collect()}
     assert out[0] > out[100]
+
+
+def test_scd2_collapses_runs_and_intervals(spark):
+    from big_data_bowl_spark.operators.scd import scd2_history
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [(1, t(0), "a"), (1, t(1), "a"), (1, t(2), "b"), (1, t(3), "a"),
+            (2, t(0), "x")]
+    ch = spark.createDataFrame(rows, "k int, ts timestamp, attr string")
+    out = sorted(
+        ((r["k"], r["attr"], r["valid_from"].second,
+          None if r["valid_to"] is None else r["valid_to"].second,
+          r["is_current"])
+         for r in scd2_history(ch, ["k"], "ts", ["attr"]).collect()))
+    assert out == [(1, "a", 0, 2, False), (1, "a", 3, None, True),
+                   (1, "b", 2, 3, False), (2, "x", 0, None, True)]
+
+
+def test_funnel_requires_strict_order(spark):
+    """A purchase BEFORE the first click does not count; a later one
+    does.  Entities with no first step sit at stage 0."""
+    from big_data_bowl_spark.operators.scd import funnel_stages
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # u1: full ordered funnel
+        (1, t(0), "view"), (1, t(1), "click"), (1, t(2), "purchase"),
+        # u2: purchase precedes click -> stage 2 only
+        (2, t(0), "view"), (2, t(1), "purchase"), (2, t(2), "click"),
+        # u3: never views -> stage 0
+        (3, t(0), "click"), (3, t(1), "purchase"),
+    ]
+    e = spark.createDataFrame(rows, "u int, ts timestamp, et string")
+    out = {r["u"]: r["stage"] for r in funnel_stages(
+        e, "u", "ts", "et", ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 2, 3: 0}
