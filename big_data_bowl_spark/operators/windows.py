@@ -49,6 +49,48 @@ def rank_desc(df: DataFrame, score: str, out: str = "rank",
     return df.withColumn(out, F.rank().over(w.orderBy(F.desc(score))).cast("long"))
 
 
+def rank_desc_distributed(df: DataFrame, score: str, out: str = "rank",
+                          tiebreak: list[str] | None = None,
+                          partitions: int | None = None) -> DataFrame:
+    """W7 at unbounded cardinality: competition rank (method='min',
+    descending) WITHOUT the single-task empty-partition window.
+
+    Three-phase: (1) ``repartitionByRange`` on the score descending — equal
+    scores land in one partition, so ties never straddle a boundary;
+    (2) rank locally within each range partition; (3) per-partition row
+    counts (a ``partitions``-row table) cumulative-sum into offsets and
+    broadcast back, so ``rank = local_rank + offset``.  The only
+    whole-dataset operations are the range exchange and a hash exchange on
+    the partition id; the global pass runs over `partitions` rows.
+
+    Use when the ranked frame is fact-grain.  For post-aggregation boards
+    (thousands of rows) the plain :func:`rank_desc` window is cheaper —
+    one exchange, no join."""
+    require_columns(df, [score], "rank_desc_distributed")
+    n = partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32")
+    order = [F.desc(score), *[F.asc(c) for c in (tiebreak or [])]]
+    staged = (df.repartitionByRange(int(n), *order)
+                .withColumn("__pid", F.spark_partition_id()))
+    local = staged.withColumn(
+        "__lr", F.rank().over(Window.partitionBy("__pid").orderBy(*order)))
+    woff = (Window.orderBy("__pid")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (staged.groupBy("__pid")
+                  .agg(F.count(F.lit(1)).alias("__n"))
+                  .withColumn("__off", F.coalesce(F.sum("__n").over(woff),
+                                                  F.lit(0))))
+    # competition-rank boundary invariant: without a tiebreak, equal
+    # scores are one range key and land in ONE partition, so earlier
+    # partitions hold strictly-greater rows only.  With a tiebreak the
+    # ordering must be UNIQUE (rank == row_number), which straddles
+    # safely.  Non-unique tiebreaks would break ties across partitions.
+    return (local.join(F.broadcast(offs.select("__pid", "__off")), "__pid")
+                 .withColumn(out, (F.col("__lr") + F.col("__off"))
+                             .cast("long"))
+                 .drop("__pid", "__lr"))
+
+
 def argmax_rows(df: DataFrame, col: str, group: list[str]) -> DataFrame:
     """W8: keep rows where ``col == max(col) per group`` — the reference's
     throw-frame / catch-frame selection (preprocess.py:366-373,479-482),

@@ -1610,3 +1610,7 @@ LEFT JOIN t2 ON e.user_id = t2.user_id
 LEFT JOIN t3 ON e.user_id = t3.user_id
 GROUP BY 1, 2
 """
+
+# identical semantics to q_rank_leaderboard: the distributed rank
+# must reproduce the window-rank board bit-for-bit
+ORACLES["q_rank_distributed"] = ORACLES["q_rank_leaderboard"]

@@ -2088,6 +2088,25 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_rank_distributed(spark, sf_dir):
+    """W7 scale path: the q_rank_leaderboard board ranked by
+    rank_desc_distributed — range-partition on the score, local rank,
+    broadcast offsets — instead of the single-task empty-partition
+    window.  Same oracle as the window form (semantics identical); the
+    plan is the one you'd want when the ranked frame is fact-grain."""
+    from .operators.windows import rank_desc_distributed
+    e = _t(spark, sf_dir, "events")
+    vc = cents(F.col("value"))
+    board = e.groupBy("user_id").agg(
+        (F.sum(vc) / F.count("value") / 100.0).alias("mean_value"),
+        F.count(F.lit(1)).alias("n_events"))
+    out = rank_desc_distributed(board, "mean_value", out="rank",
+                                partitions=8)
+    return out.select("user_id",
+                      roundn(F.col("mean_value")).alias("mean_value"),
+                      "n_events", "rank")
+
+
 def q_scd2_history(spark, sf_dir):
     """Type-2 SCD build over the events feed: per-user event_type runs
     with validity intervals.  Consecutive-duplicate collapse (lag) + next
@@ -2125,6 +2144,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_rank_distributed": q_rank_distributed,
     "q_scd2_history": q_scd2_history,
     "q_funnel_stages": q_funnel_stages,
     "q_bm25_rank": q_bm25_rank,

@@ -808,3 +808,22 @@ def test_funnel_requires_strict_order(spark):
     out = {r["u"]: r["stage"] for r in funnel_stages(
         e, "u", "ts", "et", ["view", "click", "purchase"]).collect()}
     assert out == {1: 3, 2: 2, 3: 0}
+
+
+def test_rank_distributed_equals_window_rank(spark):
+    """The range-partitioned three-phase rank must reproduce the
+    single-window competition rank exactly, including ties, and its plan
+    must carry a rangepartitioning exchange (the scale shape) instead of
+    funneling the frame through one task."""
+    from big_data_bowl_spark.operators.windows import (
+        rank_desc, rank_desc_distributed)
+    from big_data_bowl_spark.plans import executed_plan
+    rows = [(i, float(v)) for i, v in enumerate(
+        [5, 3, 3, 9, 1, 9, 9, 2, 8, 8, 7, 0, 4, 4, 4, 6])]
+    df = spark.createDataFrame(rows, "id int, score double")
+    a = {(r["id"], r["rank"]) for r in rank_desc(df, "score").collect()}
+    b = {(r["id"], r["rank"])
+         for r in rank_desc_distributed(df, "score", partitions=4).collect()}
+    assert a == b
+    plan = executed_plan(rank_desc_distributed(df, "score", partitions=4))
+    assert "rangepartitioning" in plan.lower(), plan
