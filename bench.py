@@ -51,6 +51,14 @@ HEADLINE = [
     "q_zorder_values",
     "q_bloom_semi_join",
     "q_heavy_hitters",
+    # round-3 additions: corpus ranking/scoring, MERGE apply, SCD2,
+    # funnel fold, distributed rank
+    "q_bm25_rank",
+    "q_unigram_scores",
+    "q_merge_upsert",
+    "q_scd2_history",
+    "q_funnel_stages",
+    "q_rank_distributed",
 ]
 
 
