@@ -103,3 +103,32 @@ def ols_slope(df: DataFrame, group: list[str], x: str, y: str) -> DataFrame:
         (F.avg(y) - slope * F.avg(x)).alias("intercept"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def equidepth_bins(df: DataFrame, col: str, n_bins: int = 10,
+                   keep: tuple[str, ...] = ()) -> DataFrame:
+    """Equi-depth (quantile) binning: assign each row the bucket between
+    the exact (k/n)-quantile thresholds — the feature-engineering
+    discretizer ntile() would need a global sort for.
+
+    Two-phase instead: ONE exact-percentile aggregate produces the n−1
+    thresholds (rounded to 6 so engines agree at bucket edges), the 1-row
+    result broadcasts back, and the bucket index is an in-row count of
+    thresholds strictly below the value — a map-only second pass, no
+    global ordering anywhere.  Ties at a threshold go to the LOWER bucket
+    on both engines (strict <).
+
+    Unlike ntile, equal values always share a bucket (depth balance
+    yields to value equality — the property you want for reproducible
+    features).  Returns df's ``keep`` columns + (col, bin 1..n_bins)."""
+    require_columns(df, [col, *keep], "equidepth_bins")
+    fracs = [k / n_bins for k in range(1, n_bins)]
+    thr = df.agg(F.transform(
+        F.percentile(col, F.array(*[F.lit(f) for f in fracs])),
+        lambda t: F.round(t, 6)).alias("__thr"))
+    bucket = (F.size(F.filter(F.col("__thr"),
+                              lambda t: t < F.col(col)))
+              + 1).cast("long")
+    return (df.select(*keep, col)
+              .crossJoin(F.broadcast(thr))
+              .select(*keep, col, bucket.alias("bin")))

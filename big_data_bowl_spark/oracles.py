@@ -1614,3 +1614,15 @@ GROUP BY 1, 2
 # identical semantics to q_rank_leaderboard: the distributed rank
 # must reproduce the window-rank board bit-for-bit
 ORACLES["q_rank_distributed"] = ORACLES["q_rank_leaderboard"]
+
+ORACLES["q_equidepth_bins"] = """
+WITH thr AS (
+    SELECT list_transform(
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]),
+             t -> round(t, 6)) AS th
+    FROM events)
+SELECT event_id, round(value, 6) AS value,
+       CAST(len(list_filter(th, t -> t < value)) + 1 AS BIGINT) AS bin
+FROM events CROSS JOIN thr
+"""

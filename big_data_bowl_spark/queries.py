@@ -2088,6 +2088,17 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_equidepth_bins(spark, sf_dir):
+    """A14 extension: equi-depth decile binning of event values — exact
+    percentile thresholds once (broadcast back), bucket = in-row strict
+    count below.  No global sort (the ntile trap)."""
+    from .operators.aggregates import equidepth_bins
+    e = _t(spark, sf_dir, "events")
+    out = equidepth_bins(e, "value", n_bins=10, keep=("event_id",))
+    return out.select("event_id", roundn(F.col("value")).alias("value"),
+                      "bin")
+
+
 def q_rank_distributed(spark, sf_dir):
     """W7 scale path: the q_rank_leaderboard board ranked by
     rank_desc_distributed — range-partition on the score, local rank,
@@ -2144,6 +2155,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_equidepth_bins": q_equidepth_bins,
     "q_rank_distributed": q_rank_distributed,
     "q_scd2_history": q_scd2_history,
     "q_funnel_stages": q_funnel_stages,

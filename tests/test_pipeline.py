@@ -827,3 +827,23 @@ def test_rank_distributed_equals_window_rank(spark):
     assert a == b
     plan = executed_plan(rank_desc_distributed(df, "score", partitions=4))
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_equidepth_bins_balanced_and_tie_stable(spark):
+    """Deciles of a uniform column are ~balanced, bins are 1..10, and
+    EQUAL values always share a bin (no ntile-style depth splitting)."""
+    from big_data_bowl_spark.operators.aggregates import equidepth_bins
+    e = read_table(spark, SF_SMALL, "events")
+    out = equidepth_bins(e, "value", n_bins=10, keep=("event_id",))
+    rows = out.collect()
+    n = len(rows)
+    sizes = {}
+    for r in rows:
+        assert 1 <= r["bin"] <= 10
+        sizes[r["bin"]] = sizes.get(r["bin"], 0) + 1
+    assert len(sizes) == 10
+    assert max(sizes.values()) < n * 0.2  # no bin hoards >2x its share
+    by_val = {}
+    for r in rows:
+        by_val.setdefault(r["value"], set()).add(r["bin"])
+    assert all(len(s) == 1 for s in by_val.values())
