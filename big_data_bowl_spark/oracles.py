@@ -1626,3 +1626,27 @@ SELECT event_id, round(value, 6) AS value,
        CAST(len(list_filter(th, t -> t < value)) + 1 AS BIGINT) AS bin
 FROM events CROSS JOIN thr
 """
+
+ORACLES["q_pit_join"] = """
+WITH runs AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN lag(event_type) OVER w IS NULL
+                     OR lag(event_type) OVER w <> event_type
+                THEN 1 ELSE 0 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+hist AS (
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to
+    FROM runs WHERE chg = 1),
+err AS (
+    SELECT event_id, user_id, ts - INTERVAL 30 MINUTE AS ts2
+    FROM events WHERE event_type = 'error')
+SELECT e.event_id, e.user_id, h.event_type AS version_asof
+FROM err e
+LEFT JOIN hist h
+  ON e.user_id = h.user_id
+ AND e.ts2 >= h.valid_from
+ AND (h.valid_to IS NULL OR e.ts2 < h.valid_to)
+"""

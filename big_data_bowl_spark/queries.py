@@ -2088,6 +2088,31 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_pit_join(spark, sf_dir):
+    """Point-in-time join — fact rows enriched against SCD2 validity
+    intervals AS OF an earlier instant (here: each error event asks which
+    event_type version was active 30 minutes before it).  Because SCD2
+    runs tile per key, 'the interval containing t' == 'the latest
+    valid_from ≤ t', so the lookup rides the linear union+window as-of
+    join instead of an interval theta-join; the oracle spells out the
+    interval form."""
+    from .operators.asof import asof_join
+    from .operators.scd import scd2_history
+    e = _t(spark, sf_dir, "events")
+    hist = scd2_history(e, keys=["user_id"], ts_col="ts",
+                        attr_cols=["event_type"], tie_cols=["event_id"])
+    err = (e.filter(F.col("event_type") == "error")
+            .select("event_id", "user_id",
+                    (F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+                    .alias("ts2")))
+    versions = hist.select("user_id", F.col("valid_from").alias("ts2"),
+                           F.col("event_type").alias("version"))
+    out = asof_join(err, versions, by=["user_id"], ts="ts2",
+                    payload=["version"], suffix="_asof")
+    return out.select("event_id", "user_id",
+                      F.col("version_asof").alias("version_asof"))
+
+
 def q_equidepth_bins(spark, sf_dir):
     """A14 extension: equi-depth decile binning of event values — exact
     percentile thresholds once (broadcast back), bucket = in-row strict
@@ -2155,6 +2180,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_pit_join": q_pit_join,
     "q_equidepth_bins": q_equidepth_bins,
     "q_rank_distributed": q_rank_distributed,
     "q_scd2_history": q_scd2_history,
