@@ -132,3 +132,51 @@ def equidepth_bins(df: DataFrame, col: str, n_bins: int = 10,
     return (df.select(*keep, col)
               .crossJoin(F.broadcast(thr))
               .select(*keep, col, bucket.alias("bin")))
+
+
+def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
+                       max_items_per_group: int | None = None) -> DataFrame:
+    """Item co-occurrence counts (market-basket / co-click analysis):
+    for every unordered item pair sharing a group, how many groups
+    contain both.  Distinct (group, item) first, then a self-equi-join on
+    the group with ``item_a < item_b`` — per-group fan-out is
+    C(items-in-group, 2), so cost scales with group sizes, not corpus
+    size (the J6 bounded-quadratic discipline; pass
+    ``max_items_per_group`` to fail loud on degenerate groups).
+    Returns (item_a, item_b, n_groups)."""
+    require_columns(df, [group_col, item_col], "cooccurrence_pairs")
+    items = df.select(group_col, item_col).distinct()
+    if max_items_per_group is not None:
+        from .checks import check_group_cardinality
+        items = check_group_cardinality(items, [group_col],
+                                        max_items_per_group)
+    a = items.select(F.col(group_col).alias("__g"),
+                     F.col(item_col).alias("item_a"))
+    b = items.select(F.col(group_col).alias("__g"),
+                     F.col(item_col).alias("item_b"))
+    return (a.join(b, "__g")
+             .filter(F.col("item_a") < F.col("item_b"))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("n_groups")))
+
+
+def transition_matrix(df: DataFrame, group_col: str, state_col: str,
+                      order_cols: list[str]) -> DataFrame:
+    """First-order Markov transition counts + probabilities over ordered
+    per-group state sequences (user-journey analysis): lag the state
+    within each group, count (prev, next) pairs, normalize per prev
+    state.  One window shuffle on the group key; the per-prev totals are
+    a states²-row aggregate broadcast back (never a whole-partition
+    window).  Returns (prev_state, next_state, n, p)."""
+    require_columns(df, [group_col, state_col, *order_cols],
+                    "transition_matrix")
+    w = Window.partitionBy(group_col).orderBy(*[F.asc(c) for c in order_cols])
+    pairs = (df.withColumn("__prev", F.lag(F.col(state_col)).over(w))
+               .filter(F.col("__prev").isNotNull())
+               .groupBy(F.col("__prev").alias("prev_state"),
+                        F.col(state_col).alias("next_state"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("prev_state").agg(F.sum("n").alias("__tot"))
+    return (pairs.join(F.broadcast(totals), "prev_state")
+                 .select("prev_state", "next_state", "n",
+                         F.round(F.col("n") / F.col("__tot"), 6).alias("p")))

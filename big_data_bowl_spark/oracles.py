@@ -1650,3 +1650,40 @@ LEFT JOIN hist h
  AND e.ts2 >= h.valid_from
  AND (h.valid_to IS NULL OR e.ts2 < h.valid_to)
 """
+
+ORACLES["q_weighted_sample"] = """
+WITH s AS (
+    SELECT doc_id, lang,
+           round(-ln(((doc_id % 4294967296) * 2654435761 % 4294967296
+                      + 0.5) / 4294967296.0)
+                 / CAST(n_chars AS DOUBLE), 6) AS wkey
+    FROM documents
+    WHERE CAST(n_chars AS DOUBLE) > 0)
+SELECT doc_id, lang, wkey
+FROM s ORDER BY wkey ASC, doc_id ASC LIMIT 50
+"""
+
+ORACLES["q_cooccurrence"] = """
+WITH items AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*) AS n_groups
+FROM items a
+JOIN items b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+ORACLES["q_transition_matrix"] = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events),
+pairs AS (
+    SELECT prev AS prev_state, event_type AS next_state, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (
+    SELECT prev_state, CAST(sum(n) AS BIGINT) AS t FROM pairs GROUP BY 1)
+SELECT pr.prev_state, pr.next_state, pr.n,
+       round(pr.n / CAST(t AS DOUBLE), 6) AS p
+FROM pairs pr JOIN tot USING (prev_state)
+"""

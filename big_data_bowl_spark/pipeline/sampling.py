@@ -43,3 +43,32 @@ def stratified_hash_sample(df: DataFrame, key_col: str, group_col: str,
     for g, r in sorted(rates.items()):
         rate = F.when(F.col(group_col) == g, F.lit(float(r))).otherwise(rate)
     return df.filter(hash_bucket(key_col) < rate)
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col,
+                    k: int = 50) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis A-ES, exponential-sort form): each row draws the engine-
+    neutral uniform u from its KEY and is ranked by ``−ln(u)/w`` — the k
+    SMALLEST ranks are the sample, inclusion probability ∝ weight.
+
+    Same reproducibility contract as :func:`hash_bucket` (key-derived, no
+    rand(), no partition dependence) — rerunning, repartitioning, or
+    switching engines returns the SAME sample.  The rank rounds to 6
+    before the top-k so a 1-ulp ``ln`` difference between engines cannot
+    flip membership except on a rounding boundary; ties break by key.
+    Map-side rank + one distributed TakeOrdered — no shuffle.
+
+    Rows with non-positive weight are excluded (their rank would be
+    meaningless); returns df's row with an extra ``wkey`` rank column.
+    """
+    require_columns(df, [key_col], "weighted_sample")
+    u = ((F.pmod(F.pmod(F.col(key_col), F.lit(HASH_MOD)) * F.lit(HASH_MULT),
+                 F.lit(HASH_MOD)) + 0.5)
+         / F.lit(float(HASH_MOD)))
+    w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
+    wkey = F.round(-F.log(u) / w.cast("double"), 6)
+    return (df.filter(w.cast("double") > 0)
+              .withColumn("wkey", wkey)
+              .orderBy(F.asc("wkey"), F.asc(key_col))
+              .limit(k))

@@ -2088,6 +2088,36 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling (Efraimidis–Spirakis): 50 docs with
+    inclusion probability ∝ length, reproducible across engines/runs/
+    partitionings (key-derived uniform, no rand())."""
+    from .pipeline.sampling import weighted_sample
+    d = _t(spark, sf_dir, "documents")
+    out = weighted_sample(d, "doc_id", "n_chars", k=50)
+    return out.select("doc_id", "lang", "wkey")
+
+
+def q_cooccurrence(spark, sf_dir):
+    """Market-basket co-occurrence: unordered event_type pairs sharing a
+    user, counted across users.  Distinct-first then self-equi-join on
+    the group key — the J6 bounded-fan-out discipline (≤C(5,2) pairs per
+    user here)."""
+    from .operators.aggregates import cooccurrence_pairs
+    e = _t(spark, sf_dir, "events")
+    return cooccurrence_pairs(e, "user_id", "event_type")
+
+
+def q_transition_matrix(spark, sf_dir):
+    """First-order Markov transitions over each user's event sequence:
+    lag window → pair counts → per-prev normalization via a broadcast
+    totals join-back (states²-row table, never a whole-partition
+    window)."""
+    from .operators.aggregates import transition_matrix
+    e = _t(spark, sf_dir, "events")
+    return transition_matrix(e, "user_id", "event_type", ["ts", "event_id"])
+
+
 def q_pit_join(spark, sf_dir):
     """Point-in-time join — fact rows enriched against SCD2 validity
     intervals AS OF an earlier instant (here: each error event asks which
@@ -2180,6 +2210,9 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_weighted_sample": q_weighted_sample,
+    "q_cooccurrence": q_cooccurrence,
+    "q_transition_matrix": q_transition_matrix,
     "q_pit_join": q_pit_join,
     "q_equidepth_bins": q_equidepth_bins,
     "q_rank_distributed": q_rank_distributed,

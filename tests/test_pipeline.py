@@ -847,3 +847,42 @@ def test_equidepth_bins_balanced_and_tie_stable(spark):
     for r in rows:
         by_val.setdefault(r["value"], set()).add(r["bin"])
     assert all(len(s) == 1 for s in by_val.values())
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Inclusion probability tracks the weight: rows with 100x weight
+    dominate a small sample; the sample is deterministic."""
+    from big_data_bowl_spark.pipeline.sampling import weighted_sample
+    rows = [(i, 1000.0 if i < 20 else 10.0) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = {r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()}
+    s2 = {r["id"] for r in weighted_sample(df, "id", "w", k=10).collect()}
+    assert s1 == s2
+    heavy = sum(1 for i in s1 if i < 20)
+    assert heavy >= 6, (heavy, s1)
+
+
+def test_cooccurrence_guard_trips_on_degenerate_group(spark):
+    from big_data_bowl_spark.operators.aggregates import cooccurrence_pairs
+    rows = [(1, f"item{i}") for i in range(30)] + [(2, "a"), (2, "b")]
+    df = spark.createDataFrame(rows, "g int, item string")
+    ok = cooccurrence_pairs(df, "g", "item").count()
+    assert ok == 30 * 29 // 2 + 1
+    try:
+        cooccurrence_pairs(df, "g", "item", max_items_per_group=10).count()
+        raised = False
+    except Exception:
+        raised = True
+    assert raised
+
+
+def test_transition_matrix_rows_sum_to_one(spark):
+    from big_data_bowl_spark.operators.aggregates import transition_matrix
+    e = read_table(spark, SF_SMALL, "events")
+    tm = transition_matrix(e, "user_id", "event_type", ["ts", "event_id"])
+    rows = tm.collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_state"], 0.0)
+        by_prev[r["prev_state"]] += r["p"]
+    assert all(abs(v - 1.0) < 1e-4 for v in by_prev.values()), by_prev
