@@ -1687,3 +1687,17 @@ SELECT pr.prev_state, pr.next_state, pr.n,
        round(pr.n / CAST(t AS DOUBLE), 6) AS p
 FROM pairs pr JOIN tot USING (prev_state)
 """
+
+ORACLES["q_variant_props"] = """
+SELECT event_type,
+       count(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+         AS n_parsed,
+       CAST(sum(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS sum_k,
+       CAST(min(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS min_k,
+       CAST(max(try_cast(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+"""

@@ -2088,6 +2088,24 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_variant_props(spark, sf_dir):
+    """Schemaless JSON via the Spark 4 VARIANT type: ``try_parse_json``
+    once into a binary variant column, then typed path extraction
+    (``try_variant_get``) — the open-schema path for evolving telemetry
+    where ``from_json`` (q_json_struct) would need a declared struct.
+    Parse happens ONCE per row regardless of how many paths are pulled
+    (vs get_json_object re-parsing per extraction)."""
+    e = _t(spark, sf_dir, "events")
+    v = e.withColumn("__v", F.try_parse_json("props"))
+    k = F.try_variant_get(F.col("__v"), "$.k", "bigint")
+    return (v.select("event_type", k.alias("k"))
+             .groupBy("event_type")
+             .agg(F.count("k").alias("n_parsed"),
+                  F.sum("k").cast("long").alias("sum_k"),
+                  F.min("k").cast("long").alias("min_k"),
+                  F.max("k").cast("long").alias("max_k")))
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic weighted sampling (Efraimidis–Spirakis): 50 docs with
     inclusion probability ∝ length, reproducible across engines/runs/
@@ -2210,6 +2228,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,
     "q_cooccurrence": q_cooccurrence,
     "q_transition_matrix": q_transition_matrix,
