@@ -109,3 +109,25 @@ def check_nonempty(df: DataFrame, name: str = "check_nonempty") -> DataFrame:
     if df.isEmpty():
         raise DataQualityError(f"{name}: frame is empty (0 rows)")
     return df
+
+
+def attach_observation(df: DataFrame, metrics: dict[str, "F.Column"],
+                       name: str = "quality"):
+    """Zero-extra-pass quality metrics: ``df.observe`` rides whatever
+    action next materializes the frame, accumulating the named aggregate
+    expressions on the executors as rows stream by — at 100 TB this is
+    the difference between 'checks cost one more full scan' (every
+    ``check_*`` above) and 'checks are free with the write'.
+
+    Returns ``(observed_df, observation)``; read ``observation.get``
+    AFTER an action on the returned frame.  Use the ``violations``
+    helper for count-of-bad-rows metrics."""
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in metrics.items()]), obs
+
+
+def violations(cond: "F.Column") -> "F.Column":
+    """Count of rows violating ``cond`` (i.e. where it is false or null)
+    — the standard metric expression for :func:`attach_observation`."""
+    return F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))

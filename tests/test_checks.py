@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from big_data_bowl_spark.operators.checks import (
     DataQualityError,
@@ -181,3 +182,25 @@ def test_cms_table_bounded_and_probes_broadcast(spark):
     plan = executed_plan(with_cms_estimate(l, cms, "l_partkey", w=64, d=3))
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_attach_observation_free_metrics(spark):
+    """Metrics accumulate on the SAME action that materializes the frame
+    (no second scan) and report exact violation counts."""
+    from big_data_bowl_spark.operators.checks import (
+        attach_observation, violations)
+    from big_data_bowl_spark.sources.io import read_table
+    from tests.conftest import SF_SMALL
+    e = read_table(spark, SF_SMALL, "events")
+    observed, obs = attach_observation(e, {
+        "n_rows": F.count(F.lit(1)),
+        "null_values": violations(F.col("value").isNotNull()),
+        "bad_types": violations(F.col("event_type").isin(
+            "click", "error", "purchase", "signup", "view")),
+    })
+    n = observed.count()  # the one action; metrics ride it
+    got = obs.get
+    assert got["n_rows"] == n
+    assert got["bad_types"] == 0
+    expected_nulls = e.filter(F.col("value").isNull()).count()
+    assert got["null_values"] == expected_nulls
