@@ -75,3 +75,30 @@ def cms_heavy_hitters(df: DataFrame, col: str, min_count: int,
     return (candidates.groupBy(F.col(col))
             .agg(F.count(F.lit(1)).alias("n"))
             .filter(F.col("n") >= min_count))
+
+
+def hll_sketches(df: DataFrame, group: list[str], col: str,
+                 lgk: int = 12) -> DataFrame:
+    """Per-group HLL sketch bytes (Apache DataSketches, built into Spark
+    4) — the MERGEABLE distinct-count state an incremental pipeline
+    persists: compute one sketch table per ingest batch/partition, store
+    ~2^lgk bytes per group, and answer any later distinct-count rollup by
+    unioning sketches instead of rescanning history.  Returns
+    (*group, sketch binary)."""
+    require_columns(df, [*group, col], "hll_sketches")
+    return df.groupBy(*group).agg(
+        F.hll_sketch_agg(col, F.lit(lgk)).alias("sketch"))
+
+
+def hll_rollup_estimate(sketches: DataFrame, group: list[str],
+                        out: str = "approx_distinct") -> DataFrame:
+    """Merge persisted sketches up to a coarser grain and estimate:
+    register-max union is order-insensitive and lossless across any
+    partitioning of the inputs — union(per-day sketches) ≡ sketch(whole),
+    the property `test_hll_union_equals_whole` pins.  Cost is
+    O(groups · 2^lgk) bytes through the shuffle, independent of fact
+    rows."""
+    require_columns(sketches, [*group, "sketch"], "hll_rollup_estimate")
+    return sketches.groupBy(*group).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg("sketch", F.lit(False))).alias(out))

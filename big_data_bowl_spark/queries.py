@@ -2088,6 +2088,17 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_hll_incremental(spark, sf_dir):
+    """Incremental distinct-count rollup from persisted mergeable state:
+    per-(event_type, day) HLL sketches union to the event_type grain —
+    the 'never rescan history' pattern (rows-only: DataSketches estimate
+    has no DuckDB twin; union≡whole + 3% accuracy are property-tested)."""
+    from .operators.sketches import hll_rollup_estimate, hll_sketches
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = hll_sketches(e, ["event_type", "day"], "user_id")
+    return hll_rollup_estimate(daily, ["event_type"])
+
+
 def q_variant_props(spark, sf_dir):
     """Schemaless JSON via the Spark 4 VARIANT type: ``try_parse_json``
     once into a binary variant column, then typed path extraction
@@ -2228,6 +2239,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,
     "q_cooccurrence": q_cooccurrence,

@@ -886,3 +886,27 @@ def test_transition_matrix_rows_sum_to_one(spark):
         by_prev.setdefault(r["prev_state"], 0.0)
         by_prev[r["prev_state"]] += r["p"]
     assert all(abs(v - 1.0) < 1e-4 for v in by_prev.values()), by_prev
+
+
+def test_hll_union_equals_whole_and_close_to_exact(spark):
+    """Incremental sketch contract: per-day sketches unioned to the
+    event_type grain give the SAME estimate as one whole-table sketch
+    (register-max merge is partition-insensitive), and estimates sit
+    within 3% of exact distinct counts."""
+    from big_data_bowl_spark.operators.sketches import (
+        hll_rollup_estimate, hll_sketches)
+    e = (read_table(spark, SF_SMALL, "events")
+         .withColumn("day", F.to_date("ts")))
+    daily = hll_sketches(e, ["event_type", "day"], "user_id")
+    merged = {r["event_type"]: r["approx_distinct"]
+              for r in hll_rollup_estimate(daily, ["event_type"]).collect()}
+    whole = {r["event_type"]: r["approx_distinct"]
+             for r in hll_rollup_estimate(
+                 hll_sketches(e, ["event_type"], "user_id"),
+                 ["event_type"]).collect()}
+    assert merged == whole
+    exact = {r["event_type"]: r["n"]
+             for r in e.groupBy("event_type")
+                       .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for et, est in merged.items():
+        assert abs(est - exact[et]) / exact[et] < 0.03, (et, est, exact[et])
