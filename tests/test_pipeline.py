@@ -910,3 +910,19 @@ def test_hll_union_equals_whole_and_close_to_exact(spark):
                        .agg(F.countDistinct("user_id").alias("n")).collect()}
     for et, est in merged.items():
         assert abs(est - exact[et]) / exact[et] < 0.03, (et, est, exact[et])
+
+
+def test_merge_upsert_idempotent(spark):
+    """Re-applying the same changes feed is a no-op: MERGE semantics are
+    deterministic on (key, op), so replayed CDC batches cannot corrupt
+    the snapshot."""
+    from big_data_bowl_spark.operators.merge import merge_upsert
+    base = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "k int, v double")
+    changes = spark.createDataFrame(
+        [(2, 20.0, "U"), (3, 0.0, "D"), (4, 4.0, "U")],
+        "k int, v double, op string")
+    once = merge_upsert(base, changes, keys=["k"])
+    twice = merge_upsert(once, changes, keys=["k"])
+    assert sorted(map(tuple, once.collect())) == \
+           sorted(map(tuple, twice.collect()))
