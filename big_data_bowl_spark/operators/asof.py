@@ -73,3 +73,39 @@ def asof_join(left: DataFrame, right: DataFrame, by: list[str], ts: str,
         out = out.withColumn(f"{p}{suffix}", carried)
     keep = [c for c in left.columns] + [f"{p}{suffix}" for p in payload]
     return out.filter(F.col("__side") == 1).select(*keep)
+
+
+def resample_ffill(df: DataFrame, keys: list[str], ts: str,
+                   payload: list[str], step_seconds: int,
+                   tie_col: str | None = None) -> DataFrame:
+    """Resample each key's irregular series onto a regular ``step_seconds``
+    grid, carrying the last observation forward (pandas
+    ``resample().ffill()``) — the alignment step before any cross-series
+    join or windowed model feature.
+
+    The grid generates ON THE EXECUTORS: per-key min/max epochs aggregate
+    first (one combinable pass), then ``sequence`` + ``explode`` fan the
+    grid points out map-side — the driver never materializes a time axis.
+    Values attach via the linear union+window as-of join (one shuffle on
+    the keys), so total cost is two key-shuffles regardless of grid
+    density.  Grid cardinality per key is span/step — bound the step to
+    the series span at call sites.
+
+    Returns (*keys, grid_ep, <payload>_asof ...): ``grid_ep`` is the
+    grid's epoch seconds (floored to a step multiple)."""
+    require_columns(df, [*keys, ts, *payload], "resample_ffill")
+    step = F.lit(int(step_seconds))
+    ep = F.unix_timestamp(F.col(ts))
+    bounds = (df.groupBy(*keys)
+                .agg(F.min(ep).alias("__lo"), F.max(ep).alias("__hi")))
+    grid = (bounds.select(
+        *keys,
+        F.explode(F.sequence((F.col("__lo") / step).cast("long") * step,
+                             F.col("__hi"), step)).alias("grid_ep")))
+    left = grid.withColumn("__gts", F.timestamp_seconds(F.col("grid_ep")))
+    right = df.select(*keys, F.col(ts).alias("__gts"), *payload,
+                      *([F.col(tie_col)] if tie_col else []))
+    out = asof_join(left, right, by=keys, ts="__gts", payload=payload,
+                    tie_col=tie_col)
+    return out.select(*keys, "grid_ep",
+                      *[F.col(f"{p}_asof") for p in payload])

@@ -1701,3 +1701,24 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+ORACLES["q_resample_ffill"] = """
+WITH b AS (
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS lo,
+           CAST(floor(epoch(max(ts))) AS BIGINT) AS hi
+    FROM events GROUP BY user_id),
+grid AS (
+    SELECT user_id,
+           unnest(generate_series(
+               CAST(floor(lo / 21600.0) AS BIGINT) * 21600, hi, 21600))
+             AS grid_ep
+    FROM b),
+ev AS (
+    SELECT user_id, epoch(ts) AS eps, round(value, 6) AS value
+    FROM events)
+SELECT g.user_id, g.grid_ep, e.value AS value_asof
+FROM grid g
+ASOF LEFT JOIN ev e
+  ON g.user_id = e.user_id AND g.grid_ep >= e.eps
+"""

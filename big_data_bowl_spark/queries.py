@@ -2088,6 +2088,21 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_resample_ffill(spark, sf_dir):
+    """Regular-grid resampling with forward-fill: every user's value
+    series aligned to a 6-hour grid (executor-side sequence fan-out, the
+    linear as-of attach).  Grid points before a user's first event stay
+    null — both engines agree.  Oracle uses DuckDB's native ASOF JOIN on
+    fractional epochs."""
+    from .operators.asof import resample_ffill
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", "ts", roundn(F.col("value")).alias("value"),
+                 "event_id"))
+    out = resample_ffill(e, ["user_id"], "ts", ["value"],
+                         step_seconds=6 * 3600, tie_col="event_id")
+    return out.select("user_id", "grid_ep", "value_asof")
+
+
 def q_hll_incremental(spark, sf_dir):
     """Incremental distinct-count rollup from persisted mergeable state:
     per-(event_type, day) HLL sketches union to the event_type grain —
@@ -2239,6 +2254,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,

@@ -926,3 +926,18 @@ def test_merge_upsert_idempotent(spark):
     twice = merge_upsert(once, changes, keys=["k"])
     assert sorted(map(tuple, once.collect())) == \
            sorted(map(tuple, twice.collect()))
+
+
+def test_resample_ffill_grid_and_carry(spark):
+    """Grid points align to step multiples, values carry forward between
+    observations, and pre-first-event points are null."""
+    from big_data_bowl_spark.operators.asof import resample_ffill
+    import datetime as dt
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 30)
+    rows = [(1, t(5), 10.0), (1, t(25), 20.0)]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, v double")
+    out = {r["grid_ep"]: r["v_asof"] for r in
+           resample_ffill(df, ["u"], "ts", ["v"], 600).collect()}
+    base = int(dt.datetime(2024, 1, 1).timestamp())
+    # grid: 00:00, 00:10, 00:20 (events at 00:05:30 and 00:25:30)
+    assert out == {base: None, base + 600: 10.0, base + 1200: 10.0}
