@@ -1722,3 +1722,22 @@ FROM grid g
 ASOF LEFT JOIN ev e
   ON g.user_id = e.user_id AND g.grid_ep >= e.eps
 """
+
+ORACLES["q_jaccard_prefix"] = """
+WITH raw AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.token = b.token AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.6
+"""

@@ -2088,6 +2088,16 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_jaccard_prefix(spark, sf_dir):
+    """EXACT all-pairs Jaccard ≥ 0.6 with PPJoin prefix filtering:
+    candidates only from rarest-token prefixes (guaranteed complete),
+    verified in-row — equals the naive all-pairs join the oracle
+    spells out."""
+    from .pipeline.dedup import jaccard_prefix_pairs
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_prefix_pairs(d, threshold=0.6)
+
+
 def q_resample_ffill(spark, sf_dir):
     """Regular-grid resampling with forward-fill: every user's value
     series aligned to a 6-hour grid (executor-side sequence fan-out, the
@@ -2254,6 +2264,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_jaccard_prefix": q_jaccard_prefix,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,

@@ -941,3 +941,28 @@ def test_resample_ffill_grid_and_carry(spark):
     base = int(dt.datetime(2024, 1, 1).timestamp())
     # grid: 00:00, 00:10, 00:20 (events at 00:05:30 and 00:25:30)
     assert out == {base: None, base + 600: 10.0, base + 1200: 10.0}
+
+
+def test_jaccard_prefix_equals_bruteforce(spark):
+    """The prefix filter must lose NO qualifying pair: results equal the
+    naive all-pairs join on a corpus with rare and common tokens."""
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+    rows = [
+        (0, "common1 common2 common3 rare0"),
+        (1, "common1 common2 common3 rare0"),          # dup of 0
+        (2, "common1 common2 common3 rare2"),          # 3/5 vs 0
+        (3, "rare3a rare3b rare3c rare3d"),            # disjoint
+        (4, "common1 common2 common3 rare0 extra4"),   # 4/5 vs 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_prefix_pairs(docs, threshold=0.6).collect()}
+    # brute force in python
+    toks = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for a in range(5):
+        for b in range(a + 1, 5):
+            j = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+            if round(j, 6) >= 0.6:
+                want[(a, b)] = round(j, 6)
+    assert got == want, (got, want)
