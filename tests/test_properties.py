@@ -139,3 +139,45 @@ def test_cents_roundtrip_exact(spark, vals):
     got = {r.i: r.c for r in
            df.select("i", cents(F.col("v")).alias("c")).collect()}
     assert got == {i: c for i, c in enumerate(vals)}
+
+
+@settings(max_examples=6, deadline=None)
+@given(base=st.lists(st.tuples(st.integers(0, 9), st.integers(-50, 50)),
+                     min_size=0, max_size=12, unique_by=lambda t: t[0]),
+       changes=st.lists(st.tuples(st.integers(0, 12), st.integers(-50, 50),
+                                  st.sampled_from(["U", "D"])),
+                        min_size=0, max_size=10, unique_by=lambda t: t[0]))
+def test_merge_upsert_matches_dict_model(spark, base, changes):
+    """MERGE ≡ the obvious dict model: apply upserts/deletes to a map."""
+    from big_data_bowl_spark.operators.merge import merge_upsert
+    b = spark.createDataFrame(base or [(99, 0)], "k int, v int")
+    c = spark.createDataFrame(changes or [(98, 0, "D")],
+                              "k int, v int, op string")
+    got = {r["k"]: r["v"]
+           for r in merge_upsert(b, c, keys=["k"]).collect()}
+    model = dict(base or [(99, 0)])
+    for k, v, op in (changes or [(98, 0, "D")]):
+        if op == "D":
+            model.pop(k, None)
+        else:
+            model[k] = v
+    assert got == model
+
+
+@settings(max_examples=6, deadline=None)
+@given(seq=st.lists(st.sampled_from(["a", "b", "c", "x"]),
+                    min_size=0, max_size=12))
+def test_funnel_stage_matches_python_fold(spark, seq):
+    """The in-row funnel fold ≡ a python walk over the ordered events."""
+    from big_data_bowl_spark.operators.scd import funnel_stages
+    import datetime as dt
+    rows = [(1, dt.datetime(2024, 1, 1, 0, 0, i), s)
+            for i, s in enumerate(seq)] or \
+           [(1, dt.datetime(2024, 1, 1), "x")]
+    e = spark.createDataFrame(rows, "u int, ts timestamp, et string")
+    got = funnel_stages(e, "u", "ts", "et", ["a", "b", "c"]).collect()
+    steps, stage = ["a", "b", "c"], 0
+    for _, _, s in sorted(rows, key=lambda r: r[1]):
+        if stage < 3 and s == steps[stage]:
+            stage += 1
+    assert got[0]["stage"] == stage, (seq, got, stage)
