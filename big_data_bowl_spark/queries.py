@@ -2088,6 +2088,21 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_synthetic_source(spark, sf_dir):
+    """Spark 4 custom Python DataSource smoke: 10k deterministic synthetic
+    events generated partition-parallel (no files), aggregated per type.
+    Rows-only — DuckDB cannot run a Spark data source; determinism is
+    pinned by `test_synthetic_source_parallel_and_deterministic`."""
+    from .sources.synthetic import SyntheticEventsDataSource
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 10_000).option("partitions", 8).load())
+    return (df.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   roundn(F.sum("value")).alias("sum_value"),
+                   F.countDistinct("user_id").alias("n_users")))
+
+
 def q_jaccard_prefix(spark, sf_dir):
     """EXACT all-pairs Jaccard ≥ 0.6 with PPJoin prefix filtering:
     candidates only from rarest-token prefixes (guaranteed complete),
@@ -2264,6 +2279,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_synthetic_source": q_synthetic_source,
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
