@@ -1741,3 +1741,22 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.6
 """
+
+ORACLES["q_negative_samples"] = """
+WITH pos AS (
+    SELECT DISTINCT user_id, event_id % 1000 AS item FROM events),
+cand AS (
+    SELECT user_id, item,
+           (user_id * 31 + item * 17 + 0) % 4294967296
+             * 2654435761 % 4294967296 % 1000 AS neg_item
+    FROM pos
+    UNION ALL
+    SELECT user_id, item,
+           (user_id * 31 + item * 17 + 1) % 4294967296
+             * 2654435761 % 4294967296 % 1000 AS neg_item
+    FROM pos)
+SELECT c.user_id, c.item, c.neg_item
+FROM cand c
+LEFT JOIN pos p ON c.user_id = p.user_id AND c.neg_item = p.item
+WHERE p.item IS NULL
+"""

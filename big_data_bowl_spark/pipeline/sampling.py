@@ -72,3 +72,36 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col,
               .withColumn("wkey", wkey)
               .orderBy(F.asc("wkey"), F.asc(key_col))
               .limit(k))
+
+
+def negative_samples(positives: DataFrame, user_col: str, item_col: str,
+                     n_items: int, k: int = 3) -> DataFrame:
+    """Deterministic negative sampling — the contrastive-training prep
+    step: for every positive (user, item) pair, propose ``k`` candidate
+    negatives drawn from the item space by the engine-neutral hash of
+    (user, item, j), then remove ACCIDENTAL positives with one left-anti
+    join against the positives themselves.
+
+    Everything before the anti-join is map-side (explode of a k-element
+    in-row array); the anti-join shuffles on (user, item) once.  Rows
+    whose candidate collided with a true positive yield < k negatives —
+    the standard contract (callers resample survivors or accept the
+    deficit; a rejection loop would be data-dependent and unbounded).
+
+    Returns (user, item, neg_item) — one row per surviving candidate.
+    """
+    require_columns(positives, [user_col, item_col], "negative_samples")
+    cands = []
+    for j in range(k):
+        seed = (F.col(user_col) * 31 + F.col(item_col) * 17 + F.lit(j))
+        cands.append(F.pmod(
+            F.pmod(F.pmod(seed, F.lit(HASH_MOD)) * F.lit(HASH_MULT),
+                   F.lit(HASH_MOD)),
+            F.lit(n_items)))
+    fanned = positives.select(
+        F.col(user_col), F.col(item_col),
+        F.explode(F.array(*cands)).alias("neg_item"))
+    return fanned.join(
+        positives.select(F.col(user_col),
+                         F.col(item_col).alias("neg_item")).distinct(),
+        [user_col, "neg_item"], "left_anti")

@@ -2088,6 +2088,19 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_negative_samples(spark, sf_dir):
+    """Contrastive-training negative sampling: for each positive
+    (user, item) interaction (item = event_id mod 1000), two
+    deterministic hash-drawn candidates from the item space, accidental
+    positives removed by one left-anti join.  Reproducible across
+    engines/partitionings — no rand()."""
+    from .pipeline.sampling import negative_samples
+    e = _t(spark, sf_dir, "events")
+    pos = (e.select("user_id", (F.col("event_id") % 1000).alias("item"))
+            .distinct())
+    return negative_samples(pos, "user_id", "item", n_items=1000, k=2)
+
+
 def q_synthetic_source(spark, sf_dir):
     """Spark 4 custom Python DataSource smoke: 10k deterministic synthetic
     events generated partition-parallel (no files), aggregated per type.
@@ -2279,6 +2292,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_negative_samples": q_negative_samples,
     "q_synthetic_source": q_synthetic_source,
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_resample_ffill": q_resample_ffill,

@@ -966,3 +966,21 @@ def test_jaccard_prefix_equals_bruteforce(spark):
             if round(j, 6) >= 0.6:
                 want[(a, b)] = round(j, 6)
     assert got == want, (got, want)
+
+
+def test_negative_samples_never_hit_positives(spark):
+    from big_data_bowl_spark.pipeline.sampling import negative_samples
+    pos = spark.createDataFrame(
+        [(u, i) for u in range(5) for i in range(u + 1)],
+        "user_id long, item long")
+    out = negative_samples(pos, "user_id", "item", n_items=7, k=3)
+    rows = out.collect()
+    assert rows
+    pos_set = {(r["user_id"], r["item"]) for r in pos.collect()}
+    for r in rows:
+        assert (r["user_id"], r["neg_item"]) not in pos_set
+        assert 0 <= r["neg_item"] < 7
+    # deterministic across invocations
+    again = sorted(map(tuple, negative_samples(
+        pos, "user_id", "item", n_items=7, k=3).collect()))
+    assert again == sorted(map(tuple, rows))
