@@ -1760,3 +1760,16 @@ FROM cand c
 LEFT JOIN pos p ON c.user_id = p.user_id AND c.neg_item = p.item
 WHERE p.item IS NULL
 """
+
+ORACLES["q_temperature_mix"] = """
+WITH counts AS (
+    SELECT source, count(*) AS n FROM documents GROUP BY source),
+tot AS (SELECT sum(sqrt(n)) AS t FROM counts),
+rates AS (
+    SELECT source, 200.0 * sqrt(n) / t / n AS rate
+    FROM counts CROSS JOIN tot)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE (d.doc_id % 4294967296) * 2654435761 % 4294967296
+      / 4294967296.0 < r.rate
+"""

@@ -105,3 +105,29 @@ def negative_samples(positives: DataFrame, user_col: str, item_col: str,
         positives.select(F.col(user_col),
                          F.col(item_col).alias("neg_item")).distinct(),
         [user_col, "neg_item"], "left_anti")
+
+
+def temperature_mixture(df: DataFrame, group_col: str, key_col: str,
+                        target_rows: int) -> DataFrame:
+    """Temperature-T=2 dataset mixing (the multilingual-corpus
+    rebalancing rule: sample source i with probability ∝ n_i^(1/T), so
+    dominant sources downweight and tails upweight): per-source rates
+    derive IN-PLAN from the corpus counts — ``target · √n_i / Σ√n_j``
+    rows from source i — and membership is the deterministic key-hash
+    bucket, so the mixed corpus is reproducible on any engine or layout.
+
+    T is fixed at 2 because √ is IEEE-exact on every engine; arbitrary
+    ``pow(n, 1/T)`` could differ by an ulp across libm implementations
+    and flip boundary rows.  One aggregate (sources-bounded), one
+    broadcast join-back, map-side filter — no collect, no rand().
+    Returns df rows with the sampling ``rate`` attached."""
+    require_columns(df, [group_col, key_col], "temperature_mixture")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum(F.sqrt(F.col("__n"))).alias("__tot"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+                   .select(F.col(group_col),
+                           (F.lit(float(target_rows))
+                            * F.sqrt(F.col("__n")) / F.col("__tot")
+                            / F.col("__n")).alias("rate")))
+    return (df.join(F.broadcast(rates), group_col)
+              .filter(hash_bucket(key_col) < F.col("rate")))

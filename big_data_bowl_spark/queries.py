@@ -2088,6 +2088,16 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-2 dataset mixing over the documents sources:
+    √n-proportional sampling rates derived in-plan, deterministic hash
+    membership — the multilingual rebalancing rule, reproducibly."""
+    from .pipeline.sampling import temperature_mixture
+    d = _t(spark, sf_dir, "documents")
+    out = temperature_mixture(d, "source", "doc_id", target_rows=200)
+    return out.select("doc_id", "source", roundn(F.col("rate")).alias("rate"))
+
+
 def q_negative_samples(spark, sf_dir):
     """Contrastive-training negative sampling: for each positive
     (user, item) interaction (item = event_id mod 1000), two
@@ -2292,6 +2302,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_temperature_mix": q_temperature_mix,
     "q_negative_samples": q_negative_samples,
     "q_synthetic_source": q_synthetic_source,
     "q_jaccard_prefix": q_jaccard_prefix,

@@ -984,3 +984,19 @@ def test_negative_samples_never_hit_positives(spark):
     again = sorted(map(tuple, negative_samples(
         pos, "user_id", "item", n_items=7, k=3).collect()))
     assert again == sorted(map(tuple, rows))
+
+
+def test_temperature_mixture_flattens_distribution(spark):
+    """T=2 mixing: a source with 16x the documents gets only ~4x the
+    sampled rows (sqrt flattening), and the total lands near target."""
+    from big_data_bowl_spark.pipeline.sampling import temperature_mixture
+    rows = [(i, "big") for i in range(1600)] + \
+           [(10_000 + i, "small") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(df, "source", "doc_id", target_rows=200)
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(by_src.values())
+    assert 140 <= total <= 260, by_src
+    ratio = by_src["big"] / by_src["small"]
+    assert 2.0 <= ratio <= 8.0, by_src  # raw ratio would be 16
