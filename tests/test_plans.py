@@ -302,3 +302,29 @@ def test_global_normalizers_no_window(spark):
         assert "Broadcast" in plan, (name, plan)
     plan = executed_plan(_q(spark, "q_scorecard"))
     assert plan.count("Window") == 1, plan
+
+
+def test_round3_ops_plan_shapes(spark):
+    """Plan gates for the round-3 operator family:
+    - negative sampling: LeftAnti join, no nested loop anywhere;
+    - temperature mixture: rates arrive via broadcast, fact side is
+      never sort-merge-joined;
+    - resample: the grid attach is the single as-of window exchange, no
+      cartesian/theta join;
+    - BM25: hit filter sits below the first aggregate (pre-shuffle)."""
+    plan = executed_plan(_q(spark, "q_negative_samples"))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    plan = executed_plan(_q(spark, "q_temperature_mix"))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+    plan = executed_plan(_q(spark, "q_resample_ffill"))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Window" in plan, plan
+
+    plan = executed_plan(_q(spark, "q_bm25_rank"))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1 and "Filter" in plan[agg_pos:], plan
