@@ -227,7 +227,7 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
         "code", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int"))
     books = None
     try:
-        for _ in range(iters):
+        for it in range(iters):
             comp = (assigned.select("subspace", "code",
                                     F.posexplode("sv").alias("d", "x"))
                             .groupBy("subspace", "code", "d")
@@ -236,8 +236,14 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
                          .agg(F.transform(
                                  F.sort_array(
                                      F.collect_list(F.struct("d", "c"))),
-                                 lambda s: s["c"]).alias("centroid"))
-                         .localCheckpoint(eager=True))
+                                 lambda s: s["c"]).alias("centroid")))
+            # materialize periodically (bounds lineage on long runs) and
+            # ALWAYS on the final round: the returned codebook feeds 3+
+            # consumers (assign, encode, ADC) and must not recompute its
+            # training; intermediate rounds have ONE consumer, so a short
+            # lazy chain beats an eager materialization per round
+            if it == iters - 1 or (it + 1) % 4 == 0:
+                books = books.localCheckpoint(eager=True)
             assigned = _pq_assign(sub, books)
     finally:
         sub.unpersist()
