@@ -1773,3 +1773,13 @@ FROM documents d JOIN rates r ON d.source = r.source
 WHERE (d.doc_id % 4294967296) * 2654435761 % 4294967296
       / 4294967296.0 < r.rate
 """
+
+ORACLES["q_trending_decay"] = """
+WITH anchor AS (
+    SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS now FROM events)
+SELECT event_type, count(*) AS n,
+       round(sum(exp(-(now - CAST(floor(epoch(ts)) AS BIGINT))
+                     / 604800.0)), 6) AS trend_score
+FROM events CROSS JOIN anchor
+GROUP BY event_type
+"""
