@@ -1783,3 +1783,24 @@ SELECT event_type, count(*) AS n,
 FROM events CROSS JOIN anchor
 GROUP BY event_type
 """
+
+ORACLES["q_attribution"] = """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events
+    WHERE event_type = 'purchase'),
+touches AS (
+    SELECT user_id, ts, event_type AS channel FROM events
+    WHERE event_type <> 'purchase')
+SELECT p.event_id, p.user_id, t.channel
+FROM purchases p
+ASOF LEFT JOIN touches t
+  ON p.user_id = t.user_id AND p.ts >= t.ts
+"""
+
+ORACLES["q_quantile_normalize"] = """
+SELECT event_id, event_type, round(value, 6) AS value,
+       round(percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY round(value, 6), event_id),
+             6) AS qnorm
+FROM events
+"""

@@ -2088,6 +2088,35 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_attribution(spark, sf_dir):
+    """Last-touch attribution: every purchase credits the user's latest
+    PRECEDING non-purchase event (channel + lead time) — the as-of self
+    join, linear union+window plan; DuckDB native ASOF JOIN oracle."""
+    from .operators.asof import asof_join
+    e = _t(spark, sf_dir, "events")
+    purchases = (e.filter(F.col("event_type") == "purchase")
+                  .select("event_id", "user_id", "ts"))
+    touches = (e.filter(F.col("event_type") != "purchase")
+                .select("user_id", "ts",
+                        F.col("event_type").alias("channel"), "event_id"))
+    out = asof_join(purchases, touches, by=["user_id"], ts="ts",
+                    payload=["channel"], tie_col="event_id")
+    return out.select("event_id", "user_id",
+                      F.col("channel_asof").alias("channel"))
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Within-group quantile normalization (batch-effect correction):
+    each value maps to its percent_rank inside its event_type — rank
+    windows share the one group exchange; ranks round before hashing."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"),
+                                                 F.asc("event_id"))
+    return (e.select("event_id", "event_type",
+                     roundn(F.col("value")).alias("value"))
+             .withColumn("qnorm", roundn(F.percent_rank().over(w))))
+
+
 def q_trending_decay(spark, sf_dir):
     """Trending score per event_type: exponentially-decayed event count
     Σ exp(−age/τ) with τ = 7 days, anchored at the corpus max timestamp
@@ -2318,6 +2347,8 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_attribution": q_attribution,
+    "q_quantile_normalize": q_quantile_normalize,
     "q_trending_decay": q_trending_decay,
     "q_temperature_mix": q_temperature_mix,
     "q_negative_samples": q_negative_samples,
