@@ -1804,3 +1804,28 @@ SELECT event_id, event_type, round(value, 6) AS value,
              6) AS qnorm
 FROM events
 """
+
+ORACLES["q_span_corruption"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+e AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           (doc_id % 4294967296) * 2654435761 % 4294967296
+             % (len(toks) - 5) + 1 AS s
+    FROM t WHERE len(toks) > 5)
+SELECT doc_id, CAST(s AS BIGINT) AS span_start,
+       array_to_string(
+         list_concat(list_concat(toks[1:s-1], ['<extra_id_0>']),
+                     toks[s+5:n]), ' ') AS input,
+       array_to_string(toks[s:s+4], ' ') AS target
+FROM e
+"""
+
+ORACLES["q_kfold"] = """
+SELECT (user_id % 4294967296) * 2654435761 % 4294967296 % 5 AS fold,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""

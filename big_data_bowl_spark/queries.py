@@ -2088,6 +2088,47 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_span_corruption(spark, sf_dir):
+    """T5-style denoising example construction: per document, a
+    deterministic token span (hash-picked start, length 5) is cut out —
+    input = prefix + <extra_id_0> + suffix, target = the span.  Pure
+    array slicing over the staged token column (HOF-CSE rule); the
+    training-pair fan-out is map-side.  Docs shorter than the span are
+    dropped (both engines agree)."""
+    d = _t(spark, sf_dir, "documents")
+    span = 5
+    staged = d.select(
+        "doc_id",
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+         .alias("__toks"))
+    n = F.size("__toks")
+    start = F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 32))
+                   * F.lit(2654435761), F.lit(1 << 32)) % (n - span) + 1
+    eligible = staged.filter(n > span).withColumn("__s", start)
+    inp = F.concat_ws(
+        " ",
+        F.concat(F.slice("__toks", F.lit(1), F.col("__s") - 1),
+                 F.array(F.lit("<extra_id_0>")),
+                 F.slice("__toks", F.col("__s") + span,
+                         F.size("__toks"))))
+    tgt = F.concat_ws(" ", F.slice("__toks", F.col("__s"), span))
+    return eligible.select("doc_id", F.col("__s").cast("long").alias("span_start"),
+                           inp.alias("input"), tgt.alias("target"))
+
+
+def q_kfold(spark, sf_dir):
+    """Leakage-safe k-fold assignment: every event of a user lands in ONE
+    fold (key-hash mod k); per-fold sizes prove balance.  The k-way
+    generalization of the M8 group split."""
+    e = _t(spark, sf_dir, "events")
+    fold = F.pmod(F.pmod(F.col("user_id"), F.lit(1 << 32))
+                  * F.lit(2654435761), F.lit(1 << 32)) % 5
+    return (e.withColumn("fold", fold)
+             .groupBy("fold")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.countDistinct("user_id").alias("n_users")))
+
+
 def q_attribution(spark, sf_dir):
     """Last-touch attribution: every purchase credits the user's latest
     PRECEDING non-purchase event (channel + lead time) — the as-of self
@@ -2347,6 +2388,8 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_span_corruption": q_span_corruption,
+    "q_kfold": q_kfold,
     "q_attribution": q_attribution,
     "q_quantile_normalize": q_quantile_normalize,
     "q_trending_decay": q_trending_decay,
