@@ -1,94 +1,117 @@
-"""Simulate the external driver: import __spark_entry__ by path, run
-entry(), then run every queries() entry at sf0.01 and compare against
-oracle_sql() via DuckDB — row count, sorted columns, order-insensitive
-value multiset."""
+"""Driver simulation: import __spark_entry__ by path, run every query at
+sf0.01, compare against the DuckDB oracle (row count, sorted column names,
+order-insensitive value multiset, floats rounded to 6, NaN->null)."""
+import hashlib
 import importlib.util
-import os
 import math
 import sys
 import time
 
-spec = importlib.util.spec_from_file_location("__spark_entry__",
-                                              "/root/repo/__spark_entry__.py")
+import duckdb
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(mod)
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession  # noqa: E402
 
 spark = (SparkSession.builder.master("local[8]")
-         .config("spark.sql.shuffle.partitions", "16")
-         .appName("driver-sim").getOrCreate())
+         .config("spark.sql.shuffle.partitions", "8")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .config("spark.driver.memory", "8g")
+         .appName("drive_driver").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 
-t0 = time.time()
-df = mod.entry(spark)
-rows = df.collect()
-print(f"ENTRY: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}, "
-      f"{time.time()-t0:.1f}s")
-print("ENTRY sample:", rows[:2])
-assert len(rows) > 0
-
-import duckdb
 con = duckdb.connect()
-SF = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
-for name in ("region nation customer supplier part orders lineitem events "
-             "documents embeddings").split():
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{SF}/{name}.parquet'")
+for t in TABLES:
+    con.execute(
+        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
 
 
-def norm(rows, cols):
+def norm_cell(v):
+    import decimal
+    if v is None:
+        return "NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return f"{round(v, 6):.6f}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def multiset_hash(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        vals = []
-        for i in order:
-            v = row[i]
-            if isinstance(v, float):
-                v = None if math.isnan(v) else round(v, 6) + 0.0
-            if v is not None and not isinstance(v, (str, bool)):
-                try:
-                    iv = int(v)
-                    v = iv if iv == v else float(v)
-                except (TypeError, ValueError):
-                    v = str(v)
-            vals.append(v)
-        out.append(tuple(vals))
-    return sorted(out, key=repr)
+    lines = sorted(
+        "\x1f".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()
 
 
-qs = mod.queries()
-oracles = mod.oracle_sql()
-print(f"{len(qs)} queries, {len(oracles)} oracles")
-fails = []
-for name, fn in sorted(qs.items()):
-    t0 = time.time()
-    try:
-        sdf = fn(spark, SF)
-        srows = [tuple(r) for r in sdf.collect()]
-        scols = sdf.columns
-    except Exception as e:
-        fails.append((name, f"SPARK ERROR {e}"))
-        print(f"  {name}: SPARK ERROR {str(e)[:200]}")
-        continue
-    dt = time.time() - t0
-    if name not in oracles:
-        print(f"  {name}: rows-only {len(srows)} rows {dt:.1f}s")
-        continue
-    res = con.execute(oracles[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    ok_cols = sorted(scols) == sorted(dcols)
-    ok_n = len(srows) == len(drows)
-    ok_vals = ok_cols and ok_n and norm(srows, scols) == norm(drows, dcols)
-    status = "OK" if (ok_cols and ok_n and ok_vals) else \
-        f"MISMATCH cols={ok_cols} n={ok_n}({len(srows)}/{len(drows)}) vals={ok_vals}"
-    if not (ok_cols and ok_n and ok_vals):
-        fails.append((name, status))
-        sn, dn = norm(srows, scols), norm(drows, dcols)
-        diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-        print(f"  {name}: {status} {dt:.1f}s first-diffs={diff}")
-    else:
-        print(f"  {name}: OK {len(srows)} rows {dt:.1f}s")
+def main():
+    e = mod.entry(spark)
+    n = e.count()
+    assert n >= 0, "entry() produced negative rows?"
+    print(f"entry(): {n} rows OK", flush=True)
 
-print(f"\nRESULT: {len(qs) - len(fails)}/{len(qs)} ok; fails={fails}")
-sys.exit(1 if fails else 0)
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    failures = []
+    only = sys.argv[1:] or None
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            failures.append((name, f"spark error: {ex}"))
+            print(f"FAIL {name}: spark error: {str(ex)[:200]}", flush=True)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok(rows-only) {name}: {len(srows)} rows "
+                  f"[{time.time()-t0:.1f}s]", flush=True)
+            continue
+        try:
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as ex:
+            failures.append((name, f"oracle error: {ex}"))
+            print(f"FAIL {name}: oracle error: {str(ex)[:200]}", flush=True)
+            continue
+        probs = []
+        if len(srows) != len(orows):
+            probs.append(f"rows {len(srows)} vs {len(orows)}")
+        if sorted(scols) != sorted(ocols):
+            probs.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
+        elif multiset_hash(srows, scols) != multiset_hash(orows, ocols):
+            probs.append("hash mismatch")
+        if probs:
+            failures.append((name, "; ".join(probs)))
+            print(f"FAIL {name}: {'; '.join(probs)}", flush=True)
+        else:
+            print(f"ok {name}: {len(srows)} rows [{time.time()-t0:.1f}s]",
+                  flush=True)
+
+    print(f"\n{len(failures)} failures / {len(qs)} queries")
+    for name, msg in failures:
+        print(f"  {name}: {msg}")
+    sys.exit(1 if failures else 0)
+
+
+main()
