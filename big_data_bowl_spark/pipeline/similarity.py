@@ -481,3 +481,92 @@ def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
     return (assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
             .select(F.col(id_col),
                     F.col("assigned_label").alias("cluster"), "score"))
+
+
+def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+               n_cells: int = 4, nprobe: int = 2, m: int = 8,
+               pq_k: int = 16, dim: int = 64,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               seed: int = 42, train_frac: float = 1.0) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS IVFPQ) from the
+    engine's two tiers composed: the coarse quantizer routes each query
+    to ``nprobe`` cells, and ADC scans ONLY those cells' PQ codes.  At
+    100 TB the corpus is stored once as (cell, m small ints) rows
+    partitioned by cell; a query touches nprobe/n_cells of the index and
+    never reads a raw vector.
+
+    Scoring is map-only like :func:`pq_topk_adc` (distance tables nest
+    into a per-query broadcast row); the candidate restriction is one
+    broadcast equi-join on the cell id.  Returns
+    (query_id, neighbor_id, approx_d2), smaller = nearer."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    require_columns(df, [id_col, vec_col], "ivfpq_topk")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
+    assembled = vecs.withColumn("__f", array_to_vector("v"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="__f",
+                   predictionCol="cell").fit(assembled)
+    cells = model.transform(assembled).select(
+        F.col(id_col), "cell")
+
+    books = pq_codebooks(df, m=m, k=pq_k, iters=2, dim=dim,
+                         id_col=id_col, vec_col=vec_col,
+                         train_frac=train_frac)
+    codes = (pq_encode(df, books, m=m, dim=dim, id_col=id_col,
+                       vec_col=vec_col)
+             .join(cells, id_col)
+             .select(F.col(id_col).alias("neighbor_id"), "codes", "cell"))
+
+    centroids = vecs.sparkSession.createDataFrame(
+        [(int(i), [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>")
+    q = (vecs.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")))
+    l2 = F.aggregate(F.zip_with("qv", "centroid",
+                                lambda x, c: (x - c) * (x - c)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    w_cell = Window.partitionBy("query_id").orderBy(F.asc("__d"),
+                                                    F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(centroids))
+                .withColumn("__d", l2)
+                .withColumn("__rn", F.row_number().over(w_cell))
+                .filter(F.col("__rn") <= nprobe)
+                .select("query_id", "cell"))
+
+    d_sub = dim // m
+    qsub = (df.filter(F.col(id_col).isin(query_ids))
+              .select(F.col(id_col).alias("query_id"),
+                      F.posexplode(F.array(*[
+                          F.slice(_as_double(F.col(vec_col)),
+                                  s * d_sub + 1, d_sub)
+                          for s in range(m)])).alias("subspace", "qv")))
+    pd_ = F.aggregate(F.zip_with("qv", "centroid",
+                                 lambda x, c: (x - c) * (x - c)),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    qpdm = (qsub.join(F.broadcast(books), "subspace")
+                .select("query_id", "subspace", "code", pd_.alias("pd"))
+                .groupBy("query_id", "subspace")
+                .agg(F.transform(
+                        F.array_sort(F.collect_list(F.struct("code", "pd"))),
+                        lambda s: s["pd"]).alias("pds"))
+                .groupBy("query_id")
+                .agg(F.transform(
+                        F.array_sort(F.collect_list(
+                            F.struct("subspace", "pds"))),
+                        lambda s: s["pds"]).alias("pdm")))
+    approx = F.aggregate(
+        F.zip_with(F.col("codes"), F.col("pdm"),
+                   lambda c, pds: F.element_at(pds, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cand = (codes.join(F.broadcast(probes), "cell")
+                 .join(F.broadcast(qpdm), "query_id")
+                 .filter(F.col("query_id") != F.col("neighbor_id")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("approx_d2"),
+                                               F.asc("neighbor_id"))
+    return (cand.withColumn("approx_d2", roundn(approx))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .select("query_id", "neighbor_id", "approx_d2"))

@@ -2088,6 +2088,17 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composite ANN (the FAISS-style production shape): coarse
+    cells route each query to nprobe=2 of 4 cells; ADC scans only those
+    cells' PQ codes, map-only.  Rows-only (iterative/approximate);
+    full-probe ≡ flat-PQ equality is property-tested."""
+    from .pipeline.similarity import ivfpq_topk
+    em = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(em, [0, 1, 2, 3, 4], k=3, n_cells=4, nprobe=2,
+                      m=8, pq_k=16, train_frac=0.25)
+
+
 def q_span_corruption(spark, sf_dir):
     """T5-style denoising example construction: per document, a
     deterministic token span (hash-picked start, length 5) is cut out —
@@ -2388,6 +2399,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_ivfpq_topk": q_ivfpq_topk,
     "q_span_corruption": q_span_corruption,
     "q_kfold": q_kfold,
     "q_attribution": q_attribution,

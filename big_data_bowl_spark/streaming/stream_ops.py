@@ -231,3 +231,46 @@ def foreach_batch_upsert(df: DataFrame, out_dir: str,
               .option("checkpointLocation", checkpoint_dir)
               .trigger(availableNow=True)
               .start())
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, stage int, n_events long"
+FUNNEL_STATE_SCHEMA = "stage int, last_ep double, n_events long"
+
+
+def stateful_funnel(events: DataFrame,
+                    steps: tuple[str, ...] = ("view", "click", "purchase")
+                    ) -> DataFrame:
+    """Streaming form of the ordered funnel (operators/scd.funnel_stages):
+    per-user stage progress carried ACROSS micro-batches with
+    ``applyInPandasWithState`` — state is (stage, last event-time,
+    count), O(users) not O(events).  Each micro-batch emits the user's
+    cumulative (stage, n_events) so far; the LAST emission per user
+    equals the batch fold over the whole stream (the test's contract).
+    Same strict-order semantics: step k+1 counts only strictly after
+    step k's first hit."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    step_list = list(steps)
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            stage, last_ep, n_events = state.get
+        else:
+            stage, last_ep, n_events = 0, float("-inf"), 0
+        for ts in rows.itertuples(index=False):
+            ep = ts.ts.timestamp()
+            if (stage < len(step_list) and ts.event_type == step_list[stage]
+                    and (stage == 0 or ep > last_ep)):
+                stage += 1
+                last_ep = ep
+        n_events += len(rows)
+        state.update((stage, last_ep, n_events))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage],
+                            "n_events": [n_events]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, FUNNEL_OUT_SCHEMA, FUNNEL_STATE_SCHEMA,
+        "append", GroupStateTimeout.NoTimeout)

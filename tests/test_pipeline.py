@@ -1000,3 +1000,20 @@ def test_temperature_mixture_flattens_distribution(spark):
     assert 140 <= total <= 260, by_src
     ratio = by_src["big"] / by_src["small"]
     assert 2.0 <= ratio <= 8.0, by_src  # raw ratio would be 16
+
+
+def test_ivfpq_full_probe_equals_pq_adc(spark):
+    """nprobe == n_cells scans every cell, so IVF-PQ must return exactly
+    the flat PQ-ADC result (identical deterministic codebooks)."""
+    from big_data_bowl_spark.pipeline.similarity import (
+        ivfpq_topk, pq_codebooks, pq_encode, pq_topk_adc)
+    em = read_table(spark, SF_SMALL, "embeddings")
+    books = pq_codebooks(em, m=4, k=8, iters=2, dim=16)
+    codes = pq_encode(em, books, m=4, dim=16)
+    flat = sorted(tuple(r) for r in pq_topk_adc(
+        codes, books, em.filter(F.col("vec_id").isin([0, 1, 2])),
+        k=3, m=4, dim=16).collect())
+    ivf = sorted(tuple(r) for r in ivfpq_topk(
+        em, [0, 1, 2], k=3, n_cells=3, nprobe=3, m=4, pq_k=8,
+        dim=16).collect())
+    assert ivf == flat

@@ -270,3 +270,59 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path):
     redelivered = spark.createDataFrame(b0.collect(), b0.schema)
     redelivered.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     assert spark.read.parquet(out).count() == n1
+
+
+def test_stateful_funnel_stream_equals_batch(spark, tmp_path):
+    """The streaming funnel must carry (stage, last-ts) state across
+    micro-batches: with the events table split into 3 time-ordered
+    micro-batches, each user's LAST emitted stage equals the batch fold
+    over the whole table."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.scd import funnel_stages
+    from big_data_bowl_spark.streaming.stream_ops import stateful_funnel
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    batch = {r["user_id"]: (r["stage"], r["n_events"])
+             for r in funnel_stages(ev, "user_id", "ts", "event_type",
+                                    ["view", "click", "purchase"],
+                                    tie_col="event_id").collect()}
+
+    ranked = ev.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    n = ranked.count()
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    bounds = [0, n // 3, 2 * n // 3, n]
+    t0 = 1_700_000_000
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (ranked.filter((F.col("__rn") > bounds[i])
+                       & (F.col("__rn") <= bounds[i + 1]))
+               .drop("__rn").coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    out = stateful_funnel(stream)
+    assert out.isStreaming
+    run_stream_to_memory(out, "funnel_test", output_mode="append")
+    emitted = spark.sql(
+        "SELECT * FROM funnel_test").collect()
+    # keep the LAST emission per user (highest n_events)
+    last = {}
+    for r in emitted:
+        prev = last.get(r["user_id"])
+        if prev is None or r["n_events"] > prev[1]:
+            last[r["user_id"]] = (r["stage"], r["n_events"])
+    assert last == batch
