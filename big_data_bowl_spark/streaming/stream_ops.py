@@ -274,3 +274,12 @@ def stateful_funnel(events: DataFrame,
     return events.groupBy("user_id").applyInPandasWithState(
         fn, FUNNEL_OUT_SCHEMA, FUNNEL_STATE_SCHEMA,
         "append", GroupStateTimeout.NoTimeout)
+
+
+# NOTE: Spark 4.1 also ships transformWithStateInPandas (typed state
+# handles, timers) as the successor to applyInPandasWithState.  This
+# container cannot execute it — the TWS state-server protocol needs
+# google.protobuf, which is absent — so the engine standardizes on the
+# applyInPandasWithState forms above (stateful_lag_diff, stateful_funnel),
+# which cover the same semantics with executable tests.  Porting is
+# mechanical once the dependency exists.

@@ -326,3 +326,4 @@ def test_stateful_funnel_stream_equals_batch(spark, tmp_path):
         if prev is None or r["n_events"] > prev[1]:
             last[r["user_id"]] = (r["stage"], r["n_events"])
     assert last == batch
+
