@@ -487,7 +487,8 @@ def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                n_cells: int = 4, nprobe: int = 2, m: int = 8,
                pq_k: int = 16, dim: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               seed: int = 42, train_frac: float = 1.0) -> DataFrame:
+               seed: int = 42, train_frac: float = 1.0,
+               iters: int = 2) -> DataFrame:
     """IVF-PQ — the production ANN architecture (FAISS IVFPQ) from the
     engine's two tiers composed: the coarse quantizer routes each query
     to ``nprobe`` cells, and ADC scans ONLY those cells' PQ codes.  At
@@ -511,7 +512,7 @@ def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     cells = model.transform(assembled).select(
         F.col(id_col), "cell")
 
-    books = pq_codebooks(df, m=m, k=pq_k, iters=2, dim=dim,
+    books = pq_codebooks(df, m=m, k=pq_k, iters=iters, dim=dim,
                          id_col=id_col, vec_col=vec_col,
                          train_frac=train_frac)
     codes = (pq_encode(df, books, m=m, dim=dim, id_col=id_col,

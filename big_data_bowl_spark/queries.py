@@ -2096,7 +2096,7 @@ def q_ivfpq_topk(spark, sf_dir):
     from .pipeline.similarity import ivfpq_topk
     em = _t(spark, sf_dir, "embeddings")
     return ivfpq_topk(em, [0, 1, 2, 3, 4], k=3, n_cells=4, nprobe=2,
-                      m=8, pq_k=16, train_frac=0.25)
+                      m=8, pq_k=16, train_frac=0.25, iters=1)
 
 
 def q_span_corruption(spark, sf_dir):
