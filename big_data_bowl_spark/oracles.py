@@ -1829,3 +1829,59 @@ SELECT (user_id % 4294967296) * 2654435761 % 4294967296 % 5 AS fold,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
 """
+
+ORACLES["q_corpus_diff"] = """
+WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+v2 AS (
+    SELECT doc_id,
+           md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                    ELSE text END) AS h2
+    FROM documents WHERE doc_id % 13 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, md5(text) AS h2
+    FROM documents WHERE doc_id % 17 = 0)
+SELECT CASE WHEN h1 IS NULL THEN 'added'
+            WHEN h2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       count(*) AS n
+FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+GROUP BY 1
+"""
+
+ORACLES["q_filter_funnel"] = """
+WITH t AS (
+    SELECT text,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+c AS (
+    SELECT length(text) AS nc, len(toks) AS nt,
+           len(list_filter(toks,
+               x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS sh
+    FROM t)
+SELECT count(*) AS n_docs,
+       CAST(sum(CASE WHEN nt >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         AS pass_length,
+       CAST(sum(CASE WHEN nt >= 20
+                      AND sh / CAST(nt AS DOUBLE) >= 0.02
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_stopwords,
+       CAST(sum(CASE WHEN nt >= 20
+                      AND sh / CAST(nt AS DOUBLE) >= 0.02
+                      AND nc / CAST(nt AS DOUBLE) <= 8.0
+                THEN 1 ELSE 0 END) AS BIGINT) AS pass_token_len
+FROM c
+"""
+
+ORACLES["q_ngram_hotspots"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS toks
+    FROM documents),
+g AS (
+    SELECT array_to_string(toks[i:i+1], ' ') AS gram
+    FROM t CROSS JOIN unnest(generate_series(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 2)
+SELECT gram, count(*) AS n
+FROM g GROUP BY 1 HAVING count(*) >= 20
+ORDER BY n DESC, gram ASC LIMIT 15
+"""

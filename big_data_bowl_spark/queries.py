@@ -2088,6 +2088,80 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Dataset-versioning diff: one full-outer join + content-hash compare
+    classifies every doc as added / removed / changed / unchanged between
+    two corpus snapshots (v2 simulated deterministically: every 13th doc
+    dropped, every 7th edited, shifted ids added).  The md5 compare means
+    the shuffle carries 32-byte digests, not documents."""
+    d = _t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("h1"))
+    v2_keep = (d.filter(F.col("doc_id") % 13 != 0)
+                .select("doc_id",
+                        F.md5(F.when(F.col("doc_id") % 7 == 0,
+                                     F.concat(F.col("text"), F.lit(" v2")))
+                               .otherwise(F.col("text"))).alias("h2")))
+    v2_new = (d.filter(F.col("doc_id") % 17 == 0)
+               .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                       F.md5("text").alias("h2")))
+    v2 = v2_keep.unionByName(v2_new)
+    j = v1.join(v2, "doc_id", "full_outer")
+    status = (F.when(F.col("h1").isNull(), "added")
+               .when(F.col("h2").isNull(), "removed")
+               .when(F.col("h1") != F.col("h2"), "changed")
+               .otherwise("unchanged"))
+    return (j.withColumn("status", status)
+             .groupBy("status")
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Corpus-prep yield report: how many docs survive each CUMULATIVE
+    quality gate (length → stopword ratio → mean token length) — the
+    one-pass conditional-aggregate funnel every dataset card quotes.
+    Single aggregate row; no per-filter scans."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of",
+                                                       "and", "to")))
+    c1 = n_tok >= 20
+    c2 = c1 & (stop_hits / n_tok >= 0.02)
+    c3 = c2 & ((F.length("text") / n_tok) <= 8.0)
+    as_n = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return d.agg(F.count(F.lit(1)).alias("n_docs"),
+                 as_n(c1).alias("pass_length"),
+                 as_n(c2).alias("pass_stopwords"),
+                 as_n(c3).alias("pass_token_len"))
+
+
+def q_ngram_hotspots(spark, sf_dir):
+    """Boilerplate detection: corpus-repeated bigrams (count ≥ 20, top
+    15) — the within-corpus complement of the cross-corpus decontam
+    sweep.  The sliding n-gram explode is a staged-token-array slide
+    (HOF-CSE rule); the count is one combinable aggregate.  (Real
+    boilerplate sweeps use 5-grams+; the synthetic vocabulary is too
+    small for 5-gram repeats, so the query pins the mechanics on
+    bigrams.)"""
+    d = _t(spark, sf_dir, "documents")
+    staged = d.select("doc_id",
+                      F.filter(F.split(F.col("text"), " "),
+                               lambda t: t != "").alias("__toks"))
+    n = F.size("__toks")
+    # applied after the n >= 2 filter, so the sequence is ascending
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i, 2)))
+    out = (staged.filter(n >= 2)
+                 .select(F.explode(grams).alias("gram"))
+                 .groupBy("gram")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") >= 20)
+                 .orderBy(F.desc("n"), F.asc("gram"))
+                 .limit(15))
+    return out
+
+
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ composite ANN (the FAISS-style production shape): coarse
     cells route each query to nprobe=2 of 4 cells; ADC scans only those
@@ -2399,6 +2473,9 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_corpus_diff": q_corpus_diff,
+    "q_filter_funnel": q_filter_funnel,
+    "q_ngram_hotspots": q_ngram_hotspots,
     "q_ivfpq_topk": q_ivfpq_topk,
     "q_span_corruption": q_span_corruption,
     "q_kfold": q_kfold,
