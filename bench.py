@@ -59,6 +59,7 @@ HEADLINE = [
     "q_scd2_history",
     "q_funnel_stages",
     "q_rank_distributed",
+    "q_corpus_release",
 ]
 
 

@@ -1885,3 +1885,43 @@ SELECT gram, count(*) AS n
 FROM g GROUP BY 1 HAVING count(*) >= 20
 ORDER BY n DESC, gram ASC LIMIT 15
 """
+
+ORACLES["q_corpus_release"] = """
+WITH staged AS (
+    SELECT doc_id, source,
+           trim(regexp_replace(regexp_replace(lower(text),
+                '[.,!?;:]', '', 'g'), '\\s+', ' ', 'g')) AS norm_text
+    FROM documents),
+canon AS (
+    SELECT doc_id, source, norm_text
+    FROM staged
+    QUALIFY row_number() OVER (PARTITION BY md5(norm_text)
+                               ORDER BY doc_id ASC) = 1),
+flagged AS (
+    SELECT doc_id, source,
+           (len(list_filter(string_split(norm_text, ' '), t -> t <> ''))
+              >= 20
+            AND len(list_filter(string_split(norm_text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to')))
+                / CAST(len(list_filter(string_split(norm_text, ' '),
+                           t -> t <> '')) AS DOUBLE) >= 0.02) AS q
+    FROM canon),
+counts AS (
+    SELECT source, count(*) AS n FROM flagged WHERE q GROUP BY source),
+tot AS (SELECT sum(sqrt(n)) AS t FROM counts),
+rates AS (
+    SELECT source, 150.0 * sqrt(n) / t / n AS rate
+    FROM counts CROSS JOIN tot),
+enriched AS (
+    SELECT f.doc_id, f.source, f.q, r.rate,
+           (f.q AND ((f.doc_id % 4294967296) * 2654435761 % 4294967296
+                     / 4294967296.0) < r.rate) AS s
+    FROM flagged f LEFT JOIN rates r ON f.source = r.source)
+SELECT source,
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+       round(max(rate), 6) AS rate
+FROM enriched
+GROUP BY source
+"""

@@ -2088,6 +2088,49 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_corpus_release(spark, sf_dir):
+    """Round-3 flagship composite — the corpus RELEASE pipeline as ONE
+    lazy plan: normalize → exact-dedup (keep-min per digest) → quality
+    gates (length + stopword ratio) → temperature-2 source mixing (rates
+    from the quality survivors, in-plan) → per-source release report
+    (candidates / quality / sampled / rate).  Three shuffles total: the
+    dedup window, the per-source counts, the final report aggregate —
+    everything else is map-side or broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[.,!?;:]", ""),
+        r"\s+", " "))
+    staged = d.select("doc_id", "source", norm.alias("norm_text"))
+    w = Window.partitionBy(F.md5("norm_text")).orderBy(F.asc("doc_id"))
+    canon = (staged.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") == 1).drop("__rn"))
+    toks = F.filter(F.split(F.col("norm_text"), " "), lambda t: t != "")
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of",
+                                                       "and", "to")))
+    quality = (n_tok >= 20) & (stop_hits / n_tok >= 0.02)
+    flagged = canon.withColumn("__q", quality)
+    counts = (flagged.filter("__q").groupBy("source")
+                     .agg(F.count(F.lit(1)).alias("__n")))
+    tot = counts.agg(F.sum(F.sqrt("__n")).alias("__tot"))
+    rates = (counts.crossJoin(F.broadcast(tot))
+                   .select("source",
+                           (F.lit(150.0) * F.sqrt("__n") / F.col("__tot")
+                            / F.col("__n")).alias("rate")))
+    u = (F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 32))
+                * F.lit(2654435761), F.lit(1 << 32))
+         / F.lit(float(1 << 32)))
+    enriched = (flagged.join(F.broadcast(rates), "source", "left")
+                       .withColumn("__s", F.col("__q") & (u < F.col("rate"))))
+    return (enriched.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_candidates"),
+                 F.sum(F.when(F.col("__q"), 1).otherwise(0)).cast("long")
+                  .alias("n_quality"),
+                 F.sum(F.when(F.col("__s"), 1).otherwise(0)).cast("long")
+                  .alias("n_sampled"),
+                 roundn(F.max("rate")).alias("rate")))
+
+
 def q_corpus_diff(spark, sf_dir):
     """Dataset-versioning diff: one full-outer join + content-hash compare
     classifies every doc as added / removed / changed / unchanged between
@@ -2473,6 +2516,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_corpus_release": q_corpus_release,
     "q_corpus_diff": q_corpus_diff,
     "q_filter_funnel": q_filter_funnel,
     "q_ngram_hotspots": q_ngram_hotspots,
