@@ -1925,3 +1925,23 @@ SELECT source,
 FROM enriched
 GROUP BY source
 """
+
+ORACLES["q_intersect_except"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'error' AND value > 95
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'signup' AND value > 97
+ORDER BY user_id
+"""
+
+ORACLES["q_mad_robust"] = """
+WITH med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS m
+    FROM events GROUP BY event_type)
+SELECT e.event_type, count(*) AS n,
+       round(max(m), 6) AS median,
+       round(quantile_cont(abs(value - m), 0.5), 6) AS mad
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type
+"""

@@ -2088,6 +2088,33 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_intersect_except(spark, sf_dir):
+    """Set algebra beyond union: users who both purchased AND errored
+    (INTERSECT), minus those who signed up (EXCEPT) — native
+    intersect/exceptAll lowering to hash semi/anti aggregates."""
+    e = _t(spark, sf_dir, "events")
+    users = lambda t, v: (e.filter((F.col("event_type") == t)
+                                   & (F.col("value") > v))
+                           .select("user_id"))
+    both = users("purchase", 95).intersect(users("error", 95))
+    out = both.exceptAll(users("signup", 97).distinct())
+    return out.orderBy("user_id")
+
+
+def q_mad_robust(spark, sf_dir):
+    """Robust dispersion per group: median absolute deviation —
+    median(|x − median(x)|) via two aggregate passes with a broadcast
+    join-back between them (no window, no sort of the fact table)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("__med"))
+    return (e.join(F.broadcast(med), "event_type")
+             .withColumn("__ad", F.abs(F.col("value") - F.col("__med")))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  roundn(F.max("__med")).alias("median"),
+                  roundn(F.median("__ad")).alias("mad")))
+
+
 def q_corpus_release(spark, sf_dir):
     """Round-3 flagship composite — the corpus RELEASE pipeline as ONE
     lazy plan: normalize → exact-dedup (keep-min per digest) → quality
@@ -2516,6 +2543,8 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_intersect_except": q_intersect_except,
+    "q_mad_robust": q_mad_robust,
     "q_corpus_release": q_corpus_release,
     "q_corpus_diff": q_corpus_diff,
     "q_filter_funnel": q_filter_funnel,
