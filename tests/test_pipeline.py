@@ -1017,3 +1017,32 @@ def test_ivfpq_full_probe_equals_pq_adc(spark):
         em, [0, 1, 2], k=3, n_cells=3, nprobe=3, m=4, pq_k=8,
         dim=16).collect())
     assert ivf == flat
+
+
+def test_sampling_ops_partition_invariant(spark):
+    """The reproducibility contract: weighted sampling, temperature
+    mixing, and negative sampling return IDENTICAL rows regardless of
+    how the input happens to be partitioned (no rand(), no
+    partition-id dependence)."""
+    from big_data_bowl_spark.pipeline.sampling import (
+        negative_samples, temperature_mixture, weighted_sample)
+    d = read_table(spark, SF_SMALL, "documents")
+    for layout in (lambda x: x.repartition(13),
+                   lambda x: x.coalesce(1)):
+        a = sorted(map(tuple, weighted_sample(
+            d, "doc_id", "n_chars", k=20).select("doc_id").collect()))
+        b = sorted(map(tuple, weighted_sample(
+            layout(d), "doc_id", "n_chars", k=20)
+            .select("doc_id").collect()))
+        assert a == b
+        t1 = sorted(map(tuple, temperature_mixture(
+            d, "source", "doc_id", 50).select("doc_id").collect()))
+        t2 = sorted(map(tuple, temperature_mixture(
+            layout(d), "source", "doc_id", 50).select("doc_id").collect()))
+        assert t1 == t2
+    pos = d.select("doc_id", (F.col("n_chars") % 7).alias("item"))
+    n1 = sorted(map(tuple, negative_samples(
+        pos, "doc_id", "item", n_items=7, k=2).collect()))
+    n2 = sorted(map(tuple, negative_samples(
+        pos.repartition(11), "doc_id", "item", n_items=7, k=2).collect()))
+    assert n1 == n2
