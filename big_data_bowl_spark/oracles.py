@@ -1945,3 +1945,27 @@ SELECT e.event_type, count(*) AS n,
 FROM events e JOIN med USING (event_type)
 GROUP BY e.event_type
 """
+
+ORACLES["q_winsorize"] = """
+WITH pct AS (
+    SELECT event_type,
+           round(quantile_cont(value, 0.05), 6) AS lo,
+           round(quantile_cont(value, 0.95), 6) AS hi
+    FROM events GROUP BY event_type)
+SELECT event_id, e.event_type, round(value, 6) AS value,
+       least(greatest(round(value, 6), lo), hi) AS winsorized,
+       round(value, 6) <> least(greatest(round(value, 6), lo), hi)
+         AS was_clipped
+FROM events e JOIN pct USING (event_type)
+"""
+
+ORACLES["q_ewma"] = """
+WITH a AS (
+    SELECT user_id, count(*) AS n_events,
+           list(value ORDER BY ts, event_id) AS vals
+    FROM events GROUP BY user_id)
+SELECT user_id, n_events,
+       round(list_reduce(vals, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+         AS ewma
+FROM a
+"""

@@ -2088,6 +2088,44 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_winsorize(spark, sf_dir):
+    """Winsorization (outlier clamping) per group: values clip to the
+    exact [p05, p95] of their event_type — one percentile aggregate
+    broadcast back, map-side clamp.  Thresholds round before the clamp
+    so engines agree at the boundary."""
+    e = _t(spark, sf_dir, "events")
+    pct = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("__lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("__hi"))
+    clamped = F.least(F.greatest(roundn(F.col("value")), F.col("__lo")),
+                      F.col("__hi"))
+    return (e.join(F.broadcast(pct), "event_type")
+             .select("event_id", "event_type",
+                     roundn(F.col("value")).alias("value"),
+                     clamped.alias("winsorized"),
+                     (roundn(F.col("value")) != clamped).alias("was_clipped")))
+
+
+def q_ewma(spark, sf_dir):
+    """Per-user EWMA (α = 0.2) of the value series — the RECURSIVE
+    sequential op window functions cannot express (each state depends on
+    the previous).  One shuffle: values collect to a per-user ordered
+    array and a single in-row fold runs the recurrence; both engines
+    fold in identical order, so the doubles match bit-for-bit before the
+    final rounding.  Returns the final smoothed level per user."""
+    e = _t(spark, sf_dir, "events")
+    arr = F.transform(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+        lambda s: s["value"])
+    fold = F.aggregate(
+        F.col("__vals"), F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x)
+                        .otherwise(0.2 * x + 0.8 * acc))
+    return (e.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("__vals"))
+             .select("user_id", "n_events", roundn(fold).alias("ewma")))
+
+
 def q_intersect_except(spark, sf_dir):
     """Set algebra beyond union: users who both purchased AND errored
     (INTERSECT), minus those who signed up (EXCEPT) — native
@@ -2543,6 +2581,8 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_winsorize": q_winsorize,
+    "q_ewma": q_ewma,
     "q_intersect_except": q_intersect_except,
     "q_mad_robust": q_mad_robust,
     "q_corpus_release": q_corpus_release,
