@@ -1508,11 +1508,13 @@ counts AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
 total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
 lp AS (
     SELECT term,
-           round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS logp
+           CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                      * 1000000) AS BIGINT) AS lp_u
     FROM counts CROSS JOIN total)
 SELECT tok.doc_id,
        CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(logp), 6) AS avg_logp
+       round(CAST(sum(lp_u) AS BIGINT) / count(*) / 1000000.0, 6)
+         AS avg_logp
 FROM tok JOIN lp ON tok.term = lp.term
 GROUP BY tok.doc_id
 """

@@ -80,9 +80,12 @@ def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
     mean token log-probability (higher = more typical text; gibberish and
     boilerplate outliers fall out at both ends).
 
-    Per-token logp is rounded BEFORE the per-document mean so engine
-    association differences in the double sums stay below the final
-    rounding (the round-operands-first rule).
+    Per-token logp quantizes to INTEGER MICRO-UNITS (round(logp·1e6) as
+    long) before the per-document mean: long sums are exact under any
+    association, and long/long division yields bit-identical doubles on
+    both engines — the same discipline as the integer-cents money
+    averages (plain rounding of a double mean flips on exact .5e-6
+    boundaries; this failed the sf0.1 sweep before the fix).
 
     Returns (doc_id, n_tokens, avg_logp).
     """
@@ -93,9 +96,10 @@ def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
     lp = (counts.crossJoin(F.broadcast(total))
                 .select("term",
                         F.round(F.log(F.col("cnt").cast("double")
-                                      / F.col("total").cast("double")),
-                                6).alias("logp")))
+                                      / F.col("total").cast("double"))
+                                * 1_000_000).cast("long").alias("lp_u")))
     return (tok.join(F.broadcast(lp), "term")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_tokens"),
-                    roundn(F.avg("logp")).alias("avg_logp")))
+                    roundn(F.sum("lp_u") / F.count(F.lit(1))
+                           / 1_000_000.0).alias("avg_logp")))

@@ -9,7 +9,8 @@ import time
 
 import duckdb
 
-SF_DIR = "/root/testdata/sf0.01"
+import os
+SF_DIR = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
