@@ -1,0 +1,79 @@
+"""Iterative graph operators beyond connected components: PageRank.
+
+Same scale discipline as the dedup components fixpoint
+(pipeline/dedup.py): pure DataFrame joins + aggregates per round,
+``localCheckpoint`` each iteration so plan depth stays O(1), no driver
+data paths.  Ranks are floats reduced by distributed sums, so results
+are rows-only territory (association order) — invariants (mass
+conservation up to dangling loss, fixed iteration count, determinism of
+the support set) carry the tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+
+
+def bipartite_edges(df: DataFrame, entity_col: str, item_col: str,
+                    max_entities_per_item: int | None = None) -> DataFrame:
+    """Project a bipartite (entity, item) relation onto entity–entity
+    edges: an edge per ordered pair of distinct entities sharing an item
+    (deduped across items).  Fan-out is C(entities-per-item, 2) — the
+    J6 bounded-quadratic discipline; pass ``max_entities_per_item`` to
+    fail loud on hub items (stop-item removal is the 100 TB pre-step,
+    exactly like stop-word removal in the prefix-filter join)."""
+    require_columns(df, [entity_col, item_col], "bipartite_edges")
+    pairs = df.select(F.col(entity_col).alias("e"),
+                      F.col(item_col).alias("i")).distinct()
+    if max_entities_per_item is not None:
+        from .checks import check_group_cardinality
+        pairs = check_group_cardinality(pairs, ["i"], max_entities_per_item)
+    a = pairs.select(F.col("i"), F.col("e").alias("src"))
+    b = pairs.select(F.col("i"), F.col("e").alias("dst"))
+    return (a.join(b, "i")
+             .filter(F.col("src") != F.col("dst"))
+             .select("src", "dst").distinct())
+
+
+def pagerank(edges: DataFrame, iters: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """PageRank over an edge list (src, dst): ``iters`` rounds of
+    rank/out-degree propagation with damping; dangling-node mass is
+    redistributed uniformly each round so total rank stays n_nodes.
+
+    Per round: one join edges⋈ranks on src (ranks is node-grain — far
+    smaller than edges; at web scale both shuffle on the node key and
+    stay co-partitioned round to round), one aggregate on dst, one
+    broadcast of the 1-row dangling-mass scalar.  ``localCheckpoint``
+    per round bounds lineage.  Returns (node, rank)."""
+    require_columns(edges, ["src", "dst"], "pagerank")
+    nodes = (edges.select(F.col("src").alias("node"))
+                  .union(edges.select(F.col("dst").alias("node")))
+                  .distinct())
+    n_nodes = nodes.count()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(iters):
+        contrib = (edges.join(ranks.withColumnRenamed("node", "src"), "src")
+                        .join(F.broadcast(outdeg), "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                              .alias("inflow")))
+        # dangling mass: rank parked on nodes with no out-edges
+        dangling = (ranks.join(outdeg.withColumnRenamed("src", "node"),
+                               "node", "left_anti")
+                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                               .alias("__dm")))
+        ranks = (nodes.join(contrib, "node", "left")
+                      .crossJoin(F.broadcast(dangling))
+                      .select("node",
+                              ((1 - damping)
+                               + damping * (F.coalesce(F.col("inflow"),
+                                                       F.lit(0.0))
+                                            + F.col("__dm") / n_nodes))
+                              .alias("rank"))
+                      .localCheckpoint(eager=True))
+    return ranks

@@ -2088,6 +2088,23 @@ def q_merge_upsert(spark, sf_dir):
     return merge_upsert(e, changes, keys=["event_id"])
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over the co-interaction graph (users sharing an item =
+    event_id mod 200; bipartite projection with bounded per-item
+    fan-out), 5 damped rounds with dangling redistribution.  Rows-only
+    (distributed float sums); mass conservation and star-shape ordering
+    are property-tested.  Top-20 by rounded rank, user_id tie-break."""
+    from .operators.graph import bipartite_edges, pagerank
+    e = _t(spark, sf_dir, "events")
+    rel = e.select("user_id", (F.col("event_id") % 200).alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item")
+    pr = pagerank(edges, iters=5)
+    return (pr.select(F.col("node").alias("user_id"),
+                      roundn(F.col("rank")).alias("rank"))
+              .orderBy(F.desc("rank"), F.asc("user_id"))
+              .limit(20))
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorization (outlier clamping) per group: values clip to the
     exact [p05, p95] of their event_type — one percentile aggregate
@@ -2581,6 +2598,7 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    "q_pagerank": q_pagerank,
     "q_winsorize": q_winsorize,
     "q_ewma": q_ewma,
     "q_intersect_except": q_intersect_except,

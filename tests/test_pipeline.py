@@ -1046,3 +1046,26 @@ def test_sampling_ops_partition_invariant(spark):
     n2 = sorted(map(tuple, negative_samples(
         pos.repartition(11), "doc_id", "item", n_items=7, k=2).collect()))
     assert n1 == n2
+
+
+def test_pagerank_mass_and_star_shape(spark):
+    """Rank mass stays ~n_nodes (dangling redistribution), the hub of a
+    star graph outranks leaves, and equal-role nodes get equal ranks."""
+    from big_data_bowl_spark.operators.graph import pagerank
+    edges = spark.createDataFrame(
+        [(f"leaf{i}", "hub") for i in range(5)], "src string, dst string")
+    out = {r["node"]: r["rank"] for r in pagerank(edges, iters=15).collect()}
+    assert abs(sum(out.values()) - 6) < 1e-6
+    assert out["hub"] > out["leaf0"]
+    leaf_ranks = {v for k, v in out.items() if k.startswith("leaf")}
+    assert len(leaf_ranks) == 1
+
+
+def test_bipartite_edges_bounded_and_symmetric(spark):
+    from big_data_bowl_spark.operators.graph import bipartite_edges
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (1, "y"), (4, "y")],
+        "e int, i string")
+    edges = {(r["src"], r["dst"]) for r in bipartite_edges(df, "e", "i").collect()}
+    assert (1, 2) in edges and (2, 1) in edges and (1, 4) in edges
+    assert (2, 4) not in edges  # no shared item
