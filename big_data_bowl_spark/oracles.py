@@ -105,6 +105,63 @@ SELECT c.c_nationkey AS nationkey, c.c_custkey,
 FROM customer c LEFT JOIN mins m ON c.c_custkey = m.c_custkey
 """
 
+# separation family (J6/J7/J8): shared synthesized-tracking fragment —
+# must stay byte-equivalent to queries._sep_tracking
+_SEP_T = """
+    SELECT user_id % 25 AS play_id, event_id % 8 AS frame_id,
+           event_id AS player_id,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN 'Offense' ELSE 'Defense' END AS side,
+           value AS x, CAST(event_id % 97 AS DOUBLE) AS y
+    FROM events"""
+
+ORACLES["q_catch_separation"] = f"""
+WITH t AS ({_SEP_T}),
+f AS (SELECT * FROM t WHERE frame_id = 3),
+o AS (SELECT * FROM f WHERE lower(side) = 'offense'),
+d AS (SELECT * FROM f WHERE lower(side) = 'defense'),
+m AS (
+    SELECT o.play_id, o.player_id,
+           min(sqrt(pow(d.x - o.x, 2) + pow(d.y - o.y, 2))) AS sep
+    FROM o JOIN d ON o.play_id = d.play_id
+    GROUP BY 1, 2)
+SELECT b.play_id, b.player_id, round(m.sep, 6) AS separation
+FROM (SELECT DISTINCT play_id, player_id FROM o) b
+LEFT JOIN m ON b.play_id = m.play_id AND b.player_id = m.player_id
+"""
+
+ORACLES["q_initial_separation"] = f"""
+WITH t AS ({_SEP_T}),
+f AS (SELECT * FROM t
+      QUALIFY frame_id = max(frame_id) OVER (PARTITION BY play_id)),
+o AS (SELECT * FROM f WHERE lower(side) = 'offense'),
+d AS (SELECT * FROM f WHERE lower(side) = 'defense'),
+m AS (
+    SELECT o.play_id, o.player_id,
+           min(sqrt(pow(d.x - o.x, 2) + pow(d.y - o.y, 2))) AS sep
+    FROM o JOIN d ON o.play_id = d.play_id
+    GROUP BY 1, 2)
+SELECT b.play_id, b.player_id, round(m.sep, 6) AS separation
+FROM (SELECT DISTINCT play_id, player_id FROM o) b
+LEFT JOIN m ON b.play_id = m.play_id AND b.player_id = m.player_id
+"""
+
+ORACLES["q_defender_sep_frame"] = f"""
+WITH t AS ({_SEP_T}),
+o AS (SELECT * FROM t WHERE lower(side) = 'offense'),
+d AS (SELECT * FROM t WHERE lower(side) = 'defense'),
+m AS (
+    SELECT o.play_id, o.frame_id, o.player_id,
+           min(sqrt(pow(d.x - o.x, 2) + pow(d.y - o.y, 2))) AS sep
+    FROM o JOIN d ON o.play_id = d.play_id AND o.frame_id = d.frame_id
+    GROUP BY 1, 2, 3)
+SELECT b.play_id, b.frame_id, b.player_id,
+       round(coalesce(m.sep, 20.0), 6) AS separation
+FROM (SELECT DISTINCT play_id, frame_id, player_id FROM o) b
+LEFT JOIN m ON b.play_id = m.play_id AND b.frame_id = m.frame_id
+            AND b.player_id = m.player_id
+"""
+
 ORACLES["q_frame_diff"] = """
 SELECT event_id, user_id,
        round(coalesce(value - lag(value) OVER

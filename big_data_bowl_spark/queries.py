@@ -161,6 +161,59 @@ def q_nearest_in_group(spark, sf_dir):
                       roundn(F.col("min_bal_dist")).alias("min_bal_dist"))
 
 
+def _sep_tracking(e: DataFrame) -> DataFrame:
+    """Events ≙ tracking frames for the separation family (J6/J7/J8):
+    play = user cohort, frame = event_id mod 8, player = event_id,
+    side = event_type cohort (click/view ≙ offense), (x, y) = (value,
+    event_id mod 97).  Deterministic and expressible in the oracle SQL."""
+    return e.select(
+        (F.col("user_id") % 25).alias("play_id"),
+        (F.col("event_id") % 8).alias("frame_id"),
+        F.col("event_id").alias("player_id"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("Offense"))
+         .otherwise(F.lit("Defense")).alias("side"),
+        F.col("value").alias("x"),
+        (F.col("event_id") % 97).cast("double").alias("y"))
+
+
+def q_catch_separation(spark, sf_dir):
+    """J6: min offense→defense distance at the catch frame
+    (compute_catch_separation, preprocess.py:441-513) — filter to the
+    designated frame, within-group cross join, min per offensive player."""
+    from .operators.separation import separation_at_frame
+    t = _sep_tracking(_t(spark, sf_dir, "events")).filter(F.col("frame_id") == 3)
+    out = separation_at_frame(t, ["play_id"], "player_id", "side",
+                              "offense", "defense")
+    return out.select("play_id", "player_id",
+                      roundn(F.col("separation")).alias("separation"))
+
+
+def q_initial_separation(spark, sf_dir):
+    """J7: separation at the THROW frame — argmax frame per play (W8) then
+    the same within-group min (compute_initial_separation_at_throw,
+    preprocess.py:330-402)."""
+    from .operators.separation import separation_at_max_frame
+    t = _sep_tracking(_t(spark, sf_dir, "events"))
+    out = separation_at_max_frame(t, ["play_id"], "player_id", "side",
+                                  "offense", "defense")
+    return out.select("play_id", "player_id",
+                      roundn(F.col("separation")).alias("separation"))
+
+
+def q_defender_sep_frame(spark, sf_dir):
+    """J8-as-join: PER-FRAME nearest defender with the notebook's
+    20.0-when-no-defenders default (calculate_defender_separation,
+    BDB_2026.ipynb#cell69) — the banned Python nested loop as one equi-join
+    keyed one level deeper."""
+    from .operators.separation import separation_at_frame
+    t = _sep_tracking(_t(spark, sf_dir, "events"))
+    out = separation_at_frame(t, ["play_id"], "player_id", "side",
+                              "offense", "defense", per_frame=True,
+                              default=20.0)
+    return out.select("play_id", "frame_id", "player_id",
+                      roundn(F.col("separation")).alias("separation"))
+
+
 # ---------------------------------------------------------------------------
 # W-family: windows
 # ---------------------------------------------------------------------------
@@ -2598,6 +2651,15 @@ def q_funnel_stages(spark, sf_dir):
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
 QUERIES: dict[str, QueryFn] = {
+    # round-4 front-load: the separation family's first driver rows (J7/J8)
+    # and the 4 queries that have never received a CORRECTNESS row
+    "q_initial_separation": q_initial_separation,
+    "q_catch_separation": q_catch_separation,
+    "q_defender_sep_frame": q_defender_sep_frame,
+    "q_approx_quantiles": q_approx_quantiles,
+    "q_minhash_incremental": q_minhash_incremental,
+    "q_pca_embed": q_pca_embed,
+    "q_submission_pipeline": q_submission_pipeline,
     "q_pagerank": q_pagerank,
     "q_winsorize": q_winsorize,
     "q_ewma": q_ewma,
@@ -2648,10 +2710,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_frame_sample": q_frame_sample,
     "q_pack_chunks": q_pack_chunks,
     "q_bpe_merges": q_bpe_merges,
-    "q_approx_quantiles": q_approx_quantiles,
-    "q_minhash_incremental": q_minhash_incremental,
-    "q_pca_embed": q_pca_embed,
-    "q_submission_pipeline": q_submission_pipeline,
     "q_decontaminate": q_decontaminate,
     "q_pq_topk": q_pq_topk,
     "q_zorder_values": q_zorder_values,

@@ -43,7 +43,13 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return f"{round(v, 6):.6f}"
+        # +0.0 canonicalizes -0.0 so a value that rounds to zero with
+        # opposite signs on the two engines hashes identically; integral
+        # floats then unify with ints (long 5 vs double 5.0)
+        v = round(v, 6) + 0.0
+        if v.is_integer():
+            return str(int(v))
+        return f"{v:.6f}"
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
