@@ -44,36 +44,52 @@ def pagerank(edges: DataFrame, iters: int = 10,
     rank/out-degree propagation with damping; dangling-node mass is
     redistributed uniformly each round so total rank stays n_nodes.
 
-    Per round: one join edges⋈ranks on src (ranks is node-grain — far
-    smaller than edges; at web scale both shuffle on the node key and
-    stay co-partitioned round to round), one aggregate on dst, one
-    broadcast of the 1-row dangling-mass scalar.  ``localCheckpoint``
-    per round bounds lineage.  Returns (node, rank)."""
+    Per round: ONE shuffle join edges⋈ranks on src (ranks is node-grain
+    — far smaller than edges; at web scale both shuffle on the node key
+    and stay co-partitioned round to round — so no broadcast hint: a
+    node-grain table is exactly what must never ship to every executor),
+    one aggregate on dst, one broadcast of the 1-row dangling-mass
+    scalar.  The static out-degree is folded INTO the ranks relation
+    once up front and carried round to round, so each iteration needs no
+    second join and the dangling filter is a co-located null test.
+    ``localCheckpoint`` per round bounds lineage.  Returns (node, rank)."""
     require_columns(edges, ["src", "dst"], "pagerank")
     nodes = (edges.select(F.col("src").alias("node"))
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())
     n_nodes = nodes.count()
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    outdeg = edges.groupBy(F.col("src").alias("node")) \
+                  .agg(F.count(F.lit(1)).alias("outdeg"))
+    # ranks carries (node, outdeg, rank); outdeg NULL ⇔ dangling node
+    ranks = (nodes.join(outdeg, "node", "left")
+                  .withColumn("rank", F.lit(1.0))
+                  .localCheckpoint(eager=True))
     for _ in range(iters):
-        contrib = (edges.join(ranks.withColumnRenamed("node", "src"), "src")
-                        .join(F.broadcast(outdeg), "src")
-                        .groupBy(F.col("dst").alias("node"))
-                        .agg(F.sum(F.col("rank") / F.col("outdeg"))
-                              .alias("inflow")))
-        # dangling mass: rank parked on nodes with no out-edges
-        dangling = (ranks.join(outdeg.withColumnRenamed("src", "node"),
-                               "node", "left_anti")
-                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                               .alias("__dm")))
-        ranks = (nodes.join(contrib, "node", "left")
-                      .crossJoin(F.broadcast(dangling))
-                      .select("node",
-                              ((1 - damping)
-                               + damping * (F.coalesce(F.col("inflow"),
-                                                       F.lit(0.0))
-                                            + F.col("__dm") / n_nodes))
-                              .alias("rank"))
-                      .localCheckpoint(eager=True))
-    return ranks
+        ranks = pagerank_round(edges, ranks, n_nodes, damping) \
+            .localCheckpoint(eager=True)
+    return ranks.select("node", "rank")
+
+
+def pagerank_round(edges: DataFrame, ranks: DataFrame, n_nodes: int,
+                   damping: float) -> DataFrame:
+    """One propagation round (exposed unexecuted so tests can pin the plan
+    shape: the ONLY broadcast hint is the 1-row dangling scalar — never a
+    node-grain table).  ``ranks`` carries (node, outdeg, rank)."""
+    contrib = (edges.join(ranks.select(F.col("node").alias("src"),
+                                       "rank", "outdeg"), "src")
+                    .groupBy(F.col("dst").alias("node"))
+                    .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                          .alias("inflow")))
+    # dangling mass: rank parked on nodes with no out-edges — a filter
+    # on the carried outdeg, not a join
+    dangling = (ranks.filter(F.col("outdeg").isNull())
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                           .alias("__dm")))
+    return (ranks.select("node", "outdeg").join(contrib, "node", "left")
+                 .crossJoin(F.broadcast(dangling))
+                 .select("node", "outdeg",
+                         ((1 - damping)
+                          + damping * (F.coalesce(F.col("inflow"),
+                                                  F.lit(0.0))
+                                       + F.col("__dm") / n_nodes))
+                         .alias("rank")))

@@ -1,24 +1,15 @@
-"""Distributed BPE (byte-pair-encoding) merge learning.
+"""BPE (byte-pair-encoding) merge learning and encoding.
 
-The tokenizer-training loop every pretraining stack runs, expressed as
-iterative DataFrame aggregation — no driver-side corpus pass, ever:
-
-1. The corpus collapses to a WORD-FREQUENCY table (explode → count): BPE
-   statistics only depend on (distinct word, count), which is orders of
-   magnitude smaller than the corpus and is the classic training input
-   (Sennrich et al. 2016's learn_bpe operates on exactly this table).
-2. Each round counts adjacent symbol pairs weighted by word count (one
-   map-side-combinable aggregation), picks the argmax pair (count desc,
-   pair asc — deterministic tie-break; ONE row to the driver, it is the
-   merge decision, not data), and applies the merge to the symbol arrays
-   with a greedy left-to-right array fold.
-3. ``localCheckpoint`` per round caps lineage depth at O(1), the same
-   discipline as the connected-components and Lloyd loops.
-
-Scale shape: the per-round shuffle is on the pair key of the WORD table
-(|vocab| rows), not the corpus; rounds are sequential by nature (each
-merge depends on the last) — exactly how the reference algorithm is
-defined, so the loop count (n_merges) is the only serial dimension.
+The tokenizer-training loop every pretraining stack runs.  The corpus
+never makes a driver-side pass — it collapses to a WORD-FREQUENCY table
+in one distributed explode → count (BPE statistics only depend on
+(distinct word, count), which is orders of magnitude smaller than the
+corpus and is the classic training input: Sennrich et al. 2016's
+learn_bpe operates on exactly this table).  That VOCAB-sized table is
+then collected once and the merge loop runs driver-side — a 30k-merge
+tokenizer is 30k in-memory dict rounds, not 30k sequential Spark jobs.
+The distributed side is the ENCODE path (:func:`bpe_segment`): learned
+merges applied corpus-wide as JVM array folds.
 """
 
 from __future__ import annotations
@@ -74,33 +65,66 @@ def word_frequencies(df: DataFrame, id_col: str = "doc_id",
               .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
 
 
+def _merge_word(syms: list[str], left: str, right: str,
+                merged: str) -> list[str]:
+    """Driver-side twin of :func:`_apply_merge` — greedy left-to-right."""
+    out: list[str] = []
+    for s in syms:
+        if out and out[-1] == left and s == right:
+            out[-1] = merged
+        else:
+            out.append(s)
+    return out
+
+
 def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
                      id_col: str = "doc_id",
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     max_vocab: int = 5_000_000) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns a small
     DataFrame (rank, left, right, merged, pair_count) in merge order —
     deterministic for a fixed corpus (tie-break: count desc, then pair
-    lexicographic)."""
+    lexicographic).
+
+    Scale shape: the corpus collapses to the WORD-FREQUENCY table in ONE
+    distributed aggregation (that shuffle is the only corpus-sized work),
+    and the table itself is vocab-sized — exactly the input Sennrich et
+    al. 2016's ``learn_bpe`` reads, a few million rows at any corpus
+    scale.  It is collected ONCE and the merge loop runs driver-side over
+    plain dicts: a 30k-merge tokenizer is 30k in-memory rounds, not 30k
+    sequential Spark jobs (the previous form's scale bug).  ``max_vocab``
+    fails loudly if the assumption breaks (an unsegmented-script corpus
+    should be pre-chunked, not silently collected)."""
     spark = df.sparkSession
-    words = (word_frequencies(df, id_col, text_col)
-             .select(_chars(F.col("word")).alias("syms"), "cnt")
-             .localCheckpoint())
+    rows = word_frequencies(df, id_col, text_col).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"bpe_learn_merges: vocabulary {len(rows)} exceeds max_vocab="
+            f"{max_vocab}; pre-segment the corpus or raise the cap")
+    # driver-side state: one (symbols, count) pair per distinct word
+    vocab: list[tuple[list[str], int]] = [
+        (list(r.word), int(r.cnt)) for r in rows]
     merges: list[Row] = []
     for rank in range(n_merges):
-        top = (words.select(F.explode(_adjacent_pairs(F.col("syms")))
-                            .alias("p"), "cnt")
-                    .groupBy("p").agg(F.sum("cnt").alias("pair_count"))
-                    .orderBy(F.desc("pair_count"), F.asc("p.l"), F.asc("p.r"))
-                    .limit(1).collect())
-        if not top or top[0].pair_count == 0:
+        counts: dict[tuple[str, str], int] = {}
+        for syms, cnt in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
             break
-        left, right = top[0].p.l, top[0].p.r
+        # tie-break identical to the distributed form: count desc, then
+        # pair lexicographic asc (Spark's string order is binary UTF-8 —
+        # identical to Python's code-point order for the ASCII/BMP range)
+        (left, right), pair_count = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if pair_count == 0:
+            break
+        merged = left + right
         merges.append(Row(rank=rank, left=left, right=right,
-                          merged=left + right,
-                          pair_count=int(top[0].pair_count)))
-        words = (words.select(_apply_merge(F.col("syms"), left, right)
-                              .alias("syms"), "cnt")
-                      .localCheckpoint())
+                          merged=merged, pair_count=pair_count))
+        vocab = [(_merge_word(syms, left, right, merged), cnt)
+                 for syms, cnt in vocab]
     if not merges:
         return spark.createDataFrame(
             [], "rank long, left string, right string, merged string, "

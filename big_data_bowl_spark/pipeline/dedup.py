@@ -108,10 +108,14 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     exactly in-row (array_intersect on per-doc sorted token arrays), so
     the result EQUALS the naive all-pairs join — same oracle SQL.
 
-    Shuffles: token explode → distinct, one broadcast (vocabulary df
-    table), one window (per-doc rank), the prefix self-join, and two
-    id-joins for verification arrays.  Every stage is key-partitioned;
-    nothing is quadratic in the corpus.
+    Shuffles: token explode → distinct, one SHUFFLE join tok⋈freq on
+    token (the vocabulary is corpus-scale — one row per distinct token —
+    so it must never be broadcast; tok is already hashed on the same key
+    from the distinct, and AQE may still pick a runtime broadcast at
+    small SF, which is a statistics decision, not a hint), one window
+    (per-doc rank), the prefix self-join, and two id-joins for
+    verification arrays.  Every stage is key-partitioned; nothing is
+    quadratic in the corpus.
 
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ.
     """
@@ -120,7 +124,7 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col)
     w_rank = w_doc.orderBy(F.asc("__df"), F.asc("token"))
-    ranked = (tok.join(F.broadcast(freq), "token")
+    ranked = (tok.join(freq, "token")
                  .withColumn("__n", F.count(F.lit(1)).over(w_doc))
                  .withColumn("__r", F.row_number().over(w_rank)))
     prefix = ranked.filter(

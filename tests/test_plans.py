@@ -328,3 +328,31 @@ def test_round3_ops_plan_shapes(spark):
     plan = executed_plan(_q(spark, "q_bm25_rank"))
     agg_pos = plan.find("HashAggregate")
     assert agg_pos != -1 and "Filter" in plan[agg_pos:], plan
+
+
+def test_round4_no_node_grain_broadcast_hints(spark):
+    """Round-4 scale fixes stay fixed:
+    - pagerank: the ONLY broadcast hint in a propagation round is the
+      1-row dangling-mass scalar — never outdeg/ranks (node-grain);
+    - jaccard_prefix_pairs: ZERO broadcast hints — the vocabulary df
+      table is corpus-scale and must shuffle-join on token.
+    Hints are asserted on the analyzed LOGICAL plan: a runtime broadcast
+    chosen by AQE from small-SF statistics is fine; a hint is a promise
+    at every scale."""
+    from big_data_bowl_spark.operators.graph import pagerank_round
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)],
+                                  "src long, dst long")
+    ranks = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 1.0), (3, 1, 1.0), (4, 1, 1.0)],
+        "node long, outdeg long, rank double")
+    nxt = pagerank_round(edges, ranks, 4, 0.85)
+    analyzed = nxt._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
+                                 "doc_id long, text string")
+    jp = jaccard_prefix_pairs(docs, 0.5)
+    analyzed = jp._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed
