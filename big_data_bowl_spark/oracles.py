@@ -941,7 +941,7 @@ GROUP BY 1, 2, 3
 ORACLES["q_hash_sample"] = """
 SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
-WHERE ((doc_id % 4294967296) * 2654435761) % 4294967296 < 858993459
+WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 858993459
 """
 
 ORACLES["q_distribution_windows"] = """
@@ -1277,7 +1277,7 @@ FROM tok GROUP BY doc_id
 ORACLES["q_stratified_sample"] = """
 SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
 FROM documents
-WHERE (((doc_id % 4294967296) * 2654435761) % 4294967296) / 4294967296.0
+WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0
       < CASE lang WHEN 'en' THEN 0.1 ELSE 0.5 END
 """
 
@@ -1391,12 +1391,31 @@ FROM purchases p ASOF LEFT JOIN views v
   ON p.user_id = v.user_id AND p.ts >= v.ts
 """
 
+# golden replay: the full Submission-pipeline spine on a fixed dyadic
+# fixture must reproduce EXACTLY these values (pinned from two independent
+# runs at different partition counts; every reduction is IEEE-exact).
+# Regenerate only if the fixture in queries.q_scorecard_golden changes.
+ORACLES["q_scorecard_golden"] = """
+SELECT CAST(nfl_id AS BIGINT) AS nfl_id,
+       CAST(truespeed AS DOUBLE) AS truespeed,
+       CAST(n_targets AS BIGINT) AS n_targets,
+       CAST(total_yards AS DOUBLE) AS total_yards,
+       CAST(rank AS BIGINT) AS rank
+FROM (VALUES
+    (101, 0.145832, 1, 2.0, 5),
+    (102, 0.146537, 1, 4.0, 4),
+    (103, 0.147296, 1, 6.0, 3),
+    (104, 0.148115, 1, 8.0, 2),
+    (105, 0.148999, 1, 10.0, 1)
+) AS t(nfl_id, truespeed, n_targets, total_yards, rank)
+"""
+
 ORACLES["q_group_ksample"] = """
 SELECT doc_id, lang, n_chars::BIGINT AS n_chars
 FROM documents
 QUALIFY row_number() OVER (
     PARTITION BY lang
-    ORDER BY (((doc_id % 4294967296) * 2654435761) % 4294967296)
+    ORDER BY (((doc_id % 2147483648) * 2654435761) % 4294967296)
              / 4294967296.0 ASC,
              doc_id ASC) <= 10
 """
@@ -1713,7 +1732,7 @@ LEFT JOIN hist h
 ORACLES["q_weighted_sample"] = """
 WITH s AS (
     SELECT doc_id, lang,
-           round(-ln(((doc_id % 4294967296) * 2654435761 % 4294967296
+           round(-ln(((doc_id % 2147483648) * 2654435761 % 4294967296
                       + 0.5) / 4294967296.0)
                  / CAST(n_chars AS DOUBLE), 6) AS wkey
     FROM documents
@@ -1806,12 +1825,12 @@ WITH pos AS (
     SELECT DISTINCT user_id, event_id % 1000 AS item FROM events),
 cand AS (
     SELECT user_id, item,
-           (user_id * 31 + item * 17 + 0) % 4294967296
+           (user_id * 31 + item * 17 + 0) % 2147483648
              * 2654435761 % 4294967296 % 1000 AS neg_item
     FROM pos
     UNION ALL
     SELECT user_id, item,
-           (user_id * 31 + item * 17 + 1) % 4294967296
+           (user_id * 31 + item * 17 + 1) % 2147483648
              * 2654435761 % 4294967296 % 1000 AS neg_item
     FROM pos)
 SELECT c.user_id, c.item, c.neg_item
@@ -1829,7 +1848,7 @@ rates AS (
     FROM counts CROSS JOIN tot)
 SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
 FROM documents d JOIN rates r ON d.source = r.source
-WHERE (d.doc_id % 4294967296) * 2654435761 % 4294967296
+WHERE (d.doc_id % 2147483648) * 2654435761 % 4294967296
       / 4294967296.0 < r.rate
 """
 
@@ -1871,7 +1890,7 @@ WITH t AS (
     FROM documents),
 e AS (
     SELECT doc_id, toks, len(toks) AS n,
-           (doc_id % 4294967296) * 2654435761 % 4294967296
+           (doc_id % 2147483648) * 2654435761 % 4294967296
              % (len(toks) - 5) + 1 AS s
     FROM t WHERE len(toks) > 5)
 SELECT doc_id, CAST(s AS BIGINT) AS span_start,
@@ -1883,7 +1902,7 @@ FROM e
 """
 
 ORACLES["q_kfold"] = """
-SELECT (user_id % 4294967296) * 2654435761 % 4294967296 % 5 AS fold,
+SELECT (user_id % 2147483648) * 2654435761 % 4294967296 % 5 AS fold,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
@@ -1973,7 +1992,7 @@ rates AS (
     FROM counts CROSS JOIN tot),
 enriched AS (
     SELECT f.doc_id, f.source, f.q, r.rate,
-           (f.q AND ((f.doc_id % 4294967296) * 2654435761 % 4294967296
+           (f.q AND ((f.doc_id % 2147483648) * 2654435761 % 4294967296
                      / 4294967296.0) < r.rate) AS s
     FROM flagged f LEFT JOIN rates r ON f.source = r.source)
 SELECT source,

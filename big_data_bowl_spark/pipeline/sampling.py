@@ -15,18 +15,23 @@ from ..schemas import require_columns
 
 HASH_MULT = 2654435761  # Knuth multiplicative constant (2^32 · φ)
 HASH_MOD = 1 << 32
+# pre-multiply key reduction: (2^31−1)·HASH_MULT ≈ 5.7e18 < 2^63, so the
+# product is int64-exact for ANY int64 key.  2^32 would NOT be enough —
+# (2^32−1)·HASH_MULT ≈ 1.14e19 > 2^63, so keys with (key mod 2^32) ≳ 3.47e9
+# would wrap in Spark (ANSI off) but promote to HUGEINT in DuckDB,
+# silently breaking the cross-engine determinism contract.
+HASH_KEY_MOD = 1 << 31
 
 
 def hash_bucket(key_col) -> F.Column:
     """Uniform [0, 1) bucket from an integer key — explicit arithmetic so
     DuckDB / any engine computes the identical value.
 
-    The key is reduced mod 2^32 BEFORE the multiply: (2^32−1)·HASH_MULT
-    < 2^63, so the product never overflows int64.  Without the reduction,
-    keys ≳ 3.5e9 overflow — Spark (ANSI off) wraps silently while DuckDB
-    promotes to HUGEINT, silently breaking cross-engine reproducibility."""
-    return (F.pmod(F.pmod(F.col(key_col), F.lit(HASH_MOD)) * F.lit(HASH_MULT),
-                   F.lit(HASH_MOD))
+    The key is reduced mod 2^31 BEFORE the multiply (see ``HASH_KEY_MOD``:
+    mod 2^32 would overflow int64 for keys ≥ ~3.47e9), keeping the whole
+    computation int64-exact on every engine for every int64 key."""
+    return (F.pmod(F.pmod(F.col(key_col), F.lit(HASH_KEY_MOD))
+                   * F.lit(HASH_MULT), F.lit(HASH_MOD))
             / F.lit(float(HASH_MOD)))
 
 
@@ -63,8 +68,8 @@ def weighted_sample(df: DataFrame, key_col: str, weight_col,
     meaningless); returns df's row with an extra ``wkey`` rank column.
     """
     require_columns(df, [key_col], "weighted_sample")
-    u = ((F.pmod(F.pmod(F.col(key_col), F.lit(HASH_MOD)) * F.lit(HASH_MULT),
-                 F.lit(HASH_MOD)) + 0.5)
+    u = ((F.pmod(F.pmod(F.col(key_col), F.lit(HASH_KEY_MOD))
+                 * F.lit(HASH_MULT), F.lit(HASH_MOD)) + 0.5)
          / F.lit(float(HASH_MOD)))
     w = weight_col if not isinstance(weight_col, str) else F.col(weight_col)
     wkey = F.round(-F.log(u) / w.cast("double"), 6)
@@ -95,7 +100,7 @@ def negative_samples(positives: DataFrame, user_col: str, item_col: str,
     for j in range(k):
         seed = (F.col(user_col) * 31 + F.col(item_col) * 17 + F.lit(j))
         cands.append(F.pmod(
-            F.pmod(F.pmod(seed, F.lit(HASH_MOD)) * F.lit(HASH_MULT),
+            F.pmod(F.pmod(seed, F.lit(HASH_KEY_MOD)) * F.lit(HASH_MULT),
                    F.lit(HASH_MOD)),
             F.lit(n_items)))
     fanned = positives.select(

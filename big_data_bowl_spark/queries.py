@@ -1195,6 +1195,7 @@ def q_tpch_q7(spark, sf_dir):
 
 HASH_SAMPLE_MULT = 2654435761  # Knuth multiplicative constant (2^32·φ)
 HASH_SAMPLE_MOD = 1 << 32
+HASH_SAMPLE_KEY_MOD = 1 << 31  # pre-multiply reduction: (2^31-1)*MULT < 2^63 (int64-exact)
 
 
 def q_hash_sample(spark, sf_dir):
@@ -1204,11 +1205,12 @@ def q_hash_sample(spark, sf_dir):
     ``rand(seed)`` or engine hash builtins), so the same 20% sample falls
     out on any engine, any partitioning, any run.  Map-side filter: no
     shuffle, combines with predicate pushdown of the id column.  The key
-    is reduced mod 2^32 before the multiply so the product stays < 2^63
-    for any int64 key (overflow would wrap in Spark but promote to
-    HUGEINT in DuckDB — breaking the cross-engine guarantee)."""
+    is reduced mod 2^31 before the multiply so the product stays < 2^63
+    for any int64 key (mod 2^32 would NOT suffice: reduced keys ≳ 3.47e9
+    overflow — wrapping in Spark but promoting to HUGEINT in DuckDB,
+    breaking the cross-engine guarantee)."""
     d = _t(spark, sf_dir, "documents")
-    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(HASH_SAMPLE_MOD))
+    bucket = F.pmod(F.pmod(F.col("doc_id"), F.lit(HASH_SAMPLE_KEY_MOD))
                     * F.lit(HASH_SAMPLE_MULT),
                     F.lit(HASH_SAMPLE_MOD))
     return (d.filter(bucket < int(0.2 * HASH_SAMPLE_MOD))
@@ -1962,6 +1964,66 @@ def q_submission_pipeline(spark, sf_dir):
         F.col("rank").cast("long").alias("rank"))
 
 
+def q_scorecard_golden(spark, sf_dir):
+    """Golden replay of the full §3.1 scorecard spine (metrics.py:198-367,
+    the TrueSpeed.csv shape): a fixed 6-play / 2-player / 8-frame tracking
+    fixture — literal arithmetic, independent of sf_dir — runs the ENTIRE
+    Submission pipeline (normalize → separation → semi-join → kinematics →
+    labels → converge → routes → k-means → sequences → EMA inference →
+    un-pivot → TrueSpeed → scorecard) and must reproduce the pinned
+    scorecard EXACTLY (oracle = VALUES literal).  Coordinates are dyadic
+    rationals and each receiver owns one play, so every float reduction is
+    IEEE-exact and partition-order-invariant — any drift in any operator
+    of the spine breaks the hash."""
+    from .pipeline.submission import run_submission_pipeline
+    base = (spark.range(6 * 8)
+            .select((F.col("id") % 6 + 1).alias("play_id"),
+                    (F.col("id") / 6 + 1).cast("int").alias("frame_id"))
+            .select(F.lit(1).cast("long").alias("game_id"),
+                    F.col("play_id").cast("long"), "frame_id",
+                    F.when(F.col("play_id") % 2 == 0, "left")
+                     .otherwise("right").alias("play_direction"),
+                    (F.lit(10.0) + F.col("frame_id") * 0.5
+                     + F.col("play_id") * 2.0).alias("x"),
+                    (F.lit(5.0) + F.col("play_id") * 1.25
+                     + (F.col("frame_id") % 3) * 0.25).alias("y"),
+                    F.lit(2.5).alias("s"), F.lit(90.0).alias("dir"),
+                    F.lit(60.0).alias("ball_land_x"),
+                    (F.lit(20.0) + F.col("play_id")).alias("ball_land_y")))
+    off = base.select(
+        "*", (F.col("play_id") + 100).alias("nfl_id"),
+        F.lit(True).alias("player_to_predict"),
+        F.lit("Offense").alias("player_side"),
+        F.lit("WR").alias("player_position"),
+        F.lit("Targeted Receiver").alias("player_role"))
+    deff = base.select(
+        "*", (F.col("play_id") + 200).alias("nfl_id"),
+        F.lit(False).alias("player_to_predict"),
+        F.lit("Defense").alias("player_side"),
+        F.lit("CB").alias("player_position"),
+        F.lit("Defensive Coverage").alias("player_role")) \
+        .withColumn("y", F.col("y") + 2.5)
+    tracking = off.unionByName(deff)
+    labels = off.select("game_id", "play_id", "nfl_id", "frame_id",
+                        (F.col("x") + 0.75).alias("x"), "y")
+    supp = (base.select("game_id", "play_id").distinct()
+                .withColumn("pass_result",
+                            F.when(F.col("play_id") <= 5, "C")
+                             .otherwise("I"))
+                .withColumn("yards_gained",
+                            (F.col("play_id") * 2).cast("double"))
+                .withColumn("expected_points_added",
+                            F.col("play_id") * 0.25 - 0.5))
+    out = run_submission_pipeline(spark, tracking, labels, supp,
+                                  k_clusters=2, max_len=8,
+                                  eager_checks=False)
+    return out["scorecard"].select(
+        "nfl_id", roundn(F.col("truespeed")).alias("truespeed"),
+        F.col("n_targets").cast("long").alias("n_targets"),
+        roundn(F.col("total_yards")).alias("total_yards"),
+        F.col("rank").cast("long").alias("rank"))
+
+
 def q_eval_metrics(spark, sf_dir):
     """M9 (eval_predictions; BDB_2026.ipynb#cell102): MSE/RMSE/MAE/R² of a
     persistence forecast (lag-1 of value per user) in ONE partial-
@@ -2252,7 +2314,7 @@ def q_corpus_release(spark, sf_dir):
                    .select("source",
                            (F.lit(150.0) * F.sqrt("__n") / F.col("__tot")
                             / F.col("__n")).alias("rate")))
-    u = (F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 32))
+    u = (F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 31))
                 * F.lit(2654435761), F.lit(1 << 32))
          / F.lit(float(1 << 32)))
     enriched = (flagged.join(F.broadcast(rates), "source", "left")
@@ -2365,7 +2427,7 @@ def q_span_corruption(spark, sf_dir):
         F.filter(F.split(F.col("text"), " "), lambda t: t != "")
          .alias("__toks"))
     n = F.size("__toks")
-    start = F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 32))
+    start = F.pmod(F.pmod(F.col("doc_id"), F.lit(1 << 31))
                    * F.lit(2654435761), F.lit(1 << 32)) % (n - span) + 1
     eligible = staged.filter(n > span).withColumn("__s", start)
     inp = F.concat_ws(
@@ -2384,7 +2446,7 @@ def q_kfold(spark, sf_dir):
     fold (key-hash mod k); per-fold sizes prove balance.  The k-way
     generalization of the M8 group split."""
     e = _t(spark, sf_dir, "events")
-    fold = F.pmod(F.pmod(F.col("user_id"), F.lit(1 << 32))
+    fold = F.pmod(F.pmod(F.col("user_id"), F.lit(1 << 31))
                   * F.lit(2654435761), F.lit(1 << 32)) % 5
     return (e.withColumn("fold", fold)
              .groupBy("fold")
@@ -2660,6 +2722,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_minhash_incremental": q_minhash_incremental,
     "q_pca_embed": q_pca_embed,
     "q_submission_pipeline": q_submission_pipeline,
+    "q_scorecard_golden": q_scorecard_golden,
     "q_pagerank": q_pagerank,
     "q_winsorize": q_winsorize,
     "q_ewma": q_ewma,

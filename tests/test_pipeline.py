@@ -1069,3 +1069,25 @@ def test_bipartite_edges_bounded_and_symmetric(spark):
     edges = {(r["src"], r["dst"]) for r in bipartite_edges(df, "e", "i").collect()}
     assert (1, 2) in edges and (2, 1) in edges and (1, 4) in edges
     assert (2, 4) not in edges  # no shared item
+
+
+def test_hash_bucket_int64_safe_on_huge_keys(spark):
+    """Keys ≥ ~3.47e9 overflowed int64 under the old mod-2^32 reduction
+    (Spark wrapped; DuckDB promoted to HUGEINT — silent cross-engine
+    divergence).  The mod-2^31 reduction is int64-exact: Spark and DuckDB
+    must agree on every bucket, including the worst case 2^31−1."""
+    import duckdb
+
+    from big_data_bowl_spark.pipeline.sampling import hash_bucket
+
+    keys = [0, 1, 3_474_000_000, (1 << 31) - 1, (1 << 32) - 1,
+            (1 << 62) + 12345, 9_223_372_036_854_775_807]
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r["k"]: r["b"] for r in
+           df.select("k", hash_bucket("k").alias("b")).collect()}
+    con = duckdb.connect()
+    for k in keys:
+        want = con.execute(
+            f"SELECT ({k} % 2147483648) * 2654435761 % 4294967296"
+            " / 4294967296.0").fetchone()[0]
+        assert got[k] == want, (k, got[k], want)

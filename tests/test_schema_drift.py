@@ -37,7 +37,7 @@ def test_normalized_dtypes_stable(spark, table):
             f"{table}.{col}: read_table now yields {got.get(col)!r}, "
             f"queries were validated against {want!r} — testdata "
             f"regeneration drift; extend sources/io.py normalization "
-            f"(see .claude/skills/verify/SKILL.md gotchas)")
+            f"(see the dtype notes in sources/io.py:read_table)")
 
 
 def test_all_tables_readable(spark):
