@@ -54,6 +54,13 @@ def pagerank(edges: DataFrame, iters: int = 10,
     second join and the dangling filter is a co-located null test.
     ``localCheckpoint`` per round bounds lineage.  Returns (node, rank)."""
     require_columns(edges, ["src", "dst"], "pagerank")
+    # Pin the edge relation ONCE: every iteration (and nodes/outdeg below)
+    # re-consumes it, and an unpinned lineage would re-run the caller's
+    # whole edge construction — e.g. a bipartite projection's self-join —
+    # per round.  localCheckpoint here is the single-JVM form of the
+    # persist-the-edge-RDD discipline every iterative graph engine uses
+    # (GraphX caches the edge partition structure for exactly this reason).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())

@@ -98,7 +98,11 @@ def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
                         F.round(F.log(F.col("cnt").cast("double")
                                       / F.col("total").cast("double"))
                                 * 1_000_000).cast("long").alias("lp_u")))
-    return (tok.join(F.broadcast(lp), "term")
+    # lp is VOCABULARY-grain (one row per distinct corpus term) — far too
+    # big to broadcast at corpus scale; the token⋈vocab attach is a plain
+    # shuffle join on term (AQE may still broadcast at small SF from
+    # statistics, which is a runtime decision, not a promise).
+    return (tok.join(lp, "term")
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     roundn(F.sum("lp_u") / F.count(F.lit(1))

@@ -2205,14 +2205,18 @@ def q_merge_upsert(spark, sf_dir):
 
 def q_pagerank(spark, sf_dir):
     """PageRank over the co-interaction graph (users sharing an item =
-    event_id mod 200; bipartite projection with bounded per-item
-    fan-out), 5 damped rounds with dangling redistribution.  Rows-only
-    (distributed float sums); mass conservation and star-shape ordering
-    are property-tested.  Top-20 by rounded rank, user_id tie-break."""
+    event_id div 5 — an item universe that GROWS with the data, so
+    per-item fan-out stays ≤5 at every SF; a fixed modulus would turn
+    every item into a hub whose pair fan-out grows quadratically with
+    scale).  The in-plan cardinality guard proves the bound instead of
+    assuming it.  5 damped rounds with dangling redistribution.
+    Rows-only (distributed float sums); mass conservation and star-shape
+    ordering are property-tested.  Top-20 by rounded rank, user_id
+    tie-break."""
     from .operators.graph import bipartite_edges, pagerank
     e = _t(spark, sf_dir, "events")
-    rel = e.select("user_id", (F.col("event_id") % 200).alias("item"))
-    edges = bipartite_edges(rel, "user_id", "item")
+    rel = e.select("user_id", (F.col("event_id") / 5).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item", max_entities_per_item=8)
     pr = pagerank(edges, iters=5)
     return (pr.select(F.col("node").alias("user_id"),
                       roundn(F.col("rank")).alias("rank"))

@@ -356,3 +356,10 @@ def test_round4_no_node_grain_broadcast_hints(spark):
     jp = jaccard_prefix_pairs(docs, 0.5)
     analyzed = jp._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 0, analyzed
+
+    # unigram LM: the only hint is the 1-row corpus total — the
+    # vocabulary log-prob table must shuffle-join onto the tokens
+    from big_data_bowl_spark.pipeline.ranking import unigram_scores
+    us = unigram_scores(docs)
+    analyzed = us._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 1, analyzed
