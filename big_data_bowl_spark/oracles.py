@@ -2047,3 +2047,68 @@ SELECT user_id, n_events,
          AS ewma
 FROM a
 """
+
+# --- q_synthetic_source: regenerate the Python DataSource rows in SQL -------
+# sources/synthetic.py derives every row from the engine-neutral
+# multiplicative hash of the row id (h = (i mod 2^32) * 2654435761 mod 2^32;
+# i < 2^32 here so the mod is a no-op, and i*MULT <= 1e4 * 2.65e9 << 2^63 is
+# int64-safe).  rows=10_000 -> n_users = rows // 64 = 156.  value is exactly
+# (h mod 100_000)/100, so summing cents (= h mod 100_000) is exact in both
+# engines; the final /100.0 is one correctly-rounded IEEE division each side.
+ORACLES["q_synthetic_source"] = """
+WITH g AS (
+    SELECT i, (i * 2654435761) % 4294967296 AS h
+    FROM range(10000) t(i)),
+r AS (
+    SELECT (['click','error','purchase','signup','view'])[(h % 5) + 1]
+             AS event_type,
+           h % 156 AS user_id,
+           h % 100000 AS cents
+    FROM g)
+SELECT event_type, count(*) AS n,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS sum_value,
+       count(DISTINCT user_id) AS n_users
+FROM r GROUP BY 1
+"""
+
+# --- q_pagerank: fixed-iteration fixpoint, unrolled -------------------------
+# q_pagerank runs EXACTLY 5 damped rounds from rank = 1.0 (the iteration
+# count is part of the query's semantics, not a convergence test), so the
+# oracle unrolls 5 identical CTE stages instead of a recursive CTE — each
+# stage may reference the previous one any number of times (contrib join,
+# dangling-mass scalar, node base).  Float discipline: every constant that
+# Spark computes driver-side in Python (1 - 0.85 = 0.15000000000000002) is
+# reproduced with the same IEEE double ops (0.85::DOUBLE keeps DuckDB's
+# decimal literals out of the arithmetic); per-round sums drift only at
+# ~1e-16 relative, far inside the final round-to-6 window.
+_PR_ROUND = """r{k} AS (
+    SELECT b.node, b.outdeg,
+           ((1 - 0.85::DOUBLE)
+            + 0.85::DOUBLE * (COALESCE(c.inflow, 0) + d.dm / nn.n)) AS rank
+    FROM base b
+    LEFT JOIN (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS inflow
+               FROM edges e JOIN r{p} r ON e.src = r.node
+               GROUP BY 1) c USING (node)
+    CROSS JOIN (SELECT COALESCE(sum(rank), 0::DOUBLE) AS dm
+                FROM r{p} WHERE outdeg IS NULL) d
+    CROSS JOIN nn)"""
+
+ORACLES["q_pagerank"] = ("""
+WITH pairs AS (
+    SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),
+edges AS (
+    SELECT DISTINCT a.e AS src, b.e AS dst
+    FROM pairs a JOIN pairs b USING (i)
+    WHERE a.e <> b.e),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+base AS (SELECT n.node, o.outdeg
+         FROM nodes n LEFT JOIN outdeg o USING (node)),
+r0 AS (SELECT node, outdeg, CAST(1 AS DOUBLE) AS rank FROM base),
+""" + ",\n".join(_PR_ROUND.format(k=k, p=k - 1) for k in range(1, 6)) + """,
+fin AS (SELECT node AS user_id, round(rank, 6) AS rank FROM r5)
+SELECT user_id, rank FROM fin
+ORDER BY rank DESC, user_id ASC
+LIMIT 20
+""")

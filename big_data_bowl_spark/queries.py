@@ -2527,17 +2527,23 @@ def q_negative_samples(spark, sf_dir):
 
 
 def q_synthetic_source(spark, sf_dir):
-    """Spark 4 custom Python DataSource smoke: 10k deterministic synthetic
+    """Spark 4 custom Python DataSource: 10k deterministic synthetic
     events generated partition-parallel (no files), aggregated per type.
-    Rows-only — DuckDB cannot run a Spark data source; determinism is
-    pinned by `test_synthetic_source_parallel_and_deterministic`."""
+    DuckDB cannot run a Spark data source, but the generator is pure
+    arithmetic on the row id, so the oracle REGENERATES the rows with
+    `range(10000)` and the same multiplicative hash — a full value-hash
+    check, not just a smoke.  Values are exact 2-decimal floats, so the
+    sum goes through integer cents (exact int64) rather than a float
+    fold whose association-order drift could cross a rounding boundary."""
     from .sources.synthetic import SyntheticEventsDataSource
     spark.dataSource.register(SyntheticEventsDataSource)
     df = (spark.read.format("synthetic_events")
           .option("rows", 10_000).option("partitions", 8).load())
+    cents = F.round(F.col("value") * 100).cast("long")
     return (df.groupBy("event_type")
               .agg(F.count(F.lit(1)).alias("n"),
-                   roundn(F.sum("value")).alias("sum_value"),
+                   roundn(F.sum(cents).cast("double") / 100.0)
+                     .alias("sum_value"),
                    F.countDistinct("user_id").alias("n_users")))
 
 
