@@ -2112,3 +2112,18 @@ SELECT user_id, rank FROM fin
 ORDER BY rank DESC, user_id ASC
 LIMIT 20
 """)
+
+# --- q_fuzzy_join: naive all-pairs edit-distance join ------------------------
+# The Spark side prunes candidates with Ed-Join q-gram prefix filtering, but
+# the RESULT is exactly the brute-force join: every unordered pair within
+# Levenshtein distance 1 (plus the |Δlen| <= 1 necessary condition, which
+# only prunes).  levenshtein is the classic unit-cost edit distance in both
+# engines; counts cast to BIGINT for type parity.
+ORACLES["q_fuzzy_join"] = """
+WITH s AS (SELECT c_custkey AS k, c_name AS nm, length(c_name) AS l
+           FROM customer)
+SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM s a JOIN s b ON a.k < b.k AND abs(a.l - b.l) <= 1
+WHERE levenshtein(a.nm, b.nm) <= 1
+"""

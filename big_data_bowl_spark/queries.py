@@ -2547,6 +2547,18 @@ def q_synthetic_source(spark, sf_dir):
                    F.countDistinct("user_id").alias("n_users")))
 
 
+def q_fuzzy_join(spark, sf_dir):
+    """Typo-variant record linkage: every customer-name pair within
+    Levenshtein distance 1, via Ed-Join q-gram prefix filtering (one
+    edit destroys ≤ q grams, so candidates come from each string's q·d+1
+    rarest grams — never a cross join).  Exact: equals the naive
+    all-pairs join the oracle spells out."""
+    from .pipeline.dedup import edit_distance_pairs
+    c = _t(spark, sf_dir, "customer")
+    return edit_distance_pairs(c, max_dist=1, q=2,
+                               id_col="c_custkey", string_col="c_name")
+
+
 def q_jaccard_prefix(spark, sf_dir):
     """EXACT all-pairs Jaccard ≥ 0.6 with PPJoin prefix filtering:
     candidates only from rarest-token prefixes (guaranteed complete),
@@ -2752,6 +2764,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_negative_samples": q_negative_samples,
     "q_synthetic_source": q_synthetic_source,
     "q_jaccard_prefix": q_jaccard_prefix,
+    "q_fuzzy_join": q_fuzzy_join,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,

@@ -363,3 +363,11 @@ def test_round4_no_node_grain_broadcast_hints(spark):
     us = unigram_scores(docs)
     analyzed = us._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 1, analyzed
+
+    # Ed-Join: ZERO hints for the same reason — the gram-frequency table
+    # is one row per distinct q-gram (corpus-scale vocabulary)
+    from big_data_bowl_spark.pipeline.dedup import edit_distance_pairs
+    ed = edit_distance_pairs(docs, max_dist=1, q=2,
+                             id_col="doc_id", string_col="text")
+    analyzed = ed._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed

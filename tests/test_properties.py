@@ -181,3 +181,36 @@ def test_funnel_stage_matches_python_fold(spark, seq):
         if stage < 3 and s == steps[stage]:
             stage += 1
     assert got[0]["stage"] == stage, (seq, got, stage)
+
+
+@settings(max_examples=8, deadline=None)
+@given(names=st.lists(
+    st.text(alphabet="abc", min_size=1, max_size=8), min_size=2,
+    max_size=12, unique=True))
+def test_edit_distance_pairs_equals_brute_force(spark, names):
+    """Ed-Join prefix filtering + the short-string band path together are
+    COMPLETE: the pruned join equals brute force for any mix of strings
+    above and below the pigeonhole length q*(d+1) — the short regime
+    ("ab" vs "cd" shares no gram yet sits at distance 2) is exactly what
+    the band path exists for."""
+    from big_data_bowl_spark.pipeline.dedup import edit_distance_pairs
+    d = 2
+    df = spark.createDataFrame(list(enumerate(names)), "k int, s string")
+    got = {(r.key_a, r.key_b, r.dist)
+           for r in edit_distance_pairs(
+               df, max_dist=d, q=2, id_col="k", string_col="s").collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {(i, j, lev(names[i], names[j]))
+            for i in range(len(names)) for j in range(i + 1, len(names))
+            if lev(names[i], names[j]) <= d}
+    assert got == want, (names, got ^ want)
