@@ -70,6 +70,10 @@ HEADLINE = [
     "q_initial_separation",
     "q_defender_sep_frame",
     "q_pagerank",
+    # deletion-neighborhood edit-distance join (262k exact pairs at sf0.1;
+    # the Ed-Join gram variant is correct but hub-gram-bound on this
+    # dictionary — strategy choice documented in pipeline/dedup.py)
+    "q_fuzzy_join",
 ]
 
 
@@ -100,18 +104,19 @@ def main() -> None:
     for t in ("events", "customer", "orders", "documents", "embeddings"):
         read_table(spark, SF_DIR, t).limit(1).count()
 
-    # two timed runs per query, report the min — steady-state timing that
-    # strips one-off JIT/GC noise (±25% observed run-to-run on the heavier
-    # composites) so per-query history across rounds tracks plan changes,
-    # not scheduler luck
+    # two timed PASSES over the whole list, min per query — the host
+    # exhibits transient multi-second stall windows (observed: the same
+    # query ×9 in one run, ×1 in the next, different victims each run).
+    # Back-to-back repeats of one query land both samples inside the same
+    # stall window; interleaving the repeats across full passes
+    # decorrelates them in time, so the min recovers the steady state.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(2):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            dt = time.perf_counter() - t0
+            timings[name] = round(min(timings.get(name, dt), dt), 3)
 
     # PQ build vs search split: q_pq_topk above times the END-TO-END query
     # (codebook training dominates).  Index build is an amortized one-time

@@ -193,12 +193,18 @@ def test_edit_distance_pairs_equals_brute_force(spark, names):
     above and below the pigeonhole length q*(d+1) — the short regime
     ("ab" vs "cd" shares no gram yet sits at distance 2) is exactly what
     the band path exists for."""
-    from big_data_bowl_spark.pipeline.dedup import edit_distance_pairs
+    from big_data_bowl_spark.pipeline.dedup import (
+        deletion_neighborhood_pairs,
+        edit_distance_pairs,
+    )
     d = 2
     df = spark.createDataFrame(list(enumerate(names)), "k int, s string")
     got = {(r.key_a, r.key_b, r.dist)
            for r in edit_distance_pairs(
                df, max_dist=d, q=2, id_col="k", string_col="s").collect()}
+    got_del = {(r.key_a, r.key_b, r.dist)
+               for r in deletion_neighborhood_pairs(
+                   df, max_dist=d, id_col="k", string_col="s").collect()}
 
     def lev(a, b):
         prev = list(range(len(b) + 1))
@@ -214,3 +220,4 @@ def test_edit_distance_pairs_equals_brute_force(spark, names):
             for i in range(len(names)) for j in range(i + 1, len(names))
             if lev(names[i], names[j]) <= d}
     assert got == want, (names, got ^ want)
+    assert got_del == want, (names, got_del ^ want)
