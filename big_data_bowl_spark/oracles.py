@@ -2127,3 +2127,22 @@ SELECT a.k AS key_a, b.k AS key_b, a.nm AS name_a, b.nm AS name_b,
 FROM s a JOIN s b ON a.k < b.k AND abs(a.l - b.l) <= 1
 WHERE levenshtein(a.nm, b.nm) <= 1
 """
+
+# --- q_ivm_refresh: one-shot aggregate ≡ batch-split + state merge ----------
+# The Spark side aggregates three disjoint batches into mergeable states and
+# combines them; the oracle proves the refresh path equals aggregating all
+# rows at once.  Cents reduce as exact int64; each final is one IEEE division
+# over exact longs (100::DOUBLE keeps DuckDB decimal literals out).
+ORACLES["q_ivm_refresh"] = """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events)
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(cents) AS DOUBLE) / 100::DOUBLE, 6) AS sum_value,
+       round(CAST(min(cents) AS DOUBLE) / 100::DOUBLE, 6) AS min_value,
+       round(CAST(max(cents) AS DOUBLE) / 100::DOUBLE, 6) AS max_value,
+       round(CAST(sum(cents) AS DOUBLE)
+             / (100::DOUBLE * count(*)), 6) AS mean_value
+FROM c GROUP BY 1
+"""

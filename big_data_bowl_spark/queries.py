@@ -2562,6 +2562,23 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_ivm_refresh(spark, sf_dir):
+    """Incremental view maintenance: the per-type rollup refreshed from
+    three independent batches (base + two deltas, split on event_id mod
+    10) via mergeable per-group states — NEVER rescanning the whole
+    table in one pass.  The oracle aggregates all rows at once, proving
+    batch-split ⊕ merge ≡ one-shot; at 100 TB only the delta partitions
+    are ever read."""
+    from .operators.ivm import agg_state, finalize_state, merge_states
+    e = _t(spark, sf_dir, "events")
+    batches = [e.filter(F.col("event_id") % 10 <= 7),
+               e.filter(F.col("event_id") % 10 == 8),
+               e.filter(F.col("event_id") % 10 == 9)]
+    states = [agg_state(b, ["event_type"], "value") for b in batches]
+    return finalize_state(merge_states(states, ["event_type"]),
+                          ["event_type"])
+
+
 def q_jaccard_prefix(spark, sf_dir):
     """EXACT all-pairs Jaccard ≥ 0.6 with PPJoin prefix filtering:
     candidates only from rarest-token prefixes (guaranteed complete),
@@ -2768,6 +2785,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_synthetic_source": q_synthetic_source,
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_fuzzy_join": q_fuzzy_join,
+    "q_ivm_refresh": q_ivm_refresh,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,

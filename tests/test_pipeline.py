@@ -1091,3 +1091,30 @@ def test_hash_bucket_int64_safe_on_huge_keys(spark):
             f"SELECT ({k} % 2147483648) * 2654435761 % 4294967296"
             " / 4294967296.0").fetchone()[0]
         assert got[k] == want, (k, got[k], want)
+
+
+def test_ivm_merge_schedule_invariant(spark):
+    """State merging is associative and commutative: flat merge, tree
+    merge, and the one-shot aggregate all finalize identically — the
+    property that makes daily deltas, hierarchical reduces, and
+    out-of-order backfills interchangeable."""
+    from big_data_bowl_spark.operators.ivm import (
+        agg_state,
+        finalize_state,
+        merge_states,
+    )
+    e = read_table(spark, SF_SMALL, "events")
+    keys = ["event_type"]
+    parts = [e.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    states = [agg_state(p, keys, "value") for p in parts]
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    flat = rows(finalize_state(merge_states(states, keys), keys))
+    tree = rows(finalize_state(
+        merge_states([merge_states(states[:2], keys), states[2]], keys),
+        keys))
+    rev = rows(finalize_state(merge_states(states[::-1], keys), keys))
+    oneshot = rows(finalize_state(agg_state(e, keys, "value"), keys))
+    assert flat == tree == rev == oneshot
