@@ -233,6 +233,38 @@ def foreach_batch_upsert(df: DataFrame, out_dir: str,
               .start())
 
 
+def stream_state_rollup(df: DataFrame, state_dir: str, checkpoint_dir: str,
+                        keys: list[str], value_col: str):
+    """Streaming incremental view maintenance: each micro-batch
+    aggregates ALONE into a mergeable per-group state
+    (operators/ivm.agg_state) and folds into the persisted state table —
+    per-batch cost is O(delta + groups), never O(history), which is the
+    entire point of maintaining a 100 TB rollup incrementally.
+
+    The state table is versioned by batch id (``state_dir/vN`` computed
+    from ``vN-1`` + batch N), which makes the read-modify-write both
+    atomic (readers never see a half-written fold) and idempotent: a
+    replayed batch (failure → restart re-delivers the same batch_id)
+    recomputes ITS version from the same predecessor instead of
+    double-counting — the same overwrite-by-deterministic-key discipline
+    as :func:`foreach_batch_upsert`.  The latest ``vN`` finalizes via
+    ``operators/ivm.finalize_state``.  Returns the started query."""
+    from ..operators.ivm import agg_state, merge_states
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        st = agg_state(batch_df, keys, value_col)
+        if batch_id > 0:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{state_dir}/v{batch_id - 1}")
+            st = merge_states([prev, st], keys)
+        st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+
+    return (df.writeStream.foreachBatch(merge_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .trigger(availableNow=True)
+              .start())
+
+
 FUNNEL_OUT_SCHEMA = "user_id long, stage int, n_events long"
 FUNNEL_STATE_SCHEMA = "stage int, last_ep double, n_events long"
 

@@ -327,3 +327,48 @@ def test_stateful_funnel_stream_equals_batch(spark, tmp_path):
             last[r["user_id"]] = (r["stage"], r["n_events"])
     assert last == batch
 
+
+
+def test_stream_state_rollup_equals_batch(spark, tmp_path):
+    """Streaming IVM: folding per-batch mergeable states across 3
+    micro-batches must finalize exactly like the one-shot aggregate —
+    and every intermediate version directory must exist (the versioned
+    read-modify-write that makes replays idempotent)."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.ivm import agg_state, finalize_state
+    from big_data_bowl_spark.streaming.stream_ops import stream_state_rollup
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value")
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    t0 = 1_700_000_000
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (ev.filter(F.col("event_id") % 3 == i)
+           .coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_state_rollup(stream, str(tmp_path / "state"),
+                            str(tmp_path / "ckpt"),
+                            ["event_type"], "value")
+    q.awaitTermination(120)
+
+    versions = sorted(glob.glob(str(tmp_path / "state" / "v*")))
+    assert len(versions) == 3, versions
+    got = finalize_state(
+        spark.read.parquet(versions[-1]), ["event_type"])
+    want = finalize_state(agg_state(ev, ["event_type"], "value"),
+                          ["event_type"])
+    assert _rows(got) == _rows(want)
