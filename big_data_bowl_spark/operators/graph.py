@@ -3,10 +3,12 @@
 Same scale discipline as the dedup components fixpoint
 (pipeline/dedup.py): pure DataFrame joins + aggregates per round,
 ``localCheckpoint`` each iteration so plan depth stays O(1), no driver
-data paths.  Ranks are floats reduced by distributed sums, so results
-are rows-only territory (association order) — invariants (mass
-conservation up to dangling loss, fixed iteration count, determinism of
-the support set) carry the tests.
+data paths.  Ranks are floats reduced by distributed sums; per-round
+association-order drift is ~1e-16 relative — far inside the round-to-6
+output window — so the fixed-iteration fixpoint hash-matches a DuckDB
+oracle that unrolls the rounds as CTE stages with IEEE-identical
+constants.  Invariants (mass conservation up to dangling loss,
+determinism of the support set) additionally carry property tests.
 """
 
 from __future__ import annotations

@@ -2146,3 +2146,34 @@ SELECT event_type,
              / (100::DOUBLE * count(*)), 6) AS mean_value
 FROM c GROUP BY 1
 """
+
+# --- q_entity_resolution: brute pairs + recursive closure + attach-back -----
+# Spark prunes pair candidates with deletion neighborhoods and resolves
+# clusters by min-label propagation; the oracle brute-forces the dictionary
+# pairs (64 names — the whole point of dictionary-grain ER), walks the
+# transitive closure recursively, and attaches the fact rows back by exact
+# name.  Singleton names (no fuzzy partner) keep their own dict_id.
+ORACLES["q_entity_resolution"] = """
+WITH RECURSIVE d AS (
+    SELECT p_name, min(p_partkey) AS dict_id FROM part GROUP BY 1),
+pairs AS (
+    SELECT a.dict_id AS ka, b.dict_id AS kb
+    FROM d a JOIN d b ON a.dict_id < b.dict_id
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2),
+edges AS (SELECT ka AS a, kb AS b FROM pairs
+          UNION SELECT kb, ka FROM pairs),
+walk(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+comp AS (SELECT node, min(reach) AS component FROM walk GROUP BY 1),
+lab AS (SELECT d.p_name, COALESCE(c.component, d.dict_id) AS entity_id
+        FROM d LEFT JOIN comp c ON d.dict_id = c.node)
+SELECT l.entity_id,
+       count(DISTINCT p.p_name) AS n_names,
+       count(*) AS n_parts,
+       min(p.p_name) AS canonical_name
+FROM part p JOIN lab l USING (p_name)
+GROUP BY 1
+"""

@@ -2210,9 +2210,10 @@ def q_pagerank(spark, sf_dir):
     every item into a hub whose pair fan-out grows quadratically with
     scale).  The in-plan cardinality guard proves the bound instead of
     assuming it.  5 damped rounds with dangling redistribution.
-    Rows-only (distributed float sums); mass conservation and star-shape
-    ordering are property-tested.  Top-20 by rounded rank, user_id
-    tie-break."""
+    Hash-verified against a 5-stage unrolled CTE oracle (the iteration
+    count is part of the semantics); mass conservation and star-shape
+    ordering are additionally property-tested.  Top-20 by rounded rank,
+    user_id tie-break."""
     from .operators.graph import bipartite_edges, pagerank
     e = _t(spark, sf_dir, "events")
     rel = e.select("user_id", (F.col("event_id") / 5).cast("long").alias("item"))
@@ -2562,6 +2563,36 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_entity_resolution(spark, sf_dir):
+    """Entity resolution end-to-end, at DICTIONARY grain: dedupe the
+    distinct part-name dictionary with the deletion-neighborhood join
+    (d ≤ 2), resolve match pairs into entity clusters (connected
+    components, min-label canonical), then attach every corpus row back
+    by exact name.  The scale-correct ER shape: fuzzy matching runs on
+    the vocabulary-sized dictionary, never the fact table — the fact
+    side only ever pays an exact equi-join.  Oracle: brute-force pairs
+    + recursive-CTE closure + the same attach-back."""
+    from .pipeline.dedup import (
+        deletion_neighborhood_pairs,
+        duplicate_components,
+    )
+    p = _t(spark, sf_dir, "part")
+    dic = p.groupBy("p_name").agg(F.min("p_partkey").alias("dict_id"))
+    pairs = deletion_neighborhood_pairs(dic, max_dist=2,
+                                        id_col="dict_id",
+                                        string_col="p_name")
+    comp = duplicate_components(pairs, "key_a", "key_b")
+    labeled = (dic.join(comp, dic.dict_id == comp.doc_id, "left")
+                  .select("p_name",
+                          F.coalesce("component", "dict_id")
+                           .alias("entity_id")))
+    return (p.join(labeled, "p_name")
+             .groupBy("entity_id")
+             .agg(F.countDistinct("p_name").alias("n_names"),
+                  F.count(F.lit(1)).alias("n_parts"),
+                  F.min("p_name").alias("canonical_name")))
+
+
 def q_ivm_refresh(spark, sf_dir):
     """Incremental view maintenance: the per-type rollup refreshed from
     three independent batches (base + two deltas, split on event_id mod
@@ -2786,6 +2817,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_jaccard_prefix": q_jaccard_prefix,
     "q_fuzzy_join": q_fuzzy_join,
     "q_ivm_refresh": q_ivm_refresh,
+    "q_entity_resolution": q_entity_resolution,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,
