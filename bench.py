@@ -74,6 +74,9 @@ HEADLINE = [
     # the Ed-Join gram variant is correct but hub-gram-bound on this
     # dictionary — strategy choice documented in pipeline/dedup.py)
     "q_fuzzy_join",
+    # incremental view maintenance: batch-split states + merge (the
+    # refresh path a 100 TB rollup actually runs)
+    "q_ivm_refresh",
 ]
 
 
