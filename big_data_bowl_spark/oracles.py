@@ -2177,3 +2177,64 @@ SELECT l.entity_id,
 FROM part p JOIN lab l USING (p_name)
 GROUP BY 1
 """
+
+# --- q_minhash_neutral: the full MinHash+LSH pipeline, reproduced in SQL ----
+# Every stage of pipeline/dedup.minhash_neutral_pairs is explicit integer
+# arithmetic, so the oracle rebuilds it end-to-end: word shingles ->
+# polynomial character hash (h*31+code mod 1e9+7, seed 7) -> 32 affine
+# min-hash slots ((a*h+b) mod 2^31-1; coefficients from the SAME LCG as the
+# engine, imported below) -> per-band polynomial fold seeded by the band
+# index -> bucket equi-join -> integer matched-slot threshold (>=16 of 32;
+# est = m/32 is dyadic, no float boundary).
+from .pipeline.dedup import LSH_BANDS as _LSH_BANDS
+from .pipeline.dedup import N_MINHASH as _N_MINHASH
+from .pipeline.dedup import _mh_coeffs
+
+_PERM_VALUES = ",\n       ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(_mh_coeffs(_N_MINHASH)))
+_RPB = _N_MINHASH // _LSH_BANDS
+
+ORACLES["q_minhash_neutral"] = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS wds
+    FROM documents),
+sh AS (
+    SELECT doc_id, array_to_string(list_slice(wds, i, i + 2), ' ') AS s
+    FROM w, UNNEST(generate_series(1, greatest(len(wds) - 2, 1))) t(i)),
+bh AS (
+    SELECT doc_id, list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(range(1, length(s) + 1),
+                              i -> ascii(substr(s, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+    FROM sh),
+perm(j, a, b) AS (
+    VALUES {_PERM_VALUES}),
+slots AS (
+    SELECT doc_id, j, min((a * h + b) % 2147483647) AS slot
+    FROM bh CROSS JOIN perm GROUP BY 1, 2),
+bnd AS (
+    SELECT doc_id, CAST(j // {_RPB} AS BIGINT) AS band,
+           list(slot ORDER BY j) AS bs
+    FROM slots GROUP BY 1, 2),
+bkt AS (
+    SELECT doc_id, band,
+           list_reduce(list_prepend(band, bs),
+                       (acc, s) -> (acc * 31 + s) % 1000000007) AS bucket
+    FROM bnd),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bkt a JOIN bkt b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id),
+eq AS (
+    SELECT c.doc_a, c.doc_b,
+           count(*) FILTER (sa.slot = sb.slot) AS m
+    FROM cand c
+    JOIN slots sa ON sa.doc_id = c.doc_a
+    JOIN slots sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(m / {float(_N_MINHASH)}, 6) AS est_jaccard
+FROM eq WHERE m >= {-(-_N_MINHASH // 2)}
+"""

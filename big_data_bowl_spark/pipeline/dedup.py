@@ -642,3 +642,80 @@ def deletion_neighborhood_pairs(df: DataFrame, max_dist: int = 1,
                 .select(F.col("__ka").alias("key_a"),
                         F.col("__kb").alias("key_b"),
                         "name_a", "name_b", "dist"))
+
+
+def minhash_neutral_pairs(df: DataFrame, min_est_jaccard: float = 0.5,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n_hashes: int = N_MINHASH,
+                          bands: int = LSH_BANDS,
+                          shingle_len: int = 3) -> DataFrame:
+    """Engine-neutral MinHash+LSH pair generation: the SAME pipeline as
+    :func:`minhash_lsh_pairs` — shingle, signature, band, bucket-join,
+    estimate — with every hash an explicit arithmetic formula instead of
+    xxhash64: polynomial character hash for shingles (h·31+code mod P,
+    the :func:`fingerprint_documents` family), the affine (a·h+b) mod p
+    family for slots, and a polynomial fold seeded by the band index for
+    buckets.  Any engine that can fold integers reproduces signatures,
+    buckets, candidate pairs, AND estimates bit-for-bit — which turns
+    the probabilistic dedup tier from rows-only into a hash-verified
+    DuckDB oracle row, and doubles as the portability story for the
+    persisted signature index.
+
+    The xxhash64 form remains the hot path (JVM-intrinsic hashing); use
+    this form where cross-engine reproducibility of the index matters
+    more than hashing throughput.  Same staged-array discipline: base
+    hashes materialize ONCE as a named column (higher-order functions
+    are interpreted and not CSE'd through — see :func:`minhash_slots`).
+
+    The estimate threshold compares INTEGER matched-slot counts
+    (matches ≥ ceil(τ·n)), and est = matches/n is a dyadic rational for
+    the default n=32 — no float boundary anywhere.
+
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    from .text import polynomial_token_hash
+    require_columns(df, [id_col, text_col], "minhash_neutral_pairs")
+    import math
+
+    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
+    base = F.transform(shingles, polynomial_token_hash)
+    sig_df = (df.select(F.col(id_col), F.col(text_col))
+                .withColumn("_base", base)
+                .select(F.col(id_col), F.array(*[
+                    F.aggregate("_base", F.lit(_MH_PRIME).cast("long"),
+                                lambda acc, h: F.least(
+                                    acc, (F.lit(a) * h + F.lit(b))
+                                    % _MH_PRIME))
+                    for a, b in _mh_coeffs(n_hashes)]).alias("sig")))
+    rpb = n_hashes // bands
+    from .text import FP_PRIME
+    banded = sig_df.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.aggregate(F.slice(F.col("sig"), b * rpb + 1, rpb),
+                        F.lit(b).cast("long"),
+                        lambda acc, s: (acc * 31 + s) % F.lit(FP_PRIME))
+            for b in range(bands)])).alias("band", "bucket"))
+    cand = (banded.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+            .join(banded.select(F.col(id_col).alias("doc_b"),
+                                "band", "bucket"),
+                  ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b").distinct())
+    sa = sig_df.select(F.col(id_col).alias("doc_a"),
+                       F.col("sig").alias("__sa"))
+    sb = sig_df.select(F.col(id_col).alias("doc_b"),
+                       F.col("sig").alias("__sb"))
+    matches = F.size(F.filter(
+        F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda v: v))
+    min_matches = math.ceil(min_est_jaccard * n_hashes)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+                .withColumn("__m", matches)
+                .filter(F.col("__m") >= min_matches)
+                .select("doc_a", "doc_b",
+                        roundn(F.col("__m") / F.lit(float(n_hashes)))
+                        .alias("est_jaccard")))

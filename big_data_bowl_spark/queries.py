@@ -2563,6 +2563,17 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_minhash_neutral(spark, sf_dir):
+    """MinHash+LSH with every hash an explicit arithmetic formula
+    (polynomial shingle hash, affine slot family, polynomial band fold):
+    the DuckDB oracle reproduces signatures, buckets, candidate pairs,
+    and estimates bit-for-bit — the probabilistic dedup tier's
+    hash-verified twin (the xxhash64 form stays the hot path)."""
+    from .pipeline.dedup import minhash_neutral_pairs
+    d = _t(spark, sf_dir, "documents")
+    return minhash_neutral_pairs(d, min_est_jaccard=0.5)
+
+
 def q_entity_resolution(spark, sf_dir):
     """Entity resolution end-to-end, at DICTIONARY grain: dedupe the
     distinct part-name dictionary with the deletion-neighborhood join
@@ -2818,6 +2829,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fuzzy_join": q_fuzzy_join,
     "q_ivm_refresh": q_ivm_refresh,
     "q_entity_resolution": q_entity_resolution,
+    "q_minhash_neutral": q_minhash_neutral,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,
