@@ -2238,3 +2238,39 @@ eq AS (
 SELECT doc_a, doc_b, round(m / {float(_N_MINHASH)}, 6) AS est_jaccard
 FROM eq WHERE m >= {-(-_N_MINHASH // 2)}
 """
+
+# --- q_cdc_chunks: content-defined chunk boundaries, reproduced in SQL ------
+# A cut falls after token i (window <= i <= n-1) where the polynomial hash
+# of tokens[i-3..i] (joined by spaces; h*31+code mod 1e9+7, seed 7) divides
+# 16.  bounds = [0, cuts..., n]; chunk k spans tokens[bounds[k]+1 ..
+# bounds[k+1]].  All integer arithmetic — chunks match bit-for-bit.
+ORACLES["q_cdc_chunks"] = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS tk
+    FROM documents),
+c AS (
+    SELECT doc_id, tk, len(tk) AS n,
+           list_filter(generate_series(4, len(tk) - 1), i ->
+             list_reduce(
+               list_prepend(7::BIGINT,
+                 list_transform(
+                   range(1, length(array_to_string(
+                                     list_slice(tk, i - 3, i), ' ')) + 1),
+                   j -> ascii(substr(array_to_string(
+                                       list_slice(tk, i - 3, i), ' '),
+                                     j, 1))::BIGINT)),
+               (acc, ch) -> (acc * 31 + ch) % 1000000007) % 16 = 0
+           ) AS cuts
+    FROM t WHERE len(tk) > 0),
+b AS (
+    SELECT doc_id, tk,
+           list_concat(list_concat([0], cuts), [n]) AS bounds
+    FROM c)
+SELECT doc_id,
+       CAST(k - 1 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(tk, bounds[k] + 1, bounds[k + 1]), ' ')
+         AS chunk_text,
+       CAST(bounds[k + 1] - bounds[k] AS BIGINT) AS n_tokens
+FROM b, UNNEST(generate_series(1, len(bounds) - 1)) s(k)
+"""

@@ -232,3 +232,57 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
                        .alias("distinct_ratio"),
                        roundn(F.col("top_token_count") / F.col("n_tokens"))
                        .alias("top_token_share")))
+
+
+def cdc_chunk_documents(df: DataFrame, window: int = 4, divisor: int = 16,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Content-defined chunking (Rabin/FastCDC family, on tokens): a cut
+    falls AFTER token i wherever the polynomial hash of the trailing
+    ``window``-token span divides ``divisor`` — so boundaries depend only
+    on LOCAL content.  That is the property fixed-size chunking lacks:
+    inserting one sentence shifts every downstream fixed window (and
+    defeats chunk-level dedup), while CDC boundaries elsewhere in the
+    document do not move.  Expected chunk length ≈ ``divisor`` tokens.
+
+    Everything is in-row array arithmetic over the STAGED token column
+    (HOF-CSE rule): hash the trailing window at each position, filter to
+    cut positions, fan chunks out with one ``posexplode`` — no shuffle
+    at all until the caller aggregates.  The polynomial hash makes
+    boundaries engine-neutral, so the DuckDB oracle reproduces every
+    chunk bit-for-bit.  Production extension (documented, not
+    implemented): FastCDC's min/max clamps re-introduce a small
+    dependence radius in exchange for bounded chunk sizes.
+
+    Returns (doc_id, chunk_id, chunk_text, n_tokens); zero-token
+    documents yield zero chunks.
+    """
+    require_columns(df, [id_col, text_col], "cdc_chunk_documents")
+    staged = (df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+                .filter(F.size("__toks") > 0)
+                .withColumn("__n", F.size("__toks")))
+    positions = F.when(
+        F.col("__n") > window,
+        F.sequence(F.lit(window), F.col("__n") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.filter(
+        positions,
+        lambda i: polynomial_token_hash(
+            F.concat_ws(" ", F.slice(F.col("__toks"), i - window + 1,
+                                     window))) % divisor == 0)
+    bounds = F.concat(F.array(F.lit(0)), cuts.cast("array<int>"),
+                      F.array(F.col("__n").cast("int")))
+    chunked = (staged.withColumn("__bounds", bounds)
+               .select(F.col(id_col), "__toks", "__bounds",
+                       F.posexplode(F.sequence(
+                           F.lit(0), F.size("__bounds") - 2))
+                        .alias("chunk_id", "__k")))
+    start = F.element_at("__bounds", F.col("__k") + 1) + 1
+    length = (F.element_at("__bounds", F.col("__k") + 2)
+              - F.element_at("__bounds", F.col("__k") + 1))
+    piece = F.slice("__toks", start, length)
+    return chunked.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"))

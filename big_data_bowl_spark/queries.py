@@ -2563,6 +2563,17 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking: cut where the polynomial hash of the
+    trailing 4-token window divides 16, so boundaries depend only on
+    local content — inserts don't shift downstream chunks, which is what
+    makes chunk-level dedup stable.  In-row arithmetic over the staged
+    token array; the oracle reproduces every chunk bit-for-bit."""
+    from .pipeline.text import cdc_chunk_documents
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunk_documents(d, window=4, divisor=16)
+
+
 def q_minhash_neutral(spark, sf_dir):
     """MinHash+LSH with every hash an explicit arithmetic formula
     (polynomial shingle hash, affine slot family, polynomial band fold):
@@ -2830,6 +2841,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivm_refresh": q_ivm_refresh,
     "q_entity_resolution": q_entity_resolution,
     "q_minhash_neutral": q_minhash_neutral,
+    "q_cdc_chunks": q_cdc_chunks,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,

@@ -1118,3 +1118,43 @@ def test_ivm_merge_schedule_invariant(spark):
     rev = rows(finalize_state(merge_states(states[::-1], keys), keys))
     oneshot = rows(finalize_state(agg_state(e, keys, "value"), keys))
     assert flat == tree == rev == oneshot
+
+
+def test_cdc_boundaries_stable_under_insertion(spark):
+    """The reason CDC exists: inserting one token early in a document
+    must leave every downstream chunk IDENTICAL (boundaries are functions
+    of local content only), while fixed-size chunking shifts every
+    subsequent window.  Measured on the same perturbation."""
+    from big_data_bowl_spark.pipeline.text import (
+        cdc_chunk_documents,
+        chunk_documents,
+    )
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+             "golf", "hotel", "india", "juliet", "kilo", "lima", "mike"]
+    toks = [words[(i * 7 + i * i) % 13] for i in range(80)]
+    base = " ".join(toks)
+    edited = " ".join(toks[:3] + ["zulu"] + toks[3:])
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string")
+
+    def chunks(out, doc):
+        return [r.chunk_text for r in sorted(
+            out.filter(F.col("doc_id") == doc).collect(),
+            key=lambda r: r.chunk_id)]
+
+    cdc = cdc_chunk_documents(df, window=4, divisor=16)
+    c0, c1 = chunks(cdc, 1), chunks(cdc, 2)
+    suffix = 0
+    while (suffix < min(len(c0), len(c1))
+           and c0[-1 - suffix] == c1[-1 - suffix]):
+        suffix += 1
+    assert len(c0) >= 3, (len(c0), c0)
+    assert suffix >= len(c0) - 2, (suffix, c0, c1)
+
+    fixed = chunk_documents(df, chunk_size=16)
+    f0, f1 = chunks(fixed, 1), chunks(fixed, 2)
+    fsuffix = 0
+    while (fsuffix < min(len(f0), len(f1))
+           and f0[-1 - fsuffix] == f1[-1 - fsuffix]):
+        fsuffix += 1
+    assert fsuffix <= 1, (fsuffix, f0, f1)
