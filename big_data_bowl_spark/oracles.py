@@ -2274,3 +2274,46 @@ SELECT doc_id,
        CAST(bounds[k + 1] - bounds[k] AS BIGINT) AS n_tokens
 FROM b, UNNEST(generate_series(1, len(bounds) - 1)) s(k)
 """
+
+# --- q_simhash_neutral: bit-voting fingerprint, reproduced in SQL -----------
+# Token hash = poly(base 31, seed 7) * 2^30 + poly(base 37, seed 11), both
+# mod 1e9+7 (< 2^30): 60 positive bits.  Every token occurrence votes +/-1
+# per bit; fingerprint sums 2^b where the vote is positive; bands are 4x15
+# bits.  All integer arithmetic.
+ORACLES["q_simhash_neutral"] = """
+WITH tok AS (
+    SELECT doc_id, t
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents)
+    WHERE t <> ''),
+th AS (
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(range(1, length(t) + 1),
+                              i -> ascii(substr(t, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) * 1073741824
+           + list_reduce(
+             list_prepend(11::BIGINT,
+               list_transform(range(1, length(t) + 1),
+                              i -> ascii(substr(t, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 37 + c) % 1000000007) AS h
+    FROM tok),
+bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+votes AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN bits GROUP BY 1, 2),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY 1)
+SELECT doc_id, simhash,
+       (simhash // 1) % 32768 AS band0,
+       (simhash // 32768) % 32768 AS band1,
+       (simhash // 1073741824) % 32768 AS band2,
+       (simhash // 35184372088832) % 32768 AS band3
+FROM fp
+"""

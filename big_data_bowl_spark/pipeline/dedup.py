@@ -719,3 +719,54 @@ def minhash_neutral_pairs(df: DataFrame, min_est_jaccard: float = 0.5,
                 .select("doc_a", "doc_b",
                         roundn(F.col("__m") / F.lit(float(n_hashes)))
                         .alias("est_jaccard")))
+
+
+def simhash_neutral(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Engine-neutral SimHash: the same bit-voting fingerprint as
+    :func:`simhash_buckets`, with the token hash built from TWO
+    polynomial character hashes (bases 31/37, seeds 7/11, both mod the
+    31-bit prime) concatenated into a 60-bit pattern — every bit is
+    explicit integer arithmetic, so a SQL oracle reproduces fingerprints
+    and bands exactly.  Completes the sketch-tier verification story
+    begun by :func:`minhash_neutral_pairs`; xxhash64's full 64 random
+    bits remain the hot path.
+
+    60 positive bits also sidestep the two's-complement sign-bit special
+    case the 64-bit form needs.  Bands are 4×15 bits.  Token
+    multiplicity votes, exactly like the xxhash64 form.
+
+    Returns (doc_id, simhash, band0..band3).
+    """
+    from .text import polynomial_token_hash
+    require_columns(df, [id_col, text_col], "simhash_neutral")
+    bits = 60
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    narrow = df.select(F.col(id_col), F.col(text_col)) \
+               .repartition(parallelism)
+    staged = narrow.withColumn(
+        "_th", F.transform(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
+            lambda t: polynomial_token_hash(t) * F.lit(1 << 30)
+                      + polynomial_token_hash(t, base=37, seed=11)))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    counters = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1)
+                              .otherwise(-1)))
+    fingerprint = F.aggregate(
+        F.zip_with(counters, masks,
+                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0))
+                                 .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    out = staged.withColumn("simhash", fingerprint)
+    for k in range(4):
+        out = out.withColumn(
+            f"band{k}",
+            F.shiftright(F.col("simhash"), 15 * k)
+             .bitwiseAND(F.lit(32767)).cast("long"))
+    return out.select(id_col, "simhash", "band0", "band1", "band2",
+                      "band3")

@@ -2563,6 +2563,16 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_simhash_neutral(spark, sf_dir):
+    """Engine-neutral SimHash: 60-bit fingerprint from two polynomial
+    character hashes with bit voting — integer arithmetic end-to-end, so
+    the oracle reproduces fingerprints and 15-bit bands exactly (the
+    sketch-tier verification twin; xxhash64 stays the hot path)."""
+    from .pipeline.dedup import simhash_neutral
+    d = _t(spark, sf_dir, "documents")
+    return simhash_neutral(d)
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking: cut where the polynomial hash of the
     trailing 4-token window divides 16, so boundaries depend only on
@@ -2842,6 +2852,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_entity_resolution": q_entity_resolution,
     "q_minhash_neutral": q_minhash_neutral,
     "q_cdc_chunks": q_cdc_chunks,
+    "q_simhash_neutral": q_simhash_neutral,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,
