@@ -53,3 +53,61 @@ def separation_at_max_frame(tracking: DataFrame, group: list[str],
     at_frame = argmax_rows(tracking, frame, group)
     return separation_at_frame(at_frame, group, entity, side_col,
                                left_side, right_side, **kw)
+
+
+def grid_nearest(points: DataFrame, radius: float,
+                 id_col: str = "id", x_col: str = "x",
+                 y_col: str = "y") -> DataFrame:
+    """Nearest neighbor within ``radius``, grid-bucketed — the
+    UNBOUNDED-scale form of the within-group separation join: where
+    J6/J8 bound the quadratic blow-up by the play key (≤22 players), this
+    bounds it by a spatial cell key.  Each point lands in cell
+    (⌊x/r⌋, ⌊y/r⌋); any neighbor within r is necessarily in the 3×3 cell
+    neighborhood, so probes replicate 9× and join the cell key exactly —
+    a plain equi-join, never a cross join.  EXACT for the radius-bounded
+    semantics (a true nearest neighbor farther than r is reported as no
+    row), which is the contract tracking-style data wants: physical
+    density per cell is bounded (players per yard²), so per-cell
+    fan-out is O(1) at any corpus size.  For global k-NN over
+    unbounded-density embeddings use the IVF/PQ tier instead.
+
+    Distances compare in double (coordinates cast on extraction) with
+    the neighbor id as tie-break, so the selection is deterministic and
+    engine-reproducible.  Returns (``id_col``, neighbor_id, dist).
+    """
+    require = [id_col, x_col, y_col]
+    from ..schemas import require_columns
+    require_columns(points, require, "grid_nearest")
+    p = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"))
+    p = p.withColumn("__cx", F.floor(F.col("__x") / radius)) \
+         .withColumn("__cy", F.floor(F.col("__y") / radius))
+    offsets = F.array(*[F.struct(F.lit(dx).alias("ox"),
+                                 F.lit(dy).alias("oy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probes = (p.withColumn("__o", F.explode(offsets))
+                .select(F.col("__id").alias("__qid"),
+                        F.col("__x").alias("__qx"),
+                        F.col("__y").alias("__qy"),
+                        (F.col("__cx") + F.col("__o.ox")).alias("__jx"),
+                        (F.col("__cy") + F.col("__o.oy")).alias("__jy")))
+    src = p.select(F.col("__id").alias("__nid"), "__x", "__y",
+                   F.col("__cx").alias("__jx"), F.col("__cy").alias("__jy"))
+    dist2 = ((F.col("__qx") - F.col("__x"))
+             * (F.col("__qx") - F.col("__x"))
+             + (F.col("__qy") - F.col("__y"))
+             * (F.col("__qy") - F.col("__y")))
+    pairs = (probes.join(src, ["__jx", "__jy"])
+                   .filter(F.col("__qid") != F.col("__nid"))
+                   .withColumn("__d2", dist2)
+                   .filter(F.col("__d2")
+                           <= F.lit(radius) * F.lit(radius)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc("__nid"))
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1)
+                 .select(F.col("__qid").alias(id_col),
+                         F.col("__nid").alias("neighbor_id"),
+                         F.round(F.sqrt("__d2"), 6).alias("dist")))

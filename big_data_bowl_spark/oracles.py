@@ -2317,3 +2317,25 @@ SELECT doc_id, simhash,
        (simhash // 35184372088832) % 32768 AS band3
 FROM fp
 """
+
+# --- q_grid_nearest: brute-force radius-bounded nearest neighbor ------------
+# Spark prunes candidates to the 3x3 grid-cell neighborhood; the result is
+# exactly the all-pairs minimum within the radius, which the oracle spells
+# out.  Coordinates cast to DOUBLE on extraction so both engines run the
+# identical IEEE expression; neighbor id breaks distance ties.
+ORACLES["q_grid_nearest"] = """
+WITH p AS (
+    SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+f AS (
+    SELECT vec_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.15::DOUBLE * 0.15::DOUBLE)
+SELECT vec_id, neighbor_id, round(sqrt(d2), 6) AS dist
+FROM f WHERE rn = 1
+"""

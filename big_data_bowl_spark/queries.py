@@ -2563,6 +2563,20 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_grid_nearest(spark, sf_dir):
+    """Radius-bounded nearest neighbor over the embeddings' first two
+    dims, grid-bucketed: the unbounded-scale form of the nearest-
+    defender join (cell key bounds the quadratic fan-out the way the
+    play key does in J6/J8).  Exact for the within-radius semantics —
+    the oracle brute-forces all pairs."""
+    from .operators.separation import grid_nearest
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    return grid_nearest(pts, radius=0.15, id_col="vec_id")
+
+
 def q_simhash_neutral(spark, sf_dir):
     """Engine-neutral SimHash: 60-bit fingerprint from two polynomial
     character hashes with bit voting — integer arithmetic end-to-end, so
@@ -2853,6 +2867,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_minhash_neutral": q_minhash_neutral,
     "q_cdc_chunks": q_cdc_chunks,
     "q_simhash_neutral": q_simhash_neutral,
+    "q_grid_nearest": q_grid_nearest,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,
