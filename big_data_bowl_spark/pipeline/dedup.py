@@ -738,7 +738,7 @@ def simhash_neutral(df: DataFrame, id_col: str = "doc_id",
 
     Returns (doc_id, simhash, band0..band3).
     """
-    from .text import polynomial_token_hash
+    from .text import polynomial_token_hash, polynomial_token_hash2
     require_columns(df, [id_col, text_col], "simhash_neutral")
     bits = 60
     parallelism = df.sparkSession.sparkContext.defaultParallelism
@@ -748,7 +748,7 @@ def simhash_neutral(df: DataFrame, id_col: str = "doc_id",
         "_th", F.transform(
             F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
             lambda t: polynomial_token_hash(t) * F.lit(1 << 30)
-                      + polynomial_token_hash(t, base=37, seed=11)))
+                      + polynomial_token_hash2(t)))
     masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
     counters = F.aggregate(
         F.col("_th"),

@@ -181,20 +181,29 @@ def redact_pii(df: DataFrame, id_col: str = "doc_id",
 FP_PRIME = 1_000_000_007  # 31-bit modulus: products stay < 2^63 under ANSI
 
 
-def polynomial_token_hash(token, base: int = 31,
-                          seed: int = 7) -> "F.Column":
-    """Rolling polynomial hash of a token's characters,
-    ``h = (h*base + code) mod P`` with h0 = seed — explicit arithmetic
-    (no engine-specific hash function) so any SQL engine reproduces it
-    bit-for-bit; stays JVM-side via ``aggregate`` over a char sequence.
-    Distinct (base, seed) pairs give independent-enough hash functions
-    for multi-hash sketches (the neutral SimHash pairs 31/7 with
-    37/11)."""
+def _poly_hash(token, base: int, seed: int) -> "F.Column":
     codes = F.transform(F.sequence(F.lit(1), F.length(token)),
                         lambda i: F.ascii(F.substr(token, i, F.lit(1)))
                                    .cast("long"))
     return F.aggregate(codes, F.lit(seed).cast("long"),
                        lambda acc, c: (acc * base + c) % FP_PRIME)
+
+
+def polynomial_token_hash(token) -> "F.Column":
+    """Rolling polynomial hash of a token's characters,
+    ``h = (h*31 + code) mod P`` with h0 = 7 — explicit arithmetic (no
+    engine-specific hash function) so any SQL engine reproduces it
+    bit-for-bit; stays JVM-side via ``aggregate`` over a char sequence.
+    Unary on purpose: ``F.transform`` infers lambda arity from the
+    callable's signature, so this must stay a one-parameter function."""
+    return _poly_hash(token, 31, 7)
+
+
+def polynomial_token_hash2(token) -> "F.Column":
+    """Second member of the polynomial family (base 37, seed 11) —
+    independent enough for multi-hash sketches (the neutral SimHash
+    pairs it with :func:`polynomial_token_hash`)."""
+    return _poly_hash(token, 37, 11)
 
 
 def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
