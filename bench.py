@@ -77,6 +77,10 @@ HEADLINE = [
     # incremental view maintenance: batch-split states + merge (the
     # refresh path a 100 TB rollup actually runs)
     "q_ivm_refresh",
+    # content-defined chunking (token-hash windows, in-row) and the
+    # grid-bucketed radius-bounded nearest neighbor
+    "q_cdc_chunks",
+    "q_grid_nearest",
 ]
 
 

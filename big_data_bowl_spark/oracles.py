@@ -2240,29 +2240,33 @@ FROM eq WHERE m >= {-(-_N_MINHASH // 2)}
 """
 
 # --- q_cdc_chunks: content-defined chunk boundaries, reproduced in SQL ------
-# A cut falls after token i (window <= i <= n-1) where the polynomial hash
-# of tokens[i-3..i] (joined by spaces; h*31+code mod 1e9+7, seed 7) divides
-# 16.  bounds = [0, cuts..., n]; chunk k spans tokens[bounds[k]+1 ..
-# bounds[k+1]].  All integer arithmetic — chunks match bit-for-bit.
+# Each token hashes once (h*31+code mod 1e9+7, seed 7); a cut falls after
+# token i (window <= i <= n-1) where the polynomial fold over the trailing
+# four TOKEN HASHES (seed 7, base 31) divides 16.  bounds = [0, cuts..., n];
+# chunk k spans tokens[bounds[k]+1 .. bounds[k+1]].  All integer
+# arithmetic — chunks match bit-for-bit.
 ORACLES["q_cdc_chunks"] = """
 WITH t AS (
     SELECT doc_id,
            list_filter(string_split(text, ' '), x -> x <> '') AS tk
     FROM documents),
+h AS (
+    SELECT doc_id, tk,
+           list_transform(tk, tok ->
+             list_reduce(
+               list_prepend(7::BIGINT,
+                 list_transform(range(1, length(tok) + 1),
+                                j -> ascii(substr(tok, j, 1))::BIGINT)),
+               (acc, ch) -> (acc * 31 + ch) % 1000000007)) AS th
+    FROM t WHERE len(tk) > 0),
 c AS (
     SELECT doc_id, tk, len(tk) AS n,
            list_filter(generate_series(4, len(tk) - 1), i ->
              list_reduce(
-               list_prepend(7::BIGINT,
-                 list_transform(
-                   range(1, length(array_to_string(
-                                     list_slice(tk, i - 3, i), ' ')) + 1),
-                   j -> ascii(substr(array_to_string(
-                                       list_slice(tk, i - 3, i), ' '),
-                                     j, 1))::BIGINT)),
-               (acc, ch) -> (acc * 31 + ch) % 1000000007) % 16 = 0
+               list_prepend(7::BIGINT, list_slice(th, i - 3, i)),
+               (acc, x) -> (acc * 31 + x) % 1000000007) % 16 = 0
            ) AS cuts
-    FROM t WHERE len(tk) > 0),
+    FROM h),
 b AS (
     SELECT doc_id, tk,
            list_concat(list_concat([0], cuts), [n]) AS bounds

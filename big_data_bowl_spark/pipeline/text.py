@@ -273,16 +273,23 @@ def cdc_chunk_documents(df: DataFrame, window: int = 4, divisor: int = 16,
     require_columns(df, [id_col, text_col], "cdc_chunk_documents")
     staged = (df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
                 .filter(F.size("__toks") > 0)
-                .withColumn("__n", F.size("__toks")))
+                .withColumn("__n", F.size("__toks"))
+                # per-token hash ONCE; window hashes then fold over 4
+                # longs instead of re-walking ~70 characters per position
+                # (HOF lambdas are interpreted — this is the difference
+                # between O(n·w) long ops and O(n·w·chars) char ops)
+                .withColumn("__th", F.transform("__toks",
+                                                polynomial_token_hash)))
     positions = F.when(
         F.col("__n") > window,
         F.sequence(F.lit(window), F.col("__n") - 1)
     ).otherwise(F.array().cast("array<int>"))
     cuts = F.filter(
         positions,
-        lambda i: polynomial_token_hash(
-            F.concat_ws(" ", F.slice(F.col("__toks"), i - window + 1,
-                                     window))) % divisor == 0)
+        lambda i: F.aggregate(
+            F.slice(F.col("__th"), i - window + 1, window),
+            F.lit(7).cast("long"),
+            lambda acc, h: (acc * 31 + h) % FP_PRIME) % divisor == 0)
     bounds = F.concat(F.array(F.lit(0)), cuts.cast("array<int>"),
                       F.array(F.col("__n").cast("int")))
     chunked = (staged.withColumn("__bounds", bounds)

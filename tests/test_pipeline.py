@@ -1131,7 +1131,10 @@ def test_cdc_boundaries_stable_under_insertion(spark):
     )
     words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
              "golf", "hotel", "india", "juliet", "kilo", "lima", "mike"]
-    toks = [words[(i * 7 + i * i) % 13] for i in range(80)]
+    # distinct tokens -> every window is unique, so cut density matches
+    # the 1/divisor expectation instead of collapsing to a periodic
+    # handful of window hashes
+    toks = [f"{words[(i * 7 + i * i) % 13]}{i}" for i in range(80)]
     base = " ".join(toks)
     edited = " ".join(toks[:3] + ["zulu"] + toks[3:])
     df = spark.createDataFrame(
