@@ -371,3 +371,18 @@ def test_round4_no_node_grain_broadcast_hints(spark):
                              id_col="doc_id", string_col="text")
     analyzed = ed._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 0, analyzed
+
+
+def test_cdc_chunking_has_no_exchange(spark):
+    """Content-defined chunking is entirely in-row (staged arrays +
+    posexplode): the physical plan must contain ZERO exchanges — the
+    property that makes it embarrassingly parallel at any scale."""
+    from big_data_bowl_spark.pipeline.text import cdc_chunk_documents
+    from big_data_bowl_spark.sources.io import read_table
+
+    from tests.conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    plan = (cdc_chunk_documents(docs)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan, plan
