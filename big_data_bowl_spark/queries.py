@@ -2563,6 +2563,28 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_near_dup_diff(spark, sf_dir):
+    """Edit-structure analysis of near-dup candidates: the bucketed
+    Jaccard pairs attach their texts and a Python UDTF (difflib
+    opcodes — the engine's UDTF seam; not SQL-expressible) rolls up
+    per-pair matched/inserted/deleted/replaced token counts and the
+    difflib ratio.  Python cost ∝ candidate pairs, never the corpus.
+    Rows-only at the driver; opcode semantics pinned by unit tests."""
+    from .pipeline.dedup import ngram_jaccard_pairs
+    from .pipeline.diffing import diff_summary
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    texts = d.select("doc_id", "text")
+    withtext = (pairs
+                .join(texts.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("text").alias("text_a")),
+                      "doc_a")
+                .join(texts.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("text").alias("text_b")),
+                      "doc_b"))
+    return diff_summary(withtext).orderBy("doc_a", "doc_b")
+
+
 def q_grid_nearest(spark, sf_dir):
     """Radius-bounded nearest neighbor over the embeddings' first two
     dims, grid-bucketed: the unbounded-scale form of the nearest-
@@ -2868,6 +2890,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cdc_chunks": q_cdc_chunks,
     "q_simhash_neutral": q_simhash_neutral,
     "q_grid_nearest": q_grid_nearest,
+    "q_near_dup_diff": q_near_dup_diff,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,

@@ -1161,3 +1161,34 @@ def test_cdc_boundaries_stable_under_insertion(spark):
            and f0[-1 - fsuffix] == f1[-1 - fsuffix]):
         fsuffix += 1
     assert fsuffix <= 1, (fsuffix, f0, f1)
+
+
+def test_diff_opcodes_pinned(spark):
+    """The UDTF's opcode rows are exactly difflib's token opcodes, and
+    the summary reproduces the difflib ratio."""
+    from big_data_bowl_spark.pipeline.diffing import (
+        diff_opcodes,
+        diff_summary,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2, "the quick brown fox jumps", "the quick red fox leaps far"),
+         (3, 4, "same text here", "same text here")],
+        "doc_a long, doc_b long, text_a string, text_b string")
+
+    ops = sorted(
+        (r.a_start, r.op, r.a_span, r.b_span)
+        for r in diff_opcodes(pairs)
+            .filter(F.col("doc_a") == 1).collect())
+    # difflib: equal[the quick] replace[brown->red] equal[fox]
+    #          replace[jumps->leaps far]
+    assert ops == [(0, "equal", 2, 2), (2, "replace", 1, 1),
+                   (3, "equal", 1, 1), (4, "replace", 1, 2)], ops
+
+    s = {(r.doc_a): r for r in diff_summary(pairs).collect()}
+    assert s[3].similarity == 1.0 and s[3].n_ops == 1
+    assert s[3].tokens_equal == 3 and s[3].tokens_inserted == 0
+    r1 = s[1]
+    assert r1.len_a == 5 and r1.len_b == 6
+    assert r1.tokens_equal == 3
+    # difflib ratio: 2*3/(5+6)
+    assert abs(r1.similarity - round(6 / 11, 6)) < 1e-9
