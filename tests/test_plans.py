@@ -386,3 +386,53 @@ def test_cdc_chunking_has_no_exchange(spark):
     plan = (cdc_chunk_documents(docs)._jdf.queryExecution()
             .executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+def test_headline_queries_lint_clean(spark):
+    """Every bench headline query passes the generic plan lint: no
+    cartesian products, no row-at-a-time Python UDFs — the anti-pattern
+    sweep that complements the query-specific contracts above."""
+    from bench import HEADLINE
+    from big_data_bowl_spark.plans import lint_plan
+
+    findings = {}
+    for name in HEADLINE:
+        got = lint_plan(_q(spark, name))
+        if got:
+            findings[name] = got
+    assert not findings, findings
+
+
+def test_lint_catches_planted_antipatterns(spark):
+    """The linter actually fires: a forced cartesian product and a
+    row-wise Python UDF each produce a named finding."""
+    from pyspark.sql.functions import udf
+
+    from big_data_bowl_spark.plans import lint_plan
+
+    a = spark.range(100)
+    b = spark.range(100).withColumnRenamed("id", "id2")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_arrow = spark.conf.get(
+        "spark.sql.execution.pythonUDF.arrow.enabled", "false")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        cart = a.crossJoin(b)
+        assert any("CartesianProduct" in f for f in lint_plan(cart)), \
+            lint_plan(cart)
+
+        spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled",
+                       "false")
+        slow = a.withColumn("y", udf(lambda x: x + 1, "long")("id"))
+        assert any("BatchEvalPython" in f for f in lint_plan(slow)), \
+            lint_plan(slow)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set("spark.sql.execution.pythonUDF.arrow.enabled",
+                       old_arrow)
+
+    assert lint_plan(a.filter("id > 5").select("id"),
+                     max_exchanges=0) == []
+    over = lint_plan(a.repartition(4, "id").groupBy("id").count()
+                     .repartition(8), max_exchanges=1)
+    assert any("Exchange" in f for f in over), over
