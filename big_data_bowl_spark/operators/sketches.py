@@ -102,3 +102,77 @@ def hll_rollup_estimate(sketches: DataFrame, group: list[str],
     return sketches.groupBy(*group).agg(
         F.hll_sketch_estimate(
             F.hll_union_agg("sketch", F.lit(False))).alias(out))
+
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# Flajolet et al.'s bias constant for m = 256, precomputed ONCE in Python
+# so both engines consume the identical double literal (SQL decimal
+# arithmetic would produce a different constant)
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+# est_raw = ALPHA * m^2 * 2^32 / S collapses to ONE division by the exact
+# integer register sum S (registers are summed as 2^(32 - M[j]), exact in
+# int64: <= 256 * 2^32 = 2^40)
+HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * 4294967296.0
+
+
+def hll_neutral(df: DataFrame, group: list[str],
+                key_col: str) -> DataFrame:
+    """Engine-neutral HyperLogLog (classic Flajolet estimator, explicit
+    registers) — completes the sketch-tier verification trio
+    (MinHash/SimHash/HLL): every step is explicit integer arithmetic, so
+    a SQL oracle reproduces registers AND estimate bit-for-bit, unlike
+    the DataSketches binary form (:func:`hll_sketches`), which stays the
+    production path.
+
+    Hash = the engine's int64-safe multiplicative family; register
+    index = low 8 bits, rho = 1 + trailing zeros of the remaining 24-bit
+    word (w & -w isolates the lowest set bit — an exact power of two, so
+    log2 is exact IEEE); register contributions sum as EXACT integers
+    2^(32−M[j]); the raw estimate is ONE double division; the linear-
+    counting small-range branch conditions on that same value.  max() is
+    idempotent, so the register table from a multiset equals the
+    distinct-set sketch — no dedup shuffle needed, and the per-(group,
+    register) max combines map-side.
+
+    Returns (*group, n_exact, hll_estimate) — exact distinct included
+    for error inspection.
+    """
+    require_columns(df, [*group, key_col], "hll_neutral")
+    from ..pipeline.sampling import HASH_KEY_MOD, HASH_MOD, HASH_MULT
+    h = F.pmod(F.pmod(F.col(key_col), F.lit(HASH_KEY_MOD))
+               * F.lit(HASH_MULT), F.lit(HASH_MOD))
+    # The multiplicative hash alone is NOT rho-safe: the low bit of
+    # k*odd mod 2^32 IS k's low bit, so trailing-zero counts correlate
+    # with the key and the estimator collapses (measured 93% error).
+    # Two rounds of the Wang xorshift-multiply finalizer mix every bit;
+    # the 0x45d9f3b multiplier keeps products < 2^59, int64-exact.
+    for _ in range(2):
+        h = F.pmod(h.bitwiseXOR(F.shiftright(h, 16))
+                   * F.lit(0x45D9F3B), F.lit(HASH_MOD))
+    h = h.bitwiseXOR(F.shiftright(h, 16))
+    idx = (h % HLL_M).alias("__idx")
+    w = F.floor(h / F.lit(HLL_M)).cast("long")
+    rho = (F.when(w == 0, F.lit(HLL_P * 3 + 1))
+            .otherwise(F.round(F.log2(w.bitwiseAND(-w))).cast("int") + 1)
+           ).alias("__rho")
+    regs = (df.select(*group, idx, rho)
+              .groupBy(*group, "__idx")
+              .agg(F.max("__rho").alias("__m")))
+    per = (regs.groupBy(*group)
+               .agg(F.sum(F.round(F.pow(F.lit(2.0), 32 - F.col("__m")))
+                           .cast("long")).alias("__s_present"),
+                    F.count(F.lit(1)).alias("__n_present")))
+    zeros = F.lit(HLL_M) - F.col("__n_present")
+    s_total = (F.col("__s_present")
+               + zeros * F.lit(4294967296).cast("long"))
+    est_raw = F.lit(HLL_NUM) / s_total.cast("double")
+    est = F.when((est_raw <= 2.5 * HLL_M) & (zeros > 0),
+                 F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
+                                             / zeros.cast("double"))) \
+           .otherwise(est_raw)
+    exact = df.groupBy(*group).agg(
+        F.countDistinct(key_col).alias("n_exact"))
+    return (per.join(exact, group)
+               .select(*group, "n_exact",
+                       F.round(est, 6).alias("hll_estimate")))

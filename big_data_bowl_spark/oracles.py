@@ -2343,3 +2343,64 @@ f AS (
 SELECT vec_id, neighbor_id, round(sqrt(d2), 6) AS dist
 FROM f WHERE rn = 1
 """
+
+# --- q_hll_neutral: explicit-register HyperLogLog, reproduced in SQL --------
+# Same multiplicative hash as the sampling family (int64-exact); register
+# index = h mod 256, rho = 1 + trailing zeros of the 24-bit word (w & -w is
+# a power of two -> log2 exact); register contributions sum as exact
+# integers 2^(32-M); the raw estimate is ONE double division by that sum,
+# with the linear-counting branch below 2.5m.  The alpha*m^2*2^32 numerator
+# is imported from the engine so both sides consume the identical double.
+from .operators.sketches import HLL_NUM as _HLL_NUM
+
+ORACLES["q_hll_neutral"] = f"""
+WITH h0 AS (
+    SELECT event_type, user_id,
+           ((user_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM events),
+h1 AS (
+    SELECT event_type,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT event_type,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT event_type, xor(hv, hv >> 16) AS hv
+    FROM h2),
+r AS (
+    SELECT event_type, hv % 256 AS idx,
+           hv // 256 AS w
+    FROM h),
+rho AS (
+    SELECT event_type, idx,
+           CASE WHEN w = 0 THEN 25
+                ELSE CAST(round(log2(w & (-w))) AS INT) + 1 END AS rho
+    FROM r),
+regs AS (
+    SELECT event_type, idx, max(rho) AS m
+    FROM rho GROUP BY 1, 2),
+per AS (
+    SELECT event_type,
+           CAST(sum(CAST(round(power(2, 32 - m)) AS BIGINT)) AS BIGINT)
+             AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY 1),
+est AS (
+    SELECT event_type, (256 - n_present) AS zeros,
+           {_HLL_NUM!r} / CAST(s_present
+               + (256 - n_present) * 4294967296 AS DOUBLE) AS est_raw
+    FROM per),
+fin AS (
+    SELECT event_type,
+           CASE WHEN est_raw <= 640.0 AND zeros > 0
+                THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                ELSE est_raw END AS e
+    FROM est),
+exact AS (
+    SELECT event_type, count(DISTINCT user_id) AS n_exact
+    FROM events GROUP BY 1)
+SELECT f.event_type, x.n_exact, round(f.e, 6) AS hll_estimate
+FROM fin f JOIN exact x USING (event_type)
+"""

@@ -2563,6 +2563,16 @@ def q_fuzzy_join(spark, sf_dir):
                                        string_col="c_name")
 
 
+def q_hll_neutral(spark, sf_dir):
+    """Engine-neutral HyperLogLog distinct-user estimate per event type
+    (explicit registers, exact integer register sums, one double
+    division) — the sketch-tier trio's third hash-verified twin; the
+    DataSketches binary form stays the production path."""
+    from .operators.sketches import hll_neutral
+    e = _t(spark, sf_dir, "events")
+    return hll_neutral(e, ["event_type"], "user_id")
+
+
 def q_near_dup_diff(spark, sf_dir):
     """Edit-structure analysis of near-dup candidates: the bucketed
     Jaccard pairs attach their texts and a Python UDTF (difflib
@@ -2891,6 +2901,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_simhash_neutral": q_simhash_neutral,
     "q_grid_nearest": q_grid_nearest,
     "q_near_dup_diff": q_near_dup_diff,
+    "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_variant_props": q_variant_props,

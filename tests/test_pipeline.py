@@ -1192,3 +1192,16 @@ def test_diff_opcodes_pinned(spark):
     assert r1.tokens_equal == 3
     # difflib ratio: 2*3/(5+6)
     assert abs(r1.similarity - round(6 / 11, 6)) < 1e-9
+
+
+def test_hll_neutral_error_within_bound(spark):
+    """The neutral HLL's estimate stays inside 3 standard errors
+    (3·1.04/√256 ≈ 19.5%) of the exact distinct count — the bound the
+    Flajolet estimator promises; a broken bit-mix (e.g. using the raw
+    multiplicative hash, whose low bit IS the key's low bit) blows this
+    by an order of magnitude."""
+    from big_data_bowl_spark.operators.sketches import hll_neutral
+    e = read_table(spark, SF_SMALL, "events")
+    for r in hll_neutral(e, ["event_type"], "user_id").collect():
+        rel = abs(r.hll_estimate - r.n_exact) / r.n_exact
+        assert rel <= 0.195, (r.event_type, r.n_exact, r.hll_estimate)
