@@ -77,10 +77,11 @@ HEADLINE = [
     # incremental view maintenance: batch-split states + merge (the
     # refresh path a 100 TB rollup actually runs)
     "q_ivm_refresh",
-    # content-defined chunking (token-hash windows, in-row) and the
-    # grid-bucketed radius-bounded nearest neighbor
+    # content-defined chunking (token-hash windows, in-row), the
+    # grid-bucketed radius-bounded nearest neighbor, and the neutral HLL
     "q_cdc_chunks",
     "q_grid_nearest",
+    "q_hll_neutral",
 ]
 
 

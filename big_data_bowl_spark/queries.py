@@ -2592,7 +2592,10 @@ def q_near_dup_diff(spark, sf_dir):
                 .join(texts.select(F.col("doc_id").alias("doc_b"),
                                    F.col("text").alias("text_b")),
                       "doc_b"))
-    return diff_summary(withtext).orderBy("doc_a", "doc_b")
+    # no orderBy: the driver's rows-only check is order-free, and a
+    # global sort of the pair summaries would add a range exchange for
+    # nothing (the lint discipline applied to ourselves)
+    return diff_summary(withtext)
 
 
 def q_grid_nearest(spark, sf_dir):
