@@ -151,7 +151,8 @@ def stateful_lag_diff(events: DataFrame) -> DataFrame:
 
 
 def stream_interval_join(events: DataFrame, window: str = "6 hours",
-                         watermark: str = "2 hours") -> DataFrame:
+                         watermark: str = "2 hours",
+                         how: str = "inner") -> DataFrame:
     """Stream-stream time-bound self-join — the streaming twin of
     ``operators/ranges.interval_join``'s q_interval_join shape: every
     event of a user within ±``window`` of one of that user's error
@@ -163,6 +164,14 @@ def stream_interval_join(events: DataFrame, window: str = "6 hours",
     once it passes ``r_ts + window`` — state is O(rows in one window +
     watermark span), not O(stream history).  On a batch frame the same
     code is a plain non-equi join (unified API, one implementation).
+
+    ``how="leftOuter"`` adds the unmatched-left rows with null
+    ``err_event_id`` — in streaming mode Spark can only emit an outer
+    null once the watermark proves no future match can arrive (past
+    ``l_ts + window``), so outer rows surface one micro-batch AFTER the
+    watermark clears their window; rows near the head of the stream
+    stay in state until later data advances the watermark.  The test
+    pins exactly this emission discipline.
     """
     iv = F.expr(f"INTERVAL {window}")
     left = events.select("event_id", "user_id",
@@ -178,7 +187,7 @@ def stream_interval_join(events: DataFrame, window: str = "6 hours",
             & (F.col("l_ts") >= F.col("r_ts") - iv)
             & (F.col("l_ts") <= F.col("r_ts") + iv)
             & (F.col("event_id") != F.col("err_event_id")))
-    return (left.join(right, cond)
+    return (left.join(right, cond, how)
                 .select("event_id", "err_event_id", "user_id",
                         "event_type", "value"))
 

@@ -372,3 +372,74 @@ def test_stream_state_rollup_equals_batch(spark, tmp_path):
     want = finalize_state(agg_state(ev, ["event_type"], "value"),
                           ["event_type"])
     assert _rows(got) == _rows(want)
+
+
+def test_stream_interval_left_outer_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: unmatched rows must emit with null
+    err_event_id — but only once the watermark PROVES no future match
+    can arrive.  Two far-future pusher rows advance the watermark past
+    every original row's window (emission happens one micro-batch after
+    the watermark clears it, hence two); the streamed result must then
+    equal the batch left-outer join over the original rows, while the
+    pushers' own outer rows legitimately stay in state (the watermark
+    never clears THEIR window) — asserted too."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.streaming.stream_ops import stream_interval_join
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+    batch = stream_interval_join(ev, how="leftOuter")
+    assert not batch.isStreaming
+
+    ranked = ev.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    n = ranked.count()
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    bounds = [0, n // 3, 2 * n // 3, n]
+    t0 = 1_700_000_000
+    chunks = []
+    for i in range(3):
+        chunks.append(
+            ranked.filter((F.col("__rn") > bounds[i])
+                          & (F.col("__rn") <= bounds[i + 1])).drop("__rn"))
+    # pushers are 'error'-typed: the right side's watermark node sits
+    # AFTER the error filter, and the query's global watermark is the
+    # MIN of both sides — a non-error pusher would advance only the left
+    # watermark and the tail's outer rows would never flush
+    for j in range(2):
+        pusher_ts = max_ts + dt.timedelta(days=10 * (j + 1))
+        chunks.append(spark.createDataFrame(
+            [(-1 - j, -1 - j, pusher_ts, "error", 0.0)], ev.schema))
+    for i, ch in enumerate(chunks):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        ch.coalesce(1).write.parquet(chunk_dir)
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    out = stream_interval_join(stream, how="leftOuter")
+    assert out.isStreaming
+    run_stream_to_memory(out, "loj_test", output_mode="append")
+    got = spark.sql("SELECT * FROM loj_test")
+    kept = got.filter(F.col("user_id") >= 0)
+    assert _rows(kept) == _rows(batch)
+    # outer rows actually exist (the join is not accidentally total)
+    assert kept.filter(F.col("err_event_id").isNull()).count() > 0
+    # eviction discipline on the pushers themselves: pusher B's
+    # watermark (+20d − 2h) clears pusher A's window (+10d + 6h), so
+    # A's outer row may flush — but nothing ever clears B's own window,
+    # so B's outer row must still be held in state at shutdown
+    assert got.filter(F.col("user_id") == -2).count() == 0
