@@ -182,11 +182,17 @@ FP_PRIME = 1_000_000_007  # 31-bit modulus: products stay < 2^63 under ANSI
 
 
 def _poly_hash(token, base: int, seed: int) -> "F.Column":
+    # Empty-token guard: sequence(1, 0) in Spark yields the DESCENDING
+    # array [1, 0] (not empty like SQL range(1, 1)), which would fold two
+    # ascii('')=0 codes and diverge from the oracle family — pin the
+    # empty string to the bare seed on both engines instead.
     codes = F.transform(F.sequence(F.lit(1), F.length(token)),
                         lambda i: F.ascii(F.substr(token, i, F.lit(1)))
                                    .cast("long"))
-    return F.aggregate(codes, F.lit(seed).cast("long"),
-                       lambda acc, c: (acc * base + c) % FP_PRIME)
+    folded = F.aggregate(codes, F.lit(seed).cast("long"),
+                         lambda acc, c: (acc * base + c) % FP_PRIME)
+    return F.when(F.length(token) == 0,
+                  F.lit(seed).cast("long")).otherwise(folded)
 
 
 def polynomial_token_hash(token) -> "F.Column":

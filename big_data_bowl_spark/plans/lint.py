@@ -49,7 +49,9 @@ def lint_plan(df: DataFrame, max_exchanges: int | None = None) -> list[str]:
         if n:
             findings.append(f"{needle} x{n}: {why}")
     if max_exchanges is not None:
-        n_ex = plan.count("Exchange ")
+        # "ReusedExchange " contains the substring "Exchange " — subtract
+        # it so a plan that REUSES a shuffle isn't double-billed for it.
+        n_ex = plan.count("Exchange ") - plan.count("ReusedExchange ")
         if n_ex > max_exchanges:
             findings.append(
                 f"Exchange x{n_ex} exceeds budget {max_exchanges}: "

@@ -242,8 +242,25 @@ def foreach_batch_upsert(df: DataFrame, out_dir: str,
               .start())
 
 
+def latest_state_version(state_dir: str) -> int:
+    """Resolve the latest COMMITTED state version from the ``LATEST``
+    pointer file — never by listing ``vN`` directories, which can
+    observe a version whose parquet write is still in flight."""
+    import os
+    with open(os.path.join(state_dir, "LATEST")) as f:
+        return int(f.read().strip())
+
+
+def read_latest_state(spark, state_dir: str) -> DataFrame:
+    """Read the latest committed state table (see
+    :func:`latest_state_version` for why readers must go through the
+    pointer, not a directory listing)."""
+    v = latest_state_version(state_dir)
+    return spark.read.parquet(f"{state_dir}/v{v}")
+
+
 def stream_state_rollup(df: DataFrame, state_dir: str, checkpoint_dir: str,
-                        keys: list[str], value_col: str):
+                        keys: list[str], value_col: str, keep: int = 2):
     """Streaming incremental view maintenance: each micro-batch
     aggregates ALONE into a mergeable per-group state
     (operators/ivm.agg_state) and folds into the persisted state table —
@@ -251,13 +268,25 @@ def stream_state_rollup(df: DataFrame, state_dir: str, checkpoint_dir: str,
     entire point of maintaining a 100 TB rollup incrementally.
 
     The state table is versioned by batch id (``state_dir/vN`` computed
-    from ``vN-1`` + batch N), which makes the read-modify-write both
-    atomic (readers never see a half-written fold) and idempotent: a
-    replayed batch (failure → restart re-delivers the same batch_id)
-    recomputes ITS version from the same predecessor instead of
-    double-counting — the same overwrite-by-deterministic-key discipline
-    as :func:`foreach_batch_upsert`.  The latest ``vN`` finalizes via
-    ``operators/ivm.finalize_state``.  Returns the started query."""
+    from ``vN-1`` + batch N).  Versioning makes the read-modify-write
+    idempotent: a replayed batch (failure → restart re-delivers the same
+    batch_id) recomputes ITS version from the same predecessor instead
+    of double-counting — the same overwrite-by-deterministic-key
+    discipline as :func:`foreach_batch_upsert`.  It is NOT atomic by
+    itself — ``mode('overwrite').parquet`` is delete-then-write, so a
+    reader that LISTS ``state_dir`` and picks the highest ``vN``
+    mid-write can observe a partial fold.  Publication is therefore
+    gated by a ``LATEST`` pointer file, updated with write-temp +
+    ``os.replace`` (atomic rename on POSIX; on an object store, swap in
+    the store's conditional-put) only AFTER the version's parquet commit
+    finishes; readers resolve through :func:`read_latest_state`.
+    Versions older than ``keep`` behind the pointer are pruned so state
+    storage stays O(keep × groups), not O(batches × groups).  The latest
+    state finalizes via ``operators/ivm.finalize_state``.  Returns the
+    started query."""
+    import os
+    import shutil
+
     from ..operators.ivm import agg_state, merge_states
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -267,6 +296,13 @@ def stream_state_rollup(df: DataFrame, state_dir: str, checkpoint_dir: str,
                 f"{state_dir}/v{batch_id - 1}")
             st = merge_states([prev, st], keys)
         st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        tmp = os.path.join(state_dir, "LATEST.tmp")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(state_dir, "LATEST"))
+        for v in range(batch_id - keep):
+            shutil.rmtree(os.path.join(state_dir, f"v{v}"),
+                          ignore_errors=True)
 
     return (df.writeStream.foreachBatch(merge_batch)
               .option("checkpointLocation", checkpoint_dir)

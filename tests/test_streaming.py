@@ -367,11 +367,34 @@ def test_stream_state_rollup_equals_batch(spark, tmp_path):
 
     versions = sorted(glob.glob(str(tmp_path / "state" / "v*")))
     assert len(versions) == 3, versions
+    # readers resolve through the LATEST pointer (committed AFTER the
+    # parquet write), never a directory listing
+    from big_data_bowl_spark.streaming.stream_ops import (
+        latest_state_version,
+        read_latest_state,
+    )
+    assert latest_state_version(str(tmp_path / "state")) == 2
     got = finalize_state(
-        spark.read.parquet(versions[-1]), ["event_type"])
+        read_latest_state(spark, str(tmp_path / "state")), ["event_type"])
     want = finalize_state(agg_state(ev, ["event_type"], "value"),
                           ["event_type"])
     assert _rows(got) == _rows(want)
+
+    # retention: keep=0 prunes every version behind the pointer, so
+    # state storage is bounded by keep, not by batch count
+    stream2 = (spark.readStream.schema(ev.schema)
+               .option("maxFilesPerTrigger", 1)
+               .parquet(str(watch)))
+    q2 = stream_state_rollup(stream2, str(tmp_path / "state0"),
+                             str(tmp_path / "ckpt0"),
+                             ["event_type"], "value", keep=0)
+    q2.awaitTermination(120)
+    left = sorted(os.path.basename(p) for p in
+                  glob.glob(str(tmp_path / "state0" / "v*")))
+    assert left == ["v2"], left
+    got0 = finalize_state(
+        read_latest_state(spark, str(tmp_path / "state0")), ["event_type"])
+    assert _rows(got0) == _rows(want)
 
 
 def test_stream_interval_left_outer_nulls_after_watermark(spark, tmp_path):
