@@ -116,3 +116,53 @@ def one_hot_labels(df: DataFrame, label_col: str, k: int,
             f"{prefix}_{i}",
             F.when(F.col(label_col) == i, 1.0).otherwise(0.0))
     return out
+
+def route_clusters_relational(df: DataFrame, n_dims: int = 8,
+                              iters: int = 2, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              label_col: str = "label") -> DataFrame:
+    """M1–M3 as a fully relational, engine-neutral pipeline: median
+    impute → z-scale (mean/stddev_samp) per dim → Lloyd k-means with
+    deterministic per-label init → cluster sizes.  Same semantics as
+    :func:`fit_route_clusters` (cluster_routes_kmeans,
+    bdb2026/routes.py:173-233) but every step is explicit DataFrame
+    arithmetic, so a SQL oracle reproduces assignments bit-for-bit —
+    which is what turns the k-means tier from a rows-only check into a
+    hash-verified one (Spark ML's KMeans picks label NUMBERS by its own
+    init, so its output can never be value-compared across engines).
+
+    Stats are per-dim aggregates over the LONG (id, dim, x) form — two
+    tiny (n_dims-row) broadcast joins, no window over the corpus; the
+    scaled dims re-assemble into arrays with the sort_array(collect_list)
+    idiom and feed :func:`..pipeline.similarity.lloyd_kmeans`.  The
+    impute is a no-op on the dense synthetic embeddings but keeps M1 in
+    the verified plan (COALESCE against the per-dim exact median)."""
+    from ..pipeline.similarity import lloyd_kmeans
+
+    require_columns(df, [id_col, vec_col, label_col],
+                    "route_clusters_relational")
+    long = df.select(
+        F.col(id_col),
+        F.col(label_col).cast("long").alias("__lbl"),
+        F.posexplode(F.slice(F.transform(vec_col,
+                                         lambda x: x.cast("double")),
+                             1, n_dims)).alias("dim", "x"))
+    med = long.groupBy("dim").agg(F.median("x").alias("__med"))
+    imp = (long.join(F.broadcast(med), "dim")
+               .select(id_col, "__lbl", "dim",
+                       F.coalesce("x", "__med").alias("x")))
+    st = imp.groupBy("dim").agg(F.avg("x").alias("__mu"),
+                                F.stddev_samp("x").alias("__sd"))
+    z = (imp.join(F.broadcast(st), "dim")
+            .select(id_col, "__lbl", "dim",
+                    ((F.col("x") - F.col("__mu")) / F.col("__sd"))
+                    .alias("x")))
+    arr = (z.groupBy(id_col, "__lbl")
+            .agg(F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "x"))),
+                    lambda s: s["x"]).alias("__v")))
+    assign = lloyd_kmeans(arr, iters=iters, id_col=id_col,
+                          vec_col="__v", label_col="__lbl")
+    return (assign.groupBy("cluster")
+                  .agg(F.count(F.lit(1)).alias("n"))
+                  .orderBy("cluster"))

@@ -2404,3 +2404,80 @@ exact AS (
 SELECT f.event_type, x.n_exact, round(f.e, 6) AS hll_estimate
 FROM fin f JOIN exact x USING (event_type)
 """
+
+
+# --- q_lloyd_kmeans: fixed-iteration Lloyd loop, unrolled --------------------
+# Lloyd k-means with deterministic init (per-label means) and EXACTLY 3
+# assignment/update rounds is a fixed-iteration fixpoint like q_pagerank, so
+# the oracle unrolls 3 (assign, update) CTE stage pairs plus the final
+# assignment — never a recursive CTE (each stage references the vector table
+# AND the previous stage).  Float discipline: both engines average doubles
+# per (cluster, dim) group in unspecified order, so centroids agree only to
+# ~1e-16 relative — far inside the round-to-6 window on the output score,
+# and an assignment flips only on a near-exact distance tie (none at the
+# tested SFs; ties break on the smaller label in both engines regardless).
+# posexplode's 0-based dim reproduces as UNNEST(range(len(e))) + e[dim+1].
+_LLOYD_ASSIGN = """d{k} AS (
+    SELECT v.vec_id, c.cl,
+           sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM v JOIN c{p} c USING (dim)
+    GROUP BY 1, 2),
+a{k} AS (
+    SELECT vec_id, cl, d2 FROM (
+        SELECT vec_id, cl, d2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d2 ASC, cl ASC) AS rn
+        FROM d{k}) WHERE rn = 1)"""
+_LLOYD_UPDATE = """c{k} AS (
+    SELECT a.cl, v.dim, avg(v.x) AS c
+    FROM v JOIN a{p} a USING (vec_id)
+    GROUP BY 1, 2)"""
+
+_lloyd_stages = []
+for _r in range(1, 4):
+    _lloyd_stages.append(_LLOYD_ASSIGN.format(k=_r, p=_r - 1))
+    _lloyd_stages.append(_LLOYD_UPDATE.format(k=_r, p=_r))
+_lloyd_stages.append(_LLOYD_ASSIGN.format(k=4, p=3))
+
+ORACLES["q_lloyd_kmeans"] = ("""
+WITH v AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           i.dim, CAST(embedding[i.dim + 1] AS DOUBLE) AS x
+    FROM embeddings, UNNEST(range(len(embedding))) AS i(dim)),
+c0 AS (SELECT label AS cl, dim, avg(x) AS c FROM v GROUP BY 1, 2),
+""" + ",\n".join(_lloyd_stages) + """
+SELECT vec_id, cl AS cluster, round(d2, 6) AS score FROM a4
+""")
+
+
+# --- q_route_clusters: impute → z-scale → 2-round Lloyd → sizes --------------
+# Same unrolled-fixpoint technique as q_lloyd_kmeans, with the M1/M2
+# preprocessing reproduced relationally: per-dim exact median (unused on the
+# dense synthetic dims but kept in the plan), per-dim mean/stddev_samp
+# z-scale, then 2 (assign, update) rounds + the final assignment, reduced to
+# per-cluster sizes.  Count output makes the check assignment-exact: a
+# single flipped vector would change two counts — the engines agree because
+# every arithmetic step (median, avg, stddev_samp, the fold) matches to
+# ~1e-15, far from any assignment tie at the tested SFs.
+_rc_stages = []
+for _r in range(1, 3):
+    _rc_stages.append(_LLOYD_ASSIGN.format(k=_r, p=_r - 1))
+    _rc_stages.append(_LLOYD_UPDATE.format(k=_r, p=_r))
+_rc_stages.append(_LLOYD_ASSIGN.format(k=3, p=2))
+
+ORACLES["q_route_clusters"] = ("""
+WITH v0 AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           i.dim, CAST(embedding[i.dim + 1] AS DOUBLE) AS x
+    FROM embeddings, UNNEST(range(8)) AS i(dim)),
+med AS (SELECT dim, median(x) AS med FROM v0 GROUP BY 1),
+imp AS (SELECT vec_id, label, dim, COALESCE(x, med) AS x
+        FROM v0 JOIN med USING (dim)),
+st AS (SELECT dim, avg(x) AS mu, stddev_samp(x) AS sd
+       FROM imp GROUP BY 1),
+v AS (SELECT vec_id, label, dim, (x - mu) / sd AS x
+      FROM imp JOIN st USING (dim)),
+c0 AS (SELECT label AS cl, dim, avg(x) AS c FROM v GROUP BY 1, 2),
+""" + ",\n".join(_rc_stages) + """
+SELECT cl AS cluster, count(*) AS n FROM a3 GROUP BY 1
+""")

@@ -1417,19 +1417,16 @@ def q_bpe_merges(spark, sf_dir):
 
 
 def q_route_clusters(spark, sf_dir):
-    """M1-M3: Spark ML impute→scale→KMeans pipeline over embedding dims;
-    output is label-invariant (cluster sizes), rows-only checked."""
-    from .ml.clustering import fit_route_clusters
-    em = _t(spark, sf_dir, "embeddings")
-    feats = em.select(
-        "vec_id",
-        *[F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
-          for i in range(8)])
-    _, preds = fit_route_clusters(feats, [f"d{i}" for i in range(8)],
-                                  k=10, seed=42)
-    return (preds.groupBy("cluster")
-                 .agg(F.count(F.lit(1)).alias("n"))
-                 .orderBy("cluster"))
+    """M1-M3 (cluster_routes_kmeans, bdb2026/routes.py:173-233) as the
+    deterministic relational pipeline: median impute → per-dim z-scale →
+    Lloyd k-means (per-label init, 2 rounds) → cluster sizes.  Every step
+    is explicit arithmetic, so the DuckDB oracle reproduces assignments
+    bit-for-bit (hash-verified since r5; the Spark ML KMeans form stays
+    the library path, covered by label-invariant tests — its labels are
+    init-dependent and can never value-match another engine)."""
+    from .ml.clustering import route_clusters_relational
+    return route_clusters_relational(_t(spark, sf_dir, "embeddings"),
+                                     n_dims=8, iters=2)
 
 
 def q_pca_embed(spark, sf_dir):
@@ -1819,8 +1816,10 @@ def q_lloyd_kmeans(spark, sf_dir):
     """Pure-DataFrame Lloyd k-means (3 rounds, deterministic per-label
     init): iterative assignment (broadcast centroids, argmin-L2 window) +
     update (posexplode mean), lineage cut per round with localCheckpoint.
-    Rows-only check (iterative float fixpoint); the monotone-inertia and
-    self-consistency properties are pinned in tests."""
+    Hash-verified since r5: a fixed iteration count from a deterministic
+    init is a fixpoint the oracle unrolls as chained CTE stages (the
+    q_pagerank technique); monotone-inertia and self-consistency
+    properties are additionally pinned in tests."""
     from .pipeline.similarity import lloyd_kmeans
     return lloyd_kmeans(_t(spark, sf_dir, "embeddings"), iters=3)
 
