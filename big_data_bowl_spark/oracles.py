@@ -2481,3 +2481,88 @@ c0 AS (SELECT label AS cl, dim, avg(x) AS c FROM v GROUP BY 1, 2),
 """ + ",\n".join(_rc_stages) + """
 SELECT cl AS cluster, count(*) AS n FROM a3 GROUP BY 1
 """)
+
+
+# --- q_lsh_neutral: integer-exact hyperplane LSH, reproduced in SQL ---------
+# The bucket is pure integer arithmetic on both engines: plane weight
+# w(p,i) = (p·1000003 + i + 1)·2654435761 % (10^9+7) % 1000 − 500, vector
+# components quantized by floor(x·10^6) (floor — round-half ties differ
+# across engines), projection = exact long sum, bit = (proj > 0).  The
+# re-rank reuses q_cosine_topk's proven list_dot_product arithmetic.
+_LSH_BIT = ("(CASE WHEN list_sum(list_transform(range(64), i -> "
+            "CAST(floor(v[i + 1] * 1000000.0) AS BIGINT) * "
+            "((({p} * 1000003 + i + 1) * 2654435761) "
+            "% 1000000007 % 1000 - 500))) > 0 "
+            "THEN 1 ELSE 0 END) * {w}")
+
+ORACLES["q_lsh_neutral"] = ("""
+WITH vecs AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+bkt AS (
+    SELECT vec_id, v,
+           CAST(""" +
+    "\n               + ".join(_LSH_BIT.format(p=p, w=1 << (7 - p))
+                               for p in range(8)) + """
+           AS BIGINT) AS bucket
+    FROM vecs),
+pairs AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM bkt q JOIN bkt c USING (bucket)
+    WHERE q.vec_id IN (0, 1, 2, 3, 4) AND q.vec_id <> c.vec_id)
+SELECT query_id, neighbor_id, cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 3
+""")
+
+# --- q_ivf_neutral: label-centroid coarse quantizer + nprobe + re-rank ------
+# Cells are the deterministic per-label mean centroids (the lloyd init);
+# both cell assignment and probe selection are argmin-L2 with the smaller-
+# label tie-break, then candidates meet on the cell equi-join and re-rank
+# with the q_cosine_topk arithmetic.  Centroid L2 sums drift ~1e-16 between
+# engines — an assignment flips only on a near-exact tie (none at tested
+# SFs), same adjudication as q_lloyd_kmeans.
+ORACLES["q_ivf_neutral"] = """
+WITH vecs AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+    SELECT vec_id, label, i.dim, v[i.dim + 1] AS x
+    FROM vecs, UNNEST(range(64)) AS i(dim)),
+cents AS (
+    SELECT label AS cell, list(c ORDER BY dim) AS cv
+    FROM (SELECT label, dim, avg(x) AS c FROM x GROUP BY 1, 2)
+    GROUP BY 1),
+d2 AS (
+    SELECT v.vec_id, c.cell,
+           list_sum(list_transform(range(64),
+               i -> (v.v[i + 1] - c.cv[i + 1])
+                    * (v.v[i + 1] - c.cv[i + 1]))) AS d2
+    FROM vecs v CROSS JOIN cents c),
+cells AS (
+    SELECT vec_id AS neighbor_id, cell FROM d2
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cell ASC) = 1),
+probes AS (
+    SELECT vec_id AS query_id, cell FROM d2
+    WHERE vec_id IN (0, 1, 2, 3, 4)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cell ASC) <= 2),
+pairs AS (
+    SELECT p.query_id, n.neighbor_id,
+           round(list_dot_product(q.v, c.v)
+                 / (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+    FROM probes p
+    JOIN cells n USING (cell)
+    JOIN vecs q ON q.vec_id = p.query_id
+    JOIN vecs c ON c.vec_id = n.neighbor_id
+    WHERE p.query_id <> n.neighbor_id)
+SELECT query_id, neighbor_id, cosine
+FROM pairs
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine DESC, neighbor_id ASC) <= 3
+"""

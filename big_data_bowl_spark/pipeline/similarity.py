@@ -571,3 +571,124 @@ def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= k)
                 .select("query_id", "neighbor_id", "approx_d2"))
+
+
+# Neutral-LSH plane weights: a multiplicative integer hash of (plane, dim)
+# any engine reproduces — (p·1000003 + i + 1)·2654435761 mod (10^9+7)
+# mod 1000 − 500 ∈ [−500, 499].  Products stay < 2^55, well inside long.
+_LSH_NEUTRAL_MULT = 2_654_435_761
+_LSH_NEUTRAL_P = 1_000_000_007
+
+
+def _lsh_neutral_w(p: int, i: Column) -> Column:
+    h = (F.lit(p * 1_000_003 + 1).cast("long") + i) \
+        * F.lit(_LSH_NEUTRAL_MULT)
+    return h % _LSH_NEUTRAL_P % 1000 - 500
+
+
+def lsh_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_planes: int = N_PLANES, dim: int = 64) -> DataFrame:
+    """Engine-neutral random-hyperplane LSH — the :func:`lsh_bucketed_topk`
+    pipeline with the two engine-specific seams replaced so a SQL oracle
+    reproduces the result bit-for-bit (the ANN-tier analogue of
+    dedup.minhash_neutral_pairs):
+
+    - plane components come from the explicit multiplicative hash
+      ``_lsh_neutral_w`` instead of xxhash64 (JVM-only), and
+    - the sign decision quantizes each component to integer micro-units
+      (``floor(x·10^6)`` — floor, not round: round-half ties break
+      differently across engines) so the projection is an EXACT integer
+      sum — no float summation order anywhere near the bucket boundary.
+
+    Candidates still meet on the bucket equi-join; the exact cosine
+    re-rank is the proven :func:`cosine_topk` arithmetic (round-6 +
+    neighbor-id tie-break).  The xxhash64 form remains the hot path.
+    Returns (query_id, neighbor_id, cosine).
+    """
+    require_columns(df, [id_col, vec_col], "lsh_neutral_topk")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
+    xq = F.transform(F.col("v"),
+                     lambda x: F.floor(x * 1e6).cast("long"))
+    dims = F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<long>")
+
+    def bucket_bits(qcol: Column) -> Column:
+        out = F.lit(0).cast("long")
+        for p in range(n_planes):
+            proj = F.aggregate(
+                F.zip_with(qcol, dims,
+                           lambda x, i: x * _lsh_neutral_w(p, i)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            out = F.shiftleft(out, 1) + F.when(proj > 0, 1).otherwise(0)
+        return out
+
+    bucketed = vecs.withColumn("bucket", bucket_bits(xq))
+    q = (bucketed.filter(F.col(id_col).isin(query_ids))
+                 .select(F.col(id_col).alias("query_id"),
+                         F.col("v").alias("qv"), "bucket"))
+    pairs = (F.broadcast(q)
+             .join(bucketed.select(F.col(id_col).alias("neighbor_id"),
+                                   F.col("v").alias("nv"), "bucket"),
+                   "bucket")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    cos = _dot(F.col("qv"), F.col("nv")) \
+        / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("cosine", roundn(cos))
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= k)
+                 .select("query_id", "neighbor_id", "cosine"))
+
+
+def ivf_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
+                     nprobe: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     label_col: str = "label") -> DataFrame:
+    """Engine-neutral IVF — :func:`ivf_topk` with the coarse quantizer
+    swapped from Spark ML KMeans (init-dependent cell NUMBERS, never
+    value-comparable across engines) to the deterministic per-label mean
+    centroids (:func:`label_centroids`, the same init that made
+    :func:`lloyd_kmeans` oracle-able).  Search is identical: the query
+    scores all cells (broadcast), keeps its ``nprobe`` nearest, meets
+    the corpus on the cell-id equi-join, exact cosine re-rank.  At 100 TB
+    the cell table is the partition key of the stored index either way —
+    the quantizer choice changes recall slightly, not the plan shape.
+    Returns (query_id, neighbor_id, cosine).
+    """
+    require_columns(df, [id_col, vec_col, label_col], "ivf_neutral_topk")
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    cents = (label_centroids(df, id_col, vec_col, label_col)
+             .select(F.col(label_col).cast("long").alias("cell"),
+                     "centroid"))
+    corpus = (assign_to_centroids(df, cents.withColumnRenamed(
+                  "cell", "cand_label"), id_col, vec_col, metric="l2")
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col("assigned_label").alias("cell"))
+              .join(vecs.select(F.col(id_col).alias("neighbor_id"),
+                                F.col("v").alias("nv")), "neighbor_id"))
+    q = (vecs.filter(F.col(id_col).isin(query_ids))
+             .select(F.col(id_col).alias("query_id"),
+                     F.col("v").alias("qv")))
+    l2 = F.aggregate(F.zip_with("qv", "centroid",
+                                lambda x, c: (x - c) * (x - c)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    w_cell = Window.partitionBy("query_id").orderBy(F.asc("__d"),
+                                                    F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(cents))
+                .withColumn("__d", l2)
+                .withColumn("__rn", F.row_number().over(w_cell))
+                .filter(F.col("__rn") <= nprobe)
+                .select("query_id", "qv", "cell"))
+    pairs = (F.broadcast(probes)
+             .join(corpus, "cell")
+             .filter(F.col("query_id") != F.col("neighbor_id")))
+    cos = _dot(F.col("qv"), F.col("nv")) \
+        / (_norm(F.col("qv")) * _norm(F.col("nv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("cosine", roundn(cos))
+                 .withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= k)
+                 .select("query_id", "neighbor_id", "cosine"))

@@ -1349,6 +1349,26 @@ def q_ivf_topk(spark, sf_dir):
                     query_ids=[0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=2)
 
 
+def q_lsh_neutral(spark, sf_dir):
+    """Engine-neutral hyperplane LSH (hash-verified): plane weights from
+    an explicit multiplicative hash, sign decision on an EXACT integer
+    sum (floor-to-micro-units quantization), bucket equi-join, exact
+    cosine re-rank — the ANN analogue of q_minhash_neutral."""
+    from .pipeline.similarity import lsh_neutral_topk
+    return lsh_neutral_topk(_t(spark, sf_dir, "embeddings"),
+                            query_ids=[0, 1, 2, 3, 4], k=3)
+
+
+def q_ivf_neutral(spark, sf_dir):
+    """Engine-neutral IVF (hash-verified): deterministic per-label mean
+    centroids as the coarse quantizer, nprobe=2 probing, exact cosine
+    re-rank — same plan shape as q_ivf_topk with a value-comparable cell
+    assignment."""
+    from .pipeline.similarity import ivf_neutral_topk
+    return ivf_neutral_topk(_t(spark, sf_dir, "embeddings"),
+                            query_ids=[0, 1, 2, 3, 4], k=3, nprobe=2)
+
+
 def q_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint (polynomial rolling hash —
     explicit arithmetic, so the DuckDB oracle reproduces it exactly)."""
@@ -2965,6 +2985,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_simhash": q_simhash,
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
+    "q_lsh_neutral": q_lsh_neutral,
+    "q_ivf_neutral": q_ivf_neutral,
     "q_fingerprint": q_fingerprint,
     "q_multimodal_features": q_multimodal_features,
     "q_route_clusters": q_route_clusters,

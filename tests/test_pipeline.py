@@ -1205,3 +1205,37 @@ def test_hll_neutral_error_within_bound(spark):
     for r in hll_neutral(e, ["event_type"], "user_id").collect():
         rel = abs(r.hll_estimate - r.n_exact) / r.n_exact
         assert rel <= 0.195, (r.event_type, r.n_exact, r.hll_estimate)
+
+
+def test_ivf_neutral_full_probe_equals_brute_force(spark):
+    """The engine-neutral IVF (label-centroid quantizer) must also reduce
+    to exact brute force when every cell is probed — the prune-only
+    contract holds regardless of quantizer choice."""
+    from big_data_bowl_spark.pipeline.similarity import ivf_neutral_topk
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    n_labels = em.select("label").distinct().count()
+    exact = sorted(tuple(r) for r in
+                   cosine_topk(em, [0, 1, 2], k=3).collect())
+    full = sorted(tuple(r) for r in
+                  ivf_neutral_topk(em, [0, 1, 2], k=3,
+                                   nprobe=n_labels).collect())
+    assert full == exact
+
+
+def test_lsh_neutral_contained_in_exact(spark):
+    """Neutral-LSH results: per-query ≤ k rows, no self-match, and every
+    returned cosine is a real pair cosine from the exact table (the
+    bucket only prunes candidates, never invents or rescores them)."""
+    from big_data_bowl_spark.pipeline.similarity import lsh_neutral_topk
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    exact = {(r.query_id, r.neighbor_id): r.cosine
+             for r in cosine_topk(em, [0, 1, 2],
+                                  k=10**6).collect()}
+    per_q: dict[int, int] = {}
+    for r in lsh_neutral_topk(em, [0, 1, 2], k=3).collect():
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+        assert r.neighbor_id != r.query_id
+        assert exact[(r.query_id, r.neighbor_id)] == r.cosine
+    assert all(n <= 3 for n in per_q.values())
