@@ -7,6 +7,7 @@ from .clustering import (
 )
 from .lstm import (
     EmaFallbackModel,
+    NumpyLSTMModel,
     eval_predictions,
     predict_sequences,
     train_sequence_model,
@@ -16,7 +17,8 @@ from .split import group_split
 __all__ = [
     "centroid_distance_score", "cluster_centroids", "fit_route_clusters",
     "one_hot_labels", "pca_2d",
-    "EmaFallbackModel", "eval_predictions", "predict_sequences",
+    "EmaFallbackModel", "NumpyLSTMModel", "eval_predictions",
+    "predict_sequences",
     "train_sequence_model",
     "group_split",
 ]

@@ -2566,3 +2566,128 @@ FROM pairs
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY cosine DESC, neighbor_id ASC) <= 3
 """
+
+
+# --- q_minhash_pairs / q_minhash_incremental: the HOT-PATH pipeline ---------
+# Since r5 both queries run minhash_lsh_pairs / minhash_lsh_match with the
+# neutral hash family, so the oracles rebuild the EXACT hot-path semantics:
+# unlike minhash_neutral_pairs, shingle_base_hashes splits on ' ' WITHOUT
+# dropping empty words (the hot path never pays that filter), and the empty
+# string hashes to the bare seed on both engines (_poly_hash guard).  Slots
+# and band folds are identical to q_minhash_neutral; thresholds are integer
+# slot counts (m >= 13 for tau=0.4, m >= 16 for tau=0.5).
+_MH_SIG_CTES = f"""w AS (
+    SELECT doc_id, string_split(text, ' ') AS wds
+    FROM documents),
+sh AS (
+    SELECT doc_id, array_to_string(list_slice(wds, i, i + 2), ' ') AS s
+    FROM w, UNNEST(generate_series(1, greatest(len(wds) - 2, 1))) t(i)),
+bh AS (
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN 7
+                ELSE list_reduce(
+                  list_prepend(7::BIGINT,
+                    list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1))::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) END AS h
+    FROM sh),
+perm(j, a, b) AS (
+    VALUES {_PERM_VALUES}),
+slots AS (
+    SELECT doc_id, j, min((a * h + b) % 2147483647) AS slot
+    FROM bh CROSS JOIN perm GROUP BY 1, 2),
+bnd AS (
+    SELECT doc_id, CAST(j // {_RPB} AS BIGINT) AS band,
+           list(slot ORDER BY j) AS bs
+    FROM slots GROUP BY 1, 2),
+bkt AS (
+    SELECT doc_id, band,
+           list_reduce(list_prepend(band, bs),
+                       (acc, s) -> (acc * 31 + s) % 1000000007) AS bucket
+    FROM bnd)"""
+
+ORACLES["q_minhash_pairs"] = f"""
+WITH {_MH_SIG_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bkt a JOIN bkt b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id),
+eq AS (
+    SELECT c.doc_a, c.doc_b,
+           count(*) FILTER (sa.slot = sb.slot) AS m
+    FROM cand c
+    JOIN slots sa ON sa.doc_id = c.doc_a
+    JOIN slots sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(m / {float(_N_MINHASH)}, 6) AS est_jaccard
+FROM eq WHERE m >= 13
+"""
+
+ORACLES["q_minhash_incremental"] = f"""
+WITH {_MH_SIG_CTES},
+cand AS (
+    SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS index_id
+    FROM bkt a JOIN bkt b
+      ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0),
+eq AS (
+    SELECT c.new_id, c.index_id,
+           count(*) FILTER (sa.slot = sb.slot) AS m
+    FROM cand c
+    JOIN slots sa ON sa.doc_id = c.new_id
+    JOIN slots sb ON sb.doc_id = c.index_id AND sb.j = sa.j
+    GROUP BY 1, 2)
+SELECT new_id, index_id, round(m / {float(_N_MINHASH)}, 6) AS est_jaccard
+FROM eq WHERE m >= 16
+"""
+
+# --- q_simhash: band candidates + exact Hamming over neutral fingerprints ---
+# Reuses the verified q_simhash_neutral fingerprint construction; candidates
+# share any 15-bit band, the pair keeps if bit_count(xor) <= 4.  Pure
+# integer arithmetic end-to-end.
+ORACLES["q_simhash"] = """
+WITH tok AS (
+    SELECT doc_id, t
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents)
+    WHERE t <> ''),
+th AS (
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(range(1, length(t) + 1),
+                              i -> ascii(substr(t, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) * 1073741824
+           + list_reduce(
+             list_prepend(11::BIGINT,
+               list_transform(range(1, length(t) + 1),
+                              i -> ascii(substr(t, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 37 + c) % 1000000007) AS h
+    FROM tok),
+bits AS (SELECT unnest(generate_series(0, 59)) AS b),
+votes AS (
+    SELECT doc_id, b,
+           sum(CASE WHEN (h // (1::BIGINT << b)) % 2 = 1
+                    THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN bits GROUP BY 1, 2),
+fp AS (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY 1),
+banded AS (
+    SELECT doc_id, simhash, k.k AS band,
+           (simhash // (1::BIGINT << (15 * k.k))) % 32768 AS bval
+    FROM fp, UNNEST(generate_series(0, 3)) k(k)),
+cand AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           any_value(a.simhash) AS fa, any_value(b.simhash) AS fb
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= 4
+"""

@@ -171,16 +171,25 @@ def _mh_coeffs(n: int) -> list[tuple[int, int]]:
     return out
 
 
-def shingle_base_hashes(text: Column, shingle_len: int = 3) -> Column:
+def shingle_base_hashes(text: Column, shingle_len: int = 3,
+                        neutral: bool = False) -> Column:
     """Word-shingle base hashes as an array<long>: each ``shingle_len``
-    word shingle hashed once with xxhash64, reduced mod p.  The expensive
-    string work — split, slice, concat, hash — happens HERE, exactly once
-    per shingle."""
+    word shingle hashed once, reduced mod p.  The expensive string work —
+    split, slice, concat, hash — happens HERE, exactly once per shingle.
+
+    ``neutral=False`` (default) hashes with xxhash64 (JVM-intrinsic, the
+    throughput path); ``neutral=True`` uses the polynomial character
+    hash (h·31+code mod 10^9+7, seed 7 — < 2^31, so it feeds the affine
+    slot family unchanged), which any SQL engine reproduces bit-for-bit
+    — the switch that makes the SAME pipeline code oracle-checkable."""
     words = F.split(text, " ")
     n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(0), n_sh - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
+    if neutral:
+        from .text import polynomial_token_hash
+        return F.transform(shingles, polynomial_token_hash)
     return F.transform(shingles,
                        lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_PRIME)))
 
@@ -226,39 +235,57 @@ def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       n_hashes: int = N_MINHASH) -> DataFrame:
+                       n_hashes: int = N_MINHASH,
+                       neutral: bool = False) -> DataFrame:
     """The (id, sig) MinHash signature table — the persistable INDEX of a
     continuously-ingested corpus (stage it as parquet; signatures never
     need recomputing for already-seen documents).  Fan-out + the staged
-    base-hash projection as in minhash_lsh_pairs."""
+    base-hash projection as in minhash_lsh_pairs.  ``neutral`` picks the
+    shingle hash family (see :func:`shingle_base_hashes`); an index must
+    be queried with the SAME family it was built with."""
     require_columns(df, [id_col, text_col], "minhash_signatures")
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(F.col(id_col), F.col(text_col)) \
                .repartition(parallelism)
     return (narrow
-            .withColumn("_base", shingle_base_hashes(F.col(text_col)))
+            .withColumn("_base", shingle_base_hashes(F.col(text_col),
+                                                     neutral=neutral))
             .select(F.col(id_col), minhash_slots("_base", n_hashes)
                     .alias("sig")))
 
 
 def _band_buckets(sig_df: DataFrame, id_col: str,
-                  n_hashes: int, bands: int) -> DataFrame:
+                  n_hashes: int, bands: int,
+                  neutral: bool = False) -> DataFrame:
     """(id, band, bucket) banding table from a signature table — the LSH
-    join key generator shared by the batch and incremental paths."""
+    join key generator shared by the batch and incremental paths.
+    ``neutral=True`` folds each band's slots with the polynomial
+    (acc·31 + slot) mod 10^9+7 seeded by the band index (engine-
+    reproducible) instead of xxhash64."""
     rows_per_band = n_hashes // bands
-    return sig_df.select(
-        id_col,
-        F.posexplode(F.array(*[
+    if neutral:
+        from .text import FP_PRIME
+        bucket_arr = F.array(*[
+            F.aggregate(F.slice(F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band),
+                        F.lit(b).cast("long"),
+                        lambda acc, s: (acc * 31 + s) % F.lit(FP_PRIME))
+            for b in range(bands)])
+    else:
+        bucket_arr = F.array(*[
             F.xxhash64(F.concat_ws(
                 ",", *[F.element_at("sig", b * rows_per_band + r + 1)
                        for r in range(rows_per_band)]), F.lit(b))
-            for b in range(bands)])).alias("band", "bucket"))
+            for b in range(bands)])
+    return sig_df.select(
+        id_col, F.posexplode(bucket_arr).alias("band", "bucket"))
 
 
 def minhash_lsh_match(new_df: DataFrame, index_sig: DataFrame,
                       id_col: str = "doc_id", text_col: str = "text",
                       n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
-                      min_est_jaccard: float = 0.5) -> DataFrame:
+                      min_est_jaccard: float = 0.5,
+                      neutral: bool = False) -> DataFrame:
     """INCREMENTAL near-dup matching: a new batch against an EXISTING
     signature index (``minhash_signatures`` output, typically read back
     from parquet).  Only the new batch's text is hashed; the index side
@@ -272,10 +299,10 @@ def minhash_lsh_match(new_df: DataFrame, index_sig: DataFrame,
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by "
                          f"bands ({bands})")
-    new_sig = minhash_signatures(new_df, id_col, text_col, n_hashes) \
-        .persist()
-    nb = _band_buckets(new_sig, id_col, n_hashes, bands)
-    ib = _band_buckets(index_sig, id_col, n_hashes, bands)
+    new_sig = minhash_signatures(new_df, id_col, text_col, n_hashes,
+                                 neutral=neutral).persist()
+    nb = _band_buckets(new_sig, id_col, n_hashes, bands, neutral=neutral)
+    ib = _band_buckets(index_sig, id_col, n_hashes, bands, neutral=neutral)
     pairs = (nb.alias("a")
              .join(ib.alias("b"),
                    (F.col("a.band") == F.col("b.band"))
@@ -299,15 +326,22 @@ def minhash_lsh_match(new_df: DataFrame, index_sig: DataFrame,
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       n_hashes: int = N_MINHASH, bands: int = LSH_BANDS,
-                      min_est_jaccard: float = 0.5) -> DataFrame:
+                      min_est_jaccard: float = 0.5,
+                      neutral: bool = False) -> DataFrame:
     """MinHash + LSH near-duplicate candidate pairs.
 
     Banding: the signature splits into ``bands`` groups; docs sharing any
     band hash collide into a bucket (the ONLY join key — no all-pairs
     shuffle).  Within a bucket, the estimated Jaccard is the fraction of
-    agreeing signature slots.  Probabilistic → no SQL oracle (driver runs
-    the weaker rows-only check); correctness is covered by property tests
-    (identical docs → est 1.0, disjoint docs → est ~0).
+    agreeing signature slots — compared as an integer slot count against
+    a dyadic threshold, no float boundary.
+
+    ``neutral`` picks the hash family (see :func:`shingle_base_hashes`):
+    xxhash64 is the throughput path; the neutral polynomial family makes
+    this exact pipeline reproducible in SQL, which is how q_minhash_pairs
+    is hash-verified against the DuckDB oracle (r5 — previously only the
+    separate ``minhash_neutral_pairs`` twin was).  Identical-doc → est
+    1.0 and disjoint-doc → est ~0 property tests cover both families.
 
     Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b.
     """
@@ -321,8 +355,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # spillable) so the CPU-bound hashing runs exactly once — it is the
     # narrow (id, 32 longs) table any LSH index materializes anyway
     # (minhash_signatures is the persistable-index form of this step).
-    sig = minhash_signatures(df, id_col, text_col, n_hashes).persist()
-    banded = _band_buckets(sig, id_col, n_hashes, bands)
+    sig = minhash_signatures(df, id_col, text_col, n_hashes,
+                             neutral=neutral).persist()
+    banded = _band_buckets(sig, id_col, n_hashes, bands, neutral=neutral)
     # Candidate pairs carry ONLY the two ids through the band shuffle and
     # the pair-dedup; the 2 × n_hashes-long signature arrays are joined
     # back AFTER dropDuplicates, so the widest shuffle stays 2 longs per
@@ -770,3 +805,42 @@ def simhash_neutral(df: DataFrame, id_col: str = "doc_id",
              .bitwiseAND(F.lit(32767)).cast("long"))
     return out.select(id_col, "simhash", "band0", "band1", "band2",
                       "band3")
+
+
+def simhash_neutral_pairs(df: DataFrame, max_hamming: int = 4,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """SimHash near-duplicate PAIRS on the engine-neutral fingerprint:
+    docs sharing any of the 4 15-bit bands become candidates (band
+    equi-join — the pigeonhole guarantee: two 60-bit fingerprints within
+    Hamming distance 3 must agree on at least one band; larger
+    ``max_hamming`` trades recall like any LSH), then the exact Hamming
+    distance over the full fingerprint (bit_count of XOR — pure integer,
+    so the DuckDB oracle reproduces pairs bit-for-bit) keeps pairs at or
+    under the threshold.
+
+    Scale shape: the band join carries (id, fingerprint) only; candidate
+    fan-out is bounded by band-bucket occupancy exactly like the MinHash
+    banding, never all-pairs.  Returns (doc_a, doc_b, hamming),
+    doc_a < doc_b.
+    """
+    require_columns(df, [id_col, text_col], "simhash_neutral_pairs")
+    fp = simhash_neutral(df, id_col, text_col)
+    banded = fp.select(
+        F.col(id_col), "simhash",
+        F.posexplode(F.array(*[F.col(f"band{k}")
+                               for k in range(4)])).alias("band", "bval"))
+    cand = (banded.alias("a")
+            .join(banded.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bval") == F.col("b.bval"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"),
+                    F.col("a.simhash").alias("__fa"),
+                    F.col("b.simhash").alias("__fb"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("long")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("doc_a", "doc_b", "hamming"))

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..ml.clustering import fit_route_clusters, one_hot_labels
-from ..ml.lstm import EmaFallbackModel, predict_sequences
+from ..ml.lstm import predict_sequences, train_sequence_model
 from ..operators.checks import check_nonempty, check_unique
 from ..operators.normalize import add_postthrow_geometry, normalize_coordinates
 from ..operators.sequences import build_sequences, unpivot_sequences
@@ -54,8 +54,8 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
     """Run the full §3.1 chain; returns every named intermediate so callers
     can persist/inspect any stage (the reference writes each to CSV).
 
-    ``model=None`` uses the deterministic EMA fallback (Keras not in this
-    container — ml/lstm.py gates the real trainer behind an import-try).
+    ``model=None`` trains the pure-numpy LSTM on the run's own sequence
+    tensor (ml/lstm.py; Keras trains the full net instead when present).
     ``eager_checks=False`` skips the fail-loud data-quality actions (each
     one is an extra pass over the chain) — for callers that already
     validated the inputs or run the checks out-of-band.
@@ -100,7 +100,13 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
     seq = build_sequences(merged, PLAYER_KEYS, "frame_id",
                           ["converge_rate", "dist_to_land"],
                           max_len=max_len, keep="last")
-    pred = predict_sequences(spark, seq, model or EmaFallbackModel())
+    if model is None:
+        # Train the pure-numpy LSTM head on THIS run's sequences (M6):
+        # a genuine recurrent model with the reference topology — the
+        # tensor is driver-sized by design (§4.3), and the trained model
+        # broadcasts into the iterator-pandas-UDF inference seam below.
+        model = train_sequence_model(seq)
+    pred = predict_sequences(spark, seq, model)
     pred = pred.withColumn("actual", F.transform("seq", lambda s: s[0]))
     long = unpivot_sequences(pred, PLAYER_KEYS, "actual", "pred")
     # Player grain here (not the reference's play-grain default): the

@@ -659,13 +659,17 @@ def q_minhash_incremental(spark, sf_dir):
     """Incremental dedup under the driver: ~1/7 of the corpus arrives as
     the 'new batch' and is matched against the signature INDEX of the
     rest — only the batch is shingled; index buckets derive from stored
-    signatures.  Rows-only (probabilistic banding); the cross-batch
-    match ≡ batch-mode equivalence is property-tested."""
+    signatures.  Hash-verified since r5 (neutral hash family — the
+    oracle rebuilds both the stored index and the batch probe in SQL);
+    the cross-batch match ≡ batch-mode equivalence is property-tested,
+    and xxhash64 remains the library default family."""
     from .pipeline.dedup import minhash_lsh_match, minhash_signatures
     d = _t(spark, sf_dir, "documents")
-    index = minhash_signatures(d.filter(F.col("doc_id") % 7 != 0))
+    index = minhash_signatures(d.filter(F.col("doc_id") % 7 != 0),
+                               neutral=True)
     batch = d.filter(F.col("doc_id") % 7 == 0)
-    return minhash_lsh_match(batch, index, min_est_jaccard=0.5)
+    return minhash_lsh_match(batch, index, min_est_jaccard=0.5,
+                             neutral=True)
 
 
 def q_embed_dup(spark, sf_dir):
@@ -1321,16 +1325,26 @@ def q_union_by_name(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates over documents (scale path)."""
+    """MinHash+LSH near-dup candidates over documents — the HOT-PATH
+    pipeline (minhash_lsh_pairs) run with the neutral hash family, so
+    the query itself is hash-verified against the DuckDB oracle (r5;
+    xxhash64 stays the default family for throughput, covered by the
+    same property tests).  Threshold 0.4 distinguishes it from
+    q_minhash_neutral's 0.5."""
     from .pipeline.dedup import minhash_lsh_pairs
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                             min_est_jaccard=0.4)
+                             min_est_jaccard=0.4, neutral=True)
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash 64-bit fingerprints + 16-bit bands."""
-    from .pipeline.dedup import simhash_buckets
-    return simhash_buckets(_t(spark, sf_dir, "documents"))
+    """SimHash near-duplicate PAIRS: band equi-join candidates + exact
+    Hamming filter (bit_count of XOR) over the engine-neutral 60-bit
+    fingerprint — hash-verified (r5; previously fingerprints only,
+    rows-only).  The xxhash64 64-bit fingerprint (simhash_buckets)
+    remains the library hot path."""
+    from .pipeline.dedup import simhash_neutral_pairs
+    return simhash_neutral_pairs(_t(spark, sf_dir, "documents"),
+                                 max_hamming=4)
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -1926,8 +1940,9 @@ def q_submission_pipeline(spark, sf_dir):
     """Entry point A (§3.1, Submission.ipynb) END TO END under the driver:
     normalize → initial separation → target select → completed semi-join →
     post-throw geometry → label attach → converge rate → route features →
-    k-means clusters → one-hot embeddings → sequence build → broadcast-
-    model inference (EMA fallback) → un-pivot → TrueSpeed → scorecard.
+    k-means clusters → one-hot embeddings → sequence build → numpy-LSTM
+    training (reference topology, head-only Adam — ml/lstm.py) →
+    broadcast-model inference → un-pivot → TrueSpeed → scorecard.
 
     Tracking-shaped inputs are derived DETERMINISTICALLY from ``events``
     (user → play, ordered rows → frames, value → coordinates; one receiver

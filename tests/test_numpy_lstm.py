@@ -1,0 +1,83 @@
+"""Pure-numpy LSTM (ml/lstm.py NumpyLSTMModel): gate math pinned against
+hand-computed cases, Masking-layer semantics, determinism, and the
+head-only trainer reaching the reference's R² regime on smooth
+(kinematics-shaped) sequences — the quality anchor the Keras branch
+reproduces when available (BDB_2026.ipynb#cell102, R²=0.9466)."""
+import math
+
+import numpy as np
+
+from big_data_bowl_spark.ml.lstm import NumpyLSTMModel
+
+
+def _sig(z):
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+def test_gate_math_matches_hand_computation():
+    m = NumpyLSTMModel(n_features=1, units=(1,), head=1)
+    w = np.array([[0.5, 0.25, 1.0, -0.5]])
+    u = np.array([[0.1, 0.2, 0.3, 0.4]])
+    b = np.array([0.0, 1.0, 0.0, 0.0])
+    m.set_lstm_weights(0, w, u, b)
+    x = np.array([[[1.0], [2.0]]])
+    _, h = m._recurrent_features(x)
+
+    # step 1 (h0 = c0 = 0): z = x1·w + b
+    i1 = _sig(0.5); f1 = _sig(1.25); g1 = math.tanh(1.0); o1 = _sig(-0.5)
+    c1 = i1 * g1
+    h1 = o1 * math.tanh(c1)
+    assert abs(h[0, 0, 0] - h1) < 1e-12
+    # step 2: z = x2·w + h1·u + b
+    i2 = _sig(2 * 0.5 + h1 * 0.1)
+    f2 = _sig(2 * 0.25 + h1 * 0.2 + 1.0)
+    g2 = math.tanh(2 * 1.0 + h1 * 0.3)
+    o2 = _sig(2 * -0.5 + h1 * 0.4)
+    c2 = f2 * c1 + i2 * g2
+    h2 = o2 * math.tanh(c2)
+    assert abs(h[0, 1, 0] - h2) < 1e-12
+
+
+def test_masking_carries_state_and_zeroes_output():
+    m = NumpyLSTMModel(n_features=2, units=(4, 3), head=2)
+    a = [0.7, -0.2]
+    bstep = [-0.4, 1.1]
+    with_pad = np.array([[a, [0.0, 0.0], bstep]], dtype=np.float32)
+    without = np.array([[a, bstep]], dtype=np.float32)
+    _, hp = m._recurrent_features(with_pad)
+    _, hw = m._recurrent_features(without)
+    # padded step carries state: final hidden equals the no-pad run's
+    np.testing.assert_allclose(hp[0, 2], hw[0, 1], rtol=1e-12)
+    # and the padded step's PREDICTION is exactly 0.0
+    assert m.predict(with_pad)[0, 1] == 0.0
+
+
+def test_deterministic_init_and_predict():
+    x = np.random.default_rng(1).standard_normal((5, 4, 3)).astype(np.float32)
+    p1 = NumpyLSTMModel(n_features=3, seed=7).predict(x)
+    p2 = NumpyLSTMModel(n_features=3, seed=7).predict(x)
+    np.testing.assert_array_equal(p1, p2)
+    assert not np.array_equal(
+        p1, NumpyLSTMModel(n_features=3, seed=8).predict(x))
+
+
+def test_head_training_reaches_reference_r2_regime():
+    rng = np.random.default_rng(0)
+    n, t, f = 200, 8, 2
+    base = rng.uniform(-1, 1, (n, 1, f))
+    drift = rng.uniform(-0.2, 0.2, (n, 1, f))
+    steps = np.arange(t).reshape(1, t, 1)
+    x = (base + drift * steps
+         + 0.05 * rng.standard_normal((n, t, f))).astype(np.float32)
+    for i in range(n):  # tail padding like build_sequences
+        pad = rng.integers(0, 4)
+        if pad:
+            x[i, t - pad:] = 0.0
+    y = x[:, :, 0]
+    m = NumpyLSTMModel(n_features=f)
+    m.fit(x, y, epochs=300)
+    mask = np.any(x != 0.0, axis=2)
+    e = m.predict(x)[mask] - y[mask]
+    yv = y[mask]
+    r2 = 1 - np.sum(e ** 2) / np.sum((yv - yv.mean()) ** 2)
+    assert r2 > 0.9, r2  # reference anchor: 0.9466
