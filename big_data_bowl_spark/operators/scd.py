@@ -50,12 +50,21 @@ def scd2_history(changes: DataFrame, keys: list[str], ts_col: str,
 
 def funnel_stages(events: DataFrame, entity_col: str, ts_col: str,
                   step_col: str, steps: list[str],
-                  tie_col: str | None = None) -> DataFrame:
+                  tie_col: str | None = None,
+                  max_group: int = 1_000_000) -> DataFrame:
     """Ordered-funnel progress per entity: stage k means the entity hit
     ``steps[0]``, then ``steps[1]`` STRICTLY LATER, … up to ``steps[k-1]``
     (matching the min(ts) > t_prev CTE-chain semantics).  Single shuffle:
     per-entity sorted event array + one fold.  Returns
-    (entity, stage, n_events)."""
+    (entity, stage, n_events).
+
+    The fold collects each entity's FULL history into one in-row array —
+    the recurrence genuinely can't be windowed — so a hot key (bot user,
+    telemetry spammer) would otherwise build an unbounded single row.
+    ``max_group`` fails loud at execution time instead: the guard rides
+    the live ``n_events`` column (``raise_error`` branch — no extra
+    pass, and not prunable), the same discipline as the fuzzy-join
+    ``max_len``."""
     require_columns(events, [entity_col, ts_col, step_col], "funnel_stages")
     order_cols: list[Column] = [F.col(ts_col).alias("t")]
     if tie_col:
@@ -73,10 +82,18 @@ def funnel_stages(events: DataFrame, entity_col: str, ts_col: str,
         return F.struct(
             F.when(hit, a["stage"] + 1).otherwise(a["stage"]).alias("stage"),
             F.when(hit, e["t"]).otherwise(a["t"]).alias("t"))
+    guarded_n = F.when(
+        F.col("n_events") <= max_group, F.col("n_events")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"funnel_stages[max_group={max_group}]: hot key "),
+        F.col(entity_col).cast("string"),
+        F.lit(" has "), F.col("n_events").cast("string"),
+        F.lit(" events — bound the history or pre-aggregate"))
+        ).cast("long"))
     return (events.groupBy(F.col(entity_col))
                   .agg(F.count(F.lit(1)).alias("n_events"),
                        arr.alias("__arr"))
                   .select(F.col(entity_col),
                           F.aggregate(F.col("__arr"), acc0, _advance)["stage"]
                            .cast("long").alias("stage"),
-                          F.col("n_events")))
+                          guarded_n.alias("n_events")))

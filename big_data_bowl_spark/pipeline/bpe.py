@@ -80,7 +80,7 @@ def _merge_word(syms: list[str], left: str, right: str,
 def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
                      id_col: str = "doc_id",
                      text_col: str = "text",
-                     max_vocab: int = 5_000_000) -> DataFrame:
+                     top_k_words: int = 1_000_000) -> DataFrame:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns a small
     DataFrame (rank, left, right, merged, pair_count) in merge order —
     deterministic for a fixed corpus (tie-break: count desc, then pair
@@ -89,18 +89,20 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
     Scale shape: the corpus collapses to the WORD-FREQUENCY table in ONE
     distributed aggregation (that shuffle is the only corpus-sized work),
     and the table itself is vocab-sized — exactly the input Sennrich et
-    al. 2016's ``learn_bpe`` reads, a few million rows at any corpus
-    scale.  It is collected ONCE and the merge loop runs driver-side over
-    plain dicts: a 30k-merge tokenizer is 30k in-memory rounds, not 30k
-    sequential Spark jobs (the previous form's scale bug).  ``max_vocab``
-    fails loudly if the assumption breaks (an unsegmented-script corpus
-    should be pre-chunked, not silently collected)."""
+    al. 2016's ``learn_bpe`` reads.  Only the ``top_k_words`` most
+    frequent words are collected (count desc, word asc tie-break — a
+    distributed TakeOrdered, no full sort), the standard tokenizer-
+    training cap: a web-scale corpus's distinct-word tail is tens of GB
+    of hapax noise that contributes nothing to high-frequency merges, so
+    the driver tensor stays bounded at ANY corpus scale instead of
+    failing loud at an arbitrary vocab ceiling.  The merge loop then
+    runs driver-side over plain dicts: a 30k-merge tokenizer is 30k
+    in-memory rounds, not 30k sequential Spark jobs (the previous
+    form's scale bug)."""
     spark = df.sparkSession
-    rows = word_frequencies(df, id_col, text_col).collect()
-    if len(rows) > max_vocab:
-        raise ValueError(
-            f"bpe_learn_merges: vocabulary {len(rows)} exceeds max_vocab="
-            f"{max_vocab}; pre-segment the corpus or raise the cap")
+    rows = (word_frequencies(df, id_col, text_col)
+            .orderBy(F.desc("cnt"), F.asc("word"))
+            .limit(top_k_words).collect())
     # driver-side state: one (symbols, count) pair per distinct word
     vocab: list[tuple[list[str], int]] = [
         (list(r.word), int(r.cnt)) for r in rows]

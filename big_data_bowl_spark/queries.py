@@ -2283,8 +2283,14 @@ def q_ewma(spark, sf_dir):
     the previous).  One shuffle: values collect to a per-user ordered
     array and a single in-row fold runs the recurrence; both engines
     fold in identical order, so the doubles match bit-for-bit before the
-    final rounding.  Returns the final smoothed level per user."""
+    final rounding.  Returns the final smoothed level per user.
+
+    A hot key would build an unbounded in-row array, so the group count
+    is guarded at 100k events/user — the raise_error branch rides the
+    live n_events column (fails loud at execution, no extra pass), same
+    discipline as funnel_stages' max_group."""
     e = _t(spark, sf_dir, "events")
+    max_group = 100_000
     arr = F.transform(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
         lambda s: s["value"])
@@ -2292,9 +2298,16 @@ def q_ewma(spark, sf_dir):
         F.col("__vals"), F.lit(None).cast("double"),
         lambda acc, x: F.when(acc.isNull(), x)
                         .otherwise(0.2 * x + 0.8 * acc))
+    guarded_n = F.when(
+        F.col("n_events") <= max_group, F.col("n_events")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"q_ewma[max_group={max_group}]: hot key "),
+        F.col("user_id").cast("string"), F.lit(" has "),
+        F.col("n_events").cast("string"), F.lit(" events"))).cast("long"))
     return (e.groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("n_events"), arr.alias("__vals"))
-             .select("user_id", "n_events", roundn(fold).alias("ewma")))
+             .select("user_id", guarded_n.alias("n_events"),
+                     roundn(fold).alias("ewma")))
 
 
 def q_intersect_except(spark, sf_dir):

@@ -1239,3 +1239,38 @@ def test_lsh_neutral_contained_in_exact(spark):
         assert r.neighbor_id != r.query_id
         assert exact[(r.query_id, r.neighbor_id)] == r.cosine
     assert all(n <= 3 for n in per_q.values())
+
+
+def test_funnel_hot_key_fails_loud(spark):
+    """A planted hot key past max_group must raise at execution — the
+    in-row history fold is only safe because groups are bounded, and the
+    guard rides the live n_events column so Catalyst cannot prune it."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from big_data_bowl_spark.operators.scd import funnel_stages
+
+    rows = [("bot", f"2024-01-01 00:00:{i:02d}", "view") for i in range(25)]
+    df = (spark.createDataFrame(rows, "u string, ts string, s string")
+          .withColumn("ts", F.to_timestamp("ts")))
+    with pytest.raises(SparkRuntimeException, match="hot key bot"):
+        funnel_stages(df, "u", "ts", "s", ["view", "click"],
+                      max_group=10).collect()
+    # under the bound the same frame folds fine
+    ok = funnel_stages(df, "u", "ts", "s", ["view", "click"],
+                       max_group=100).collect()
+    assert ok[0]["n_events"] == 25
+
+
+def test_bpe_top_k_words_cap(spark):
+    """The driver collect is bounded by top_k_words (count desc, word asc):
+    capped training learns merges from the kept head only, so a web-scale
+    hapax tail can never blow the driver."""
+    from big_data_bowl_spark.pipeline.bpe import bpe_learn_merges
+
+    docs = spark.createDataFrame(
+        [(0, "xy xy xy zq")], "doc_id long, text string")
+    capped = bpe_learn_merges(docs, n_merges=4, top_k_words=1).collect()
+    full = bpe_learn_merges(docs, n_merges=4).collect()
+    assert [(r.left, r.right) for r in capped] == [("x", "y")]
+    assert [(r.left, r.right) for r in full] == [("x", "y"), ("z", "q")]
