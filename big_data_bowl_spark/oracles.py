@@ -2691,3 +2691,73 @@ SELECT doc_a, doc_b,
 FROM cand
 WHERE bit_count(xor(fa, fb)) <= 4
 """
+
+
+# --- q_postthrow_golden: pinned fixture replay (see queries.py) -------------
+# Literal VALUES captured from the deterministic fixture run (dyadic
+# coordinates + EMA model — libm-free): any drift in normalize, converge
+# rate, sequence build/pad, the model seam, or the T2 un-pivot breaks the
+# row-for-row hash.  Reference shape: outputs/postthrow_predictions_*.csv.
+ORACLES["q_postthrow_golden"] = """
+SELECT * FROM (VALUES
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 1::BIGINT, 0.000000::DOUBLE, 0.000000::DOUBLE, 0.000000::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 2::BIGINT, 0.551117::DOUBLE, 0.165335::DOUBLE, 0.385782::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 3::BIGINT, 0.329431::DOUBLE, 0.214564::DOUBLE, 0.114867::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 4::BIGINT, 0.552108::DOUBLE, 0.315827::DOUBLE, 0.236281::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 5::BIGINT, 0.551947::DOUBLE, 0.386663::DOUBLE, 0.165284::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 6::BIGINT, 0.323565::DOUBLE, 0.367734::DOUBLE, -0.044169::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 7::BIGINT, 0.552924::DOUBLE, 0.423291::DOUBLE, 0.129633::DOUBLE),
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 8::BIGINT, 0.552778::DOUBLE, 0.462137::DOUBLE, 0.090641::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 1::BIGINT, 0.000000::DOUBLE, 0.000000::DOUBLE, 0.000000::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 2::BIGINT, 0.551780::DOUBLE, 0.165534::DOUBLE, 0.386246::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 3::BIGINT, 0.324709::DOUBLE, 0.213287::DOUBLE, 0.111422::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 4::BIGINT, 0.552778::DOUBLE, 0.315134::DOUBLE, 0.237644::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 5::BIGINT, 0.552626::DOUBLE, 0.386382::DOUBLE, 0.166244::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 6::BIGINT, 0.318414::DOUBLE, 0.365991::DOUBLE, -0.047577::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 7::BIGINT, 0.553604::DOUBLE, 0.422275::DOUBLE, 0.131329::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 8::BIGINT, 0.553468::DOUBLE, 0.461633::DOUBLE, 0.091835::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 1::BIGINT, 0.000000::DOUBLE, 0.000000::DOUBLE, 0.000000::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 2::BIGINT, 0.552469::DOUBLE, 0.165741::DOUBLE, 0.386728::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 3::BIGINT, 0.319550::DOUBLE, 0.211883::DOUBLE, 0.107667::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 4::BIGINT, 0.553468::DOUBLE, 0.314359::DOUBLE, 0.239109::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 5::BIGINT, 0.553327::DOUBLE, 0.386049::DOUBLE, 0.167278::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 6::BIGINT, 0.312771::DOUBLE, 0.364066::DOUBLE, -0.051295::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 7::BIGINT, 0.554301::DOUBLE, 0.421136::DOUBLE, 0.133165::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 8::BIGINT, 0.554177::DOUBLE, 0.461049::DOUBLE, 0.093128::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 1::BIGINT, 0.000000::DOUBLE, 0.000000::DOUBLE, 0.000000::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 2::BIGINT, 0.553180::DOUBLE, 0.165954::DOUBLE, 0.387226::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 3::BIGINT, 0.313892::DOUBLE, 0.210335::DOUBLE, 0.103556::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 4::BIGINT, 0.554177::DOUBLE, 0.313488::DOUBLE, 0.240689::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 5::BIGINT, 0.554048::DOUBLE, 0.385656::DOUBLE, 0.168392::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 6::BIGINT, 0.306564::DOUBLE, 0.361928::DOUBLE, -0.055364::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 7::BIGINT, 0.555010::DOUBLE, 0.419853::DOUBLE, 0.135157::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 8::BIGINT, 0.554899::DOUBLE, 0.460367::DOUBLE, 0.094532::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 1::BIGINT, 0.000000::DOUBLE, 0.000000::DOUBLE, 0.000000::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 2::BIGINT, 0.553914::DOUBLE, 0.166174::DOUBLE, 0.387740::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 3::BIGINT, 0.307660::DOUBLE, 0.208620::DOUBLE, 0.099040::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 4::BIGINT, 0.554899::DOUBLE, 0.312504::DOUBLE, 0.242395::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 5::BIGINT, 0.554784::DOUBLE, 0.385188::DOUBLE, 0.169596::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 6::BIGINT, 0.299706::DOUBLE, 0.359543::DOUBLE, -0.059837::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 7::BIGINT, 0.555723::DOUBLE, 0.418397::DOUBLE, 0.137326::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 8::BIGINT, 0.555627::DOUBLE, 0.459566::DOUBLE, 0.096061::DOUBLE))
+  AS t(game_id, play_id, nfl_id, frame_id, actual_converge_rate,
+       predicted_converge_rate, residual)
+"""
+
+# --- q_routeexec_golden: pinned fixture replay (see queries.py) -------------
+# Reference shape: outputs/RouteExecIQ.csv (route cluster, centroid
+# deviation, within-cluster negated z, production context).  Cluster ids
+# are re-labeled by min play_id, so the pin is invariant to the ML
+# library's label permutation; values captured from the deterministic
+# seeded fixture run.
+ORACLES["q_routeexec_golden"] = """
+SELECT * FROM (VALUES
+    (1::BIGINT, 1::BIGINT, 101::BIGINT, 1::BIGINT, 0.110720::DOUBLE, 1.411887::DOUBLE, 'C', 1::BIGINT, 2.000000::DOUBLE, -0.250000::DOUBLE),
+    (1::BIGINT, 2::BIGINT, 102::BIGINT, 2::BIGINT, 1.239303::DOUBLE, -0.776174::DOUBLE, 'C', 1::BIGINT, 4.000000::DOUBLE, 0.000000::DOUBLE),
+    (1::BIGINT, 3::BIGINT, 103::BIGINT, 1::BIGINT, 1.166854::DOUBLE, -0.635713::DOUBLE, 'C', 1::BIGINT, 6.000000::DOUBLE, 0.250000::DOUBLE),
+    (1::BIGINT, 4::BIGINT, 104::BIGINT, 2::BIGINT, 0.110720::DOUBLE, 1.411887::DOUBLE, 'C', 1::BIGINT, 8.000000::DOUBLE, 0.500000::DOUBLE),
+    (1::BIGINT, 5::BIGINT, 105::BIGINT, 1::BIGINT, 1.239303::DOUBLE, -0.776174::DOUBLE, 'C', 1::BIGINT, 10.000000::DOUBLE, 0.750000::DOUBLE),
+    (1::BIGINT, 6::BIGINT, 106::BIGINT, 2::BIGINT, 1.166854::DOUBLE, -0.635713::DOUBLE, 'I', 0::BIGINT, 12.000000::DOUBLE, 1.000000::DOUBLE))
+  AS t(game_id, play_id, nfl_id, route_cluster, route_deviation,
+       route_exec_iq, pass_result, pass_result_num, yards_gained, epa)
+"""

@@ -2008,8 +2008,31 @@ def q_scorecard_golden(spark, sf_dir):
     scorecard EXACTLY (oracle = VALUES literal).  Coordinates are dyadic
     rationals and each receiver owns one play, so every float reduction is
     IEEE-exact and partition-order-invariant — any drift in any operator
-    of the spine breaks the hash."""
+    of the spine breaks the hash.  The model seam is pinned to the EMA
+    predictor ON PURPOSE: its α=0.3 recurrence stays dyadic-exact, so the
+    golden values are libm-independent (the trained numpy LSTM — exp/tanh
+    touch libm — is exercised end-to-end by q_submission_pipeline
+    instead)."""
+    from .ml.lstm import EmaFallbackModel
     from .pipeline.submission import run_submission_pipeline
+    tracking, labels, supp = _golden_fixture(spark)
+    out = run_submission_pipeline(spark, tracking, labels, supp,
+                                  k_clusters=2, max_len=8,
+                                  model=EmaFallbackModel(),
+                                  eager_checks=False)
+    return out["scorecard"].select(
+        "nfl_id", roundn(F.col("truespeed")).alias("truespeed"),
+        F.col("n_targets").cast("long").alias("n_targets"),
+        roundn(F.col("total_yards")).alias("total_yards"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def _golden_fixture(spark):
+    """The shared 6-play / 2-player / 8-frame literal tracking fixture
+    behind the golden-replay family (q_scorecard_golden,
+    q_postthrow_golden, q_routeexec_golden): dyadic-rational coordinates,
+    one targeted receiver + one trailing defender per play, play 6
+    incomplete.  Returns (tracking, output_labels, supp)."""
     base = (spark.range(6 * 8)
             .select((F.col("id") % 6 + 1).alias("play_id"),
                     (F.col("id") / 6 + 1).cast("int").alias("frame_id"))
@@ -2048,14 +2071,87 @@ def q_scorecard_golden(spark, sf_dir):
                             (F.col("play_id") * 2).cast("double"))
                 .withColumn("expected_points_added",
                             F.col("play_id") * 0.25 - 0.5))
+    return tracking, labels, supp
+
+
+def q_postthrow_golden(spark, sf_dir):
+    """Golden replay of outputs/postthrow_predictions_*.csv (entry point
+    A's long prediction table: game/play/frame, actual vs predicted
+    converge rate, residual — Submission.ipynb#cell7 un-pivot): the
+    fixture pipeline's ``predictions`` stage with the dyadic-exact EMA
+    model, pinned row-for-row against a VALUES oracle.  Pins the T2
+    un-pivot (posexplode + pad-drop) and the model-seam output schema."""
+    from .ml.lstm import EmaFallbackModel
+    from .pipeline.submission import run_submission_pipeline
+    tracking, labels, supp = _golden_fixture(spark)
     out = run_submission_pipeline(spark, tracking, labels, supp,
                                   k_clusters=2, max_len=8,
+                                  model=EmaFallbackModel(),
                                   eager_checks=False)
-    return out["scorecard"].select(
-        "nfl_id", roundn(F.col("truespeed")).alias("truespeed"),
-        F.col("n_targets").cast("long").alias("n_targets"),
-        roundn(F.col("total_yards")).alias("total_yards"),
-        F.col("rank").cast("long").alias("rank"))
+    return out["predictions"].select(
+        "game_id", "play_id", "nfl_id",
+        (F.col("t") + 1).cast("long").alias("frame_id"),
+        roundn(F.col("actual").cast("double"))
+        .alias("actual_converge_rate"),
+        roundn(F.col("pred").cast("double"))
+        .alias("predicted_converge_rate"),
+        roundn(F.col("residual").cast("double")).alias("residual"))
+
+
+def q_routeexec_golden(spark, sf_dir):
+    """Golden replay of outputs/RouteExecIQ.csv (entry point C's route-
+    execution table: per-play route cluster, centroid deviation,
+    within-cluster negated z — compute_route_execution_score,
+    metrics.py:139-187 + BDB_2026_Phase3_Metrics.ipynb §3.1 — with
+    production context): route features → seeded k-means → L2 deviation
+    from own centroid over the feature block → RouteExecIQ z-score →
+    supp join, on the literal fixture, pinned against a VALUES oracle.
+    The exposed cluster id is re-labeled by each cluster's min play_id
+    (dense rank), so the pinned values are invariant to the ML library's
+    arbitrary label permutation."""
+    from .ml.clustering import fit_route_clusters
+    from .operators.normalize import normalize_coordinates
+    from .operators.tracking import route_features, select_target_receiver_rows
+    from .pipeline.submission import ROUTE_FEATURE_COLS
+
+    tracking, labels, supp = _golden_fixture(spark)
+    # The shared fixture's routes are identical within a direction class
+    # (centroid deviation degenerates to 0), so this replay adds a
+    # play-dependent dyadic y-wiggle before feature extraction — giving
+    # each cluster genuine spread to pin the deviation/z arithmetic.
+    tracking = tracking.withColumn(
+        "y", F.col("y") + (F.col("play_id") % 3) * F.col("frame_id") * 0.125)
+    norm = normalize_coordinates(tracking, dialect="package")
+    targets = select_target_receiver_rows(norm)
+    feats = route_features(targets)
+    _, preds = fit_route_clusters(feats, ROUTE_FEATURE_COLS, k=2, seed=42)
+    cents = (preds.groupBy("cluster")
+                  .agg(*[F.avg(c).alias(f"__c_{c}")
+                         for c in ROUTE_FEATURE_COLS]))
+    dev_sq = None
+    for c in ROUTE_FEATURE_COLS:
+        term = F.pow(F.col(c) - F.col(f"__c_{c}"), 2)
+        dev_sq = term if dev_sq is None else dev_sq + term
+    dev = (preds.join(F.broadcast(cents), "cluster")
+                .withColumn("route_deviation", F.sqrt(dev_sq)))
+    iq = zscore_in_group(dev, "route_deviation", ["cluster"],
+                         out="route_exec_iq", negate=True)
+    stable = (iq.groupBy("cluster").agg(F.min("play_id").alias("__m"))
+                .withColumn("route_cluster",
+                            F.row_number().over(
+                                Window.orderBy("__m")).cast("long"))
+                .select("cluster", "route_cluster"))
+    return (iq.join(F.broadcast(stable), "cluster")
+              .join(F.broadcast(supp), ["game_id", "play_id"])
+              .select("game_id", "play_id", "nfl_id", "route_cluster",
+                      roundn(F.col("route_deviation"))
+                      .alias("route_deviation"),
+                      roundn(F.col("route_exec_iq")).alias("route_exec_iq"),
+                      "pass_result",
+                      (F.col("pass_result") == "C").cast("long")
+                      .alias("pass_result_num"),
+                      roundn(F.col("yards_gained")).alias("yards_gained"),
+                      roundn(F.col("expected_points_added")).alias("epa")))
 
 
 def q_eval_metrics(spark, sf_dir):
@@ -2924,6 +3020,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_pca_embed": q_pca_embed,
     "q_submission_pipeline": q_submission_pipeline,
     "q_scorecard_golden": q_scorecard_golden,
+    "q_postthrow_golden": q_postthrow_golden,
+    "q_routeexec_golden": q_routeexec_golden,
     "q_pagerank": q_pagerank,
     "q_winsorize": q_winsorize,
     "q_ewma": q_ewma,
