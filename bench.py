@@ -104,6 +104,12 @@ HEADLINE = [
     "q_cdc_chunks",
     "q_grid_nearest",
     "q_hll_neutral",
+    # round-5 additions: the iterative Lloyd loop (now hash-verified),
+    # SimHash near-dup pairs (band join + Hamming), and the neutral-IVF
+    # ANN probe path
+    "q_lloyd_kmeans",
+    "q_simhash",
+    "q_ivf_neutral",
 ]
 
 

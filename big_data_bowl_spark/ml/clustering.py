@@ -166,3 +166,96 @@ def route_clusters_relational(df: DataFrame, n_dims: int = 8,
     return (assign.groupBy("cluster")
                   .agg(F.count(F.lit(1)).alias("n"))
                   .orderBy("cluster"))
+
+def pca_power_2d(df: DataFrame, n_dims: int = 6, iters: int = 50,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """M4 as a deterministic, engine-reproducible construction: 2-component
+    PCA by explicit power iteration with deflation and a sign canon —
+    what turns the PCA tier from rows-only (eigendecomposition sign/
+    rotation is library-specific) into a hash-verified oracle row.
+
+    Shape: ONE map-side-combinable aggregation collects the d-grain
+    moment row (n, Σx_j, Σx_i·x_j for i ≤ j — constant size at any
+    corpus scale, the same driver-grain discipline as BPE's vocab
+    table); the d×d covariance assembles driver-side via the one-pass
+    formula, the power loop (``iters`` rounds per component, fixed — the
+    iteration count is part of the query's semantics like q_pagerank's 5
+    rounds) runs in pure Python floats whose +,·,/,√ are all IEEE
+    exactly-rounded, and the projection is a MAP-ONLY in-row expression
+    with the loadings as literals — no second shuffle, no Python at
+    execution time.  Sign canon: the component's largest-|loading|
+    coordinate (smallest index on ties) is made positive.
+
+    On a near-degenerate spectrum (random embeddings) the deflated
+    second component is "a" unit vector of the orthogonal complement
+    rather than "the" second eigenvector — exactly as ill-defined as it
+    is for any PCA library; determinism + orthogonality are the
+    contract, pinned by tests.  Returns (id, pc1, pc2) UNROUNDED."""
+    require_columns(df, [id_col, vec_col], "pca_power_2d")
+    arr = F.slice(F.transform(vec_col, lambda x: x.cast("double")),
+                  1, n_dims)
+    em = df.select(F.col(id_col), arr.alias("__a"))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(F.col("__a")[j]).alias(f"s{j}") for j in range(n_dims)]
+    aggs += [F.sum(F.col("__a")[i] * F.col("__a")[j]).alias(f"p{i}_{j}")
+             for i in range(n_dims) for j in range(i, n_dims)]
+    m = em.agg(*aggs).collect()[0]
+
+    n = m["n"]
+    mu = [m[f"s{j}"] / n for j in range(n_dims)]
+    cov = [[0.0] * n_dims for _ in range(n_dims)]
+    for i in range(n_dims):
+        for j in range(i, n_dims):
+            c = (m[f"p{i}_{j}"] - m[f"s{i}"] * m[f"s{j}"] / n) / (n - 1.0)
+            cov[i][j] = cov[j][i] = c
+
+    import math
+
+    def _power(mat: list[list[float]]) -> list[float]:
+        v = [1.0] * n_dims
+        for _ in range(iters):
+            w = []
+            for i in range(n_dims):
+                acc = 0.0
+                for j in range(n_dims):
+                    acc += mat[i][j] * v[j]
+                w.append(acc)
+            acc = 0.0
+            for x in w:
+                acc += x * x
+            nrm = math.sqrt(acc)
+            v = [x / nrm for x in w]
+        return v
+
+    def _canon(v: list[float]) -> list[float]:
+        mx = max(abs(x) for x in v)
+        for x in v:
+            if abs(x) == mx:
+                return v if x > 0 else [-y for y in v]
+        return v
+
+    v1 = _power(cov)
+    cv = []
+    for i in range(n_dims):
+        acc = 0.0
+        for j in range(n_dims):
+            acc += cov[i][j] * v1[j]
+        cv.append(acc)
+    lam = 0.0
+    for i in range(n_dims):
+        lam += v1[i] * cv[i]
+    cov2 = [[cov[i][j] - lam * v1[i] * v1[j] for j in range(n_dims)]
+            for i in range(n_dims)]
+    v2 = _power(cov2)
+    v1, v2 = _canon(v1), _canon(v2)
+
+    def _proj(v: list[float]):
+        out = None
+        for j in range(n_dims):
+            term = (F.col("__a")[j] - F.lit(mu[j])) * F.lit(v[j])
+            out = term if out is None else out + term
+        return out
+
+    return em.select(F.col(id_col), _proj(v1).alias("pc1"),
+                     _proj(v2).alias("pc2"))

@@ -2761,3 +2761,90 @@ SELECT * FROM (VALUES
   AS t(game_id, play_id, nfl_id, route_cluster, route_deviation,
        route_exec_iq, pass_result, pass_result_num, yards_gained, epa)
 """
+
+# --- q_pca_embed: power-iteration PCA, unrolled as 1-row scalar stages ------
+# Mirrors ml/clustering.pca_power_2d exactly: one moment aggregation (the
+# only group sums — cross-engine drift ~1e-16 lives here), covariance via
+# the one-pass formula, then EVERY downstream op is an explicitly-ordered
+# scalar expression (+, ·, /, sqrt are IEEE exactly-rounded, so both
+# engines run bit-identical arithmetic on near-identical inputs), 50
+# rounds per component as 1-row CTE stages, deflation, sign canon on the
+# largest-|loading| coordinate (smallest index on ties), map-side
+# projection.  Final round-6 absorbs the moment drift.
+def _pca_oracle_sql(d: int = 6, iters: int = 50) -> str:
+    cols_c = [f"c{i}_{j}" for i in range(d) for j in range(d)]
+    carry = ", ".join(cols_c)
+
+    def matvec(i: int, src: str = "v") -> str:
+        return " + ".join(f"c{i}_{j} * {src}{j}" for j in range(d))
+
+    def stages(prefix: str, start: str) -> list[str]:
+        out = []
+        prev = start
+        for k in range(iters):
+            w = ", ".join(f"{matvec(i)} AS w{i}" for i in range(d))
+            nrm = " + ".join(f"w{i} * w{i}" for i in range(d))
+            out.append(f"{prefix}w{k} AS (SELECT {carry}, {w} "
+                       f"FROM {prev})")
+            vv = ", ".join(f"w{i} / sqrt({nrm}) AS v{i}"
+                           for i in range(d))
+            out.append(f"{prefix}v{k} AS (SELECT {carry}, {vv} "
+                       f"FROM {prefix}w{k})")
+            prev = f"{prefix}v{k}"
+        mx = "greatest(" + ", ".join(f"abs(v{i})" for i in range(d)) + ")"
+        sgn = "CASE " + " ".join(
+            f"WHEN abs(v{i}) = __mx THEN "
+            f"(CASE WHEN v{i} > 0 THEN 1.0 ELSE -1.0 END)"
+            for i in range(d)) + " END"
+        canon = ", ".join(f"v{i} * __s AS v{i}" for i in range(d))
+        out.append(f"{prefix}c AS (SELECT {carry}, {canon} FROM "
+                   f"(SELECT *, {sgn} AS __s FROM "
+                   f"(SELECT *, {mx} AS __mx FROM {prev})))")
+        return out
+
+    sums = ", ".join(f"sum(a[{j + 1}]) AS s{j}" for j in range(d))
+    prods = ", ".join(f"sum(a[{i + 1}] * a[{j + 1}]) AS p{i}_{j}"
+                      for i in range(d) for j in range(i, d))
+    covs = ", ".join(
+        f"(p{min(i, j)}_{max(i, j)} - s{i} * s{j} / n) / (n - 1.0) "
+        f"AS c{i}_{j}" for i in range(d) for j in range(d))
+    ones = ", ".join(f"1.0::DOUBLE AS v{i}" for i in range(d))
+
+    # deflation: lam = v·(C v); C2 = C − lam·v vᵀ (sign cancels)
+    cvs = ", ".join(f"{matvec(i)} AS cv{i}" for i in range(d))
+    lam = " + ".join(f"v{i} * cv{i}" for i in range(d))
+    cov2 = ", ".join(f"c{i}_{j} - __lam * v{i} * v{j} AS c{i}_{j}"
+                     for i in range(d) for j in range(d))
+    vcols1 = ", ".join(f"v{i} AS u{i}" for i in range(d))
+
+    p1 = " + ".join(f"(e.a[{j + 1}] - m.mu{j}) * f1.u{j}"
+                    for j in range(d))
+    p2 = " + ".join(f"(e.a[{j + 1}] - m.mu{j}) * f2.v{j}"
+                    for j in range(d))
+    mus = ", ".join(f"s{j} / n AS mu{j}" for j in range(d))
+
+    return (
+        "\nWITH e AS (\n"
+        "    SELECT vec_id, list_transform(embedding[1:" + str(d) + "], "
+        "x -> CAST(x AS DOUBLE)) AS a\n"
+        "    FROM embeddings),\n"
+        f"agg AS (SELECT count(*)::DOUBLE AS n, {sums}, {prods} FROM e),\n"
+        f"cov AS (SELECT {covs} FROM agg),\n"
+        f"m AS (SELECT {mus} FROM agg),\n"
+        f"a0 AS (SELECT {carry}, {ones} FROM cov),\n"
+        + ",\n".join(stages("a", "a0")) + ",\n"
+        f"f1 AS (SELECT {vcols1} FROM ac),\n"
+        f"lamt AS (SELECT *, {lam} AS __lam FROM "
+        f"(SELECT {carry}, "
+        + ", ".join(f"v{i}" for i in range(d))
+        + f", {cvs} FROM ac)),\n"
+        f"cov2 AS (SELECT {cov2} FROM lamt),\n"
+        f"b0 AS (SELECT {carry}, {ones} FROM cov2),\n"
+        + ",\n".join(stages("b", "b0")) + ",\n"
+        "f2 AS (SELECT * FROM bc)\n"
+        f"SELECT e.vec_id, round({p1}, 6) AS pc1, round({p2}, 6) AS pc2\n"
+        "FROM e CROSS JOIN m CROSS JOIN f1 CROSS JOIN f2\n"
+    )
+
+
+ORACLES["q_pca_embed"] = _pca_oracle_sql()

@@ -1465,18 +1465,16 @@ def q_route_clusters(spark, sf_dir):
 
 def q_pca_embed(spark, sf_dir):
     """M4 (PCA(2) for viz, BDB_2026.ipynb#cell39): project the leading
-    embedding dims onto 2 principal components.  Rows-only checked (the
-    component SIGN is eigendecomposition-implementation-specific, so no
-    cross-engine value oracle); the invariants — variance ordering,
-    orthonormal loadings, reconstruction — are pinned by
-    tests/test_pipeline.py."""
-    from .ml.clustering import pca_2d
-    em = _t(spark, sf_dir, "embeddings")
-    feats = em.select(
-        "vec_id",
-        *[F.element_at("embedding", i + 1).cast("double").alias(f"d{i}")
-          for i in range(6)])
-    out = pca_2d(feats, [f"d{i}" for i in range(6)])
+    embedding dims onto 2 principal components — hash-verified since r5
+    via the deterministic power-iteration construction (explicit ordered
+    arithmetic + sign canon; the oracle unrolls the same 50 rounds as
+    1-row scalar CTE stages).  The Spark ML eigendecomposition form
+    (pca_2d) stays the library path with variance/orthogonality
+    invariant tests — its component SIGN is library-specific and can
+    never value-match another engine."""
+    from .ml.clustering import pca_power_2d
+    out = pca_power_2d(_t(spark, sf_dir, "embeddings"), n_dims=6,
+                       iters=50)
     return out.select("vec_id", roundn(F.col("pc1")).alias("pc1"),
                       roundn(F.col("pc2")).alias("pc2"))
 

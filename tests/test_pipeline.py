@@ -1274,3 +1274,42 @@ def test_bpe_top_k_words_cap(spark):
     full = bpe_learn_merges(docs, n_merges=4).collect()
     assert [(r.left, r.right) for r in capped] == [("x", "y")]
     assert [(r.left, r.right) for r in full] == [("x", "y"), ("z", "q")]
+
+
+def test_pca_power_finds_planted_direction(spark):
+    """Power-iteration PCA (the hash-verified M4 path) must recover a
+    planted dominant direction: vectors = t·u + small noise → pc1 is
+    (up to sign) the projection onto u."""
+    import numpy as np
+
+    from big_data_bowl_spark.ml.clustering import pca_power_2d
+
+    rng = np.random.default_rng(3)
+    u = np.array([3.0, 1.0, -2.0, 0.5, 1.5, -1.0])
+    u /= np.linalg.norm(u)
+    t = rng.standard_normal(120) * 2.0
+    x = np.outer(t, u) + 0.05 * rng.standard_normal((120, 6))
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in x[i]]) for i in range(120)],
+        "vec_id long, embedding array<double>")
+    out = pca_power_2d(df, n_dims=6, iters=50).collect()
+    pc1 = np.array([r.pc1 for r in sorted(out, key=lambda r: r.vec_id)])
+    proj = x @ u
+    cos = abs(np.corrcoef(pc1, proj)[0, 1])
+    assert cos > 0.999, cos
+
+
+def test_pca_power_variance_order_and_orthogonality(spark):
+    """pc1 captures at least as much variance as pc2, and the two are
+    (near-)uncorrelated — the deflation contract, independent of
+    spectrum degeneracy."""
+    import numpy as np
+
+    from big_data_bowl_spark.ml.clustering import pca_power_2d
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    out = pca_power_2d(em, n_dims=6, iters=50).collect()
+    p1 = np.array([r.pc1 for r in out])
+    p2 = np.array([r.pc2 for r in out])
+    assert p1.var() >= p2.var()
+    assert abs(np.corrcoef(p1, p2)[0, 1]) < 0.05
