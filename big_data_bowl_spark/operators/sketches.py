@@ -139,6 +139,23 @@ def hll_neutral(df: DataFrame, group: list[str],
     for error inspection.
     """
     require_columns(df, [*group, key_col], "hll_neutral")
+    regs = hll_neutral_registers(df, group, key_col)
+    est = hll_neutral_rollup(regs, group)
+    exact = df.groupBy(*group).agg(
+        F.countDistinct(key_col).alias("n_exact"))
+    return (est.join(exact, group)
+               .select(*group, "n_exact", "hll_estimate"))
+
+
+def hll_neutral_registers(df: DataFrame, group: list[str],
+                          key_col: str) -> DataFrame:
+    """The engine-neutral HLL's persistable MERGEABLE STATE: one
+    (register, rho) row per group per occupied register — what an
+    incremental pipeline stores per ingest batch instead of raw keys.
+    max() is associative and idempotent, so register tables from any
+    partitioning of history merge losslessly (union ≡ whole).  Returns
+    (*group, register, rho)."""
+    require_columns(df, [*group, key_col], "hll_neutral_registers")
     from ..pipeline.sampling import HASH_KEY_MOD, HASH_MOD, HASH_MULT
     h = F.pmod(F.pmod(F.col(key_col), F.lit(HASH_KEY_MOD))
                * F.lit(HASH_MULT), F.lit(HASH_MOD))
@@ -151,18 +168,29 @@ def hll_neutral(df: DataFrame, group: list[str],
         h = F.pmod(h.bitwiseXOR(F.shiftright(h, 16))
                    * F.lit(0x45D9F3B), F.lit(HASH_MOD))
     h = h.bitwiseXOR(F.shiftright(h, 16))
-    idx = (h % HLL_M).alias("__idx")
+    idx = (h % HLL_M).alias("register")
     w = F.floor(h / F.lit(HLL_M)).cast("long")
     rho = (F.when(w == 0, F.lit(HLL_P * 3 + 1))
             .otherwise(F.round(F.log2(w.bitwiseAND(-w))).cast("int") + 1)
-           ).alias("__rho")
-    regs = (df.select(*group, idx, rho)
-              .groupBy(*group, "__idx")
-              .agg(F.max("__rho").alias("__m")))
-    per = (regs.groupBy(*group)
-               .agg(F.sum(F.round(F.pow(F.lit(2.0), 32 - F.col("__m")))
-                           .cast("long")).alias("__s_present"),
-                    F.count(F.lit(1)).alias("__n_present")))
+           ).alias("rho")
+    return (df.select(*group, idx, rho)
+              .groupBy(*group, "register")
+              .agg(F.max("rho").alias("rho")))
+
+
+def hll_neutral_rollup(regs: DataFrame, group: list[str]) -> DataFrame:
+    """Merge persisted neutral-HLL register tables up to ``group`` grain
+    (element-wise max — map-side combinable) and estimate.  The cost is
+    O(groups · 256) rows regardless of history size — the 'never rescan'
+    contract, with every arithmetic step engine-neutral.  Returns
+    (*group, hll_estimate)."""
+    require_columns(regs, [*group, "register", "rho"], "hll_neutral_rollup")
+    merged = (regs.groupBy(*group, "register")
+                  .agg(F.max("rho").alias("__m")))
+    per = (merged.groupBy(*group)
+                 .agg(F.sum(F.round(F.pow(F.lit(2.0), 32 - F.col("__m")))
+                             .cast("long")).alias("__s_present"),
+                      F.count(F.lit(1)).alias("__n_present")))
     zeros = F.lit(HLL_M) - F.col("__n_present")
     s_total = (F.col("__s_present")
                + zeros * F.lit(4294967296).cast("long"))
@@ -171,8 +199,4 @@ def hll_neutral(df: DataFrame, group: list[str],
                  F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M))
                                              / zeros.cast("double"))) \
            .otherwise(est_raw)
-    exact = df.groupBy(*group).agg(
-        F.countDistinct(key_col).alias("n_exact"))
-    return (per.join(exact, group)
-               .select(*group, "n_exact",
-                       F.round(est, 6).alias("hll_estimate")))
+    return per.select(*group, F.round(est, 6).alias("hll_estimate"))

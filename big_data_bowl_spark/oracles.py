@@ -2848,3 +2848,64 @@ def _pca_oracle_sql(d: int = 6, iters: int = 50) -> str:
 
 
 ORACLES["q_pca_embed"] = _pca_oracle_sql()
+
+
+# --- q_hll_incremental: day-grain register state, max-merged in SQL ---------
+# Extends the q_hll_neutral chain with the incremental shape: registers
+# materialize at (event_type, day) grain (the persisted batch state), then
+# element-wise max-merge to event_type — associativity of max makes the
+# merge lossless, and the oracle reproduces BOTH levels bit-for-bit.
+ORACLES["q_hll_incremental"] = f"""
+WITH h0 AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, user_id,
+           ((user_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM events),
+h1 AS (
+    SELECT event_type, day,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT event_type, day,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT event_type, day, xor(hv, hv >> 16) AS hv
+    FROM h2),
+r AS (
+    SELECT event_type, day, hv % 256 AS idx,
+           hv // 256 AS w
+    FROM h),
+rho AS (
+    SELECT event_type, day, idx,
+           CASE WHEN w = 0 THEN 25
+                ELSE CAST(round(log2(w & (-w))) AS INT) + 1 END AS rho
+    FROM r),
+regs_day AS (
+    SELECT event_type, day, idx, max(rho) AS m
+    FROM rho GROUP BY 1, 2, 3),
+regs AS (
+    SELECT event_type, idx, max(m) AS m
+    FROM regs_day GROUP BY 1, 2),
+per AS (
+    SELECT event_type,
+           CAST(sum(CAST(round(power(2, 32 - m)) AS BIGINT)) AS BIGINT)
+             AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY 1),
+est AS (
+    SELECT event_type, (256 - n_present) AS zeros,
+           {_HLL_NUM!r} / CAST(s_present
+               + (256 - n_present) * 4294967296 AS DOUBLE) AS est_raw
+    FROM per),
+fin AS (
+    SELECT event_type,
+           CASE WHEN est_raw <= 640.0 AND zeros > 0
+                THEN 256.0 * ln(256.0 / CAST(zeros AS DOUBLE))
+                ELSE est_raw END AS e
+    FROM est),
+batches AS (
+    SELECT event_type, count(DISTINCT day) AS n_batches
+    FROM h0 GROUP BY 1)
+SELECT f.event_type, b.n_batches, round(f.e, 6) AS hll_estimate
+FROM fin f JOIN batches b USING (event_type)
+"""

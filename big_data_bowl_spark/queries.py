@@ -2859,13 +2859,22 @@ def q_resample_ffill(spark, sf_dir):
 
 def q_hll_incremental(spark, sf_dir):
     """Incremental distinct-count rollup from persisted mergeable state:
-    per-(event_type, day) HLL sketches union to the event_type grain —
-    the 'never rescan history' pattern (rows-only: DataSketches estimate
-    has no DuckDB twin; union≡whole + 3% accuracy are property-tested)."""
-    from .operators.sketches import hll_rollup_estimate, hll_sketches
+    per-(event_type, day) register tables union (element-wise max) to the
+    event_type grain — the 'never rescan history' pattern.  Hash-verified
+    since r5 on the engine-neutral register family (the oracle rebuilds
+    the day-grain state and the max-merge in SQL); the DataSketches
+    binary form (hll_sketches/hll_rollup_estimate) stays the production
+    path with union≡whole + accuracy property tests.  n_batches counts
+    the day-grain states merged."""
+    from .operators.sketches import hll_neutral_registers, hll_neutral_rollup
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    daily = hll_sketches(e, ["event_type", "day"], "user_id")
-    return hll_rollup_estimate(daily, ["event_type"])
+    daily = hll_neutral_registers(e, ["event_type", "day"], "user_id")
+    est = hll_neutral_rollup(daily, ["event_type"])
+    batches = (daily.select("event_type", "day").distinct()
+                    .groupBy("event_type")
+                    .agg(F.count(F.lit(1)).alias("n_batches")))
+    return est.join(batches, "event_type") \
+              .select("event_type", "n_batches", "hll_estimate")
 
 
 def q_variant_props(spark, sf_dir):

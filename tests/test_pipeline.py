@@ -1313,3 +1313,26 @@ def test_pca_power_variance_order_and_orthogonality(spark):
     p2 = np.array([r.pc2 for r in out])
     assert p1.var() >= p2.var()
     assert abs(np.corrcoef(p1, p2)[0, 1]) < 0.05
+
+
+def test_hll_neutral_registers_merge_equals_direct(spark):
+    """Neutral-register incremental contract: building register state at
+    (event_type, day) grain and max-merging to event_type must equal the
+    direct event_type-grain estimate bit-for-bit — max is associative
+    across any partitioning of history."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.sketches import (
+        hll_neutral_registers,
+        hll_neutral_rollup,
+    )
+
+    e = read_table(spark, SF_SMALL, "events").withColumn(
+        "day", F.to_date("ts"))
+    daily = hll_neutral_registers(e, ["event_type", "day"], "user_id")
+    merged = hll_neutral_rollup(daily, ["event_type"])
+    direct = hll_neutral_rollup(
+        hll_neutral_registers(e, ["event_type"], "user_id"),
+        ["event_type"])
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
