@@ -2868,7 +2868,11 @@ def q_hll_incremental(spark, sf_dir):
     the day-grain states merged."""
     from .operators.sketches import hll_neutral_registers, hll_neutral_rollup
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    daily = hll_neutral_registers(e, ["event_type", "day"], "user_id")
+    # persist() stands in for the parquet the state table would live in:
+    # both consumers (merge, batch count) read the day-grain state, never
+    # the fact table twice
+    daily = hll_neutral_registers(e, ["event_type", "day"], "user_id") \
+        .persist()
     est = hll_neutral_rollup(daily, ["event_type"])
     batches = (daily.select("event_type", "day").distinct()
                     .groupBy("event_type")

@@ -88,6 +88,24 @@ AUDITED: dict[str, str] = {
         "Probe side replicates 9× on cell offsets and equi-joins the "
         "cell key — never a cross join; the only window is the per-probe "
         "argmin. Cell key bounds fan-out like the play key in J6/J8."),
+    "q_pca_embed": (
+        "ZERO exchanges in the projection plan: the d-grain moment row "
+        "aggregates in its own map-combinable job, the power loop runs "
+        "driver-side on 36 scalars, and the scoring pass is a map-only "
+        "projection with literal loadings."),
+    "q_lloyd_kmeans": (
+        "Per round: K-row centroid broadcast into the argmin window + "
+        "one (label, dim) exploded aggregation with map-side combine; "
+        "localCheckpoint keeps plan depth O(1) in rounds."),
+    "q_simhash": (
+        "Band-bucket equi-join only (AQE may broadcast one side at "
+        "small SF — a statistics decision, not a hint); pair dedup "
+        "carries (2 ids + 2 fingerprints) per row, and the Hamming "
+        "filter is one codegen bit_count(xor)."),
+    "q_hll_incremental": (
+        "Day-grain register state persists once and feeds BOTH the "
+        "max-merge rollup and the batch count — the fact table scans "
+        "exactly once; register merge partial-aggregates map-side."),
 }
 
 
