@@ -2909,3 +2909,56 @@ batches AS (
 SELECT f.event_type, b.n_batches, round(f.e, 6) AS hll_estimate
 FROM fin f JOIN batches b USING (event_type)
 """
+
+
+# --- q_bpe_merges: 8 BPE merge rounds, unrolled in SQL ----------------------
+# Pure integer/string work, so the oracle is EXACT: word frequencies, then
+# per round (pair-count over the current segmentation → argmax with the
+# count-desc/pair-lexicographic tie-break → greedy merge application).
+# Segmentations live as strings of WRAPPED symbols (SEP+sym+SEP): wrapping
+# makes adjacent pair patterns non-overlapping, so non-overlapping
+# left-to-right replace() reproduces the engine's greedy _merge_word fold
+# exactly (verified on the aaa/aaaa run cases).  The driver-side top-K
+# vocab cap is a no-op at tested SFs (vocab ≪ cap), so the oracle reads
+# the full frequency table.
+def _bpe_oracle_sql(n_merges: int = 8) -> str:
+    sep = "chr(31)"
+    stages = []
+    for k in range(n_merges):
+        stages.append(f"""pc{k} AS (
+    SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+    FROM (SELECT cnt,
+                 list_filter(string_split(seg, {sep}), x -> x <> '') AS s
+          FROM seg{k}),
+         UNNEST(range(1, len(s))) t(i)
+    GROUP BY 1, 2),
+m{k} AS MATERIALIZED (SELECT l, r, c FROM pc{k}
+         ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+seg{k + 1} AS MATERIALIZED (
+    SELECT word, cnt,
+           replace(seg,
+                   (SELECT {sep} || l || {sep} || {sep} || r || {sep}
+                    FROM m{k}),
+                   (SELECT {sep} || l || r || {sep} FROM m{k})) AS seg
+    FROM seg{k})""")
+    finals = "\nUNION ALL\n".join(
+        f'SELECT {k}::BIGINT AS rank, l AS "left", r AS "right", '
+        f"l || r AS merged, c AS pair_count FROM m{k}"
+        for k in range(n_merges))
+    return f"""
+WITH wf AS (
+    SELECT w AS word, count(*)::BIGINT AS cnt
+    FROM (SELECT unnest(list_filter(string_split(text, ' '),
+                                    t -> t <> '')) AS w
+          FROM documents)
+    GROUP BY 1),
+seg0 AS MATERIALIZED (
+    SELECT word, cnt,
+           array_to_string(list_transform(
+               range(1, length(word) + 1),
+               i -> {sep} || substr(word, i, 1) || {sep}), '') AS seg
+    FROM wf),
+""" + ",\n".join(stages) + "\n" + finals
+
+
+ORACLES["q_bpe_merges"] = _bpe_oracle_sql()

@@ -1441,11 +1441,14 @@ def q_pack_chunks(spark, sf_dir):
 
 def q_bpe_merges(spark, sf_dir):
     """Distributed BPE merge learning (pipeline/bpe.py): the tokenizer-
-    training loop as iterative DataFrame aggregation over the word-
-    frequency table — per-round shuffle is on |vocab|, never the corpus;
-    only the 1-row argmax merge decision reaches the driver.  Rows-only
-    (iterative argmax is not expressible as one SQL statement) but fully
-    deterministic: gold-corpus and determinism tests pin the algorithm."""
+    training loop over the word-frequency table — the corpus collapses
+    to vocab grain in one combinable aggregation (top-K capped), and all
+    merges learn driver-side.  Hash-verified since r5: the oracle
+    unrolls the 8 merge rounds as materialized CTE stages (pair-count →
+    argmax with the count/lexicographic tie-break → greedy merge via
+    wrapped-symbol string replace — pure integer/string work, so the
+    match is exact); gold-corpus and determinism tests pin the
+    algorithm besides."""
     from .pipeline.bpe import bpe_learn_merges
     return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
