@@ -156,18 +156,11 @@ def hll_neutral_registers(df: DataFrame, group: list[str],
     partitioning of history merge losslessly (union ≡ whole).  Returns
     (*group, register, rho)."""
     require_columns(df, [*group, key_col], "hll_neutral_registers")
-    from ..pipeline.sampling import HASH_KEY_MOD, HASH_MOD, HASH_MULT
-    h = F.pmod(F.pmod(F.col(key_col), F.lit(HASH_KEY_MOD))
-               * F.lit(HASH_MULT), F.lit(HASH_MOD))
-    # The multiplicative hash alone is NOT rho-safe: the low bit of
-    # k*odd mod 2^32 IS k's low bit, so trailing-zero counts correlate
-    # with the key and the estimator collapses (measured 93% error).
-    # Two rounds of the Wang xorshift-multiply finalizer mix every bit;
-    # the 0x45d9f3b multiplier keeps products < 2^59, int64-exact.
-    for _ in range(2):
-        h = F.pmod(h.bitwiseXOR(F.shiftright(h, 16))
-                   * F.lit(0x45D9F3B), F.lit(HASH_MOD))
-    h = h.bitwiseXOR(F.shiftright(h, 16))
+    # The multiplicative hash alone is NOT rho-safe (low bits leak the
+    # key; measured 93% estimator error) — wang_mixed_hash adds the two
+    # Wang finalizer rounds that fix it.
+    from ..pipeline.sampling import wang_mixed_hash
+    h = wang_mixed_hash(F.col(key_col))
     idx = (h % HLL_M).alias("register")
     w = F.floor(h / F.lit(HLL_M)).cast("long")
     rho = (F.when(w == 0, F.lit(HLL_P * 3 + 1))

@@ -2962,3 +2962,182 @@ seg0 AS MATERIALIZED (
 
 
 ORACLES["q_bpe_merges"] = _bpe_oracle_sql()
+
+
+# --- q_pq_topk: the full PQ pipeline (train → encode → ADC), in SQL ---------
+# Neutral family since r5: both id hashes (train sample, code init) are the
+# wang_mixed_hash chain the HLL oracles already mirror.  The two Lloyd
+# rounds unroll with DENSE-POSITION codebooks — the hot path's argmin
+# returns the position among the subspace's PRESENT codes (sorted by code),
+# and the ADC lookup indexes the same sorted order, so renumbering per
+# round reproduces the engine's gap-safe semantics exactly even if a cell
+# empties.  Distances are group sums vs the engine's in-row ordered folds
+# (~1e-16 drift, inside round-6; argmin flips only on near-exact ties —
+# the q_lloyd_kmeans adjudication).  MATERIALIZED throughout: every stage
+# is referenced at least twice.
+ORACLES["q_pq_topk"] = """
+WITH h AS MATERIALIZED (
+    SELECT vec_id,
+           xor(h2x, h2x >> 16) AS hv FROM (
+      SELECT vec_id,
+             (xor(h1x, h1x >> 16) * 73244475) % 4294967296 AS h2x FROM (
+        SELECT vec_id,
+               (xor(h0x, h0x >> 16) * 73244475) % 4294967296 AS h1x FROM (
+          SELECT vec_id,
+                 ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h0x
+          FROM embeddings)))),
+sub AS MATERIALIZED (
+    SELECT e.vec_id, CAST(i.si AS INT) AS s, CAST(i.di AS INT) AS d,
+           CAST(e.embedding[i.si * 8 + i.di + 1] AS DOUBLE) AS x
+    FROM embeddings e,
+         (SELECT a.si, b.di FROM UNNEST(range(8)) a(si),
+                                 UNNEST(range(8)) b(di)) i),
+train AS MATERIALIZED (
+    SELECT s.* FROM sub s JOIN h USING (vec_id) WHERE h.hv % 1000 < 250),
+a0 AS MATERIALIZED (
+    SELECT vec_id, CAST(hv % 16 AS INT) AS code FROM h
+    WHERE hv % 1000 < 250),
+c1 AS MATERIALIZED (
+    SELECT t.s, a.code, t.d, avg(t.x) AS c
+    FROM train t JOIN a0 a USING (vec_id)
+    GROUP BY 1, 2, 3),
+p1 AS MATERIALIZED (
+    SELECT s, code,
+           CAST(row_number() OVER (PARTITION BY s ORDER BY code) - 1
+                AS INT) AS pos
+    FROM (SELECT DISTINCT s, code FROM c1)),
+b1 AS MATERIALIZED (
+    SELECT c1.s, p1.pos, c1.d, c1.c
+    FROM c1 JOIN p1 USING (s, code)),
+d1 AS MATERIALIZED (
+    SELECT t.vec_id, t.s, b.pos,
+           sum((t.x - b.c) * (t.x - b.c)) AS d2
+    FROM train t JOIN b1 b ON t.s = b.s AND t.d = b.d
+    GROUP BY 1, 2, 3),
+a1 AS MATERIALIZED (
+    SELECT vec_id, s, pos AS code FROM d1
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2 ASC, pos ASC) = 1),
+c2 AS MATERIALIZED (
+    SELECT t.s, a.code, t.d, avg(t.x) AS c
+    FROM train t JOIN a1 a ON t.vec_id = a.vec_id AND t.s = a.s
+    GROUP BY 1, 2, 3),
+p2 AS MATERIALIZED (
+    SELECT s, code,
+           CAST(row_number() OVER (PARTITION BY s ORDER BY code) - 1
+                AS INT) AS pos
+    FROM (SELECT DISTINCT s, code FROM c2)),
+b2 AS MATERIALIZED (
+    SELECT c2.s, p2.pos, c2.d, c2.c
+    FROM c2 JOIN p2 USING (s, code)),
+enc AS MATERIALIZED (
+    SELECT vec_id, s, pos FROM (
+      SELECT u.vec_id, u.s, b.pos,
+             sum((u.x - b.c) * (u.x - b.c)) AS d2
+      FROM sub u JOIN b2 b ON u.s = b.s AND u.d = b.d
+      GROUP BY 1, 2, 3)
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2 ASC, pos ASC) = 1),
+pd AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, q.s, b.pos,
+           sum((q.x - b.c) * (q.x - b.c)) AS pd
+    FROM sub q JOIN b2 b ON q.s = b.s AND q.d = b.d
+    WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    GROUP BY 1, 2, 3),
+adc AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           round(sum(p.pd), 6) AS approx_d2
+    FROM enc e JOIN pd p ON e.s = p.s AND e.pos = p.pos
+    WHERE e.vec_id <> p.query_id
+    GROUP BY 1, 2)
+SELECT query_id, neighbor_id, approx_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2 ASC, neighbor_id ASC) <= 3
+"""
+
+
+# --- q_ivfpq_topk: IVF-PQ composite, fully in SQL ---------------------------
+# Composes the two verified constructions: label-centroid coarse cells +
+# nprobe routing (the q_ivf_neutral oracle) and the one-round neutral-PQ
+# codebook/encode/ADC (the q_pq_topk oracle, iters=1 here), then restricts
+# the ADC join to the probed cells exactly as the engine's broadcast
+# cell equi-join does.
+ORACLES["q_ivfpq_topk"] = """
+WITH xv AS MATERIALIZED (
+    SELECT vec_id, CAST(label AS BIGINT) AS label, i.dim,
+           CAST(embedding[i.dim + 1] AS DOUBLE) AS x
+    FROM embeddings, UNNEST(range(64)) AS i(dim)),
+cents AS MATERIALIZED (
+    SELECT label AS cell, dim, avg(x) AS c
+    FROM xv GROUP BY 1, 2),
+celld AS MATERIALIZED (
+    SELECT v.vec_id, c.cell, sum((v.x - c.c) * (v.x - c.c)) AS d2
+    FROM xv v JOIN cents c USING (dim)
+    GROUP BY 1, 2),
+cells AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, cell FROM celld
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cell ASC) = 1),
+probes AS MATERIALIZED (
+    SELECT vec_id AS query_id, cell FROM celld
+    WHERE vec_id IN (0, 1, 2, 3, 4)
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cell ASC) <= 2),
+h AS MATERIALIZED (
+    SELECT vec_id,
+           xor(h2x, h2x >> 16) AS hv FROM (
+      SELECT vec_id,
+             (xor(h1x, h1x >> 16) * 73244475) % 4294967296 AS h2x FROM (
+        SELECT vec_id,
+               (xor(h0x, h0x >> 16) * 73244475) % 4294967296 AS h1x FROM (
+          SELECT vec_id,
+                 ((vec_id % 2147483648) * 2654435761) % 4294967296 AS h0x
+          FROM embeddings)))),
+sub AS MATERIALIZED (
+    SELECT vec_id, CAST(dim // 8 AS INT) AS s, CAST(dim % 8 AS INT) AS d,
+           x
+    FROM xv),
+a0 AS MATERIALIZED (
+    SELECT vec_id, CAST(hv % 16 AS INT) AS code FROM h
+    WHERE hv % 1000 < 250),
+c1 AS MATERIALIZED (
+    SELECT t.s, a.code, t.d, avg(t.x) AS c
+    FROM sub t JOIN a0 a USING (vec_id)
+    GROUP BY 1, 2, 3),
+p1 AS MATERIALIZED (
+    SELECT s, code,
+           CAST(row_number() OVER (PARTITION BY s ORDER BY code) - 1
+                AS INT) AS pos
+    FROM (SELECT DISTINCT s, code FROM c1)),
+b1 AS MATERIALIZED (
+    SELECT c1.s, p1.pos, c1.d, c1.c
+    FROM c1 JOIN p1 USING (s, code)),
+enc AS MATERIALIZED (
+    SELECT vec_id AS neighbor_id, s, pos FROM (
+      SELECT u.vec_id, u.s, b.pos,
+             sum((u.x - b.c) * (u.x - b.c)) AS d2
+      FROM sub u JOIN b1 b ON u.s = b.s AND u.d = b.d
+      GROUP BY 1, 2, 3)
+    QUALIFY row_number() OVER (PARTITION BY vec_id, s
+                               ORDER BY d2 ASC, pos ASC) = 1),
+pd AS MATERIALIZED (
+    SELECT q.vec_id AS query_id, q.s, b.pos,
+           sum((q.x - b.c) * (q.x - b.c)) AS pd
+    FROM sub q JOIN b1 b ON q.s = b.s AND q.d = b.d
+    WHERE q.vec_id IN (0, 1, 2, 3, 4)
+    GROUP BY 1, 2, 3),
+adc AS (
+    SELECT p.query_id, e.neighbor_id,
+           round(sum(p.pd), 6) AS approx_d2
+    FROM enc e
+    JOIN pd p ON e.s = p.s AND e.pos = p.pos
+    JOIN cells cl ON cl.neighbor_id = e.neighbor_id
+    JOIN probes pr ON pr.query_id = p.query_id AND pr.cell = cl.cell
+    WHERE e.neighbor_id <> p.query_id
+    GROUP BY 1, 2)
+SELECT query_id, neighbor_id, approx_d2
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY approx_d2 ASC, neighbor_id ASC) <= 3
+"""

@@ -23,6 +23,22 @@ HASH_MOD = 1 << 32
 HASH_KEY_MOD = 1 << 31
 
 
+def wang_mixed_hash(col: "F.Column") -> "F.Column":
+    """The engine's int64-exact engine-neutral 32-bit hash: Knuth
+    multiplicative reduction + two Wang xorshift-multiply finalizer
+    rounds (every bit mixed — the multiplicative step alone leaks the
+    key's low bits, see operators/sketches.hll_neutral_registers).
+    Explicit arithmetic only, so DuckDB reproduces it bit-for-bit — the
+    shared hash atom of the neutral HLL registers and the neutral PQ
+    init/sampling.  Products stay < 2^59."""
+    h = F.pmod(F.pmod(col, F.lit(HASH_KEY_MOD))
+               * F.lit(HASH_MULT), F.lit(HASH_MOD))
+    for _ in range(2):
+        h = F.pmod(h.bitwiseXOR(F.shiftright(h, 16))
+                   * F.lit(0x45D9F3B), F.lit(HASH_MOD))
+    return h.bitwiseXOR(F.shiftright(h, 16))
+
+
 def hash_bucket(key_col) -> F.Column:
     """Uniform [0, 1) bucket from an integer key — explicit arithmetic so
     DuckDB / any engine computes the identical value.

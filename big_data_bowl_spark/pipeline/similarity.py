@@ -184,7 +184,8 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 
 def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 64, train_frac: float = 1.0) -> DataFrame:
+                 dim: int = 64, train_frac: float = 1.0,
+                 neutral: bool = False) -> DataFrame:
     """Product-quantization codebooks: split each vector into ``m``
     subvectors and k-means each subspace into ``k`` codes — the index that
     stores a 100 TB embedding corpus as ``m`` small ints per vector
@@ -209,11 +210,20 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
     if dim % m != 0:
         raise ValueError(f"dim ({dim}) must be divisible by m ({m})")
     d_sub = dim // m
+    # neutral=True swaps BOTH id hashes (train sample + code init) for
+    # the explicit wang_mixed_hash family — the only engine-specific
+    # atoms in the whole PQ pipeline, so with it the entire
+    # codebooks→encode→ADC chain is SQL-reproducible (q_pq_topk's
+    # oracle); xxhash64 stays the default.
+    if neutral:
+        from .sampling import wang_mixed_hash
+        id_hash = wang_mixed_hash(F.col(id_col))
+    else:
+        id_hash = F.xxhash64(F.col(id_col))
     train = df
     if train_frac < 1.0:
         train = df.filter(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(1000))
-            < F.lit(int(1000 * train_frac)))
+            F.pmod(id_hash, F.lit(1000)) < F.lit(int(1000 * train_frac)))
     sub = (train.select(
                F.col(id_col),
                F.posexplode(F.array(*[
@@ -224,7 +234,7 @@ def pq_codebooks(df: DataFrame, m: int = 8, k: int = 16, iters: int = 2,
     sub = sub.persist()
     # deterministic init: spread ids across codes within every subspace
     assigned = sub.withColumn(
-        "code", F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)).cast("int"))
+        "code", F.pmod(id_hash, F.lit(k)).cast("int"))
     books = None
     try:
         for it in range(iters):
@@ -488,7 +498,7 @@ def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                pq_k: int = 16, dim: int = 64,
                id_col: str = "vec_id", vec_col: str = "embedding",
                seed: int = 42, train_frac: float = 1.0,
-               iters: int = 2) -> DataFrame:
+               iters: int = 2, neutral: bool = False) -> DataFrame:
     """IVF-PQ — the production ANN architecture (FAISS IVFPQ) from the
     engine's two tiers composed: the coarse quantizer routes each query
     to ``nprobe`` cells, and ADC scans ONLY those cells' PQ codes.  At
@@ -500,30 +510,48 @@ def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     into a per-query broadcast row); the candidate restriction is one
     broadcast equi-join on the cell id.  Returns
     (query_id, neighbor_id, approx_d2), smaller = nearer."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     require_columns(df, [id_col, vec_col], "ivfpq_topk")
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
 
-    assembled = vecs.withColumn("__f", array_to_vector("v"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="__f",
-                   predictionCol="cell").fit(assembled)
-    cells = model.transform(assembled).select(
-        F.col(id_col), "cell")
+    if neutral:
+        # Engine-neutral coarse quantizer: deterministic per-label mean
+        # centroids (the ivf_neutral_topk construction) — with the
+        # neutral PQ hash family below, the ENTIRE composite becomes
+        # SQL-reproducible (q_ivfpq_topk's oracle).  n_cells/seed are
+        # ignored: cells are the label partition.
+        cents = (label_centroids(df, id_col, vec_col, "label")
+                 .select(F.col("label").cast("int").alias("cell"),
+                         "centroid"))
+        cells = (assign_to_centroids(
+                     df, cents.select(F.col("cell").alias("cand_label"),
+                                      "centroid"),
+                     id_col, vec_col, metric="l2")
+                 .select(F.col(id_col),
+                         F.col("assigned_label").cast("int").alias("cell")))
+        centroids = cents
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        assembled = vecs.withColumn("__f", array_to_vector("v"))
+        model = KMeans(k=n_cells, seed=seed, featuresCol="__f",
+                       predictionCol="cell").fit(assembled)
+        cells = model.transform(assembled).select(
+            F.col(id_col), "cell")
 
     books = pq_codebooks(df, m=m, k=pq_k, iters=iters, dim=dim,
                          id_col=id_col, vec_col=vec_col,
-                         train_frac=train_frac)
+                         train_frac=train_frac, neutral=neutral)
     codes = (pq_encode(df, books, m=m, dim=dim, id_col=id_col,
                        vec_col=vec_col)
              .join(cells, id_col)
              .select(F.col(id_col).alias("neighbor_id"), "codes", "cell"))
 
-    centroids = vecs.sparkSession.createDataFrame(
-        [(int(i), [float(x) for x in c])
-         for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>")
+    if not neutral:
+        centroids = vecs.sparkSession.createDataFrame(
+            [(int(i), [float(x) for x in c])
+             for i, c in enumerate(model.clusterCenters())],
+            "cell int, centroid array<double>")
     q = (vecs.filter(F.col(id_col).isin(query_ids))
              .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")))
     l2 = F.aggregate(F.zip_with("qv", "centroid",

@@ -686,13 +686,19 @@ def q_embed_dup(spark, sf_dir):
 
 def q_pq_topk(spark, sf_dir):
     """Product-quantization ANN end-to-end: train m=8×k=16 codebooks (one
-    Lloyd loop for all subspaces), encode the corpus to 8-int codes, then
-    ADC top-3 for the first 5 vectors — the search scans CODES only, never
-    the original vectors.  Rows-only (iterative/approximate by nature);
-    recall containment and prototype-exactness are property-tested."""
+    Lloyd loop for all subspaces, deterministic hash init on a hash-
+    sampled training set), encode the corpus to 8-int codes, then ADC
+    top-3 for the first 5 vectors — the search scans CODES only, never
+    the original vectors.  Hash-verified since r5 on the neutral hash
+    family: the oracle unrolls both Lloyd rounds with dense-position
+    codebooks (the hot path's gap-safe position semantics), re-encodes
+    the corpus, and replays the ADC lookup in SQL; recall containment
+    and prototype-exactness are property-tested besides, and xxhash64
+    stays the library default."""
     from .pipeline.similarity import pq_codebooks, pq_encode, pq_topk_adc
     em = _t(spark, sf_dir, "embeddings")
-    books = pq_codebooks(em, m=8, k=16, iters=2, train_frac=0.25)
+    books = pq_codebooks(em, m=8, k=16, iters=2, train_frac=0.25,
+                         neutral=True)
     codes = pq_encode(em, books, m=8)
     queries = em.filter(F.col("vec_id").isin([0, 1, 2, 3, 4]))
     return pq_topk_adc(codes, books, queries, k=3, m=8)
@@ -2553,13 +2559,18 @@ def q_ngram_hotspots(spark, sf_dir):
 
 def q_ivfpq_topk(spark, sf_dir):
     """IVF-PQ composite ANN (the FAISS-style production shape): coarse
-    cells route each query to nprobe=2 of 4 cells; ADC scans only those
-    cells' PQ codes, map-only.  Rows-only (iterative/approximate);
-    full-probe ≡ flat-PQ equality is property-tested."""
+    cells route each query to nprobe=2 cells; ADC scans only those
+    cells' PQ codes, map-only.  Hash-verified since r5 on the neutral
+    construction (label-centroid cells + wang-hash PQ init — the oracle
+    composes the ivf_neutral and pq oracles and replays the
+    cell-restricted ADC); full-probe ≡ flat-PQ equality is
+    property-tested, and the Spark ML KMeans quantizer stays the
+    library default."""
     from .pipeline.similarity import ivfpq_topk
     em = _t(spark, sf_dir, "embeddings")
-    return ivfpq_topk(em, [0, 1, 2, 3, 4], k=3, n_cells=4, nprobe=2,
-                      m=8, pq_k=16, train_frac=0.25, iters=1)
+    return ivfpq_topk(em, [0, 1, 2, 3, 4], k=3, nprobe=2,
+                      m=8, pq_k=16, train_frac=0.25, iters=1,
+                      neutral=True)
 
 
 def q_span_corruption(spark, sf_dir):

@@ -1336,3 +1336,30 @@ def test_hll_neutral_registers_merge_equals_direct(spark):
         ["event_type"])
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+def test_ivfpq_neutral_full_probe_equals_neutral_pq(spark):
+    """The neutral IVF-PQ composite (label cells + wang-hash PQ init)
+    must also reduce to the flat neutral-PQ ADC when every cell is
+    probed — the cell restriction only prunes."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.pipeline.similarity import (
+        ivfpq_topk,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    em = read_table(spark, SF_SMALL, "embeddings")
+    n_labels = em.select("label").distinct().count()
+    books = pq_codebooks(em, m=8, k=16, iters=1, neutral=True)
+    codes = pq_encode(em, books, m=8)
+    queries = em.filter(F.col("vec_id").isin([0, 1, 2]))
+    flat = sorted(tuple(r) for r in
+                  pq_topk_adc(codes, books, queries, k=3, m=8).collect())
+    full = sorted(tuple(r) for r in
+                  ivfpq_topk(em, [0, 1, 2], k=3, nprobe=n_labels,
+                             m=8, pq_k=16, iters=1,
+                             neutral=True).collect())
+    assert full == flat
