@@ -360,3 +360,57 @@ def stateful_funnel(events: DataFrame,
 # applyInPandasWithState forms above (stateful_lag_diff, stateful_funnel),
 # which cover the same semantics with executable tests.  Porting is
 # mechanical once the dependency exists.
+
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user cumulative (event count, integer-cents value sum) carried
+    across micro-batches with ``transformWithStateInPandas`` — the Spark
+    4 arbitrary-stateful-processing API (typed ValueState handles,
+    timer support, RocksDB-backed), shown alongside the older
+    ``applyInPandasWithState`` form (:func:`stateful_lag_diff`,
+    :func:`stateful_funnel`) because new pipelines should target it.
+
+    State is ONE (long, long) pair per user — O(keys); cents keep the
+    cross-batch accumulation exact, so the LAST emission per user equals
+    the one-shot batch aggregate bit-for-bit (the stream ≡ batch test
+    contract).  Requires the RocksDB state store provider AND the
+    protobuf package (the TWS state-server protocol is protobuf-framed;
+    this container lacks it, so the equivalence test skips with an
+    explicit reason — the operator itself is plain public API and runs
+    wherever `google.protobuf` is installed)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents = (self._agg.get() if self._agg.exists()
+                        else (0, 0))
+            for pdf in rows:
+                n += int(len(pdf))
+                cents += int(pdf["value"].mul(100).round()
+                             .astype("int64").sum())
+            self._agg.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "n_events": [n],
+                                "sum_value": [cents / 100.0]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.select("user_id", "value")
+                  .groupBy("user_id")
+                  .transformWithStateInPandas(
+                      Proc(),
+                      outputStructType=("user_id BIGINT, n_events BIGINT, "
+                                        "sum_value DOUBLE"),
+                      outputMode="Update",
+                      timeMode="None"))

@@ -466,3 +466,74 @@ def test_stream_interval_left_outer_nulls_after_watermark(spark, tmp_path):
     # A's outer row may flush — but nothing ever clears B's own window,
     # so B's outer row must still be held in state at shutdown
     assert got.filter(F.col("user_id") == -2).count() == 0
+
+
+def test_transform_with_state_user_stats_equals_batch(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user cumulative stats
+    carried across 3 micro-batches — the LAST emission per user must
+    equal the one-shot batch aggregate exactly (integer-cents
+    accumulation).  Requires the RocksDB state store provider and
+    protobuf (the TWS state-server wire protocol) — skipped where
+    protobuf is unavailable."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf")
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.streaming.stream_ops import stateful_user_stats
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "value").filter(F.col("value").isNotNull())
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    t0 = 1_700_000_000
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (ev.filter(F.col("event_id") % 3 == i)
+           .coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass",
+                          None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+    try:
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(watch)))
+        out = stateful_user_stats(stream)
+        q = (out.writeStream.format("memory").queryName("tws_stats")
+               .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    emitted = spark.table("tws_stats").collect()
+    assert emitted, "no emissions from transformWithStateInPandas"
+    last: dict[int, tuple] = {}
+    for r in emitted:  # memory sink appends update rows in batch order
+        cur = last.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            last[r["user_id"]] = (r["n_events"], r["sum_value"])
+    want = {r["user_id"]: (r["n"], r["s"])
+            for r in (ev.groupBy("user_id")
+                        .agg(F.count(F.lit(1)).alias("n"),
+                             (F.sum(F.round(F.col("value") * 100)
+                                    .cast("long")) / 100.0).alias("s"))
+                      ).collect()}
+    assert last == want
