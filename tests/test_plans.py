@@ -436,3 +436,39 @@ def test_lint_catches_planted_antipatterns(spark):
     over = lint_plan(a.repartition(4, "id").groupBy("id").count()
                      .repartition(8), max_exchanges=1)
     assert any("Exchange" in f for f in over), over
+
+
+def test_pca_projection_is_map_only(spark):
+    """q_pca_embed's scoring pass must have ZERO exchanges: the moment
+    row aggregates in its own job, the power loop is driver-side, and
+    the projection is literal-loading arithmetic over one scan — the
+    100 TB contract (two scans total, nothing shuffled)."""
+    assert count_exchanges(_q(spark, "q_pca_embed")) == 0
+
+
+def test_hll_incremental_exchange_budget(spark):
+    """Day-grain register state + merge + batch count: the shuffle
+    budget is the register chain (day grain, type grain, estimate) plus
+    the batch-count agg — a regression past 7 exchanges means the state
+    table stopped being reused or a join lost its broadcast."""
+    assert count_exchanges(_q(spark, "q_hll_incremental")) <= 7
+
+
+def test_simhash_pairs_no_cartesian_and_budget(spark):
+    """SimHash near-dup pairs: candidates come from the band equi-join
+    only (the linter forbids CartesianProduct globally); the exchange
+    budget pins the banding + pair-dedup shape."""
+    from big_data_bowl_spark.plans import lint_plan
+
+    df = _q(spark, "q_simhash")
+    assert lint_plan(df) == []
+    assert count_exchanges(df) <= 5
+
+
+def test_pq_topk_scans_codes_not_vectors(spark):
+    """Neutral-family PQ ADC must keep the no-vector-scan property: the
+    final search stage reads codes only (the embedding column appears in
+    the plan solely for the train/encode/query stages feeding it)."""
+    from big_data_bowl_spark.plans import lint_plan
+
+    assert lint_plan(_q(spark, "q_pq_topk")) == []
