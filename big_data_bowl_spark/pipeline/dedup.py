@@ -333,8 +333,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     Banding: the signature splits into ``bands`` groups; docs sharing any
     band hash collide into a bucket (the ONLY join key — no all-pairs
     shuffle).  Within a bucket, the estimated Jaccard is the fraction of
-    agreeing signature slots — compared as an integer slot count against
-    a dyadic threshold, no float boundary.
+    agreeing signature slots — a dyadic rational (m/32), so the
+    threshold comparison never sits on a float boundary (the SQL oracle
+    states the same filter as an integer slot count, m >= ceil(tau*32)).
 
     ``neutral`` picks the hash family (see :func:`shingle_base_hashes`):
     xxhash64 is the throughput path; the neutral polynomial family makes
