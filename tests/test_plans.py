@@ -450,7 +450,11 @@ def test_hll_incremental_exchange_budget(spark):
     """Day-grain register state + merge + batch count: the shuffle
     budget is the register chain (day grain, type grain, estimate) plus
     the batch-count agg — a regression past 7 exchanges means the state
-    table stopped being reused or a join lost its broadcast."""
+    table stopped being reused or a join lost its broadcast.  The query
+    persists its day-grain state, so clear the cache first: a cached
+    relation left by an earlier test replaces the subtree and shifts
+    the count."""
+    spark.catalog.clearCache()
     assert count_exchanges(_q(spark, "q_hll_incremental")) <= 7
 
 
