@@ -427,34 +427,49 @@ def assign_to_centroids(df: DataFrame, cents: DataFrame,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         metric: str = "dot") -> DataFrame:
-    """Score every vector against a (cand_label, centroid) table (K rows,
-    broadcast) and keep the best assignment — argmax dot (``metric='dot'``,
-    cosine for unit vectors) or argmin squared Euclidean distance
+    """Score every vector against a (cand_label, centroid) table (K rows)
+    and keep the best assignment — argmax dot (``metric='dot'``, cosine
+    for unit vectors) or argmin squared Euclidean distance
     (``metric='l2'``, the true k-means objective — the two differ once
     centroid norms diverge, e.g. after a mean update).  Deterministic
     tie-break on the smaller label.  Returns (id, assigned_label, score)
-    where score is the winning dot / squared distance."""
-    scored = (df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
-                .crossJoin(F.broadcast(cents)))
-    if metric == "dot":
-        scored = scored.withColumn(
-            "_s", _dot(F.col("v"), F.col("centroid")))
-        order = F.desc("_s")
-    elif metric == "l2":
-        diff = F.zip_with(F.col("v"), F.col("centroid"),
-                          lambda x, y: (x - y) * (x - y))
-        scored = scored.withColumn(
-            "_s", F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x))
-        order = F.asc("_s")
-    else:
+    where score is the winning dot / squared distance.
+
+    MAP-ONLY (r5, the _pq_assign discipline): the whole codebook nests
+    into ONE broadcast row (labels + centroids sorted by label) and the
+    argmin/argmax runs as an in-row array expression —
+    ``array_position`` of the extremum picks the FIRST hit, i.e. the
+    smallest label, the same tie-break the previous row_number window
+    enforced.  The old shape shuffled the corpus ×K through a per-id
+    window EVERY call — inside lloyd_kmeans that was one corpus shuffle
+    per round; now assignment never exchanges at all."""
+    if metric not in ("dot", "l2"):
         raise ValueError(f"unknown metric {metric!r}")
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(order, F.asc("cand_label"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") == 1)
-                  .select(F.col(id_col),
-                          F.col("cand_label").alias("assigned_label"),
-                          roundn(F.col("_s")).alias("score")))
+    nested = cents.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("cand_label", "centroid"))),
+            lambda s: s["centroid"]).alias("__cts"),
+        F.sort_array(F.collect_list("cand_label")).alias("__lbls"))
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if metric == "dot":
+        score_fn = lambda c: _dot(F.col("v"), c)  # noqa: E731
+        best = F.array_max
+    else:
+        score_fn = lambda c: F.aggregate(  # noqa: E731
+            F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        best = F.array_min
+    # stage the distance array ONCE as a named column (HOF-CSE rule —
+    # see minhash_slots), then the index once; references stay references
+    return (vecs.crossJoin(F.broadcast(nested))
+                .withColumn("__d", F.transform(F.col("__cts"), score_fn))
+                .withColumn("__i", F.array_position(
+                    F.col("__d"), best(F.col("__d"))).cast("int"))
+                .select(F.col(id_col),
+                        F.element_at("__lbls", F.col("__i"))
+                         .alias("assigned_label"),
+                        roundn(F.element_at("__d", F.col("__i")))
+                         .alias("score")))
 
 
 def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
@@ -462,8 +477,10 @@ def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
                  label_col: str = "label") -> DataFrame:
     """Full Lloyd k-means loop as pure DataFrame ops — the iterative-
     algorithm pattern (cf. ``duplicate_components``): each round is
-    assignment (broadcast K centroids, argmax window) + update (posexplode
-    → (cluster, dim) mean → re-assembled arrays).  ``localCheckpoint`` on
+    assignment (map-only in-row argmin against the broadcast-nested
+    codebook — zero exchanges since r5) + update (posexplode
+    → (cluster, dim) mean → re-assembled arrays), so the only per-round
+    shuffle is the map-side-combinable centroid aggregation.  ``localCheckpoint`` on
     the K-row centroid table cuts lineage each round, so the final plan
     depth is O(1) in ``iters`` — without it every iteration would replay
     all previous ones.  Initial centroids are the per-``label_col`` means
