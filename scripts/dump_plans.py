@@ -94,9 +94,11 @@ AUDITED: dict[str, str] = {
         "driver-side on 36 scalars, and the scoring pass is a map-only "
         "projection with literal loadings."),
     "q_lloyd_kmeans": (
-        "Per round: K-row centroid broadcast into the argmin window + "
-        "one (label, dim) exploded aggregation with map-side combine; "
-        "localCheckpoint keeps plan depth O(1) in rounds."),
+        "Per round: the codebook nests into ONE broadcast row and "
+        "assignment is a map-only in-row argmin (zero exchanges — r5); "
+        "the only shuffle is the (label, dim) exploded aggregation with "
+        "map-side combine; localCheckpoint keeps plan depth O(1) in "
+        "rounds."),
     "q_simhash": (
         "Band-bucket equi-join only (AQE may broadcast one side at "
         "small SF — a statistics decision, not a hint); pair dedup "
