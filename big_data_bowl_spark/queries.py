@@ -1855,7 +1855,8 @@ def q_doc_histogram(spark, sf_dir):
 
 def q_lloyd_kmeans(spark, sf_dir):
     """Pure-DataFrame Lloyd k-means (3 rounds, deterministic per-label
-    init): iterative assignment (broadcast centroids, argmin-L2 window) +
+    init): iterative assignment (map-only in-row argmin against the
+    broadcast-nested codebook) +
     update (posexplode mean), lineage cut per round with localCheckpoint.
     Hash-verified since r5: a fixed iteration count from a deterministic
     init is a fixpoint the oracle unrolls as chained CTE stages (the
