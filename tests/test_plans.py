@@ -476,3 +476,12 @@ def test_pq_topk_scans_codes_not_vectors(spark):
     from big_data_bowl_spark.plans import lint_plan
 
     assert lint_plan(_q(spark, "q_pq_topk")) == []
+
+
+def test_lloyd_assignment_never_shuffles_on_vector_id(spark):
+    """The r5 map-only assignment contract: no exchange in the whole
+    Lloyd plan hashpartitions on the vector id — the corpus is never
+    shuffled for assignment (the pre-r5 per-id row_number window did,
+    once per round); only (label, dim) aggregations move data."""
+    assert count_exchanges(_q(spark, "q_lloyd_kmeans"),
+                           key_fragment="vec_id") == 0
