@@ -21,19 +21,29 @@ from big_data_bowl_spark.sources.io import read_table
 from tests.conftest import SF_SMALL
 
 
-def test_minhash_identical_docs_estimate_one(spark):
+import pytest
+
+
+@pytest.mark.parametrize("neutral", [False, True],
+                         ids=["xxhash64", "neutral"])
+def test_minhash_identical_docs_estimate_one(spark, neutral):
+    """Both hash families (the xxhash64 hot path and the oracle-checked
+    neutral polynomial family) satisfy the core estimates."""
     docs = spark.createDataFrame([
         Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again"),
         Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again"),
         Row(doc_id=3, text="completely different words entirely unrelated content here now ok"),
     ])
-    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.0).collect()
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.0,
+                              neutral=neutral).collect()
     by_pair = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs}
     assert by_pair.get((1, 2)) == 1.0
     assert (1, 3) not in by_pair or by_pair[(1, 3)] < 0.3
 
 
-def test_minhash_near_dup_detected(spark):
+@pytest.mark.parametrize("neutral", [False, True],
+                         ids=["xxhash64", "neutral"])
+def test_minhash_near_dup_detected(spark, neutral):
     # 30 distinct words, one substitution → shingle jaccard ≈ 27/33 ≈ 0.82,
     # comfortably above the 8×4 banding s-curve threshold (~0.59)
     words = [f"w{i}" for i in range(30)]
@@ -41,7 +51,8 @@ def test_minhash_near_dup_detected(spark):
     near = " ".join(["sub" if w == "w15" else w for w in words])
     docs = spark.createDataFrame([Row(doc_id=1, text=base),
                                   Row(doc_id=2, text=near)])
-    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.3).collect()
+    pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.3,
+                              neutral=neutral).collect()
     assert pairs and pairs[0].est_jaccard > 0.5
 
 
@@ -528,6 +539,14 @@ def test_minhash_incremental_match_against_index(spark):
     # batch mode over the union sees the same cross-pair
     both = minhash_lsh_pairs(corpus.union(batch), min_est_jaccard=0.5)
     assert any((r.doc_a, r.doc_b) == (1, 10) for r in both.collect())
+    # and the neutral family (the oracle-checked q_minhash_incremental
+    # configuration) agrees — an index must be queried with the family
+    # it was built with
+    n_index = minhash_signatures(corpus, neutral=True)
+    n_hits = minhash_lsh_match(batch, n_index, min_est_jaccard=0.5,
+                               neutral=True).collect()
+    assert {(r.new_id, r.index_id): r.est_jaccard for r in n_hits} == \
+        {(10, 1): 1.0}
 
 
 # ---------------------------------------------------------------------------
