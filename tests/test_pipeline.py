@@ -1382,3 +1382,34 @@ def test_ivfpq_neutral_full_probe_equals_neutral_pq(spark):
                              m=8, pq_k=16, iters=1,
                              neutral=True).collect())
     assert full == flat
+
+
+def test_simhash_pairs_pigeonhole_completeness(spark):
+    """Band recall guarantee: with 4 bands over 60 bits, two fingerprints
+    within Hamming distance 3 must agree on at least one full band, so
+    every such pair MUST surface — verified against brute-force Hamming
+    over the fingerprint table, plus threshold soundness (no returned
+    pair exceeds max_hamming)."""
+    from big_data_bowl_spark.pipeline.dedup import (
+        simhash_neutral,
+        simhash_neutral_pairs,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(0, base),
+         (1, base),                                   # ham 0
+         (2, base.replace("tok7", "tok7x")),          # tiny perturbation
+         (3, base.replace("tok7", "zzz").replace("tok21", "qqq")),
+         (4, " ".join(f"other{i}" for i in range(40)))],
+        "doc_id long, text string")
+    fps = {r.doc_id: r.simhash
+           for r in simhash_neutral(docs).collect()}
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in simhash_neutral_pairs(docs, max_hamming=3).collect()}
+    want_complete = {
+        (a, b) for a in fps for b in fps if a < b
+        and bin(fps[a] ^ fps[b]).count("1") <= 3}
+    assert want_complete <= set(got), (want_complete, got)
+    assert all(h <= 3 for h in got.values())
+    assert got[(0, 1)] == 0
