@@ -654,8 +654,6 @@ def lsh_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     require_columns(df, [id_col, vec_col], "lsh_neutral_topk")
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
 
-    xq = F.transform(F.col("v"),
-                     lambda x: F.floor(x * 1e6).cast("long"))
     dims = F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<long>")
 
     def bucket_bits(qcol: Column) -> Column:
@@ -668,7 +666,14 @@ def lsh_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
             out = F.shiftleft(out, 1) + F.when(proj > 0, 1).otherwise(0)
         return out
 
-    bucketed = vecs.withColumn("bucket", bucket_bits(xq))
+    # stage the quantized array ONCE (HOF-CSE rule — the 8 per-plane
+    # projections would otherwise each re-run the floor transform)
+    bucketed = (vecs.withColumn(
+                    "__xq", F.transform(
+                        F.col("v"),
+                        lambda x: F.floor(x * 1e6).cast("long")))
+                    .withColumn("bucket", bucket_bits(F.col("__xq")))
+                    .drop("__xq"))
     q = (bucketed.filter(F.col(id_col).isin(query_ids))
                  .select(F.col(id_col).alias("query_id"),
                          F.col("v").alias("qv"), "bucket"))
