@@ -110,6 +110,11 @@ HEADLINE = [
     "q_lloyd_kmeans",
     "q_simhash",
     "q_ivf_neutral",
+    # round-6 additions: the deterministic mergeable quantile sketch
+    # (WindowGroupLimit partial bottom-k) and the training-shard
+    # assignment + manifest math
+    "q_quantile_sketch",
+    "q_shard_stats",
 ]
 
 

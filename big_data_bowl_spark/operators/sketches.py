@@ -17,7 +17,7 @@ rejects), and carries a plain GROUP BY/HAVING oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import require_columns
@@ -169,6 +169,65 @@ def hll_neutral_registers(df: DataFrame, group: list[str],
     return (df.select(*group, idx, rho)
               .groupBy(*group, "register")
               .agg(F.max("rho").alias("rho")))
+
+
+def quantile_sketch_state(df: DataFrame, group: list[str], value_col: str,
+                          key_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k-by-hash quantile sketch state (KMV-style uniform sample):
+    per group, the ``k`` rows whose engine-neutral hash of ``key_col`` is
+    smallest.  Because the hash is a fixed function of the row key, the
+    sample is (a) DETERMINISTIC — independent of partitioning, engine, or
+    run, so a SQL oracle reproduces it bit-for-bit, unlike
+    ``percentile_approx``'s engine-specific sketch — and (b) MERGEABLE —
+    bottom-k of a union equals bottom-k over the unioned bottom-k states,
+    so per-batch states persist and roll up without rescanning history
+    (same contract as the HLL register tables above).
+
+    Exact quantiles of the sample estimate the group's with standard
+    sampling error O(1/sqrt(k)) in rank.  The row_number-≤-k filter
+    triggers Spark's WindowGroupLimit rewrite: each map task keeps only
+    its local bottom-k BEFORE the exchange, so the shuffle carries
+    O(partitions · k) rows per group, never the fact table
+    (plan-pinned).  Returns (*group, key_col, qs_hash, value_col).
+    """
+    require_columns(df, [*group, value_col, key_col],
+                    "quantile_sketch_state")
+    from ..pipeline.sampling import wang_mixed_hash
+    staged = df.select(*group, key_col,
+                       wang_mixed_hash(F.col(key_col)).alias("qs_hash"),
+                       value_col)
+    w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
+    return (staged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def quantile_sketch_merge(states: DataFrame, group: list[str],
+                          value_col: str, key_col: str,
+                          k: int = 256) -> DataFrame:
+    """Merge persisted sketch states to a coarser grain: union the state
+    rows (the caller unions / reads them) and re-take the bottom-k per
+    output group.  min-k by a fixed hash is associative and idempotent,
+    so merge(any partitioning of history) ≡ state(whole) — pinned by
+    test_quantile_sketch_merge_equals_whole.  Input rows are already
+    ≤ k per input group, so the merge shuffles O(input groups · k)."""
+    require_columns(states, [*group, "qs_hash", key_col, value_col],
+                    "quantile_sketch_merge")
+    w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
+    return (states.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def quantile_sketch_estimate(state: DataFrame, group: list[str],
+                             value_col: str,
+                             quantiles: dict[str, float]) -> DataFrame:
+    """Exact linear-interpolation percentiles OVER THE SAMPLE (named
+    output column → q fraction), plus ``n_sample``.  Groups smaller than
+    k are sampled whole, so their estimates are exact."""
+    require_columns(state, [*group, value_col], "quantile_sketch_estimate")
+    aggs = [F.round(F.percentile(value_col, F.lit(q)), 6).alias(name)
+            for name, q in quantiles.items()]
+    return state.groupBy(*group).agg(
+        *aggs, F.count(F.lit(1)).alias("n_sample"))
 
 
 def hll_neutral_rollup(regs: DataFrame, group: list[str]) -> DataFrame:

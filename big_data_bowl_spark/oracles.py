@@ -944,6 +944,32 @@ FROM documents
 WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 < 858993459
 """
 
+# Shard id = wang_mixed_hash(doc_id) mod 8 — the full mixed chain (the
+# sampling family's multiplicative reduction alone would leak low bits
+# into the mod-8 id and skew shard sizes).
+ORACLES["q_shard_stats"] = """
+WITH h0 AS (
+    SELECT doc_id, n_chars,
+           ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM documents),
+h1 AS (
+    SELECT doc_id, n_chars,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT doc_id, n_chars,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT doc_id, n_chars,
+           CAST(xor(hv, hv >> 16) % 8 AS INT) AS shard
+    FROM h2)
+SELECT shard, count(*) AS n_rows,
+       count(DISTINCT doc_id) AS n_keys,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM h GROUP BY 1
+"""
+
 ORACLES["q_distribution_windows"] = """
 SELECT c_custkey,
        ntile(10) OVER w AS decile,
@@ -2908,6 +2934,43 @@ batches AS (
     FROM h0 GROUP BY 1)
 SELECT f.event_type, b.n_batches, round(f.e, 6) AS hll_estimate
 FROM fin f JOIN batches b USING (event_type)
+"""
+
+
+# --- q_quantile_sketch: bottom-k-by-hash quantile sample, in SQL ------------
+# Same wang_mixed_hash chain as the HLL oracles, on event_id.  min-k by a
+# fixed hash is associative, so the engine's day-grain build + merge equals
+# the direct per-group bottom-128 the oracle computes — the oracle thereby
+# verifies the merge, not just the sample.  Exact sample percentiles via
+# quantile_cont (the established F.percentile twin).
+ORACLES["q_quantile_sketch"] = """
+WITH h0 AS (
+    SELECT event_type, event_id, value,
+           ((event_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM events),
+h1 AS (
+    SELECT event_type, event_id, value,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT event_type, event_id, value,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT event_type, event_id, value, xor(hv, hv >> 16) AS hv
+    FROM h2),
+r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY hv, event_id) AS rn
+    FROM h)
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.90), 6) AS p90,
+       count(*) AS n_sample
+FROM r WHERE rn <= 128
+GROUP BY event_type
 """
 
 

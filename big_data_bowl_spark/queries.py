@@ -1208,6 +1208,23 @@ HASH_SAMPLE_MOD = 1 << 32
 HASH_SAMPLE_KEY_MOD = 1 << 31  # pre-multiply reduction: (2^31-1)*MULT < 2^63 (int64-exact)
 
 
+def q_shard_stats(spark, sf_dir):
+    """Training-shard manifest, HASH-VERIFIED: deterministic shard
+    assignment (neutral hash of doc_id mod 8 — membership is a pure
+    function of the key, reproducible on any engine/run/partitioning)
+    plus the per-shard manifest aggregates a trainer checks before an
+    epoch (rows, distinct keys, corpus chars).  The write path
+    (sources/shards.py) clusters on this id so each shard directory is
+    one task's output; this query pins the assignment + manifest math."""
+    from .sources.shards import shard_assignment
+    d = _t(spark, sf_dir, "documents")
+    return (shard_assignment(d, "doc_id", 8)
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("doc_id").alias("n_keys"),
+                 F.sum(F.col("n_chars").cast("long")).alias("n_chars")))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling — the stable-split idiom every
     training-data pipeline needs: membership depends only on the row KEY
@@ -1242,6 +1259,29 @@ def q_approx_quantiles(spark, sf_dir):
                   roundn(F.percentile_approx("value", 0.9, acc)).alias("p90"),
                   roundn(F.percentile_approx("value", 0.99, acc)).alias("p99"),
                   F.count("value").alias("n")))
+
+
+def q_quantile_sketch(spark, sf_dir):
+    """A14 scale path, HASH-VERIFIED: bottom-k-by-neutral-hash quantile
+    sketch (KMV uniform sample) built at (event_type, day) grain — the
+    persisted per-batch state — then min-k-merged to event_type and
+    estimated with exact sample percentiles.  The deterministic twin of
+    q_approx_quantiles: same mergeable-state contract as the neutral HLL
+    (union ≡ whole, never rescan history), but every step is explicit
+    arithmetic, so the DuckDB oracle reproduces sample AND estimate
+    bit-for-bit.  k=128 < the sf0.01 group sizes, so the sampling path
+    (not the trivial whole-group case) is what the oracle verifies."""
+    from .operators.sketches import (quantile_sketch_estimate,
+                                     quantile_sketch_merge,
+                                     quantile_sketch_state)
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    daily = quantile_sketch_state(e, ["event_type", "day"], "value",
+                                  "event_id", k=128)
+    merged = quantile_sketch_merge(daily.drop("day"), ["event_type"],
+                                   "value", "event_id", k=128)
+    return quantile_sketch_estimate(
+        merged, ["event_type"], "value",
+        {"p25": 0.25, "p50": 0.5, "p90": 0.9})
 
 
 def q_distribution_windows(spark, sf_dir):
@@ -3131,6 +3171,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q5": q_tpch_q5,
     "q_window_agg_hourly": q_window_agg_hourly,
     "q_sessionize": q_sessionize,
+    "q_shard_stats": q_shard_stats,
     "q_token_counts": q_token_counts,
     "q_union_by_name": q_union_by_name,
     "q_minhash_pairs": q_minhash_pairs,
@@ -3179,6 +3220,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q1": q_tpch_q1,
     "q_trajectory_features": q_trajectory_features,
     "q_group_stats": q_group_stats,
+    "q_quantile_sketch": q_quantile_sketch,
     "q_quantiles": q_quantiles,
     "q_value_counts": q_value_counts,
     "q_distinct_users": q_distinct_users,

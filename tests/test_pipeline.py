@@ -213,8 +213,10 @@ def test_pca_2d_variance_ordering(spark):
     assert stats.v1 >= stats.v2 > 0.0
 
 
-def test_csv_sink_round_trip(spark, tmp_path):
-    """S5: header CSV sink → schema-declared read recovers the same rows."""
+def test_csv_sink_glob_round_trip(spark, tmp_path):
+    """S5: header CSV sink → schema-declared glob read recovers the same
+    rows (was shadowed by the later read_csv_dir round-trip test of the
+    same name — renamed in r6 so both run)."""
     from big_data_bowl_spark.sources.io import read_csv_glob, read_table
 
     ev = read_table(spark, SF_SMALL, "events") \
@@ -224,6 +226,54 @@ def test_csv_sink_round_trip(spark, tmp_path):
     back = read_csv_glob(spark, path + "/*.csv", ev.schema)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, ev.collect()))
+
+
+def test_training_shards_round_trip_and_manifest(spark, tmp_path):
+    """Shard writer contract: data round-trips with every row in the
+    shard the hash assigns it; the manifest's per-shard counts match the
+    data; shard sizes are balanced (mixed hash — no shard more than 2×
+    the mean at 1k docs over 8 shards)."""
+    from big_data_bowl_spark.sources.shards import (
+        read_training_shards, shard_assignment, write_training_shards)
+    d = read_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "lang", "n_chars")
+    path = str(tmp_path / "shards")
+    manifest = {r["shard"]: (r["rows"], r["n_keys"])
+                for r in write_training_shards(d, path, "doc_id", 8)
+                .collect()}
+    back = read_training_shards(spark, path, expect_shards=8)
+    assert back.count() == d.count()
+    per = {r["shard"]: r["n"] for r in
+           back.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+               .collect()}
+    assert {s: c for s, (c, _) in manifest.items()} == per
+    mean = sum(per.values()) / len(per)
+    assert max(per.values()) < 2 * mean, per
+    # membership is the pure hash function, regardless of layout
+    expect = {r["doc_id"]: r["shard"] for r in
+              shard_assignment(d.repartition(5), "doc_id", 8)
+              .select("doc_id", "shard").collect()}
+    for r in back.select("doc_id", "shard").collect():
+        assert expect[r["doc_id"]] == r["shard"]
+
+
+def test_read_training_shards_fails_on_missing_shard(spark, tmp_path):
+    """A trainer must never silently iterate a partial epoch: deleting
+    one shard directory makes the read fail loud."""
+    import shutil
+
+    from big_data_bowl_spark.sources.shards import (
+        read_training_shards, write_training_shards)
+    d = read_table(spark, SF_SMALL, "documents").select("doc_id")
+    path = str(tmp_path / "shards2")
+    write_training_shards(d, path, "doc_id", 4)
+    shutil.rmtree(f"{path}/data/shard=3")
+    try:
+        read_training_shards(spark, path, expect_shards=4)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
 
 
 def test_approx_distinct_within_error_bound(spark):
@@ -929,6 +979,57 @@ def test_hll_union_equals_whole_and_close_to_exact(spark):
                        .agg(F.countDistinct("user_id").alias("n")).collect()}
     for et, est in merged.items():
         assert abs(est - exact[et]) / exact[et] < 0.03, (et, est, exact[et])
+
+
+def test_quantile_sketch_merge_equals_whole(spark):
+    """Mergeable-state contract of the bottom-k quantile sketch: per-day
+    states min-k-merged to the event_type grain are ROW-IDENTICAL to one
+    whole-table state (min-k by a fixed hash is associative), and the
+    merge is insensitive to input partitioning."""
+    from big_data_bowl_spark.operators.sketches import (
+        quantile_sketch_merge, quantile_sketch_state)
+    e = (read_table(spark, SF_SMALL, "events")
+         .withColumn("day", F.to_date("ts")))
+    daily = quantile_sketch_state(e, ["event_type", "day"], "value",
+                                  "event_id", k=64)
+    merged = quantile_sketch_merge(daily.drop("day"), ["event_type"],
+                                   "value", "event_id", k=64)
+    whole = quantile_sketch_state(e.drop("day"), ["event_type"], "value",
+                                  "event_id", k=64)
+    key = lambda df: sorted(map(tuple, df.select(
+        "event_type", "event_id", "qs_hash", "value").collect()))
+    assert key(merged) == key(whole)
+    assert key(quantile_sketch_state(
+        e.drop("day").repartition(7), ["event_type"], "value",
+        "event_id", k=64)) == key(whole)
+
+
+def test_quantile_sketch_estimate_contract(spark):
+    """Estimates are EXACT when the group fits in k, and the sampled
+    median's true rank stays near 0.5 when it doesn't (uniform-sample
+    rank error ~ O(1/sqrt(k)))."""
+    from big_data_bowl_spark.operators.sketches import (
+        quantile_sketch_estimate, quantile_sketch_state)
+    e = read_table(spark, SF_SMALL, "events")
+    big_k = quantile_sketch_state(e, ["event_type"], "value",
+                                  "event_id", k=10 ** 9)
+    est = {r["event_type"]: r["p50"] for r in quantile_sketch_estimate(
+        big_k, ["event_type"], "value", {"p50": 0.5}).collect()}
+    exact = {r["event_type"]: r["p50"] for r in
+             e.groupBy("event_type").agg(
+                 F.round(F.percentile("value", F.lit(0.5)), 6)
+                  .alias("p50")).collect()}
+    assert est == exact
+    sampled = quantile_sketch_estimate(
+        quantile_sketch_state(e, ["event_type"], "value", "event_id",
+                              k=64),
+        ["event_type"], "value", {"p50": 0.5})
+    ranks = (e.join(sampled.select("event_type", "p50"), "event_type")
+              .groupBy("event_type")
+              .agg(F.avg((F.col("value") <= F.col("p50"))
+                         .cast("double")).alias("rank")).collect())
+    for r in ranks:
+        assert abs(r["rank"] - 0.5) < 0.2, (r["event_type"], r["rank"])
 
 
 def test_merge_upsert_idempotent(spark):

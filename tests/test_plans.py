@@ -70,6 +70,18 @@ def test_asof_join_single_shuffle(spark):
     assert count_exchanges(_q(spark, "q_asof_join"), "user_id") == 1
 
 
+def test_quantile_sketch_partial_group_limit(spark):
+    """The bottom-k sketch's row_number ≤ k filter must trigger Spark's
+    WindowGroupLimit rewrite: each map task keeps its local bottom-k
+    BEFORE the exchange, so the shuffle carries O(partitions · k) rows
+    per group instead of the fact table — the property that makes the
+    sketch build viable at 100 TB."""
+    plan = explain_formatted(_q(spark, "q_quantile_sketch"))
+    # a Partial WindowGroupLimit below each Exchange, Final above it
+    assert plan.count("WindowGroupLimit") >= 2, plan
+    assert "row_number(), 128, Partial" in plan, plan
+
+
 def test_whole_stage_codegen_present(spark):
     plan = executed_plan(_q(spark, "q_tpch_q1"), execute=True)
     assert "isFinalPlan=true" in plan
