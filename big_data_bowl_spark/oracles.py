@@ -970,6 +970,37 @@ SELECT shard, count(*) AS n_rows,
 FROM h GROUP BY 1
 """
 
+# Quota sampling: same wang chain on doc_id orders each source's docs
+# deterministically; the running-sum cut keeps whole docs within budget.
+# (qh, doc_id) is unique per source, so DuckDB's RANGE default frame and
+# Spark's running sum agree row-for-row.
+ORACLES["q_quota_sample"] = """
+WITH h0 AS (
+    SELECT source, doc_id, n_chars,
+           ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM documents),
+h1 AS (
+    SELECT source, doc_id, n_chars,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT source, doc_id, n_chars,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT source, doc_id, n_chars, xor(hv, hv >> 16) AS hv
+    FROM h2),
+c AS (
+    SELECT source, n_chars,
+           sum(n_chars) OVER (PARTITION BY source
+                              ORDER BY hv, doc_id) AS cum
+    FROM h)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+FROM c WHERE cum <= 3000
+GROUP BY 1
+"""
+
 ORACLES["q_distribution_windows"] = """
 SELECT c_custkey,
        ntile(10) OVER w AS decile,

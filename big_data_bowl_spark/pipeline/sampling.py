@@ -128,6 +128,28 @@ def negative_samples(positives: DataFrame, user_col: str, item_col: str,
         [user_col, "neg_item"], "left_anti")
 
 
+def quota_sample(df: DataFrame, group_col: str, key_col: str,
+                 size_col: str, budget: int) -> DataFrame:
+    """Deterministic per-group BUDGET sampling — the data-mixing
+    primitive that fills a token budget per source: within each group,
+    rows are visited in neutral-hash order of the key (a deterministic
+    random permutation — engine/partitioning/run-invariant, like every
+    sampler here) and kept while the running ``size_col`` total stays
+    within ``budget``.  Unlike rate-based sampling
+    (:func:`stratified_hash_sample`), the quota adapts to the group's
+    size distribution: it emits as many whole documents as fit, never a
+    fixed fraction.  One shuffle (the per-group window); the running sum
+    rides the same exchange."""
+    require_columns(df, [group_col, key_col, size_col], "quota_sample")
+    from pyspark.sql import Window
+    staged = df.withColumn("__qh", wang_mixed_hash(F.col(key_col)))
+    w = Window.partitionBy(group_col).orderBy("__qh", key_col)
+    return (staged
+            .withColumn("__cum", F.sum(size_col).over(w))
+            .filter(F.col("__cum") <= budget)
+            .drop("__qh", "__cum"))
+
+
 def temperature_mixture(df: DataFrame, group_col: str, key_col: str,
                         target_rows: int) -> DataFrame:
     """Temperature-T=2 dataset mixing (the multilingual-corpus

@@ -1225,6 +1225,23 @@ def q_shard_stats(spark, sf_dir):
                  F.sum(F.col("n_chars").cast("long")).alias("n_chars")))
 
 
+def q_quota_sample(spark, sf_dir):
+    """Per-source token-BUDGET sampling, HASH-VERIFIED: the data-mixing
+    step that fills each source's quota of a training mix — documents
+    visited in deterministic neutral-hash order, kept while the running
+    char total stays within 3000 per source (whole documents only).
+    Unlike a sampling RATE, the quota adapts to each source's size
+    distribution.  At sf0.01 every source exceeds the budget, so the
+    oracle verifies the cut point, not the trivial keep-all case."""
+    from .pipeline.sampling import quota_sample
+    d = _t(spark, sf_dir, "documents")
+    kept = quota_sample(d, "source", "doc_id", "n_chars", 3000)
+    return (kept.groupBy("source")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(F.col("n_chars").cast("long"))
+                      .alias("chars_kept")))
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic hash sampling — the stable-split idiom every
     training-data pipeline needs: membership depends only on the row KEY
@@ -3172,6 +3189,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_window_agg_hourly": q_window_agg_hourly,
     "q_sessionize": q_sessionize,
     "q_shard_stats": q_shard_stats,
+    "q_quota_sample": q_quota_sample,
     "q_token_counts": q_token_counts,
     "q_union_by_name": q_union_by_name,
     "q_minhash_pairs": q_minhash_pairs,

@@ -296,13 +296,58 @@ def stream_state_rollup(df: DataFrame, state_dir: str, checkpoint_dir: str,
                 f"{state_dir}/v{batch_id - 1}")
             st = merge_states([prev, st], keys)
         st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        tmp = os.path.join(state_dir, "LATEST.tmp")
-        with open(tmp, "w") as f:
-            f.write(str(batch_id))
-        os.replace(tmp, os.path.join(state_dir, "LATEST"))
-        for v in range(batch_id - keep):
-            shutil.rmtree(os.path.join(state_dir, f"v{v}"),
-                          ignore_errors=True)
+        _publish_state_version(state_dir, batch_id, keep)
+
+    return (df.writeStream.foreachBatch(merge_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .trigger(availableNow=True)
+              .start())
+
+
+def _publish_state_version(state_dir: str, batch_id: int,
+                           keep: int) -> None:
+    """Commit version ``batch_id`` as LATEST (write-temp + os.replace —
+    atomic rename on POSIX) only AFTER its parquet finished, and prune
+    versions more than ``keep`` behind the pointer."""
+    import os
+    import shutil
+
+    tmp = os.path.join(state_dir, "LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_dir, "LATEST"))
+    for v in range(batch_id - keep):
+        shutil.rmtree(os.path.join(state_dir, f"v{v}"),
+                      ignore_errors=True)
+
+
+def stream_quantile_sketch_rollup(df: DataFrame, state_dir: str,
+                                  checkpoint_dir: str, group: list[str],
+                                  value_col: str, key_col: str,
+                                  k: int = 128, keep: int = 2):
+    """Streaming fold of the bottom-k quantile sketch
+    (operators/sketches.quantile_sketch_state): each micro-batch builds
+    its own ≤ k-rows-per-group state, min-k-merges it with the persisted
+    state, and publishes a new version through the same LATEST-pointer
+    discipline as :func:`stream_state_rollup`.  Because min-k by a fixed
+    hash is associative and idempotent, the folded state after any batch
+    split equals the one-shot whole-history state (pinned by
+    test_stream_quantile_sketch_equals_batch) — so a 100 TB stream keeps
+    ONLY O(groups · k) rows of state while any later reader gets exact
+    sample percentiles via quantile_sketch_estimate.  Returns the
+    started query."""
+    from ..operators.sketches import (quantile_sketch_merge,
+                                      quantile_sketch_state)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        st = quantile_sketch_state(batch_df, group, value_col, key_col, k)
+        if batch_id > 0:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{state_dir}/v{batch_id - 1}")
+            st = quantile_sketch_merge(
+                prev.unionByName(st), group, value_col, key_col, k)
+        st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _publish_state_version(state_dir, batch_id, keep)
 
     return (df.writeStream.foreachBatch(merge_batch)
               .option("checkpointLocation", checkpoint_dir)

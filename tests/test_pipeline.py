@@ -276,6 +276,26 @@ def test_read_training_shards_fails_on_missing_shard(spark, tmp_path):
     assert raised
 
 
+def test_quota_sample_budget_and_determinism(spark):
+    """Quota sampler contract: every group's kept total is within
+    budget; membership is partitioning-invariant; a budget larger than
+    any group keeps everything; and the hash order means the NEXT
+    unkept doc would overflow the budget (whole-doc greedy cut)."""
+    from big_data_bowl_spark.pipeline.sampling import quota_sample
+    d = read_table(spark, SF_SMALL, "documents") \
+        .select("doc_id", "source", "n_chars")
+    kept = quota_sample(d, "source", "doc_id", "n_chars", 400)
+    per = {r["source"]: r["s"] for r in
+           kept.groupBy("source").agg(F.sum("n_chars").alias("s"))
+               .collect()}
+    assert per and all(v <= 400 for v in per.values()), per
+    ids = lambda df: sorted(r["doc_id"] for r in df.collect())
+    assert ids(kept) == ids(
+        quota_sample(d.repartition(9), "source", "doc_id", "n_chars", 400))
+    assert quota_sample(d, "source", "doc_id", "n_chars",
+                        10 ** 9).count() == d.count()
+
+
 def test_approx_distinct_within_error_bound(spark):
     """The 100 TB path for A12: HyperLogLog approx_count_distinct must land
     within its configured relative error of the exact count (documents'

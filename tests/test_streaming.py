@@ -397,6 +397,58 @@ def test_stream_state_rollup_equals_batch(spark, tmp_path):
     assert _rows(got0) == _rows(want)
 
 
+def test_stream_quantile_sketch_equals_batch(spark, tmp_path):
+    """Streaming quantile-state fold: the bottom-k state folded across 3
+    micro-batches is ROW-IDENTICAL to the one-shot whole-table state
+    (min-k by a fixed hash is associative + idempotent), so the stream's
+    sample percentiles equal the batch engine's exactly."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.sketches import (
+        quantile_sketch_estimate, quantile_sketch_state)
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_latest_state, stream_quantile_sketch_rollup)
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value")
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    t0 = 1_700_000_000
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (ev.filter(F.col("event_id") % 3 == i)
+           .coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_quantile_sketch_rollup(
+        stream, str(tmp_path / "qstate"), str(tmp_path / "qckpt"),
+        ["event_type"], "value", "event_id", k=64)
+    q.awaitTermination(120)
+
+    state = read_latest_state(spark, str(tmp_path / "qstate")) \
+        .select("event_type", "event_id", "qs_hash", "value")
+    whole = quantile_sketch_state(ev, ["event_type"], "value",
+                                  "event_id", k=64) \
+        .select("event_type", "event_id", "qs_hash", "value")
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    est = quantile_sketch_estimate(state, ["event_type"], "value",
+                                   {"p50": 0.5})
+    batch_est = quantile_sketch_estimate(whole, ["event_type"], "value",
+                                         {"p50": 0.5})
+    assert _rows(est) == _rows(batch_est)
+
+
 def test_stream_interval_left_outer_nulls_after_watermark(spark, tmp_path):
     """Left-outer stream-stream join: unmatched rows must emit with null
     err_event_id — but only once the watermark PROVES no future match
