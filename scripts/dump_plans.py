@@ -108,6 +108,15 @@ AUDITED: dict[str, str] = {
         "Day-grain register state persists once and feeds BOTH the "
         "max-merge rollup and the batch count — the fact table scans "
         "exactly once; register merge partial-aggregates map-side."),
+    "q_quantile_sketch": (
+        "Partial WindowGroupLimit below each exchange: every map task "
+        "keeps its local bottom-k, so the shuffle carries "
+        "O(partitions*k) rows per group; the estimate is one hash-agg "
+        "over <=k rows per group."),
+    "q_quota_sample": (
+        "One exchange (the per-source window); the hash, the running "
+        "sum, and the budget cut all ride that single shuffle as "
+        "codegen projections."),
 }
 
 

@@ -221,3 +221,31 @@ def test_edit_distance_pairs_equals_brute_force(spark, names):
             if lev(names[i], names[j]) <= d}
     assert got == want, (names, got ^ want)
     assert got_del == want, (names, got_del ^ want)
+
+
+# quota_sample ≡ the greedy Python reference: visit rows in the same
+# neutral-hash order, keep while the running total fits the budget
+@settings(max_examples=6, deadline=None)
+@given(sizes=st.lists(st.integers(1, 50), min_size=1, max_size=20),
+       budget=st.integers(1, 300))
+def test_quota_sample_equals_greedy_reference(spark, sizes, budget):
+    from big_data_bowl_spark.pipeline.sampling import quota_sample
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.pipeline.sampling import wang_mixed_hash
+
+    df = spark.createDataFrame(
+        [Row(g="a", k=i, sz=s) for i, s in enumerate(sizes)])
+    order = [r.k for r in df.select(
+        "k", wang_mixed_hash(F.col("k")).alias("h"))
+        .orderBy("h", "k").collect()]
+    want, total = set(), 0
+    by_key = dict(enumerate(sizes))
+    for k in order:
+        if total + by_key[k] > budget:
+            break
+        total += by_key[k]
+        want.add(k)
+    got = {r.k for r in quota_sample(df, "g", "k", "sz", budget).collect()}
+    assert got == want, (sizes, budget, got, want)
