@@ -171,6 +171,85 @@ def hll_neutral_registers(df: DataFrame, group: list[str],
               .agg(F.max("rho").alias("rho")))
 
 
+BLOOM_SEED_STEP = 1000003  # probe i hashes key + i·STEP through the wang chain
+
+
+def bloom_neutral_state(df: DataFrame, group: list[str], key_col: str,
+                        m_words: int = 256, k: int = 4) -> DataFrame:
+    """Engine-neutral Bloom filter state — the third leg of the
+    incremental ingest-gate trio (MinHash index / HLL registers / Bloom
+    bits): a (word, bits) table per group, each key setting ``k`` bits
+    at wang_mixed_hash(key + i·SEED_STEP) mod m_words·64.  bit_or is
+    associative and idempotent, so per-batch states OR-merge losslessly
+    (union ≡ whole — no dedup shuffle needed for multiset inputs, same
+    argument as the HLL registers), and every step is explicit integer
+    arithmetic, so a SQL engine reproduces the bit table exactly.  The
+    xxhash64 form (operators/joins.bloom_build) stays the fastest batch
+    path; this one is the PERSISTABLE state an incremental pipeline
+    stores per ingest batch.  ≤ ``m_words`` rows per group."""
+    require_columns(df, [*group, key_col], "bloom_neutral_state")
+    from ..pipeline.sampling import wang_mixed_hash
+    total_bits = m_words * 64
+    probes = F.array(*[
+        F.pmod(wang_mixed_hash(F.col(key_col)
+                               + F.lit(i * BLOOM_SEED_STEP)),
+               F.lit(total_bits))
+        for i in range(k)])
+    exploded = df.select(*group, F.explode(probes).alias("bit"))
+    return (exploded
+            .select(*group,
+                    (F.col("bit") / 64).cast("long").alias("word"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), "
+                           "CAST(pmod(bit, 64) AS INT))").alias("mask"))
+            .groupBy(*group, "word")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_neutral_merge(states: DataFrame,
+                        group: list[str]) -> DataFrame:
+    """OR-merge persisted Bloom states up to ``group`` grain — map-side
+    combinable, O(groups · m_words) rows regardless of history size."""
+    require_columns(states, [*group, "word", "bits"],
+                    "bloom_neutral_merge")
+    return (states.groupBy(*group, "word")
+                  .agg(F.bit_or("bits").alias("bits")))
+
+
+def with_bloom_maybe_seen(df: DataFrame, state: DataFrame, key_col: str,
+                          m_words: int = 256, k: int = 4,
+                          out: str = "maybe_seen") -> DataFrame:
+    """Append the ingest-gate verdict: ``out`` is true iff ALL k probe
+    bits of ``key_col`` are set in the (global-grain) ``state`` table.
+    k broadcast joins against the ≤ m_words-row state — zero shuffle of
+    ``df``.  Bloom guarantee: a key the state has absorbed is NEVER
+    flagged new (no false negatives); a "seen" verdict may be a false
+    positive at the documented (1−e^{−kn/m})^k rate — the conservative
+    direction for a dedup gate."""
+    require_columns(df, [key_col], "with_bloom_maybe_seen")
+    from ..pipeline.sampling import wang_mixed_hash
+    total_bits = m_words * 64
+    got = df
+    flags = []
+    for i in range(k):
+        h = F.pmod(wang_mixed_hash(F.col(key_col)
+                                   + F.lit(i * BLOOM_SEED_STEP)),
+                   F.lit(total_bits))
+        word = (h / 64).cast("long")
+        b = state.select(F.col("word").alias(f"__w{i}"),
+                         F.col("bits").alias(f"__b{i}"))
+        got = (got.join(F.broadcast(b), word == F.col(f"__w{i}"), "left")
+                  .drop(f"__w{i}"))
+        flags.append(
+            F.when(F.col(f"__b{i}").isNull(), F.lit(False))
+             .otherwise(F.bit_get(F.col(f"__b{i}"),
+                                  F.pmod(h, F.lit(64))) == 1))
+    seen = flags[0]
+    for fl in flags[1:]:
+        seen = seen & fl
+    return got.withColumn(out, seen).drop(
+        *[f"__b{i}" for i in range(k)])
+
+
 def quantile_sketch_state(df: DataFrame, group: list[str], value_col: str,
                           key_col: str, k: int = 256) -> DataFrame:
     """Bottom-k-by-hash quantile sketch state (KMV-style uniform sample):

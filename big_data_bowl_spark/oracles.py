@@ -3005,6 +3005,65 @@ GROUP BY event_type
 """
 
 
+# --- q_bloom_ingest_gate: neutral Bloom bit table + k-probe gate, in SQL ----
+# Probe i hashes (key + i·1000003) through the wang chain; word/mask use
+# the same 1::BIGINT << (bit % 64) arithmetic as the engine (arithmetic
+# shift-right extraction is sign-safe for every position incl. bit 63).
+# bit_or is associative+idempotent, so the day-grain build + OR-merge in
+# the engine equals this oracle's one-shot bit table over the history.
+ORACLES["q_bloom_ingest_gate"] = """
+WITH last AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+hist AS (
+    SELECT user_id FROM events
+    WHERE CAST(ts AS DATE) < (SELECT d FROM last)),
+batch AS (
+    SELECT event_id, event_type, user_id FROM events
+    WHERE CAST(ts AS DATE) = (SELECT d FROM last)),
+probes AS (SELECT unnest([0, 1, 2, 3]) AS i),
+hh0 AS (
+    SELECT ((user_id + i * 1000003) % 2147483648) * 2654435761
+           % 4294967296 AS hv
+    FROM hist CROSS JOIN probes),
+hh1 AS (SELECT (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv FROM hh0),
+hh2 AS (SELECT (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv FROM hh1),
+hp AS (SELECT xor(hv, hv >> 16) % 16384 AS bit FROM hh2),
+words AS MATERIALIZED (
+    -- DuckDB raises on the signed-overflow shift 1 << 63 (Spark wraps
+    -- to min-long); spell the sign-bit mask out explicitly
+    SELECT bit // 64 AS word,
+           bit_or(CASE WHEN bit % 64 = 63
+                       THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                       ELSE 1::BIGINT << CAST(bit % 64 AS INT) END)
+             AS bits
+    FROM hp GROUP BY 1),
+bh0 AS (
+    SELECT event_id, event_type,
+           ((user_id + i * 1000003) % 2147483648) * 2654435761
+           % 4294967296 AS hv
+    FROM batch CROSS JOIN probes),
+bh1 AS (SELECT event_id, event_type,
+               (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv FROM bh0),
+bh2 AS (SELECT event_id, event_type,
+               (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv FROM bh1),
+bp AS (SELECT event_id, event_type,
+              xor(hv, hv >> 16) % 16384 AS bit FROM bh2),
+hit AS (
+    SELECT event_id, event_type,
+           count(*) FILTER (
+               WHERE w.bits IS NOT NULL
+                 AND ((w.bits >> CAST(bit % 64 AS INT)) & 1) = 1)
+             AS nhit
+    FROM bp LEFT JOIN words w ON bit // 64 = w.word
+    GROUP BY 1, 2)
+SELECT event_type, count(*) AS n_rows,
+       CAST(sum(CASE WHEN nhit = 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_maybe_seen,
+       CAST(sum(CASE WHEN nhit = 4 THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_new
+FROM hit GROUP BY 1
+"""
+
+
 # --- q_bpe_merges: 8 BPE merge rounds, unrolled in SQL ----------------------
 # Pure integer/string work, so the oracle is EXACT: word frequencies, then
 # per round (pair-count over the current segmentation → argmax with the

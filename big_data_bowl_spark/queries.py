@@ -2953,6 +2953,35 @@ def q_hll_incremental(spark, sf_dir):
               .select("event_type", "n_batches", "hll_estimate")
 
 
+def q_bloom_ingest_gate(spark, sf_dir):
+    """Incremental ingest-dedup gate, HASH-VERIFIED: day-grain Bloom
+    states over the user history OR-merge to one global filter (bit_or
+    is associative + idempotent — union ≡ whole, never rescan), then the
+    newest day's events are gated with ``maybe_seen`` via k broadcast
+    probes (zero shuffle of the batch).  No false negatives: a user the
+    history absorbed is never counted new — the conservative direction
+    for a dedup gate; false positives only move rows from n_new to
+    n_maybe_seen.  Completes the mergeable-ingest-state trio (MinHash
+    index / HLL registers / Bloom bits)."""
+    from .operators.sketches import (bloom_neutral_merge,
+                                     bloom_neutral_state,
+                                     with_bloom_maybe_seen)
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    last = e.agg(F.max("day").alias("__last"))
+    e2 = e.crossJoin(F.broadcast(last))
+    hist = e2.filter(F.col("day") < F.col("__last"))
+    batch = e2.filter(F.col("day") == F.col("__last"))
+    daily = bloom_neutral_state(hist, ["day"], "user_id")
+    state = bloom_neutral_merge(daily.drop("day"), [])
+    flagged = with_bloom_maybe_seen(batch, state, "user_id")
+    return (flagged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.col("maybe_seen").cast("long"))
+                  .alias("n_maybe_seen"),
+                 F.sum((~F.col("maybe_seen")).cast("long"))
+                  .alias("n_new")))
+
+
 def q_variant_props(spark, sf_dir):
     """Schemaless JSON via the Spark 4 VARIANT type: ``try_parse_json``
     once into a binary variant column, then typed path extraction
@@ -3135,6 +3164,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
+    "q_bloom_ingest_gate": q_bloom_ingest_gate,
     "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,
     "q_cooccurrence": q_cooccurrence,

@@ -1001,6 +1001,40 @@ def test_hll_union_equals_whole_and_close_to_exact(spark):
         assert abs(est - exact[et]) / exact[et] < 0.03, (et, est, exact[et])
 
 
+def test_bloom_state_merge_and_no_false_negatives(spark):
+    """Bloom ingest-gate contracts: day-grain bit tables OR-merged equal
+    the one-shot whole-history table (bit_or is associative +
+    idempotent), and the gate NEVER flags a seen key as new — every
+    event whose user appears in history reads maybe_seen=true; rows
+    flagged new are genuinely new (the same guarantee, contrapositive)."""
+    from big_data_bowl_spark.operators.sketches import (
+        bloom_neutral_merge, bloom_neutral_state, with_bloom_maybe_seen)
+    e = (read_table(spark, SF_SMALL, "events")
+         .withColumn("day", F.to_date("ts")))
+    last = e.agg(F.max("day").alias("__last"))
+    e2 = e.crossJoin(F.broadcast(last))
+    hist = e2.filter(F.col("day") < F.col("__last"))
+    batch = e2.filter(F.col("day") == F.col("__last"))
+
+    daily = bloom_neutral_state(hist, ["day"], "user_id")
+    merged = bloom_neutral_merge(daily.drop("day"), [])
+    whole = bloom_neutral_state(hist, [], "user_id")
+    rows = lambda df: sorted(map(tuple, df.select("word", "bits")
+                                 .collect()))
+    assert rows(merged) == rows(whole)
+
+    seen_users = {r["user_id"] for r in
+                  hist.select("user_id").distinct().collect()}
+    flagged = with_bloom_maybe_seen(batch, merged, "user_id") \
+        .select("user_id", "maybe_seen").collect()
+    assert flagged
+    for r in flagged:
+        if r["user_id"] in seen_users:
+            assert r["maybe_seen"], r
+        if not r["maybe_seen"]:
+            assert r["user_id"] not in seen_users, r
+
+
 def test_quantile_sketch_merge_equals_whole(spark):
     """Mergeable-state contract of the bottom-k quantile sketch: per-day
     states min-k-merged to the event_type grain are ROW-IDENTICAL to one
