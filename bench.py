@@ -115,6 +115,7 @@ HEADLINE = [
     # assignment + manifest math
     "q_quantile_sketch",
     "q_shard_stats",
+    "q_bloom_ingest_gate",
 ]
 
 

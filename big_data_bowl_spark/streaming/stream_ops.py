@@ -355,6 +355,37 @@ def stream_quantile_sketch_rollup(df: DataFrame, state_dir: str,
               .start())
 
 
+def stream_bloom_rollup(df: DataFrame, state_dir: str,
+                        checkpoint_dir: str, key_col: str,
+                        m_words: int = 256, k: int = 4, keep: int = 2):
+    """Streaming fold of the neutral Bloom ingest filter
+    (operators/sketches.bloom_neutral_state): each micro-batch's bit
+    table OR-merges into the persisted filter under the LATEST-pointer
+    discipline.  bit_or associativity makes the folded filter
+    row-identical to the one-shot whole-history table, so a consumer
+    gating a new batch (with_bloom_maybe_seen) gets the same verdicts
+    whether history arrived as one load or a thousand micro-batches —
+    the streaming form of the ingest-dedup gate, with ≤ m_words rows of
+    state regardless of stream length.  Returns the started query."""
+    from ..operators.sketches import (bloom_neutral_merge,
+                                      bloom_neutral_state)
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        st = bloom_neutral_state(batch_df, [], key_col,
+                                 m_words=m_words, k=k)
+        if batch_id > 0:
+            prev = batch_df.sparkSession.read.parquet(
+                f"{state_dir}/v{batch_id - 1}")
+            st = bloom_neutral_merge(prev.unionByName(st), [])
+        st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
+        _publish_state_version(state_dir, batch_id, keep)
+
+    return (df.writeStream.foreachBatch(merge_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .trigger(availableNow=True)
+              .start())
+
+
 FUNNEL_OUT_SCHEMA = "user_id long, stage int, n_events long"
 FUNNEL_STATE_SCHEMA = "stage int, last_ep double, n_events long"
 

@@ -117,6 +117,10 @@ AUDITED: dict[str, str] = {
         "One exchange (the per-source window); the hash, the running "
         "sum, and the budget cut all ride that single shuffle as "
         "codegen projections."),
+    "q_bloom_ingest_gate": (
+        "History builds day-grain bit tables (one partial-combined "
+        "bit_or agg); the gate is k BROADCAST probes against the "
+        "merged <=m_words-row state — the batch side never shuffles."),
 }
 
 

@@ -449,6 +449,50 @@ def test_stream_quantile_sketch_equals_batch(spark, tmp_path):
     assert _rows(est) == _rows(batch_est)
 
 
+def test_stream_bloom_rollup_equals_batch(spark, tmp_path):
+    """Streaming Bloom fold: the bit table folded across 3 micro-batches
+    is ROW-IDENTICAL to the one-shot whole-history table (bit_or is
+    associative + idempotent), so gate verdicts are batch-count-
+    independent."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.sketches import bloom_neutral_state
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_latest_state, stream_bloom_rollup)
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id")
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    t0 = 1_700_000_000
+    for i in range(3):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (ev.filter(F.col("event_id") % 3 == i)
+           .coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_bloom_rollup(stream, str(tmp_path / "bstate"),
+                            str(tmp_path / "bckpt"), "user_id")
+    q.awaitTermination(120)
+
+    got = sorted(map(tuple, read_latest_state(
+        spark, str(tmp_path / "bstate")).select("word", "bits")
+        .collect()))
+    want = sorted(map(tuple, bloom_neutral_state(ev, [], "user_id")
+                      .select("word", "bits").collect()))
+    assert got == want
+
+
 def test_stream_interval_left_outer_nulls_after_watermark(spark, tmp_path):
     """Left-outer stream-stream join: unmatched rows must emit with null
     err_event_id — but only once the watermark PROVES no future match
