@@ -116,6 +116,7 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_shard_stats",
     "q_bloom_ingest_gate",
+    "q_triangle_count",
 ]
 
 

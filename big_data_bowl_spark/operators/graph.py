@@ -110,3 +110,61 @@ def pagerank_round(edges: DataFrame, ranks: DataFrame, n_nodes: int,
                                                   F.lit(0.0))
                                        + F.col("__dm") / n_nodes))
                          .alias("rank")))
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts via DEGREE-ORIENTED wedge closing — the
+    classic trick that makes triangle enumeration survive hubs: orient
+    every undirected edge from its lower-(degree, node) endpoint to the
+    higher one, so each node's oriented out-degree is O(sqrt(2m)) no
+    matter how big its raw degree, and the wedge self-join's fan-out is
+    sum(outdeg²) instead of sum(deg²) — a celebrity node with 10⁶
+    followers contributes nothing to the quadratic term unless its
+    neighbors are themselves high-degree.
+
+    Every triangle is counted exactly once (its unique lowest-order apex
+    emits the wedge; the closing edge's orientation between the two
+    upper endpoints follows the same total order, so the final equi-join
+    finds it in exactly one direction).  Three shuffles total: degree
+    agg, the wedge join, the closing join.  Input edges may carry either
+    or both orientations; they canonicalize first.  Returns
+    (node, n_triangles) for nodes in ≥1 triangle.
+    """
+    require_columns(edges, ["src", "dst"], "triangle_count")
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+    deg = (und.select(F.col("a").alias("node"))
+              .union(und.select(F.col("b").alias("node")))
+              .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    withdeg = (und.join(deg.select(F.col("node").alias("a"),
+                                   F.col("deg").alias("da")), "a")
+                  .join(deg.select(F.col("node").alias("b"),
+                                   F.col("deg").alias("db")), "b"))
+    # total order: (deg, node); orient low -> high
+    a_first = (F.col("da") < F.col("db")) | \
+              ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = withdeg.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("da")).otherwise(F.col("db")).alias("du"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("dv"))
+    l = oriented.select(F.col("u"), F.col("v").alias("x"),
+                        F.col("dv").alias("dx"))
+    r = oriented.select(F.col("u"), F.col("v").alias("y"),
+                        F.col("dv").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | \
+              ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    wedges = (l.join(r, "u")
+               .filter(F.col("x") != F.col("y"))
+               .filter(x_first)
+               .select("u", F.col("x").alias("v"), F.col("y").alias("w")))
+    tris = wedges.join(
+        oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
+        ["v", "w"])
+    per_corner = (tris.select(F.col("u").alias("node"))
+                      .union(tris.select(F.col("v").alias("node")))
+                      .union(tris.select(F.col("w").alias("node"))))
+    return per_corner.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))

@@ -2150,6 +2150,29 @@ _PR_ROUND = """r{k} AS (
                 FROM r{p} WHERE outdeg IS NULL) d
     CROSS JOIN nn)"""
 
+# Triangle counts via canonical x<y<z enumeration — count-equivalent to
+# the engine's degree-oriented wedge closing (each triangle appears once
+# in either formulation), so the hash match verifies the orientation
+# logic without sharing its implementation.
+ORACLES["q_triangle_count"] = """
+WITH rel AS (
+    SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b
+    FROM rel x JOIN rel y USING (i)
+    WHERE x.e <> y.e),
+tri AS (
+    SELECT e1.a AS x, e1.b AS y, e2.b AS z
+    FROM und e1
+    JOIN und e2 ON e1.b = e2.a
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT node AS user_id, count(*) AS n_triangles
+FROM (SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+GROUP BY 1
+"""
+
 ORACLES["q_pagerank"] = ("""
 WITH pairs AS (
     SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),

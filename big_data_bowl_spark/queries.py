@@ -2420,6 +2420,25 @@ def q_pagerank(spark, sf_dir):
               .limit(20))
 
 
+def q_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the user co-occurrence graph,
+    HASH-VERIFIED: degree-oriented wedge closing (operators/graph.py) —
+    each undirected edge orients low→high (degree, node), bounding the
+    wedge join's fan-out by the oriented out-degree O(√2m) even at hub
+    nodes; three shuffles total.  The oracle enumerates canonical
+    x<y<z triangles — a different but provably count-equivalent
+    formulation, so the hash match checks the orientation logic, not a
+    shared implementation."""
+    from .operators.graph import bipartite_edges, triangle_count
+    e = _t(spark, sf_dir, "events")
+    rel = e.select("user_id",
+                   (F.col("event_id") / 5).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item",
+                            max_entities_per_item=8)
+    return (triangle_count(edges)
+            .select(F.col("node").alias("user_id"), "n_triangles"))
+
+
 def q_winsorize(spark, sf_dir):
     """Winsorization (outlier clamping) per group: values clip to the
     exact [p05, p95] of their event_type — one percentile aggregate
@@ -3135,6 +3154,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_postthrow_golden": q_postthrow_golden,
     "q_routeexec_golden": q_routeexec_golden,
     "q_pagerank": q_pagerank,
+    "q_triangle_count": q_triangle_count,
     "q_winsorize": q_winsorize,
     "q_ewma": q_ewma,
     "q_intersect_except": q_intersect_except,

@@ -121,6 +121,10 @@ AUDITED: dict[str, str] = {
         "History builds day-grain bit tables (one partial-combined "
         "bit_or agg); the gate is k BROADCAST probes against the "
         "merged <=m_words-row state — the batch side never shuffles."),
+    "q_triangle_count": (
+        "Degree-oriented wedge closing: degree agg, wedge self-join on "
+        "the apex, closing equi-join — fan-out bounded by the oriented "
+        "out-degree, no hub blow-up."),
 }
 
 

@@ -249,3 +249,29 @@ def test_quota_sample_equals_greedy_reference(spark, sizes, budget):
         want.add(k)
     got = {r.k for r in quota_sample(df, "g", "k", "sz", budget).collect()}
     assert got == want, (sizes, budget, got, want)
+
+
+# triangle_count ≡ naive enumeration on random graphs (incl. hubs: the
+# degree-oriented join must COUNT the same even where it prunes fan-out)
+@settings(max_examples=6, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=40))
+def test_triangle_count_equals_naive(spark, edges):
+    from itertools import combinations
+
+    from big_data_bowl_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in edges])
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+
+    und = {frozenset(e) for e in edges if e[0] != e[1]}
+    nodes = {n for e in und for n in e}
+    want = {}
+    for x, y, z in combinations(sorted(nodes), 3):
+        if {frozenset((x, y)), frozenset((y, z)),
+                frozenset((x, z))} <= und:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    assert got == want, (sorted(und), got, want)
