@@ -63,6 +63,12 @@ def pagerank(edges: DataFrame, iters: int = 10,
     replace with reliable checkpointing at the same cadence.  Returns
     (node, rank)."""
     require_columns(edges, ["src", "dst"], "pagerank")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"pagerank: checkpoint_every must be >= 1, got "
+            f"{checkpoint_every} (use a large value to checkpoint "
+            "rarely; skipping entirely would let the lineage grow "
+            "with iters — the plan blow-up the cadence exists to stop)")
     # Pin the edge relation ONCE: every iteration (and nodes/outdeg below)
     # re-consumes it, and an unpinned lineage would re-run the caller's
     # whole edge construction — e.g. a bipartite projection's self-join —
@@ -163,8 +169,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     tris = wedges.join(
         oriented.select(F.col("u").alias("v"), F.col("v").alias("w")),
         ["v", "w"])
-    per_corner = (tris.select(F.col("u").alias("node"))
-                      .union(tris.select(F.col("v").alias("node")))
-                      .union(tris.select(F.col("w").alias("node"))))
+    # one explode, not a 3-way union: a union would embed the wedge +
+    # closing joins (the two expensive operators) three times in the
+    # plan and re-probe them per branch
+    per_corner = tris.select(
+        F.explode(F.array("u", "v", "w")).alias("node"))
     return per_corner.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))

@@ -186,7 +186,13 @@ def bloom_neutral_state(df: DataFrame, group: list[str], key_col: str,
     arithmetic, so a SQL engine reproduces the bit table exactly.  The
     xxhash64 form (operators/joins.bloom_build) stays the fastest batch
     path; this one is the PERSISTABLE state an incremental pipeline
-    stores per ingest batch.  ≤ ``m_words`` rows per group."""
+    stores per ingest batch.  ≤ ``m_words`` rows per group.
+
+    The state carries its (m_words, k) as columns: probe positions are
+    only meaningful against the geometry they were computed with, so
+    merge and gate VALIDATE the parameters instead of silently probing
+    the wrong bit positions (which would break the no-false-negative
+    guarantee with no error)."""
     require_columns(df, [*group, key_col], "bloom_neutral_state")
     from ..pipeline.sampling import wang_mixed_hash
     total_bits = m_words * 64
@@ -202,16 +208,43 @@ def bloom_neutral_state(df: DataFrame, group: list[str], key_col: str,
                     F.expr("shiftleft(CAST(1 AS BIGINT), "
                            "CAST(pmod(bit, 64) AS INT))").alias("mask"))
             .groupBy(*group, "word")
-            .agg(F.bit_or("mask").alias("bits")))
+            .agg(F.bit_or("mask").alias("bits"))
+            .withColumn("bloom_m_words", F.lit(m_words))
+            .withColumn("bloom_k", F.lit(k)))
+
+
+def _bloom_check_params(state: DataFrame, where: str,
+                        m_words: int | None = None,
+                        k: int | None = None) -> None:
+    """Fail loud on heterogeneous or mismatched Bloom geometry.  One
+    tiny job over the ≤ m_words-row state — cheap next to the gate/merge
+    it protects."""
+    combos = state.select("bloom_m_words", "bloom_k").distinct().collect()
+    pairs = sorted((r["bloom_m_words"], r["bloom_k"]) for r in combos)
+    if len(pairs) > 1:
+        raise ValueError(
+            f"{where}: mixed Bloom geometries {pairs} cannot be "
+            "combined — probe positions are incompatible")
+    if pairs and (m_words, k) != (None, None) \
+            and pairs[0] != (m_words, k):
+        raise ValueError(
+            f"{where}: state was built with (m_words, k)={pairs[0]}, "
+            f"caller asked for {(m_words, k)} — probing the wrong "
+            "geometry would silently drop the no-false-negative "
+            "guarantee")
 
 
 def bloom_neutral_merge(states: DataFrame,
                         group: list[str]) -> DataFrame:
     """OR-merge persisted Bloom states up to ``group`` grain — map-side
-    combinable, O(groups · m_words) rows regardless of history size."""
-    require_columns(states, [*group, "word", "bits"],
+    combinable, O(groups · m_words) rows regardless of history size.
+    Fails loud if the inputs mix geometries."""
+    require_columns(states, [*group, "word", "bits",
+                             "bloom_m_words", "bloom_k"],
                     "bloom_neutral_merge")
-    return (states.groupBy(*group, "word")
+    _bloom_check_params(states, "bloom_neutral_merge")
+    return (states.groupBy(*group, "word",
+                           "bloom_m_words", "bloom_k")
                   .agg(F.bit_or("bits").alias("bits")))
 
 
@@ -224,8 +257,12 @@ def with_bloom_maybe_seen(df: DataFrame, state: DataFrame, key_col: str,
     ``df``.  Bloom guarantee: a key the state has absorbed is NEVER
     flagged new (no false negatives); a "seen" verdict may be a false
     positive at the documented (1−e^{−kn/m})^k rate — the conservative
-    direction for a dedup gate."""
+    direction for a dedup gate.  Fails loud if ``state`` was built with
+    a different (m_words, k) geometry."""
     require_columns(df, [key_col], "with_bloom_maybe_seen")
+    require_columns(state, ["word", "bits", "bloom_m_words", "bloom_k"],
+                    "with_bloom_maybe_seen")
+    _bloom_check_params(state, "with_bloom_maybe_seen", m_words, k)
     from ..pipeline.sampling import wang_mixed_hash
     total_bits = m_words * 64
     got = df
@@ -267,7 +304,9 @@ def quantile_sketch_state(df: DataFrame, group: list[str], value_col: str,
     triggers Spark's WindowGroupLimit rewrite: each map task keeps only
     its local bottom-k BEFORE the exchange, so the shuffle carries
     O(partitions · k) rows per group, never the fact table
-    (plan-pinned).  Returns (*group, key_col, qs_hash, value_col).
+    (plan-pinned).  Returns (*group, key_col, qs_hash, value_col, qs_k)
+    — the build k rides the state so a later merge can refuse to
+    inflate it (see :func:`quantile_sketch_merge`).
     """
     require_columns(df, [*group, value_col, key_col],
                     "quantile_sketch_state")
@@ -277,7 +316,8 @@ def quantile_sketch_state(df: DataFrame, group: list[str], value_col: str,
                        value_col)
     w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
     return (staged.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") <= k).drop("__rn"))
+                  .filter(F.col("__rn") <= k).drop("__rn")
+                  .withColumn("qs_k", F.lit(k)))
 
 
 def quantile_sketch_merge(states: DataFrame, group: list[str],
@@ -288,12 +328,27 @@ def quantile_sketch_merge(states: DataFrame, group: list[str],
     output group.  min-k by a fixed hash is associative and idempotent,
     so merge(any partitioning of history) ≡ state(whole) — pinned by
     test_quantile_sketch_merge_equals_whole.  Input rows are already
-    ≤ k per input group, so the merge shuffles O(input groups · k)."""
-    require_columns(states, [*group, "qs_hash", key_col, value_col],
+    ≤ k per input group, so the merge shuffles O(input groups · k).
+
+    ``k`` must not EXCEED the build k carried in the state: merging
+    k=128 states with k=256 would claim a 256-row uniform sample whose
+    tail only ever comes from small input groups — a silently biased
+    sample.  Merging to a SMALLER k is always valid (bottom-k of
+    bottom-k')."""
+    require_columns(states, [*group, "qs_hash", key_col, value_col,
+                             "qs_k"],
                     "quantile_sketch_merge")
+    build_ks = [r["qs_k"] for r in states.select("qs_k")
+                .distinct().collect()]
+    if build_ks and k > min(build_ks):
+        raise ValueError(
+            f"quantile_sketch_merge: k={k} exceeds the build "
+            f"k={min(build_ks)} carried in the state — the merged "
+            "sample would be biased toward small input groups")
     w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
     return (states.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") <= k).drop("__rn"))
+                  .filter(F.col("__rn") <= k).drop("__rn")
+                  .withColumn("qs_k", F.lit(k)))
 
 
 def quantile_sketch_estimate(state: DataFrame, group: list[str],

@@ -46,16 +46,21 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
     """Write ``df`` as ``n_shards`` hash-sharded parquet directories
     (``path/data/shard=i/``) plus a manifest (``path/_manifest/``).
 
-    One shuffle total: rows cluster on the shard id so each shard
-    directory is produced by one task.  The manifest aggregation reuses
-    the same single pass (count + distinct keys per shard).  Returns the
-    manifest DataFrame (shard, rows, n_keys).
+    One shuffle: rows cluster on the shard id so each shard directory
+    is produced by one task.  The manifest aggregates over the FILES
+    JUST WRITTEN — not a second scan of the (possibly nondeterministic)
+    input — so it describes exactly the corpus on disk, and is written
+    only after the data commit succeeds (manifest-last ordering: a crash
+    between the two writes leaves no manifest, which the reader treats
+    as fatal, never a stale one).  Returns the manifest DataFrame
+    (shard, rows, n_keys).
     """
     sharded = shard_assignment(df, key_col, n_shards)
     (sharded.repartition(n_shards, "shard")
             .write.mode("overwrite").partitionBy("shard")
             .parquet(f"{path}/data"))
-    manifest = (sharded.groupBy("shard")
+    written = df.sparkSession.read.parquet(f"{path}/data")
+    manifest = (written.groupBy("shard")
                 .agg(F.count(F.lit(1)).alias("rows"),
                      F.countDistinct(key_col).alias("n_keys")))
     manifest.coalesce(1).write.mode("overwrite").parquet(
@@ -66,21 +71,25 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
 def read_training_shards(spark: SparkSession, path: str,
                          expect_shards: int | None = None) -> DataFrame:
     """Read the sharded corpus back, verifying completeness against the
-    manifest first: every manifest shard must exist in the data (and,
-    when ``expect_shards`` is given, the manifest must have exactly that
-    many shards).  Fails loud — a trainer must never silently iterate a
-    partial epoch."""
-    manifest = spark.read.parquet(f"{path}/_manifest")
-    got = sorted(r["shard"] for r in manifest.select("shard").collect())
+    manifest first: every manifest shard must exist in the data WITH its
+    recorded row count (shard-id presence alone would pass a partially
+    written shard — a task retry can leave a directory with some of its
+    files), and when ``expect_shards`` is given, the manifest must have
+    exactly that many shards.  Fails loud — a trainer must never
+    silently iterate a partial epoch."""
+    manifest = {r["shard"]: r["rows"] for r in
+                spark.read.parquet(f"{path}/_manifest").collect()}
+    got = sorted(manifest)
     if expect_shards is not None and got != list(range(expect_shards)):
         raise ValueError(
             f"read_training_shards: manifest has shards {got}, "
             f"expected 0..{expect_shards - 1}")
     data = spark.read.parquet(f"{path}/data")
-    present = sorted(r["shard"] for r in
-                     data.select("shard").distinct().collect())
-    if present != got:
+    present = {r["shard"]: r["n"] for r in
+               data.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+                   .collect()}
+    if present != manifest:
         raise ValueError(
-            f"read_training_shards: data shards {present} != "
-            f"manifest shards {got}")
+            f"read_training_shards: per-shard data rows {present} != "
+            f"manifest {manifest}")
     return data

@@ -284,17 +284,32 @@ def stream_state_rollup(df: DataFrame, state_dir: str, checkpoint_dir: str,
     storage stays O(keep × groups), not O(batches × groups).  The latest
     state finalizes via ``operators/ivm.finalize_state``.  Returns the
     started query."""
-    import os
-    import shutil
-
     from ..operators.ivm import agg_state, merge_states
 
+    return _stream_fold(
+        df, state_dir, checkpoint_dir,
+        build_fn=lambda b: agg_state(b, keys, value_col),
+        merge_fn=lambda prev, st: merge_states([prev, st], keys),
+        keep=keep)
+
+
+def _stream_fold(df: DataFrame, state_dir: str, checkpoint_dir: str,
+                 build_fn, merge_fn, keep: int):
+    """The shared versioned-fold protocol behind every streaming state
+    rollup (IVM aggregates, quantile sketch, Bloom filter): per batch,
+    ``build_fn(batch_df)`` makes the batch's own state, ``merge_fn(prev,
+    state)`` folds it with version N−1, the result writes as version N,
+    and :func:`_publish_state_version` commits the LATEST pointer and
+    prunes.  One place to fix the protocol — the fold shape, replay
+    idempotency, and publication ordering are identical across state
+    types by design."""
+
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        st = agg_state(batch_df, keys, value_col)
+        st = build_fn(batch_df)
         if batch_id > 0:
             prev = batch_df.sparkSession.read.parquet(
                 f"{state_dir}/v{batch_id - 1}")
-            st = merge_states([prev, st], keys)
+            st = merge_fn(prev, st)
         st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
         _publish_state_version(state_dir, batch_id, keep)
 
@@ -339,20 +354,13 @@ def stream_quantile_sketch_rollup(df: DataFrame, state_dir: str,
     from ..operators.sketches import (quantile_sketch_merge,
                                       quantile_sketch_state)
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        st = quantile_sketch_state(batch_df, group, value_col, key_col, k)
-        if batch_id > 0:
-            prev = batch_df.sparkSession.read.parquet(
-                f"{state_dir}/v{batch_id - 1}")
-            st = quantile_sketch_merge(
-                prev.unionByName(st), group, value_col, key_col, k)
-        st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        _publish_state_version(state_dir, batch_id, keep)
-
-    return (df.writeStream.foreachBatch(merge_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .trigger(availableNow=True)
-              .start())
+    return _stream_fold(
+        df, state_dir, checkpoint_dir,
+        build_fn=lambda b: quantile_sketch_state(
+            b, group, value_col, key_col, k),
+        merge_fn=lambda prev, st: quantile_sketch_merge(
+            prev.unionByName(st), group, value_col, key_col, k),
+        keep=keep)
 
 
 def stream_bloom_rollup(df: DataFrame, state_dir: str,
@@ -370,20 +378,13 @@ def stream_bloom_rollup(df: DataFrame, state_dir: str,
     from ..operators.sketches import (bloom_neutral_merge,
                                       bloom_neutral_state)
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        st = bloom_neutral_state(batch_df, [], key_col,
-                                 m_words=m_words, k=k)
-        if batch_id > 0:
-            prev = batch_df.sparkSession.read.parquet(
-                f"{state_dir}/v{batch_id - 1}")
-            st = bloom_neutral_merge(prev.unionByName(st), [])
-        st.write.mode("overwrite").parquet(f"{state_dir}/v{batch_id}")
-        _publish_state_version(state_dir, batch_id, keep)
-
-    return (df.writeStream.foreachBatch(merge_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .trigger(availableNow=True)
-              .start())
+    return _stream_fold(
+        df, state_dir, checkpoint_dir,
+        build_fn=lambda b: bloom_neutral_state(
+            b, [], key_col, m_words=m_words, k=k),
+        merge_fn=lambda prev, st: bloom_neutral_merge(
+            prev.unionByName(st), []),
+        keep=keep)
 
 
 FUNNEL_OUT_SCHEMA = "user_id long, stage int, n_events long"

@@ -1035,6 +1035,38 @@ def test_bloom_state_merge_and_no_false_negatives(spark):
             assert r["user_id"] not in seen_users, r
 
 
+def test_sketch_state_guards_fail_loud(spark):
+    """The mergeable states refuse silent contract violations: merging
+    quantile states to a LARGER k than they were built with (a biased
+    sample), gating against a Bloom state built with different geometry
+    (broken no-false-negative guarantee), and a non-positive PageRank
+    checkpoint cadence all raise instead of degrading."""
+    import pytest
+
+    from big_data_bowl_spark.operators.graph import pagerank
+    from big_data_bowl_spark.operators.sketches import (
+        bloom_neutral_state, quantile_sketch_merge, quantile_sketch_state,
+        with_bloom_maybe_seen)
+    e = read_table(spark, SF_SMALL, "events") \
+        .select("event_id", "event_type", "value", "user_id").limit(200)
+    st = quantile_sketch_state(e, ["event_type"], "value", "event_id",
+                               k=16)
+    with pytest.raises(ValueError, match="exceeds the build k"):
+        quantile_sketch_merge(st, ["event_type"], "value", "event_id",
+                              k=32)
+    # smaller k is a valid re-sketch
+    assert quantile_sketch_merge(st, ["event_type"], "value",
+                                 "event_id", k=8).count() > 0
+
+    bstate = bloom_neutral_state(e, [], "user_id", m_words=512)
+    with pytest.raises(ValueError, match="geometry"):
+        with_bloom_maybe_seen(e, bstate, "user_id", m_words=256)
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        pagerank(edges, iters=2, checkpoint_every=0)
+
+
 def test_quantile_sketch_merge_equals_whole(spark):
     """Mergeable-state contract of the bottom-k quantile sketch: per-day
     states min-k-merged to the event_type grain are ROW-IDENTICAL to one

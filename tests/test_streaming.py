@@ -19,6 +19,32 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _stage_chunks(df, tmp_path, n=3, mod_col="event_id"):
+    """Split ``df`` into ``n`` single-file parquet chunks under
+    tmp_path/watch with ascending mtimes, so a maxFilesPerTrigger=1
+    reader delivers them as ``n`` ordered micro-batches.  Returns the
+    watch dir.  One place holds the staging convention (chunking column,
+    mtime spacing) that every fold-equivalence test depends on."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    watch = tmp_path / "watch"
+    watch.mkdir()
+    t0 = 1_700_000_000
+    for i in range(n):
+        chunk_dir = str(tmp_path / f"stage{i}")
+        (df.filter(F.col(mod_col) % n == i)
+           .coalesce(1).write.parquet(chunk_dir))
+        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
+        dest = str(watch / f"chunk{i}.parquet")
+        shutil.move(part, dest)
+        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+    return watch
+
+
 def test_hourly_window_stream_equals_batch(spark):
     batch = hourly_window_agg(read_table(spark, SF_SMALL, "events"))
     stream = hourly_window_agg(read_events_stream(spark, SF_SMALL))
@@ -336,26 +362,13 @@ def test_stream_state_rollup_equals_batch(spark, tmp_path):
     read-modify-write that makes replays idempotent)."""
     import glob
     import os
-    import shutil
-
-    from pyspark.sql import functions as F
 
     from big_data_bowl_spark.operators.ivm import agg_state, finalize_state
     from big_data_bowl_spark.streaming.stream_ops import stream_state_rollup
 
     ev = read_table(spark, SF_SMALL, "events").select(
         "event_id", "event_type", "value")
-    watch = tmp_path / "watch"
-    watch.mkdir()
-    t0 = 1_700_000_000
-    for i in range(3):
-        chunk_dir = str(tmp_path / f"stage{i}")
-        (ev.filter(F.col("event_id") % 3 == i)
-           .coalesce(1).write.parquet(chunk_dir))
-        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
-        dest = str(watch / f"chunk{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+    watch = _stage_chunks(ev, tmp_path)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1)
@@ -402,12 +415,6 @@ def test_stream_quantile_sketch_equals_batch(spark, tmp_path):
     micro-batches is ROW-IDENTICAL to the one-shot whole-table state
     (min-k by a fixed hash is associative + idempotent), so the stream's
     sample percentiles equal the batch engine's exactly."""
-    import glob
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
     from big_data_bowl_spark.operators.sketches import (
         quantile_sketch_estimate, quantile_sketch_state)
     from big_data_bowl_spark.streaming.stream_ops import (
@@ -415,17 +422,7 @@ def test_stream_quantile_sketch_equals_batch(spark, tmp_path):
 
     ev = read_table(spark, SF_SMALL, "events").select(
         "event_id", "event_type", "value")
-    watch = tmp_path / "watch"
-    watch.mkdir()
-    t0 = 1_700_000_000
-    for i in range(3):
-        chunk_dir = str(tmp_path / f"stage{i}")
-        (ev.filter(F.col("event_id") % 3 == i)
-           .coalesce(1).write.parquet(chunk_dir))
-        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
-        dest = str(watch / f"chunk{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+    watch = _stage_chunks(ev, tmp_path)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1)
@@ -454,29 +451,13 @@ def test_stream_bloom_rollup_equals_batch(spark, tmp_path):
     is ROW-IDENTICAL to the one-shot whole-history table (bit_or is
     associative + idempotent), so gate verdicts are batch-count-
     independent."""
-    import glob
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
     from big_data_bowl_spark.operators.sketches import bloom_neutral_state
     from big_data_bowl_spark.streaming.stream_ops import (
         read_latest_state, stream_bloom_rollup)
 
     ev = read_table(spark, SF_SMALL, "events").select(
         "event_id", "user_id")
-    watch = tmp_path / "watch"
-    watch.mkdir()
-    t0 = 1_700_000_000
-    for i in range(3):
-        chunk_dir = str(tmp_path / f"stage{i}")
-        (ev.filter(F.col("event_id") % 3 == i)
-           .coalesce(1).write.parquet(chunk_dir))
-        part, = glob.glob(f"{chunk_dir}/part-*.parquet")
-        dest = str(watch / f"chunk{i}.parquet")
-        shutil.move(part, dest)
-        os.utime(dest, (t0 + i * 60, t0 + i * 60))
+    watch = _stage_chunks(ev, tmp_path)
 
     stream = (spark.readStream.schema(ev.schema)
               .option("maxFilesPerTrigger", 1)
