@@ -3097,7 +3097,10 @@ FROM hit GROUP BY 1
 # exactly (verified on the aaa/aaaa run cases).  The driver-side top-K
 # vocab cap is a no-op at tested SFs (vocab ≪ cap), so the oracle reads
 # the full frequency table.
-def _bpe_oracle_sql(n_merges: int = 8) -> str:
+def _bpe_oracle_sql(n_merges: int = 8, final: str | None = None) -> str:
+    """The shared unrolled-BPE CTE chain; ``final`` overrides the default
+    merges-list select (q_bpe_encode reuses the chain and reads the last
+    segmentation stage instead)."""
     sep = "chr(31)"
     stages = []
     for k in range(n_merges):
@@ -3117,7 +3120,7 @@ seg{k + 1} AS MATERIALIZED (
                     FROM m{k}),
                    (SELECT {sep} || l || r || {sep} FROM m{k})) AS seg
     FROM seg{k})""")
-    finals = "\nUNION ALL\n".join(
+    finals = final if final is not None else "\nUNION ALL\n".join(
         f'SELECT {k}::BIGINT AS rank, l AS "left", r AS "right", '
         f"l || r AS merged, c AS pair_count FROM m{k}"
         for k in range(n_merges))
@@ -3138,6 +3141,24 @@ seg0 AS MATERIALIZED (
 
 
 ORACLES["q_bpe_merges"] = _bpe_oracle_sql()
+
+# Encode side: the SAME 8 unrolled merge rounds produce the word→pieces
+# map (seg8); per-doc piece counts are a words-join + sum.  LEFT JOINs +
+# coalesce keep zero-word documents at n_pieces=0, matching the engine's
+# fold over an empty word array.
+ORACLES["q_bpe_encode"] = _bpe_oracle_sql(final="""
+SELECT d.doc_id,
+       CAST(coalesce(sum(len(list_filter(
+                string_split(s.seg, chr(31)), x -> x <> ''))), 0)
+            AS BIGINT) AS n_pieces
+FROM documents d
+LEFT JOIN (SELECT doc_id,
+                  unnest(list_filter(string_split(text, ' '),
+                                     t -> t <> '')) AS word
+           FROM documents) w ON d.doc_id = w.doc_id
+LEFT JOIN seg8 s ON w.word = s.word
+GROUP BY 1
+""")
 
 
 # --- q_pq_topk: the full PQ pipeline (train → encode → ADC), in SQL ---------

@@ -1516,6 +1516,22 @@ def q_bpe_merges(spark, sf_dir):
     return bpe_learn_merges(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_bpe_encode(spark, sf_dir):
+    """The tokenizer ENCODE side, HASH-VERIFIED: learn 8 merges (the
+    vocab-grain driver seam q_bpe_merges pins), then segment every
+    document distributed — per-word symbol arrays staged once, one
+    interpreted fold per merge (HOF-CSE rule), whole-document piece
+    counts JVM-side.  The oracle replays the same 8 unrolled merge
+    rounds to the word→pieces map and joins it onto each document's
+    words, so the per-doc token counts a data-mixing budget consumes
+    are verified end-to-end, not just the learned merge list."""
+    from .pipeline.bpe import bpe_learn_merges, bpe_segment
+    d = _t(spark, sf_dir, "documents")
+    merges = [(r["left"], r["right"]) for r in
+              bpe_learn_merges(d, n_merges=8).orderBy("rank").collect()]
+    return bpe_segment(d, merges)
+
+
 def q_route_clusters(spark, sf_dir):
     """M1-M3 (cluster_routes_kmeans, bdb2026/routes.py:173-233) as the
     deterministic relational pipeline: median impute → per-dim z-scale →
@@ -3214,6 +3230,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_frame_sample": q_frame_sample,
     "q_pack_chunks": q_pack_chunks,
     "q_bpe_merges": q_bpe_merges,
+    "q_bpe_encode": q_bpe_encode,
     "q_decontaminate": q_decontaminate,
     "q_pq_topk": q_pq_topk,
     "q_zorder_values": q_zorder_values,
