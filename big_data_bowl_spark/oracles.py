@@ -3028,6 +3028,44 @@ GROUP BY event_type
 """
 
 
+# --- q_media_ahash: perceptual average-hash from the decoded bytes ----------
+# The fake decode is byte-deterministic (byte i of the utf-8 payload =
+# ascii of char i+1 for this ASCII corpus), and every block threshold is
+# the integer cross-multiplication bs·n > total·bc — no float ties — so
+# the 64-bit fingerprint and its band keys reproduce exactly.  bit_or
+# assembles the hash (distinct block masks; the bit-63 mask is the
+# explicit min-long, as in the Bloom oracle); bands are arithmetic-shift
+# + mask, sign-safe because the mask strips the propagated sign bits.
+ORACLES["q_media_ahash"] = """
+WITH px AS (
+    SELECT doc_id, (i - 1) // 4 AS blk,
+           CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+    FROM documents,
+         UNNEST(range(1, least(length(text), 256) + 1)) t(i)),
+tot AS (SELECT doc_id, sum(v) AS total, count(*) AS n
+        FROM px GROUP BY 1),
+blk AS (SELECT doc_id, blk, sum(v) AS bs, count(*) AS bc
+        FROM px GROUP BY 1, 2),
+bits AS (
+    SELECT b.doc_id, b.blk
+    FROM blk b JOIN tot t USING (doc_id)
+    WHERE b.bs * t.n > t.total * b.bc),
+h AS (
+    SELECT doc_id,
+           bit_or(CASE WHEN blk = 63
+                       THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                       ELSE 1::BIGINT << CAST(blk AS INT) END) AS ahash
+    FROM bits GROUP BY 1)
+SELECT d.doc_id AS media_id,
+       coalesce(h.ahash, 0) AS ahash,
+       (coalesce(h.ahash, 0) >> 0)  & 65535 AS band0,
+       (coalesce(h.ahash, 0) >> 16) & 65535 AS band1,
+       (coalesce(h.ahash, 0) >> 32) & 65535 AS band2,
+       (coalesce(h.ahash, 0) >> 48) & 65535 AS band3
+FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id
+"""
+
+
 # --- q_bloom_ingest_gate: neutral Bloom bit table + k-probe gate, in SQL ----
 # Probe i hashes (key + i·1000003) through the wang chain; word/mask use
 # the same 1::BIGINT << (bit % 64) arithmetic as the engine (arithmetic

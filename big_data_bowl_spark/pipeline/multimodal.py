@@ -169,3 +169,75 @@ def explode_frames(df: DataFrame, frame_bytes: int = 32,
         "media_id", F.col("frame_idx").cast("long").alias("frame_idx"),
         frame.alias("frame"),
         F.octet_length(frame).cast("long").alias("n_bytes"))
+
+
+AHASH_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("ahash", LongType()),
+])
+
+
+def perceptual_ahash(df: DataFrame) -> DataFrame:
+    """Perceptual average-hash over the decoded payload — the image
+    near-dup fingerprint (aHash: threshold each downsampled block
+    against the global mean; the simpler cousin of DCT pHash, and the
+    media analog of SimHash for text).  Decode runs at the same
+    mapInPandas seam as :func:`extract_features`; the 64 block bits use
+    INTEGER cross-multiplication (block_sum · n_pixels > total_sum ·
+    block_n) so the threshold has no float ties and a SQL engine
+    reproduces the hash bit-for-bit (q_media_ahash's oracle).  Returns
+    (media_id, ahash: int64)."""
+    require_columns(df, ["media_id", "payload"], "perceptual_ahash")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = [int(round(v)) for v in _decode_stub(bytes(payload))]
+                n = len(px)
+                total = sum(px)
+                h = 0
+                for blk in range(64):
+                    seg = px[blk * 4:(blk + 1) * 4]
+                    if seg and sum(seg) * n > total * len(seg):
+                        h |= 1 << blk
+                if h >= 1 << 63:   # wrap to signed int64 (bit 63 set)
+                    h -= 1 << 64
+                out.append({"media_id": int(mid), "ahash": h})
+            yield pd.DataFrame(out, columns=["media_id", "ahash"])
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dup_pairs(hashes: DataFrame, bands: int = 4,
+                         max_hamming: int = 3) -> DataFrame:
+    """Media near-dup candidate pairs from aHash fingerprints — the
+    SimHash banding discipline on binary media: with ``max_hamming <
+    bands``, pigeonhole guarantees the differing bits cannot touch every
+    band, so two hashes within the threshold agree EXACTLY on ≥1 band
+    and candidates come from ``bands`` equi-joins on band values — never
+    an all-pairs scan (recall 1.0 under that condition; a larger
+    threshold trades recall, like SimHash's banded tier).  The exact
+    Hamming filter is one codegen ``bit_count(xor)``.  Returns
+    (media_a, media_b, hamming) distinct pairs, a < b."""
+    require_columns(hashes, ["media_id", "ahash"], "ahash_near_dup_pairs")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = hashes.select(
+        "media_id", "ahash",
+        F.posexplode(F.array(*[
+            (F.shiftright(F.col("ahash"), b * width)
+              .bitwiseAND(F.lit(mask))).alias(f"b{b}")
+            for b in range(bands)])).alias("band", "band_val"))
+    a = banded.select(F.col("media_id").alias("media_a"),
+                      F.col("ahash").alias("__ha"), "band", "band_val")
+    b = banded.select(F.col("media_id").alias("media_b"),
+                      F.col("ahash").alias("__hb"), "band", "band_val")
+    return (a.join(b, ["band", "band_val"])
+             .filter(F.col("media_a") < F.col("media_b"))
+             .withColumn("hamming",
+                         F.bit_count(F.col("__ha")
+                                      .bitwiseXOR(F.col("__hb"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("media_a", "media_b", "hamming")
+             .distinct())

@@ -1453,6 +1453,26 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_media_ahash(spark, sf_dir):
+    """Perceptual average-hash over decoded media payloads,
+    HASH-VERIFIED: the image-dedup fingerprint computed at the Python
+    decode seam (mapInPandas, Arrow batches) with integer-exact block
+    thresholds, plus its 4 LSH band keys — the media analog of the
+    SimHash text fingerprint, verified bit-for-bit because the fake
+    decode is byte-deterministic and every threshold is an integer
+    cross-multiplication.  Pairing (ahash_near_dup_pairs) is the
+    SimHash banding discipline and carries planted-perturbation tests."""
+    from .pipeline.multimodal import attach_binary_payload, perceptual_ahash
+    d = _t(spark, sf_dir, "documents")
+    media = attach_binary_payload(d, "doc_id", "text")
+    h = perceptual_ahash(media)
+    return h.select(
+        "media_id", "ahash",
+        *[(F.shiftright(F.col("ahash"), b * 16)
+            .bitwiseAND(F.lit(65535))).alias(f"band{b}")
+          for b in range(4)])
+
+
 def q_multimodal_features(spark, sf_dir):
     """Binary-column multimodal plumbing: utf-8 payloads → mapInPandas
     decode-stub → per-payload features (Arrow-batched, schema-typed)."""
@@ -3267,6 +3287,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivf_neutral": q_ivf_neutral,
     "q_fingerprint": q_fingerprint,
     "q_multimodal_features": q_multimodal_features,
+    "q_media_ahash": q_media_ahash,
     "q_route_clusters": q_route_clusters,
     "q_tpch_q13": q_tpch_q13,
     "q_tpch_q15": q_tpch_q15,

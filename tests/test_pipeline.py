@@ -1001,6 +1001,36 @@ def test_hll_union_equals_whole_and_close_to_exact(spark):
         assert abs(est - exact[et]) / exact[et] < 0.03, (et, est, exact[et])
 
 
+def test_ahash_near_dup_pairs_equal_bruteforce(spark):
+    """Media near-dup pairing ≡ brute force: over originals + exact
+    copies + tail-perturbed variants, the banded join returns EXACTLY
+    the pairs with Hamming ≤ 3 (pigeonhole recall is 1.0 when
+    max_hamming < bands, and the bit_count filter kills band-collision
+    false positives).  Exact copies guarantee the expectation is
+    non-vacuous."""
+    from big_data_bowl_spark.pipeline.multimodal import (
+        ahash_near_dup_pairs, attach_binary_payload, perceptual_ahash)
+    d = (read_table(spark, SF_SMALL, "documents")
+         .select("doc_id", "text").limit(40))
+    media = attach_binary_payload(
+        d.select("doc_id", "text")
+         .union(d.select(F.col("doc_id") + 100000,
+                         F.concat("text", F.lit(" zz"))))
+         .union(d.select(F.col("doc_id") + 200000, "text")),
+        "doc_id", "text")
+    hashes = perceptual_ahash(media)
+    hv = {r["media_id"]: r["ahash"] for r in hashes.collect()}
+    ids = sorted(hv)
+    expected = {(a, b, bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1"))
+                for i, a in enumerate(ids) for b in ids[i + 1:]
+                if bin((hv[a] ^ hv[b]) & ((1 << 64) - 1)).count("1") <= 3}
+    got = {(r["media_a"], r["media_b"], r["hamming"])
+           for r in ahash_near_dup_pairs(hashes).collect()}
+    assert expected, "planted exact copies must produce pairs"
+    assert got == expected, (len(got), len(expected),
+                             got ^ expected)
+
+
 def test_bloom_state_merge_and_no_false_negatives(spark):
     """Bloom ingest-gate contracts: day-grain bit tables OR-merged equal
     the one-shot whole-history table (bit_or is associative +
