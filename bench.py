@@ -117,6 +117,11 @@ HEADLINE = [
     "q_shard_stats",
     "q_bloom_ingest_gate",
     "q_triangle_count",
+    # the tokenizer encode side (8 interpreted HOF folds, the measured
+    # cost of the merge-application path) and the mapInPandas decode
+    # seam (Arrow round-trip + Python hash math)
+    "q_bpe_encode",
+    "q_media_ahash",
 ]
 
 

@@ -125,6 +125,10 @@ AUDITED: dict[str, str] = {
         "Degree-oriented wedge closing: degree agg, wedge self-join on "
         "the apex, closing equi-join — fan-out bounded by the oriented "
         "out-degree, no hub blow-up."),
+    "q_media_ahash": (
+        "One ArrowEvalPython/mapInPandas stage over the media scan "
+        "(the decode seam), then codegen band extraction — zero "
+        "exchanges: the fingerprint is per-row."),
 }
 
 
