@@ -265,6 +265,12 @@ def with_bloom_maybe_seen(df: DataFrame, state: DataFrame, key_col: str,
     _bloom_check_params(state, "with_bloom_maybe_seen", m_words, k)
     from ..pipeline.sampling import wang_mixed_hash
     total_bits = m_words * 64
+    # collapse to word grain whatever grain the caller hands us (a
+    # day-grain state passed directly would otherwise FAN OUT every
+    # batch row once per matching state row, silently inflating counts);
+    # bit_or over the finer grain IS the OR-merge, so this is the
+    # defensive form of "gate against the union of the given states"
+    word_bits = state.groupBy("word").agg(F.bit_or("bits").alias("bits"))
     got = df
     flags = []
     for i in range(k):
@@ -272,8 +278,8 @@ def with_bloom_maybe_seen(df: DataFrame, state: DataFrame, key_col: str,
                                    + F.lit(i * BLOOM_SEED_STEP)),
                    F.lit(total_bits))
         word = (h / 64).cast("long")
-        b = state.select(F.col("word").alias(f"__w{i}"),
-                         F.col("bits").alias(f"__b{i}"))
+        b = word_bits.select(F.col("word").alias(f"__w{i}"),
+                             F.col("bits").alias(f"__b{i}"))
         got = (got.join(F.broadcast(b), word == F.col(f"__w{i}"), "left")
                   .drop(f"__w{i}"))
         flags.append(
