@@ -138,24 +138,38 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
                 id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Apply learned merges (in order) to every document and count the
-    resulting BPE pieces — the distributed ENCODE side.  Each merge is one
-    more fold over the staged per-word symbol arrays; whole-document work
-    stays JVM-side.  Returns (doc_id, n_pieces)."""
+    resulting BPE pieces — the distributed ENCODE side.
+
+    Segmentation is a pure function of the WORD, so the (interpreted)
+    merge folds run ONCE PER DISTINCT WORD at vocab grain — never per
+    document occurrence.  The corpus-scale work is all codegen: explode
+    words, broadcast-join the vocab's word→n_pieces map back, sum per
+    doc.  (The previous per-document form ran the 8 interpreted folds
+    over every word occurrence and was 7× slower at sf0.1 — the same
+    vocab-grain collapse that makes merge LEARNING scale applies to
+    ENCODE.)  Zero-word documents keep n_pieces=0 via the left join.
+    Returns (doc_id, n_pieces)."""
     require_columns(df, [id_col, text_col], "bpe_segment")
-    out = df.select(
+    words = df.select(
         F.col(id_col),
-        F.transform(F.filter(F.split(F.col(text_col), " "),
-                             lambda t: t != ""),
-                    lambda w: _chars(w)).alias("__wsyms"))
+        F.explode(F.filter(F.split(F.col(text_col), " "),
+                           lambda t: t != "")).alias("word"))
+    vocab = words.select("word").distinct() \
+                 .withColumn("__syms", _chars(F.col("word")))
     for left, right in merges:
-        # stage each round as its own projection so the (interpreted)
-        # folds never nest — the HOF-CSE rule from SCALE.md
-        out = out.select(
-            F.col(id_col),
-            F.transform("__wsyms",
-                        lambda syms: _apply_merge(syms, left, right))
-             .alias("__wsyms"))
-    return out.select(
-        F.col(id_col),
-        F.aggregate("__wsyms", F.lit(0).cast("long"),
-                    lambda acc, syms: acc + F.size(syms)).alias("n_pieces"))
+        # one projection per merge so the interpreted folds never nest
+        # (HOF-CSE rule, SCALE.md)
+        vocab = vocab.select(
+            "word", _apply_merge(F.col("__syms"), left, right)
+            .alias("__syms"))
+    pieces = vocab.select(
+        "word", F.size("__syms").cast("long").alias("__n"))
+    # no broadcast hint: a web-scale vocab is corpus-sized (the
+    # unigram_scores rule) — let AQE broadcast it when stats say it fits
+    per_doc = (words.join(pieces, "word")
+                    .groupBy(id_col)
+                    .agg(F.sum("__n").alias("n_pieces")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_pieces", F.lit(0).cast("long"))
+                       .alias("n_pieces")))
