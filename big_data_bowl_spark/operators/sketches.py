@@ -262,6 +262,11 @@ def with_bloom_maybe_seen(df: DataFrame, state: DataFrame, key_col: str,
     require_columns(df, [key_col], "with_bloom_maybe_seen")
     require_columns(state, ["word", "bits", "bloom_m_words", "bloom_k"],
                     "with_bloom_maybe_seen")
+    # pin the (≤ m_words-row) state ONCE: the k broadcast builds below
+    # plus the geometry check are k+1 independent consumers, each of
+    # which would otherwise re-execute whatever pipeline produced the
+    # state (at 100 TB: k+1 scans of the history aggregation)
+    state = state.localCheckpoint(eager=True)
     _bloom_check_params(state, "with_bloom_maybe_seen", m_words, k)
     from ..pipeline.sampling import wang_mixed_hash
     total_bits = m_words * 64
