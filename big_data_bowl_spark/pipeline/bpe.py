@@ -148,8 +148,13 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
     over every word occurrence and was 7× slower at sf0.1 — the same
     vocab-grain collapse that makes merge LEARNING scale applies to
     ENCODE.)  Zero-word documents keep n_pieces=0 via the left join.
-    Returns (doc_id, n_pieces)."""
+    ``id_col`` must be unique — the per-id sum would silently merge
+    duplicate rows' counts, so duplicates fail loud.  Returns
+    (doc_id, n_pieces)."""
     require_columns(df, [id_col, text_col], "bpe_segment")
+    from ..operators.checks import check_group_cardinality
+    df = check_group_cardinality(df, [id_col], 1,
+                                 name="bpe_segment[unique id]")
     words = df.select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.col(text_col), " "),

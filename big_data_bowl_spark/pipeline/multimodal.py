@@ -209,6 +209,18 @@ def perceptual_ahash(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=AHASH_SCHEMA)
 
 
+def ahash_band_cols(hash_col: str, bands: int = 4) -> list:
+    """The band-key expressions for a 64-bit fingerprint, shared by the
+    pairing join and any query exposing band keys so the two can never
+    drift: band b = arithmetic-shift right by b·width then mask (the
+    mask strips the propagated sign bits, so the keys are sign-safe)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return [(F.shiftright(F.col(hash_col), b * width)
+              .bitwiseAND(F.lit(mask))).alias(f"band{b}")
+            for b in range(bands)]
+
+
 def ahash_near_dup_pairs(hashes: DataFrame, bands: int = 4,
                          max_hamming: int = 3) -> DataFrame:
     """Media near-dup candidate pairs from aHash fingerprints — the
@@ -221,14 +233,20 @@ def ahash_near_dup_pairs(hashes: DataFrame, bands: int = 4,
     Hamming filter is one codegen ``bit_count(xor)``.  Returns
     (media_a, media_b, hamming) distinct pairs, a < b."""
     require_columns(hashes, ["media_id", "ahash"], "ahash_near_dup_pairs")
-    width = 64 // bands
-    mask = (1 << width) - 1
+    if bands < 1 or 64 % bands != 0:
+        raise ValueError(
+            f"ahash_near_dup_pairs: bands={bands} must divide 64 — "
+            "trailing bits would be silently excluded from every band "
+            "key (and width 0 would put the whole corpus in one "
+            "bucket, an all-pairs join)")
+    # pin the mapInPandas decode+hash stage ONCE: the band self-join's
+    # two sides would otherwise each re-run the Python seam — the most
+    # expensive stage of the query — over the whole media table
+    hashes = hashes.localCheckpoint(eager=True)
     banded = hashes.select(
         "media_id", "ahash",
-        F.posexplode(F.array(*[
-            (F.shiftright(F.col("ahash"), b * width)
-              .bitwiseAND(F.lit(mask))).alias(f"b{b}")
-            for b in range(bands)])).alias("band", "band_val"))
+        F.posexplode(F.array(*ahash_band_cols("ahash", bands)))
+         .alias("band", "band_val"))
     a = banded.select(F.col("media_id").alias("media_a"),
                       F.col("ahash").alias("__ha"), "band", "band_val")
     b = banded.select(F.col("media_id").alias("media_b"),

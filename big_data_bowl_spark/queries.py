@@ -1462,15 +1462,13 @@ def q_media_ahash(spark, sf_dir):
     decode is byte-deterministic and every threshold is an integer
     cross-multiplication.  Pairing (ahash_near_dup_pairs) is the
     SimHash banding discipline and carries planted-perturbation tests."""
-    from .pipeline.multimodal import attach_binary_payload, perceptual_ahash
+    from .pipeline.multimodal import (ahash_band_cols,
+                                      attach_binary_payload,
+                                      perceptual_ahash)
     d = _t(spark, sf_dir, "documents")
     media = attach_binary_payload(d, "doc_id", "text")
     h = perceptual_ahash(media)
-    return h.select(
-        "media_id", "ahash",
-        *[(F.shiftright(F.col("ahash"), b * 16)
-            .bitwiseAND(F.lit(65535))).alias(f"band{b}")
-          for b in range(4)])
+    return h.select("media_id", "ahash", *ahash_band_cols("ahash", 4))
 
 
 def q_multimodal_features(spark, sf_dir):

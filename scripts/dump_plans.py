@@ -129,6 +129,11 @@ AUDITED: dict[str, str] = {
         "One ArrowEvalPython/mapInPandas stage over the media scan "
         "(the decode seam), then codegen band extraction — zero "
         "exchanges: the fingerprint is per-row."),
+    "q_bpe_encode": (
+        "Interpreted merge folds sit on the VOCAB branch (post-"
+        "distinct, word grain), never the corpus branch; the word→"
+        "pieces map joins back (AQE's broadcast call) and the per-doc "
+        "sum is one combinable aggregate."),
 }
 
 
