@@ -446,6 +446,40 @@ def test_stream_quantile_sketch_equals_batch(spark, tmp_path):
     assert _rows(est) == _rows(batch_est)
 
 
+def test_read_latest_state_ignores_uncommitted_version(spark, tmp_path):
+    """The LATEST-pointer contract under a crashed fold: a v(N+1)
+    directory that exists on disk but was never published (the writer
+    died between the parquet write and the pointer rename) must be
+    invisible to readers — read_latest_state serves vN, never a
+    directory listing's max."""
+    from big_data_bowl_spark.operators.sketches import bloom_neutral_state
+    from big_data_bowl_spark.streaming.stream_ops import (
+        latest_state_version, read_latest_state, stream_bloom_rollup)
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id")
+    watch = _stage_chunks(ev, tmp_path)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_bloom_rollup(stream, str(tmp_path / "cstate"),
+                            str(tmp_path / "cckpt"), "user_id")
+    q.awaitTermination(120)
+    assert latest_state_version(str(tmp_path / "cstate")) == 2
+
+    # simulate a crash mid-fold: v3 exists (even with plausible-looking
+    # partial content) but LATEST still says 2
+    garbage = ev.limit(1)
+    garbage.write.parquet(str(tmp_path / "cstate" / "v3"))
+    assert latest_state_version(str(tmp_path / "cstate")) == 2
+    got = sorted(map(tuple, read_latest_state(
+        spark, str(tmp_path / "cstate")).select("word", "bits")
+        .collect()))
+    want = sorted(map(tuple, bloom_neutral_state(ev, [], "user_id")
+                      .select("word", "bits").collect()))
+    assert got == want
+
+
 def test_stream_bloom_rollup_equals_batch(spark, tmp_path):
     """Streaming Bloom fold: the bit table folded across 3 micro-batches
     is ROW-IDENTICAL to the one-shot whole-history table (bit_or is
