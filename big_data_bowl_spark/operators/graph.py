@@ -20,13 +20,20 @@ from ..schemas import require_columns
 
 
 def bipartite_edges(df: DataFrame, entity_col: str, item_col: str,
-                    max_entities_per_item: int | None = None) -> DataFrame:
+                    max_entities_per_item: int | None = None,
+                    undirected: bool = False) -> DataFrame:
     """Project a bipartite (entity, item) relation onto entity–entity
     edges: an edge per ordered pair of distinct entities sharing an item
     (deduped across items).  Fan-out is C(entities-per-item, 2) — the
     J6 bounded-quadratic discipline; pass ``max_entities_per_item`` to
     fail loud on hub items (stop-item removal is the 100 TB pre-step,
-    exactly like stop-word removal in the prefix-filter join)."""
+    exactly like stop-word removal in the prefix-filter join).
+
+    ``undirected=True`` emits each edge ONCE in canonical src < dst
+    form: the co-join filters ``<`` instead of ``≠``, halving the pair
+    fan-out through the shuffle and the dedup — the right input for
+    symmetric consumers (triangle counting), which would otherwise pay
+    a second canonicalize+distinct pass over double-width edges."""
     require_columns(df, [entity_col, item_col], "bipartite_edges")
     pairs = df.select(F.col(entity_col).alias("e"),
                       F.col(item_col).alias("i")).distinct()
@@ -35,8 +42,10 @@ def bipartite_edges(df: DataFrame, entity_col: str, item_col: str,
         pairs = check_group_cardinality(pairs, ["i"], max_entities_per_item)
     a = pairs.select(F.col("i"), F.col("e").alias("src"))
     b = pairs.select(F.col("i"), F.col("e").alias("dst"))
+    cond = (F.col("src") < F.col("dst")) if undirected \
+        else (F.col("src") != F.col("dst"))
     return (a.join(b, "i")
-             .filter(F.col("src") != F.col("dst"))
+             .filter(cond)
              .select("src", "dst").distinct())
 
 

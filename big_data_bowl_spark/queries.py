@@ -2467,8 +2467,10 @@ def q_triangle_count(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     rel = e.select("user_id",
                    (F.col("event_id") / 5).cast("long").alias("item"))
+    # undirected=True: canonical src<dst edges — half the projection
+    # fan-out, and triangle_count's own canonicalize becomes a no-op
     edges = bipartite_edges(rel, "user_id", "item",
-                            max_entities_per_item=8)
+                            max_entities_per_item=8, undirected=True)
     return (triangle_count(edges)
             .select(F.col("node").alias("user_id"), "n_triangles"))
 
