@@ -140,6 +140,24 @@ def read_jsonl(spark: SparkSession, path: str,
     return spark.read.schema(schema).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems); same pushdown/pruning properties as parquet, so a
+    consumer locked to ORC gets the engine's scan discipline unchanged."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    """ORC source; pass a schema to pin dtypes (the S1 declared-schema
+    rule), else ORC's embedded schema is authoritative (unlike CSV/JSON,
+    columnar formats carry exact types, so inference is not a guess)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def compact_parquet(spark: SparkSession, src: str, dst: str,
                     target_bytes: int = 256 << 20) -> int:
     """Small-files compaction: rewrite a parquet directory into

@@ -436,6 +436,24 @@ def test_resize_and_frame_explode(spark):
             assert per[m.media_id] == expect_n
 
 
+def test_orc_round_trip_and_pushdown(spark, tmp_path):
+    """S-family widening: events → ORC → read-back equals source, and a
+    filter over the ORC scan reaches the reader as a pushed predicate
+    (ORC carries the same stats machinery as parquet)."""
+    from big_data_bowl_spark.sources.io import read_orc, write_orc
+
+    ev = (read_table(spark, SF_SMALL, "events")
+          .select("event_id", "user_id", "value").limit(300))
+    path = str(tmp_path / "events_orc")
+    write_orc(ev, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, ev.collect()))
+    plan = back.filter(F.col("user_id") == 7)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PushedFilters: [" in plan and "user_id" in plan, plan
+
+
 def test_jsonl_round_trip(spark, tmp_path):
     """S-family widening: documents → JSONL → declared-schema read-back."""
     from pyspark.sql.types import (
