@@ -275,3 +275,32 @@ def test_triangle_count_equals_naive(spark, edges):
             for n in (x, y, z):
                 want[n] = want.get(n, 0) + 1
     assert got == want, (sorted(und), got, want)
+
+
+def _wang_py(key: int) -> int:
+    h = ((key % (1 << 31)) * 2654435761) % (1 << 32)
+    for _ in range(2):
+        h = ((h ^ (h >> 16)) * 0x45D9F3B) % (1 << 32)
+    return h ^ (h >> 16)
+
+
+# quantile_sketch_state ≡ the python bottom-k by the same hash chain
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 500),
+                               st.integers(-100, 100)),
+                     min_size=1, max_size=30,
+                     unique_by=lambda t: (t[0], t[1])),
+       k=st.integers(1, 8))
+def test_quantile_sketch_state_equals_python_bottomk(spark, rows, k):
+    from big_data_bowl_spark.operators.sketches import quantile_sketch_state
+
+    df = spark.createDataFrame(
+        [Row(g=g, key=key, v=float(v)) for g, key, v in rows])
+    got = {(r.g, r.key, r.qs_hash, r.v) for r in
+           quantile_sketch_state(df, ["g"], "v", "key", k=k).collect()}
+    want = set()
+    for g in {g for g, _, _ in rows}:
+        members = sorted(((_wang_py(key), key, v)
+                          for gg, key, v in rows if gg == g))
+        want |= {(g, key, h, float(v)) for h, key, v in members[:k]}
+    assert got == want, (rows, k, got ^ want)
