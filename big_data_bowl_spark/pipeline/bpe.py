@@ -136,7 +136,8 @@ def bpe_learn_merges(df: DataFrame, n_merges: int = 10,
 
 def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                check_unique: bool = True) -> DataFrame:
     """Apply learned merges (in order) to every document and count the
     resulting BPE pieces — the distributed ENCODE side.
 
@@ -149,12 +150,16 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
     vocab-grain collapse that makes merge LEARNING scale applies to
     ENCODE.)  Zero-word documents keep n_pieces=0 via the left join.
     ``id_col`` must be unique — the per-id sum would silently merge
-    duplicate rows' counts, so duplicates fail loud.  Returns
-    (doc_id, n_pieces)."""
+    duplicate rows' counts, so duplicates fail loud by default.  The
+    check is a full groupBy over the ids; at corpus scale pass
+    ``check_unique=False`` when uniqueness is already guaranteed
+    upstream (a primary key, a snapshot read) to skip that shuffle.
+    Returns (doc_id, n_pieces)."""
     require_columns(df, [id_col, text_col], "bpe_segment")
-    from ..operators.checks import check_group_cardinality
-    df = check_group_cardinality(df, [id_col], 1,
-                                 name="bpe_segment[unique id]")
+    if check_unique:
+        from ..operators.checks import check_group_cardinality
+        df = check_group_cardinality(df, [id_col], 1,
+                                     name="bpe_segment[unique id]")
     words = df.select(
         F.col(id_col),
         F.explode(F.filter(F.split(F.col(text_col), " "),
