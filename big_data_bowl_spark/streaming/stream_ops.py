@@ -387,6 +387,29 @@ def stream_bloom_rollup(df: DataFrame, state_dir: str,
         keep=keep)
 
 
+def stream_cms_rollup(df: DataFrame, state_dir: str,
+                      checkpoint_dir: str, col: str,
+                      w: int = 2048, d: int = 4, keep: int = 2):
+    """Streaming fold of the count-min counter table
+    (operators/sketches.cms_build): counter ADDITION is associative, so
+    per-batch d×w tables sum-merge into the persisted sketch under the
+    LATEST-pointer protocol — frequency estimates over an unbounded
+    stream with O(d·w) rows of state, and the folded table row-identical
+    to the one-shot whole-history build.  Completes the streaming state
+    matrix: group aggregates (sum/count monoids), quantile sample
+    (min-k), Bloom bits (bit_or), CMS counters (+).  Returns the
+    started query."""
+    from ..operators.sketches import cms_build
+
+    return _stream_fold(
+        df, state_dir, checkpoint_dir,
+        build_fn=lambda b: cms_build(b, col, w=w, d=d),
+        merge_fn=lambda prev, st: (
+            prev.unionByName(st).groupBy("row", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))),
+        keep=keep)
+
+
 FUNNEL_OUT_SCHEMA = "user_id long, stage int, n_events long"
 FUNNEL_STATE_SCHEMA = "stage int, last_ep double, n_events long"
 

@@ -446,6 +446,31 @@ def test_stream_quantile_sketch_equals_batch(spark, tmp_path):
     assert _rows(est) == _rows(batch_est)
 
 
+def test_stream_cms_rollup_equals_batch(spark, tmp_path):
+    """Streaming CMS fold: counter tables summed across 3 micro-batches
+    equal the one-shot whole-history build (counter addition is
+    associative), so frequency estimates are batch-count-independent."""
+    from big_data_bowl_spark.operators.sketches import cms_build
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_latest_state, stream_cms_rollup)
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type")
+    watch = _stage_chunks(ev, tmp_path)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_cms_rollup(stream, str(tmp_path / "mstate"),
+                          str(tmp_path / "mckpt"), "event_type")
+    q.awaitTermination(120)
+    got = sorted(map(tuple, read_latest_state(
+        spark, str(tmp_path / "mstate"))
+        .select("row", "bucket", "cnt").collect()))
+    want = sorted(map(tuple, cms_build(ev, "event_type")
+                      .select("row", "bucket", "cnt").collect()))
+    assert got == want
+
+
 def test_read_latest_state_ignores_uncommitted_version(spark, tmp_path):
     """The LATEST-pointer contract under a crashed fold: a v(N+1)
     directory that exists on disk but was never published (the writer
