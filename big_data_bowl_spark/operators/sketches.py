@@ -35,10 +35,35 @@ def cms_build(df: DataFrame, col: str, w: int = 2048,
                  F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(w))
                   .alias("bucket"))
         for i in range(d)])
+    # the state carries its (w, d) geometry, like the Bloom and quantile
+    # states: bucket indices are only meaningful against the space they
+    # were hashed into, so merge/estimate validate instead of silently
+    # blending mismatched tables (which would break est ≥ true — the
+    # property the heavy-hitter prefilter's EXACTNESS rests on)
     return (df.select(F.explode(cells).alias("c"))
               .select("c.row", "c.bucket")
               .groupBy("row", "bucket")
-              .agg(F.count(F.lit(1)).alias("cnt")))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .withColumn("cms_w", F.lit(w))
+              .withColumn("cms_d", F.lit(d)))
+
+
+def _cms_check_params(state: DataFrame, where: str,
+                      w: int | None = None,
+                      d: int | None = None) -> None:
+    """Fail loud on heterogeneous or mismatched CMS geometry (one tiny
+    job over the ≤ d·w-row table)."""
+    combos = state.select("cms_w", "cms_d").distinct().collect()
+    pairs = sorted((r["cms_w"], r["cms_d"]) for r in combos)
+    if len(pairs) > 1:
+        raise ValueError(
+            f"{where}: mixed CMS geometries {pairs} cannot be merged — "
+            "bucket spaces are incompatible")
+    if pairs and (w, d) != (None, None) and pairs[0] != (w, d):
+        raise ValueError(
+            f"{where}: sketch was built with (w, d)={pairs[0]}, caller "
+            f"asked for {(w, d)} — probing the wrong bucket space would "
+            "silently break the est ≥ true guarantee")
 
 
 def with_cms_estimate(df: DataFrame, cms: DataFrame, col: str,
@@ -47,8 +72,12 @@ def with_cms_estimate(df: DataFrame, cms: DataFrame, col: str,
     """Append the CMS frequency estimate of ``col`` to every row: d
     broadcast joins against the counter table (constant build side, zero
     shuffle of ``df``), estimate = least of the d counters.  A cell
-    missing from the table means zero occurrences → estimate 0."""
+    missing from the table means zero occurrences → estimate 0.  Fails
+    loud if ``cms`` was built with a different (w, d) geometry."""
     require_columns(df, [col], "with_cms_estimate")
+    require_columns(cms, ["row", "bucket", "cnt", "cms_w", "cms_d"],
+                    "with_cms_estimate")
+    _cms_check_params(cms, "with_cms_estimate", w, d)
     est = df
     cols = []
     for i in range(d):

@@ -399,14 +399,21 @@ def stream_cms_rollup(df: DataFrame, state_dir: str,
     matrix: group aggregates (sum/count monoids), quantile sample
     (min-k), Bloom bits (bit_or), CMS counters (+).  Returns the
     started query."""
-    from ..operators.sketches import cms_build
+    from ..operators.sketches import _cms_check_params, cms_build
+
+    def merge(prev: DataFrame, st: DataFrame) -> DataFrame:
+        u = prev.unionByName(st)
+        # a restart with different (w, d) must fail loud, not blend
+        # bucket spaces (silent under-estimates would break the
+        # heavy-hitter prefilter's exactness)
+        _cms_check_params(u, "stream_cms_rollup", w, d)
+        return (u.groupBy("row", "bucket", "cms_w", "cms_d")
+                 .agg(F.sum("cnt").alias("cnt")))
 
     return _stream_fold(
         df, state_dir, checkpoint_dir,
         build_fn=lambda b: cms_build(b, col, w=w, d=d),
-        merge_fn=lambda prev, st: (
-            prev.unionByName(st).groupBy("row", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))),
+        merge_fn=merge,
         keep=keep)
 
 

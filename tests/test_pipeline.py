@@ -449,9 +449,11 @@ def test_orc_round_trip_and_pushdown(spark, tmp_path):
     back = read_orc(spark, path)
     assert sorted(map(tuple, back.collect())) == \
         sorted(map(tuple, ev.collect()))
-    plan = back.filter(F.col("user_id") == 7)._jdf.queryExecution() \
-        .executedPlan().toString()
-    assert "PushedFilters: [" in plan and "user_id" in plan, plan
+    # section-scoped check: the fragment must be INSIDE the PushedFilters
+    # list (a bare substring test would pass on 'PushedFilters: []' plus
+    # the column name appearing in ReadSchema)
+    from big_data_bowl_spark.plans import assert_pushed_filters
+    assert_pushed_filters(back.filter(F.col("user_id") == 7), "user_id")
 
 
 def test_jsonl_round_trip(spark, tmp_path):
