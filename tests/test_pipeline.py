@@ -1112,6 +1112,12 @@ def test_sketch_state_guards_fail_loud(spark):
     with pytest.raises(ValueError, match="geometry"):
         with_bloom_maybe_seen(e, bstate, "user_id", m_words=256)
 
+    from big_data_bowl_spark.operators.sketches import (
+        cms_build, with_cms_estimate)
+    sketch = cms_build(e, "event_type", w=1024)
+    with pytest.raises(ValueError, match="bucket space"):
+        with_cms_estimate(e, sketch, "event_type", w=2048)
+
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(edges, iters=2, checkpoint_every=0)
