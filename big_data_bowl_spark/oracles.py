@@ -1001,6 +1001,18 @@ FROM c WHERE cum <= 3000
 GROUP BY 1
 """
 
+ORACLES["q_retention_cohorts"] = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (
+    SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1)
+SELECT f.cohort_day,
+       CAST(a.day - f.cohort_day AS BIGINT) AS offset_days,
+       count(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
 ORACLES["q_distribution_windows"] = """
 SELECT c_custkey,
        ntile(10) OVER w AS decile,

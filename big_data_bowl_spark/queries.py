@@ -2727,6 +2727,26 @@ def q_kfold(spark, sf_dir):
                   F.countDistinct("user_id").alias("n_users")))
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Retention cohort matrix, HASH-VERIFIED: users cohort by their
+    first-seen day; each (cohort_day, day-offset) cell counts distinct
+    users active that many days later — the product-analytics staple
+    missing between funnel/attribution/sessionize.  Plan shape: the
+    (user, day) grain dedups once, the first-day table is user-grain
+    (joined, NOT broadcast — user-grain scales with the fact table, the
+    PageRank node-table rule), and the cell count combines map-side.
+    At 100 TB both sides shuffle on user_id and co-partition."""
+    e = _t(spark, sf_dir, "events")
+    act = (e.select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    first = act.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (act.join(first, "user_id")
+               .groupBy("cohort_day",
+                        F.datediff("day", "cohort_day")
+                         .cast("long").alias("offset_days"))
+               .agg(F.countDistinct("user_id").alias("n_users")))
+
+
 def q_attribution(spark, sf_dir):
     """Last-touch attribution: every purchase credits the user's latest
     PRECEDING non-purchase event (channel + lead time) — the as-of self
@@ -3203,6 +3223,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_span_corruption": q_span_corruption,
     "q_kfold": q_kfold,
     "q_attribution": q_attribution,
+    "q_retention_cohorts": q_retention_cohorts,
     "q_quantile_normalize": q_quantile_normalize,
     "q_trending_decay": q_trending_decay,
     "q_temperature_mix": q_temperature_mix,
