@@ -1001,6 +1001,39 @@ FROM c WHERE cum <= 3000
 GROUP BY 1
 """
 
+ORACLES["q_path_analysis"] = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events),
+islands AS (
+    SELECT user_id, ts, event_id, event_type,
+           sum(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked),
+ranked AS (
+    SELECT user_id, session_id, event_type,
+           row_number() OVER (PARTITION BY user_id, session_id
+                              ORDER BY ts, event_id) AS rn
+    FROM islands),
+paths AS (
+    SELECT user_id, session_id,
+           string_agg(event_type, '>' ORDER BY rn) AS path
+    FROM ranked WHERE rn <= 5
+    GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY 1
+ORDER BY n_sessions DESC, path ASC
+LIMIT 20
+"""
+
 ORACLES["q_retention_cohorts"] = """
 WITH act AS (
     SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -2727,6 +2727,40 @@ def q_kfold(spark, sf_dir):
                   F.countDistinct("user_id").alias("n_users")))
 
 
+def q_path_analysis(spark, sf_dir):
+    """Top session paths, HASH-VERIFIED: gaps-and-islands sessionization
+    (the q_sessionize formulation), each session's first 5 event types
+    joined in order, then the 20 most frequent paths (count desc, path
+    asc — a deterministic total order, so the limit cut is engine-
+    stable).  The ordered per-session path is the T1 array discipline:
+    array_sort over (ts, event_id, type) structs, transform, slice —
+    one shuffle for the session window, one for the session agg, one
+    for the path count."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w)))
+    marked = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.when(gap.isNull() | (gap >= 1800), F.lit(1))
+         .otherwise(F.lit(0)).alias("new_session"))
+    islands = marked.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    paths = (islands.groupBy("user_id", "session_id")
+             .agg(F.concat_ws(
+                 ">",
+                 F.slice(F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda s: s["event_type"]), 1, 5)).alias("path")))
+    return (paths.groupBy("path")
+                 .agg(F.count(F.lit(1)).alias("n_sessions"))
+                 .orderBy(F.desc("n_sessions"), F.asc("path"))
+                 .limit(20))
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Retention cohort matrix, HASH-VERIFIED: users cohort by their
     first-seen day; each (cohort_day, day-offset) cell counts distinct
@@ -3224,6 +3258,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kfold": q_kfold,
     "q_attribution": q_attribution,
     "q_retention_cohorts": q_retention_cohorts,
+    "q_path_analysis": q_path_analysis,
     "q_quantile_normalize": q_quantile_normalize,
     "q_trending_decay": q_trending_decay,
     "q_temperature_mix": q_temperature_mix,
