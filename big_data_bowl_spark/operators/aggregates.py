@@ -160,6 +160,43 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
              .agg(F.count(F.lit(1)).alias("n_groups")))
 
 
+def basket_lift(df: DataFrame, group_col: str, item_col: str,
+                min_pair_groups: int = 1) -> DataFrame:
+    """Association metrics over the co-occurrence pairs: support,
+    confidence (both directions' max), and lift for every unordered item
+    pair — the market-basket rules layer on :func:`cooccurrence_pairs`.
+    The per-item group counts and the total group count are item-grain /
+    1-row tables broadcast onto the pairs; lift = P(ab)/(P(a)·P(b)) with
+    every probability computed from the SAME distinct (group, item)
+    relation, so numerators and denominators cannot drift.  Returns
+    (item_a, item_b, n_ab, support, confidence, lift)."""
+    require_columns(df, [group_col, item_col], "basket_lift")
+    items = df.select(group_col, item_col).distinct()
+    pairs = cooccurrence_pairs(df, group_col, item_col) \
+        .filter(F.col("n_groups") >= min_pair_groups)
+    per_item = items.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("__n_item"))
+    total = items.select(group_col).distinct().agg(
+        F.count(F.lit(1)).alias("__n_total"))
+    out = (pairs
+           .join(F.broadcast(per_item.select(
+               F.col(item_col).alias("item_a"),
+               F.col("__n_item").alias("__na"))), "item_a")
+           .join(F.broadcast(per_item.select(
+               F.col(item_col).alias("item_b"),
+               F.col("__n_item").alias("__nb"))), "item_b")
+           .crossJoin(F.broadcast(total)))
+    n_ab = F.col("n_groups").cast("double")
+    return out.select(
+        "item_a", "item_b",
+        F.col("n_groups").alias("n_ab"),
+        F.round(n_ab / F.col("__n_total"), 6).alias("support"),
+        F.round(F.greatest(n_ab / F.col("__na"),
+                           n_ab / F.col("__nb")), 6).alias("confidence"),
+        F.round(n_ab * F.col("__n_total")
+                / (F.col("__na") * F.col("__nb")), 6).alias("lift"))
+
+
 def transition_matrix(df: DataFrame, group_col: str, state_col: str,
                       order_cols: list[str]) -> DataFrame:
     """First-order Markov transition counts + probabilities over ordered

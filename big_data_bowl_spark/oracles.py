@@ -1001,6 +1001,32 @@ FROM c WHERE cum <= 3000
 GROUP BY 1
 """
 
+ORACLES["q_basket_lift"] = """
+WITH items AS (
+    SELECT DISTINCT user_id, event_type FROM events),
+pairs AS (
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           count(*) AS n_ab
+    FROM items a JOIN items b USING (user_id)
+    WHERE a.event_type < b.event_type
+    GROUP BY 1, 2),
+per_item AS (
+    SELECT event_type, count(*) AS n_item FROM items GROUP BY 1),
+total AS (
+    SELECT count(DISTINCT user_id) AS n_total FROM items)
+SELECT p.item_a, p.item_b, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / t.n_total, 6) AS support,
+       round(greatest(CAST(p.n_ab AS DOUBLE) / ia.n_item,
+                      CAST(p.n_ab AS DOUBLE) / ib.n_item), 6)
+         AS confidence,
+       round(CAST(p.n_ab AS DOUBLE) * t.n_total
+             / (ia.n_item * ib.n_item), 6) AS lift
+FROM pairs p
+JOIN per_item ia ON p.item_a = ia.event_type
+JOIN per_item ib ON p.item_b = ib.event_type
+CROSS JOIN total t
+"""
+
 ORACLES["q_path_analysis"] = """
 WITH marked AS (
     SELECT user_id, ts, event_id, event_type,

@@ -3129,6 +3129,18 @@ def q_cooccurrence(spark, sf_dir):
     return cooccurrence_pairs(e, "user_id", "event_type")
 
 
+def q_basket_lift(spark, sf_dir):
+    """Association rules over the co-occurrence pairs, HASH-VERIFIED:
+    support / confidence (direction max) / lift per unordered
+    event-type pair, every probability from the same distinct
+    (user, type) relation.  Item counts and the basket total are
+    broadcast onto the pairs — the fact table is scanned once for the
+    distinct relation and everything else is derived from it."""
+    from .operators.aggregates import basket_lift
+    e = _t(spark, sf_dir, "events")
+    return basket_lift(e, "user_id", "event_type")
+
+
 def q_transition_matrix(spark, sf_dir):
     """First-order Markov transitions over each user's event sequence:
     lag window → pair counts → per-prev normalization via a broadcast
@@ -3280,6 +3292,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,
     "q_cooccurrence": q_cooccurrence,
+    "q_basket_lift": q_basket_lift,
     "q_transition_matrix": q_transition_matrix,
     "q_pit_join": q_pit_join,
     "q_equidepth_bins": q_equidepth_bins,
