@@ -1001,6 +1001,48 @@ FROM c WHERE cum <= 3000
 GROUP BY 1
 """
 
+ORACLES["q_period_over_period"] = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2)
+SELECT event_type, day,
+       round(c / 100.0, 2) AS total,
+       round(c / 100.0 - lag(c, 1) OVER w / 100.0, 2) AS dod_delta,
+       round(c / 100.0 - lag(c, 7) OVER w / 100.0, 2) AS wow_delta
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+ORACLES["q_new_vs_returning"] = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (
+    SELECT user_id, min(day) AS first_day FROM act GROUP BY 1)
+SELECT a.day,
+       CAST(sum(CASE WHEN a.day = f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST(sum(CASE WHEN a.day > f.first_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM act a JOIN first f USING (user_id)
+GROUP BY 1
+"""
+
+ORACLES["q_group_entropy"] = """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY 1, 2),
+terms AS (
+    SELECT user_id, n,
+           round(-(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY user_id))
+                 * log2(CAST(n AS DOUBLE)
+                        / sum(n) OVER (PARTITION BY user_id)), 9) AS t
+    FROM counts)
+SELECT user_id, round(sum(t), 6) AS entropy,
+       CAST(sum(n) AS BIGINT) AS n_events
+FROM terms GROUP BY 1
+"""
+
 ORACLES["q_basket_lift"] = """
 WITH items AS (
     SELECT DISTINCT user_id, event_type FROM events),

@@ -2727,6 +2727,68 @@ def q_kfold(spark, sf_dir):
                   F.countDistinct("user_id").alias("n_users")))
 
 
+def q_period_over_period(spark, sf_dir):
+    """Period-over-period BI comparison, HASH-VERIFIED: daily value
+    totals per event type with the prior-day and 7-days-ago totals
+    (lag 1 / lag 7 over the day-grain series) and their deltas.  The
+    windows run over the AGGREGATED day grain — O(types · days) rows —
+    never the fact table; integer-cents sums keep the totals
+    engine-exact before the delta subtraction."""
+    from .functions.scalar import cents
+    e = _t(spark, sf_dir, "events")
+    daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
+              .agg(F.sum(cents(F.col("value"))).alias("__c")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    total = F.col("__c") / 100.0
+    return daily.select(
+        "event_type", "day",
+        F.round(total, 2).alias("total"),
+        F.round(total - F.lag("__c", 1).over(w) / 100.0, 2)
+         .alias("dod_delta"),
+        F.round(total - F.lag("__c", 7).over(w) / 100.0, 2)
+         .alias("wow_delta"))
+
+
+def q_new_vs_returning(spark, sf_dir):
+    """New-vs-returning users per day, HASH-VERIFIED: the exact twin of
+    the Bloom ingest gate's question — a user's first-seen day marks
+    them new that day, returning after.  User-grain first-day table
+    joins the (user, day) activity grain (both shuffle on user_id and
+    co-partition; never broadcast — the PageRank node-table rule)."""
+    e = _t(spark, sf_dir, "events")
+    act = (e.select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    first = act.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (act.join(first, "user_id")
+               .groupBy("day")
+               .agg(F.sum((F.col("day") == F.col("first_day"))
+                          .cast("long")).alias("n_new"),
+                    F.sum((F.col("day") > F.col("first_day"))
+                          .cast("long")).alias("n_returning")))
+
+
+def q_group_entropy(spark, sf_dir):
+    """Per-user event-type Shannon entropy, HASH-VERIFIED: the behavior-
+    diversity score a quality/bot filter thresholds on (entropy ≈ 0 =
+    single-action bots).  Two aggregates on the same key chain —
+    (user, type) counts, then the in-group entropy sum — one shuffle
+    each, the second over the already-collapsed grain; p·log2(p) terms
+    round at 9 digits BEFORE the sum so the addition order across
+    engines cannot flip the 6-digit output."""
+    e = _t(spark, sf_dir, "events")
+    counts = (e.groupBy("user_id", "event_type")
+               .agg(F.count(F.lit(1)).alias("n")))
+    w_tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(w_tot)
+    terms = counts.select(
+        "user_id",
+        F.round(-p * F.log2(p), 9).alias("__t"),
+        F.col("n"))
+    return (terms.groupBy("user_id")
+                 .agg(F.round(F.sum("__t"), 6).alias("entropy"),
+                      F.sum("n").alias("n_events")))
+
+
 def q_path_analysis(spark, sf_dir):
     """Top session paths, HASH-VERIFIED: gaps-and-islands sessionization
     (the q_sessionize formulation), each session's first 5 event types
@@ -3271,6 +3333,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution": q_attribution,
     "q_retention_cohorts": q_retention_cohorts,
     "q_path_analysis": q_path_analysis,
+    "q_period_over_period": q_period_over_period,
+    "q_new_vs_returning": q_new_vs_returning,
+    "q_group_entropy": q_group_entropy,
     "q_quantile_normalize": q_quantile_normalize,
     "q_trending_decay": q_trending_decay,
     "q_temperature_mix": q_temperature_mix,
