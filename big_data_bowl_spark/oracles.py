@@ -1001,6 +1001,30 @@ FROM c WHERE cum <= 3000
 GROUP BY 1
 """
 
+ORACLES["q_table_profile"] = """
+SELECT 'event_id' AS "column",
+       CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+       CAST(min(event_id) AS VARCHAR) AS min_value,
+       CAST(max(event_id) AS VARCHAR) AS max_value
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) - count(user_id) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+FROM events
+UNION ALL
+SELECT 'event_type', CAST(count(*) - count(event_type) AS BIGINT),
+       CAST(count(DISTINCT event_type) AS BIGINT),
+       min(event_type), max(event_type)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) - count(value) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+FROM events
+"""
+
 ORACLES["q_period_over_period"] = """
 WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,

@@ -2727,6 +2727,40 @@ def q_kfold(spark, sf_dir):
                   F.countDistinct("user_id").alias("n_users")))
 
 
+def q_table_profile(spark, sf_dir):
+    """Column-profile table, HASH-VERIFIED: per column of events —
+    null count, distinct count, and min/max rendered as strings — the
+    data-profiling sweep every warehouse quality tool runs before
+    trusting a feed.  ONE scan: every per-column aggregate computes in
+    a single agg pass (Spark expands the multi-distinct internally),
+    then the wide row unpivots to (column, stats) rows via an in-row
+    struct array — never one scan per column (the naive UNION ALL
+    formulation the oracle is allowed to use, because DuckDB reads a
+    500-row view; at 100 TB the single-pass shape is the point)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value")
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in e.columns:
+        aggs += [
+            (total - F.count(F.col(c))).alias(f"__nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = e.agg(*aggs)
+    rows = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__nn_{c}").alias("n_nulls"),
+                 F.col(f"__nd_{c}").alias("n_distinct"),
+                 F.col(f"__mn_{c}").alias("min_value"),
+                 F.col(f"__mx_{c}").alias("max_value"))
+        for c in e.columns])
+    return (wide.select(F.explode(rows).alias("p"))
+                .select("p.column", "p.n_nulls", "p.n_distinct",
+                        "p.min_value", "p.max_value"))
+
+
 def q_period_over_period(spark, sf_dir):
     """Period-over-period BI comparison, HASH-VERIFIED: daily value
     totals per event type with the prior-day and 7-days-ago totals
@@ -3333,6 +3367,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution": q_attribution,
     "q_retention_cohorts": q_retention_cohorts,
     "q_path_analysis": q_path_analysis,
+    "q_table_profile": q_table_profile,
     "q_period_over_period": q_period_over_period,
     "q_new_vs_returning": q_new_vs_returning,
     "q_group_entropy": q_group_entropy,
