@@ -2732,11 +2732,15 @@ def q_table_profile(spark, sf_dir):
     null count, distinct count, and min/max rendered as strings — the
     data-profiling sweep every warehouse quality tool runs before
     trusting a feed.  ONE scan: every per-column aggregate computes in
-    a single agg pass (Spark expands the multi-distinct internally),
-    then the wide row unpivots to (column, stats) rows via an in-row
-    struct array — never one scan per column (the naive UNION ALL
-    formulation the oracle is allowed to use, because DuckDB reads a
-    500-row view; at 100 TB the single-pass shape is the point)."""
+    a single agg pass, then the wide row unpivots to (column, stats)
+    rows via an in-row struct array — never one scan per column (the
+    naive UNION ALL formulation the oracle is allowed to use, because
+    DuckDB reads a 500-row view).  Scale caveat, stated honestly: the
+    multi-distinct computes via Expand — rows multiply by the number of
+    distinct-counted columns through the aggregate.  At 100 TB swap
+    n_distinct to ``approx_count_distinct`` (mergeable HLL, no Expand,
+    one true pass) — the A12 scale rule; exact stays here because the
+    oracle hash-verifies it."""
     e = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value")
     total = F.count(F.lit(1))
