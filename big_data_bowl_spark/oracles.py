@@ -1001,6 +1001,20 @@ FROM c WHERE cum <= 3000
 GROUP BY 1
 """
 
+ORACLES["q_rolling_active_users"] = """
+WITH act AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+days AS (SELECT DISTINCT day FROM act),
+dau AS (
+    SELECT day, count(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+wau AS (
+    SELECT d.day, count(DISTINCT a.user_id) AS wau
+    FROM days d JOIN act a
+      ON a.day BETWEEN d.day - 6 AND d.day
+    GROUP BY 1)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+"""
+
 ORACLES["q_table_profile"] = """
 SELECT 'event_id' AS "column",
        CAST(count(*) - count(event_id) AS BIGINT) AS n_nulls,

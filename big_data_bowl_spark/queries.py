@@ -2727,6 +2727,31 @@ def q_kfold(spark, sf_dir):
                   F.countDistinct("user_id").alias("n_users")))
 
 
+def q_rolling_active_users(spark, sf_dir):
+    """DAU / trailing-7-day WAU per day, HASH-VERIFIED: distinct users
+    active each day and in the trailing week.  The WAU shape is
+    MAP-SIDE fan-out, not a range join: each (user, day) row explodes
+    to the ≤7 report days it contributes to (sequence of dates), then
+    one distinct-count per report day — the bounded-explode discipline
+    (cf. interval_join's bucketing), with report days clipped to days
+    that actually exist.  The oracle uses the equivalent BETWEEN range
+    join — different formulation, same result, so the match checks the
+    fan-out logic."""
+    e = _t(spark, sf_dir, "events")
+    act = (e.select("user_id", F.to_date("ts").alias("day"))
+            .distinct())
+    dau = (act.groupBy("day")
+              .agg(F.countDistinct("user_id").alias("dau")))
+    contrib = act.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"), F.date_add(F.col("day"), 6))).alias("day"))
+    wau = (contrib.join(act.select("day").distinct(), "day")
+                  .groupBy("day")
+                  .agg(F.countDistinct("user_id").alias("wau")))
+    return dau.join(wau, "day").select("day", "dau", "wau")
+
+
 def q_table_profile(spark, sf_dir):
     """Column-profile table, HASH-VERIFIED: per column of events —
     null count, distinct count, and min/max rendered as strings — the
@@ -3371,6 +3396,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution": q_attribution,
     "q_retention_cohorts": q_retention_cohorts,
     "q_path_analysis": q_path_analysis,
+    "q_rolling_active_users": q_rolling_active_users,
     "q_table_profile": q_table_profile,
     "q_period_over_period": q_period_over_period,
     "q_new_vs_returning": q_new_vs_returning,
