@@ -1107,6 +1107,41 @@ JOIN per_item ib ON p.item_b = ib.event_type
 CROSS JOIN total t
 """
 
+ORACLES["q_cohort_ltv"] = """
+WITH first AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+    FROM events GROUP BY 1),
+cells AS (
+    SELECT f.cohort_day,
+           CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT)
+             AS offset_days,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS c
+    FROM events e JOIN first f USING (user_id)
+    GROUP BY 1, 2)
+SELECT cohort_day, offset_days,
+       round(c / 100.0, 2) AS period_value,
+       round(sum(c) OVER (PARTITION BY cohort_day ORDER BY offset_days
+                          ROWS UNBOUNDED PRECEDING) / 100.0, 2)
+         AS cum_value
+FROM cells
+"""
+
+ORACLES["q_gini_concentration"] = """
+WITH counts AS (
+    SELECT event_type, user_id, count(*) AS x
+    FROM events GROUP BY 1, 2),
+ranked AS (
+    SELECT event_type, x,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY x, user_id) AS i
+    FROM counts)
+SELECT event_type,
+       round(CAST(2 * sum(i * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+             / CAST(count(*) * sum(x) AS DOUBLE), 6) AS gini,
+       count(*) AS n_users
+FROM ranked GROUP BY 1
+"""
+
 ORACLES["q_path_analysis"] = """
 WITH marked AS (
     SELECT user_id, ts, event_id, event_type,

@@ -2852,6 +2852,52 @@ def q_group_entropy(spark, sf_dir):
                       F.sum("n").alias("n_events")))
 
 
+def q_cohort_ltv(spark, sf_dir):
+    """Cumulative cohort value curves (LTV), HASH-VERIFIED: per
+    first-seen cohort, the running total of value by day offset — the
+    revenue view of the retention matrix.  Day-grain cents sums
+    aggregate first (cohort × offset grain), THEN the running-sum
+    window walks that tiny series — the window never sees fact rows,
+    and integer cents keep the cumulative totals engine-exact."""
+    from .functions.scalar import cents
+    e = _t(spark, sf_dir, "events")
+    first = (e.groupBy("user_id")
+              .agg(F.min(F.to_date("ts")).alias("cohort_day")))
+    cells = (e.join(first, "user_id")
+              .groupBy("cohort_day",
+                       F.datediff(F.to_date("ts"), F.col("cohort_day"))
+                        .cast("long").alias("offset_days"))
+              .agg(F.sum(cents(F.col("value"))).alias("__c")))
+    w = (Window.partitionBy("cohort_day").orderBy("offset_days")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return cells.select(
+        "cohort_day", "offset_days",
+        F.round(F.col("__c") / 100.0, 2).alias("period_value"),
+        F.round(F.sum("__c").over(w) / 100.0, 2).alias("cum_value"))
+
+
+def q_gini_concentration(spark, sf_dir):
+    """Activity concentration (Gini) per event type, HASH-VERIFIED: how
+    unevenly a type's events distribute over its users — the inequality
+    score monitoring uses to spot bot-dominated segments (Gini → 1 =
+    one user generates everything).  Per-user counts rank under a
+    deterministic total order (count, user_id); every term of
+    G = (2·Σ(i·xᵢ) − (n+1)·Σxᵢ) / (n·Σxᵢ) is an exact integer until
+    the single final division, so association order cannot drift."""
+    e = _t(spark, sf_dir, "events")
+    counts = (e.groupBy("event_type", "user_id")
+               .agg(F.count(F.lit(1)).alias("x")))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (ranked.groupBy("event_type")
+            .agg(F.round(
+                (2 * F.sum(F.col("i") * F.col("x"))
+                 - (F.count(F.lit(1)) + 1) * F.sum("x")).cast("double")
+                / (F.count(F.lit(1)) * F.sum("x")).cast("double"),
+                6).alias("gini"),
+                F.count(F.lit(1)).alias("n_users")))
+
+
 def q_path_analysis(spark, sf_dir):
     """Top session paths, HASH-VERIFIED: gaps-and-islands sessionization
     (the q_sessionize formulation), each session's first 5 event types
@@ -3396,6 +3442,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_attribution": q_attribution,
     "q_retention_cohorts": q_retention_cohorts,
     "q_path_analysis": q_path_analysis,
+    "q_cohort_ltv": q_cohort_ltv,
+    "q_gini_concentration": q_gini_concentration,
     "q_rolling_active_users": q_rolling_active_users,
     "q_table_profile": q_table_profile,
     "q_period_over_period": q_period_over_period,
