@@ -3117,6 +3117,91 @@ ORACLES["q_pca_embed"] = _pca_oracle_sql()
 
 
 # --- q_hll_incremental: day-grain register state, max-merged in SQL ---------
+# Set algebra on the register tables: singles estimate as above, pair
+# unions via max-merge of the two types' registers, then inclusion-
+# exclusion over the ROUNDED estimates (round-before-subtract).
+ORACLES["q_hll_overlap"] = f"""
+WITH h0 AS (
+    SELECT event_type, user_id,
+           ((user_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM events),
+h1 AS (
+    SELECT event_type,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT event_type,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT event_type, xor(hv, hv >> 16) AS hv
+    FROM h2),
+r AS (
+    SELECT event_type, hv % 256 AS idx, hv // 256 AS w
+    FROM h),
+rho AS (
+    SELECT event_type, idx,
+           CASE WHEN w = 0 THEN 25
+                ELSE CAST(round(log2(w & (-w))) AS INT) + 1 END AS rho
+    FROM r),
+regs AS MATERIALIZED (
+    SELECT event_type, idx, max(rho) AS m
+    FROM rho GROUP BY 1, 2),
+single_per AS (
+    SELECT event_type,
+           CAST(sum(CAST(round(power(2, 32 - m)) AS BIGINT)) AS BIGINT)
+             AS s_present,
+           count(*) AS n_present
+    FROM regs GROUP BY 1),
+single_fin AS (
+    SELECT event_type,
+           round(CASE WHEN {_HLL_NUM!r} / CAST(s_present
+                          + (256 - n_present) * 4294967296 AS DOUBLE)
+                          <= 640.0
+                       AND (256 - n_present) > 0
+                 THEN 256.0 * ln(256.0
+                                 / CAST(256 - n_present AS DOUBLE))
+                 ELSE {_HLL_NUM!r} / CAST(s_present
+                          + (256 - n_present) * 4294967296 AS DOUBLE)
+                 END, 6) AS e
+    FROM single_per),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b
+    FROM (SELECT DISTINCT event_type FROM regs) a
+    JOIN (SELECT DISTINCT event_type FROM regs) b
+      ON a.event_type < b.event_type),
+pair_regs AS (
+    SELECT p.type_a, p.type_b, g.idx, max(g.m) AS m
+    FROM pairs p JOIN regs g
+      ON g.event_type = p.type_a OR g.event_type = p.type_b
+    GROUP BY 1, 2, 3),
+pair_per AS (
+    SELECT type_a, type_b,
+           CAST(sum(CAST(round(power(2, 32 - m)) AS BIGINT)) AS BIGINT)
+             AS s_present,
+           count(*) AS n_present
+    FROM pair_regs GROUP BY 1, 2),
+pair_fin AS (
+    SELECT type_a, type_b,
+           round(CASE WHEN {_HLL_NUM!r} / CAST(s_present
+                          + (256 - n_present) * 4294967296 AS DOUBLE)
+                          <= 640.0
+                       AND (256 - n_present) > 0
+                 THEN 256.0 * ln(256.0
+                                 / CAST(256 - n_present AS DOUBLE))
+                 ELSE {_HLL_NUM!r} / CAST(s_present
+                          + (256 - n_present) * 4294967296 AS DOUBLE)
+                 END, 6) AS est_union
+    FROM pair_per)
+SELECT p.type_a, p.type_b,
+       sa.e AS est_a, sb.e AS est_b, p.est_union,
+       round(sa.e + sb.e - p.est_union, 6) AS est_intersection
+FROM pair_fin p
+JOIN single_fin sa ON p.type_a = sa.event_type
+JOIN single_fin sb ON p.type_b = sb.event_type
+"""
+
+
 # Extends the q_hll_neutral chain with the incremental shape: registers
 # materialize at (event_type, day) grain (the persisted batch state), then
 # element-wise max-merge to event_type — associativity of max makes the

@@ -3262,6 +3262,46 @@ def q_bloom_ingest_gate(spark, sf_dir):
                   .alias("n_new")))
 
 
+def q_hll_overlap(spark, sf_dir):
+    """Audience overlap from PERSISTED sketch state, HASH-VERIFIED:
+    |A∩B| ≈ |A| + |B| − |A∪B| over every event-type pair, where |A∪B|
+    comes from max-merging the two types' neutral-HLL register tables —
+    set algebra on mergeable state, so overlaps of 100 TB audiences
+    compute from O(types · 256) persisted rows without touching raw
+    history.  The register table builds ONCE (persisted) and feeds the
+    singles and every pair union; inclusion–exclusion composes the
+    ROUNDED estimates (round-before-subtract, the house float rule)."""
+    from .operators.sketches import (hll_neutral_registers,
+                                     hll_neutral_rollup)
+    e = _t(spark, sf_dir, "events")
+    regs = hll_neutral_registers(e, ["event_type"], "user_id").persist()
+    singles = hll_neutral_rollup(regs, ["event_type"])
+    types = regs.select("event_type").distinct()
+    pairs = (types.select(F.col("event_type").alias("type_a"))
+             .join(types.select(F.col("event_type").alias("type_b")),
+                   F.col("type_a") < F.col("type_b")))
+    pair_regs = (regs.join(F.broadcast(pairs),
+                           F.col("event_type") == F.col("type_a"))
+                 .select("type_a", "type_b", "register", "rho")
+                 .unionByName(
+                     regs.join(F.broadcast(pairs),
+                               F.col("event_type") == F.col("type_b"))
+                     .select("type_a", "type_b", "register", "rho")))
+    unions = hll_neutral_rollup(pair_regs, ["type_a", "type_b"]) \
+        .withColumnRenamed("hll_estimate", "est_union")
+    sa = singles.select(F.col("event_type").alias("type_a"),
+                        F.col("hll_estimate").alias("est_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"),
+                        F.col("hll_estimate").alias("est_b"))
+    return (unions.join(F.broadcast(sa), "type_a")
+                  .join(F.broadcast(sb), "type_b")
+                  .select("type_a", "type_b", "est_a", "est_b",
+                          "est_union",
+                          F.round(F.col("est_a") + F.col("est_b")
+                                  - F.col("est_union"), 6)
+                           .alias("est_intersection")))
+
+
 def q_variant_props(spark, sf_dir):
     """Schemaless JSON via the Spark 4 VARIANT type: ``try_parse_json``
     once into a binary variant column, then typed path extraction
@@ -3466,6 +3506,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
+    "q_hll_overlap": q_hll_overlap,
     "q_bloom_ingest_gate": q_bloom_ingest_gate,
     "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,

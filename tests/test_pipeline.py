@@ -1051,6 +1051,26 @@ def test_ahash_near_dup_pairs_equal_bruteforce(spark):
                              got ^ expected)
 
 
+def test_hll_overlap_tracks_exact_intersections(spark):
+    """Inclusion–exclusion on the neutral-HLL registers: every pair's
+    estimated intersection stays within 35% relative error of the exact
+    overlap (three ±6.5%-error terms compound — this pins the composed
+    estimator, not just the single-set one)."""
+    from big_data_bowl_spark.queries import QUERIES
+    est = {(r["type_a"], r["type_b"]): r["est_intersection"]
+           for r in QUERIES["q_hll_overlap"](spark, SF_SMALL).collect()}
+    e = read_table(spark, SF_SMALL, "events")
+    users = {t: {r["user_id"] for r in
+                 e.filter(F.col("event_type") == t)
+                  .select("user_id").distinct().collect()}
+             for t in {r["event_type"] for r in
+                       e.select("event_type").distinct().collect()}}
+    assert est
+    for (a, b), v in est.items():
+        exact = len(users[a] & users[b])
+        assert abs(v - exact) <= max(0.35 * exact, 10), (a, b, v, exact)
+
+
 def test_bloom_state_merge_and_no_false_negatives(spark):
     """Bloom ingest-gate contracts: day-grain bit tables OR-merged equal
     the one-shot whole-history table (bit_or is associative +
