@@ -150,6 +150,15 @@ def cooccurrence_pairs(df: DataFrame, group_col: str, item_col: str,
         from .checks import check_group_cardinality
         items = check_group_cardinality(items, [group_col],
                                         max_items_per_group)
+    return _item_pair_counts(items, group_col, item_col)
+
+
+def _item_pair_counts(items: DataFrame, group_col: str,
+                      item_col: str) -> DataFrame:
+    """Unordered within-group pair counts from an ALREADY-DISTINCT
+    (group, item) relation — shared by cooccurrence_pairs and
+    basket_lift so the latter derives pairs from the same relation its
+    probabilities use (one distinct, not two)."""
     a = items.select(F.col(group_col).alias("__g"),
                      F.col(item_col).alias("item_a"))
     b = items.select(F.col(group_col).alias("__g"),
@@ -172,7 +181,10 @@ def basket_lift(df: DataFrame, group_col: str, item_col: str,
     (item_a, item_b, n_ab, support, confidence, lift)."""
     require_columns(df, [group_col, item_col], "basket_lift")
     items = df.select(group_col, item_col).distinct()
-    pairs = cooccurrence_pairs(df, group_col, item_col) \
+    # pairs, item counts, and the total all derive from this ONE
+    # distinct relation — one fact scan + one dedup exchange, which the
+    # plan's ReusedExchange then shares across the three consumers
+    pairs = _item_pair_counts(items, group_col, item_col) \
         .filter(F.col("n_groups") >= min_pair_groups)
     per_item = items.groupBy(item_col).agg(
         F.count(F.lit(1)).alias("__n_item"))

@@ -77,6 +77,11 @@ def with_cms_estimate(df: DataFrame, cms: DataFrame, col: str,
     require_columns(df, [col], "with_cms_estimate")
     require_columns(cms, ["row", "bucket", "cnt", "cms_w", "cms_d"],
                     "with_cms_estimate")
+    # pin the ≤ d·w-row sketch ONCE: the geometry check plus the d
+    # broadcast builds below are d+1 independent consumers that would
+    # otherwise each re-execute the sketch build's full scan of the
+    # fact table (same pin as with_bloom_maybe_seen)
+    cms = cms.localCheckpoint(eager=True)
     _cms_check_params(cms, "with_cms_estimate", w, d)
     est = df
     cols = []
@@ -365,10 +370,17 @@ def quantile_sketch_merge(states: DataFrame, group: list[str],
                           k: int = 256) -> DataFrame:
     """Merge persisted sketch states to a coarser grain: union the state
     rows (the caller unions / reads them) and re-take the bottom-k per
-    output group.  min-k by a fixed hash is associative and idempotent,
-    so merge(any partitioning of history) ≡ state(whole) — pinned by
-    test_quantile_sketch_merge_equals_whole.  Input rows are already
-    ≤ k per input group, so the merge shuffles O(input groups · k).
+    output group.  min-k by a fixed hash is associative, and made
+    idempotent here by an explicit key dedup first: OVERLAPPING state
+    tables (a replayed batch, a state file unioned twice) would
+    otherwise carry duplicate (key, hash) rows into the bottom-k,
+    displacing distinct keys and silently shrinking the effective
+    sample toward k/2 — min-k over a BAG is not idempotent the way the
+    HLL max and Bloom bit_or genuinely are.  With the dedup,
+    merge(any partitioning or replay of history) ≡ state(whole) —
+    pinned by test_quantile_sketch_merge_equals_whole.  Input rows are
+    already ≤ k per input group, so the merge shuffles
+    O(input groups · k).
 
     ``k`` must not EXCEED the build k carried in the state: merging
     k=128 states with k=256 would claim a 256-row uniform sample whose
@@ -378,6 +390,9 @@ def quantile_sketch_merge(states: DataFrame, group: list[str],
     require_columns(states, [*group, "qs_hash", key_col, value_col,
                              "qs_k"],
                     "quantile_sketch_merge")
+    states = states.localCheckpoint(eager=True)  # ≤ groups·k rows; the
+    # guard collect below and the window pass would otherwise each
+    # re-execute whatever pipeline produced the states
     build_ks = [r["qs_k"] for r in states.select("qs_k")
                 .distinct().collect()]
     if build_ks and k > min(build_ks):
@@ -385,10 +400,11 @@ def quantile_sketch_merge(states: DataFrame, group: list[str],
             f"quantile_sketch_merge: k={k} exceeds the build "
             f"k={min(build_ks)} carried in the state — the merged "
             "sample would be biased toward small input groups")
+    deduped = states.dropDuplicates([*group, key_col])
     w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
-    return (states.withColumn("__rn", F.row_number().over(w))
-                  .filter(F.col("__rn") <= k).drop("__rn")
-                  .withColumn("qs_k", F.lit(k)))
+    return (deduped.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= k).drop("__rn")
+                   .withColumn("qs_k", F.lit(k)))
 
 
 def quantile_sketch_estimate(state: DataFrame, group: list[str],

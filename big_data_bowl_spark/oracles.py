@@ -1044,12 +1044,15 @@ WITH daily AS (
     SELECT event_type, CAST(ts AS DATE) AS day,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
     FROM events GROUP BY 1, 2)
-SELECT event_type, day,
-       round(c / 100.0, 2) AS total,
-       round(c / 100.0 - lag(c, 1) OVER w / 100.0, 2) AS dod_delta,
-       round(c / 100.0 - lag(c, 7) OVER w / 100.0, 2) AS wow_delta
-FROM daily
-WINDOW w AS (PARTITION BY event_type ORDER BY day)
+SELECT d.event_type, d.day,
+       round(d.c / 100.0, 2) AS total,
+       round((d.c - d1.c) / 100.0, 2) AS dod_delta,
+       round((d.c - d7.c) / 100.0, 2) AS wow_delta
+FROM daily d
+LEFT JOIN daily d1
+  ON d1.event_type = d.event_type AND d1.day = d.day - 1
+LEFT JOIN daily d7
+  ON d7.event_type = d.event_type AND d7.day = d.day - 7
 """
 
 ORACLES["q_new_vs_returning"] = """

@@ -2793,23 +2793,32 @@ def q_table_profile(spark, sf_dir):
 def q_period_over_period(spark, sf_dir):
     """Period-over-period BI comparison, HASH-VERIFIED: daily value
     totals per event type with the prior-day and 7-days-ago totals
-    (lag 1 / lag 7 over the day-grain series) and their deltas.  The
-    windows run over the AGGREGATED day grain — O(types · days) rows —
-    never the fact table; integer-cents sums keep the totals
-    engine-exact before the delta subtraction."""
+    (CALENDAR day−1 / day−7 self-joins of the day grain, NOT lag(1)/
+    lag(7) over observed rows — a row-based lag silently compares the
+    7th-prior EXISTING day on any sparse series, which is not what a BI
+    reader means by "week over week"; r6 review fix).  A missing
+    comparison day yields null.  Joins touch only the O(types · days)
+    aggregated grain; integer-cents sums keep totals exact and each
+    delta is an integer subtraction before one division."""
     from .functions.scalar import cents
     e = _t(spark, sf_dir, "events")
     daily = (e.groupBy("event_type", F.to_date("ts").alias("day"))
               .agg(F.sum(cents(F.col("value"))).alias("__c")))
-    w = Window.partitionBy("event_type").orderBy("day")
-    total = F.col("__c") / 100.0
-    return daily.select(
-        "event_type", "day",
-        F.round(total, 2).alias("total"),
-        F.round(total - F.lag("__c", 1).over(w) / 100.0, 2)
-         .alias("dod_delta"),
-        F.round(total - F.lag("__c", 7).over(w) / 100.0, 2)
-         .alias("wow_delta"))
+    d1 = daily.select("event_type",
+                      F.date_add("day", 1).alias("day"),
+                      F.col("__c").alias("__c1"))
+    d7 = daily.select("event_type",
+                      F.date_add("day", 7).alias("day"),
+                      F.col("__c").alias("__c7"))
+    return (daily.join(d1, ["event_type", "day"], "left")
+                 .join(d7, ["event_type", "day"], "left")
+                 .select(
+                     "event_type", "day",
+                     F.round(F.col("__c") / 100.0, 2).alias("total"),
+                     F.round((F.col("__c") - F.col("__c1")) / 100.0, 2)
+                      .alias("dod_delta"),
+                     F.round((F.col("__c") - F.col("__c7")) / 100.0, 2)
+                      .alias("wow_delta")))
 
 
 def q_new_vs_returning(spark, sf_dir):

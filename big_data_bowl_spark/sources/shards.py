@@ -60,9 +60,20 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
             .write.mode("overwrite").partitionBy("shard")
             .parquet(f"{path}/data"))
     written = df.sparkSession.read.parquet(f"{path}/data")
-    manifest = (written.groupBy("shard")
-                .agg(F.count(F.lit(1)).alias("rows"),
-                     F.countDistinct(key_col).alias("n_keys")))
+    # left-join onto the full shard spine so an EMPTY shard is a
+    # (shard, 0, 0) manifest row, not an absent one — partitionBy never
+    # writes a directory for a shard the hash assigned no rows, and
+    # without the spine the reader could not tell "legitimately empty"
+    # from "lost"
+    spine = df.sparkSession.range(n_shards) \
+        .select(F.col("id").cast("int").alias("shard"))
+    stats = (written.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("rows"),
+                  F.countDistinct(key_col).alias("n_keys")))
+    manifest = (spine.join(stats, "shard", "left")
+                .select("shard",
+                        F.coalesce("rows", F.lit(0)).alias("rows"),
+                        F.coalesce("n_keys", F.lit(0)).alias("n_keys")))
     manifest.coalesce(1).write.mode("overwrite").parquet(
         f"{path}/_manifest")
     return manifest
@@ -71,12 +82,13 @@ def write_training_shards(df: DataFrame, path: str, key_col: str,
 def read_training_shards(spark: SparkSession, path: str,
                          expect_shards: int | None = None) -> DataFrame:
     """Read the sharded corpus back, verifying completeness against the
-    manifest first: every manifest shard must exist in the data WITH its
-    recorded row count (shard-id presence alone would pass a partially
-    written shard — a task retry can leave a directory with some of its
-    files), and when ``expect_shards`` is given, the manifest must have
-    exactly that many shards.  Fails loud — a trainer must never
-    silently iterate a partial epoch."""
+    manifest first: every non-empty manifest shard must exist in the
+    data WITH its recorded row count (shard-id presence alone would pass
+    a partially written shard — a task retry can leave a directory with
+    some of its files); manifest rows=0 shards legitimately have no
+    directory.  When ``expect_shards`` is given, the manifest must
+    enumerate exactly that many shards.  Fails loud — a trainer must
+    never silently iterate a partial epoch."""
     manifest = {r["shard"]: r["rows"] for r in
                 spark.read.parquet(f"{path}/_manifest").collect()}
     got = sorted(manifest)
@@ -88,8 +100,9 @@ def read_training_shards(spark: SparkSession, path: str,
     present = {r["shard"]: r["n"] for r in
                data.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
                    .collect()}
-    if present != manifest:
+    want = {s: n for s, n in manifest.items() if n > 0}
+    if present != want:
         raise ValueError(
             f"read_training_shards: per-shard data rows {present} != "
-            f"manifest {manifest}")
+            f"manifest {want}")
     return data

@@ -5,12 +5,13 @@ cannot silently rot (the round-4 verdict's COVERAGE/SCALE drift class).
 
 from __future__ import annotations
 
+import os
 import re
 
 from big_data_bowl_spark.oracles import ORACLES
 from big_data_bowl_spark.queries import QUERIES
 
-REPO = "/root/repo"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_registry_invariants():

@@ -257,6 +257,27 @@ def test_training_shards_round_trip_and_manifest(spark, tmp_path):
         assert expect[r["doc_id"]] == r["shard"]
 
 
+def test_training_shards_tolerate_legitimately_empty_shards(spark,
+                                                            tmp_path):
+    """More shards than rows: partitionBy writes no directory for an
+    empty shard, so the manifest must enumerate it as (shard, 0, 0) and
+    the reader must accept the absence — 'legitimately empty' and
+    'lost' are different states (r6 review fix)."""
+    from big_data_bowl_spark.sources.shards import (
+        read_training_shards, write_training_shards)
+    d = read_table(spark, SF_SMALL, "documents") \
+        .select("doc_id").limit(20)
+    path = str(tmp_path / "sparse_shards")
+    manifest = {r["shard"]: r["rows"]
+                for r in write_training_shards(d, path, "doc_id", 64)
+                .collect()}
+    assert sorted(manifest) == list(range(64))
+    assert sum(manifest.values()) == 20
+    assert any(v == 0 for v in manifest.values())
+    back = read_training_shards(spark, path, expect_shards=64)
+    assert back.count() == 20
+
+
 def test_read_training_shards_fails_on_missing_shard(spark, tmp_path):
     """A trainer must never silently iterate a partial epoch: deleting
     one shard directory makes the read fail loud."""
@@ -1164,6 +1185,12 @@ def test_quantile_sketch_merge_equals_whole(spark):
     assert key(quantile_sketch_state(
         e.drop("day").repartition(7), ["event_type"], "value",
         "event_id", k=64)) == key(whole)
+    # idempotence under OVERLAP: a replayed state (unioned with itself)
+    # must not shrink the effective sample via duplicate keys
+    replayed = quantile_sketch_merge(
+        daily.drop("day").unionByName(daily.drop("day")),
+        ["event_type"], "value", "event_id", k=64)
+    assert key(replayed) == key(whole)
 
 
 def test_quantile_sketch_estimate_contract(spark):
