@@ -3205,6 +3205,34 @@ JOIN single_fin sb ON p.type_b = sb.event_type
 """
 
 
+# Audience MinHash: the affine (a, b) coefficients come from the SAME
+# deterministic LCG as the engine (imported, injected as literals), so
+# every slot minimum and the slot-agreement count reproduce exactly.
+def _minhash_audience_oracle(n: int = 32) -> str:
+    from .pipeline.dedup import _MH_PRIME, _mh_coeffs
+    slots = ",\n       ".join(
+        f"min(({a} * h + {b}) % {_MH_PRIME}) AS s{i}"
+        for i, (a, b) in enumerate(_mh_coeffs(n)))
+    match_terms = " + ".join(
+        f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END"
+        for i in range(n))
+    return f"""
+WITH h AS (
+    SELECT event_type, user_id % {_MH_PRIME} AS h FROM events),
+sig AS MATERIALIZED (
+    SELECT event_type,
+       {slots}
+    FROM h GROUP BY 1)
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+       CAST({match_terms} AS BIGINT) AS n_match,
+       round(({match_terms}) / {float(n)!r}, 6) AS est_jaccard
+FROM sig x JOIN sig y ON x.event_type < y.event_type
+"""
+
+
+ORACLES["q_minhash_audience"] = _minhash_audience_oracle()
+
+
 # Extends the q_hll_neutral chain with the incremental shape: registers
 # materialize at (event_type, day) grain (the persisted batch state), then
 # element-wise max-merge to event_type — associativity of max makes the

@@ -845,3 +845,47 @@ def simhash_neutral_pairs(df: DataFrame, max_hamming: int = 4,
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)
                 .select("doc_a", "doc_b", "hamming"))
+
+
+def minhash_audience_signatures(df: DataFrame, group: list[str],
+                                key_col: str,
+                                n_hashes: int = 32) -> DataFrame:
+    """Per-group MinHash SIGNATURES over a member-key column — audience
+    similarity from mergeable state, the Jaccard companion of the HLL
+    overlap: slot i is min over members of the affine hash
+    (aᵢ·h + bᵢ) mod p, computed as ``n_hashes`` plain min aggregates
+    (map-side combinable; min is associative AND idempotent, so
+    per-batch signature rows min-merge losslessly and duplicate members
+    are harmless).  Estimated Jaccard between two groups = fraction of
+    agreeing slots (:func:`minhash_audience_similarity`) — computed
+    from O(groups · n_hashes) persisted values, never the member sets.
+    Returns (*group, s0..s{n-1})."""
+    require_columns(df, [*group, key_col], "minhash_audience_signatures")
+    h = F.pmod(F.col(key_col), F.lit(_MH_PRIME))
+    aggs = [F.min((F.lit(a) * h + F.lit(b)) % _MH_PRIME).alias(f"s{i}")
+            for i, (a, b) in enumerate(_mh_coeffs(n_hashes))]
+    return df.groupBy(*group).agg(*aggs)
+
+
+def minhash_audience_similarity(sigs: DataFrame, group_col: str,
+                                n_hashes: int = 32) -> DataFrame:
+    """All-pairs estimated Jaccard between the signature rows (the
+    signature table is GROUP-grain — a handful of rows — so the pair
+    cross is trivial; for many groups, band the slots exactly like
+    minhash_lsh_pairs).  Returns (a, b, n_match, est_jaccard), a < b."""
+    require_columns(sigs, [group_col, "s0"],
+                    "minhash_audience_similarity")
+    left = sigs.select(F.col(group_col).alias("a"),
+                       *[F.col(f"s{i}").alias(f"la{i}")
+                         for i in range(n_hashes)])
+    right = sigs.select(F.col(group_col).alias("b"),
+                        *[F.col(f"s{i}").alias(f"rb{i}")
+                          for i in range(n_hashes)])
+    matches = sum(
+        (F.col(f"la{i}") == F.col(f"rb{i}")).cast("long")
+        for i in range(n_hashes))
+    return (left.join(right, F.col("a") < F.col("b"))
+                .select("a", "b", matches.alias("n_match"))
+                .withColumn("est_jaccard",
+                            F.round(F.col("n_match")
+                                    / F.lit(float(n_hashes)), 6)))

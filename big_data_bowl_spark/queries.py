@@ -3311,6 +3311,22 @@ def q_hll_overlap(spark, sf_dir):
                            .alias("est_intersection")))
 
 
+def q_minhash_audience(spark, sf_dir):
+    """Audience Jaccard from MinHash signature state, HASH-VERIFIED:
+    per-event-type member signatures (32 affine min-slots — plain min
+    aggregates, so the state is map-side-combinable, min-mergeable, and
+    duplicate-member-proof) then pairwise slot-agreement estimates —
+    the Jaccard companion of q_hll_overlap's set algebra, again from
+    O(groups · slots) persisted values instead of the member sets."""
+    from .pipeline.dedup import (minhash_audience_signatures,
+                                 minhash_audience_similarity)
+    e = _t(spark, sf_dir, "events")
+    sigs = minhash_audience_signatures(e, ["event_type"], "user_id")
+    return minhash_audience_similarity(sigs, "event_type") \
+        .select(F.col("a").alias("type_a"), F.col("b").alias("type_b"),
+                "n_match", "est_jaccard")
+
+
 def q_variant_props(spark, sf_dir):
     """Schemaless JSON via the Spark 4 VARIANT type: ``try_parse_json``
     once into a binary variant column, then typed path extraction
@@ -3516,6 +3532,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_resample_ffill": q_resample_ffill,
     "q_hll_incremental": q_hll_incremental,
     "q_hll_overlap": q_hll_overlap,
+    "q_minhash_audience": q_minhash_audience,
     "q_bloom_ingest_gate": q_bloom_ingest_gate,
     "q_variant_props": q_variant_props,
     "q_weighted_sample": q_weighted_sample,

@@ -1072,6 +1072,34 @@ def test_ahash_near_dup_pairs_equal_bruteforce(spark):
                              got ^ expected)
 
 
+def test_minhash_audience_merge_and_accuracy(spark):
+    """Audience-signature contracts: day-grain signatures min-merge to
+    the whole-table signatures (min is associative + idempotent), and
+    slot-agreement Jaccard estimates track the exact set Jaccard within
+    the 32-slot binomial error (±0.27 at 3σ)."""
+    from big_data_bowl_spark.pipeline.dedup import (
+        minhash_audience_signatures, minhash_audience_similarity)
+    e = (read_table(spark, SF_SMALL, "events")
+         .withColumn("day", F.to_date("ts")))
+    whole = minhash_audience_signatures(e, ["event_type"], "user_id")
+    daily = minhash_audience_signatures(e, ["event_type", "day"],
+                                        "user_id")
+    merged = daily.drop("day").groupBy("event_type").agg(
+        *[F.min(f"s{i}").alias(f"s{i}") for i in range(32)])
+    rows = lambda df: sorted(map(tuple, df.collect()))
+    assert rows(merged) == rows(whole)
+
+    est = {(r["a"], r["b"]): r["est_jaccard"] for r in
+           minhash_audience_similarity(whole, "event_type").collect()}
+    users = {}
+    for r in e.select("event_type", "user_id").distinct().collect():
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    assert est
+    for (a, b), v in est.items():
+        exact = len(users[a] & users[b]) / len(users[a] | users[b])
+        assert abs(v - exact) <= 0.27, (a, b, v, exact)
+
+
 def test_hll_overlap_tracks_exact_intersections(spark):
     """Inclusion–exclusion on the neutral-HLL registers: every pair's
     estimated intersection stays within 35% relative error of the exact
