@@ -122,6 +122,10 @@ HEADLINE = [
     # seam (Arrow round-trip + Python hash math)
     "q_bpe_encode",
     "q_media_ahash",
+    # sketch-state set algebra: pairwise audience overlap (HLL
+    # inclusion-exclusion) and Jaccard (MinHash slot agreement)
+    "q_hll_overlap",
+    "q_minhash_audience",
 ]
 
 

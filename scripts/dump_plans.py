@@ -134,6 +134,15 @@ AUDITED: dict[str, str] = {
         "distinct, word grain), never the corpus branch; the word→"
         "pieces map joins back (AQE's broadcast call) and the per-doc "
         "sum is one combinable aggregate."),
+    "q_hll_overlap": (
+        "The register table builds once (persisted) and feeds the "
+        "singles and every pair union; pair fan-out is the tiny "
+        "broadcast type-pair table, and the estimates compose as "
+        "projections — raw history is scanned exactly once."),
+    "q_minhash_audience": (
+        "Signatures are 32 plain min aggregates in ONE groupBy "
+        "(map-side combinable); similarity is a group-grain pair join "
+        "over wide signature rows — the member sets never move."),
 }
 
 
