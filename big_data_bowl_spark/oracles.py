@@ -1129,6 +1129,50 @@ SELECT cohort_day, offset_days,
 FROM cells
 """
 
+ORACLES["q_chi_square"] = """
+WITH cells AS (
+    SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+rowt AS (SELECT lang, sum(n) AS r FROM cells GROUP BY 1),
+colt AS (SELECT source, sum(n) AS c FROM cells GROUP BY 1),
+tot AS (SELECT sum(n) AS t FROM cells),
+terms AS (
+    SELECT round(power(ce.n - CAST(r.r * c.c AS DOUBLE) / t.t, 2)
+                 / (CAST(r.r * c.c AS DOUBLE) / t.t), 9) AS term
+    FROM cells ce
+    JOIN rowt r USING (lang)
+    JOIN colt c USING (source)
+    CROSS JOIN tot t),
+dims AS (
+    SELECT (SELECT count(*) FROM rowt) AS nr,
+           (SELECT count(*) FROM colt) AS nc)
+SELECT round(sum(term), 6) AS chi2,
+       CAST((SELECT (nr - 1) * (nc - 1) FROM dims) AS BIGINT) AS dof
+FROM terms
+"""
+
+ORACLES["q_ks_drift"] = """
+WITH tagged AS (
+    SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+    FROM events WHERE event_type IN ('purchase', 'error')),
+per_val AS (
+    SELECT value, sum(is_a) AS ca, sum(1 - is_a) AS cb
+    FROM tagged GROUP BY 1),
+cum AS (
+    SELECT sum(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+             AS cum_a,
+           sum(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+             AS cum_b
+    FROM per_val),
+totals AS (
+    SELECT sum(is_a) AS na, sum(1 - is_a) AS nb FROM tagged)
+SELECT CAST(t.na AS BIGINT) AS na, CAST(t.nb AS BIGINT) AS nb,
+       round(CAST(max(abs(c.cum_a * t.nb - c.cum_b * t.na)) AS DOUBLE)
+             / (t.na * t.nb), 6) AS ks_stat
+FROM cum c CROSS JOIN totals t
+GROUP BY t.na, t.nb
+"""
+
 ORACLES["q_gini_concentration"] = """
 WITH counts AS (
     SELECT event_type, user_id, count(*) AS x

@@ -2885,6 +2885,68 @@ def q_cohort_ltv(spark, sf_dir):
         F.round(F.sum("__c").over(w) / 100.0, 2).alias("cum_value"))
 
 
+def q_chi_square(spark, sf_dir):
+    """Categorical-drift statistic, HASH-VERIFIED: chi-square of
+    independence over the documents lang × source contingency table —
+    the test a corpus monitor runs to catch a source whose language mix
+    shifted.  All marginals join back onto the O(R·C) cell grain;
+    per-cell terms round at 9 digits before the final sum (the
+    q_group_entropy association-order rule)."""
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"))
+    row = cells.groupBy("lang").agg(F.sum("n").alias("__r"))
+    col = cells.groupBy("source").agg(F.sum("n").alias("__c"))
+    total = cells.agg(F.sum("n").alias("__t"))
+    terms = (cells.join(F.broadcast(row), "lang")
+                  .join(F.broadcast(col), "source")
+                  .crossJoin(F.broadcast(total)))
+    e = (F.col("__r") * F.col("__c")).cast("double") / F.col("__t")
+    t = F.round(F.pow(F.col("n") - e, 2) / e, 9)
+    nr = row.count()
+    nc = col.count()
+    return (terms.agg(F.round(F.sum(t), 6).alias("chi2"))
+                 .withColumn("dof", F.lit((nr - 1) * (nc - 1))
+                              .cast("long")))
+
+
+def q_ks_drift(spark, sf_dir):
+    """Numeric-drift statistic, HASH-VERIFIED: the exact two-sample
+    Kolmogorov–Smirnov D between two event types' value distributions
+    (purchase vs error) — max CDF gap, the distribution-shift alarm for
+    a numeric feed.  The core is INTEGER-EXACT: per distinct value,
+    cumulative counts cross-multiply (|cum_a·n_b − cum_b·n_a|) so the
+    max is over exact integers, with ONE final division.  The ordered
+    window runs on the DISTINCT-VALUE grain (not fact rows); its global
+    ordering is single-reducer here — at 100 TB swap in the
+    rank_distributed range-partition form (W7's scale path)."""
+    e = _t(spark, sf_dir, "events")
+    tagged = (e.filter(F.col("event_type").isin("purchase", "error"))
+               .select("value",
+                       (F.col("event_type") == "purchase")
+                       .cast("long").alias("is_a")))
+    per_val = (tagged.groupBy("value")
+               .agg(F.sum("is_a").alias("ca"),
+                    F.sum(1 - F.col("is_a")).alias("cb")))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"))
+    totals = tagged.agg(F.sum("is_a").alias("na"),
+                        F.sum(1 - F.col("is_a")).alias("nb"))
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        F.abs(F.col("cum_a") * F.col("nb")
+              - F.col("cum_b") * F.col("na")).alias("__g"),
+        "na", "nb")
+    return (gaps.groupBy("na", "nb")
+                .agg(F.max("__g").alias("__m"))
+                .select("na", "nb",
+                        F.round(F.col("__m").cast("double")
+                                / (F.col("na") * F.col("nb")), 6)
+                         .alias("ks_stat")))
+
+
 def q_gini_concentration(spark, sf_dir):
     """Activity concentration (Gini) per event type, HASH-VERIFIED: how
     unevenly a type's events distribute over its users — the inequality
@@ -3509,6 +3571,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_path_analysis": q_path_analysis,
     "q_cohort_ltv": q_cohort_ltv,
     "q_gini_concentration": q_gini_concentration,
+    "q_chi_square": q_chi_square,
+    "q_ks_drift": q_ks_drift,
     "q_rolling_active_users": q_rolling_active_users,
     "q_table_profile": q_table_profile,
     "q_period_over_period": q_period_over_period,
