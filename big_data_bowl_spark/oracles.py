@@ -1173,6 +1173,40 @@ FROM cum c CROSS JOIN totals t
 GROUP BY t.na, t.nb
 """
 
+ORACLES["q_psi_drift"] = """
+WITH e AS (
+    SELECT value, CAST(strftime(ts, '%d') AS INT) AS dom FROM events),
+ref AS (SELECT value FROM e WHERE dom <= 15),
+cur AS (SELECT value FROM e WHERE dom > 15),
+bounds AS (
+    SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+    FROM ref),
+rb AS (
+    SELECT len(list_filter(bo.b, x -> r.value > x)) AS bin,
+           count(*) AS np
+    FROM ref r CROSS JOIN bounds bo GROUP BY 1),
+cb AS (
+    SELECT len(list_filter(bo.b, x -> c.value > x)) AS bin,
+           count(*) AS nq
+    FROM cur c CROSS JOIN bounds bo GROUP BY 1),
+tot AS (
+    SELECT (SELECT count(*) FROM ref) AS tp,
+           (SELECT count(*) FROM cur) AS tq),
+terms AS (
+    SELECT round((rb.np / CAST(t.tp AS DOUBLE)
+                  - greatest(coalesce(cb.nq, 0) / CAST(t.tq AS DOUBLE),
+                             1e-6))
+                 * ln((rb.np / CAST(t.tp AS DOUBLE))
+                      / greatest(coalesce(cb.nq, 0)
+                                 / CAST(t.tq AS DOUBLE), 1e-6)),
+                 9) AS term
+    FROM rb LEFT JOIN cb USING (bin) CROSS JOIN tot t)
+SELECT round(sum(term), 6) AS psi,
+       count(*) AS n_bins
+FROM terms
+"""
+
 ORACLES["q_gini_concentration"] = """
 WITH counts AS (
     SELECT event_type, user_id, count(*) AS x

@@ -2947,6 +2947,42 @@ def q_ks_drift(spark, sf_dir):
                          .alias("ks_stat")))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index, HASH-VERIFIED: THE ML-monitoring
+    drift score — decile bins fixed on the REFERENCE window (days 1–15)
+    and PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ) against the current window (days
+    16+).  Fully in-plan: the 9 boundary values are one percentile-array
+    row broadcast onto both windows, bin assignment is an in-row
+    ``size(filter(boundaries, b -> value > b))`` (no driver round-trip,
+    no width_bucket uniform-bins limitation), empty current bins clamp
+    at 1e-6 (standard practice, deterministic in both engines), and
+    per-bin terms round at 9 before the final sum."""
+    e = _t(spark, sf_dir, "events").select(
+        "value", F.dayofmonth(F.to_date("ts")).alias("__dom"))
+    ref = e.filter(F.col("__dom") <= 15)
+    cur = e.filter(F.col("__dom") > 15)
+    bounds = ref.agg(F.percentile(
+        "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]))
+        .alias("__b"))
+    bin_of = F.size(F.filter(
+        "__b", lambda b: F.col("value") > b)).alias("bin")
+    rb = (ref.crossJoin(F.broadcast(bounds)).select(bin_of)
+             .groupBy("bin").agg(F.count(F.lit(1)).alias("np")))
+    cb = (cur.crossJoin(F.broadcast(bounds)).select(bin_of)
+             .groupBy("bin").agg(F.count(F.lit(1)).alias("nq")))
+    tot_p = ref.count()
+    tot_q = cur.count()
+    joined = rb.join(cb, "bin", "left").select(
+        "bin",
+        (F.col("np") / F.lit(float(tot_p))).alias("p"),
+        F.greatest(F.coalesce(F.col("nq"), F.lit(0))
+                   / F.lit(float(tot_q)), F.lit(1e-6)).alias("q"))
+    term = F.round((F.col("p") - F.col("q"))
+                   * F.log(F.col("p") / F.col("q")), 9)
+    return joined.agg(F.round(F.sum(term), 6).alias("psi"),
+                      F.count(F.lit(1)).alias("n_bins"))
+
+
 def q_gini_concentration(spark, sf_dir):
     """Activity concentration (Gini) per event type, HASH-VERIFIED: how
     unevenly a type's events distribute over its users — the inequality
@@ -3573,6 +3609,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_gini_concentration": q_gini_concentration,
     "q_chi_square": q_chi_square,
     "q_ks_drift": q_ks_drift,
+    "q_psi_drift": q_psi_drift,
     "q_rolling_active_users": q_rolling_active_users,
     "q_table_profile": q_table_profile,
     "q_period_over_period": q_period_over_period,
