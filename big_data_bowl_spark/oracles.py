@@ -3296,15 +3296,16 @@ def _minhash_audience_oracle(n: int = 32) -> str:
         for i in range(n))
     return f"""
 WITH h AS (
-    SELECT event_type, user_id % {_MH_PRIME} AS h FROM events),
+    SELECT CAST(ts AS DATE) AS day, user_id % {_MH_PRIME} AS h
+    FROM events),
 sig AS MATERIALIZED (
-    SELECT event_type,
+    SELECT day,
        {slots}
     FROM h GROUP BY 1)
-SELECT x.event_type AS type_a, y.event_type AS type_b,
+SELECT x.day AS day_a, y.day AS day_b,
        CAST({match_terms} AS BIGINT) AS n_match,
        round(({match_terms}) / {float(n)!r}, 6) AS est_jaccard
-FROM sig x JOIN sig y ON x.event_type < y.event_type
+FROM sig x JOIN sig y ON y.day - x.day = 7
 """
 
 

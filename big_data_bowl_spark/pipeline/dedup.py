@@ -873,7 +873,8 @@ def minhash_audience_similarity(sigs: DataFrame, group_col: str,
     signature table is GROUP-grain — a handful of rows — so the pair
     cross is trivial; for many groups, band the slots exactly like
     minhash_lsh_pairs).  Returns (a, b, n_match, est_jaccard), a < b."""
-    require_columns(sigs, [group_col, "s0"],
+    require_columns(sigs,
+                    [group_col, *[f"s{i}" for i in range(n_hashes)]],
                     "minhash_audience_similarity")
     left = sigs.select(F.col(group_col).alias("a"),
                        *[F.col(f"s{i}").alias(f"la{i}")

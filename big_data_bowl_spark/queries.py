@@ -2898,16 +2898,20 @@ def q_chi_square(spark, sf_dir):
     row = cells.groupBy("lang").agg(F.sum("n").alias("__r"))
     col = cells.groupBy("source").agg(F.sum("n").alias("__c"))
     total = cells.agg(F.sum("n").alias("__t"))
+    dims = (row.agg(F.count(F.lit(1)).alias("__nr"))
+               .crossJoin(col.agg(F.count(F.lit(1)).alias("__nc"))))
     terms = (cells.join(F.broadcast(row), "lang")
                   .join(F.broadcast(col), "source")
                   .crossJoin(F.broadcast(total)))
     e = (F.col("__r") * F.col("__c")).cast("double") / F.col("__t")
     t = F.round(F.pow(F.col("n") - e, 2) / e, 9)
-    nr = row.count()
-    nc = col.count()
+    # dof derives in-plan (1-row broadcast) — no eager .count() at
+    # query construction
     return (terms.agg(F.round(F.sum(t), 6).alias("chi2"))
-                 .withColumn("dof", F.lit((nr - 1) * (nc - 1))
-                              .cast("long")))
+                 .crossJoin(F.broadcast(dims))
+                 .select("chi2",
+                         ((F.col("__nr") - 1) * (F.col("__nc") - 1))
+                         .cast("long").alias("dof")))
 
 
 def q_ks_drift(spark, sf_dir):
@@ -2916,8 +2920,11 @@ def q_ks_drift(spark, sf_dir):
     (purchase vs error) — max CDF gap, the distribution-shift alarm for
     a numeric feed.  The core is INTEGER-EXACT: per distinct value,
     cumulative counts cross-multiply (|cum_a·n_b − cum_b·n_a|) so the
-    max is over exact integers, with ONE final division.  The ordered
-    window runs on the DISTINCT-VALUE grain (not fact rows); its global
+    max is over exact integers, with ONE final division.  The
+    cross-multiply is int64-exact only while na·nb < 2^63 (~3e9 rows
+    per side) — past that it FAILS LOUD in-plan instead of wrapping;
+    the at-scale fix is a DECIMAL cross-multiply.  The ordered window
+    runs on the DISTINCT-VALUE grain (not fact rows); its global
     ordering is single-reducer here — at 100 TB swap in the
     rank_distributed range-partition form (W7's scale path)."""
     e = _t(spark, sf_dir, "events")
@@ -2939,11 +2946,17 @@ def q_ks_drift(spark, sf_dir):
         F.abs(F.col("cum_a") * F.col("nb")
               - F.col("cum_b") * F.col("na")).alias("__g"),
         "na", "nb")
+    in_range = (F.col("na").cast("double") * F.col("nb").cast("double")
+                < F.lit(9.2e18))
     return (gaps.groupBy("na", "nb")
                 .agg(F.max("__g").alias("__m"))
                 .select("na", "nb",
-                        F.round(F.col("__m").cast("double")
-                                / (F.col("na") * F.col("nb")), 6)
+                        F.when(in_range,
+                               F.round(F.col("__m").cast("double")
+                                       / (F.col("na") * F.col("nb")), 6))
+                         .otherwise(F.raise_error(F.lit(
+                             "q_ks_drift: na*nb exceeds int64 — use a "
+                             "DECIMAL cross-multiply at this scale")))
                          .alias("ks_stat")))
 
 
@@ -2970,13 +2983,21 @@ def q_psi_drift(spark, sf_dir):
              .groupBy("bin").agg(F.count(F.lit(1)).alias("np")))
     cb = (cur.crossJoin(F.broadcast(bounds)).select(bin_of)
              .groupBy("bin").agg(F.count(F.lit(1)).alias("nq")))
-    tot_p = ref.count()
-    tot_q = cur.count()
-    joined = rb.join(cb, "bin", "left").select(
-        "bin",
-        (F.col("np") / F.lit(float(tot_p))).alias("p"),
-        F.greatest(F.coalesce(F.col("nq"), F.lit(0))
-                   / F.lit(float(tot_q)), F.lit(1e-6)).alias("q"))
+    # totals derive IN-PLAN from the bin counts (1-row broadcasts) —
+    # a driver-side .count() here would run two eager scans at query
+    # CONSTRUCTION time, breaking the lazy-builder convention
+    tp = rb.agg(F.sum("np").alias("__tp"))
+    tq = cb.agg(F.sum("nq").alias("__tq"))
+    joined = (rb.join(cb, "bin", "left")
+                .crossJoin(F.broadcast(tp))
+                .crossJoin(F.broadcast(tq))
+                .select(
+                    "bin",
+                    (F.col("np") / F.col("__tp").cast("double"))
+                     .alias("p"),
+                    F.greatest(F.coalesce(F.col("nq"), F.lit(0))
+                               / F.col("__tq").cast("double"),
+                               F.lit(1e-6)).alias("q")))
     term = F.round((F.col("p") - F.col("q"))
                    * F.log(F.col("p") / F.col("q")), 9)
     return joined.agg(F.round(F.sum(term), 6).alias("psi"),
@@ -3411,18 +3432,26 @@ def q_hll_overlap(spark, sf_dir):
 
 def q_minhash_audience(spark, sf_dir):
     """Audience Jaccard from MinHash signature state, HASH-VERIFIED:
-    per-event-type member signatures (32 affine min-slots — plain min
+    per-DAY member signatures (32 affine min-slots — plain min
     aggregates, so the state is map-side-combinable, min-mergeable, and
-    duplicate-member-proof) then pairwise slot-agreement estimates —
-    the Jaccard companion of q_hll_overlap's set algebra, again from
-    O(groups · slots) persisted values instead of the member sets."""
+    duplicate-member-proof) then pairwise slot-agreement estimates over
+    consecutive-week day pairs — audience-churn tracking from
+    O(groups · slots) persisted values instead of the member sets, the
+    Jaccard companion of q_hll_overlap's set algebra.  DAY grain, not
+    event_type: this corpus's types all share one user set, which would
+    make agreement trivially 32/32 and the oracle unable to see a hash
+    divergence (it only observes AGREEMENT, not slot values) — day
+    audiences genuinely differ, so the match exercises the hash math.
+    The signature table pins once (persist) before its self-join."""
     from .pipeline.dedup import (minhash_audience_signatures,
                                  minhash_audience_similarity)
-    e = _t(spark, sf_dir, "events")
-    sigs = minhash_audience_signatures(e, ["event_type"], "user_id")
-    return minhash_audience_similarity(sigs, "event_type") \
-        .select(F.col("a").alias("type_a"), F.col("b").alias("type_b"),
-                "n_match", "est_jaccard")
+    e = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts"))
+    sigs = minhash_audience_signatures(e, ["day"], "user_id").persist()
+    return (minhash_audience_similarity(sigs, "day")
+            .filter(F.datediff(F.col("b"), F.col("a")) == 7)
+            .select(F.col("a").alias("day_a"), F.col("b").alias("day_b"),
+                    "n_match", "est_jaccard"))
 
 
 def q_variant_props(spark, sf_dir):

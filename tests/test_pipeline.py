@@ -1073,31 +1073,40 @@ def test_ahash_near_dup_pairs_equal_bruteforce(spark):
 
 
 def test_minhash_audience_merge_and_accuracy(spark):
-    """Audience-signature contracts: day-grain signatures min-merge to
-    the whole-table signatures (min is associative + idempotent), and
-    slot-agreement Jaccard estimates track the exact set Jaccard within
-    the 32-slot binomial error (±0.27 at 3σ)."""
+    """Audience-signature contracts on groups with GENUINELY different
+    member sets (the events table's types all share one user set, which
+    would make every assertion vacuous — r6 review finding): batch-
+    split signatures min-merge to the whole signatures, and
+    slot-agreement Jaccard tracks the exact set Jaccard within the
+    32-slot binomial error (±0.27 at 3σ), including a known
+    zero-overlap pair and a known 1/3-overlap pair."""
+    from pyspark.sql import Row
+
     from big_data_bowl_spark.pipeline.dedup import (
         minhash_audience_signatures, minhash_audience_similarity)
-    e = (read_table(spark, SF_SMALL, "events")
-         .withColumn("day", F.to_date("ts")))
-    whole = minhash_audience_signatures(e, ["event_type"], "user_id")
-    daily = minhash_audience_signatures(e, ["event_type", "day"],
-                                        "user_id")
-    merged = daily.drop("day").groupBy("event_type").agg(
+    members = {"A": range(0, 100), "B": range(50, 150),
+               "C": range(300, 400)}
+    df = spark.createDataFrame(
+        [Row(g=g, key=k, part=k % 3)
+         for g, ks in members.items() for k in ks])
+    whole = minhash_audience_signatures(df, ["g"], "key")
+    split = minhash_audience_signatures(df, ["g", "part"], "key")
+    merged = split.drop("part").groupBy("g").agg(
         *[F.min(f"s{i}").alias(f"s{i}") for i in range(32)])
-    rows = lambda df: sorted(map(tuple, df.collect()))
+    rows = lambda d: sorted(map(tuple, d.collect()))
     assert rows(merged) == rows(whole)
 
     est = {(r["a"], r["b"]): r["est_jaccard"] for r in
-           minhash_audience_similarity(whole, "event_type").collect()}
-    users = {}
-    for r in e.select("event_type", "user_id").distinct().collect():
-        users.setdefault(r["event_type"], set()).add(r["user_id"])
-    assert est
+           minhash_audience_similarity(whole, "g").collect()}
+    sets = {g: set(ks) for g, ks in members.items()}
+    assert set(est) == {("A", "B"), ("A", "C"), ("B", "C")}
     for (a, b), v in est.items():
-        exact = len(users[a] & users[b]) / len(users[a] | users[b])
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
         assert abs(v - exact) <= 0.27, (a, b, v, exact)
+    # the disjoint pairs must estimate (near) zero, the overlapping
+    # pair must estimate clearly above them
+    assert est[("A", "C")] <= 0.1 and est[("B", "C")] <= 0.1, est
+    assert est[("A", "B")] > est[("A", "C")], est
 
 
 def test_hll_overlap_tracks_exact_intersections(spark):
