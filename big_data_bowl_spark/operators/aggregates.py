@@ -171,14 +171,17 @@ def _item_pair_counts(items: DataFrame, group_col: str,
 
 def basket_lift(df: DataFrame, group_col: str, item_col: str,
                 min_pair_groups: int = 1) -> DataFrame:
-    """Association metrics over the co-occurrence pairs: support,
-    confidence (both directions' max), and lift for every unordered item
-    pair — the market-basket rules layer on :func:`cooccurrence_pairs`.
+    """Association metrics over the co-occurrence pairs: support, the
+    two DIRECTIONAL confidences conf(a→b)=P(b|a) and conf(b→a)=P(a|b),
+    and lift for every unordered item pair — the market-basket rules
+    layer on :func:`cooccurrence_pairs`.  Both directions are emitted
+    explicitly (not a max) so a consumer reading "confidence" can never
+    over-read an undirected score as a directional rule strength.
     The per-item group counts and the total group count are item-grain /
     1-row tables broadcast onto the pairs; lift = P(ab)/(P(a)·P(b)) with
     every probability computed from the SAME distinct (group, item)
     relation, so numerators and denominators cannot drift.  Returns
-    (item_a, item_b, n_ab, support, confidence, lift)."""
+    (item_a, item_b, n_ab, support, conf_ab, conf_ba, lift)."""
     require_columns(df, [group_col, item_col], "basket_lift")
     items = df.select(group_col, item_col).distinct()
     # pairs, item counts, and the total all derive from this ONE
@@ -203,8 +206,8 @@ def basket_lift(df: DataFrame, group_col: str, item_col: str,
         "item_a", "item_b",
         F.col("n_groups").alias("n_ab"),
         F.round(n_ab / F.col("__n_total"), 6).alias("support"),
-        F.round(F.greatest(n_ab / F.col("__na"),
-                           n_ab / F.col("__nb")), 6).alias("confidence"),
+        F.round(n_ab / F.col("__na"), 6).alias("conf_ab"),
+        F.round(n_ab / F.col("__nb"), 6).alias("conf_ba"),
         F.round(n_ab * F.col("__n_total")
                 / (F.col("__na") * F.col("__nb")), 6).alias("lift"))
 

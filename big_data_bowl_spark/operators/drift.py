@@ -1,0 +1,75 @@
+"""Distribution-drift statistics (ML-monitoring tier).
+
+The exact two-sample Kolmogorov–Smirnov statistic, built for the
+100 TB shape from the start:
+
+- the cumulative pass runs on the DISTINCT-VALUE grain via
+  :func:`~.windows.cumsum_distributed` (range-partitioned prefix sums),
+  never a single-reducer global window over fact rows;
+- the max-gap cross-multiply is INTEGER-EXACT with an automatic
+  in-plan fallback: int64 while ``na·nb < 2^63`` (one multiply per
+  distinct value), DECIMAL(38,0) past it (exact to ~1e19 rows per
+  side) — no scale cliff, no raise_error.
+
+Both branches are computed as aggregates over the same gap relation
+and the 1-row branch predicate selects which one feeds the final
+division, so the fast path costs one extra max-aggregate column and
+the slow path is bit-identical to a DECIMAL-only formulation
+(property-tested against the int64 branch on shared-range inputs in
+tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import require_columns
+from .windows import cumsum_distributed
+
+
+def ks_two_sample(df: DataFrame, value_col: str, is_a_col: str,
+                  force_decimal: bool = False) -> DataFrame:
+    """Exact two-sample KS D over ``value_col``, samples split by the
+    0/1 column ``is_a_col``.  Returns one row (na, nb, ks_stat) with
+    ks_stat rounded at 6.
+
+    D = max over distinct values of |F_a(v) − F_b(v)|; computed as
+    max |cum_a·nb − cum_b·na| / (na·nb) so the max is taken over exact
+    integers (int64 or DECIMAL(38,0) depending on na·nb) with ONE
+    final division.  ``force_decimal`` pins the DECIMAL branch even in
+    int64 range — the property-test hook proving the two branches
+    agree on shared-range inputs."""
+    require_columns(df, [value_col, is_a_col], "ks_two_sample")
+    per_val = (df.groupBy(F.col(value_col).alias("__v"))
+                 .agg(F.sum(is_a_col).alias("ca"),
+                      F.sum(1 - F.col(is_a_col)).alias("cb")))
+    # distinct-value grain + unique ordering → the distributed prefix
+    # sum's contract holds exactly
+    cum = cumsum_distributed(per_val, ["__v"], ["ca", "cb"])
+    totals = df.agg(F.sum(is_a_col).alias("na"),
+                    F.sum(1 - F.col(is_a_col)).alias("nb"))
+    dec = "decimal(38,0)"
+    gaps = cum.crossJoin(F.broadcast(totals)).select(
+        F.abs(F.col("cum_ca") * F.col("nb")
+              - F.col("cum_cb") * F.col("na")).alias("__g"),
+        F.abs(F.col("cum_ca").cast(dec) * F.col("nb").cast(dec)
+              - F.col("cum_cb").cast(dec) * F.col("na").cast(dec))
+         .alias("__gd"),
+        "na", "nb")
+    in_range = (F.col("na").cast("double") * F.col("nb").cast("double")
+                < F.lit(9.2e18)) & F.lit(not force_decimal)
+    return (gaps.groupBy("na", "nb")
+                .agg(F.max("__g").alias("__m"),
+                     F.max("__gd").alias("__md"))
+                .select(
+                    "na", "nb",
+                    F.when(in_range,
+                           F.round(F.col("__m").cast("double")
+                                   / (F.col("na") * F.col("nb")), 6))
+                     .otherwise(
+                        F.round((F.col("__md")
+                                 / (F.col("na").cast(dec)
+                                    * F.col("nb").cast(dec)))
+                                .cast("double"), 6))
+                     .alias("ks_stat")))

@@ -150,6 +150,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                         F.greatest("src", "dst").alias("b"))
                 .filter(F.col("a") != F.col("b"))
                 .distinct())
+    # Pin the canonicalized edge relation ONCE (same discipline as
+    # pagerank's edge pin above): `und` feeds the degree union twice,
+    # both sides of the wedge self-join (via `oriented`), and the
+    # closing join — without the pin, a caller's expensive edge
+    # construction (e.g. a bipartite self-join + distinct) re-executes
+    # in every one of those plan subtrees.
+    und = und.localCheckpoint(eager=True)
     deg = (und.select(F.col("a").alias("node"))
               .union(und.select(F.col("b").alias("node")))
               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))

@@ -59,7 +59,11 @@ def _cms_check_params(state: DataFrame, where: str,
         raise ValueError(
             f"{where}: mixed CMS geometries {pairs} cannot be merged — "
             "bucket spaces are incompatible")
-    if pairs and (w, d) != (None, None) and pairs[0] != (w, d):
+    # Per-parameter check so a partially-specified geometry (w given,
+    # d None or vice versa) validates the given half instead of always
+    # raising a spurious full-tuple mismatch.
+    if pairs and ((w is not None and pairs[0][0] != w)
+                  or (d is not None and pairs[0][1] != d)):
         raise ValueError(
             f"{where}: sketch was built with (w, d)={pairs[0]}, caller "
             f"asked for {(w, d)} — probing the wrong bucket space would "
@@ -259,8 +263,8 @@ def _bloom_check_params(state: DataFrame, where: str,
         raise ValueError(
             f"{where}: mixed Bloom geometries {pairs} cannot be "
             "combined — probe positions are incompatible")
-    if pairs and (m_words, k) != (None, None) \
-            and pairs[0] != (m_words, k):
+    if pairs and ((m_words is not None and pairs[0][0] != m_words)
+                  or (k is not None and pairs[0][1] != k)):
         raise ValueError(
             f"{where}: state was built with (m_words, k)={pairs[0]}, "
             f"caller asked for {(m_words, k)} — probing the wrong "

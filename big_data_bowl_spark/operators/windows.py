@@ -91,6 +91,61 @@ def rank_desc_distributed(df: DataFrame, score: str, out: str = "rank",
                  .drop("__pid", "__lr"))
 
 
+def cumsum_distributed(df: DataFrame, order: list[str],
+                       sums: list[str],
+                       partitions: int | None = None) -> DataFrame:
+    """Globally-ordered prefix sums WITHOUT the single-reducer window —
+    the cumulative-sum sibling of :func:`rank_desc_distributed`, same
+    three-phase range-partition discipline:
+
+    (1) ``repartitionByRange`` ascending on ``order`` — every partition
+    holds a contiguous key range; (2) local ``rowsBetween(unbounded, 0)``
+    prefix sums within each range partition; (3) per-partition totals
+    (a ``partitions``-row table) prefix-sum into offsets on the driver-
+    scale grain and broadcast back, so ``cum = local + offset``.  The
+    only whole-dataset operations are the range exchange and the local
+    window; the global ordering pass touches `partitions` rows.
+
+    The ordering over ``order`` must be UNIQUE (e.g. a distinct-value
+    grain): equal keys may straddle a range boundary, and a non-unique
+    ordering would make their relative prefix order non-deterministic.
+    Appends one ``cum_<col>`` column per entry in ``sums``."""
+    require_columns(df, [*order, *sums], "cumsum_distributed")
+    n = int(partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+    order_exprs = [F.asc(c) for c in order]
+    staged = (df.repartitionByRange(n, *order_exprs)
+                .withColumn("__pid", F.spark_partition_id()))
+    w_local = (Window.partitionBy("__pid").orderBy(*order_exprs)
+                     .rowsBetween(Window.unboundedPreceding, 0))
+    local = staged.select(
+        "*", *[F.sum(c).over(w_local).alias(f"__l_{c}") for c in sums])
+    # Per-partition totals derive FROM the local prefix result (the
+    # prefix at each partition's LAST row IS its total, via max_by on
+    # the unique ordering) — not from a second read of `staged` — so
+    # the range exchange has exactly one consumer subtree and partition
+    # boundaries cannot drift between re-executions.  The offsets
+    # window IS single-partition — over `partitions` rows, by design
+    # the only global pass.
+    last_key = F.struct(*[F.col(c) for c in order])
+    woff = (Window.orderBy("__pid")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (local.groupBy("__pid")
+                 .agg(*[F.max_by(f"__l_{c}", last_key).alias(f"__t_{c}")
+                        for c in sums])
+                 .select("__pid",
+                         *[F.coalesce(F.sum(f"__t_{c}").over(woff),
+                                      F.lit(0)).alias(f"__o_{c}")
+                           for c in sums]))
+    out = local.join(F.broadcast(offs), "__pid")
+    for c in sums:
+        out = out.withColumn(f"cum_{c}",
+                             F.col(f"__l_{c}") + F.col(f"__o_{c}"))
+    return out.drop("__pid",
+                    *[f"__l_{c}" for c in sums],
+                    *[f"__o_{c}" for c in sums])
+
+
 def argmax_rows(df: DataFrame, col: str, group: list[str]) -> DataFrame:
     """W8: keep rows where ``col == max(col) per group`` — the reference's
     throw-frame / catch-frame selection (preprocess.py:366-373,479-482),

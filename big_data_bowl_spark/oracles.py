@@ -1099,9 +1099,8 @@ total AS (
     SELECT count(DISTINCT user_id) AS n_total FROM items)
 SELECT p.item_a, p.item_b, p.n_ab,
        round(CAST(p.n_ab AS DOUBLE) / t.n_total, 6) AS support,
-       round(greatest(CAST(p.n_ab AS DOUBLE) / ia.n_item,
-                      CAST(p.n_ab AS DOUBLE) / ib.n_item), 6)
-         AS confidence,
+       round(CAST(p.n_ab AS DOUBLE) / ia.n_item, 6) AS conf_ab,
+       round(CAST(p.n_ab AS DOUBLE) / ib.n_item, 6) AS conf_ba,
        round(CAST(p.n_ab AS DOUBLE) * t.n_total
              / (ia.n_item * ib.n_item), 6) AS lift
 FROM pairs p

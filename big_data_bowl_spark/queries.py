@@ -1303,19 +1303,37 @@ def q_quantile_sketch(spark, sf_dir):
 
 def q_distribution_windows(spark, sf_dir):
     """Distribution window functions over a global ordering: decile
-    (ntile), percent_rank, cume_dist of customer balances.  The total
-    order (acctbal, custkey) is tie-free so all three are deterministic.
-    Scale note: a global ORDER BY window is single-reducer by nature —
-    at 100 TB replace ntile with bucketing on pre-computed approx
-    percentile boundaries (see SCALE.md); this query pins the exact
-    small-dimension form."""
-    c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
+    (ntile), percent_rank, cume_dist of customer balances — WITHOUT the
+    single-reducer global window.  The total order (acctbal, custkey)
+    is tie-free, so a distributed row_number (cumsum_distributed over a
+    constant-1 column: range-partitioned local prefix + a partitions-row
+    offset pass) determines all three EXACTLY in-row:
+    ntile(k) follows SQL's big-buckets-first split (first n%k buckets
+    get ⌈n/k⌉ rows), percent_rank = (rn−1)/(n−1), cume_dist = rn/n
+    (tie-free).  The oracle stays the plain window formulation — the
+    hash match proves the distributed form IS the window semantics."""
+    from .operators.windows import cumsum_distributed
+    c = (_t(spark, sf_dir, "customer")
+         .select("c_custkey", "c_acctbal", F.lit(1).alias("__one")))
+    rn = F.col("cum___one")
+    ranked = (cumsum_distributed(c, ["c_acctbal", "c_custkey"],
+                                 ["__one"])
+              .crossJoin(F.broadcast(
+                  c.agg(F.count(F.lit(1)).alias("__n")))))
+    # integer floor-divs ride double division (exact below 2^53 ≈ 9e15
+    # rows — far past any real table; past that, cast to DECIMAL)
+    n, k = F.col("__n"), F.lit(10)
+    base, rem = (n / k).cast("long"), n % k
+    cut = rem * (base + 1)
+    decile = (F.when(rn <= cut, (rn + base) / (base + 1))
+               .otherwise(rem + (rn - cut + base - 1) / base)
+               .cast("long"))
+    return ranked.select(
         "c_custkey",
-        F.ntile(10).over(w).cast("long").alias("decile"),
-        roundn(F.percent_rank().over(w)).alias("pct_rank"),
-        roundn(F.cume_dist().over(w)).alias("cume"))
+        decile.alias("decile"),
+        roundn(F.when(n == 1, F.lit(0.0))
+                .otherwise((rn - 1) / (n - 1))).alias("pct_rank"),
+        roundn(rn / n).alias("cume"))
 
 
 # ---------------------------------------------------------------------------
@@ -2922,42 +2940,18 @@ def q_ks_drift(spark, sf_dir):
     cumulative counts cross-multiply (|cum_a·n_b − cum_b·n_a|) so the
     max is over exact integers, with ONE final division.  The
     cross-multiply is int64-exact only while na·nb < 2^63 (~3e9 rows
-    per side) — past that it FAILS LOUD in-plan instead of wrapping;
-    the at-scale fix is a DECIMAL cross-multiply.  The ordered window
-    runs on the DISTINCT-VALUE grain (not fact rows); its global
-    ordering is single-reducer here — at 100 TB swap in the
-    rank_distributed range-partition form (W7's scale path)."""
+    per side); past that the plan switches IN-PLAN to a DECIMAL(38,0)
+    cross-multiply (exact to ~1e19 rows per side) — no scale cliff.
+    The cumulative pass runs on the DISTINCT-VALUE grain through
+    cumsum_distributed's range-partitioned prefix sums, never a
+    single-reducer global window (operators/drift.py)."""
+    from .operators.drift import ks_two_sample
     e = _t(spark, sf_dir, "events")
     tagged = (e.filter(F.col("event_type").isin("purchase", "error"))
                .select("value",
                        (F.col("event_type") == "purchase")
                        .cast("long").alias("is_a")))
-    per_val = (tagged.groupBy("value")
-               .agg(F.sum("is_a").alias("ca"),
-                    F.sum(1 - F.col("is_a")).alias("cb")))
-    w = Window.orderBy("value").rowsBetween(
-        Window.unboundedPreceding, 0)
-    cum = per_val.select(
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"))
-    totals = tagged.agg(F.sum("is_a").alias("na"),
-                        F.sum(1 - F.col("is_a")).alias("nb"))
-    gaps = cum.crossJoin(F.broadcast(totals)).select(
-        F.abs(F.col("cum_a") * F.col("nb")
-              - F.col("cum_b") * F.col("na")).alias("__g"),
-        "na", "nb")
-    in_range = (F.col("na").cast("double") * F.col("nb").cast("double")
-                < F.lit(9.2e18))
-    return (gaps.groupBy("na", "nb")
-                .agg(F.max("__g").alias("__m"))
-                .select("na", "nb",
-                        F.when(in_range,
-                               F.round(F.col("__m").cast("double")
-                                       / (F.col("na") * F.col("nb")), 6))
-                         .otherwise(F.raise_error(F.lit(
-                             "q_ks_drift: na*nb exceeds int64 — use a "
-                             "DECIMAL cross-multiply at this scale")))
-                         .alias("ks_stat")))
+    return ks_two_sample(tagged, "value", "is_a")
 
 
 def q_psi_drift(spark, sf_dir):
@@ -3396,13 +3390,19 @@ def q_hll_overlap(spark, sf_dir):
     comes from max-merging the two types' neutral-HLL register tables —
     set algebra on mergeable state, so overlaps of 100 TB audiences
     compute from O(types · 256) persisted rows without touching raw
-    history.  The register table builds ONCE (persisted) and feeds the
+    history.  The register table builds ONCE (pinned) and feeds the
     singles and every pair union; inclusion–exclusion composes the
     ROUNDED estimates (round-before-subtract, the house float rule)."""
     from .operators.sketches import (hll_neutral_registers,
                                      hll_neutral_rollup)
     e = _t(spark, sf_dir, "events")
-    regs = hll_neutral_registers(e, ["event_type"], "user_id").persist()
+    # localCheckpoint, not persist: its lifetime is tied to the plan
+    # object (GC-released), so repeated invocations (bench runs each
+    # headline query twice; oracle parity runs every query in one
+    # session) don't accumulate cached register tables in executor
+    # memory the way an un-unpersisted .persist() would.
+    regs = hll_neutral_registers(e, ["event_type"], "user_id") \
+        .localCheckpoint(eager=True)
     singles = hll_neutral_rollup(regs, ["event_type"])
     types = regs.select("event_type").distinct()
     pairs = (types.select(F.col("event_type").alias("type_a"))
@@ -3442,12 +3442,15 @@ def q_minhash_audience(spark, sf_dir):
     make agreement trivially 32/32 and the oracle unable to see a hash
     divergence (it only observes AGREEMENT, not slot values) — day
     audiences genuinely differ, so the match exercises the hash math.
-    The signature table pins once (persist) before its self-join."""
+    The signature table pins once (localCheckpoint) before its self-join."""
     from .pipeline.dedup import (minhash_audience_signatures,
                                  minhash_audience_similarity)
     e = _t(spark, sf_dir, "events").withColumn(
         "day", F.to_date("ts"))
-    sigs = minhash_audience_signatures(e, ["day"], "user_id").persist()
+    # localCheckpoint (GC-released), not an un-unpersisted .persist():
+    # see q_hll_overlap's pin note.
+    sigs = minhash_audience_signatures(e, ["day"], "user_id") \
+        .localCheckpoint(eager=True)
     return (minhash_audience_similarity(sigs, "day")
             .filter(F.datediff(F.col("b"), F.col("a")) == 7)
             .select(F.col("a").alias("day_a"), F.col("b").alias("day_b"),
@@ -3494,7 +3497,7 @@ def q_cooccurrence(spark, sf_dir):
 
 def q_basket_lift(spark, sf_dir):
     """Association rules over the co-occurrence pairs, HASH-VERIFIED:
-    support / confidence (direction max) / lift per unordered
+    support / both directional confidences / lift per unordered
     event-type pair, every probability from the same distinct
     (user, type) relation.  Item counts and the basket total are
     broadcast onto the pairs — the fact table is scanned once for the

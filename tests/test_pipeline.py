@@ -1196,6 +1196,18 @@ def test_sketch_state_guards_fail_loud(spark):
     with pytest.raises(ValueError, match="bucket space"):
         with_cms_estimate(e, sketch, "event_type", w=2048)
 
+    # partially-specified geometry validates the GIVEN half instead of
+    # spuriously raising on the unspecified one
+    from big_data_bowl_spark.operators.sketches import (
+        _bloom_check_params, _cms_check_params)
+    _cms_check_params(sketch, "t", w=1024, d=None)
+    _cms_check_params(sketch, "t", w=None, d=4)
+    with pytest.raises(ValueError, match="bucket space"):
+        _cms_check_params(sketch, "t", w=None, d=5)
+    _bloom_check_params(bstate, "t", m_words=512, k=None)
+    with pytest.raises(ValueError, match="geometry"):
+        _bloom_check_params(bstate, "t", m_words=None, k=99)
+
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="checkpoint_every"):
         pagerank(edges, iters=2, checkpoint_every=0)
@@ -1740,3 +1752,26 @@ def test_simhash_pairs_pigeonhole_completeness(spark):
     assert want_complete <= set(got), (want_complete, got)
     assert all(h <= 3 for h in got.values())
     assert got[(0, 1)] == 0
+
+
+def test_cumsum_distributed_equals_window(spark):
+    """The range-partitioned prefix sum must reproduce the global
+    cumulative window exactly — including negative addends and multiple
+    sum columns — and its plan must carry a rangepartitioning exchange
+    (the scale shape) instead of funneling the frame through one task."""
+    from pyspark.sql import Window
+
+    from big_data_bowl_spark.operators.windows import cumsum_distributed
+    from big_data_bowl_spark.plans import executed_plan
+    rows = [(k, (k * 7) % 13 - 6, (k * 3) % 5) for k in range(57)]
+    df = spark.createDataFrame(rows, "k long, a long, b long")
+    out = cumsum_distributed(df, ["k"], ["a", "b"], partitions=5)
+    w = (Window.orderBy("k")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    want = {(r["k"], r["ca"], r["cb"]) for r in df.select(
+        "k", F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb")).collect()}
+    got = {(r["k"], r["cum_a"], r["cum_b"]) for r in out.collect()}
+    assert got == want
+    plan = executed_plan(out)
+    assert "rangepartitioning" in plan.lower(), plan

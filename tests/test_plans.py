@@ -497,3 +497,36 @@ def test_lloyd_assignment_never_shuffles_on_vector_id(spark):
     once per round); only (label, dim) aggregations move data."""
     assert count_exchanges(_q(spark, "q_lloyd_kmeans"),
                            key_fragment="vec_id") == 0
+
+
+def test_triangle_count_pins_edges(spark):
+    """triangle_count pins its canonicalized edge relation ONCE
+    (localCheckpoint — the pagerank discipline): the executed plan of
+    the result must not contain the caller's edge-construction subtree
+    at all (it ran eagerly at pin time), so the degree union, both
+    wedge-join sides, and the closing join all read the one
+    materialized edge table instead of re-executing the upstream
+    projection per consumer."""
+    from big_data_bowl_spark.operators.graph import triangle_count
+    from big_data_bowl_spark.plans import executed_plan
+    edges = (spark.range(100)
+             .selectExpr("id % 13 AS src", "(id * 7) % 13 AS dst"))
+    plan = executed_plan(triangle_count(edges))
+    assert "Range" not in plan, plan  # upstream never re-executes
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_global_distribution_queries_have_no_single_reducer_window(spark):
+    """The wired scale paths stay wired: q_ks_drift and
+    q_distribution_windows run their ordered pass through the
+    range-partitioned cumsum — the plan must carry a rangepartitioning
+    exchange, and every full-data Window must be partitioned by the
+    range-partition id (the only unpartitioned window is the
+    partitions-row offsets pass, which also orders by __pid)."""
+    from big_data_bowl_spark.plans import executed_plan
+    for name in ("q_ks_drift", "q_distribution_windows"):
+        plan = executed_plan(_q(spark, name))
+        assert "rangepartitioning" in plan.lower(), (name, plan)
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert "__pid" in line, (name, line)

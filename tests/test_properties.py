@@ -304,3 +304,32 @@ def test_quantile_sketch_state_equals_python_bottomk(spark, rows, k):
                           for gg, key, v in rows if gg == g))
         want |= {(g, key, h, float(v)) for h, key, v in members[:k]}
     assert got == want, (rows, k, got ^ want)
+
+
+# KS DECIMAL branch ≡ int64 branch ≡ brute-force D on shared-range
+# inputs: the scale fallback must be bit-identical where both apply
+@settings(max_examples=8, deadline=None)
+@given(cells=st.lists(
+    st.tuples(st.integers(0, 30), st.booleans()),
+    min_size=2, max_size=60).filter(
+        lambda c: any(b for _, b in c) and any(not b for _, b in c)))
+def test_ks_decimal_branch_matches_int64(spark, cells):
+    from big_data_bowl_spark.operators.drift import ks_two_sample
+
+    df = spark.createDataFrame(
+        [Row(value=float(v), is_a=int(b)) for v, b in cells])
+    fast = ks_two_sample(df, "value", "is_a").collect()[0]
+    slow = ks_two_sample(df, "value", "is_a",
+                         force_decimal=True).collect()[0]
+    assert (fast["na"], fast["nb"]) == (slow["na"], slow["nb"])
+    assert fast["ks_stat"] == slow["ks_stat"], (fast, slow)
+
+    # brute force: D = max over distinct values of |F_a - F_b|
+    a = sorted(v for v, b in cells if b)
+    b_ = sorted(v for v, b in cells if not b)
+    vals = sorted({v for v, _ in cells})
+    want = max(
+        abs(sum(1 for x in a if x <= v) / len(a)
+            - sum(1 for x in b_ if x <= v) / len(b_))
+        for v in vals)
+    assert abs(fast["ks_stat"] - round(want, 6)) <= 1e-6, (fast, want)
