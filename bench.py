@@ -126,6 +126,11 @@ HEADLINE = [
     # inclusion-exclusion) and Jaccard (MinHash slot agreement)
     "q_hll_overlap",
     "q_minhash_audience",
+    # round-7 additions: the hash-verified submission spine (the full
+    # relational pipeline incl. the pandas-UDF inference seam with the
+    # injected model) and the distributed-prefix-sum KS drift plan
+    "q_submission_spine",
+    "q_ks_drift",
 ]
 
 

@@ -61,6 +61,31 @@ class EmaFallbackModel:
         return {"alpha": self.alpha}
 
 
+class LinearBlendModel:
+    """Deterministic injected predictor for spine verification
+    (q_submission_spine): per timestep pred = w0·x₀ + w1·x₁, computed in
+    FLOAT64 so the inference seam's single float32 cast
+    (predict_sequences' ``astype(np.float32)``) is the ONLY rounding —
+    a SQL oracle reproduces it as one CAST(… AS REAL) of an exact
+    double blend.  Requires ≥2 features.  Padding rows (all-zero
+    features) predict 0.0, matching the Masking contract the real
+    models follow (irrelevant downstream — un-pivot drops padded steps
+    — but kept for interface parity)."""
+
+    def __init__(self, w0: float = 0.5, w1: float = 0.25):
+        self.w0, self.w1 = float(w0), float(w1)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        # x: (N, T, F) float32 → (N, T) float64 predictions
+        out = (self.w0 * x[:, :, 0].astype(np.float64)
+               + self.w1 * x[:, :, 1].astype(np.float64))
+        mask = np.any(x != 0.0, axis=2)
+        return np.where(mask, out, 0.0)
+
+    def get_weights(self):
+        return {"w0": self.w0, "w1": self.w1}
+
+
 class NumpyLSTMModel:
     """The reference topology (bdb2026/models.py:24-66) as a pure-numpy
     forward pass: Masking(0.0) → LSTM(64, return_sequences) → LSTM(32,

@@ -1718,6 +1718,151 @@ FROM purchases p ASOF LEFT JOIN views v
 # fixture must reproduce EXACTLY these values (pinned from two independent
 # runs at different partition counts; every reduction is IEEE-exact).
 # Regenerate only if the fixture in queries.q_scorecard_golden changes.
+# Insights-notebook replays: metric means reduce as exact integer units
+# (cents / floor-micro long sums), percentile ranks follow pandas'
+# rank(pct=True) average method ((rank + (ties-1)/2) / n), and every
+# top-k carries an explicit user_id tie-break — all doubles are then
+# bit-identical across engines, so no in-engine rounding is applied.
+ORACLES["q_archetypes"] = """
+WITH m AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 100.0 AS exec_iq,
+           CAST(sum(CAST(floor((CASE WHEN (value*7) % 50 < 0
+                                     THEN (value*7) % 50 + 50
+                                     ELSE (value*7) % 50 END) * 1e6)
+                         AS BIGINT)) AS BIGINT)
+             / count(*) / 1e6 AS conv_iq,
+           count(*) AS routes_run
+    FROM events WHERE value IS NOT NULL GROUP BY 1),
+style AS (
+    SELECT * FROM m
+    WHERE routes_run > (SELECT max(routes_run) * 0.4 FROM m)),
+ranked AS (
+    SELECT user_id, routes_run,
+           (rank() OVER (ORDER BY exec_iq)
+            + (count(*) OVER (PARTITION BY exec_iq) - 1) / 2.0)
+             / count(*) OVER () AS exec_pct,
+           (rank() OVER (ORDER BY conv_iq)
+            + (count(*) OVER (PARTITION BY conv_iq) - 1) / 2.0)
+             / count(*) OVER () AS conv_pct
+    FROM style)
+SELECT user_id, routes_run, exec_pct, conv_pct,
+       CASE WHEN exec_pct > 0.70 AND conv_pct > 0.70
+              THEN 'Elite All-Around'
+            WHEN exec_pct < 0.40 AND conv_pct > 0.70
+              THEN 'Freestyle / Physical Freak'
+            WHEN exec_pct > 0.70 AND conv_pct < 0.40
+              THEN 'Separator / Technician'
+            WHEN exec_pct < 0.40 AND conv_pct < 0.40 THEN 'Struggling'
+            ELSE 'Balanced' END AS archetype
+FROM ranked
+"""
+
+ORACLES["q_route_kings"] = """
+WITH rs AS (
+    SELECT event_type, user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 100.0 AS score,
+           count(*) AS n_runs
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+mx AS (SELECT event_type, max(n_runs) AS mxn FROM rs GROUP BY 1),
+qual AS (
+    SELECT rs.* FROM rs JOIN mx USING (event_type)
+    WHERE rs.n_runs >= greatest(5.0, mx.mxn * 0.2))
+SELECT event_type AS route, user_id AS best_player, score, n_runs
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY score DESC, user_id) AS rn
+      FROM qual)
+WHERE rn = 1
+"""
+
+ORACLES["q_model_beaters"] = """
+WITH m AS (
+    SELECT user_id,
+           CAST(sum(CAST(floor((value - (CASE WHEN (value*7) % 50 < 0
+                                              THEN (value*7) % 50 + 50
+                                              ELSE (value*7) % 50 END))
+                               * 1e6) AS BIGINT)) AS BIGINT)
+             / count(*) / 1e6 AS mean_residual,
+           count(*) AS routes_run
+    FROM events WHERE value IS NOT NULL GROUP BY 1),
+starters AS (
+    SELECT * FROM m
+    WHERE routes_run > (SELECT max(routes_run) * 0.4 FROM m))
+SELECT user_id, mean_residual, routes_run, rn AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY mean_residual DESC,
+                                   user_id) AS rn
+      FROM starters)
+WHERE rn <= 10
+"""
+
+# Submission-pipeline relational spine with the injected linear model:
+# every stage is exact IEEE (pmod via sign-branched %, sqrt/power,
+# lag-diff), features cast to REAL exactly as build_sequences' float32
+# tensor, the model blend computed in DOUBLE with ONE final REAL cast
+# (mirroring predict_sequences' astype(float32)), residuals quantized
+# with FLOOR to integer micro-units so the per-player MAE is a
+# long-sum (order-free, tie-free across engines).
+ORACLES["q_submission_spine"] = """
+WITH base AS MATERIALIZED (
+    SELECT play_id, frame_id,
+           CASE WHEN play_id % 2 = 0 THEN 'left' ELSE 'right' END AS dirn,
+           (CASE WHEN value % 100 < 0 THEN value % 100 + 100
+                 ELSE value % 100 END) + 10.0 AS x,
+           CASE WHEN (value * 7) % 50 < 0 THEN (value * 7) % 50 + 50
+                ELSE (value * 7) % 50 END AS y
+    FROM (SELECT user_id AS play_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS frame_id
+          FROM events WHERE value IS NOT NULL AND user_id < 300)
+    WHERE frame_id <= 8),
+feat AS MATERIALIZED (
+    SELECT play_id, play_id AS nfl_id, frame_id,
+           sqrt(power(60.0 - CASE WHEN dirn = 'left'
+                                  THEN 120.0 - x ELSE x END, 2)
+                + power(25.0 - y, 2)) AS dist
+    FROM base
+    WHERE play_id % 10 < 8),
+conv AS (
+    SELECT play_id, nfl_id, frame_id, dist,
+           COALESCE(-(dist - lag(dist) OVER (PARTITION BY play_id, nfl_id
+                                             ORDER BY frame_id)),
+                    0.0) AS cr
+    FROM feat),
+steps AS (
+    SELECT play_id, nfl_id,
+           CAST(cr AS REAL) AS a32,
+           CASE WHEN CAST(cr AS REAL) = 0 AND CAST(dist AS REAL) = 0
+                THEN CAST(0.0 AS REAL)
+                ELSE CAST(0.5 * CAST(CAST(cr AS REAL) AS DOUBLE)
+                          + 0.25 * CAST(CAST(dist AS REAL) AS DOUBLE)
+                          AS REAL) END AS p32
+    FROM conv),
+ts AS (
+    SELECT play_id, nfl_id,
+           CAST(sum(abs(CAST(floor((CAST(a32 AS DOUBLE)
+                                    - CAST(p32 AS DOUBLE)) * 1e6)
+                             AS BIGINT))) AS BIGINT)
+             / count(*) / 1e6 AS truespeed,
+           count(*) AS n_steps
+    FROM steps GROUP BY 1, 2),
+mf AS (SELECT play_id, max(frame_id) AS mfr FROM base GROUP BY 1),
+sep AS (
+    SELECT o.play_id, o.play_id AS nfl_id,
+           min(sqrt(power(d.x - o.x, 2)
+                    + power((d.y + 3.0) - o.y, 2))) AS separation
+    FROM base o
+    JOIN mf ON o.play_id = mf.play_id AND o.frame_id = mf.mfr
+    JOIN base d ON d.play_id = o.play_id AND d.frame_id = mf.mfr
+    GROUP BY 1, 2)
+SELECT t.nfl_id, t.truespeed, t.n_steps,
+       s.separation AS init_sep,
+       CAST(t.play_id % 20 AS DOUBLE) AS yards_gained,
+       rank() OVER (ORDER BY t.truespeed DESC) AS rank
+FROM ts t LEFT JOIN sep s ON t.play_id = s.play_id
+"""
+
 ORACLES["q_scorecard_golden"] = """
 SELECT CAST(nfl_id AS BIGINT) AS nfl_id,
        CAST(truespeed AS DOUBLE) AS truespeed,

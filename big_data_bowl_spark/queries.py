@@ -947,6 +947,118 @@ def q_phase3_pipeline(spark, sf_dir):
                       "n_orders", "rank")
 
 
+def _insight_metrics(spark, sf_dir):
+    """Per-(user, type) metric rows shared by the three insights-notebook
+    replays (BDB_2026_inisghts.ipynb#cell2-4): exec/conv metric values
+    derived from events exactly as the notebook's per-play IQ columns —
+    quantized to exact integer units (cents / floor-micro) so every
+    downstream MEAN is a long-sum (order-free, engine-stable)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return e.select(
+        "user_id", "event_type",
+        cents(F.col("value")).alias("__exec_c"),
+        F.floor(F.pmod(F.col("value") * 7.0, F.lit(50.0)) * 1e6)
+         .cast("long").alias("__conv_u"),
+        F.floor((F.col("value")
+                 - F.pmod(F.col("value") * 7.0, F.lit(50.0))) * 1e6)
+         .cast("long").alias("__resid_u"))
+
+
+def q_archetypes(spark, sf_dir):
+    """Insight 1 replay (BDB_2026_inisghts.ipynb#cell2), HASH-VERIFIED:
+    per-player metric means → starter volume filter (> 40% of max
+    volume, a 1-row broadcast) → pandas-style percentile ranks
+    (rank(pct=True), average method: (rank + (ties−1)/2) / n) → the
+    when-chain archetype labels (Elite / Freestyle / Separator /
+    Struggling / Balanced at the notebook's 0.70/0.40 cut points).
+    Means reduce as exact integer units (long sums), so every double
+    here is bit-identical across engines — no in-engine rounding
+    needed.  The ranked frame is player-grain (post-aggregation), so
+    the global windows are rank_leaderboard-class: thousands of rows,
+    one exchange, never fact-grain."""
+    m = (_insight_metrics(spark, sf_dir)
+         .groupBy("user_id")
+         .agg((F.sum("__exec_c") / F.count(F.lit(1)) / 100.0)
+              .alias("exec_iq"),
+              (F.sum("__conv_u") / F.count(F.lit(1)) / 1e6)
+              .alias("conv_iq"),
+              F.count(F.lit(1)).alias("routes_run")))
+    thr = m.agg((F.max("routes_run") * 0.4).alias("__thr"))
+    style = (m.crossJoin(F.broadcast(thr))
+              .filter(F.col("routes_run") > F.col("__thr")))
+    n = Window.partitionBy()
+    def _pct(col):
+        r = F.rank().over(Window.orderBy(col))
+        ties = F.count(F.lit(1)).over(Window.partitionBy(col))
+        return (r + (ties - 1) / 2.0) / F.count(F.lit(1)).over(n)
+    ranked = style.select(
+        "user_id", "routes_run",
+        _pct(F.col("exec_iq")).alias("exec_pct"),
+        _pct(F.col("conv_iq")).alias("conv_pct"))
+    arch = (F.when((F.col("exec_pct") > 0.70)
+                   & (F.col("conv_pct") > 0.70), "Elite All-Around")
+             .when((F.col("exec_pct") < 0.40)
+                   & (F.col("conv_pct") > 0.70),
+                   "Freestyle / Physical Freak")
+             .when((F.col("exec_pct") > 0.70)
+                   & (F.col("conv_pct") < 0.40), "Separator / Technician")
+             .when((F.col("exec_pct") < 0.40)
+                   & (F.col("conv_pct") < 0.40), "Struggling")
+             .otherwise("Balanced"))
+    return ranked.select("user_id", "routes_run", "exec_pct", "conv_pct",
+                         arch.alias("archetype"))
+
+
+def q_route_kings(spark, sf_dir):
+    """Insight 2 replay ("Kings of the Route Tree",
+    BDB_2026_inisghts.ipynb#cell3), HASH-VERIFIED: per-(route, player)
+    mean score + volume, per-route qualification at max(5, 20% of that
+    route's max volume), then the single best qualified player per route
+    — the notebook's sort_values().iloc[0] pinned with an explicit
+    user_id tie-break (SURVEY §7.5 risk 4: pandas relies on stable sort
+    order).  The per-route max-volume table is route-grain (broadcast),
+    and the top-1 is one window over the post-agg grain."""
+    rs = (_insight_metrics(spark, sf_dir)
+          .groupBy("event_type", "user_id")
+          .agg((F.sum("__exec_c") / F.count(F.lit(1)) / 100.0)
+               .alias("score"),
+               F.count(F.lit(1)).alias("n_runs")))
+    mx = rs.groupBy("event_type").agg(F.max("n_runs").alias("__mx"))
+    qual = (rs.join(F.broadcast(mx), "event_type")
+              .filter(F.col("n_runs")
+                      >= F.greatest(F.lit(5.0), F.col("__mx") * 0.2)))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("user_id"))
+    return (qual.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("event_type").alias("route"),
+                        F.col("user_id").alias("best_player"),
+                        "score", "n_runs"))
+
+
+def q_model_beaters(spark, sf_dir):
+    """Insight 3 replay ("Model Beaters",
+    BDB_2026_inisghts.ipynb#cell4), HASH-VERIFIED: mean residual
+    (actual − predicted) per player, semi-joined to the starter set
+    (the archetype query's volume threshold) and reduced to the top 10
+    hidden-speed players with an explicit user_id tie-break.  Residuals
+    quantize to floor-micro units before the mean (long-sum,
+    order-free); the starter threshold is the same 1-row broadcast."""
+    m = (_insight_metrics(spark, sf_dir)
+         .groupBy("user_id")
+         .agg((F.sum("__resid_u") / F.count(F.lit(1)) / 1e6)
+              .alias("mean_residual"),
+              F.count(F.lit(1)).alias("routes_run")))
+    thr = m.agg((F.max("routes_run") * 0.4).alias("__thr"))
+    starters = (m.crossJoin(F.broadcast(thr))
+                 .filter(F.col("routes_run") > F.col("__thr")))
+    w = Window.orderBy(F.desc("mean_residual"), F.asc("user_id"))
+    return (starters.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") <= 10)
+                    .select("user_id", "mean_residual", "routes_run",
+                            F.col("__rn").cast("long").alias("rank")))
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical subtotals: ROLLUP over (returnflag, linestatus) with a
     grouping id — the multi-grain agg the reference computes as separate
@@ -2053,20 +2165,14 @@ def q_truespeed_variants(spark, sf_dir):
                       .alias("ts_rmse")))
 
 
-def q_submission_pipeline(spark, sf_dir):
-    """Entry point A (§3.1, Submission.ipynb) END TO END under the driver:
-    normalize → initial separation → target select → completed semi-join →
-    post-throw geometry → label attach → converge rate → route features →
-    k-means clusters → one-hot embeddings → sequence build → numpy-LSTM
-    training (reference topology, head-only Adam — ml/lstm.py) →
-    broadcast-model inference → un-pivot → TrueSpeed → scorecard.
-
-    Tracking-shaped inputs are derived DETERMINISTICALLY from ``events``
-    (user → play, ordered rows → frames, value → coordinates; one receiver
-    + one trailing defender per play).  Rows-only: the spine includes
-    k-means labels and a pandas-UDF model, so no single SQL twin — every
-    relational stage inside it has its own oracle-checked query."""
-    from .pipeline.submission import run_submission_pipeline
+def _submission_inputs(spark, sf_dir):
+    """Tracking-shaped (tracking, labels, supp) derived DETERMINISTICALLY
+    from ``events`` (user → play, ordered rows → frames, value →
+    coordinates; one receiver + one trailing defender per play) — shared
+    by q_submission_pipeline (full ML run) and q_submission_spine (the
+    hash-verified relational spine), so the two can never drift apart.
+    Every coordinate is an exact sequence of IEEE ops on the parquet
+    doubles (pmod/mul/add), bit-reproducible in DuckDB."""
     e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     base = (e.filter(F.col("user_id") < 300)
@@ -2105,6 +2211,23 @@ def q_submission_pipeline(spark, sf_dir):
                             (F.col("play_id") % 20).cast("double"))
                 .withColumn("expected_points_added",
                             (F.col("play_id") % 7).cast("double") / 7.0 - 0.4))
+    return tracking, labels, supp
+
+
+def q_submission_pipeline(spark, sf_dir):
+    """Entry point A (§3.1, Submission.ipynb) END TO END under the driver:
+    normalize → initial separation → target select → completed semi-join →
+    post-throw geometry → label attach → converge rate → route features →
+    k-means clusters → one-hot embeddings → sequence build → numpy-LSTM
+    training (reference topology, head-only Adam — ml/lstm.py) →
+    broadcast-model inference → un-pivot → TrueSpeed → scorecard.
+
+    Rows-only BY DESIGN: this run trains and applies the REAL recurrent
+    model, so no SQL twin exists — the identical relational spine is
+    hash-verified by q_submission_spine (predictions injected), and every
+    stage has its own oracle-checked query besides."""
+    from .pipeline.submission import run_submission_pipeline
+    tracking, labels, supp = _submission_inputs(spark, sf_dir)
     out = run_submission_pipeline(spark, tracking, labels, supp,
                                   k_clusters=4, max_len=8,
                                   eager_checks=False)
@@ -2112,6 +2235,71 @@ def q_submission_pipeline(spark, sf_dir):
         "nfl_id", roundn(F.col("truespeed")).alias("truespeed"),
         F.col("n_targets").cast("long").alias("n_targets"),
         roundn(F.col("total_yards")).alias("total_yards"),
+        F.col("rank").cast("long").alias("rank"))
+
+
+def q_submission_spine(spark, sf_dir):
+    """The §3.1 Submission pipeline's DETERMINISTIC RELATIONAL SPINE,
+    HASH-VERIFIED on the same event-derived inputs as
+    q_submission_pipeline: normalize → initial separation → target
+    select → completed semi-join → post-throw geometry → label attach →
+    converge rate → sequence build (float32 tensor) → broadcast-model
+    inference through the REAL pandas-UDF seam → un-pivot → quantized
+    TrueSpeed → production join → rank.  The model seam is pinned to
+    the injected LinearBlendModel (pred = 0.5·converge + 0.25·dist in
+    float64, one float32 cast at the seam) so inference is a pure
+    function the DuckDB oracle reproduces as CAST(.. AS REAL) — only
+    the trained-LSTM run (q_submission_pipeline) stays rows-only.
+
+    The per-player MAE quantizes residuals to integer micro-units with
+    FLOOR before the sum (long-sum order-free, floor tie-free across
+    engines — the verified house rule for engine-stable means); the
+    float32 feature casts, the double blend, and every coordinate op
+    are bit-reproducible IEEE, so the hash pins the whole composition."""
+    from .ml.lstm import LinearBlendModel, predict_sequences
+    from .operators.normalize import (add_postthrow_geometry,
+                                      normalize_coordinates)
+    from .operators.sequences import build_sequences, unpivot_sequences
+    from .operators.tracking import (PLAY_KEYS, PLAYER_KEYS,
+                                     add_converge_rate,
+                                     attach_output_labels,
+                                     compute_initial_separation,
+                                     filter_to_completed_catches,
+                                     select_target_receiver_rows)
+    from .operators.windows import rank_desc
+    tracking, labels, supp = _submission_inputs(spark, sf_dir)
+    norm = normalize_coordinates(tracking, dialect="package")
+    init_sep = compute_initial_separation(norm)
+    targets = select_target_receiver_rows(norm)
+    completed = filter_to_completed_catches(targets, supp)
+    post = add_postthrow_geometry(completed, y="y", land_y="ball_land_y")
+    labeled = attach_output_labels(post, labels, expect_rows=False)
+    conv = add_converge_rate(labeled, dialect="package")
+    seq = build_sequences(conv, PLAYER_KEYS, "frame_id",
+                          ["converge_rate", "dist_to_land"],
+                          max_len=8, keep="last")
+    pred = predict_sequences(spark, seq, LinearBlendModel(0.5, 0.25))
+    pred = pred.withColumn("actual", F.transform("seq", lambda s: s[0]))
+    long = unpivot_sequences(pred, PLAYER_KEYS, "actual", "pred")
+    qr = F.floor((F.col("actual").cast("double")
+                  - F.col("pred").cast("double")) * 1e6).cast("long")
+    ts = (long.groupBy(*PLAYER_KEYS)
+              .agg((F.sum(F.abs(qr)) / F.count(F.lit(1)) / 1e6)
+                   .alias("truespeed"),
+                   F.count(F.lit(1)).cast("long").alias("n_steps")))
+    enriched = (ts.join(init_sep, PLAYER_KEYS, "left")
+                  .join(F.broadcast(
+                      supp.select(*PLAY_KEYS, "yards_gained").distinct()),
+                      PLAY_KEYS, "left"))
+    # No in-engine rounding here, deliberately: every double in this
+    # query is a BIT-IDENTICAL sequence of IEEE ops in both engines, and
+    # in-engine round() is the one place the engines can disagree (on a
+    # boundary-adjacent double like sum/8/1e6 = x.xxxxx45 exactly, Spark
+    # rounds via the shortest decimal repr, DuckDB via scaling — caught
+    # at sf0.1).  Raw doubles hash identically; the driver normalizes.
+    return rank_desc(enriched, "truespeed").select(
+        "nfl_id", "truespeed", "n_steps",
+        F.col("separation").alias("init_sep"), "yards_gained",
         F.col("rank").cast("long").alias("rank"))
 
 
@@ -3618,6 +3806,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_minhash_incremental": q_minhash_incremental,
     "q_pca_embed": q_pca_embed,
     "q_submission_pipeline": q_submission_pipeline,
+    "q_submission_spine": q_submission_spine,
     "q_scorecard_golden": q_scorecard_golden,
     "q_postthrow_golden": q_postthrow_golden,
     "q_routeexec_golden": q_routeexec_golden,
@@ -3715,6 +3904,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q7": q_tpch_q7,
     "q_pivot_event_types": q_pivot_event_types,
     "q_phase3_pipeline": q_phase3_pipeline,
+    "q_archetypes": q_archetypes,
+    "q_route_kings": q_route_kings,
+    "q_model_beaters": q_model_beaters,
     "q_rollup_revenue": q_rollup_revenue,
     "q_sliding_window": q_sliding_window,
     "q_range_window": q_range_window,
