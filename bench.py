@@ -131,6 +131,13 @@ HEADLINE = [
     # injected model) and the distributed-prefix-sum KS drift plan
     "q_submission_spine",
     "q_ks_drift",
+    # round-7 LLM-pipeline tier: span-level exact dedup (gram shuffle is
+    # the honest cost), SemDeDup cell-bounded semantic pairs, hybrid
+    # RRF retrieval, and interpolated bigram LM scoring
+    "q_span_dedup",
+    "q_semdedup",
+    "q_hybrid_rrf",
+    "q_bigram_scores",
 ]
 
 

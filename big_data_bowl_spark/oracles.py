@@ -2043,6 +2043,151 @@ ORDER BY score DESC, tf.doc_id ASC
 LIMIT 10
 """
 
+ORACLES["q_bigram_scores"] = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, t.pos, t.term FROM documents,
+      LATERAL (SELECT unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS term,
+                      generate_subscripts(list_filter(
+                          string_split(text, ' '), x -> x <> ''), 1)
+                        AS pos) t),
+pairs AS MATERIALIZED (
+    SELECT doc_id, prev, term FROM (
+        SELECT doc_id, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok)
+    WHERE prev IS NOT NULL),
+uni AS (SELECT term, count(*) AS ucnt FROM tok GROUP BY 1),
+total AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+big AS MATERIALIZED (
+    SELECT prev, term, count(*) AS bcnt FROM pairs GROUP BY 1, 2),
+ptot AS (
+    SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ptot FROM big GROUP BY 1),
+lp AS (
+    SELECT b.prev, b.term,
+           CAST(round(ln(0.75::DOUBLE * (CAST(bcnt AS DOUBLE)
+                                         / CAST(ptot AS DOUBLE))
+                         + 0.25::DOUBLE * (CAST(ucnt AS DOUBLE)
+                                           / CAST(total AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS lp_u
+    FROM big b JOIN ptot USING (prev) JOIN uni USING (term)
+    CROSS JOIN total)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(lp_u) AS BIGINT) / count(*) / 1000000.0, 6)
+         AS avg_logp
+FROM pairs p JOIN lp ON p.prev = lp.prev AND p.term = lp.term
+GROUP BY 1
+"""
+
+ORACLES["q_hybrid_rrf"] = """
+WITH tok AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    t -> t <> ''))) AS BIGINT) AS sum_dl
+    FROM documents),
+tf AS (
+    SELECT doc_id, dl, term, count(*) AS tf
+    FROM tok WHERE term IN ('spark', 'join', 'window')
+    GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+bm AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC)
+             AS rank_bm25
+    FROM (SELECT tf.doc_id,
+                 round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                              / (CAST(sum_dl AS DOUBLE)
+                                 / CAST(n_docs AS DOUBLE))))), 6) AS score
+          FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+          GROUP BY tf.doc_id
+          ORDER BY score DESC, tf.doc_id ASC LIMIT 20)),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cos AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cosine DESC, doc_id ASC)
+             AS rank_cos
+    FROM (SELECT c.vec_id AS doc_id,
+                 round(list_dot_product(q.v, c.v)
+                       / (sqrt(list_dot_product(q.v, q.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6)
+                   AS cosine
+          FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id = 0
+          ORDER BY cosine DESC, doc_id ASC LIMIT 20))
+SELECT COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+       bm.rank_bm25, cos.rank_cos,
+       (CASE WHEN bm.rank_bm25 IS NOT NULL
+             THEN 1.0::DOUBLE / (60 + bm.rank_bm25)
+             ELSE 0.0::DOUBLE END
+        + CASE WHEN cos.rank_cos IS NOT NULL
+               THEN 1.0::DOUBLE / (60 + cos.rank_cos)
+               ELSE 0.0::DOUBLE END) AS rrf
+FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLES["q_span_dedup"] = """
+WITH arrs AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS arr
+    FROM documents),
+grams AS MATERIALIZED (
+    SELECT doc_id, array_to_string(arr[i + 1:i + 8], ' ') AS gram
+    FROM arrs, UNNEST(range(CASE WHEN len(arr) >= 8
+                                 THEN len(arr) - 8 + 1 ELSE 0 END))
+           AS u(i)),
+seen AS (
+    SELECT gram FROM grams
+    GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_grams,
+       CAST(sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) / count(*) AS dup_fraction
+FROM grams g LEFT JOIN seen s ON g.gram = s.gram
+GROUP BY 1
+"""
+
+ORACLES["q_semdedup"] = """
+WITH vecs AS (
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           embedding::DOUBLE[] AS v FROM embeddings),
+x AS (
+    SELECT vec_id, label, i.dim, v[i.dim + 1] AS x
+    FROM vecs, UNNEST(range(64)) AS i(dim)),
+cents AS (
+    SELECT label AS cell, list(c ORDER BY dim) AS cv
+    FROM (SELECT label, dim, avg(x) AS c FROM x GROUP BY 1, 2)
+    GROUP BY 1),
+d2 AS (
+    SELECT v.vec_id, c.cell,
+           list_sum(list_transform(range(64),
+               i -> (v.v[i + 1] - c.cv[i + 1])
+                    * (v.v[i + 1] - c.cv[i + 1]))) AS d2
+    FROM vecs v CROSS JOIN cents c),
+cells AS MATERIALIZED (
+    SELECT vec_id, cell FROM d2
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2 ASC, cell ASC) = 1)
+SELECT * FROM (
+    SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cell,
+           round(list_dot_product(va.v, vb.v)
+                 / (sqrt(list_dot_product(va.v, va.v))
+                    * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
+    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN vecs va ON va.vec_id = a.vec_id
+    JOIN vecs vb ON vb.vec_id = b.vec_id)
+WHERE cosine >= 0.35::DOUBLE
+"""
+
 ORACLES["q_unigram_scores"] = """
 WITH tok AS (
     SELECT doc_id,

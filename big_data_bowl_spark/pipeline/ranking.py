@@ -22,7 +22,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import roundn
@@ -107,3 +107,90 @@ def unigram_scores(docs: DataFrame, id_col: str = "doc_id",
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     roundn(F.sum("lp_u") / F.count(F.lit(1))
                            / 1_000_000.0).alias("avg_logp")))
+
+
+def bigram_scores(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  lam: float = 0.75) -> DataFrame:
+    """Interpolated bigram language-model score — the next step up from
+    :func:`unigram_scores` toward KenLM-style perplexity filtering:
+
+        P(t | p) = λ·P_bigram(t | p) + (1−λ)·P_unigram(t)
+
+    with P_bigram = count(p,t)/count(p,·) over the corpus's observed
+    bigrams and P_unigram the corpus token frequency (the interpolation
+    keeps unseen-bigram probabilities finite without smoothing tables).
+    Per-document score = mean log-probability over its bigrams.
+
+    Shape: tokens posexplode once; bigrams come from a per-document lag
+    window on the position (one shuffle on the doc key — the same
+    partitioning the sequence operators use); the bigram and unigram
+    probability tables are VOCABULARY-grain aggregates that join back on
+    (prev, term) / term — shuffle joins, never broadcast hints, since a
+    bigram table is vocab²-bounded (AQE may still broadcast from small-SF
+    statistics).  Per-bigram logp quantizes to integer micro-units before
+    the per-document mean (the unigram_scores discipline: long sums are
+    order-free; long/long division is bit-identical across engines).
+
+    Returns (doc_id, n_bigrams, avg_logp) for documents with ≥2 tokens.
+    """
+    require_columns(docs, [id_col, text_col], "bigram_scores")
+    tok = docs.select(F.col(id_col),
+                      F.posexplode(_tokens(text_col))
+                       .alias("pos", "term"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (tok.withColumn("prev", F.lag("term").over(w))
+                .filter(F.col("prev").isNotNull())
+                .select(id_col, "prev", "term"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("ucnt"))
+    total = uni.agg(F.sum("ucnt").alias("total"))
+    big = pairs.groupBy("prev", "term").agg(
+        F.count(F.lit(1)).alias("bcnt"))
+    ptot = big.groupBy("prev").agg(F.sum("bcnt").alias("ptot"))
+    lp = (big.join(ptot, "prev")
+             .join(uni, "term")
+             .crossJoin(F.broadcast(total))
+             .select("prev", "term",
+                     F.round(F.log(
+                         lam * (F.col("bcnt").cast("double")
+                                / F.col("ptot").cast("double"))
+                         + (1.0 - lam) * (F.col("ucnt").cast("double")
+                                          / F.col("total").cast("double")))
+                         * 1_000_000).cast("long").alias("lp_u")))
+    return (pairs.join(lp, ["prev", "term"])
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                      roundn(F.sum("lp_u") / F.count(F.lit(1))
+                             / 1_000_000.0).alias("avg_logp")))
+
+
+def rrf_fuse(rankings: list[tuple[str, DataFrame]], id_col: str,
+             k: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) — the standard hybrid-
+    retrieval combiner: given named rank lists (each (id, rank) with
+    rank 1 = best), score(id) = Σ_lists 1/(k + rank), ids absent from a
+    list contribute 0 from it.  Scores are sums of exact reciprocals in
+    a FIXED expression order (coalesce chain), so they are bit-identical
+    across engines without rounding — ranking needs no float tolerance.
+
+    Shape: a full-outer join chain on the id (each list is already
+    top-N, driver-bounded); returns (id, rank_<name>..., rrf) sorted
+    rrf-descending with the id as tie-break.  At 100 TB the inputs are
+    top-N lists (thousands of rows), so the fuse is dimension-scale
+    regardless of corpus size."""
+    if not rankings:
+        raise ValueError("rrf_fuse: need at least one ranking")
+    fused = None
+    for name, r in rankings:
+        require_columns(r, [id_col, "rank"], f"rrf_fuse[{name}]")
+        r = r.select(F.col(id_col),
+                     F.col("rank").cast("long").alias(f"rank_{name}"))
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+    score = None
+    for name, _ in rankings:
+        term = F.when(F.col(f"rank_{name}").isNotNull(),
+                      1.0 / (F.lit(k) + F.col(f"rank_{name}"))) \
+                .otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    return (fused.withColumn("rrf", score)
+                 .orderBy(F.desc("rrf"), F.asc(id_col)))

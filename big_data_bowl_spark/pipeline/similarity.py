@@ -751,3 +751,47 @@ def ivf_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                  .withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= k)
                  .select("query_id", "neighbor_id", "cosine"))
+
+
+def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         label_col: str = "label") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic near-duplicate pruning by
+    cluster-then-compare: assign every embedding to its nearest coarse
+    centroid (here the deterministic per-label means, the oracle-able
+    quantizer the IVF tier uses), then compare pairs ONLY within a cell
+    and keep those with cosine ≥ threshold; within each pair the lower
+    id is the kept representative (SemDeDup's deterministic choice —
+    callers drop ``drop_id``).
+
+    The cell id is the ONLY join key — candidate generation never goes
+    all-pairs (the banding discipline applied to embeddings): per-cell
+    fan-out is bounded by cell occupancy, which the coarse-quantizer K
+    controls at any corpus size.  Assignment is the map-only broadcast
+    form (assign_to_centroids); cosines round at 6 BEFORE the threshold
+    so the boundary decision is identical across engines.
+
+    Returns (keep_id, drop_id, cell, cosine), keep_id < drop_id.
+    """
+    require_columns(df, [id_col, vec_col, label_col],
+                    "semantic_dedup_pairs")
+    cents = (label_centroids(df, id_col, vec_col, label_col)
+             .select(F.col(label_col).alias("cand_label"), "centroid"))
+    cells = (assign_to_centroids(df, cents, id_col, vec_col, metric="l2")
+             .select(F.col(id_col),
+                     F.col("assigned_label").alias("cell")))
+    vecs = (df.select(F.col(id_col),
+                      _as_double(F.col(vec_col)).alias("v"))
+              .join(cells, id_col))
+    a = vecs.select(F.col(id_col).alias("keep_id"),
+                    F.col("v").alias("__va"), "cell")
+    b = vecs.select(F.col(id_col).alias("drop_id"),
+                    F.col("v").alias("__vb"), "cell")
+    cos = roundn(_dot(F.col("__va"), F.col("__vb"))
+                 / (_norm(F.col("__va")) * _norm(F.col("__vb"))))
+    return (a.join(b, "cell")
+             .filter(F.col("keep_id") < F.col("drop_id"))
+             .withColumn("cosine", cos)
+             .filter(F.col("cosine") >= threshold)
+             .select("keep_id", "drop_id", "cell", "cosine"))

@@ -2594,6 +2594,74 @@ def q_unigram_scores(spark, sf_dir):
     return unigram_scores(d)
 
 
+def q_bigram_scores(spark, sf_dir):
+    """Interpolated bigram LM scoring, HASH-VERIFIED — the KenLM-style
+    perplexity filter one step past q_unigram_scores: P(t|p) =
+    0.75·P_bigram + 0.25·P_unigram, per-document mean log-prob over
+    bigrams.  Bigram/unigram probability tables are vocabulary-grain
+    shuffle joins (never broadcast hints); per-bigram logp quantizes to
+    integer micro-units before the mean (order-free long sums)."""
+    from .pipeline.ranking import bigram_scores
+    d = _t(spark, sf_dir, "documents")
+    return bigram_scores(d)
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion, HASH-VERIFIED: the
+    standard two-retriever stack — BM25 keyword top-20 (3-term query)
+    fused with embedding cosine top-20 (query vector = doc 0's
+    embedding, the aligned vec_id space) — score = Σ 1/(60+rank), a
+    fixed-order sum of exact reciprocals (bit-identical across engines,
+    no rounding).  Both input lists rank on ROUNDED scores with id
+    tie-breaks; the fuse is a full-outer join of two top-N lists —
+    dimension-scale at any corpus size.  Returns the fused top-10."""
+    from .pipeline.ranking import bm25_rank, rrf_fuse
+    from .pipeline.similarity import cosine_topk
+    d = _t(spark, sf_dir, "documents")
+    em = _t(spark, sf_dir, "embeddings")
+    bm = (bm25_rank(d, ["spark", "join", "window"], topk=20)
+          .withColumn("rank", F.row_number().over(
+              Window.orderBy(F.desc("score"), F.asc("doc_id"))))
+          .select("doc_id", "rank"))
+    cos = (cosine_topk(em, query_ids=[0], k=20)
+           .withColumn("rank", F.row_number().over(
+               Window.orderBy(F.desc("cosine"), F.asc("neighbor_id"))))
+           .select(F.col("neighbor_id").alias("doc_id"), "rank"))
+    fused = rrf_fuse([("bm25", bm), ("cos", cos)], "doc_id")
+    return fused.limit(10)
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 re-grained to
+    rolling 8-token grams), HASH-VERIFIED: per-document gram counts,
+    cross-document duplicated-gram counts, and the duplicated fraction
+    — the span-level training-data dedup signal.  Grams build in-row
+    (zero exchange), the ≥2-distinct-docs gram set is one
+    vocabulary-grain aggregate, the flag is a gram equi-join.
+    dup_fraction is a raw long/long division (bit-identical)."""
+    from .pipeline.dedup import duplicated_spans
+    d = _t(spark, sf_dir, "documents")
+    return duplicated_spans(d, n=8, min_docs=2)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic near-dup pruning (Abbas et al. 2023),
+    HASH-VERIFIED: embeddings assign to deterministic label-mean
+    centroids (map-only broadcast argmin, the IVF quantizer), pairs
+    compare ONLY within a cell (the banding discipline on embeddings —
+    no all-pairs), near-dup pairs emit with the lower id as the kept
+    representative.  Threshold pinned at 0.35 FOR THIS CORPUS: random
+    synthetic embeddings top out near cosine 0.49 in-cell, so the
+    production default (0.9) would make the gate vacuously 0-row —
+    0.35 keeps a real result set flowing through the boundary logic.
+    Oracle recomputes centroids/assignment/pairs from scratch in SQL —
+    the hash checks quantizer, assignment tie-breaks, and the pair
+    threshold at once."""
+    from .pipeline.similarity import semantic_dedup_pairs
+    em = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(em, threshold=0.35)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing with audit counts.  The synthetic corpus carries no
     PII, so the query PLANTS a deterministic email + account number per
@@ -3868,6 +3936,10 @@ QUERIES: dict[str, QueryFn] = {
     "q_funnel_stages": q_funnel_stages,
     "q_bm25_rank": q_bm25_rank,
     "q_unigram_scores": q_unigram_scores,
+    "q_bigram_scores": q_bigram_scores,
+    "q_hybrid_rrf": q_hybrid_rrf,
+    "q_span_dedup": q_span_dedup,
+    "q_semdedup": q_semdedup,
     "q_redact_pii": q_redact_pii,
     "q_merge_upsert": q_merge_upsert,
     "q_grouping_sets": q_grouping_sets,

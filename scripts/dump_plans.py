@@ -124,7 +124,27 @@ AUDITED: dict[str, str] = {
     "q_triangle_count": (
         "Degree-oriented wedge closing: degree agg, wedge self-join on "
         "the apex, closing equi-join — fan-out bounded by the oriented "
-        "out-degree, no hub blow-up."),
+        "out-degree, no hub blow-up.  r7: the canonicalized edge "
+        "relation is pinned (localCheckpoint) — the caller's bipartite "
+        "projection appears ZERO times in this plan (it ran once, "
+        "eagerly), so degrees/wedges/closing all read the one "
+        "materialized edge table."),
+    "q_ks_drift": (
+        "r7 scale path: the cumulative pass is cumsum_distributed — "
+        "rangepartitioning exchange, __pid-partitioned local window, "
+        "partitions-row offsets pass; both gap maxes (int64 + DECIMAL) "
+        "ride one aggregate; no single-reducer full-data window."),
+    "q_distribution_windows": (
+        "r7 scale path: distributed row_number via cumsum_distributed "
+        "over a constant-1 column; ntile/percent_rank/cume_dist are "
+        "in-row formulas on (rn, n) — the only unpartitioned window "
+        "is the partitions-row offsets pass."),
+    "q_submission_spine": (
+        "The full submission relational spine as ONE plan: broadcast "
+        "semi-join + label joins, player-key window for converge rate, "
+        "one sequence aggregate, a single ArrowEvalPython stage (the "
+        "broadcast-model seam), posexplode un-pivot, and the quantized "
+        "MAE rollup — frame-grain shuffles only on the player key."),
     "q_media_ahash": (
         "One ArrowEvalPython/mapInPandas stage over the media scan "
         "(the decode seam), then codegen band extraction — zero "

@@ -1775,3 +1775,95 @@ def test_cumsum_distributed_equals_window(spark):
     assert got == want
     plan = executed_plan(out)
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_duplicated_spans_flags_planted_span(spark):
+    """Span-level dedup contract: an 8-token span planted in two docs
+    marks exactly the positions whose rolling gram lies inside the
+    shared span; a 7-token overlap marks nothing; docs shorter than the
+    gram emit no rows."""
+    from big_data_bowl_spark.pipeline.dedup import duplicated_spans
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(0, "a b c " + span + " x y"),
+         (1, "p q " + span + " r"),
+         (2, "a b c d e f g"),               # 7 tokens: no gram
+         (3, " ".join(f"s{i}" for i in range(7)) + " zz ww vv uu")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_spans(docs, n=8).collect()}
+    assert 2 not in out                       # too short for one gram
+    # doc 0: 13 tokens -> 6 grams, only the exact span gram duplicated
+    assert (out[0]["n_grams"], out[0]["n_dup_grams"]) == (6, 1)
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"]) == (4, 1)
+    assert out[3]["n_dup_grams"] == 0         # 7-token overlap: no match
+    assert abs(out[0]["dup_fraction"] - 1 / 6) < 1e-12
+
+
+def test_semantic_dedup_matches_brute_force_within_cells(spark):
+    """SemDeDup contract: the returned pairs EQUAL the brute-force
+    same-cell pairs above threshold (no all-pairs leakage: cross-cell
+    near-identical vectors must NOT pair), keep_id < drop_id."""
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.similarity import (
+        label_centroids, semantic_dedup_pairs)
+    rng = np.random.default_rng(5)
+    base = {0: rng.normal(0, 1, 8) + 10, 1: rng.normal(0, 1, 8) - 10}
+    rows = []
+    for i in range(20):
+        lab = i % 2
+        rows.append((i, [float(v) for v in
+                         base[lab] + rng.normal(0, 0.3, 8)], lab))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    got = {(r["keep_id"], r["drop_id"])
+           for r in semantic_dedup_pairs(df, threshold=0.99).collect()}
+    # brute force with the same assignment (labels are well-separated,
+    # so nearest-centroid == label here)
+    vecs = {i: np.array(v) for i, v, _ in rows}
+    want = set()
+    for a in range(20):
+        for b in range(a + 1, 20):
+            if a % 2 != b % 2:
+                continue
+            cos = float(vecs[a] @ vecs[b]
+                        / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b])))
+            if round(cos, 6) >= 0.99:
+                want.add((a, b))
+    assert got == want and got, (got, want)
+    assert all(a < b for a, b in got)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF arithmetic pinned by hand: score = sum over lists of
+    1/(k+rank); ids absent from a list contribute nothing from it."""
+    from big_data_bowl_spark.pipeline.ranking import rrf_fuse
+    r1 = spark.createDataFrame([(10, 1), (20, 2)], "id long, rank long")
+    r2 = spark.createDataFrame([(20, 1), (30, 2)], "id long, rank long")
+    out = {r["id"]: r for r in
+           rrf_fuse([("a", r1), ("b", r2)], "id", k=60).collect()}
+    assert out[20]["rrf"] == 1 / 62 + 1 / 61      # both lists
+    assert out[10]["rrf"] == 1 / 61               # list a only
+    assert out[30]["rrf"] == 1 / 62               # list b only
+    assert out[20]["rank_a"] == 2 and out[20]["rank_b"] == 1
+    assert out[10]["rank_b"] is None
+
+
+def test_bigram_scores_hand_computed(spark):
+    """Interpolated bigram LM pinned by hand on a 2-doc corpus."""
+    import math
+
+    from big_data_bowl_spark.pipeline.ranking import bigram_scores
+    docs = spark.createDataFrame(
+        [(0, "a b a b"), (1, "a b c")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_scores(docs, lam=0.75).collect()}
+    # corpus: tokens a,b,a,b,a,b,c -> uni a:3 b:3 c:1 total 7
+    # bigrams: (a,b)x3 (b,a)x1 (b,c)x1; ptot a->:3, b->:2
+    def lp(bc, pt, uc):
+        v = 0.75 * (bc / pt) + 0.25 * (uc / 7)
+        return round(math.log(v) * 1_000_000)
+    d0 = (lp(3, 3, 3) + lp(1, 2, 3) + lp(3, 3, 3)) // 1  # ab, ba, ab
+    assert out[0]["n_bigrams"] == 3
+    assert out[0]["avg_logp"] == round(d0 / 3 / 1e6, 6)
+    d1 = lp(3, 3, 3) + lp(1, 2, 1)                        # ab, bc
+    assert out[1]["n_bigrams"] == 2
+    assert out[1]["avg_logp"] == round(d1 / 2 / 1e6, 6)
