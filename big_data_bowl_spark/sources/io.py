@@ -112,6 +112,50 @@ def read_csv_dir(spark: SparkSession, path: str, schema: StructType,
             .csv(path))
 
 
+def load_kaggle_layout(spark: SparkSession, root_dir: str,
+                       supplementary_csv: str,
+                       input_schema: StructType,
+                       output_schema: StructType,
+                       supp_schema: StructType,
+                       train_subdir: str = "train"
+                       ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The reference's Kaggle-download loader
+    (bdb2026/data_io.py:82-127 ``load_bdb_csvs_from_kaggle_download``)
+    re-expressed Spark-first:
+
+        <root_dir>/<train_subdir>/input_*.csv, output_*.csv
+        <supplementary_csv>
+
+    The reference combines weekly CSVs into cached group_input/
+    group_output files before reading (pandas needs one file); on Spark
+    the GLOB IS the combine — each weekly file is a scan split, so
+    there is nothing to pre-concatenate and no cache to invalidate
+    (``force_recombine`` has no equivalent; the scan always reflects
+    the files present).  Declared schemas skip inference (SURVEY §1.1).
+    Fails loud on a missing supplementary file or an empty weekly glob
+    — the same FileNotFoundError contract the reference enforces.
+
+    Returns (inputs, outputs, supplementary)."""
+    import glob as _glob
+    import os as _os
+    train_dir = _os.path.join(root_dir, train_subdir)
+    if not _os.path.isdir(train_dir):
+        raise FileNotFoundError(f"train_dir does not exist: {train_dir}")
+    if not _os.path.isfile(supplementary_csv):
+        raise FileNotFoundError(
+            f"supplementary_csv not found: {supplementary_csv}")
+    pats = {"input": _os.path.join(train_dir, "input_*.csv"),
+            "output": _os.path.join(train_dir, "output_*.csv")}
+    for kind, pat in pats.items():
+        if not _glob.glob(pat):
+            raise FileNotFoundError(f"no weekly {kind}_*.csv under "
+                                    f"{train_dir}")
+    df_in = read_csv_glob(spark, pats["input"], input_schema)
+    df_out = read_csv_glob(spark, pats["output"], output_schema)
+    df_supp = read_csv_glob(spark, supplementary_csv, supp_schema)
+    return df_in, df_out, df_supp
+
+
 def stage_sorted(df: DataFrame, path: str, range_cols: list[str],
                  n_files: int = 8, mode: str = "overwrite") -> None:
     """Range-clustered sorted staging: ``repartitionByRange`` +

@@ -1867,3 +1867,43 @@ def test_bigram_scores_hand_computed(spark):
     d1 = lp(3, 3, 3) + lp(1, 2, 1)                        # ab, bc
     assert out[1]["n_bigrams"] == 2
     assert out[1]["avg_logp"] == round(d1 / 2 / 1e6, 6)
+
+
+def test_load_kaggle_layout(spark, tmp_path):
+    """The Kaggle-download loader variant: weekly input_*/output_* CSVs
+    read through one glob each (no pre-combine step — the scan IS the
+    concat), supplementary read directly, fail-loud on missing pieces
+    (the reference's FileNotFoundError contract)."""
+    import pytest
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    from big_data_bowl_spark.sources.io import load_kaggle_layout
+    train = tmp_path / "train"
+    train.mkdir()
+    for w in (1, 2):
+        (train / f"input_2023_w0{w}.csv").write_text(
+            f"game_id,play_id\n{w},10\n{w},11\n")
+        (train / f"output_2023_w0{w}.csv").write_text(
+            f"game_id,x\n{w},5\n")
+    supp = tmp_path / "supplementary_data.csv"
+    supp.write_text("game_id,pass_result\n1,C\n2,I\n")
+    sch2 = StructType([StructField("game_id", LongType()),
+                       StructField("play_id", LongType())])
+    scho = StructType([StructField("game_id", LongType()),
+                       StructField("x", LongType())])
+    schs = StructType([StructField("game_id", LongType()),
+                       StructField("pass_result", StringType())])
+    di, do, ds = load_kaggle_layout(spark, str(tmp_path), str(supp),
+                                    sch2, scho, schs)
+    assert di.count() == 4 and do.count() == 2 and ds.count() == 2
+    assert {r.game_id for r in di.collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError, match="supplementary"):
+        load_kaggle_layout(spark, str(tmp_path),
+                           str(tmp_path / "nope.csv"), sch2, scho, schs)
+    empty = tmp_path / "empty"
+    (empty / "train").mkdir(parents=True)
+    s2 = empty / "supp.csv"
+    s2.write_text("game_id,pass_result\n")
+    with pytest.raises(FileNotFoundError, match="weekly input"):
+        load_kaggle_layout(spark, str(empty), str(s2), sch2, scho, schs)
