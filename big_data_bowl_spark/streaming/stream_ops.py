@@ -417,6 +417,32 @@ def stream_cms_rollup(df: DataFrame, state_dir: str,
         keep=keep)
 
 
+def stream_hll_rollup(df: DataFrame, state_dir: str,
+                      checkpoint_dir: str, group: list[str],
+                      key_col: str, keep: int = 2):
+    """Streaming fold of the neutral-HLL register table
+    (operators/sketches.hll_neutral_registers): per-batch registers
+    max-merge into the persisted state under the LATEST-pointer
+    discipline.  max is associative AND idempotent, so the fold is
+    row-identical to the one-shot whole-history build — and replayed /
+    duplicate batches cannot inflate the estimate (the idempotence the
+    count monoid lacks).  Distinct-count estimates over an unbounded
+    stream with O(groups · 256) rows of state; any reader answers
+    via hll_neutral_rollup without rescanning history.  Closes the
+    streaming state-fold matrix: sum/count monoids, min-k, bit_or,
+    counter +, and register max.  Returns the started query."""
+    from ..operators.sketches import hll_neutral_registers
+
+    return _stream_fold(
+        df, state_dir, checkpoint_dir,
+        build_fn=lambda b: hll_neutral_registers(b, group, key_col),
+        merge_fn=lambda prev, st: (
+            prev.unionByName(st)
+                .groupBy(*group, "register")
+                .agg(F.max("rho").alias("rho"))),
+        keep=keep)
+
+
 FUNNEL_OUT_SCHEMA = "user_id long, stage int, n_events long"
 FUNNEL_STATE_SCHEMA = "stage int, last_ep double, n_events long"
 

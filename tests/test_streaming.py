@@ -673,3 +673,43 @@ def test_transform_with_state_user_stats_equals_batch(spark, tmp_path):
                                     .cast("long")) / 100.0).alias("s"))
                       ).collect()}
     assert last == want
+
+
+def test_stream_hll_rollup_equals_batch(spark, tmp_path):
+    """Streaming HLL fold: register tables max-merged across 3
+    micro-batches are ROW-IDENTICAL to the one-shot whole-history build
+    (max is associative + idempotent), so distinct-count estimates are
+    batch-count-independent — and replaying a batch cannot inflate
+    them."""
+    from big_data_bowl_spark.operators.sketches import (
+        hll_neutral_registers, hll_neutral_rollup)
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_latest_state, stream_hll_rollup)
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_type", "user_id")
+    watch = _stage_chunks(ev, tmp_path)
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_hll_rollup(stream, str(tmp_path / "hstate"),
+                          str(tmp_path / "hckpt"),
+                          ["event_type"], "user_id")
+    q.awaitTermination(120)
+    state = read_latest_state(spark, str(tmp_path / "hstate"))
+    got = sorted(map(tuple, state
+                     .select("event_type", "register", "rho").collect()))
+    want = sorted(map(tuple, hll_neutral_registers(
+        ev, ["event_type"], "user_id")
+        .select("event_type", "register", "rho").collect()))
+    assert got == want
+    # the folded state answers the estimate without rescanning history
+    from pyspark.sql import functions as F
+    est = {r["event_type"]: r["hll_estimate"]
+           for r in hll_neutral_rollup(state, ["event_type"]).collect()}
+    truth = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+                        .agg(F.count_distinct("user_id").alias("n"))
+                        .collect()}
+    for k, t in truth.items():
+        assert abs(est[k] - t) / t < 0.35, (k, est[k], t)
