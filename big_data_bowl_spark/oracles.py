@@ -2133,6 +2133,26 @@ FROM bm FULL OUTER JOIN cos ON bm.doc_id = cos.doc_id
 ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
+ORACLES["q_sequence_packing"] = """
+WITH sized AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), x -> x <> ''))
+             AS n_tokens
+    FROM documents),
+cum AS (
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS c
+    FROM sized WHERE n_tokens > 0)
+SELECT doc_id, n_tokens,
+       c - n_tokens AS start_offset,
+       (c - n_tokens) // 1024 AS first_bin,
+       (c - 1) // 1024 AS last_bin,
+       (c - 1) // 1024 - (c - n_tokens) // 1024 + 1 AS n_bins_spanned
+FROM cum
+"""
+
 ORACLES["q_span_dedup"] = """
 WITH arrs AS (
     SELECT doc_id,

@@ -2662,6 +2662,19 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_sequence_packing(spark, sf_dir):
+    """GPT-style contiguous sequence packing, HASH-VERIFIED: documents
+    laid end-to-end in id order, cut into 1024-token training bins
+    (docs split at boundaries — the pad-free pre-training layout).
+    The global running offset is cumsum_distributed (range-partitioned
+    prefix sums at FACT grain — the scale path, no single-reducer
+    window, plan-tested); bins are in-row integer floor-divs, so every
+    output value is exact."""
+    from .pipeline.sampling import pack_documents
+    d = _t(spark, sf_dir, "documents")
+    return pack_documents(d, ctx_len=1024)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing with audit counts.  The synthetic corpus carries no
     PII, so the query PLANTS a deterministic email + account number per
@@ -3940,6 +3953,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_span_dedup": q_span_dedup,
     "q_semdedup": q_semdedup,
+    "q_sequence_packing": q_sequence_packing,
     "q_redact_pii": q_redact_pii,
     "q_merge_upsert": q_merge_upsert,
     "q_grouping_sets": q_grouping_sets,

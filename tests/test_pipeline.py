@@ -1907,3 +1907,32 @@ def test_load_kaggle_layout(spark, tmp_path):
     s2.write_text("game_id,pass_result\n")
     with pytest.raises(FileNotFoundError, match="weekly input"):
         load_kaggle_layout(spark, str(empty), str(s2), sch2, scho, schs)
+
+
+def test_pack_documents_invariants(spark):
+    """Packing contract: offsets are a gapless 0-based laying-out in id
+    order, bins cover [offset, offset+n) with ctx_len granularity, a
+    doc spans exactly the bins its token range touches, empty docs
+    vanish, and the plan carries the rangepartitioning cumsum (never a
+    single-reducer window)."""
+    import pytest
+
+    from big_data_bowl_spark.pipeline.sampling import pack_documents
+    from big_data_bowl_spark.plans import executed_plan
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, ""), (2, " ".join(["t"] * 10)),
+         (3, "x"), (4, " ".join(["u"] * 7))],
+        "doc_id long, text string")
+    out = pack_documents(docs, ctx_len=8)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert 1 not in rows                       # empty doc occupies no span
+    # id order: 0(3) 2(10) 3(1) 4(7) -> offsets 0,3,13,14
+    assert [rows[i]["start_offset"] for i in (0, 2, 3, 4)] == [0, 3, 13, 14]
+    assert rows[2]["first_bin"] == 0 and rows[2]["last_bin"] == 1
+    assert rows[2]["n_bins_spanned"] == 2      # tokens 3..12 straddle 8
+    assert rows[3]["first_bin"] == rows[3]["last_bin"] == 1
+    assert rows[4]["first_bin"] == 1 and rows[4]["last_bin"] == 2
+    plan = executed_plan(out)
+    assert "rangepartitioning" in plan.lower(), plan
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_documents(docs, ctx_len=0)
