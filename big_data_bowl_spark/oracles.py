@@ -2153,6 +2153,30 @@ SELECT doc_id, n_tokens,
 FROM cum
 """
 
+ORACLES["q_packed_bins"] = """
+WITH sized AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS arr
+    FROM documents),
+cum AS (
+    SELECT doc_id, arr,
+           CAST(sum(len(arr)) OVER (ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)
+                - len(arr) AS BIGINT) AS start_offset
+    FROM sized WHERE len(arr) > 0),
+placed AS (
+    SELECT doc_id, start_offset + t.pos - 1 AS g, t.term
+    FROM cum,
+      LATERAL (SELECT unnest(arr) AS term,
+                      generate_subscripts(arr, 1) AS pos) t)
+SELECT g // 1024 AS bin_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min_by(term, g) AS first_token,
+       max_by(term, g) AS last_token
+FROM placed GROUP BY 1
+"""
+
 ORACLES["q_span_dedup"] = """
 WITH arrs AS (
     SELECT doc_id,

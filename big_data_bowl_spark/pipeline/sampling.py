@@ -216,3 +216,43 @@ def pack_documents(docs: DataFrame, ctx_len: int,
         F.col(id_col), "n_tokens", start,
         first.alias("first_bin"), last.alias("last_bin"),
         (last - first + 1).alias("n_bins_spanned"))
+
+
+def materialize_bins(docs: DataFrame, ctx_len: int,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """The writer side of :func:`pack_documents`: explode every
+    document's tokens to their GLOBAL stream position (the doc's packed
+    start offset + its local position), assign each token to its
+    ``ctx_len`` bin in-row, and roll up per-bin — the step that turns
+    the packing plan into model-ready training bins.
+
+    Returns (bin_id, n_tokens, n_docs, first_token, last_token): every
+    bin holds exactly ctx_len tokens except the final partial one, and
+    first/last are selected by global position (min_by/max_by), so the
+    output pins the exact token layout without shipping ctx_len-wide
+    arrays through the comparison.
+
+    Shape: one shuffle to attach the per-doc start offsets (doc-key
+    equi-join against pack_documents' doc-grain output), one explode
+    (map-side), one combinable aggregate on the bin key.  Token order
+    inside a bin is fully determined by (global position), never by
+    partition layout."""
+    from .text import _tokens
+    offs = pack_documents(docs, ctx_len, id_col, text_col) \
+        .select(id_col, "start_offset")
+    tok = docs.select(F.col(id_col),
+                      F.posexplode(_tokens(text_col))
+                       .alias("__p", "__t"))
+    placed = (tok.join(offs, id_col)
+                 .select(F.col(id_col),
+                         (F.col("start_offset") + F.col("__p"))
+                          .alias("__g"), "__t"))
+    return (placed.withColumn("bin_id",
+                              F.floor(F.col("__g") / ctx_len)
+                               .cast("long"))
+                  .groupBy("bin_id")
+                  .agg(F.count(F.lit(1)).alias("n_tokens"),
+                       F.count_distinct(F.col(id_col)).alias("n_docs"),
+                       F.min_by("__t", "__g").alias("first_token"),
+                       F.max_by("__t", "__g").alias("last_token")))

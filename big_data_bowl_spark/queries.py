@@ -2675,6 +2675,17 @@ def q_sequence_packing(spark, sf_dir):
     return pack_documents(d, ctx_len=1024)
 
 
+def q_packed_bins(spark, sf_dir):
+    """The packed-bin writer output, HASH-VERIFIED: every 1024-token
+    training bin's size, document count, and first/last token by GLOBAL
+    stream position — the materialized form of q_sequence_packing.
+    Every bin must hold exactly 1024 tokens except the last; first/last
+    tokens pin the exact layout without shipping full arrays."""
+    from .pipeline.sampling import materialize_bins
+    d = _t(spark, sf_dir, "documents")
+    return materialize_bins(d, ctx_len=1024)
+
+
 def q_redact_pii(spark, sf_dir):
     """PII scrubbing with audit counts.  The synthetic corpus carries no
     PII, so the query PLANTS a deterministic email + account number per
@@ -3954,6 +3965,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_span_dedup": q_span_dedup,
     "q_semdedup": q_semdedup,
     "q_sequence_packing": q_sequence_packing,
+    "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,
     "q_merge_upsert": q_merge_upsert,
     "q_grouping_sets": q_grouping_sets,

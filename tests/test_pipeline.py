@@ -1936,3 +1936,21 @@ def test_pack_documents_invariants(spark):
     assert "rangepartitioning" in plan.lower(), plan
     with pytest.raises(ValueError, match="ctx_len"):
         pack_documents(docs, ctx_len=0)
+
+
+def test_materialize_bins_layout(spark):
+    """Bin materialization contract: every bin holds exactly ctx_len
+    tokens except the final partial one; first/last tokens follow the
+    global stream order; document counts reflect boundary straddles."""
+    from big_data_bowl_spark.pipeline.sampling import materialize_bins
+    docs = spark.createDataFrame(
+        [(0, "a0 a1 a2"), (1, "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"),
+         (2, "c0")],
+        "doc_id long, text string")
+    rows = {r["bin_id"]: r for r in
+            materialize_bins(docs, ctx_len=8).collect()}
+    # stream: a0..a2 b0..b9 c0 (14 tokens) -> bins of 8: [0..7], [8..13]
+    assert rows[0]["n_tokens"] == 8 and rows[1]["n_tokens"] == 6
+    assert rows[0]["first_token"] == "a0" and rows[0]["last_token"] == "b4"
+    assert rows[1]["first_token"] == "b5" and rows[1]["last_token"] == "c0"
+    assert rows[0]["n_docs"] == 2 and rows[1]["n_docs"] == 2

@@ -530,3 +530,12 @@ def test_global_distribution_queries_have_no_single_reducer_window(spark):
         for line in plan.splitlines():
             if "Window [" in line:
                 assert "__pid" in line, (name, line)
+
+
+def test_span_dedup_single_scan(spark):
+    """Span dedup stays single-scan: the (gram, doc) rollup + per-gram
+    window flag shape must read the corpus ONCE (the seen-set
+    join-back alternative scans and explodes it twice)."""
+    from big_data_bowl_spark.plans import executed_plan
+    plan = executed_plan(_q(spark, "q_span_dedup"))
+    assert plan.count("Scan parquet") == 1, plan
