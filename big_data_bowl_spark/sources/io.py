@@ -112,6 +112,39 @@ def read_csv_dir(spark: SparkSession, path: str, schema: StructType,
             .csv(path))
 
 
+def stage_parquet_bloom(df: DataFrame, path: str, bloom_cols: list[str],
+                        expected_ndv: int = 100_000,
+                        mode: str = "overwrite") -> None:
+    """Parquet staging with PER-COLUMN BLOOM FILTERS — the file-skipping
+    complement to min/max stats (:func:`stage_sorted`): min/max prune
+    RANGE predicates, but a point lookup on a high-cardinality UNSORTED
+    key (user_id, doc digest, join key) matches every file's [min, max]
+    span and prunes nothing.  A bloom filter answers "definitely not in
+    this row group" for equality probes, so the scan skips row groups
+    that min/max cannot — the standard layout for needle-in-haystack id
+    lookups and for shipping pre-filtered join build sides at 100 TB.
+    ``expected_ndv`` sizes each filter (~1.2 bytes/key at the default
+    1% FPP); undersizing degrades the FPP, never correctness.
+
+    Dictionary encoding is disabled on the bloom columns: parquet-mr
+    SILENTLY OMITS the bloom filter when a column stays fully
+    dictionary-encoded (the dictionary already answers exact
+    membership), so a small-SF test would write no filter and a
+    production column that falls out of dictionary mid-file would get
+    one — disabling it makes the layout deterministic.  At true
+    high-cardinality scale the column exceeds the 1 MB dictionary-page
+    cap and falls back anyway, so this costs nothing where blooms
+    matter."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = (writer
+                  .option(f"parquet.bloom.filter.enabled#{c}", "true")
+                  .option(f"parquet.bloom.filter.expected.ndv#{c}",
+                          str(expected_ndv))
+                  .option(f"parquet.enable.dictionary#{c}", "false"))
+    writer.parquet(path)
+
+
 def load_kaggle_layout(spark: SparkSession, root_dir: str,
                        supplementary_csv: str,
                        input_schema: StructType,
