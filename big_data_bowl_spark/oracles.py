@@ -1759,6 +1759,46 @@ SELECT user_id, routes_run, exec_pct, conv_pct,
 FROM ranked
 """
 
+ORACLES["q_metric_correlations"] = """
+WITH m AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS x,
+           CAST(floor((CASE WHEN (value*7) % 50 < 0
+                            THEN (value*7) % 50 + 50
+                            ELSE (value*7) % 50 END) * 1e6)
+                AS BIGINT) AS y,
+           CAST(floor((value - (CASE WHEN (value*7) % 50 < 0
+                                     THEN (value*7) % 50 + 50
+                                     ELSE (value*7) % 50 END)) * 1e6)
+                AS BIGINT) AS z
+    FROM events WHERE value IS NOT NULL),
+s AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(z) AS HUGEINT) AS sz,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           CAST(sum(CAST(z AS HUGEINT) * z) AS HUGEINT) AS szz,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(sum(CAST(x AS HUGEINT) * z) AS HUGEINT) AS sxz,
+           CAST(sum(CAST(y AS HUGEINT) * z) AS HUGEINT) AS syz
+    FROM m)
+SELECT metric_a, metric_b,
+       CAST(num AS DOUBLE) / sqrt(CAST(da AS DOUBLE)
+                                  * CAST(db AS DOUBLE)) AS r,
+       CAST(n AS BIGINT) AS n_obs
+FROM (
+    SELECT 'exec' AS metric_a, 'conv' AS metric_b,
+           n*sxy - sx*sy AS num, n*sxx - sx*sx AS da,
+           n*syy - sy*sy AS db, n FROM s
+    UNION ALL
+    SELECT 'exec', 'resid', n*sxz - sx*sz, n*sxx - sx*sx,
+           n*szz - sz*sz, n FROM s
+    UNION ALL
+    SELECT 'conv', 'resid', n*syz - sy*sz, n*syy - sy*sy,
+           n*szz - sz*sz, n FROM s)
+"""
+
 ORACLES["q_route_kings"] = """
 WITH rs AS (
     SELECT event_type, user_id,

@@ -1059,6 +1059,56 @@ def q_model_beaters(spark, sf_dir):
                             F.col("__rn").cast("long").alias("rank")))
 
 
+def q_metric_correlations(spark, sf_dir):
+    """The reference's metric-correlation analysis
+    (outputs/metric_correlation.png, market_inefficiency_correlations),
+    HASH-VERIFIED as an EXACT-INTEGER Pearson matrix: the three insight
+    metrics correlate pairwise at the observation grain via the
+    algebraic form r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² −
+    (Σy)²)) with every Σ a DECIMAL(38,0) sum of integer-quantized
+    values — exact under any partition order at ANY scale (no int64
+    ceiling), ONE pass over the facts (a single 10-sum aggregate), and
+    one final double expression per pair that is bit-identical across
+    engines (no rounding applied, none needed).  Built-in corr() would
+    NOT hash-match: its streaming-covariance accumulation is
+    association-order-dependent."""
+    m = _insight_metrics(spark, sf_dir)
+    dec = "decimal(38,0)"
+    x = F.col("__exec_c").cast(dec)
+    y = F.col("__conv_u").cast(dec)
+    z = F.col("__resid_u").cast(dec)
+    agg = m.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"))
+
+    def r(sa, sb, saa, sbb, sab):
+        num = (F.col("n") * F.col(sab)
+               - F.col(sa) * F.col(sb)).cast("double")
+        da = (F.col("n") * F.col(saa)
+              - F.col(sa) * F.col(sa)).cast("double")
+        db = (F.col("n") * F.col(sbb)
+              - F.col(sb) * F.col(sb)).cast("double")
+        return num / F.sqrt(da * db)
+
+    pairs = F.array(
+        F.struct(F.lit("exec").alias("metric_a"),
+                 F.lit("conv").alias("metric_b"),
+                 r("sx", "sy", "sxx", "syy", "sxy").alias("r")),
+        F.struct(F.lit("exec").alias("metric_a"),
+                 F.lit("resid").alias("metric_b"),
+                 r("sx", "sz", "sxx", "szz", "sxz").alias("r")),
+        F.struct(F.lit("conv").alias("metric_a"),
+                 F.lit("resid").alias("metric_b"),
+                 r("sy", "sz", "syy", "szz", "syz").alias("r")))
+    return (agg.select(F.explode(pairs).alias("__p"),
+                       F.col("n").cast("long").alias("n_obs"))
+               .select("__p.metric_a", "__p.metric_b", "__p.r", "n_obs"))
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical subtotals: ROLLUP over (returnflag, linestatus) with a
     grouping id — the multi-grain agg the reference computes as separate
@@ -4005,6 +4055,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_archetypes": q_archetypes,
     "q_route_kings": q_route_kings,
     "q_model_beaters": q_model_beaters,
+    "q_metric_correlations": q_metric_correlations,
     "q_rollup_revenue": q_rollup_revenue,
     "q_sliding_window": q_sliding_window,
     "q_range_window": q_range_window,

@@ -1983,3 +1983,35 @@ def test_stage_parquet_bloom_writes_filters(spark, tmp_path):
     got = spark.read.parquet(bloomed).filter("user_id = 7").count()
     want = ev.filter("user_id = 7").count()
     assert got == want and want > 0
+
+
+def test_metric_correlations_match_numpy(spark):
+    """The exact-integer Pearson matrix equals numpy's corrcoef on the
+    same quantized observations (tolerance 1e-6: numpy's float64
+    two-pass carries ~1e-9 accumulation error — OUR side is the exact
+    one; the driver hash is the bit-level gate)."""
+    import numpy as np
+
+    from big_data_bowl_spark.queries import QUERIES
+
+    out = {(r["metric_a"], r["metric_b"]): r["r"]
+           for r in QUERIES["q_metric_correlations"](
+               spark, SF_SMALL).collect()}
+    import duckdb
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT CAST(round(value*100) AS BIGINT),
+               CAST(floor((CASE WHEN (value*7) % 50 < 0
+                                THEN (value*7) % 50 + 50
+                                ELSE (value*7) % 50 END) * 1e6) AS BIGINT),
+               CAST(floor((value - (CASE WHEN (value*7) % 50 < 0
+                                         THEN (value*7) % 50 + 50
+                                         ELSE (value*7) % 50 END)) * 1e6)
+                    AS BIGINT)
+        FROM read_parquet('{SF_SMALL}/events.parquet')
+        WHERE value IS NOT NULL""").fetchall()
+    a = np.array(rows, dtype=np.float64)
+    c = np.corrcoef(a.T)
+    assert abs(out[("exec", "conv")] - c[0, 1]) < 1e-6
+    assert abs(out[("exec", "resid")] - c[0, 2]) < 1e-6
+    assert abs(out[("conv", "resid")] - c[1, 2]) < 1e-6
