@@ -138,6 +138,11 @@ HEADLINE = [
     "q_semdedup",
     "q_hybrid_rrf",
     "q_bigram_scores",
+    # sequence packing (fact-grain distributed cumsum + bin writer) and
+    # the one-pass exact-integer correlation matrix
+    "q_sequence_packing",
+    "q_packed_bins",
+    "q_metric_correlations",
 ]
 
 

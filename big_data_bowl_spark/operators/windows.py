@@ -109,7 +109,11 @@ def cumsum_distributed(df: DataFrame, order: list[str],
     The ordering over ``order`` must be UNIQUE (e.g. a distinct-value
     grain): equal keys may straddle a range boundary, and a non-unique
     ordering would make their relative prefix order non-deterministic.
-    Appends one ``cum_<col>`` column per entry in ``sums``."""
+    The ``sums`` columns must be NON-NULL: window sums skip nulls, so
+    an all-null prefix inside one range partition would yield a null
+    local prefix where the single-window form still carries the
+    earlier partitions' running total.  Appends one ``cum_<col>``
+    column per entry in ``sums``."""
     require_columns(df, [*order, *sums], "cumsum_distributed")
     n = int(partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))

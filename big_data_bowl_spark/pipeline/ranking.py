@@ -180,6 +180,10 @@ def rrf_fuse(rankings: list[tuple[str, DataFrame]], id_col: str,
     regardless of corpus size."""
     if not rankings:
         raise ValueError("rrf_fuse: need at least one ranking")
+    names = [name for name, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError(f"rrf_fuse: duplicate ranking names {names} — "
+                         "each list needs a distinct rank_<name> column")
     fused = None
     for name, r in rankings:
         require_columns(r, [id_col, "rank"], f"rrf_fuse[{name}]")

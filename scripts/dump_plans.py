@@ -139,6 +139,19 @@ AUDITED: dict[str, str] = {
         "over a constant-1 column; ntile/percent_rank/cume_dist are "
         "in-row formulas on (rn, n) — the only unpartitioned window "
         "is the partitions-row offsets pass."),
+    "q_span_dedup": (
+        "Single-scan span dedup: in-row gram build (Generate), one "
+        "(gram, doc) rollup, per-gram window flag on the SAME "
+        "relation, doc rollup — 1 scan / 3 exchanges, no seen-set "
+        "join-back."),
+    "q_semdedup": (
+        "SemDeDup: map-only broadcast centroid assignment (one nested "
+        "codebook row), then the pair join keyed ONLY by the cell id — "
+        "candidates bounded by cell occupancy, never all-pairs."),
+    "q_sequence_packing": (
+        "Fact-grain distributed cumsum: rangepartitioning exchange + "
+        "__pid-local window + partitions-row offset pass; bin math is "
+        "in-row integer arithmetic."),
     "q_submission_spine": (
         "The full submission relational spine as ONE plan: broadcast "
         "semi-join + label joins, player-key window for converge rate, "
