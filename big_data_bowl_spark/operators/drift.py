@@ -57,8 +57,14 @@ def ks_two_sample(df: DataFrame, value_col: str, is_a_col: str,
               - F.col("cum_cb").cast(dec) * F.col("na").cast(dec))
          .alias("__gd"),
         "na", "nb")
-    in_range = (F.col("na").cast("double") * F.col("nb").cast("double")
-                < F.lit(9.2e18)) & F.lit(not force_decimal)
+    nanb = F.col("na").cast("double") * F.col("nb").cast("double")
+    in_range = (nanb < F.lit(9.2e18)) & F.lit(not force_decimal)
+    # Past DECIMAL(38,0) itself (na·nb ≥ 1e38, ~1e19 rows per side) the
+    # cross-products overflow to NULL in non-ANSI Spark and max() would
+    # SKIP them — silently understating D.  Fail loud there instead:
+    # the decimal branch is exact inside its range, and the range
+    # boundary is a guard, not a cliff nobody sees.
+    dec_ok = nanb < F.lit(1e38)
     return (gaps.groupBy("na", "nb")
                 .agg(F.max("__g").alias("__m"),
                      F.max("__gd").alias("__md"))
@@ -67,9 +73,13 @@ def ks_two_sample(df: DataFrame, value_col: str, is_a_col: str,
                     F.when(in_range,
                            F.round(F.col("__m").cast("double")
                                    / (F.col("na") * F.col("nb")), 6))
-                     .otherwise(
-                        F.round((F.col("__md")
-                                 / (F.col("na").cast(dec)
-                                    * F.col("nb").cast(dec)))
-                                .cast("double"), 6))
+                     .when(dec_ok,
+                           F.round((F.col("__md")
+                                    / (F.col("na").cast(dec)
+                                       * F.col("nb").cast(dec)))
+                                   .cast("double"), 6))
+                     .otherwise(F.raise_error(F.lit(
+                         "ks_two_sample: na*nb exceeds DECIMAL(38,0) "
+                         "exactness (~1e19 rows per side) — widen the "
+                         "cross-multiply before trusting the max")))
                      .alias("ks_stat")))

@@ -189,6 +189,21 @@ def rrf_fuse(rankings: list[tuple[str, DataFrame]], id_col: str,
         require_columns(r, [id_col, "rank"], f"rrf_fuse[{name}]")
         r = r.select(F.col(id_col),
                      F.col("rank").cast("long").alias(f"rank_{name}"))
+        # in-plan uniqueness guard (the nearest_in_group assert_true
+        # pattern): a list carrying one id twice — e.g. cosine_topk
+        # output with multiple query_ids passed un-aggregated — would
+        # fan out the outer-join chain and silently inflate scores;
+        # the lists are top-N (driver-bounded), so the window is cheap
+        cnt = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        r = (r.withColumn("__cnt", cnt)
+              .filter(F.assert_true(
+                  F.col("__cnt") == 1,
+                  F.concat(F.lit(f"rrf_fuse[{name}]: duplicate id in "
+                                 "ranking list ("),
+                           F.col(id_col).cast("string"),
+                           F.lit(") — pass one rank row per id")))
+                  .isNull())
+              .drop("__cnt"))
         fused = r if fused is None else fused.join(r, id_col, "full_outer")
     score = None
     for name, _ in rankings:

@@ -208,12 +208,19 @@ def pack_documents(docs: DataFrame, ctx_len: int,
                           .alias("n_tokens"))
                  .filter(F.col("n_tokens") > 0))
     cum = cumsum_distributed(sized, [id_col], ["n_tokens"])
-    start = (F.col("cum_n_tokens") - F.col("n_tokens")).alias("start_offset")
-    first = F.floor((F.col("cum_n_tokens") - F.col("n_tokens"))
-                    / ctx_len).cast("long")
-    last = F.floor((F.col("cum_n_tokens") - 1) / ctx_len).cast("long")
-    return cum.select(
-        F.col(id_col), "n_tokens", start,
+    # TRUE integer division (`div`), not floor(double /): double
+    # division is only exact below 2^53, and a 100 TB token stream can
+    # pass 9e15 cumulative tokens — `div` keeps the claimed bit-exact
+    # integer arithmetic at any magnitude (operands are non-negative,
+    # so truncation == floor)
+    staged = cum.select(
+        F.col(id_col), "n_tokens",
+        (F.col("cum_n_tokens") - F.col("n_tokens")).alias("start_offset"),
+        (F.col("cum_n_tokens") - 1).alias("__last_pos"))
+    first = F.expr(f"start_offset div {int(ctx_len)}")
+    last = F.expr(f"__last_pos div {int(ctx_len)}")
+    return staged.select(
+        F.col(id_col), "n_tokens", "start_offset",
         first.alias("first_bin"), last.alias("last_bin"),
         (last - first + 1).alias("n_bins_spanned"))
 
@@ -248,9 +255,9 @@ def materialize_bins(docs: DataFrame, ctx_len: int,
                  .select(F.col(id_col),
                          (F.col("start_offset") + F.col("__p"))
                           .alias("__g"), "__t"))
+    # `div`, not floor(double /) — see pack_documents' exactness note
     return (placed.withColumn("bin_id",
-                              F.floor(F.col("__g") / ctx_len)
-                               .cast("long"))
+                              F.expr(f"__g div {int(ctx_len)}"))
                   .groupBy("bin_id")
                   .agg(F.count(F.lit(1)).alias("n_tokens"),
                        F.count_distinct(F.col(id_col)).alias("n_docs"),

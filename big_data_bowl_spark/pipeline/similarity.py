@@ -781,15 +781,21 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.9,
     cells = (assign_to_centroids(df, cents, id_col, vec_col, metric="l2")
              .select(F.col(id_col),
                      F.col("assigned_label").alias("cell")))
+    # norms precompute ONCE per vector (m rows) before the pair join —
+    # inside the pair expression they would re-reduce the 64-element
+    # array 2× per candidate (m² per cell instead of m)
     vecs = (df.select(F.col(id_col),
                       _as_double(F.col(vec_col)).alias("v"))
+              .withColumn("__n", _norm(F.col("v")))
               .join(cells, id_col))
     a = vecs.select(F.col(id_col).alias("keep_id"),
-                    F.col("v").alias("__va"), "cell")
+                    F.col("v").alias("__va"),
+                    F.col("__n").alias("__na"), "cell")
     b = vecs.select(F.col(id_col).alias("drop_id"),
-                    F.col("v").alias("__vb"), "cell")
+                    F.col("v").alias("__vb"),
+                    F.col("__n").alias("__nb"), "cell")
     cos = roundn(_dot(F.col("__va"), F.col("__vb"))
-                 / (_norm(F.col("__va")) * _norm(F.col("__vb"))))
+                 / (F.col("__na") * F.col("__nb")))
     return (a.join(b, "cell")
              .filter(F.col("keep_id") < F.col("drop_id"))
              .withColumn("cosine", cos)

@@ -171,18 +171,28 @@ def load_kaggle_layout(spark: SparkSession, root_dir: str,
     Returns (inputs, outputs, supplementary)."""
     import glob as _glob
     import os as _os
-    train_dir = _os.path.join(root_dir, train_subdir)
-    if not _os.path.isdir(train_dir):
-        raise FileNotFoundError(f"train_dir does not exist: {train_dir}")
-    if not _os.path.isfile(supplementary_csv):
-        raise FileNotFoundError(
-            f"supplementary_csv not found: {supplementary_csv}")
-    pats = {"input": _os.path.join(train_dir, "input_*.csv"),
-            "output": _os.path.join(train_dir, "output_*.csv")}
-    for kind, pat in pats.items():
-        if not _glob.glob(pat):
-            raise FileNotFoundError(f"no weekly {kind}_*.csv under "
-                                    f"{train_dir}")
+    train_dir = f"{root_dir.rstrip('/')}/{train_subdir}"
+    # The eager existence checks are DRIVER-LOCAL (os/glob), so they
+    # only apply to local paths; for object-store / HDFS URIs
+    # (s3://…, hdfs://…) the Spark scan itself raises PATH_NOT_FOUND —
+    # the same fail-loud outcome, delivered by the layer that can
+    # actually see the storage.
+    local = "://" not in root_dir
+    if local:
+        if not _os.path.isdir(train_dir):
+            raise FileNotFoundError(
+                f"train_dir does not exist: {train_dir}")
+        if "://" not in supplementary_csv \
+                and not _os.path.isfile(supplementary_csv):
+            raise FileNotFoundError(
+                f"supplementary_csv not found: {supplementary_csv}")
+    pats = {"input": f"{train_dir}/input_*.csv",
+            "output": f"{train_dir}/output_*.csv"}
+    if local:
+        for kind, pat in pats.items():
+            if not _glob.glob(pat):
+                raise FileNotFoundError(f"no weekly {kind}_*.csv under "
+                                        f"{train_dir}")
     df_in = read_csv_glob(spark, pats["input"], input_schema)
     df_out = read_csv_glob(spark, pats["output"], output_schema)
     df_supp = read_csv_glob(spark, supplementary_csv, supp_schema)

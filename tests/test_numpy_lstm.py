@@ -102,8 +102,8 @@ def test_trained_lstm_quality_anchor_on_tracking_tensors(spark):
         select_target_receiver_rows)
     from big_data_bowl_spark.queries import _submission_inputs
 
-    tracking, _labels, supp = _submission_inputs(
-        spark, "/root/testdata/sf0.01")
+    from tests.conftest import SF_MEDIUM
+    tracking, _labels, supp = _submission_inputs(spark, SF_MEDIUM)
     norm = normalize_coordinates(tracking, dialect="package")
     targets = select_target_receiver_rows(norm)
     completed = filter_to_completed_catches(targets, supp)
