@@ -143,6 +143,8 @@ HEADLINE = [
     "q_sequence_packing",
     "q_packed_bins",
     "q_metric_correlations",
+    # exact AUC (distinct-score distributed cumsum + decimal midranks)
+    "q_auc_exact",
 ]
 
 

@@ -1,21 +1,21 @@
-"""Distribution-drift statistics (ML-monitoring tier).
+"""Distribution-drift and model-quality statistics (ML-monitoring
+tier): the exact two-sample Kolmogorov–Smirnov statistic and the exact
+Mann–Whitney ROC AUC, both built for the 100 TB shape from the start:
 
-The exact two-sample Kolmogorov–Smirnov statistic, built for the
-100 TB shape from the start:
-
-- the cumulative pass runs on the DISTINCT-VALUE grain via
+- every cumulative pass runs on the DISTINCT-VALUE grain via
   :func:`~.windows.cumsum_distributed` (range-partitioned prefix sums),
   never a single-reducer global window over fact rows;
-- the max-gap cross-multiply is INTEGER-EXACT with an automatic
-  in-plan fallback: int64 while ``na·nb < 2^63`` (one multiply per
-  distinct value), DECIMAL(38,0) past it (exact to ~1e19 rows per
-  side) — no scale cliff, no raise_error.
+- every accumulation is INTEGER-EXACT: KS cross-multiplies in int64
+  with an automatic in-plan DECIMAL(38,0) fallback (exact to ~1e19
+  rows per side, fail-loud past that — overflow would otherwise become
+  NULL and silently understate the max); AUC accumulates doubled
+  midrank terms in DECIMAL(38,0) directly.
 
-Both branches are computed as aggregates over the same gap relation
-and the 1-row branch predicate selects which one feeds the final
-division, so the fast path costs one extra max-aggregate column and
-the slow path is bit-identical to a DECIMAL-only formulation
-(property-tested against the int64 branch on shared-range inputs in
+KS's two branches are computed as aggregates over the same gap
+relation and a 1-row predicate selects which feeds the final division,
+so the fast path costs one extra max-aggregate column and the slow
+path is bit-identical to a DECIMAL-only formulation (property-tested
+against the int64 branch on shared-range inputs in
 tests/test_properties.py).
 """
 
@@ -83,3 +83,49 @@ def ks_two_sample(df: DataFrame, value_col: str, is_a_col: str,
                          "exactness (~1e19 rows per side) — widen the "
                          "cross-multiply before trusting the max")))
                      .alias("ks_stat")))
+
+
+def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """EXACT ROC AUC via the Mann–Whitney rank form with midrank tie
+    handling — the model-quality companion of :func:`ks_two_sample`,
+    built on the same distinct-value scale discipline:
+
+        AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻)
+
+    where R⁺ is the sum of positives' average ranks under an ascending
+    score ordering.  Per distinct score s with b observations below it,
+    t total and p positive AT it, the midrank contribution is
+    p·(b + (t+1)/2); doubling clears the half, so
+
+        2·R⁺ = Σ_s p·(2b + t + 1)
+
+    is INTEGER-EXACT, accumulated in DECIMAL(38,0) (no int64 ceiling —
+    terms reach n² ≈ 1e38 only past ~1e19 rows), and AUC needs ONE
+    final double division:
+
+        AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)
+
+    The cumulative pass runs on the DISTINCT-SCORE grain through
+    cumsum_distributed (range-partitioned prefix sums, never a
+    single-reducer window).  Returns one row (n_pos, n_neg, auc),
+    auc unrounded (bit-identical across engines — every input to the
+    division is an exact integer)."""
+    require_columns(df, [score_col, label_col], "auc_exact")
+    dec = "decimal(38,0)"
+    per = (df.groupBy(F.col(score_col).alias("__s"))
+             .agg(F.sum(F.col(label_col).cast("long")).alias("p"),
+                  F.count(F.lit(1)).alias("t")))
+    cum = cumsum_distributed(per, ["__s"], ["t"])
+    b = F.col("cum_t") - F.col("t")
+    term = (F.col("p").cast(dec)
+            * (F.lit(2).cast(dec) * b.cast(dec)
+               + F.col("t").cast(dec) + F.lit(1).cast(dec)))
+    agg = cum.agg(F.sum(term).alias("r2"),
+                  F.sum("p").cast(dec).alias("np"),
+                  (F.sum("t") - F.sum("p")).cast(dec).alias("nn"))
+    num = (F.col("r2") - F.col("np") * (F.col("np") + F.lit(1).cast(dec)))
+    den = F.lit(2).cast(dec) * F.col("np") * F.col("nn")
+    return agg.select(
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        (num.cast("double") / den.cast("double")).alias("auc"))

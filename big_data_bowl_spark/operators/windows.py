@@ -72,6 +72,10 @@ def rank_desc_distributed(df: DataFrame, score: str, out: str = "rank",
     order = [F.desc(score), *[F.asc(c) for c in (tiebreak or [])]]
     staged = (df.repartitionByRange(int(n), *order)
                 .withColumn("__pid", F.spark_partition_id()))
+    # pin — repartitionByRange boundaries are sampled per execution and
+    # `staged` feeds both the local-rank window and the offsets pass;
+    # see cumsum_distributed's pin note (the same corruption class)
+    staged = staged.localCheckpoint(eager=True)
     local = staged.withColumn(
         "__lr", F.rank().over(Window.partitionBy("__pid").orderBy(*order)))
     woff = (Window.orderBy("__pid")
@@ -120,17 +124,28 @@ def cumsum_distributed(df: DataFrame, order: list[str],
     order_exprs = [F.asc(c) for c in order]
     staged = (df.repartitionByRange(n, *order_exprs)
                 .withColumn("__pid", F.spark_partition_id()))
+    # PIN the range-partitioned relation: repartitionByRange SAMPLES its
+    # boundaries with an execution-dependent seed, so two re-executions
+    # of the same subtree can place rows in DIFFERENT partitions — and
+    # the windowed result below feeds two consumers (the offsets pass
+    # and the output join).  Without the pin, offsets computed under
+    # one partitioning join rows computed under another and the prefix
+    # sums silently corrupt (caught by the AUC oracle at sf0.01: 5715
+    # of 6583 cumulative rows wrong; the KS green before it was plan-
+    # shape luck).  Exchange reuse does NOT reliably dedup the two
+    # subtrees — column pruning makes them non-identical.  The
+    # materialization is the price of a deterministic partition id; the
+    # callers' grains (distinct values, docs, post-agg boards) keep it
+    # far below fact scale.
+    staged = staged.localCheckpoint(eager=True)
     w_local = (Window.partitionBy("__pid").orderBy(*order_exprs)
                      .rowsBetween(Window.unboundedPreceding, 0))
     local = staged.select(
         "*", *[F.sum(c).over(w_local).alias(f"__l_{c}") for c in sums])
     # Per-partition totals derive FROM the local prefix result (the
     # prefix at each partition's LAST row IS its total, via max_by on
-    # the unique ordering) — not from a second read of `staged` — so
-    # the range exchange has exactly one consumer subtree and partition
-    # boundaries cannot drift between re-executions.  The offsets
-    # window IS single-partition — over `partitions` rows, by design
-    # the only global pass.
+    # the unique ordering).  The offsets window IS single-partition —
+    # over `partitions` rows, by design the only global pass.
     last_key = F.struct(*[F.col(c) for c in order])
     woff = (Window.orderBy("__pid")
                   .rowsBetween(Window.unboundedPreceding, -1))

@@ -1172,6 +1172,63 @@ FROM cum c CROSS JOIN totals t
 GROUP BY t.na, t.nb
 """
 
+ORACLES["q_auc_exact"] = """
+WITH obs AS (
+    SELECT value AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL),
+per AS (
+    SELECT s, CAST(sum(pos) AS BIGINT) AS p, count(*) AS t
+    FROM obs GROUP BY 1),
+cum AS (
+    SELECT p, t,
+           CAST(sum(t) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS ct
+    FROM per),
+agg AS (
+    SELECT CAST(sum(CAST(p AS HUGEINT)
+                    * (2 * CAST(ct - t AS HUGEINT) + t + 1))
+                AS HUGEINT) AS r2,
+           CAST(sum(p) AS HUGEINT) AS np,
+           CAST(sum(t) - sum(p) AS HUGEINT) AS nn
+    FROM cum)
+SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(r2 - np * (np + 1) AS DOUBLE)
+         / CAST(2 * np * nn AS DOUBLE) AS auc
+FROM agg
+"""
+
+ORACLES["q_calibration_bins"] = """
+WITH e AS (
+    SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL),
+bounds AS (
+    SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+    FROM e)
+SELECT len(list_filter(bo.b, x -> e.value > x)) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+         / count(*) / 100.0 AS mean_score,
+       CAST(sum(pos) AS BIGINT) / count(*) AS pos_rate
+FROM e CROSS JOIN bounds bo
+GROUP BY 1
+"""
+
+ORACLES["q_trending_decay"] = """
+WITH anchor AS (
+    SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) AS t0 FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(round(power(2.0,
+                -(CAST(a.t0 - CAST(floor(epoch(ts)) AS BIGINT)
+                       AS DOUBLE) / 604800.0)), 9)), 6)
+         AS decayed_freq
+FROM events CROSS JOIN anchor a
+GROUP BY 1
+"""
+
 ORACLES["q_psi_drift"] = """
 WITH e AS (
     SELECT value, CAST(strftime(ts, '%d') AS INT) AS dom FROM events),

@@ -3284,6 +3284,73 @@ def q_ks_drift(spark, sf_dir):
     return ks_two_sample(tagged, "value", "is_a")
 
 
+def q_auc_exact(spark, sf_dir):
+    """EXACT ROC AUC ("does value discriminate purchases?"),
+    HASH-VERIFIED: the Mann–Whitney rank form with midrank ties —
+    2·R⁺ = Σ p·(2b+t+1) over the distinct-score grain, accumulated in
+    DECIMAL(38,0) (no int64 ceiling), cumulative counts via
+    cumsum_distributed (no single-reducer window), ONE final double
+    division over exact integers — auc emitted unrounded because every
+    engine computes the identical bits (operators/drift.py)."""
+    from .operators.drift import auc_exact
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .withColumn("is_pos",
+                     (F.col("event_type") == "purchase").cast("long")))
+    return auc_exact(e, "value", "is_pos")
+
+
+def q_calibration_bins(spark, sf_dir):
+    """Model-calibration (reliability) bins, HASH-VERIFIED: scores bin
+    into deciles fixed on the score distribution's own percentile
+    boundaries (one percentile-array row broadcast — the q_psi_drift
+    bin discipline), then per bin: count, mean score, and positive
+    rate.  Means reduce as integer-unit long sums (cents for the
+    score); rates are long/long divisions — every double bit-identical
+    across engines, so no rounding is applied."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("value",
+                 (F.col("event_type") == "purchase").cast("long")
+                  .alias("is_pos")))
+    bounds = e.agg(F.percentile(
+        "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]))
+        .alias("__b"))
+    bin_of = F.size(F.filter(
+        "__b", lambda b: F.col("value") > b)).alias("bin")
+    return (e.crossJoin(F.broadcast(bounds))
+             .select(bin_of, cents(F.col("value")).alias("__vc"),
+                     "is_pos")
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  (F.sum("__vc") / F.count(F.lit(1)) / 100.0)
+                   .alias("mean_score"),
+                  (F.sum("is_pos") / F.count(F.lit(1)))
+                   .alias("pos_rate")))
+
+
+def q_trending_decay(spark, sf_dir):
+    """Exponentially-decayed frequency ("trending now"), HASH-VERIFIED:
+    per event type, Σ 2^(−Δdays/7) over its events — recency-weighted
+    popularity with a 7-day half-life, anchored on the corpus max
+    timestamp (a 1-row broadcast).  Δ is computed in INTEGER seconds
+    (epoch-floor, both engines truncate identically) and each decay
+    term rounds at 9 BEFORE the sum (the q_group_entropy discipline:
+    rounded-term sums are association-order-proof), with the final sum
+    rounded at 6."""
+    e = _t(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.unix_timestamp("ts")).alias("__t0"))
+    term = F.round(
+        F.pow(F.lit(2.0),
+              -((F.col("__t0") - F.unix_timestamp("ts"))
+                .cast("double") / F.lit(7 * 86400.0))), 9)
+    return (e.crossJoin(F.broadcast(anchor))
+             .select("event_type", term.alias("__w"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.sum("__w"), 6).alias("decayed_freq")))
+
+
 def q_psi_drift(spark, sf_dir):
     """Population Stability Index, HASH-VERIFIED: THE ML-monitoring
     drift score — decile bins fixed on the REFERENCE window (days 1–15)
@@ -3972,6 +4039,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_gini_concentration": q_gini_concentration,
     "q_chi_square": q_chi_square,
     "q_ks_drift": q_ks_drift,
+    "q_auc_exact": q_auc_exact,
+    "q_calibration_bins": q_calibration_bins,
+    "q_trending_decay": q_trending_decay,
     "q_psi_drift": q_psi_drift,
     "q_rolling_active_users": q_rolling_active_users,
     "q_table_profile": q_table_profile,

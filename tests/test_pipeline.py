@@ -942,9 +942,10 @@ def test_funnel_requires_strict_order(spark):
 
 def test_rank_distributed_equals_window_rank(spark):
     """The range-partitioned three-phase rank must reproduce the
-    single-window competition rank exactly, including ties, and its plan
-    must carry a rangepartitioning exchange (the scale shape) instead of
-    funneling the frame through one task."""
+    single-window competition rank exactly, including ties, and its
+    plan must read the pinned range-partitioned checkpoint (ExistingRDD
+    — the scale shape; the range exchange runs eagerly inside the pin)
+    instead of funneling the frame through one task."""
     from big_data_bowl_spark.operators.windows import (
         rank_desc, rank_desc_distributed)
     from big_data_bowl_spark.plans import executed_plan
@@ -956,7 +957,7 @@ def test_rank_distributed_equals_window_rank(spark):
          for r in rank_desc_distributed(df, "score", partitions=4).collect()}
     assert a == b
     plan = executed_plan(rank_desc_distributed(df, "score", partitions=4))
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
 
 
 def test_equidepth_bins_balanced_and_tie_stable(spark):
@@ -1757,8 +1758,9 @@ def test_simhash_pairs_pigeonhole_completeness(spark):
 def test_cumsum_distributed_equals_window(spark):
     """The range-partitioned prefix sum must reproduce the global
     cumulative window exactly — including negative addends and multiple
-    sum columns — and its plan must carry a rangepartitioning exchange
-    (the scale shape) instead of funneling the frame through one task."""
+    sum columns — and its plan must read the pinned range-partitioned
+    checkpoint (the scale shape; see rank_desc_distributed's note)
+    instead of funneling the frame through one task."""
     from pyspark.sql import Window
 
     from big_data_bowl_spark.operators.windows import cumsum_distributed
@@ -1774,7 +1776,7 @@ def test_cumsum_distributed_equals_window(spark):
     got = {(r["k"], r["cum_a"], r["cum_b"]) for r in out.collect()}
     assert got == want
     plan = executed_plan(out)
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
 
 
 def test_duplicated_spans_flags_planted_span(spark):
@@ -1913,8 +1915,8 @@ def test_pack_documents_invariants(spark):
     """Packing contract: offsets are a gapless 0-based laying-out in id
     order, bins cover [offset, offset+n) with ctx_len granularity, a
     doc spans exactly the bins its token range touches, empty docs
-    vanish, and the plan carries the rangepartitioning cumsum (never a
-    single-reducer window)."""
+    vanish, and the plan reads the pinned range-partitioned cumsum
+    checkpoint (never a single-reducer window)."""
     import pytest
 
     from big_data_bowl_spark.pipeline.sampling import pack_documents
@@ -1933,7 +1935,7 @@ def test_pack_documents_invariants(spark):
     assert rows[3]["first_bin"] == rows[3]["last_bin"] == 1
     assert rows[4]["first_bin"] == 1 and rows[4]["last_bin"] == 2
     plan = executed_plan(out)
-    assert "rangepartitioning" in plan.lower(), plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
     with pytest.raises(ValueError, match="ctx_len"):
         pack_documents(docs, ctx_len=0)
 
@@ -2015,3 +2017,27 @@ def test_metric_correlations_match_numpy(spark):
     assert abs(out[("exec", "conv")] - c[0, 1]) < 1e-6
     assert abs(out[("exec", "resid")] - c[0, 2]) < 1e-6
     assert abs(out[("conv", "resid")] - c[1, 2]) < 1e-6
+
+
+def test_cumsum_distributed_stable_at_scale(spark):
+    """Regression for the r7 prefix-sum corruption: with thousands of
+    distinct double keys over several range partitions, the offsets
+    pass and the output join MUST see the same partition boundaries
+    (the pinned checkpoint makes them one fact — without it,
+    repartitionByRange's per-execution sampling corrupted 5715 of 6583
+    cumulative rows at sf0.01, caught by the AUC oracle)."""
+    from big_data_bowl_spark.operators.windows import cumsum_distributed
+    df = (spark.range(7001)
+          .selectExpr("cast(pmod(id * 2654435761, 100003) as double) "
+                      "/ 7 AS k",
+                      "id % 5 AS v")
+          .distinct())
+    out = {(r["k"], r["cum_v"])
+           for r in cumsum_distributed(df, ["k"], ["v"],
+                                       partitions=8).collect()}
+    rows = sorted((r["k"], r["v"]) for r in df.collect())
+    run, want = 0, set()
+    for k, v in rows:
+        run += v
+        want.add((k, run))
+    assert out == want
