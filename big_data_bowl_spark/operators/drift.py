@@ -99,9 +99,11 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
 
         2·R⁺ = Σ_s p·(2b + t + 1)
 
-    is INTEGER-EXACT, accumulated in DECIMAL(38,0) (no int64 ceiling —
-    terms reach n² ≈ 1e38 only past ~1e19 rows), and AUC needs ONE
-    final double division:
+    is INTEGER-EXACT, accumulated in DECIMAL(38,0).  No overflow guard
+    is needed: 2R⁺ ≤ n(n+1) and Spark's count() caps n at int64
+    (~9.2e18), so the decimal accumulation tops out near 8.5e37 —
+    strictly inside DECIMAL(38,0) for every row count the engine can
+    represent at all.  AUC needs ONE final double division:
 
         AUC = (2R⁺ − n⁺(n⁺+1)) / (2·n⁺·n⁻)
 

@@ -49,33 +49,78 @@ def rank_desc(df: DataFrame, score: str, out: str = "rank",
     return df.withColumn(out, F.rank().over(w.orderBy(F.desc(score))).cast("long"))
 
 
+def _bucket_staged(df: DataFrame, first: str, n: int,
+                   order_exprs: list, descending: bool) -> DataFrame:
+    """Deterministic order-respecting partition ids for the distributed
+    rank/cumsum operators.
+
+    THE invariant both operators rest on: the partition id of a row
+    must be the SAME in every re-execution of the plan, because the
+    windowed relation feeds two consumer subtrees (the offsets pass and
+    the output join) and Spark re-executes the subtree per consumer
+    (column pruning keeps ReuseExchange from deduplicating them).  The
+    original `repartitionByRange` + `spark_partition_id()` form broke
+    it — range boundaries are SAMPLED with an execution-dependent seed,
+    and offsets computed under one sampled partitioning joined rows
+    computed under another, silently corrupting 5715 of 6583 cumulative
+    rows at sf0.01 (caught by the AUC oracle; KS had been green on
+    plan-shape luck).
+
+    Numeric first-order-column (every current caller): collect ~n
+    approximate quantile boundaries ONCE to the driver (a single-column
+    pass; boundary QUALITY only affects partition balance, never
+    values) and compute the bucket id IN-ROW against the literal
+    array — a pure function of the row, identical in every execution,
+    with zero materialization (the hash exchange on ``__pid`` happens
+    at the window, same cost class as the range exchange it replaces).
+    Equal first-column values always share a bucket (strict
+    comparison), preserving the ties-never-straddle invariant.
+    Boundary comparisons require a NON-NULL first column.
+
+    Non-numeric ordering falls back to range partitioning PINNED by an
+    eager localCheckpoint — materialization as the price of a stable
+    id."""
+    from pyspark.sql.types import NumericType
+    if isinstance(df.schema[first].dataType, NumericType):
+        probs = [i / n for i in range(1, n)]
+        bounds = df.approxQuantile(first, probs, 1.0 / (4 * n))
+        bs = sorted({float(b) for b in bounds})
+        if not bs:
+            return df.withColumn("__pid", F.lit(0))
+        arr = F.array(*[F.lit(b) for b in bs])
+        col = F.col(first)
+        pid = (F.size(F.filter(arr, lambda b: col < b)) if descending
+               else F.size(F.filter(arr, lambda b: col > b)))
+        return df.withColumn("__pid", pid)
+    staged = (df.repartitionByRange(n, *order_exprs)
+                .withColumn("__pid", F.spark_partition_id()))
+    return staged.localCheckpoint(eager=True)
+
+
 def rank_desc_distributed(df: DataFrame, score: str, out: str = "rank",
                           tiebreak: list[str] | None = None,
                           partitions: int | None = None) -> DataFrame:
     """W7 at unbounded cardinality: competition rank (method='min',
     descending) WITHOUT the single-task empty-partition window.
 
-    Three-phase: (1) ``repartitionByRange`` on the score descending — equal
-    scores land in one partition, so ties never straddle a boundary;
-    (2) rank locally within each range partition; (3) per-partition row
-    counts (a ``partitions``-row table) cumulative-sum into offsets and
-    broadcast back, so ``rank = local_rank + offset``.  The only
-    whole-dataset operations are the range exchange and a hash exchange on
-    the partition id; the global pass runs over `partitions` rows.
+    Three-phase: (1) assign every row a DETERMINISTIC order-respecting
+    bucket id (in-row comparison against driver-collected quantile
+    boundaries — see :func:`_bucket_staged`; equal scores share a
+    bucket, so ties never straddle a boundary); (2) rank locally within
+    each bucket; (3) per-bucket row counts (a ``partitions``-row table)
+    cumulative-sum into offsets and broadcast back, so ``rank =
+    local_rank + offset``.  The only whole-dataset operation is the
+    hash exchange on the bucket id; the global pass runs over
+    `partitions` rows.
 
     Use when the ranked frame is fact-grain.  For post-aggregation boards
     (thousands of rows) the plain :func:`rank_desc` window is cheaper —
     one exchange, no join."""
     require_columns(df, [score], "rank_desc_distributed")
-    n = partitions or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32")
+    n = int(partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     order = [F.desc(score), *[F.asc(c) for c in (tiebreak or [])]]
-    staged = (df.repartitionByRange(int(n), *order)
-                .withColumn("__pid", F.spark_partition_id()))
-    # pin — repartitionByRange boundaries are sampled per execution and
-    # `staged` feeds both the local-rank window and the offsets pass;
-    # see cumsum_distributed's pin note (the same corruption class)
-    staged = staged.localCheckpoint(eager=True)
+    staged = _bucket_staged(df, score, n, order, descending=True)
     local = staged.withColumn(
         "__lr", F.rank().over(Window.partitionBy("__pid").orderBy(*order)))
     woff = (Window.orderBy("__pid")
@@ -100,15 +145,16 @@ def cumsum_distributed(df: DataFrame, order: list[str],
                        partitions: int | None = None) -> DataFrame:
     """Globally-ordered prefix sums WITHOUT the single-reducer window —
     the cumulative-sum sibling of :func:`rank_desc_distributed`, same
-    three-phase range-partition discipline:
+    three-phase deterministic-bucket discipline:
 
-    (1) ``repartitionByRange`` ascending on ``order`` — every partition
-    holds a contiguous key range; (2) local ``rowsBetween(unbounded, 0)``
-    prefix sums within each range partition; (3) per-partition totals
-    (a ``partitions``-row table) prefix-sum into offsets on the driver-
+    (1) assign in-row bucket ids against driver-collected quantile
+    boundaries (:func:`_bucket_staged` — every bucket holds a
+    contiguous key range); (2) local ``rowsBetween(unbounded, 0)``
+    prefix sums within each bucket; (3) per-bucket totals (a
+    ``partitions``-row table) prefix-sum into offsets on the driver-
     scale grain and broadcast back, so ``cum = local + offset``.  The
-    only whole-dataset operations are the range exchange and the local
-    window; the global ordering pass touches `partitions` rows.
+    only whole-dataset operations are the bucket hash exchange and the
+    local window; the global ordering pass touches `partitions` rows.
 
     The ordering over ``order`` must be UNIQUE (e.g. a distinct-value
     grain): equal keys may straddle a range boundary, and a non-unique
@@ -122,22 +168,8 @@ def cumsum_distributed(df: DataFrame, order: list[str],
     n = int(partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"))
     order_exprs = [F.asc(c) for c in order]
-    staged = (df.repartitionByRange(n, *order_exprs)
-                .withColumn("__pid", F.spark_partition_id()))
-    # PIN the range-partitioned relation: repartitionByRange SAMPLES its
-    # boundaries with an execution-dependent seed, so two re-executions
-    # of the same subtree can place rows in DIFFERENT partitions — and
-    # the windowed result below feeds two consumers (the offsets pass
-    # and the output join).  Without the pin, offsets computed under
-    # one partitioning join rows computed under another and the prefix
-    # sums silently corrupt (caught by the AUC oracle at sf0.01: 5715
-    # of 6583 cumulative rows wrong; the KS green before it was plan-
-    # shape luck).  Exchange reuse does NOT reliably dedup the two
-    # subtrees — column pruning makes them non-identical.  The
-    # materialization is the price of a deterministic partition id; the
-    # callers' grains (distinct values, docs, post-agg boards) keep it
-    # far below fact scale.
-    staged = staged.localCheckpoint(eager=True)
+    staged = _bucket_staged(df, order[0], n, order_exprs,
+                            descending=False)
     w_local = (Window.partitionBy("__pid").orderBy(*order_exprs)
                      .rowsBetween(Window.unboundedPreceding, 0))
     local = staged.select(

@@ -8,7 +8,7 @@ map-side: no shuffle beyond what the caller already has.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..schemas import require_columns
@@ -207,6 +207,21 @@ def pack_documents(docs: DataFrame, ctx_len: int,
                          F.size(_tokens(text_col)).cast("long")
                           .alias("n_tokens"))
                  .filter(F.col("n_tokens") > 0))
+    # in-plan uniqueness guard (the rrf_fuse assert_true pattern):
+    # cumsum_distributed's ordering contract requires UNIQUE ids — a
+    # duplicated doc_id (un-deduped ingest) would make the two rows'
+    # offsets partition-dependent and double-place their tokens in
+    # materialize_bins; fail loud instead
+    cnt = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    sized = (sized.withColumn("__cnt", cnt)
+                  .filter(F.assert_true(
+                      F.col("__cnt") == 1,
+                      F.concat(F.lit("pack_documents: duplicate "),
+                               F.lit(id_col), F.lit(" ("),
+                               F.col(id_col).cast("string"),
+                               F.lit(") — dedup before packing")))
+                      .isNull())
+                  .drop("__cnt"))
     cum = cumsum_distributed(sized, [id_col], ["n_tokens"])
     # TRUE integer division (`div`), not floor(double /): double
     # division is only exact below 2^53, and a 100 TB token stream can

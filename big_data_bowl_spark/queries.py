@@ -1066,8 +1066,10 @@ def q_metric_correlations(spark, sf_dir):
     metrics correlate pairwise at the observation grain via the
     algebraic form r = (n·Σxy − Σx·Σy) / √((n·Σx² − (Σx)²)(n·Σy² −
     (Σy)²)) with every Σ a DECIMAL(38,0) sum of integer-quantized
-    values — exact under any partition order at ANY scale (no int64
-    ceiling), ONE pass over the facts (a single 10-sum aggregate), and
+    values — exact under any partition order with a fail-loud guard at
+    the DECIMAL(38,0) moment ceiling (reached near ~4e11 rows at these
+    unit scales; rescale units past it), ONE pass over the facts (a
+    single 10-sum aggregate), and
     one final double expression per pair that is bit-identical across
     engines (no rounding applied, none needed).  Built-in corr() would
     NOT hash-match: its streaming-covariance accumulation is
@@ -1085,6 +1087,20 @@ def q_metric_correlations(spark, sf_dir):
         F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
         F.sum(y * z).alias("syz"))
 
+    # fail-loud guard past DECIMAL(38,0): the moment products n·Σaa or
+    # (Σa)² approach 1e38 they overflow to NULL in non-ANSI Spark and
+    # every r would silently emit NULL (the ks_two_sample overflow
+    # class).  Magnitudes are checked in double (approximate is fine —
+    # the guard needs an order of magnitude, not exactness).
+    _mag = F.greatest(*[F.abs(F.col(c)).cast("double")
+                        for c in ("sx", "sy", "sz")])
+    _ss = F.greatest(*[F.col(c).cast("double")
+                       for c in ("sxx", "syy", "szz")],
+                     *[F.abs(F.col(c)).cast("double")
+                       for c in ("sxy", "sxz", "syz")])
+    _ok = ((F.col("n").cast("double") * _ss < F.lit(9e37))
+           & (_mag * _mag < F.lit(9e37)))
+
     def r(sa, sb, saa, sbb, sab):
         num = (F.col("n") * F.col(sab)
                - F.col(sa) * F.col(sb)).cast("double")
@@ -1092,7 +1108,11 @@ def q_metric_correlations(spark, sf_dir):
               - F.col(sa) * F.col(sa)).cast("double")
         db = (F.col("n") * F.col(sbb)
               - F.col(sb) * F.col(sb)).cast("double")
-        return num / F.sqrt(da * db)
+        return F.when(_ok, num / F.sqrt(da * db)).otherwise(
+            F.raise_error(F.lit(
+                "q_metric_correlations: moment products exceed "
+                "DECIMAL(38,0) exactness — rescale the quantized "
+                "units before trusting r")))
 
     pairs = F.array(
         F.struct(F.lit("exec").alias("metric_a"),

@@ -131,11 +131,12 @@ AUDITED: dict[str, str] = {
         "materialized edge table."),
     "q_ks_drift": (
         "r7 scale path: the cumulative pass is cumsum_distributed — "
-        "the range exchange runs eagerly inside the pinned checkpoint "
-        "(ExistingRDD; sampled boundaries are ONE fact for both "
-        "consumers), __pid-partitioned local window, partitions-row "
-        "offsets pass; both gap maxes (int64 + DECIMAL) ride one "
-        "aggregate; no single-reducer full-data window."),
+        "the bucket id is an IN-ROW pure function (driver-collected "
+        "quantile boundary literals), so every consumer subtree "
+        "computes the same __pid with zero materialization; "
+        "__pid-partitioned local window, partitions-row offsets pass; "
+        "both gap maxes (int64 + DECIMAL) ride one aggregate; no "
+        "single-reducer full-data window."),
     "q_auc_exact": (
         "Exact Mann-Whitney AUC: distinct-score pre-agg, pinned "
         "range-partitioned cumsum, doubled midrank terms as one "
@@ -155,9 +156,10 @@ AUDITED: dict[str, str] = {
         "codebook row), then the pair join keyed ONLY by the cell id — "
         "candidates bounded by cell occupancy, never all-pairs."),
     "q_sequence_packing": (
-        "Fact-grain distributed cumsum (pinned checkpoint + __pid-local "
-        "window + partitions-row offset pass); bin math is in-row "
-        "integer `div` arithmetic — exact past 2^53."),
+        "Fact-grain distributed cumsum (in-row deterministic bucket id "
+        "+ __pid-local window + partitions-row offset pass — zero "
+        "materialization); bin math is in-row integer `div` "
+        "arithmetic — exact past 2^53."),
     "q_submission_spine": (
         "The full submission relational spine as ONE plan: broadcast "
         "semi-join + label joins, player-key window for converge rate, "

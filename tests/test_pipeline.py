@@ -943,9 +943,8 @@ def test_funnel_requires_strict_order(spark):
 def test_rank_distributed_equals_window_rank(spark):
     """The range-partitioned three-phase rank must reproduce the
     single-window competition rank exactly, including ties, and its
-    plan must read the pinned range-partitioned checkpoint (ExistingRDD
-    — the scale shape; the range exchange runs eagerly inside the pin)
-    instead of funneling the frame through one task."""
+    plan must carry the deterministic bucket id (__pid) with every
+    window partitioned by it — never a single-task global window."""
     from big_data_bowl_spark.operators.windows import (
         rank_desc, rank_desc_distributed)
     from big_data_bowl_spark.plans import executed_plan
@@ -957,7 +956,10 @@ def test_rank_distributed_equals_window_rank(spark):
          for r in rank_desc_distributed(df, "score", partitions=4).collect()}
     assert a == b
     plan = executed_plan(rank_desc_distributed(df, "score", partitions=4))
-    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "__pid" in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line, line
 
 
 def test_equidepth_bins_balanced_and_tie_stable(spark):
@@ -1758,9 +1760,8 @@ def test_simhash_pairs_pigeonhole_completeness(spark):
 def test_cumsum_distributed_equals_window(spark):
     """The range-partitioned prefix sum must reproduce the global
     cumulative window exactly — including negative addends and multiple
-    sum columns — and its plan must read the pinned range-partitioned
-    checkpoint (the scale shape; see rank_desc_distributed's note)
-    instead of funneling the frame through one task."""
+    sum columns — and its plan must carry the deterministic bucket id
+    (__pid) with every full-data window partitioned by it."""
     from pyspark.sql import Window
 
     from big_data_bowl_spark.operators.windows import cumsum_distributed
@@ -1776,7 +1777,10 @@ def test_cumsum_distributed_equals_window(spark):
     got = {(r["k"], r["cum_a"], r["cum_b"]) for r in out.collect()}
     assert got == want
     plan = executed_plan(out)
-    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "__pid" in plan, plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "__pid" in line, line
 
 
 def test_duplicated_spans_flags_planted_span(spark):
@@ -1915,8 +1919,8 @@ def test_pack_documents_invariants(spark):
     """Packing contract: offsets are a gapless 0-based laying-out in id
     order, bins cover [offset, offset+n) with ctx_len granularity, a
     doc spans exactly the bins its token range touches, empty docs
-    vanish, and the plan reads the pinned range-partitioned cumsum
-    checkpoint (never a single-reducer window)."""
+    vanish, and the plan carries the deterministic-bucket cumsum
+    (__pid-partitioned windows, never a single-reducer one)."""
     import pytest
 
     from big_data_bowl_spark.pipeline.sampling import pack_documents
@@ -1935,7 +1939,7 @@ def test_pack_documents_invariants(spark):
     assert rows[3]["first_bin"] == rows[3]["last_bin"] == 1
     assert rows[4]["first_bin"] == 1 and rows[4]["last_bin"] == 2
     plan = executed_plan(out)
-    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "__pid" in plan, plan
     with pytest.raises(ValueError, match="ctx_len"):
         pack_documents(docs, ctx_len=0)
 
@@ -2041,3 +2045,31 @@ def test_cumsum_distributed_stable_at_scale(spark):
         run += v
         want.add((k, run))
     assert out == want
+
+
+def test_pack_documents_rejects_duplicate_ids(spark):
+    """Duplicate doc ids violate the cumsum ordering contract and would
+    double-place tokens — the in-plan guard fails loud instead."""
+    import pytest
+
+    from big_data_bowl_spark.pipeline.sampling import pack_documents
+    docs = spark.createDataFrame(
+        [(0, "a b"), (0, "c d"), (1, "e")], "doc_id long, text string")
+    with pytest.raises(Exception, match="duplicate"):
+        pack_documents(docs, ctx_len=4).collect()
+
+
+def test_cumsum_distributed_string_key_fallback(spark):
+    """Non-numeric ordering keys take the pinned-range fallback (no
+    approxQuantile for strings) and still produce exact prefix sums."""
+    from pyspark.sql import Window
+
+    from big_data_bowl_spark.operators.windows import cumsum_distributed
+    rows = [(f"k{i:03d}", i % 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {(r["k"], r["cum_v"]) for r in
+           cumsum_distributed(df, ["k"], ["v"], partitions=4).collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {(r["k"], r["c"]) for r in
+            df.select("k", F.sum("v").over(w).alias("c")).collect()}
+    assert got == want

@@ -519,16 +519,17 @@ def test_triangle_count_pins_edges(spark):
 def test_global_distribution_queries_have_no_single_reducer_window(spark):
     """The wired scale paths stay wired: q_ks_drift and
     q_distribution_windows run their ordered pass through the
-    range-partitioned cumsum: the staged relation is a pinned
-    checkpoint (ExistingRDD — the range exchange ran eagerly inside
-    it, keeping the sampled boundaries ONE fact for both consumers),
-    and every full-data Window must be partitioned by the
-    range-partition id (the only unpartitioned window is the
-    partitions-row offsets pass, which also orders by __pid)."""
+    deterministic-bucket cumsum: the plan must carry the in-row bucket
+    id (__pid — a pure function of the row against driver-collected
+    boundary literals, so re-executions can never disagree), and every
+    full-data Window must be partitioned by it (the only unpartitioned
+    window is the partitions-row offsets pass, which also orders by
+    __pid).  A regression to a plain global window would show a Window
+    line without __pid and no __pid column at all."""
     from big_data_bowl_spark.plans import executed_plan
     for name in ("q_ks_drift", "q_distribution_windows", "q_auc_exact"):
         plan = executed_plan(_q(spark, name))
-        assert "ExistingRDD" in plan or "LogicalRDD" in plan, (name, plan)
+        assert "__pid" in plan, (name, plan)
         for line in plan.splitlines():
             if "Window [" in line:
                 assert "__pid" in line, (name, line)
