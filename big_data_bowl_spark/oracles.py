@@ -1198,6 +1198,76 @@ SELECT CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
 FROM agg
 """
 
+ORACLES["q_auc_by_group"] = """
+WITH obs AS (
+    SELECT dayofweek(ts) + 1 AS dow, value AS s,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL),
+per AS (
+    SELECT dow, s, CAST(sum(pos) AS BIGINT) AS p, count(*) AS t
+    FROM obs GROUP BY 1, 2),
+cum AS (
+    SELECT dow, p, t,
+           CAST(sum(t) OVER (PARTITION BY dow ORDER BY s
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+    FROM per),
+agg AS (
+    SELECT dow,
+           CAST(sum(CAST(p AS HUGEINT)
+                    * (2 * CAST(ct - t AS HUGEINT) + t + 1))
+                AS HUGEINT) AS r2,
+           CAST(sum(p) AS HUGEINT) AS np,
+           CAST(sum(t) - sum(p) AS HUGEINT) AS nn
+    FROM cum GROUP BY 1)
+SELECT CAST(dow AS BIGINT) AS dow,
+       CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+       CAST(r2 - np * (np + 1) AS DOUBLE)
+         / CAST(2 * np * nn AS DOUBLE) AS auc
+FROM agg
+"""
+
+ORACLES["q_cumulative_gains"] = """
+WITH e AS (
+    SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL),
+bounds AS (
+    SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+    FROM e),
+bins AS (
+    SELECT 9 - len(list_filter(bo.b, x -> e.value > x)) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos
+    FROM e CROSS JOIN bounds bo GROUP BY 1)
+SELECT bin, n, n_pos,
+       CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_pos,
+       CAST(sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+            AS BIGINT)
+         / (SELECT CAST(sum(n_pos) AS BIGINT) FROM bins)
+         AS capture_rate
+FROM bins
+"""
+
+ORACLES["q_classification_report"] = """
+WITH e AS (
+    SELECT CASE WHEN value >= 100.0 THEN 1 ELSE 0 END AS pred,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL),
+agg AS (
+    SELECT CAST(sum(pred * pos) AS BIGINT) AS tp,
+           CAST(sum(pred * (1 - pos)) AS BIGINT) AS fp,
+           CAST(sum((1 - pred) * pos) AS BIGINT) AS fn,
+           CAST(sum((1 - pred) * (1 - pos)) AS BIGINT) AS tn
+    FROM e)
+SELECT tp, fp, fn, tn,
+       tp / (tp + fp) AS precision,
+       tp / (tp + fn) AS recall,
+       2 * tp / (2 * tp + fp + fn) AS f1
+FROM agg
+"""
+
 ORACLES["q_calibration_bins"] = """
 WITH e AS (
     SELECT value,

@@ -3320,6 +3320,101 @@ def q_auc_exact(spark, sf_dir):
     return auc_exact(e, "value", "is_pos")
 
 
+def q_auc_by_group(spark, sf_dir):
+    """Per-segment exact AUC (fairness / cohort monitoring),
+    HASH-VERIFIED: the same integer midrank form as q_auc_exact, but
+    per weekday cohort — and because the grain is (group, distinct
+    score), the cumulative pass is a PLAIN window partitioned by the
+    group (parallelism = #groups × in-group locality; the global
+    distributed-cumsum machinery is only needed when there is no
+    partition key).  DECIMAL(38,0) term accumulation, one final
+    division per group, auc unrounded (bit-identical)."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.dayofweek("ts").alias("dow"), "value",
+                 (F.col("event_type") == "purchase").cast("long")
+                  .alias("pos")))
+    dec = "decimal(38,0)"
+    per = (e.groupBy("dow", F.col("value").alias("__s"))
+            .agg(F.sum("pos").alias("p"),
+                 F.count(F.lit(1)).alias("t")))
+    w = (Window.partitionBy("dow").orderBy("__s")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    cum = per.withColumn("ct", F.sum("t").over(w))
+    term = (F.col("p").cast(dec)
+            * (F.lit(2).cast(dec) * (F.col("ct") - F.col("t")).cast(dec)
+               + F.col("t").cast(dec) + F.lit(1).cast(dec)))
+    agg = (cum.groupBy("dow")
+              .agg(F.sum(term).alias("r2"),
+                   F.sum("p").cast(dec).alias("np"),
+                   (F.sum("t") - F.sum("p")).cast(dec).alias("nn")))
+    num = F.col("r2") - F.col("np") * (F.col("np") + F.lit(1).cast(dec))
+    den = F.lit(2).cast(dec) * F.col("np") * F.col("nn")
+    return agg.select(
+        F.col("dow").cast("long").alias("dow"),
+        F.col("np").cast("long").alias("n_pos"),
+        F.col("nn").cast("long").alias("n_neg"),
+        (num.cast("double") / den.cast("double")).alias("auc"))
+
+
+def q_cumulative_gains(spark, sf_dir):
+    """Cumulative gains / lift table, HASH-VERIFIED: score deciles
+    (percentile boundaries broadcast, descending bins — bin 0 is the
+    TOP decile), per-bin positives, and the cumulative capture rate
+    (share of all positives reached by targeting down to this bin) —
+    the campaign-targeting staple.  Cumulative pass is a window over
+    the 10-row bin grain; capture = long/long division, unrounded."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("value",
+                 (F.col("event_type") == "purchase").cast("long")
+                  .alias("pos")))
+    bounds = e.agg(F.percentile(
+        "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]))
+        .alias("__b"))
+    # descending bin: 0 = above the 90th percentile
+    bin_of = (F.lit(9) - F.size(F.filter(
+        "__b", lambda b: F.col("value") > b))).alias("bin")
+    bins = (e.crossJoin(F.broadcast(bounds))
+             .select(bin_of, "pos")
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("pos").alias("n_pos")))
+    tot = bins.agg(F.sum("n_pos").alias("__tp"))
+    w = (Window.orderBy("bin")
+               .rowsBetween(Window.unboundedPreceding, 0))
+    return (bins.withColumn("cum_pos", F.sum("n_pos").over(w))
+                .crossJoin(F.broadcast(tot))
+                .select("bin", "n", "n_pos", "cum_pos",
+                        (F.col("cum_pos") / F.col("__tp"))
+                         .alias("capture_rate")))
+
+
+def q_classification_report(spark, sf_dir):
+    """Thresholded classification report, HASH-VERIFIED: confusion
+    counts at score ≥ 100 plus precision / recall / F1 — all four
+    counts from ONE combinable aggregate pass, the three metrics as
+    exact-integer divisions (F1 via 2TP/(2TP+FP+FN), one division —
+    never the precision·recall composite, which would divide three
+    times and round twice)."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select((F.col("value") >= 100.0).cast("long").alias("pred"),
+                 (F.col("event_type") == "purchase").cast("long")
+                  .alias("pos")))
+    agg = e.agg(
+        F.sum(F.col("pred") * F.col("pos")).alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("pos"))).alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("pos")).alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("pos"))).alias("tn"))
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        (F.col("tp") / (F.col("tp") + F.col("fp"))).alias("precision"),
+        (F.col("tp") / (F.col("tp") + F.col("fn"))).alias("recall"),
+        (2 * F.col("tp")
+         / (2 * F.col("tp") + F.col("fp") + F.col("fn"))).alias("f1"))
+
+
 def q_calibration_bins(spark, sf_dir):
     """Model-calibration (reliability) bins, HASH-VERIFIED: scores bin
     into deciles fixed on the score distribution's own percentile
@@ -4060,6 +4155,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_chi_square": q_chi_square,
     "q_ks_drift": q_ks_drift,
     "q_auc_exact": q_auc_exact,
+    "q_auc_by_group": q_auc_by_group,
+    "q_cumulative_gains": q_cumulative_gains,
+    "q_classification_report": q_classification_report,
     "q_calibration_bins": q_calibration_bins,
     "q_trending_decay": q_trending_decay,
     "q_psi_drift": q_psi_drift,
