@@ -2367,6 +2367,33 @@ FROM grams g LEFT JOIN seen s ON g.gram = s.gram
 GROUP BY 1
 """
 
+ORACLES["q_span_dedup_incremental"] = """
+WITH cut AS (SELECT max(doc_id) - 99 AS c FROM documents),
+arrs AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), x -> x <> '') AS arr
+    FROM documents),
+grams AS MATERIALIZED (
+    SELECT doc_id, array_to_string(arr[i + 1:i + 8], ' ') AS gram
+    FROM arrs, UNNEST(range(CASE WHEN len(arr) >= 8
+                                 THEN len(arr) - 8 + 1 ELSE 0 END))
+           AS u(i)),
+idx AS (
+    SELECT DISTINCT gram FROM grams CROSS JOIN cut
+    WHERE doc_id < cut.c),
+batch AS (
+    SELECT g.doc_id, g.gram FROM grams g CROSS JOIN cut
+    WHERE g.doc_id >= cut.c)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN i.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_index_grams,
+       CAST(sum(CASE WHEN i.gram IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) / count(*) AS index_fraction
+FROM batch b LEFT JOIN idx i ON b.gram = i.gram
+GROUP BY 1
+"""
+
 ORACLES["q_semdedup"] = """
 WITH vecs AS (
     SELECT vec_id, CAST(label AS BIGINT) AS label,

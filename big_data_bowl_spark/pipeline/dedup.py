@@ -942,3 +942,56 @@ def duplicated_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
                          .alias("n_dup_grams"))
                    .withColumn("dup_fraction",
                                F.col("n_dup_grams") / F.col("n_grams")))
+
+
+def gram_index(df: DataFrame, n: int = 8, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The persistable state side of span-level dedup: the distinct
+    (gram, doc-count) table at n-token granularity — what an
+    incremental ingest pipeline stores per corpus instead of re-gramming
+    history (count addition is a monoid, so per-batch indexes sum-merge
+    like every other state in the engine).  Returns (gram, n_docs)."""
+    from .text import _tokens
+    require_columns(df, [id_col, text_col], "gram_index")
+    arr = _tokens(text_col)
+    grams_col = F.when(
+        F.size(arr) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(arr) - n),
+                    lambda i: F.array_join(F.slice(arr, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.col(id_col), F.explode(grams_col).alias("gram"))
+              .groupBy("gram")
+              .agg(F.count_distinct(F.col(id_col)).alias("n_docs")))
+
+
+def duplicated_spans_incremental(new_df: DataFrame, index: DataFrame,
+                                 n: int = 8, id_col: str = "doc_id",
+                                 text_col: str = "text") -> DataFrame:
+    """INCREMENTAL span-level dedup: flag a NEW batch's positions whose
+    n-gram already exists in a stored :func:`gram_index` — history is
+    never re-grammed (the minhash_lsh_match shape applied to exact
+    spans).  A gram is contaminated if the INDEX has it at all; the
+    batch's own internal duplicates are q_span_dedup's job, so the two
+    compose: gate a batch against history, then dedup within it.
+    Returns the per-document rollup (doc_id, n_grams, n_index_grams,
+    index_fraction) for batch docs with ≥ n tokens."""
+    from .text import _tokens
+    require_columns(new_df, [id_col, text_col],
+                    "duplicated_spans_incremental")
+    require_columns(index, ["gram"], "duplicated_spans_incremental")
+    arr = _tokens(text_col)
+    grams_col = F.when(
+        F.size(arr) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(arr) - n),
+                    lambda i: F.array_join(F.slice(arr, i + 1, n), " "))
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (new_df.select(F.col(id_col),
+                           F.explode(grams_col).alias("gram")))
+    hit = index.select("gram").distinct().withColumn("__hit", F.lit(1))
+    return (grams.join(hit, "gram", "left")
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                       .alias("n_index_grams"))
+                 .withColumn("index_fraction",
+                             F.col("n_index_grams") / F.col("n_grams")))

@@ -2714,6 +2714,25 @@ def q_span_dedup(spark, sf_dir):
     return duplicated_spans(d, n=8, min_docs=2)
 
 
+def q_span_dedup_incremental(spark, sf_dir):
+    """Incremental span-level dedup, HASH-VERIFIED: the last 100 doc
+    ids play the NEW BATCH, everything before them the stored gram
+    index (built once — the history side is never re-grammed at match
+    time) — the minhash-incremental shape applied to exact 8-token
+    spans.  Output: per new doc, how much of it already exists in the
+    corpus (the contamination gate an ingest pipeline applies before
+    accepting a crawl batch)."""
+    from .pipeline.dedup import duplicated_spans_incremental, gram_index
+    d = _t(spark, sf_dir, "documents")
+    cut = d.agg((F.max("doc_id") - 99).alias("__c"))
+    hist = (d.crossJoin(F.broadcast(cut))
+             .filter(F.col("doc_id") < F.col("__c")).drop("__c"))
+    batch = (d.crossJoin(F.broadcast(cut))
+              .filter(F.col("doc_id") >= F.col("__c")).drop("__c"))
+    return duplicated_spans_incremental(batch, gram_index(hist, n=8),
+                                        n=8)
+
+
 def q_semdedup(spark, sf_dir):
     """SemDeDup semantic near-dup pruning (Abbas et al. 2023),
     HASH-VERIFIED: embeddings assign to deterministic label-mean
@@ -4201,6 +4220,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bigram_scores": q_bigram_scores,
     "q_hybrid_rrf": q_hybrid_rrf,
     "q_span_dedup": q_span_dedup,
+    "q_span_dedup_incremental": q_span_dedup_incremental,
     "q_semdedup": q_semdedup,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,

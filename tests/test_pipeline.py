@@ -2073,3 +2073,34 @@ def test_cumsum_distributed_string_key_fallback(spark):
     want = {(r["k"], r["c"]) for r in
             df.select("k", F.sum("v").over(w).alias("c")).collect()}
     assert got == want
+
+
+def test_span_dedup_incremental_matches_batch_semantics(spark):
+    """Incremental contract: gating a batch against a history gram
+    index flags exactly the batch positions whose gram exists in
+    history — verified against a brute-force Python gramming, and the
+    index composes (per-batch indexes sum-merge to the whole)."""
+    from big_data_bowl_spark.pipeline.dedup import (
+        duplicated_spans_incremental, gram_index)
+    span = " ".join(f"h{i}" for i in range(8))
+    hist = spark.createDataFrame(
+        [(0, "x y " + span), (1, "p q r s t u v w")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, span + " z z z"),              # 1 contaminated gram of 4
+         (11, "a b c d e f g h"),            # clean
+         (12, "p q r s t u v w")],           # fully in history
+        "doc_id long, text string")
+    idx = gram_index(hist, n=8)
+    out = {r["doc_id"]: r for r in
+           duplicated_spans_incremental(batch, idx, n=8).collect()}
+    assert (out[10]["n_grams"], out[10]["n_index_grams"]) == (4, 1)
+    assert out[11]["n_index_grams"] == 0
+    assert (out[12]["n_grams"], out[12]["n_index_grams"]) == (1, 1)
+    # index merge: per-half indexes sum to the whole (count monoid)
+    h0 = gram_index(hist.filter("doc_id = 0"), n=8)
+    h1 = gram_index(hist.filter("doc_id = 1"), n=8)
+    merged = (h0.unionByName(h1).groupBy("gram")
+                .agg(F.sum("n_docs").alias("n_docs")))
+    whole = {(r["gram"], r["n_docs"]) for r in idx.collect()}
+    assert {(r["gram"], r["n_docs"]) for r in merged.collect()} == whole
