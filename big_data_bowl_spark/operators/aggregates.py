@@ -232,3 +232,62 @@ def transition_matrix(df: DataFrame, group_col: str, state_col: str,
     return (pairs.join(F.broadcast(totals), "prev_state")
                  .select("prev_state", "next_state", "n",
                          F.round(F.col("n") / F.col("__tot"), 6).alias("p")))
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (and normalized MI) between two categorical
+    columns — the feature-relevance / redundancy score a feature-selection
+    pass computes for every candidate column pair:
+
+        I(X;Y) = Σ_xy p(x,y) · ln( p(x,y) / (p(x)·p(y)) )
+        NMI    = I(X;Y) / sqrt(H(X)·H(Y))        (0 when either H is 0)
+
+    Shape: ONE scan of the fact table collapses to the joint-count grain
+    (|X|·|Y| rows, one shuffle with map-side combine); the cell table is
+    pinned (``localCheckpoint`` — it has four consumers: both marginals,
+    the total, and the term join, and without the pin each subtree
+    re-scans the fact table) so both marginals and the grand total derive
+    from the tiny counts table and the fact table is scanned exactly
+    once.  The marginal joins broadcast (cell table is
+    category-bounded, independent of corpus size), so at 100 TB the cost
+    is exactly one aggregate over the raw rows.
+
+    Float discipline: every p·ln(p...) term rounds at 9 digits BEFORE the
+    sums (the q_group_entropy precedent) so addition order across engines
+    cannot flip the 6-digit outputs.  Returns a single row
+    (n, mi, h_x, h_y, nmi).
+    """
+    require_columns(df, [col_x, col_y], "mutual_information")
+    joint = (df.groupBy(col_x, col_y)
+               .agg(F.count(F.lit(1)).alias("n_xy"))
+               .localCheckpoint(eager=True))
+    mx = joint.groupBy(col_x).agg(F.sum("n_xy").alias("n_x"))
+    my = joint.groupBy(col_y).agg(F.sum("n_xy").alias("n_y"))
+    tot = joint.agg(F.sum("n_xy").alias("n"))
+    cells = (joint.join(F.broadcast(mx), col_x)
+                  .join(F.broadcast(my), col_y)
+                  .crossJoin(F.broadcast(tot)))
+    n = F.col("n").cast("double")
+    p_xy = F.col("n_xy").cast("double") / n
+    p_x = F.col("n_x").cast("double") / n
+    p_y = F.col("n_y").cast("double") / n
+    terms = cells.select(
+        "n",
+        F.round(p_xy * F.log(p_xy / (p_x * p_y)), 9).alias("__mi_t"),
+        # entropy terms weighted so each (x, y) cell contributes its
+        # share of the marginal term: Σ_cells (n_xy/n_x)·p_x·ln(p_x)
+        # telescopes to Σ_x p_x·ln(p_x) without a second scan or join
+        F.round((F.col("n_xy").cast("double") / F.col("n_x").cast("double"))
+                * (-p_x * F.log(p_x)), 9).alias("__hx_t"),
+        F.round((F.col("n_xy").cast("double") / F.col("n_y").cast("double"))
+                * (-p_y * F.log(p_y)), 9).alias("__hy_t"))
+    agg = terms.groupBy("n").agg(
+        F.round(F.sum("__mi_t"), 6).alias("mi"),
+        F.round(F.sum("__hx_t"), 6).alias("h_x"),
+        F.round(F.sum("__hy_t"), 6).alias("h_y"))
+    return agg.select(
+        "n", "mi", "h_x", "h_y",
+        F.when((F.col("h_x") > 0) & (F.col("h_y") > 0),
+               F.round(F.col("mi")
+                       / F.sqrt(F.col("h_x") * F.col("h_y")), 6))
+         .otherwise(F.lit(0.0)).alias("nmi"))

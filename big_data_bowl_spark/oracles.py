@@ -4284,3 +4284,115 @@ FROM adc
 QUALIFY row_number() OVER (PARTITION BY query_id
                            ORDER BY approx_d2 ASC, neighbor_id ASC) <= 3
 """
+
+# q_pmi_collocations — PMI over adjacent token bigrams, min_count=3:
+# identical integer counts, the identical double division/ln sequence,
+# rounded at 6 digits per row (no float sums anywhere).
+ORACLES["q_pmi_collocations"] = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, t.pos, t.term FROM documents,
+      LATERAL (SELECT unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS term,
+                      generate_subscripts(list_filter(
+                          string_split(text, ' '), x -> x <> ''), 1)
+                        AS pos) t),
+pairs AS (
+    SELECT doc_id, prev, term FROM (
+        SELECT doc_id, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok)
+    WHERE prev IS NOT NULL),
+uni AS MATERIALIZED (
+    SELECT term, count(*) AS ucnt FROM tok GROUP BY 1),
+ntok AS (SELECT CAST(sum(ucnt) AS BIGINT) AS n_tok FROM uni),
+big AS (SELECT prev, term, count(*) AS n_pair FROM pairs GROUP BY 1, 2),
+nbig AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_big FROM big)
+SELECT b.prev, b.term, CAST(b.n_pair AS BIGINT) AS n_pair,
+       CAST(ua.ucnt AS BIGINT) AS n_prev,
+       CAST(ub.ucnt AS BIGINT) AS n_term,
+       round(ln((CAST(b.n_pair AS DOUBLE) / CAST(n_big AS DOUBLE))
+                / ((CAST(ua.ucnt AS DOUBLE) / CAST(n_tok AS DOUBLE))
+                   * (CAST(ub.ucnt AS DOUBLE) / CAST(n_tok AS DOUBLE)))),
+             6) AS pmi
+FROM big b
+JOIN uni ua ON b.prev = ua.term
+JOIN uni ub ON b.term = ub.term
+CROSS JOIN nbig CROSS JOIN ntok
+WHERE b.n_pair >= 3
+"""
+
+# q_mutual_information — MI / marginal entropies / NMI between lang and
+# source: joint counts once, marginals derived from the cell table, every
+# p·ln(p) term rounded at 9 digits before the sum (q_group_entropy
+# discipline).
+ORACLES["q_mutual_information"] = """
+WITH joint AS (
+    SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+mx AS (SELECT lang, CAST(sum(n_xy) AS BIGINT) AS n_x FROM joint GROUP BY 1),
+my AS (SELECT source, CAST(sum(n_xy) AS BIGINT) AS n_y
+       FROM joint GROUP BY 1),
+tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM joint),
+terms AS (
+    SELECT n,
+        round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+              * ln((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
+                   / ((CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+                      * (CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)))),
+              9) AS mi_t,
+        round((CAST(n_xy AS DOUBLE) / CAST(n_x AS DOUBLE))
+              * (-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS hx_t,
+        round((CAST(n_xy AS DOUBLE) / CAST(n_y AS DOUBLE))
+              * (-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+                 * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS hy_t
+    FROM joint JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot),
+agg AS (
+    SELECT n, round(sum(mi_t), 6) AS mi, round(sum(hx_t), 6) AS h_x,
+           round(sum(hy_t), 6) AS h_y
+    FROM terms GROUP BY 1)
+SELECT n, mi, h_x, h_y,
+       CASE WHEN h_x > 0 AND h_y > 0
+            THEN round(mi / sqrt(h_x * h_y), 6) ELSE 0.0 END AS nmi
+FROM agg
+"""
+
+# q_dsir_weights — DSIR importance weights toward lang='en': neutral
+# polynomial token hash mod 64, Laplace-1 smoothed bucket log-ratios in
+# integer micro-nats, per-doc LONG sums (order-free).
+ORACLES["q_dsir_weights"] = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, (lang = 'en') AS is_target,
+           unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS term
+    FROM documents),
+db AS MATERIALIZED (
+    SELECT doc_id, is_target,
+           list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(range(1, length(term) + 1),
+                              i -> ascii(substr(term, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) % 64 AS bucket,
+           count(*) AS cnt
+    FROM tok GROUP BY 1, 2, 3),
+raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_raw
+        FROM db GROUP BY 1),
+tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_tgt
+        FROM db WHERE is_target GROUP BY 1),
+traw AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw FROM raw),
+ttgt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM tgt),
+lr AS (
+    SELECT r.bucket,
+           CAST(round(ln(
+               (CAST(coalesce(c_tgt, 0) + 1 AS DOUBLE)
+                / CAST(t_tgt + 64 AS DOUBLE))
+               / (CAST(c_raw + 1 AS DOUBLE)
+                  / CAST(t_raw + 64 AS DOUBLE)))
+             * 1000000) AS BIGINT) AS lr_u
+    FROM raw r LEFT JOIN tgt USING (bucket)
+    CROSS JOIN traw CROSS JOIN ttgt)
+SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       round(CAST(sum(cnt * lr_u) AS BIGINT) / 1000000.0, 6)
+         AS log_weight
+FROM db JOIN lr USING (bucket)
+GROUP BY 1
+"""

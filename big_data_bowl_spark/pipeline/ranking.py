@@ -213,3 +213,67 @@ def rrf_fuse(rankings: list[tuple[str, DataFrame]], id_col: str,
         score = term if score is None else score + term
     return (fused.withColumn("rrf", score)
                  .orderBy(F.desc("rrf"), F.asc(id_col)))
+
+
+def pmi_collocations(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     min_count: int = 5) -> DataFrame:
+    """Pointwise mutual information over adjacent token bigrams — the
+    classic collocation-extraction statistic (Church & Hanks 1990):
+
+        PMI(a, b) = ln( P(a,b) / (P(a)·P(b)) )
+
+    with P(a,b) = bigram count / total bigrams and P(·) = unigram count /
+    total tokens.  High-PMI pairs are multi-word expressions ("new york",
+    "machine learning") a tokenizer or phrase-miner should fuse; a
+    training-data pipeline runs this to build phrase vocabularies and to
+    audit template boilerplate (low-PMI high-count pairs).
+
+    Shape mirrors :func:`bigram_scores`: tokens posexplode once; bigrams
+    from a per-document lag window (one shuffle on the doc key); unigram
+    and bigram count tables are VOCABULARY-grain aggregates with map-side
+    combine, joined shuffle-wise on the term keys (vocab² can exceed
+    broadcast range; AQE may still broadcast from small-SF stats).  Both
+    count tables are pinned (``localCheckpoint``): ``uni`` has three
+    consumers (both join sides + the token total) and ``big`` two (the
+    bigram total + the pruned join input), and without the pins each
+    subtree re-explodes the corpus text — so the corpus is tokenized
+    exactly twice (token grain, bigram grain) regardless of plan fan-out.
+    The two corpus totals are 1-row aggregates crossJoin-broadcast onto
+    the pair table.  ``min_count`` prunes the long tail BEFORE the
+    unigram joins — at 100 TB the surviving pair table is the
+    interesting-phrase set, not the corpus.
+
+    PMI itself is per-row scalar math on exact integer counts — the
+    double division/log sequence is written identically in the DuckDB
+    oracle, so the 6-digit round is engine-stable (no float sums
+    anywhere).  Returns (prev, term, n_pair, n_prev, n_term, pmi).
+    """
+    require_columns(docs, [id_col, text_col], "pmi_collocations")
+    tok = docs.select(F.col(id_col),
+                      F.posexplode(_tokens(text_col))
+                       .alias("pos", "term"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (tok.withColumn("prev", F.lag("term").over(w))
+                .filter(F.col("prev").isNotNull())
+                .select(id_col, "prev", "term"))
+    uni = (tok.groupBy("term").agg(F.count(F.lit(1)).alias("ucnt"))
+              .localCheckpoint(eager=True))
+    n_tok = uni.agg(F.sum("ucnt").alias("n_tok"))
+    big = (pairs.groupBy("prev", "term")
+                .agg(F.count(F.lit(1)).alias("n_pair"))
+                .localCheckpoint(eager=True))
+    n_big = big.agg(F.sum("n_pair").alias("n_big"))
+    pruned = big.filter(F.col("n_pair") >= min_count)
+    ua = uni.select(F.col("term").alias("prev"),
+                    F.col("ucnt").alias("n_prev"))
+    ub = uni.select("term", F.col("ucnt").alias("n_term"))
+    joined = (pruned.join(ua, "prev").join(ub, "term")
+                    .crossJoin(F.broadcast(n_big))
+                    .crossJoin(F.broadcast(n_tok)))
+    p_ab = F.col("n_pair").cast("double") / F.col("n_big").cast("double")
+    p_a = F.col("n_prev").cast("double") / F.col("n_tok").cast("double")
+    p_b = F.col("n_term").cast("double") / F.col("n_tok").cast("double")
+    return joined.select(
+        "prev", "term", "n_pair", "n_prev", "n_term",
+        roundn(F.log(p_ab / (p_a * p_b))).alias("pmi"))

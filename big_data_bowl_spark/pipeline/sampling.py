@@ -278,3 +278,78 @@ def materialize_bins(docs: DataFrame, ctx_len: int,
                        F.count_distinct(F.col(id_col)).alias("n_docs"),
                        F.min_by("__t", "__g").alias("first_token"),
                        F.max_by("__t", "__g").alias("last_token")))
+
+
+def dsir_weights(docs: DataFrame, target_pred: "F.Column",
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n_buckets: int = 64, alpha: int = 1) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"): score
+    every raw document by how target-like its hashed-n-gram distribution
+    is, so a pipeline can resample raw data toward a target domain.
+
+    Features are hashed unigrams: ``polynomial_token_hash(token) mod
+    n_buckets`` (the engine-neutral family — any SQL engine reproduces the
+    buckets bit-for-bit).  With Laplace-``alpha`` smoothed bucket
+    probabilities p_t (over docs matching ``target_pred``) and p_r (over
+    ALL docs), a document's log importance weight is
+
+        log w(d) = Σ_tokens ln( p_t(bucket) / p_r(bucket) )
+                 = Σ_buckets cnt_d(b) · lr(b)
+
+    Shape: ONE token explode collapses straight to the (doc, bucket)
+    count grain — a single shuffle whose width is ≤ ``n_buckets`` per doc,
+    NOT token count — and that compact table is pinned
+    (``localCheckpoint``, the pagerank discipline) because it has two
+    consumers: the corpus statistics and the final per-doc reduction.
+    Without the pin the plan re-explodes the corpus text once per
+    consumer — the exact multi-subtree recompute this codebase pins
+    against everywhere state is reused.  Raw and target bucket counts
+    come from a SINGLE conditional aggregate over the pinned grain (never
+    two passes), fold into one ``n_buckets``-row log-ratio table, and
+    broadcast back.  Per-doc sums use the micro-unit discipline
+    (`bigram_scores`): each bucket log-ratio quantizes to an integer
+    micro-nat, the per-doc reduction is a LONG sum (order-free across
+    engines), and only the final report divides back to a 6-digit
+    double.  At 100 TB: one linear token pass, then everything else runs
+    on the ≤64·docs-row count grain; the only global state is
+    2·``n_buckets`` longs.
+
+    Returns (doc_id, n_tokens, log_weight), log_weight descending =
+    most target-like first (ordering left to the caller).
+    """
+    from ..schemas import require_columns
+    from .text import _tokens, polynomial_token_hash
+    require_columns(docs, [id_col, text_col], "dsir_weights")
+    tok = docs.select(
+        F.col(id_col), target_pred.alias("__is_target"),
+        F.explode(_tokens(text_col)).alias("term"))
+    db = (tok.groupBy(id_col, "__is_target",
+                      F.pmod(polynomial_token_hash(F.col("term")),
+                             F.lit(n_buckets)).alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .localCheckpoint(eager=True))
+    # one conditional aggregate yields BOTH distributions; buckets the
+    # target never hits smooth to bare alpha via the sum-of-zeros
+    stats = (db.groupBy("bucket")
+               .agg(F.sum("cnt").alias("c_raw"),
+                    F.sum(F.when(F.col("__is_target"), F.col("cnt"))
+                           .otherwise(F.lit(0))).alias("c_tgt"))
+             .localCheckpoint(eager=True))
+    tots = stats.agg(F.sum("c_raw").alias("t_raw"),
+                     F.sum("c_tgt").alias("t_tgt"))
+    lr = (stats.crossJoin(F.broadcast(tots))
+               .select(
+                 "bucket",
+                 F.round(F.log(
+                     ((F.col("c_tgt") + F.lit(alpha)).cast("double")
+                      / (F.col("t_tgt") + alpha * n_buckets).cast("double"))
+                     / ((F.col("c_raw") + F.lit(alpha)).cast("double")
+                        / (F.col("t_raw")
+                           + alpha * n_buckets).cast("double")))
+                     * 1_000_000).cast("long").alias("lr_u")))
+    return (db.join(F.broadcast(lr), "bucket")
+              .groupBy(id_col)
+              .agg(F.sum("cnt").alias("n_tokens"),
+                   F.round(F.sum(F.col("cnt") * F.col("lr_u"))
+                           / 1_000_000.0, 6).alias("log_weight")))

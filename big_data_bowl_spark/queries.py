@@ -4139,7 +4139,45 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_pmi_collocations(spark, sf_dir):
+    """Collocation extraction via pointwise mutual information,
+    HASH-VERIFIED: PMI over adjacent token bigrams with min-count 3 —
+    the phrase-vocabulary / boilerplate-audit statistic.  Bigram and
+    unigram tables are vocabulary-grain aggregates (map-side combine);
+    PMI itself is per-row scalar math on exact integer counts, the
+    double expression mirrored verbatim in the oracle (no float sums)."""
+    from .pipeline.ranking import pmi_collocations
+    d = _t(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=3)
+
+
+def q_mutual_information(spark, sf_dir):
+    """Feature-relevance mutual information between documents.lang and
+    documents.source, HASH-VERIFIED: joint counts in ONE scan, marginals
+    and totals derived from the category-bounded cell table, MI / H(X) /
+    H(Y) / NMI with every p·ln(p) term rounded at 9 digits before the
+    sum (the q_group_entropy order-free discipline)."""
+    from .operators.aggregates import mutual_information
+    d = _t(spark, sf_dir, "documents")
+    return mutual_information(d, "lang", "source")
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights toward the lang='en' target domain,
+    HASH-VERIFIED: hashed-unigram (neutral polynomial family, 64
+    buckets) log-likelihood ratios with Laplace smoothing; per-doc
+    weight is a LONG sum of cnt·micro-nat log-ratios (order-free), so
+    the resampling score is engine-exact.  The only global state is two
+    64-row bucket tables — the 100 TB cost is one linear token pass."""
+    from .pipeline.sampling import dsir_weights
+    d = _t(spark, sf_dir, "documents")
+    return dsir_weights(d, F.col("lang") == "en")
+
+
 QUERIES: dict[str, QueryFn] = {
+    "q_pmi_collocations": q_pmi_collocations,
+    "q_mutual_information": q_mutual_information,
+    "q_dsir_weights": q_dsir_weights,
     # round-4 front-load: the separation family's first driver rows (J7/J8)
     # and the 4 queries that have never received a CORRECTNESS row
     "q_initial_separation": q_initial_separation,
