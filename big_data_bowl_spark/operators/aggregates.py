@@ -291,3 +291,51 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
                F.round(F.col("mi")
                        / F.sqrt(F.col("h_x") * F.col("h_y")), 6))
          .otherwise(F.lit(0.0)).alias("nmi"))
+
+
+def item_similarity(df: DataFrame, group_col: str, item_col: str,
+                    min_pair_groups: int = 1,
+                    max_items_per_group: int | None = None) -> DataFrame:
+    """Item-item similarity from co-occurrence — the candidate-generation
+    step of an item-based recommender ("users who bought A also bought
+    B"): for every unordered item pair, cosine and Jaccard over the sets
+    of groups (baskets/users) containing each item:
+
+        cosine  = n_ab / sqrt(n_a · n_b)
+        jaccard = n_ab / (n_a + n_b − n_ab)
+
+    Same one-distinct-relation discipline as :func:`basket_lift`: pairs
+    come from the bounded within-group self-join (fan-out C(basket, 2) —
+    pass ``max_items_per_group`` to fail loud on degenerate baskets),
+    per-item group counts broadcast onto the pair table (item-grain,
+    catalog-bounded).  ``min_pair_groups`` prunes the long tail BEFORE
+    the count joins, so at 100 TB the surviving table is the
+    co-purchase graph, never the catalog cross product.  Similarities
+    are per-row scalar math on exact long counts (identical expression
+    in the oracle — no float sums).  Returns
+    (item_a, item_b, n_ab, n_a, n_b, cosine, jaccard)."""
+    require_columns(df, [group_col, item_col], "item_similarity")
+    items = df.select(group_col, item_col).distinct()
+    if max_items_per_group is not None:
+        from .checks import check_group_cardinality
+        items = check_group_cardinality(items, [group_col],
+                                        max_items_per_group)
+    pairs = _item_pair_counts(items, group_col, item_col) \
+        .filter(F.col("n_groups") >= min_pair_groups)
+    per_item = items.groupBy(item_col).agg(
+        F.count(F.lit(1)).alias("__n_item"))
+    out = (pairs
+           .join(F.broadcast(per_item.select(
+               F.col(item_col).alias("item_a"),
+               F.col("__n_item").alias("n_a"))), "item_a")
+           .join(F.broadcast(per_item.select(
+               F.col(item_col).alias("item_b"),
+               F.col("__n_item").alias("n_b"))), "item_b"))
+    n_ab = F.col("n_groups").cast("double")
+    return out.select(
+        "item_a", "item_b", F.col("n_groups").alias("n_ab"), "n_a", "n_b",
+        F.round(n_ab / F.sqrt((F.col("n_a") * F.col("n_b"))
+                              .cast("double")), 6).alias("cosine"),
+        F.round(n_ab / (F.col("n_a") + F.col("n_b")
+                        - F.col("n_groups")).cast("double"), 6)
+         .alias("jaccard"))

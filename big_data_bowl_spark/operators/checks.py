@@ -131,3 +131,47 @@ def violations(cond: "F.Column") -> "F.Column":
     """Count of rows violating ``cond`` (i.e. where it is false or null)
     — the standard metric expression for :func:`attach_observation`."""
     return F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1))
+
+
+def referential_profile(edges: list[tuple[str, DataFrame, list[str],
+                                          DataFrame, list[str]]]) -> DataFrame:
+    """Foreign-key integrity profile across a star/snowflake schema: for
+    each declared (name, fact, fact_keys, dim, dim_keys) edge, the fact
+    row count, the rows whose key has NO match in the dimension
+    (orphans), and the rows with a NULL key — the referential-health
+    report a warehouse runs before trusting its joins (a non-zero orphan
+    count silently DROPS rows from every inner join downstream).
+
+    Unlike the fail-loud checks above this is a PROFILE: it returns one
+    row per edge instead of raising, so a pipeline can gate on
+    thresholds (``pct_orphans < 0.001``) rather than absolutes.
+
+    Shape per edge: ONE scan — the fact's key columns left-join the
+    DISTINCT dimension keys carrying a hit marker (dimension-grain, so
+    AQE broadcasts every dimension that fits; a fact-scale "dimension"
+    degrades to a shuffled join — still one exchange each side), and one
+    aggregate classifies every row as null-key / orphan / linked in the
+    same pass.  An orphan is a NON-NULL key with no parent (a NULL key
+    is its own category — it can never match, but it isn't a broken
+    reference).  Edges evaluate independently (the result is a union of
+    1-row aggregates), so nothing serializes at scale.  Returns
+    (relation, n_rows, n_null_keys, n_orphans)."""
+    outs = []
+    for name, fact, fkeys, dim, dkeys in edges:
+        require_columns(fact, fkeys, f"referential_profile[{name}]")
+        require_columns(dim, dkeys, f"referential_profile[{name}]")
+        null_key = reduce(lambda a, b: a | b,
+                          [F.col(c).isNull() for c in fkeys])
+        d_keys = (dim.select(*[F.col(d).alias(k)
+                               for k, d in zip(fkeys, dkeys)])
+                     .distinct()
+                     .withColumn("__hit", F.lit(1)))
+        j = fact.select(*fkeys).join(d_keys, fkeys, "left")
+        outs.append(j.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(null_key, 1).otherwise(0)).alias("n_null_keys"),
+            F.sum(F.when((~null_key) & F.col("__hit").isNull(), 1)
+                   .otherwise(0)).alias("n_orphans"))
+            .select(F.lit(name).alias("relation"),
+                    "n_rows", "n_null_keys", "n_orphans"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -253,3 +253,58 @@ def closest_to_median(df: DataFrame, col: str, group: list[str],
                 .agg(F.min(F.struct("__dist", *ordered)).alias("__best")))
     return picked.select(
         *group, *[F.col(f"__best.{c}").alias(c) for c in rest])
+
+
+def skyline_2d(df: DataFrame, d1: str, d2: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, maximize both): rows not dominated
+    by any other row — the multi-criteria shortlist query (Börzsönyi et
+    al. 2001's SKYLINE OF).  p dominates q iff p ≥ q on both dimensions
+    and > on at least one.
+
+    Never the O(n²) self-join.  The 2-D structure makes dominance a
+    prefix problem: a row (a, b) survives iff
+
+      (1) b  >  max{ b' : a' > a }   — beats every strictly-better-d1
+                                       row on d2, and
+      (2) b  =  max{ b' : a' = a }   — tops its own d1 tie group
+                                       (ties on both dims all survive).
+
+    Phase shape: collapse to the DISTINCT-d1 grain (one exchange,
+    map-side combine) carrying max(d2) per d1; compute the strict-prefix
+    running max over d1-descending with the SAME three-phase
+    deterministic-bucket discipline as :func:`cumsum_distributed` —
+    in-row bucket ids from driver-collected quantile boundaries, local
+    window running max, per-bucket totals prefix-folded on the
+    ``partitions``-row grain and broadcast back (max is associative, so
+    the offset fold is exact).  No single-reducer whole-data window
+    anywhere; the fact table is touched twice (the collapse + the final
+    filter join on d1, a distinct-grain broadcast-or-shuffle equi-join).
+
+    Both dimensions should be exact-comparable (integers / cents) —
+    dominance on rounded floats is engine-unstable.  Returns df's rows
+    (all columns) that lie on the frontier."""
+    require_columns(df, [d1, d2], "skyline_2d")
+    grain = (df.groupBy(d1).agg(F.max(d2).alias("__best"))
+               .localCheckpoint(eager=True))
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    staged = _bucket_staged(grain, d1, n, [F.desc(d1)], descending=True)
+    # rows strictly earlier in the d1-descending order have d1 > current
+    # (the grain is distinct on d1, and equal d1 shares a bucket)
+    w_local = (Window.partitionBy("__pid").orderBy(F.desc(d1))
+                     .rowsBetween(Window.unboundedPreceding, -1))
+    local = staged.withColumn("__lmax", F.max("__best").over(w_local))
+    woff = (Window.orderBy("__pid")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (staged.groupBy("__pid")
+                  .agg(F.max("__best").alias("__t"))
+                  .withColumn("__omax", F.max("__t").over(woff))
+                  .select("__pid", "__omax"))
+    frontier = (local.join(F.broadcast(offs), "__pid")
+                     .withColumn("__m1", F.greatest(F.col("__lmax"),
+                                                    F.col("__omax")))
+                     .filter(F.col("__m1").isNull()
+                             | (F.col("__best") > F.col("__m1")))
+                     .select(d1, "__best"))
+    return (df.join(frontier, d1)
+              .filter(F.col(d2) == F.col("__best"))
+              .drop("__best"))

@@ -4396,3 +4396,149 @@ SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
 FROM db JOIN lr USING (bucket)
 GROUP BY 1
 """
+
+# q_item_similarity — co-occurrence cosine/jaccard over order baskets:
+# identical long counts, identical scalar similarity expressions.
+ORACLES["q_item_similarity"] = """
+WITH items AS MATERIALIZED (
+    SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+pairs AS (
+    SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_ab
+    FROM items a JOIN items b ON a.g = b.g AND a.item < b.item
+    GROUP BY 1, 2
+    HAVING count(*) >= 3),
+per_item AS (SELECT item, count(*) AS n_item FROM items GROUP BY 1)
+SELECT p.item_a, p.item_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       CAST(ia.n_item AS BIGINT) AS n_a, CAST(ib.n_item AS BIGINT) AS n_b,
+       round(CAST(p.n_ab AS DOUBLE)
+             / sqrt(CAST(ia.n_item * ib.n_item AS DOUBLE)), 6) AS cosine,
+       round(CAST(p.n_ab AS DOUBLE)
+             / CAST(ia.n_item + ib.n_item - p.n_ab AS DOUBLE), 6)
+         AS jaccard
+FROM pairs p
+JOIN per_item ia ON p.item_a = ia.item
+JOIN per_item ib ON p.item_b = ib.item
+"""
+
+# q_referential_integrity — fk orphan profile: counts per declared edge;
+# an orphan is a NON-NULL key with no parent.
+ORACLES["q_referential_integrity"] = """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT count(*) FROM lineitem) AS n_rows,
+       (SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL)
+         AS n_null_keys,
+       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->part',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_partkey IS NULL),
+       (SELECT count(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey))
+UNION ALL
+SELECT 'lineitem->supplier',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem WHERE l_suppkey IS NULL),
+       (SELECT count(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey))
+UNION ALL
+SELECT 'orders->customer',
+       (SELECT count(*) FROM orders),
+       (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+       (SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer WHERE c_nationkey IS NULL),
+       (SELECT count(*) FROM customer c WHERE c.c_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+UNION ALL
+SELECT 'supplier->nation',
+       (SELECT count(*) FROM supplier),
+       (SELECT count(*) FROM supplier WHERE s_nationkey IS NULL),
+       (SELECT count(*) FROM supplier s WHERE s.s_nationkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey))
+"""
+
+# q_benford_audit — first digit from exact integer cents (string head,
+# never float log10 of the value); expected share and chi-square term as
+# the identical scalar expressions.
+ORACLES["q_benford_audit"] = """
+WITH counts AS (
+    SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS n
+    FROM lineitem WHERE l_extendedprice > 0
+    GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(CAST(n AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+         AS observed_p,
+       round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected_p,
+       round((CAST(n AS DOUBLE)
+              - CAST(n_total AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             * (CAST(n AS DOUBLE)
+                - CAST(n_total AS DOUBLE)
+                  * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+             / (CAST(n_total AS DOUBLE)
+                * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))), 6)
+         AS chi2_term
+FROM counts CROSS JOIN tot
+"""
+
+# q_ab_test — parity-arm two-proportion z-test: exact user/converter
+# counts, identical pooled-variance expression tree.
+ORACLES["q_ab_test"] = """
+WITH users AS (
+    SELECT user_id, user_id % 2 AS arm,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv
+    FROM events GROUP BY user_id),
+arms AS (
+    SELECT arm, count(*) AS n, CAST(sum(conv) AS BIGINT) AS x
+    FROM users GROUP BY 1),
+j AS (
+    SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+    FROM (SELECT n, x FROM arms WHERE arm = 0) a,
+         (SELECT n, x FROM arms WHERE arm = 1) b)
+SELECT n_a, x_a, n_b, x_b,
+       round(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       round(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b
+            THEN round((CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                       / sqrt((CAST(x_a + x_b AS DOUBLE)
+                               / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                                       / CAST(n_a + n_b AS DOUBLE))
+                              * (1.0 / CAST(n_a AS DOUBLE)
+                                 + 1.0 / CAST(n_b AS DOUBLE))), 6)
+            ELSE 0.0 END AS z_score
+FROM j
+"""
+
+# q_skyline — count-equivalent INDEPENDENT formulation: NOT-EXISTS
+# dominance over the part grain (the engine runs a distributed
+# prefix-max; agreement verifies the logic, not the plan).
+ORACLES["q_skyline"] = """
+WITH parts AS MATERIALIZED (
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM lineitem GROUP BY 1)
+SELECT p.l_partkey, p.qty_total, p.rev_cents
+FROM parts p
+WHERE NOT EXISTS (
+    SELECT 1 FROM parts q
+    WHERE q.qty_total >= p.qty_total AND q.rev_cents >= p.rev_cents
+      AND (q.qty_total > p.qty_total OR q.rev_cents > p.rev_cents))
+"""

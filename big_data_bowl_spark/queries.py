@@ -4139,6 +4139,130 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_item_similarity(spark, sf_dir):
+    """Item-based recommender candidates, HASH-VERIFIED: cosine +
+    Jaccard similarity between parts from order-basket co-occurrence
+    (orders as groups, parts as items, ≥3 shared orders).  Pairs from
+    the bounded within-basket self-join, item counts broadcast back,
+    similarities per-row scalar math on exact long counts."""
+    from .operators.aggregates import item_similarity
+    li = _t(spark, sf_dir, "lineitem")
+    return item_similarity(li, "l_orderkey", "l_partkey",
+                           min_pair_groups=3)
+
+
+def q_referential_integrity(spark, sf_dir):
+    """Foreign-key health profile over the TPC-H snowflake,
+    HASH-VERIFIED: per declared fk edge, fact rows / null keys /
+    orphans (non-null keys with no parent) — the report that tells you
+    which inner joins silently drop rows.  Each edge is one aggregate +
+    one anti join against the distinct dimension keys; edges evaluate
+    independently and union."""
+    from .operators.checks import referential_profile
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part")
+    n = _t(spark, sf_dir, "nation")
+    return referential_profile([
+        ("lineitem->orders", li, ["l_orderkey"], o, ["o_orderkey"]),
+        ("lineitem->part", li, ["l_partkey"], p, ["p_partkey"]),
+        ("lineitem->supplier", li, ["l_suppkey"], s, ["s_suppkey"]),
+        ("orders->customer", o, ["o_custkey"], c, ["c_custkey"]),
+        ("customer->nation", c, ["c_nationkey"], n, ["n_nationkey"]),
+        ("supplier->nation", s, ["s_nationkey"], n, ["n_nationkey"]),
+    ])
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of l_extendedprice, HASH-VERIFIED: the
+    fraud/data-entry anomaly screen.  First significant digit extracted
+    from exact integer cents via string head (float log10 near a power
+    of 10 is engine-unstable; substring of a long is not), one
+    digit-grain aggregate, observed share as long/long division,
+    expected share log10(1+1/d) and the per-digit chi-square term as
+    identical scalar expressions both engines round at 6."""
+    li = _t(spark, sf_dir, "lineitem")
+    digit = F.substring(cents(F.col("l_extendedprice")).cast("string"),
+                        1, 1).cast("long")
+    counts = (li.filter(F.col("l_extendedprice") > 0)
+                .groupBy(digit.alias("digit"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True))
+    tot = counts.agg(F.sum("n").alias("n_total"))
+    e = F.log10(1.0 + 1.0 / F.col("digit").cast("double"))
+    exp_n = F.col("n_total").cast("double") * e
+    return (counts.crossJoin(F.broadcast(tot))
+                  .select("digit", "n",
+                          roundn(F.col("n").cast("double")
+                                 / F.col("n_total").cast("double"))
+                          .alias("observed_p"),
+                          roundn(e).alias("expected_p"),
+                          roundn((F.col("n").cast("double") - exp_n)
+                                 * (F.col("n").cast("double") - exp_n)
+                                 / exp_n).alias("chi2_term")))
+
+
+def q_ab_test(spark, sf_dir):
+    """Two-proportion A/B z-test, HASH-VERIFIED: users split into arms
+    by user_id parity, conversion = reached a purchase event; per-arm
+    user/converter counts collapse at the user grain first (one
+    exchange), then a 1-row scalar report — rates are long/long
+    divisions and z is one identical double expression tree on exact
+    counts (pooled-variance form), so the statistic is engine-exact."""
+    e = _t(spark, sf_dir, "events")
+    users = (e.groupBy("user_id")
+              .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)).alias("__conv"))
+              .withColumn("__arm", F.pmod(F.col("user_id"), F.lit(2))))
+    arms = (users.groupBy("__arm")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("__conv").alias("x")))
+    a = arms.filter(F.col("__arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a"))
+    b = arms.filter(F.col("__arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b"))
+    j = a.crossJoin(F.broadcast(b))
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    pp = ((F.col("x_a") + F.col("x_b")).cast("double")
+          / (F.col("n_a") + F.col("n_b")).cast("double"))
+    # degenerate pools (no conversions anywhere, or all converted) have
+    # zero pooled variance and no evidence either way: z := 0
+    z = F.when((F.col("x_a") + F.col("x_b") > 0)
+               & (F.col("x_a") + F.col("x_b")
+                  < F.col("n_a") + F.col("n_b")),
+               (p_a - p_b)
+               / F.sqrt(pp * (1.0 - pp)
+                        * (1.0 / F.col("n_a").cast("double")
+                           + 1.0 / F.col("n_b").cast("double")))) \
+         .otherwise(F.lit(0.0))
+    return j.select("n_a", "x_a", "n_b", "x_b",
+                    roundn(p_a).alias("rate_a"),
+                    roundn(p_b).alias("rate_b"),
+                    roundn(z).alias("z_score"))
+
+
+def q_skyline(spark, sf_dir):
+    """2-D Pareto frontier (skyline) over the part grain,
+    HASH-VERIFIED: parts not dominated on (total quantity sold, total
+    revenue cents) — multi-criteria shortlist without the O(n²)
+    dominance self-join.  Distinct-d1 grain + the three-phase
+    deterministic-bucket running max (no single-reducer window); both
+    dimensions exact integers.  Oracle is the independent NOT-EXISTS
+    dominance formulation, so the hash match verifies the prefix-max
+    LOGIC, not a mirror of it."""
+    from .operators.windows import skyline_2d
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (li.groupBy("l_partkey")
+               .agg(F.sum(F.col("l_quantity").cast("long"))
+                     .alias("qty_total"),
+                    F.sum(cents(F.col("l_extendedprice")))
+                     .alias("rev_cents")))
+    return skyline_2d(parts, "qty_total", "rev_cents")
+
+
 def q_pmi_collocations(spark, sf_dir):
     """Collocation extraction via pointwise mutual information,
     HASH-VERIFIED: PMI over adjacent token bigrams with min-count 3 —
@@ -4178,6 +4302,11 @@ QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
     "q_dsir_weights": q_dsir_weights,
+    "q_item_similarity": q_item_similarity,
+    "q_referential_integrity": q_referential_integrity,
+    "q_benford_audit": q_benford_audit,
+    "q_ab_test": q_ab_test,
+    "q_skyline": q_skyline,
     # round-4 front-load: the separation family's first driver rows (J7/J8)
     # and the 4 queries that have never received a CORRECTNESS row
     "q_initial_separation": q_initial_separation,
