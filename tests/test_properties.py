@@ -333,3 +333,75 @@ def test_ks_decimal_branch_matches_int64(spark, cells):
             - sum(1 for x in b_ if x <= v) / len(b_))
         for v in vals)
     assert abs(fast["ks_stat"] - round(want, 6)) <= 1e-6, (fast, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(pts=st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                    min_size=1, max_size=40))
+def test_skyline_2d_equals_naive_dominance(spark, pts):
+    """The distributed prefix-max skyline equals the O(n²) dominance
+    definition on arbitrary (incl. heavily tied) integer point sets."""
+    from big_data_bowl_spark.operators.windows import skyline_2d
+    df = spark.createDataFrame(
+        [Row(i=i, a=a, b=b) for i, (a, b) in enumerate(pts)])
+    got = {(r.a, r.b) for r in skyline_2d(df, "a", "b").collect()}
+    naive = {(a, b) for (a, b) in pts
+             if not any((a2 >= a and b2 >= b and (a2 > a or b2 > b))
+                        for (a2, b2) in pts)}
+    assert got == naive
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 5), st.booleans()),
+                     min_size=2, max_size=60))
+def test_referential_profile_counts_planted_orphans(spark, rows):
+    """Orphan/null classification matches a Python fold when orphans and
+    NULL keys are planted explicitly."""
+    from big_data_bowl_spark.operators.checks import referential_profile
+    fact = spark.createDataFrame(
+        [Row(fk=(None if null else k)) for k, null in rows],
+        "fk int")
+    dim = spark.createDataFrame([Row(pk=k) for k in (0, 1, 2)])
+    out = referential_profile([("f->d", fact, ["fk"], dim, ["pk"])]) \
+        .collect()[0]
+    n_null = sum(1 for _, null in rows if null)
+    n_orph = sum(1 for k, null in rows if not null and k > 2)
+    assert out.n_rows == len(rows)
+    assert out.n_null_keys == n_null
+    assert out.n_orphans == n_orph
+
+
+def test_mutual_information_independent_and_identical(spark):
+    """MI ≈ 0 for independent columns; MI = H for identical columns
+    (NMI = 1) — the two analytic anchors."""
+    import math
+    from big_data_bowl_spark.operators.aggregates import mutual_information
+    # independent: every (x, y) cell equally likely
+    indep = spark.createDataFrame(
+        [Row(x=i % 2, y=(i // 2) % 3) for i in range(60)])
+    r = mutual_information(indep, "x", "y").collect()[0]
+    assert abs(r.mi) < 1e-6 and abs(r.nmi) < 1e-6
+    # identical: MI = H(X) = ln(2), NMI = 1
+    ident = spark.createDataFrame([Row(x=i % 2, y=i % 2) for i in range(40)])
+    r = mutual_information(ident, "x", "y").collect()[0]
+    assert abs(r.mi - math.log(2)) < 1e-5
+    assert abs(r.nmi - 1.0) < 1e-5
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Documents drawn from the target vocabulary score higher than
+    documents from a disjoint vocabulary."""
+    from pyspark.sql import functions as F
+    from big_data_bowl_spark.pipeline.sampling import dsir_weights
+    rows = []
+    for i in range(30):
+        rows.append(Row(doc_id=i, text="alpha beta gamma delta", is_t=True))
+    for i in range(30, 60):
+        rows.append(Row(doc_id=i, text="omega sigma theta kappa", is_t=False))
+    # two held-out raw docs, one per vocabulary
+    rows.append(Row(doc_id=100, text="alpha beta alpha gamma", is_t=False))
+    rows.append(Row(doc_id=101, text="omega sigma omega theta", is_t=False))
+    df = spark.createDataFrame(rows)
+    w = {r.doc_id: r.log_weight
+         for r in dsir_weights(df, F.col("is_t"), text_col="text").collect()}
+    assert w[100] > w[101]
