@@ -145,6 +145,15 @@ HEADLINE = [
     "q_metric_correlations",
     # exact AUC (distinct-score distributed cumsum + decimal midranks)
     "q_auc_exact",
+    # round-7 batch 2: DSIR hashed-unigram selection weights (one token
+    # pass to a pinned (doc, bucket) grain), PMI collocations (vocab-
+    # grain count joins), basket item-item similarity (bounded
+    # self-join on the lineitem fact), and the distributed-prefix-max
+    # skyline
+    "q_dsir_weights",
+    "q_pmi_collocations",
+    "q_item_similarity",
+    "q_skyline",
 ]
 
 

@@ -131,3 +131,52 @@ def auc_exact(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         F.col("np").cast("long").alias("n_pos"),
         F.col("nn").cast("long").alias("n_neg"),
         (num.cast("double") / den.cast("double")).alias("auc"))
+
+
+def cusum_range(df: DataFrame, group_col: str, value_cents_col: str,
+                order_cols: list[str]) -> DataFrame:
+    """Mean-centered cumulative-sum RANGE per group — the classic CUSUM
+    change-point signal: walk the ordered series accumulating
+    S_t = Σ_{i≤t} (x_i − x̄); a stable series keeps the walk near 0,
+    a level shift sends it on a long excursion, and the statistic
+    range = max(S, 0) − min(S, 0) (the walk starts at S_0 = 0) grows
+    linearly with the post-change run length.
+
+    Exactness: with x as integer cents and group scalars n = count,
+    tot = Σx (exact longs from ONE aggregate, broadcast back), the
+    scaled term n·x_t − tot is an exact long and S_t·n is its exact
+    prefix sum — accumulated as DECIMAL(38,0) (the auc_exact ceiling
+    discipline: safe to ~1e38 before the n² growth matters), so the
+    ordering-sensitive accumulation never touches a float.  One final
+    division by n·100 converts back to value units; both engines
+    convert the same decimal to the same double and round at 6.
+
+    Shape: one group aggregate + broadcast join-back, one
+    group-partitioned ordered window (parallel across groups — never a
+    global window), one closing aggregate.  ``order_cols`` must be a
+    unique ordering within each group.  Returns
+    (group, n, cusum_range)."""
+    require_columns(df, [group_col, value_cents_col, *order_cols],
+                    "cusum_range")
+    from pyspark.sql import Window
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(value_cents_col).alias("__tot"))
+    # promote BEFORE the multiply: n·x at fact scale overflows long
+    # well before the decimal ceiling (ANSI would fail loud, but the
+    # contract here is exact-to-1e38, not exact-to-1e18)
+    term = (F.col("__n").cast("decimal(38,0)") * F.col(value_cents_col)
+            - F.col("__tot")).cast("decimal(38,0)")
+    w = (Window.partitionBy(group_col)
+               .orderBy(*[F.asc(c) for c in order_cols])
+               .rowsBetween(Window.unboundedPreceding, 0))
+    walked = (df.join(F.broadcast(stats), group_col)
+                .withColumn("__s", F.sum(term).over(w)))
+    zero = F.lit(0).cast("decimal(38,0)")
+    return (walked.groupBy(group_col)
+                  .agg(F.max("__n").alias("n"),
+                       F.round((F.greatest(F.max("__s"), zero)
+                                - F.least(F.min("__s"), zero))
+                               .cast("double")
+                               / (F.max("__n").cast("double") * 100.0), 6)
+                        .alias("cusum_range")))

@@ -192,3 +192,51 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.explode(F.array("u", "v", "w")).alias("node"))
     return per_corner.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles"))
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
+    """k-core peel: iteratively drop nodes of degree < ``k`` — the
+    standard dense-subgraph / spam-cluster extractor (a node's coreness
+    bounds its clique membership, and k-cores are where coordinated
+    behavior concentrates).
+
+    Fixed ``rounds`` budget rather than a data-dependent fixpoint test:
+    each peel round is deterministic, so a FIXED unroll is exactly
+    reproducible by a SQL oracle (the pagerank discipline), and a round
+    that removes nothing is a no-op — extra rounds are idempotent, so
+    the budget only needs to cover the peel depth, not match it.
+    Production fixpoint = raise ``rounds`` or loop on a count check;
+    the per-round plan is identical.
+
+    Per round: ONE degree aggregate over the canonical edge union + two
+    left-semi joins that keep only edges between surviving nodes, with
+    the result pinned (``localCheckpoint``) so lineage stays O(1) and
+    the next round's degree union never re-executes the previous rounds
+    (the pagerank:87 discipline).  The keep-set is node-grain — far
+    smaller than edges; the semi joins shuffle on the node key and stay
+    co-partitioned round to round, so no broadcast hint.  Returns the
+    surviving (node, deg) after ``rounds`` peels.
+
+    Input edges may carry either or both orientations; they
+    canonicalize to src<dst first (same contract as
+    :func:`triangle_count`)."""
+    require_columns(edges, ["src", "dst"], "kcore")
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct()
+                .localCheckpoint(eager=True))
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (e.select(F.col("a").alias("node"))
+                 .union(e.select(F.col("b").alias("node")))
+                 .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+
+    for _ in range(rounds):
+        keep = degrees(und).filter(F.col("deg") >= k).select("node")
+        und = (und.join(keep.select(F.col("node").alias("a")),
+                        "a", "left_semi")
+                  .join(keep.select(F.col("node").alias("b")),
+                        "b", "left_semi")
+                  .localCheckpoint(eager=True))
+    return degrees(und)

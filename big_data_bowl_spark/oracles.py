@@ -4542,3 +4542,102 @@ WHERE NOT EXISTS (
     WHERE q.qty_total >= p.qty_total AND q.rev_cents >= p.rev_cents
       AND (q.qty_total > p.qty_total OR q.rev_cents > p.rev_cents))
 """
+
+# q_kcore — the SAME three peel rounds unrolled as materialized CTE
+# stages (the pagerank unroll discipline), so every intermediate peel
+# is verified, not just the final edge set.
+ORACLES["q_kcore"] = """
+WITH rel AS (
+    SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b
+    FROM rel x JOIN rel y USING (i)
+    WHERE x.e <> y.e),
+d0 AS MATERIALIZED (
+    SELECT node, count(*) AS deg
+    FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+    GROUP BY 1),
+e1 AS MATERIALIZED (
+    SELECT a, b FROM e0
+    WHERE a IN (SELECT node FROM d0 WHERE deg >= 3)
+      AND b IN (SELECT node FROM d0 WHERE deg >= 3)),
+d1 AS MATERIALIZED (
+    SELECT node, count(*) AS deg
+    FROM (SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1)
+    GROUP BY 1),
+e2 AS MATERIALIZED (
+    SELECT a, b FROM e1
+    WHERE a IN (SELECT node FROM d1 WHERE deg >= 3)
+      AND b IN (SELECT node FROM d1 WHERE deg >= 3)),
+d2 AS MATERIALIZED (
+    SELECT node, count(*) AS deg
+    FROM (SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+    GROUP BY 1),
+e3 AS MATERIALIZED (
+    SELECT a, b FROM e2
+    WHERE a IN (SELECT node FROM d2 WHERE deg >= 3)
+      AND b IN (SELECT node FROM d2 WHERE deg >= 3))
+SELECT node AS user_id, CAST(count(*) AS BIGINT) AS deg
+FROM (SELECT a AS node FROM e3 UNION ALL SELECT b FROM e3)
+GROUP BY 1
+"""
+
+# q_cusum_drift — mean-centered walk range: exact scaled-integer terms
+# (n·x − Σx promoted to DECIMAL before the multiply), decimal prefix
+# sums in the partitioned window, one final double division.
+ORACLES["q_cusum_drift"] = """
+WITH e AS (
+    SELECT event_type, ts, event_id,
+           CAST(round(value * 100) AS BIGINT) AS vc
+    FROM events WHERE value IS NOT NULL),
+stats AS (
+    SELECT event_type, count(*) AS n, CAST(sum(vc) AS BIGINT) AS tot
+    FROM e GROUP BY 1),
+walked AS (
+    SELECT e.event_type, n,
+           sum(CAST(CAST(n AS DECIMAL(38,0)) * vc - tot
+                    AS DECIMAL(38,0)))
+             OVER (PARTITION BY e.event_type ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS s
+    FROM e JOIN stats USING (event_type))
+SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+       round(CAST(greatest(max(s), 0) - least(min(s), 0) AS DOUBLE)
+             / (CAST(max(n) AS DOUBLE) * 100.0), 6) AS cusum_range
+FROM walked GROUP BY 1
+"""
+
+# q_woe_iv — decile WOE/IV with Laplace-1 smoothing: identical
+# thresholds (rounded exact percentiles), identical per-bin scalar
+# expressions; emitted at the bin grain, so there is no float sum.
+ORACLES["q_woe_iv"] = """
+WITH e AS (
+    SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lab
+    FROM events WHERE value IS NOT NULL),
+thr AS (
+    SELECT list_transform(
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]),
+             t -> round(t, 6)) AS th
+    FROM e),
+counts AS (
+    SELECT CAST(len(list_filter(th, t -> t < value)) + 1 AS BIGINT)
+             AS bin,
+           CAST(sum(lab) AS BIGINT) AS n_pos,
+           CAST(sum(1 - lab) AS BIGINT) AS n_neg
+    FROM e CROSS JOIN thr GROUP BY 1),
+tot AS (
+    SELECT CAST(sum(n_pos) AS BIGINT) AS p,
+           CAST(sum(n_neg) AS BIGINT) AS q
+    FROM counts)
+SELECT bin, n_pos, n_neg,
+       round(ln((CAST(n_pos + 1 AS DOUBLE) / CAST(p + 10 AS DOUBLE))
+                / (CAST(n_neg + 1 AS DOUBLE)
+                   / CAST(q + 10 AS DOUBLE))), 6) AS woe,
+       round(((CAST(n_pos + 1 AS DOUBLE) / CAST(p + 10 AS DOUBLE))
+              - (CAST(n_neg + 1 AS DOUBLE) / CAST(q + 10 AS DOUBLE)))
+             * ln((CAST(n_pos + 1 AS DOUBLE) / CAST(p + 10 AS DOUBLE))
+                  / (CAST(n_neg + 1 AS DOUBLE)
+                     / CAST(q + 10 AS DOUBLE))), 6) AS iv_term
+FROM counts CROSS JOIN tot
+"""

@@ -4139,6 +4139,74 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_kcore(spark, sf_dir):
+    """3-core of the user co-occurrence graph, HASH-VERIFIED: three
+    fixed peel rounds (degree aggregate + two co-partitioned semi
+    joins per round, result pinned each round — the pagerank lineage
+    discipline), surviving (node, degree).  The oracle unrolls the
+    SAME three rounds as materialized CTE stages, so the hash match
+    verifies every intermediate peel."""
+    from .operators.graph import bipartite_edges, kcore
+    e = _t(spark, sf_dir, "events")
+    rel = e.select("user_id",
+                   (F.col("event_id") / 5).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item",
+                            max_entities_per_item=8, undirected=True)
+    return (kcore(edges, k=3, rounds=3)
+            .select(F.col("node").alias("user_id"), "deg"))
+
+
+def q_cusum_drift(spark, sf_dir):
+    """CUSUM change-point signal per event_type, HASH-VERIFIED: the
+    range of the mean-centered cumulative walk over each type's
+    time-ordered value series.  Exact integer-cents terms scaled by n
+    (n·x − Σx), DECIMAL(38,0) prefix accumulation in a
+    group-partitioned window, one final division — the
+    ordering-sensitive sum never touches a float."""
+    from .functions.scalar import cents
+    from .operators.drift import cusum_range
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .withColumn("__vc", cents(F.col("value"))))
+    return cusum_range(e, "event_type", "__vc", ["ts", "event_id"])
+
+
+def q_woe_iv(spark, sf_dir):
+    """Weight-of-evidence / information-value table, HASH-VERIFIED:
+    the credit-scoring feature-power statistic — value deciles (exact
+    percentile thresholds, 1-row broadcast, in-row bin assign) scored
+    against the purchase label with Laplace-1 smoothing.  Bin counts
+    are one aggregate; WOE and the IV contribution are per-row scalar
+    math on exact longs (identical expressions in the oracle), emitted
+    at the bin grain so no float sum exists anywhere."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull()))
+    lab = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    fracs = [k / 10 for k in range(1, 10)]
+    thr = e.agg(F.transform(
+        F.percentile("value", F.array(*[F.lit(f) for f in fracs])),
+        lambda t: F.round(t, 6)).alias("__thr"))
+    bin_col = (F.size(F.filter(F.col("__thr"),
+                               lambda t: t < F.col("value")))
+               + 1).cast("long")
+    counts = (e.crossJoin(F.broadcast(thr))
+               .groupBy(bin_col.alias("bin"))
+               .agg(F.sum(lab).alias("n_pos"),
+                    F.sum(1 - lab).alias("n_neg"))
+               .localCheckpoint(eager=True))
+    tot = counts.agg(F.sum("n_pos").alias("__p"),
+                     F.sum("n_neg").alias("__q"))
+    pr = ((F.col("n_pos") + 1).cast("double")
+          / (F.col("__p") + 10).cast("double"))
+    qr = ((F.col("n_neg") + 1).cast("double")
+          / (F.col("__q") + 10).cast("double"))
+    return (counts.crossJoin(F.broadcast(tot))
+                  .select("bin", "n_pos", "n_neg",
+                          roundn(F.log(pr / qr)).alias("woe"),
+                          roundn((pr - qr) * F.log(pr / qr))
+                          .alias("iv_term")))
+
+
 def q_item_similarity(spark, sf_dir):
     """Item-based recommender candidates, HASH-VERIFIED: cosine +
     Jaccard similarity between parts from order-basket co-occurrence
@@ -4307,6 +4375,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_benford_audit": q_benford_audit,
     "q_ab_test": q_ab_test,
     "q_skyline": q_skyline,
+    "q_kcore": q_kcore,
+    "q_cusum_drift": q_cusum_drift,
+    "q_woe_iv": q_woe_iv,
     # round-4 front-load: the separation family's first driver rows (J7/J8)
     # and the 4 queries that have never received a CORRECTNESS row
     "q_initial_separation": q_initial_separation,

@@ -184,6 +184,25 @@ AUDITED: dict[str, str] = {
         "Signatures are 32 plain min aggregates in ONE groupBy "
         "(map-side combinable); similarity is a group-grain pair join "
         "over wide signature rows — the member sets never move."),
+    "q_dsir_weights": (
+        "One token explode collapses to the pinned (doc, bucket) "
+        "grain; raw+target stats from a SINGLE conditional aggregate "
+        "(never two passes); the 64-row log-ratio table broadcasts "
+        "back; per-doc reduction is a LONG sum of micro-nats."),
+    "q_pmi_collocations": (
+        "Pinned vocabulary-grain count tables (corpus tokenized "
+        "exactly twice: token grain + bigram grain); min-count prunes "
+        "before the unigram joins; PMI is per-row scalar math — no "
+        "float sums anywhere."),
+    "q_item_similarity": (
+        "One distinct (basket, item) relation feeds pairs AND item "
+        "counts; the pair join is the bounded within-basket self-join; "
+        "catalog-grain count tables broadcast onto the pruned pairs."),
+    "q_skyline": (
+        "Distinct-d1 collapse, then the three-phase deterministic-"
+        "bucket RUNNING MAX: in-row bucket ids, local window, "
+        "partitions-row offset fold — the only unpartitioned window "
+        "is the offsets pass; final filter joins the grain back."),
 }
 
 

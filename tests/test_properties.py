@@ -405,3 +405,55 @@ def test_dsir_weights_prefer_target_like_docs(spark):
     w = {r.doc_id: r.log_weight
          for r in dsir_weights(df, F.col("is_t"), text_col="text").collect()}
     assert w[100] > w[101]
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=40), k=st.integers(1, 4))
+def test_kcore_equals_python_fixpoint_peel(spark, edges, k):
+    """With enough rounds the fixed-round peel equals the true k-core
+    fixpoint computed by a Python loop."""
+    from big_data_bowl_spark.operators.graph import kcore
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not es:
+        return
+    cur = set(es)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            break
+        cur = nxt
+    want = {}
+    for a, b in cur:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in es])
+    # 10 rounds >= peel depth of any 10-node graph; extra rounds no-op
+    got = {r.node: r.deg for r in kcore(df, k=k, rounds=10).collect()}
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(vals=st.lists(st.integers(-500, 500), min_size=1, max_size=50))
+def test_cusum_range_equals_python_walk(spark, vals):
+    """The decimal-scaled walk equals a Python Fraction CUSUM."""
+    from fractions import Fraction
+    from big_data_bowl_spark.operators.drift import cusum_range
+    df = spark.createDataFrame(
+        [Row(g="g", t=i, vc=v) for i, v in enumerate(vals)])
+    out = cusum_range(df, "g", "vc", ["t"]).collect()[0]
+    mu = Fraction(sum(vals), len(vals))
+    s, hi, lo = Fraction(0), Fraction(0), Fraction(0)
+    for v in vals:
+        s += v - mu
+        hi, lo = max(hi, s), min(lo, s)
+    want = float((hi - lo) / 100)
+    assert out.n == len(vals)
+    assert abs(out.cusum_range - round(want, 6)) < 2e-6
