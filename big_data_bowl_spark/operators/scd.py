@@ -97,3 +97,61 @@ def funnel_stages(events: DataFrame, entity_col: str, ts_col: str,
                           F.aggregate(F.col("__arr"), acc0, _advance)["stage"]
                            .cast("long").alias("stage"),
                           guarded_n.alias("n_events")))
+
+
+def windowed_funnel(events: DataFrame, entity_col: str, ts_col: str,
+                    step_col: str, steps: list[str],
+                    within_seconds: int,
+                    tie_col: str | None = None,
+                    max_group: int = 1_000_000) -> DataFrame:
+    """Time-bounded conversion funnel: like :func:`funnel_stages`, but
+    every later step must land within ``within_seconds`` of the FIRST
+    step's (earliest) hit — the "converted within 24 h" product metric.
+    Semantics are the bounded min-ts chain, anchored at t1 = the
+    entity's earliest ``steps[0]`` event:
+
+        stage k ⇔ hit steps[0..k-1] with each at ts strictly after the
+        previous stage's ts AND ts ≤ t1 + within_seconds.
+
+    Anchoring at the earliest first step (not max-over-restarts à la
+    ClickHouse windowFunnel) keeps the statistic deterministic and
+    exactly SQL-expressible — the oracle is the same CTE chain with the
+    interval bound.  Same single-shuffle in-row fold + ``max_group``
+    hot-key guard as the unbounded funnel; the accumulator additionally
+    carries the anchor timestamp.  Returns (entity, stage, n_events)."""
+    require_columns(events, [entity_col, ts_col, step_col],
+                    "windowed_funnel")
+    order_cols: list[Column] = [F.col(ts_col).alias("t")]
+    if tie_col:
+        order_cols.append(F.col(tie_col).alias("tb"))
+    order_cols.append(F.col(step_col).alias("s"))
+    arr = F.array_sort(F.collect_list(F.struct(*order_cols)))
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    acc0 = F.struct(F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"),
+                    F.lit(None).cast("timestamp").alias("t0"))
+    bound = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+    def _advance(a, e):
+        hit = (F.try_element_at(step_arr, a["stage"] + 1) == e["s"]) \
+              & ((a["stage"] == 0)
+                 | ((e["t"] > a["t"]) & (e["t"] <= a["t0"] + bound)))
+        return F.struct(
+            F.when(hit, a["stage"] + 1).otherwise(a["stage"]).alias("stage"),
+            F.when(hit, e["t"]).otherwise(a["t"]).alias("t"),
+            F.when(hit & (a["stage"] == 0), e["t"])
+             .otherwise(a["t0"]).alias("t0"))
+    guarded_n = F.when(
+        F.col("n_events") <= max_group, F.col("n_events")
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"windowed_funnel[max_group={max_group}]: hot key "),
+        F.col(entity_col).cast("string"),
+        F.lit(" has "), F.col("n_events").cast("string"),
+        F.lit(" events — bound the history or pre-aggregate"))
+        ).cast("long"))
+    return (events.groupBy(F.col(entity_col))
+                  .agg(F.count(F.lit(1)).alias("n_events"),
+                       arr.alias("__arr"))
+                  .select(F.col(entity_col),
+                          F.aggregate(F.col("__arr"), acc0, _advance)["stage"]
+                           .cast("long").alias("stage"),
+                          guarded_n.alias("n_events")))

@@ -4641,3 +4641,90 @@ SELECT bin, n_pos, n_neg,
                      / CAST(q + 10 AS DOUBLE))), 6) AS iv_term
 FROM counts CROSS JOIN tot
 """
+
+# q_window_funnel — the bounded min-ts chain, anchored at the earliest
+# first step: every later stage within 2 h of t1.
+ORACLES["q_window_funnel"] = """
+WITH t1 AS (
+    SELECT user_id, min(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'click' AND e.ts > t1.t
+      AND e.ts <= t1.t + INTERVAL 7200 SECOND
+    GROUP BY e.user_id),
+t3 AS (
+    SELECT e.user_id, min(e.ts) AS t FROM events e
+    JOIN t2 ON e.user_id = t2.user_id
+    JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > t2.t
+      AND e.ts <= t1.t + INTERVAL 7200 SECOND
+    GROUP BY e.user_id)
+SELECT e.user_id,
+       CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                 WHEN t2.user_id IS NOT NULL THEN 2
+                 WHEN t1.user_id IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS stage,
+       count(*) AS n_events
+FROM events e
+LEFT JOIN t1 ON e.user_id = t1.user_id
+LEFT JOIN t2 ON e.user_id = t2.user_id
+LEFT JOIN t3 ON e.user_id = t3.user_id
+GROUP BY 1, 2
+"""
+
+# q_readability — LIX: in-row integer counts + two divisions; the
+# sentence count needs the 'g' flag (DuckDB regexp_replace replaces the
+# FIRST match by default, Spark replaces all).
+ORACLES["q_readability"] = """
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents)
+SELECT doc_id,
+       CAST(greatest(len(toks), 1) AS BIGINT) AS n_words,
+       CAST(greatest(length(text)
+                     - length(regexp_replace(text, '[.!?]', '', 'g')), 1)
+            AS BIGINT) AS n_sentences,
+       CAST(len(list_filter(toks, t -> length(t) > 6)) AS BIGINT)
+         AS n_long_words,
+       round(CAST(greatest(len(toks), 1) AS DOUBLE)
+             / CAST(greatest(length(text)
+                             - length(regexp_replace(text, '[.!?]', '',
+                                                     'g')), 1) AS DOUBLE)
+             + 100.0 * CAST(len(list_filter(toks, t -> length(t) > 6))
+                            AS DOUBLE)
+               / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS lix
+FROM base
+"""
+
+
+# q_langid_confusion — the language_id hit/argmax block grouped against
+# the declared lang; recall share per declared language.
+ORACLES["q_langid_confusion"] = f"""
+WITH base AS (
+    SELECT lang, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM documents),
+hits AS (
+    SELECT lang,
+           CAST(len(list_filter(toks, t -> t IN {_EN})) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(toks, t -> t IN {_FR})) AS BIGINT) AS fr_hits,
+           CAST(len(list_filter(toks, t -> t IN {_DE})) AS BIGINT) AS de_hits,
+           CAST(len(list_filter(toks, t -> t IN {_ES})) AS BIGINT) AS es_hits
+    FROM base),
+pred AS (
+    SELECT lang,
+           CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits >= es_hits THEN 'en'
+                WHEN fr_hits >= de_hits AND fr_hits >= es_hits THEN 'fr'
+                WHEN de_hits >= es_hits THEN 'de'
+                ELSE 'es' END AS predicted_lang
+    FROM hits),
+cells AS (
+    SELECT lang, predicted_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+marg AS (
+    SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY 1)
+SELECT c.lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / CAST(m.tot AS DOUBLE), 6) AS share
+FROM cells c JOIN marg m ON c.lang = m.lang
+"""

@@ -312,3 +312,36 @@ def cdc_chunk_documents(df: DataFrame, window: int = 4, divisor: int = 16,
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """LIX readability index (Björnsson 1968) — the syllable-free
+    readability formula, so it is exactly computable on both engines:
+
+        LIX = words/sentences + 100 · longwords/words
+
+    with longwords = tokens longer than 6 chars and sentences = the
+    count of '.', '!', '?' terminators (floored at 1 so headline-style
+    fragments don't divide by zero).  A corpus-quality filter thresholds
+    on it exactly like the stopword/length features in
+    :func:`quality_features`; everything is in-row integer counting +
+    two divisions (map-only, no shuffle)."""
+    require_columns(df, [id_col, text_col], "readability")
+    toks = _tokens(text_col)
+    n_words = F.greatest(F.size(toks).cast("long"), F.lit(1))
+    n_long = F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("long")
+    n_sent = F.greatest(
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), r"[.!?]", "")))
+        .cast("long"),
+        F.lit(1))
+    from ..functions.scalar import roundn
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_long.alias("n_long_words"),
+        roundn(n_words.cast("double") / n_sent.cast("double")
+               + 100.0 * n_long.cast("double") / n_words.cast("double"))
+        .alias("lix"))

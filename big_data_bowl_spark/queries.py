@@ -4139,6 +4139,52 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_window_funnel(spark, sf_dir):
+    """Time-bounded view→click→purchase funnel (2-hour window),
+    HASH-VERIFIED: every later step must land within 2 h of the
+    entity's earliest view — the bounded min-ts chain, anchored
+    deterministically, as one in-row fold over the per-user sorted
+    history (single shuffle + hot-key guard).  The oracle is the same
+    CTE chain with the interval bound."""
+    from .operators.scd import windowed_funnel
+    e = _t(spark, sf_dir, "events")
+    return windowed_funnel(e, "user_id", "ts", "event_type",
+                           ["view", "click", "purchase"],
+                           within_seconds=7200)
+
+
+def q_langid_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix, HASH-VERIFIED:
+    the n-gram language_id prediction grouped against the catalog's
+    declared lang column — the mislabeled-document audit a corpus
+    cleaning pass gates on.  One projection pass (the language-ID block
+    is in-row token counting), one cell-grain aggregate, per-declared-
+    lang recall share as a long/long division against broadcast
+    marginals."""
+    from .pipeline.text import language_id_columns
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select("lang", *language_id_columns("text"))
+    cells = (pred.groupBy("lang", "predicted_lang")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .localCheckpoint(eager=True))
+    marg = cells.groupBy("lang").agg(F.sum("n").alias("__tot"))
+    return (cells.join(F.broadcast(marg), "lang")
+                 .select("lang", "predicted_lang", "n",
+                         roundn(F.col("n").cast("double")
+                                / F.col("__tot").cast("double"))
+                         .alias("share")))
+
+
+def q_readability(spark, sf_dir):
+    """LIX readability per document, HASH-VERIFIED: the syllable-free
+    readability index (words/sentence + 100·longwords/words) — in-row
+    integer counting and two divisions, map-only, the same quality-
+    filter family as q_text_quality."""
+    from .pipeline.text import readability
+    d = _t(spark, sf_dir, "documents")
+    return readability(d)
+
+
 def q_kcore(spark, sf_dir):
     """3-core of the user co-occurrence graph, HASH-VERIFIED: three
     fixed peel rounds (degree aggregate + two co-partitioned semi
@@ -4378,6 +4424,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_window_funnel": q_window_funnel,
+    "q_langid_confusion": q_langid_confusion,
+    "q_readability": q_readability,
     # round-4 front-load: the separation family's first driver rows (J7/J8)
     # and the 4 queries that have never received a CORRECTNESS row
     "q_initial_separation": q_initial_separation,

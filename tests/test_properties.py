@@ -457,3 +457,29 @@ def test_cusum_range_equals_python_walk(spark, vals):
     want = float((hi - lo) / 100)
     assert out.n == len(vals)
     assert abs(out.cusum_range - round(want, 6)) < 2e-6
+
+
+@settings(max_examples=6, deadline=None)
+@given(seq=st.lists(st.tuples(st.integers(0, 20),
+                              st.sampled_from(["a", "b", "c", "x"])),
+                    min_size=0, max_size=12), win=st.integers(1, 15))
+def test_windowed_funnel_matches_python_fold(spark, seq, win):
+    """The anchored time-bounded funnel ≡ a python walk with the same
+    strictly-later + within-window rules."""
+    import datetime as dt
+    from big_data_bowl_spark.operators.scd import windowed_funnel
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=t), s) for t, s in seq] or \
+           [(1, base, "x")]
+    e = spark.createDataFrame(rows, "u int, ts timestamp, et string")
+    got = windowed_funnel(e, "u", "ts", "et", ["a", "b", "c"],
+                          within_seconds=win).collect()[0]
+    events = sorted((t, s) for t, s in (seq or [(0, "x")]))
+    steps, stage, last_t, t0 = ["a", "b", "c"], 0, None, None
+    for t, s in events:
+        if stage < 3 and s == steps[stage] and (
+                stage == 0 or (t > last_t and t <= t0 + win)):
+            if stage == 0:
+                t0 = t
+            stage, last_t = stage + 1, t
+    assert got.stage == stage
