@@ -446,3 +446,133 @@ def hll_neutral_rollup(regs: DataFrame, group: list[str]) -> DataFrame:
                                              / zeros.cast("double"))) \
            .otherwise(est_raw)
     return per.select(*group, F.round(est, 6).alias("hll_estimate"))
+
+
+def theta_sketch_state(df: DataFrame, group: list[str], key_col: str,
+                       k: int = 32) -> DataFrame:
+    """Theta/KMV SET sketch state: per group, the ``k`` DISTINCT keys
+    with the smallest engine-neutral hash — the sketch family whose set
+    algebra supports DIRECT intersection estimates (the neutral HLL
+    registers above only union; intersections via inclusion–exclusion
+    compound error across terms).
+
+    Same determinism/mergeability contract as
+    :func:`quantile_sketch_state` (fixed hash of the key → partition-,
+    engine-, and run-independent; bottom-k of unioned states = bottom-k
+    of the union after key dedup), but over the DISTINCT key set, so the
+    state is a uniform sample of the SET, not the bag.  The
+    WindowGroupLimit rewrite keeps the pre-shuffle rows at
+    O(partitions · k) per group.  Returns (*group, key, th_hash, th_k)."""
+    require_columns(df, [*group, key_col], "theta_sketch_state")
+    from ..pipeline.sampling import wang_mixed_hash
+    distinct = df.select(*group, key_col).distinct()
+    staged = distinct.withColumn("th_hash",
+                                 wang_mixed_hash(F.col(key_col)))
+    w = Window.partitionBy(*group).orderBy("th_hash", key_col)
+    return (staged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k).drop("__rn")
+                  .withColumn("th_k", F.lit(k)))
+
+
+_THETA_RANGE = 1 << 32  # wang_mixed_hash range: [0, 2^32)
+
+
+def _theta_summaries(state: DataFrame, group_col: str) -> DataFrame:
+    """Per-group (n, cut, est): cut = the k-th smallest hash when the
+    sketch is full (the theta threshold — every retained hash ≤ cut),
+    else the full hash range (sampling probability 1); est = exact n in
+    exact mode, else the KMV estimator (k−1)/(cut/2^32)."""
+    summ = state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("th_hash").alias("__mx"),
+        F.max("th_k").alias("__k"))
+    full = F.col("n") >= F.col("__k")
+    cut = F.when(full, F.col("__mx")) \
+           .otherwise(F.lit(_THETA_RANGE)).cast("long")
+    est = F.when(full,
+                 F.round((F.col("__k") - 1).cast("double")
+                         * float(_THETA_RANGE)
+                         / F.col("__mx").cast("double"), 6)) \
+           .otherwise(F.col("n").cast("double"))
+    return summ.select(group_col, "n", cut.alias("cut"),
+                       est.alias("est"))
+
+
+def theta_intersect_pairs(state: DataFrame, group_col: str,
+                          key_col: str) -> DataFrame:
+    """Pairwise set-overlap estimates from persisted theta states — the
+    audience-intersection report, from sketches alone (the raw member
+    sets never move; cost is O(groups²·k) on state rows):
+
+    For groups A, B with thresholds cut_A, cut_B, every key both states
+    retain with hash ≤ cut = min(cut_A, cut_B) is a uniform sample of
+    A∩B at inclusion probability cut/2^32, so
+    est_inter = m · 2^32 / cut — the standard theta-join estimator
+    (exact when both sketches are under-full, since cut is then the
+    full range and m the true intersection count).  Jaccard composes
+    from the ROUNDED estimates, so both engines divide identical
+    doubles.  Returns (item_a, item_b, m_sample, est_a, est_b,
+    est_inter, est_jaccard)."""
+    require_columns(state, [group_col, key_col, "th_hash", "th_k"],
+                    "theta_intersect_pairs")
+    state = state.localCheckpoint(eager=True)  # tiny (groups·k); feeds
+    # the summaries AND both sides of the key self-join
+    summ = _theta_summaries(state, group_col)
+    pairs = (summ.select(F.col(group_col).alias("item_a"),
+                         F.col("cut").alias("__ca"),
+                         F.col("est").alias("est_a"))
+                 .join(summ.select(F.col(group_col).alias("item_b"),
+                                   F.col("cut").alias("__cb"),
+                                   F.col("est").alias("est_b")))
+                 .filter(F.col("item_a") < F.col("item_b"))
+                 .withColumn("__cut", F.least("__ca", "__cb")))
+    sa = state.select(F.col(group_col).alias("item_a"),
+                      F.col(key_col).alias("__key"), "th_hash")
+    sb = state.select(F.col(group_col).alias("item_b"),
+                      F.col(key_col).alias("__key"))
+    # one row per common KEY per pair (state keys are distinct in-group)
+    common = (sa.join(sb, "__key")
+                .filter(F.col("item_a") < F.col("item_b"))
+                .select("item_a", "item_b", "th_hash"))
+    m = (common.join(pairs.select("item_a", "item_b", "__cut"),
+                     ["item_a", "item_b"])
+               .filter(F.col("th_hash") <= F.col("__cut"))
+               .groupBy("item_a", "item_b")
+               .agg(F.count(F.lit(1)).alias("m_sample")))
+    out = (pairs.join(m, ["item_a", "item_b"], "left")
+                .withColumn("m_sample",
+                            F.coalesce("m_sample", F.lit(0))))
+    est_inter = F.round(F.col("m_sample").cast("double")
+                        * float(_THETA_RANGE)
+                        / F.col("__cut").cast("double"), 6)
+    out = out.withColumn("est_inter", est_inter)
+    denom = F.col("est_a") + F.col("est_b") - F.col("est_inter")
+    return out.select(
+        "item_a", "item_b", "m_sample", "est_a", "est_b", "est_inter",
+        F.when(denom > 0, F.round(F.col("est_inter") / denom, 6))
+         .otherwise(F.lit(0.0)).alias("est_jaccard"))
+
+
+def theta_sketch_merge(states: DataFrame, group: list[str],
+                       key_col: str, k: int = 32) -> DataFrame:
+    """Merge persisted theta states to a coarser grain — the same
+    contract as :func:`quantile_sketch_merge` (explicit key dedup for
+    idempotence under replayed batches, bottom-k re-take, and the
+    carried-k guard against inflating the claimed sample size), over
+    the SET-sketch state.  merge(day states) ≡ state(whole period),
+    pinned by the property test."""
+    require_columns(states, [*group, key_col, "th_hash", "th_k"],
+                    "theta_sketch_merge")
+    states = states.localCheckpoint(eager=True)
+    build_ks = [r["th_k"] for r in states.select("th_k")
+                .distinct().collect()]
+    if build_ks and k > min(build_ks):
+        raise ValueError(
+            f"theta_sketch_merge: k={k} exceeds the build "
+            f"k={min(build_ks)} carried in the state — the merged "
+            "sample would be biased toward small input groups")
+    deduped = states.dropDuplicates([*group, key_col])
+    w = Window.partitionBy(*group).orderBy("th_hash", key_col)
+    return (deduped.withColumn("__rn", F.row_number().over(w))
+                   .filter(F.col("__rn") <= k).drop("__rn")
+                   .withColumn("th_k", F.lit(k)))

@@ -4728,3 +4728,69 @@ SELECT c.lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
        round(CAST(c.n AS DOUBLE) / CAST(m.tot AS DOUBLE), 6) AS share
 FROM cells c JOIN marg m ON c.lang = m.lang
 """
+
+# q_theta_overlap — bottom-32 neutral-hash SET sketches per event_type
+# and the theta-join intersection estimator: the identical wang chain
+# (HLL/quantile-sketch twin) on user_id, integer hash comparisons, and
+# the same rounded-double estimate compositions.
+ORACLES["q_theta_overlap"] = """
+WITH aud AS (SELECT DISTINCT event_type, user_id FROM events),
+h0 AS (
+    SELECT event_type, user_id,
+           ((user_id % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM aud),
+h1 AS (
+    SELECT event_type, user_id,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h0),
+h2 AS (
+    SELECT event_type, user_id,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM h1),
+h AS (
+    SELECT event_type, user_id, xor(hv, hv >> 16) AS hv
+    FROM h2),
+state AS MATERIALIZED (
+    SELECT event_type, user_id, hv FROM (
+        SELECT event_type, user_id, hv,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY hv, user_id) AS rn
+        FROM h)
+    WHERE rn <= 32),
+summ AS MATERIALIZED (
+    SELECT event_type, count(*) AS n, max(hv) AS mx,
+           CASE WHEN count(*) >= 32 THEN max(hv)
+                ELSE 4294967296 END AS cut,
+           CASE WHEN count(*) >= 32
+                THEN round(31.0 * 4294967296.0
+                           / CAST(max(hv) AS DOUBLE), 6)
+                ELSE CAST(count(*) AS DOUBLE) END AS est
+    FROM state GROUP BY 1),
+pairs AS MATERIALIZED (
+    SELECT a.event_type AS item_a, b.event_type AS item_b,
+           least(a.cut, b.cut) AS cut, a.est AS est_a, b.est AS est_b
+    FROM summ a JOIN summ b ON a.event_type < b.event_type),
+m AS (
+    SELECT sa.event_type AS item_a, sb.event_type AS item_b,
+           count(*) AS m_sample
+    FROM state sa
+    JOIN state sb ON sa.user_id = sb.user_id
+                 AND sa.event_type < sb.event_type
+    JOIN pairs p ON p.item_a = sa.event_type
+                AND p.item_b = sb.event_type
+    WHERE sa.hv <= p.cut
+    GROUP BY 1, 2),
+est0 AS (
+    SELECT p.item_a, p.item_b,
+           CAST(coalesce(m.m_sample, 0) AS BIGINT) AS m_sample,
+           p.est_a, p.est_b,
+           round(CAST(coalesce(m.m_sample, 0) AS DOUBLE)
+                 * 4294967296.0 / CAST(p.cut AS DOUBLE), 6) AS est_inter
+    FROM pairs p LEFT JOIN m ON p.item_a = m.item_a
+                            AND p.item_b = m.item_b)
+SELECT item_a, item_b, m_sample, est_a, est_b, est_inter,
+       CASE WHEN est_a + est_b - est_inter > 0
+            THEN round(est_inter / (est_a + est_b - est_inter), 6)
+            ELSE 0.0 END AS est_jaccard
+FROM est0
+"""

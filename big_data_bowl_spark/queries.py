@@ -4139,6 +4139,22 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_theta_overlap(spark, sf_dir):
+    """Audience intersections from theta/KMV SET sketches,
+    HASH-VERIFIED: per-event-type user audiences sketched to bottom-32
+    neutral-hash states, then DIRECT pairwise intersection estimates
+    (m·2^32/cut — the theta-join estimator), unlike q_hll_overlap's
+    inclusion–exclusion which compounds union error.  The member sets
+    never move: everything after the state build runs on groups·k state
+    rows.  Integer hash comparisons throughout; the only doubles are
+    the final rounded estimates."""
+    from .operators.sketches import theta_intersect_pairs, \
+        theta_sketch_state
+    e = _t(spark, sf_dir, "events")
+    st = theta_sketch_state(e, ["event_type"], "user_id", k=32)
+    return theta_intersect_pairs(st, "event_type", "user_id")
+
+
 def q_window_funnel(spark, sf_dir):
     """Time-bounded view→click→purchase funnel (2-hour window),
     HASH-VERIFIED: every later step must land within 2 h of the
@@ -4424,6 +4440,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_theta_overlap": q_theta_overlap,
     "q_window_funnel": q_window_funnel,
     "q_langid_confusion": q_langid_confusion,
     "q_readability": q_readability,

@@ -483,3 +483,26 @@ def test_windowed_funnel_matches_python_fold(spark, seq, win):
                 t0 = t
             stage, last_t = stage + 1, t
     assert got.stage == stage
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 300)),
+                     min_size=1, max_size=60), k=st.integers(2, 16))
+def test_theta_merge_equals_whole_and_exact_when_underfull(spark, rows, k):
+    """merge(batch states) ≡ state(whole) after key dedup; and an
+    under-full sketch pair yields the EXACT intersection."""
+    from big_data_bowl_spark.operators.sketches import (
+        theta_intersect_pairs, theta_sketch_merge, theta_sketch_state)
+    df = spark.createDataFrame(
+        [Row(g=g, key=key, batch=key % 3) for g, key in rows])
+    whole = theta_sketch_state(df, ["g"], "key", k=k)
+    by_batch = theta_sketch_state(df, ["g", "batch"], "key", k=k)
+    merged = theta_sketch_merge(by_batch.drop("batch"), ["g"], "key", k=k)
+    a = sorted((r.g, r.key, r.th_hash) for r in whole.collect())
+    b = sorted((r.g, r.key, r.th_hash) for r in merged.collect())
+    assert a == b
+    sets = {g: {key for gg, key in rows if gg == g} for g in (0, 1)}
+    if len(sets[0]) < k and len(sets[1]) < k and sets[0] and sets[1]:
+        out = theta_intersect_pairs(whole, "g", "key").collect()
+        assert len(out) == 1
+        assert out[0].est_inter == float(len(sets[0] & sets[1]))
