@@ -547,3 +547,25 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
                                         "sum_value DOUBLE"),
                       outputMode="Update",
                       timeMode="None"))
+
+
+def stream_theta_rollup(df: DataFrame, state_dir: str,
+                        checkpoint_dir: str, group: list[str],
+                        key_col: str, k: int = 32, keep: int = 2):
+    """Streaming fold of the theta/KMV SET sketch
+    (operators/sketches.theta_sketch_state): per-batch bottom-k states
+    key-dedup + min-k-merge into the persisted state under the
+    LATEST-pointer discipline.  min-k over the DEDUPED key set is
+    associative and idempotent (theta_sketch_merge's contract), so the
+    fold equals the one-shot whole-history state and replayed batches
+    cannot bias the sample.  Any reader answers audience-intersection
+    queries from O(groups · k) state rows via theta_intersect_pairs
+    without rescanning the stream.  Returns the started query."""
+    from ..operators.sketches import theta_sketch_merge, theta_sketch_state
+
+    return _stream_fold(
+        df, state_dir, checkpoint_dir,
+        build_fn=lambda b: theta_sketch_state(b, group, key_col, k),
+        merge_fn=lambda prev, st: theta_sketch_merge(
+            prev.unionByName(st), group, key_col, k),
+        keep=keep)

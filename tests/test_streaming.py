@@ -713,3 +713,38 @@ def test_stream_hll_rollup_equals_batch(spark, tmp_path):
                         .collect()}
     for k, t in truth.items():
         assert abs(est[k] - t) / t < 0.35, (k, est[k], t)
+
+
+def test_stream_theta_equals_batch(spark, tmp_path):
+    """Streaming theta-state fold: the bottom-k SET state folded across
+    micro-batches is ROW-IDENTICAL to the one-shot whole-table state
+    (key dedup + min-k is associative + idempotent), so streaming
+    audience-intersection estimates equal the batch engine's exactly."""
+    from big_data_bowl_spark.operators.sketches import (
+        theta_intersect_pairs, theta_sketch_state)
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_latest_state, stream_theta_rollup)
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "user_id")
+    watch = _stage_chunks(ev, tmp_path)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_theta_rollup(
+        stream, str(tmp_path / "tstate"), str(tmp_path / "tckpt"),
+        ["event_type"], "user_id", k=8)
+    q.awaitTermination(120)
+
+    state = read_latest_state(spark, str(tmp_path / "tstate")) \
+        .select("event_type", "user_id", "th_hash", "th_k")
+    whole = theta_sketch_state(ev, ["event_type"], "user_id", k=8) \
+        .select("event_type", "user_id", "th_hash", "th_k")
+    assert sorted(map(tuple, state.collect())) == \
+        sorted(map(tuple, whole.collect()))
+    got = sorted(map(tuple, theta_intersect_pairs(
+        state, "event_type", "user_id").collect()))
+    want = sorted(map(tuple, theta_intersect_pairs(
+        whole, "event_type", "user_id").collect()))
+    assert got == want
