@@ -154,6 +154,13 @@ HEADLINE = [
     "q_pmi_collocations",
     "q_item_similarity",
     "q_skyline",
+    # round-7 batch 3/4: iterative k-core peel, the DECIMAL cusum walk,
+    # the anchored in-row funnel fold, and theta-sketch pair
+    # intersections (the set-algebra sibling of q_hll_overlap)
+    "q_kcore",
+    "q_cusum_drift",
+    "q_window_funnel",
+    "q_theta_overlap",
 ]
 
 
