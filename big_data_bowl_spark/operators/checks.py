@@ -175,3 +175,30 @@ def referential_profile(edges: list[tuple[str, DataFrame, list[str],
             .select(F.lit(name).alias("relation"),
                     "n_rows", "n_null_keys", "n_orphans"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def anonymity_profile(df: DataFrame, quasi_cols: list[str],
+                      sensitive_col: str,
+                      k_threshold: int = 5) -> DataFrame:
+    """k-anonymity / l-diversity risk profile — the privacy audit a
+    governed warehouse runs before releasing a dataset: group by the
+    quasi-identifier columns (the attributes an attacker can link
+    externally), report each equivalence class's size (k) and its
+    count of DISTINCT sensitive values (l), and flag classes below the
+    k threshold.  A released table is k-anonymous iff no class is
+    flagged, and l-diverse iff min(l_distinct) ≥ l — both read directly
+    off this profile.
+
+    One aggregate with map-side partial combine (the distinct count is
+    exact per class — class cardinality is the quantity under audit, so
+    a sketch would be self-defeating); class count is bounded by the
+    quasi-identifier domain product, not the table.  A PROFILE like
+    :func:`referential_profile`, not a fail-loud check: suppression /
+    generalization policy belongs to the caller.  Returns
+    (*quasi_cols, class_size, l_distinct, at_risk)."""
+    require_columns(df, [*quasi_cols, sensitive_col], "anonymity_profile")
+    return (df.groupBy(*quasi_cols)
+              .agg(F.count(F.lit(1)).alias("class_size"),
+                   F.countDistinct(sensitive_col).alias("l_distinct"))
+              .withColumn("at_risk",
+                          F.col("class_size") < F.lit(k_threshold)))

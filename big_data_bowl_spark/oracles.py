@@ -4794,3 +4794,16 @@ SELECT item_a, item_b, m_sample, est_a, est_b, est_inter,
             ELSE 0.0 END AS est_jaccard
 FROM est0
 """
+
+# q_k_anonymity — equivalence-class sizes and sensitive-value diversity
+# over the quasi-identifier grain; floor() on a positive/negative
+# balance is identical in both engines (arithmetic floor, not trunc).
+ORACLES["q_k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS class_size,
+       count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+         AS l_distinct,
+       count(*) < 5 AS at_risk
+FROM customer
+GROUP BY 1, 2
+"""

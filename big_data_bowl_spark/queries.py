@@ -4139,6 +4139,21 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_k_anonymity(spark, sf_dir):
+    """k-anonymity / l-diversity privacy profile, HASH-VERIFIED: the
+    pre-release governance audit — customers grouped by their
+    quasi-identifiers (nation, market segment), each equivalence
+    class's size (k) and distinct count of the sensitive
+    account-balance band (l), classes below k=5 flagged.  One exact
+    aggregate; class count is domain-bounded, never table-bounded."""
+    from .operators.checks import anonymity_profile
+    c = (_t(spark, sf_dir, "customer")
+         .withColumn("balance_band",
+                     F.floor(F.col("c_acctbal") / 1000).cast("long")))
+    return anonymity_profile(c, ["c_nationkey", "c_mktsegment"],
+                             "balance_band", k_threshold=5)
+
+
 def q_theta_overlap(spark, sf_dir):
     """Audience intersections from theta/KMV SET sketches,
     HASH-VERIFIED: per-event-type user audiences sketched to bottom-32
@@ -4440,6 +4455,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_k_anonymity": q_k_anonymity,
     "q_theta_overlap": q_theta_overlap,
     "q_window_funnel": q_window_funnel,
     "q_langid_confusion": q_langid_confusion,
