@@ -180,3 +180,81 @@ def cusum_range(df: DataFrame, group_col: str, value_cents_col: str,
                                .cast("double")
                                / (F.max("__n").cast("double") * 100.0), 6)
                         .alias("cusum_range")))
+
+
+def wasserstein_two_sample(df: DataFrame, value_cents_col: str,
+                           is_a_col: str) -> DataFrame:
+    """Exact two-sample Wasserstein-1 (earth-mover) distance over an
+    integer-cents value column, samples split by the 0/1 ``is_a_col`` —
+    the magnitude-aware drift metric: where KS reports only the largest
+    CDF gap, W1 integrates |F_a − F_b| over the value axis, so a small
+    shift of a lot of mass and a large shift of a little mass both
+    register proportionally.
+
+    For atomic samples, W1 = Σ over consecutive distinct values of
+    |F_a(v) − F_b(v)| · (v_next − v).  Everything before the single
+    final division is EXACT: per-value cumulative counts via
+    cumsum_distributed (distinct-value grain, deterministic-bucket
+    prefix sums — no single-reducer window), the cross-multiplied gap
+    |cum_a·nb − cum_b·na| in DECIMAL(38,0), times the integer cents
+    step.  Neighbor steps cross bucket boundaries via the same
+    offsets-table discipline as the prefix sums themselves: lag within
+    the bucket, and the first row of each bucket takes the previous
+    nonempty bucket's max value from a ``partitions``-row prefix pass.
+    The engine accumulates interval terms anchored at the LEFT endpoint
+    (|F(prev)|·(v−prev)); the oracle anchors at the right
+    (|F(v)|·(next−v)) — algebraically identical, so the hash match
+    verifies the telescoping, not a mirrored plan.  Returns one row
+    (na, nb, w1) with w1 in value units rounded at 6."""
+    require_columns(df, [value_cents_col, is_a_col],
+                    "wasserstein_two_sample")
+    from pyspark.sql import Window
+    from .windows import _bucket_staged
+    per_val = (df.groupBy(F.col(value_cents_col).alias("__v"))
+                 .agg(F.sum(is_a_col).alias("ca"),
+                      F.sum(1 - F.col(is_a_col)).alias("cb"))
+                 .localCheckpoint(eager=True))  # feeds the cumsum AND
+    # the gap pass; unpinned, each would re-aggregate the fact
+    cum = cumsum_distributed(per_val, ["__v"], ["ca", "cb"])
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                     "32"))
+    staged = _bucket_staged(per_val.select("__v"), "__v", n,
+                            [F.asc("__v")], descending=False)
+    w = Window.partitionBy("__pid").orderBy("__v")
+    woff = (Window.orderBy("__pid")
+                  .rowsBetween(Window.unboundedPreceding, -1))
+    prev_last = (staged.groupBy("__pid")
+                       .agg(F.max("__v").alias("__last"))
+                       .withColumn("__prev_last",
+                                   F.max("__last").over(woff))
+                       .select("__pid", "__prev_last"))
+    gaps = (staged.join(F.broadcast(prev_last), "__pid")
+                  .withColumn("__prev", F.coalesce(F.lag("__v").over(w),
+                                                   F.col("__prev_last")))
+                  .filter(F.col("__prev").isNotNull())
+                  .select(F.col("__prev").alias("__v"),
+                          (F.col("__v") - F.col("__prev")).alias("__gap")))
+    totals = df.agg(F.sum(is_a_col).alias("na"),
+                    F.sum(1 - F.col(is_a_col)).alias("nb"))
+    dec = "decimal(38,0)"
+    terms = (gaps.join(cum, "__v")
+                 .crossJoin(F.broadcast(totals))
+                 .select(
+                     (F.abs(F.col("cum_ca").cast(dec)
+                            * F.col("nb").cast(dec)
+                            - F.col("cum_cb").cast(dec)
+                            * F.col("na").cast(dec))
+                      * F.col("__gap")).alias("__t")))
+    # group-less agg so a degenerate input (one distinct value → zero
+    # intervals) still yields the (na, nb, 0) row instead of vanishing
+    s = terms.agg(F.coalesce(F.sum("__t"), F.lit(0).cast(dec))
+                   .alias("__s"))
+    return (totals.crossJoin(F.broadcast(s))
+                  .select(
+                      "na", "nb",
+                      F.when((F.col("na") > 0) & (F.col("nb") > 0),
+                             F.round(F.col("__s").cast("double")
+                                     / (F.col("na").cast("double")
+                                        * F.col("nb").cast("double")
+                                        * 100.0), 6))
+                       .otherwise(F.lit(0.0)).alias("w1")))

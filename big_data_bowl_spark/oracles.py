@@ -4807,3 +4807,41 @@ SELECT c_nationkey, c_mktsegment,
 FROM customer
 GROUP BY 1, 2
 """
+
+# q_wasserstein_drift — right-endpoint anchoring (lead), vs the
+# engine's left-endpoint (lag + bucket-boundary fix): algebraically the
+# same telescoped integral, so agreement verifies the logic.
+ORACLES["q_wasserstein_drift"] = """
+WITH e AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS v,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+    FROM events
+    WHERE event_type IN ('purchase', 'error') AND value IS NOT NULL),
+per AS (
+    SELECT v, CAST(sum(is_a) AS BIGINT) AS ca,
+           CAST(sum(1 - is_a) AS BIGINT) AS cb
+    FROM e GROUP BY 1),
+cum AS (
+    SELECT v,
+           CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cum_ca,
+           CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cum_cb,
+           lead(v) OVER (ORDER BY v) AS next_v
+    FROM per),
+tot AS (
+    SELECT CAST(sum(is_a) AS BIGINT) AS na,
+           CAST(sum(1 - is_a) AS BIGINT) AS nb
+    FROM e),
+s AS (
+    SELECT coalesce(sum(abs(CAST(cum_ca AS DECIMAL(38,0)) * nb
+                            - CAST(cum_cb AS DECIMAL(38,0)) * na)
+                        * (next_v - v)), 0) AS sv
+    FROM cum CROSS JOIN tot
+    WHERE next_v IS NOT NULL)
+SELECT na, nb,
+       CASE WHEN na > 0 AND nb > 0
+            THEN round(CAST(sv AS DOUBLE)
+                       / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                          * 100.0), 6)
+            ELSE 0.0 END AS w1
+FROM tot CROSS JOIN s
+"""

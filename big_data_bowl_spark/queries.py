@@ -4139,6 +4139,27 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_wasserstein_drift(spark, sf_dir):
+    """Exact Wasserstein-1 (earth-mover) drift between purchase and
+    error value distributions, HASH-VERIFIED: the magnitude-aware
+    companion of q_ks_drift — integrates |F_a − F_b| over the value
+    axis instead of taking the max gap.  Integer cents, DECIMAL(38,0)
+    cross-multiplied interval terms, cumsum_distributed prefix counts,
+    bucket-boundary-safe neighbor gaps, ONE final division.  The
+    engine anchors interval terms at the left endpoint, the oracle at
+    the right — algebraically identical, so the match verifies the
+    telescoping."""
+    from .functions.scalar import cents
+    from .operators.drift import wasserstein_two_sample
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("event_type").isin("purchase", "error")
+                 & F.col("value").isNotNull())
+         .select(cents(F.col("value")).alias("__vc"),
+                 (F.col("event_type") == "purchase")
+                 .cast("long").alias("is_a")))
+    return wasserstein_two_sample(e, "__vc", "is_a")
+
+
 def q_k_anonymity(spark, sf_dir):
     """k-anonymity / l-diversity privacy profile, HASH-VERIFIED: the
     pre-release governance audit — customers grouped by their
@@ -4455,6 +4476,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_wasserstein_drift": q_wasserstein_drift,
     "q_k_anonymity": q_k_anonymity,
     "q_theta_overlap": q_theta_overlap,
     "q_window_funnel": q_window_funnel,

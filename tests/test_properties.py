@@ -506,3 +506,23 @@ def test_theta_merge_equals_whole_and_exact_when_underfull(spark, rows, k):
         out = theta_intersect_pairs(whole, "g", "key").collect()
         assert len(out) == 1
         assert out[0].est_inter == float(len(sets[0] & sets[1]))
+
+
+@settings(max_examples=6, deadline=None)
+@given(a=st.lists(st.integers(-300, 300), min_size=1, max_size=30),
+       b=st.lists(st.integers(-300, 300), min_size=1, max_size=30))
+def test_wasserstein_equals_python_integral(spark, a, b):
+    """The distributed W1 ≡ the Fraction-exact CDF integral."""
+    from fractions import Fraction
+    from big_data_bowl_spark.operators.drift import wasserstein_two_sample
+    rows = [Row(vc=v, is_a=1) for v in a] + [Row(vc=v, is_a=0) for v in b]
+    df = spark.createDataFrame(rows)
+    out = wasserstein_two_sample(df, "vc", "is_a").collect()[0]
+    vs = sorted(set(a) | set(b))
+    na, nb, w1 = len(a), len(b), Fraction(0)
+    for v, nxt in zip(vs, vs[1:]):
+        fa = Fraction(sum(1 for x in a if x <= v), na)
+        fb = Fraction(sum(1 for x in b if x <= v), nb)
+        w1 += abs(fa - fb) * (nxt - v)
+    assert (out.na, out.nb) == (na, nb)
+    assert abs(out.w1 - round(float(w1 / 100), 6)) < 2e-6
