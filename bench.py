@@ -161,6 +161,8 @@ HEADLINE = [
     "q_cusum_drift",
     "q_window_funnel",
     "q_theta_overlap",
+    # exact earth-mover drift (distributed-cumsum + boundary-safe gaps)
+    "q_wasserstein_drift",
 ]
 
 

@@ -271,20 +271,24 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
     p_xy = F.col("n_xy").cast("double") / n
     p_x = F.col("n_x").cast("double") / n
     p_y = F.col("n_y").cast("double") / n
-    terms = cells.select(
+    mi_agg = (cells.select(
         "n",
-        F.round(p_xy * F.log(p_xy / (p_x * p_y)), 9).alias("__mi_t"),
-        # entropy terms weighted so each (x, y) cell contributes its
-        # share of the marginal term: Σ_cells (n_xy/n_x)·p_x·ln(p_x)
-        # telescopes to Σ_x p_x·ln(p_x) without a second scan or join
-        F.round((F.col("n_xy").cast("double") / F.col("n_x").cast("double"))
-                * (-p_x * F.log(p_x)), 9).alias("__hx_t"),
-        F.round((F.col("n_xy").cast("double") / F.col("n_y").cast("double"))
-                * (-p_y * F.log(p_y)), 9).alias("__hy_t"))
-    agg = terms.groupBy("n").agg(
-        F.round(F.sum("__mi_t"), 6).alias("mi"),
-        F.round(F.sum("__hx_t"), 6).alias("h_x"),
-        F.round(F.sum("__hy_t"), 6).alias("h_y"))
+        F.round(p_xy * F.log(p_xy / (p_x * p_y)), 9).alias("__mi_t"))
+        .groupBy("n")
+        .agg(F.round(F.sum("__mi_t"), 6).alias("mi")))
+
+    # marginal entropies straight off the (already tiny) marginal
+    # tables — |X| + |Y| rounded terms instead of |X|·|Y| weighted ones
+    def _entropy(marg: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / n
+        return (marg.crossJoin(F.broadcast(tot))
+                    .select(F.round(-p * F.log(p), 9).alias("__t"))
+                    .agg(F.round(F.sum("__t"), 6).alias(out)))
+
+    hx = _entropy(mx, "n_x", "h_x")
+    hy = _entropy(my, "n_y", "h_y")
+    agg = (mi_agg.crossJoin(F.broadcast(hx))
+                 .crossJoin(F.broadcast(hy)))
     return agg.select(
         "n", "mi", "h_x", "h_y",
         F.when((F.col("h_x") > 0) & (F.col("h_y") > 0),

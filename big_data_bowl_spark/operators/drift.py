@@ -209,31 +209,30 @@ def wasserstein_two_sample(df: DataFrame, value_cents_col: str,
     require_columns(df, [value_cents_col, is_a_col],
                     "wasserstein_two_sample")
     from pyspark.sql import Window
-    from .windows import _bucket_staged
     per_val = (df.groupBy(F.col(value_cents_col).alias("__v"))
                  .agg(F.sum(is_a_col).alias("ca"),
                       F.sum(1 - F.col(is_a_col)).alias("cb"))
                  .localCheckpoint(eager=True))  # feeds the cumsum AND
     # the gap pass; unpinned, each would re-aggregate the fact
-    cum = cumsum_distributed(per_val, ["__v"], ["ca", "cb"])
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                     "32"))
-    staged = _bucket_staged(per_val.select("__v"), "__v", n,
-                            [F.asc("__v")], descending=False)
+    # keep_pid: the gap pass below reuses the SAME staged relation —
+    # one quantile collection, one bucket exchange, not two
+    cum = (cumsum_distributed(per_val, ["__v"], ["ca", "cb"],
+                              keep_pid=True)
+           .localCheckpoint(eager=True))
     w = Window.partitionBy("__pid").orderBy("__v")
     woff = (Window.orderBy("__pid")
                   .rowsBetween(Window.unboundedPreceding, -1))
-    prev_last = (staged.groupBy("__pid")
-                       .agg(F.max("__v").alias("__last"))
-                       .withColumn("__prev_last",
-                                   F.max("__last").over(woff))
-                       .select("__pid", "__prev_last"))
-    gaps = (staged.join(F.broadcast(prev_last), "__pid")
-                  .withColumn("__prev", F.coalesce(F.lag("__v").over(w),
-                                                   F.col("__prev_last")))
-                  .filter(F.col("__prev").isNotNull())
-                  .select(F.col("__prev").alias("__v"),
-                          (F.col("__v") - F.col("__prev")).alias("__gap")))
+    prev_last = (cum.groupBy("__pid")
+                    .agg(F.max("__v").alias("__last"))
+                    .withColumn("__prev_last",
+                                F.max("__last").over(woff))
+                    .select("__pid", "__prev_last"))
+    gaps = (cum.join(F.broadcast(prev_last), "__pid")
+               .withColumn("__prev", F.coalesce(F.lag("__v").over(w),
+                                                F.col("__prev_last")))
+               .filter(F.col("__prev").isNotNull())
+               .select(F.col("__prev").alias("__v"),
+                       (F.col("__v") - F.col("__prev")).alias("__gap")))
     totals = df.agg(F.sum(is_a_col).alias("na"),
                     F.sum(1 - F.col(is_a_col)).alias("nb"))
     dec = "decimal(38,0)"

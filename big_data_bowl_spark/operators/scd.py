@@ -48,44 +48,28 @@ def scd2_history(changes: DataFrame, keys: list[str], ts_col: str,
                         "valid_from", "valid_to", "is_current"))
 
 
-def funnel_stages(events: DataFrame, entity_col: str, ts_col: str,
-                  step_col: str, steps: list[str],
-                  tie_col: str | None = None,
-                  max_group: int = 1_000_000) -> DataFrame:
-    """Ordered-funnel progress per entity: stage k means the entity hit
-    ``steps[0]``, then ``steps[1]`` STRICTLY LATER, … up to ``steps[k-1]``
-    (matching the min(ts) > t_prev CTE-chain semantics).  Single shuffle:
-    per-entity sorted event array + one fold.  Returns
-    (entity, stage, n_events).
-
-    The fold collects each entity's FULL history into one in-row array —
-    the recurrence genuinely can't be windowed — so a hot key (bot user,
-    telemetry spammer) would otherwise build an unbounded single row.
-    ``max_group`` fails loud at execution time instead: the guard rides
-    the live ``n_events`` column (``raise_error`` branch — no extra
-    pass, and not prunable), the same discipline as the fuzzy-join
-    ``max_len``."""
-    require_columns(events, [entity_col, ts_col, step_col], "funnel_stages")
+def _funnel_fold(events: DataFrame, entity_col: str, ts_col: str,
+                 step_col: str, tie_col: str | None, max_group: int,
+                 acc0, advance, name: str) -> DataFrame:
+    """Shared scaffolding of the funnel family: per-entity sorted event
+    array (collect + array_sort — the recurrence genuinely can't be
+    windowed), the in-row ``aggregate`` fold, and the hot-key guard.
+    The guard rides the live ``n_events`` column (``raise_error``
+    branch — no extra pass, and not prunable), the same discipline as
+    the fuzzy-join ``max_len``: a hot key (bot user, telemetry
+    spammer) would otherwise build an unbounded single row.  Both
+    funnel variants differ ONLY in their accumulator struct and
+    advance rule."""
+    require_columns(events, [entity_col, ts_col, step_col], name)
     order_cols: list[Column] = [F.col(ts_col).alias("t")]
     if tie_col:
         order_cols.append(F.col(tie_col).alias("tb"))
     order_cols.append(F.col(step_col).alias("s"))
     arr = F.array_sort(F.collect_list(F.struct(*order_cols)))
-    step_arr = F.array(*[F.lit(s) for s in steps])
-    acc0 = F.struct(F.lit(0).alias("stage"),
-                    F.lit(None).cast("timestamp").alias("t"))
-    def _advance(a, e):
-        # try_element_at: past the final step the lookup is null, the
-        # equality is null, and the stage sticks (ANSI-safe)
-        hit = (F.try_element_at(step_arr, a["stage"] + 1) == e["s"]) \
-              & ((a["stage"] == 0) | (e["t"] > a["t"]))
-        return F.struct(
-            F.when(hit, a["stage"] + 1).otherwise(a["stage"]).alias("stage"),
-            F.when(hit, e["t"]).otherwise(a["t"]).alias("t"))
     guarded_n = F.when(
         F.col("n_events") <= max_group, F.col("n_events")
     ).otherwise(F.raise_error(F.concat(
-        F.lit(f"funnel_stages[max_group={max_group}]: hot key "),
+        F.lit(f"{name}[max_group={max_group}]: hot key "),
         F.col(entity_col).cast("string"),
         F.lit(" has "), F.col("n_events").cast("string"),
         F.lit(" events — bound the history or pre-aggregate"))
@@ -94,9 +78,36 @@ def funnel_stages(events: DataFrame, entity_col: str, ts_col: str,
                   .agg(F.count(F.lit(1)).alias("n_events"),
                        arr.alias("__arr"))
                   .select(F.col(entity_col),
-                          F.aggregate(F.col("__arr"), acc0, _advance)["stage"]
+                          F.aggregate(F.col("__arr"), acc0, advance)["stage"]
                            .cast("long").alias("stage"),
                           guarded_n.alias("n_events")))
+
+
+def funnel_stages(events: DataFrame, entity_col: str, ts_col: str,
+                  step_col: str, steps: list[str],
+                  tie_col: str | None = None,
+                  max_group: int = 1_000_000) -> DataFrame:
+    """Ordered-funnel progress per entity: stage k means the entity hit
+    ``steps[0]``, then ``steps[1]`` STRICTLY LATER, … up to ``steps[k-1]``
+    (matching the min(ts) > t_prev CTE-chain semantics).  Single shuffle:
+    per-entity sorted event array + one fold (see :func:`_funnel_fold`
+    for the shared shape and the hot-key guard).  Returns
+    (entity, stage, n_events)."""
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    acc0 = F.struct(F.lit(0).alias("stage"),
+                    F.lit(None).cast("timestamp").alias("t"))
+
+    def _advance(a, e):
+        # try_element_at: past the final step the lookup is null, the
+        # equality is null, and the stage sticks (ANSI-safe)
+        hit = (F.try_element_at(step_arr, a["stage"] + 1) == e["s"]) \
+              & ((a["stage"] == 0) | (e["t"] > a["t"]))
+        return F.struct(
+            F.when(hit, a["stage"] + 1).otherwise(a["stage"]).alias("stage"),
+            F.when(hit, e["t"]).otherwise(a["t"]).alias("t"))
+
+    return _funnel_fold(events, entity_col, ts_col, step_col, tie_col,
+                        max_group, acc0, _advance, "funnel_stages")
 
 
 def windowed_funnel(events: DataFrame, entity_col: str, ts_col: str,
@@ -116,21 +127,15 @@ def windowed_funnel(events: DataFrame, entity_col: str, ts_col: str,
     Anchoring at the earliest first step (not max-over-restarts à la
     ClickHouse windowFunnel) keeps the statistic deterministic and
     exactly SQL-expressible — the oracle is the same CTE chain with the
-    interval bound.  Same single-shuffle in-row fold + ``max_group``
-    hot-key guard as the unbounded funnel; the accumulator additionally
-    carries the anchor timestamp.  Returns (entity, stage, n_events)."""
-    require_columns(events, [entity_col, ts_col, step_col],
-                    "windowed_funnel")
-    order_cols: list[Column] = [F.col(ts_col).alias("t")]
-    if tie_col:
-        order_cols.append(F.col(tie_col).alias("tb"))
-    order_cols.append(F.col(step_col).alias("s"))
-    arr = F.array_sort(F.collect_list(F.struct(*order_cols)))
+    interval bound.  Shares :func:`_funnel_fold`'s scaffolding (sorted
+    array, fold, hot-key guard); the accumulator additionally carries
+    the anchor timestamp.  Returns (entity, stage, n_events)."""
     step_arr = F.array(*[F.lit(s) for s in steps])
     acc0 = F.struct(F.lit(0).alias("stage"),
                     F.lit(None).cast("timestamp").alias("t"),
                     F.lit(None).cast("timestamp").alias("t0"))
     bound = F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+
     def _advance(a, e):
         hit = (F.try_element_at(step_arr, a["stage"] + 1) == e["s"]) \
               & ((a["stage"] == 0)
@@ -140,18 +145,6 @@ def windowed_funnel(events: DataFrame, entity_col: str, ts_col: str,
             F.when(hit, e["t"]).otherwise(a["t"]).alias("t"),
             F.when(hit & (a["stage"] == 0), e["t"])
              .otherwise(a["t0"]).alias("t0"))
-    guarded_n = F.when(
-        F.col("n_events") <= max_group, F.col("n_events")
-    ).otherwise(F.raise_error(F.concat(
-        F.lit(f"windowed_funnel[max_group={max_group}]: hot key "),
-        F.col(entity_col).cast("string"),
-        F.lit(" has "), F.col("n_events").cast("string"),
-        F.lit(" events — bound the history or pre-aggregate"))
-        ).cast("long"))
-    return (events.groupBy(F.col(entity_col))
-                  .agg(F.count(F.lit(1)).alias("n_events"),
-                       arr.alias("__arr"))
-                  .select(F.col(entity_col),
-                          F.aggregate(F.col("__arr"), acc0, _advance)["stage"]
-                           .cast("long").alias("stage"),
-                          guarded_n.alias("n_events")))
+
+    return _funnel_fold(events, entity_col, ts_col, step_col, tie_col,
+                        max_group, acc0, _advance, "windowed_funnel")

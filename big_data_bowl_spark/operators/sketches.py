@@ -360,9 +360,13 @@ def quantile_sketch_state(df: DataFrame, group: list[str], value_col: str,
     require_columns(df, [*group, value_col, key_col],
                     "quantile_sketch_state")
     from ..pipeline.sampling import wang_mixed_hash
-    staged = df.select(*group, key_col,
-                       wang_mixed_hash(F.col(key_col)).alias("qs_hash"),
-                       value_col)
+    # NULL keys: hash is NULL and Spark's asc sort is NULLS FIRST, so a
+    # null-key row would hold a permanent rank-1 slot (the theta-state
+    # lesson); a row without a sampling key cannot be sampled-by-key
+    staged = (df.filter(F.col(key_col).isNotNull())
+                .select(*group, key_col,
+                        wang_mixed_hash(F.col(key_col)).alias("qs_hash"),
+                        value_col))
     w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
     return (staged.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") <= k).drop("__rn")
@@ -394,21 +398,33 @@ def quantile_sketch_merge(states: DataFrame, group: list[str],
     require_columns(states, [*group, "qs_hash", key_col, value_col,
                              "qs_k"],
                     "quantile_sketch_merge")
+    return _bottomk_merge(states, group, key_col, "qs_hash", "qs_k", k,
+                          "quantile_sketch_merge")
+
+
+def _bottomk_merge(states: DataFrame, group: list[str], key_col: str,
+                   hash_col: str, k_col: str, k: int,
+                   name: str) -> DataFrame:
+    """The shared bottom-k-state merge contract (quantile and theta
+    sketches): pin the tiny state, refuse to inflate past the carried
+    build k, dedup keys for replay idempotence, re-take the bottom-k.
+    One place for the contract — a fix to the guard or the dedup key
+    set reaches every bottom-k state type."""
     states = states.localCheckpoint(eager=True)  # ≤ groups·k rows; the
     # guard collect below and the window pass would otherwise each
     # re-execute whatever pipeline produced the states
-    build_ks = [r["qs_k"] for r in states.select("qs_k")
+    build_ks = [r[k_col] for r in states.select(k_col)
                 .distinct().collect()]
     if build_ks and k > min(build_ks):
         raise ValueError(
-            f"quantile_sketch_merge: k={k} exceeds the build "
+            f"{name}: k={k} exceeds the build "
             f"k={min(build_ks)} carried in the state — the merged "
             "sample would be biased toward small input groups")
     deduped = states.dropDuplicates([*group, key_col])
-    w = Window.partitionBy(*group).orderBy("qs_hash", key_col)
+    w = Window.partitionBy(*group).orderBy(hash_col, key_col)
     return (deduped.withColumn("__rn", F.row_number().over(w))
                    .filter(F.col("__rn") <= k).drop("__rn")
-                   .withColumn("qs_k", F.lit(k)))
+                   .withColumn(k_col, F.lit(k)))
 
 
 def quantile_sketch_estimate(state: DataFrame, group: list[str],
@@ -465,7 +481,13 @@ def theta_sketch_state(df: DataFrame, group: list[str], key_col: str,
     O(partitions · k) per group.  Returns (*group, key, th_hash, th_k)."""
     require_columns(df, [*group, key_col], "theta_sketch_state")
     from ..pipeline.sampling import wang_mixed_hash
-    distinct = df.select(*group, key_col).distinct()
+    # NULL keys must not enter the sample: wang_mixed_hash(NULL) is
+    # NULL, Spark's ascending sort is NULLS FIRST (DuckDB's is NULLS
+    # LAST), so a null key would take rank 1, displace a real member,
+    # and shift the threshold — and it can never match an intersection
+    # join anyway.  A null is "no member", not a member called null.
+    distinct = (df.filter(F.col(key_col).isNotNull())
+                  .select(*group, key_col).distinct())
     staged = distinct.withColumn("th_hash",
                                  wang_mixed_hash(F.col(key_col)))
     w = Window.partitionBy(*group).orderBy("th_hash", key_col)
@@ -563,16 +585,5 @@ def theta_sketch_merge(states: DataFrame, group: list[str],
     pinned by the property test."""
     require_columns(states, [*group, key_col, "th_hash", "th_k"],
                     "theta_sketch_merge")
-    states = states.localCheckpoint(eager=True)
-    build_ks = [r["th_k"] for r in states.select("th_k")
-                .distinct().collect()]
-    if build_ks and k > min(build_ks):
-        raise ValueError(
-            f"theta_sketch_merge: k={k} exceeds the build "
-            f"k={min(build_ks)} carried in the state — the merged "
-            "sample would be biased toward small input groups")
-    deduped = states.dropDuplicates([*group, key_col])
-    w = Window.partitionBy(*group).orderBy("th_hash", key_col)
-    return (deduped.withColumn("__rn", F.row_number().over(w))
-                   .filter(F.col("__rn") <= k).drop("__rn")
-                   .withColumn("th_k", F.lit(k)))
+    return _bottomk_merge(states, group, key_col, "th_hash", "th_k", k,
+                          "theta_sketch_merge")

@@ -142,7 +142,8 @@ def rank_desc_distributed(df: DataFrame, score: str, out: str = "rank",
 
 def cumsum_distributed(df: DataFrame, order: list[str],
                        sums: list[str],
-                       partitions: int | None = None) -> DataFrame:
+                       partitions: int | None = None,
+                       keep_pid: bool = False) -> DataFrame:
     """Globally-ordered prefix sums WITHOUT the single-reducer window —
     the cumulative-sum sibling of :func:`rank_desc_distributed`, same
     three-phase deterministic-bucket discipline:
@@ -192,9 +193,12 @@ def cumsum_distributed(df: DataFrame, order: list[str],
     for c in sums:
         out = out.withColumn(f"cum_{c}",
                              F.col(f"__l_{c}") + F.col(f"__o_{c}"))
-    return out.drop("__pid",
-                    *[f"__l_{c}" for c in sums],
-                    *[f"__o_{c}" for c in sums])
+    # keep_pid lets a caller run FURTHER order-respecting window work
+    # (e.g. neighbor gaps) on the same staged relation instead of paying
+    # a second quantile collection + bucket exchange
+    out = out.drop(*[f"__l_{c}" for c in sums],
+                   *[f"__o_{c}" for c in sums])
+    return out if keep_pid else out.drop("__pid")
 
 
 def argmax_rows(df: DataFrame, col: str, group: list[str]) -> DataFrame:

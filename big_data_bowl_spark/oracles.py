@@ -4338,18 +4338,21 @@ terms AS (
               * ln((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE))
                    / ((CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
                       * (CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)))),
-              9) AS mi_t,
-        round((CAST(n_xy AS DOUBLE) / CAST(n_x AS DOUBLE))
-              * (-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
-                 * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS hx_t,
-        round((CAST(n_xy AS DOUBLE) / CAST(n_y AS DOUBLE))
-              * (-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
-                 * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))), 9) AS hy_t
+              9) AS mi_t
     FROM joint JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN tot),
+hx AS (
+    SELECT round(sum(round(-(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(n_x AS DOUBLE) / CAST(n AS DOUBLE)),
+                           9)), 6) AS h_x
+    FROM mx CROSS JOIN tot),
+hy AS (
+    SELECT round(sum(round(-(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE))
+                           * ln(CAST(n_y AS DOUBLE) / CAST(n AS DOUBLE)),
+                           9)), 6) AS h_y
+    FROM my CROSS JOIN tot),
 agg AS (
-    SELECT n, round(sum(mi_t), 6) AS mi, round(sum(hx_t), 6) AS h_x,
-           round(sum(hy_t), 6) AS h_y
-    FROM terms GROUP BY 1)
+    SELECT n, round(sum(mi_t), 6) AS mi, h_x, h_y
+    FROM terms CROSS JOIN hx CROSS JOIN hy GROUP BY 1, 3, 4)
 SELECT n, mi, h_x, h_y,
        CASE WHEN h_x > 0 AND h_y > 0
             THEN round(mi / sqrt(h_x * h_y), 6) ELSE 0.0 END AS nmi
@@ -4379,7 +4382,8 @@ raw AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_raw
 tgt AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_tgt
         FROM db WHERE is_target GROUP BY 1),
 traw AS (SELECT CAST(sum(c_raw) AS BIGINT) AS t_raw FROM raw),
-ttgt AS (SELECT CAST(sum(c_tgt) AS BIGINT) AS t_tgt FROM tgt),
+ttgt AS (SELECT CAST(coalesce(sum(c_tgt), 0) AS BIGINT) AS t_tgt
+         FROM tgt),
 lr AS (
     SELECT r.bucket,
            CAST(round(ln(
@@ -4683,13 +4687,12 @@ WITH base AS (
            list_filter(string_split(text, ' '), t -> t <> '') AS toks
     FROM documents)
 SELECT doc_id,
-       CAST(greatest(len(toks), 1) AS BIGINT) AS n_words,
-       CAST(greatest(length(text)
-                     - length(regexp_replace(text, '[.!?]', '', 'g')), 1)
+       CAST(len(toks) AS BIGINT) AS n_words,
+       CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g'))
             AS BIGINT) AS n_sentences,
        CAST(len(list_filter(toks, t -> length(t) > 6)) AS BIGINT)
          AS n_long_words,
-       round(CAST(greatest(len(toks), 1) AS DOUBLE)
+       round(CAST(len(toks) AS DOUBLE)
              / CAST(greatest(length(text)
                              - length(regexp_replace(text, '[.!?]', '',
                                                      'g')), 1) AS DOUBLE)

@@ -329,19 +329,20 @@ def readability(df: DataFrame, id_col: str = "doc_id",
     two divisions (map-only, no shuffle)."""
     require_columns(df, [id_col, text_col], "readability")
     toks = _tokens(text_col)
-    n_words = F.greatest(F.size(toks).cast("long"), F.lit(1))
+    # report the TRUE counts; the ≥1 floors exist only inside the
+    # divisors (an empty doc must not claim a fabricated word)
+    n_words = F.size(toks).cast("long")
     n_long = F.size(F.filter(toks, lambda t: F.length(t) > 6)).cast("long")
-    n_sent = F.greatest(
-        (F.length(text_col)
-         - F.length(F.regexp_replace(F.col(text_col), r"[.!?]", "")))
-        .cast("long"),
-        F.lit(1))
+    n_sent = (F.length(text_col)
+              - F.length(F.regexp_replace(F.col(text_col), r"[.!?]", ""))
+              ).cast("long")
+    wdiv = F.greatest(n_words, F.lit(1)).cast("double")
+    sdiv = F.greatest(n_sent, F.lit(1)).cast("double")
     from ..functions.scalar import roundn
     return df.select(
         F.col(id_col),
         n_words.alias("n_words"),
         n_sent.alias("n_sentences"),
         n_long.alias("n_long_words"),
-        roundn(n_words.cast("double") / n_sent.cast("double")
-               + 100.0 * n_long.cast("double") / n_words.cast("double"))
-        .alias("lix"))
+        roundn(n_words.cast("double") / sdiv
+               + 100.0 * n_long.cast("double") / wdiv).alias("lix"))
