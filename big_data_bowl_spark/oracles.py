@@ -4848,3 +4848,66 @@ SELECT na, nb,
             ELSE 0.0 END AS w1
 FROM tot CROSS JOIN s
 """
+
+# q_seasonal_anomalies — (dow × hour) baseline means from exact cents,
+# per-row residuals, ORDER BY rounded |residual| + event_id LIMIT 20.
+# DuckDB dayofweek() numbers Sunday 0 where Spark's dayofweek() is
+# Sunday 1 — a bijective relabeling, so the GROUPS are identical.
+ORACLES["q_seasonal_anomalies"] = """
+WITH e AS (
+    SELECT event_id, event_type, value, ts,
+           CAST(round(value * 100) AS BIGINT) AS vc,
+           dayofweek(ts) AS dow, hour(ts) AS hr
+    FROM events WHERE value IS NOT NULL),
+base AS (
+    SELECT dow, hr, CAST(sum(vc) AS BIGINT) AS tot, count(*) AS n
+    FROM e GROUP BY 1, 2)
+SELECT event_id, event_type, round(value, 6) AS value,
+       round(CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS baseline_mean,
+       round(value - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6)
+         AS residual
+FROM e JOIN base USING (dow, hr)
+ORDER BY abs(round(value - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+                   / 100.0, 6)) DESC, event_id ASC
+LIMIT 20
+"""
+
+# q_dup_size_histogram — the recursive-CTE component fixpoint (the
+# q_dup_components oracle) collapsed to the size distribution.
+ORACLES["q_dup_size_histogram"] = """
+WITH RECURSIVE raw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, source, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 50 = 0
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs),
+walk(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+comp AS (
+    SELECT node AS doc_id, min(reach) AS component
+    FROM walk GROUP BY node),
+csize AS (
+    SELECT component, count(*) AS size FROM comp GROUP BY 1)
+SELECT CAST(size AS BIGINT) AS size,
+       count(*) AS n_components,
+       CAST(count(*) * size AS BIGINT) AS n_docs
+FROM csize GROUP BY size
+"""

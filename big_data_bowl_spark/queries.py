@@ -4139,6 +4139,54 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_seasonal_anomalies(spark, sf_dir):
+    """Seasonality-adjusted anomaly shortlist, HASH-VERIFIED: each
+    event's value against its (day-of-week × hour) baseline mean, top
+    20 by absolute residual.  The baseline is one cell-grain aggregate
+    (≤168 rows) broadcast back; the residual is per-row scalar math on
+    exact integer cents (mean as long/long division — bit-identical);
+    the shortlist is a distributed TakeOrdered (orderBy+limit — never a
+    global window) under a rounded-residual + event_id total order."""
+    from .functions.scalar import cents
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .withColumn("__vc", cents(F.col("value")))
+         .withColumn("__dow", F.dayofweek("ts"))
+         .withColumn("__hr", F.hour("ts")))
+    base = (e.groupBy("__dow", "__hr")
+             .agg(F.sum("__vc").alias("__tot"),
+                  F.count(F.lit(1)).alias("__n")))
+    mean = (F.col("__tot").cast("double")
+            / F.col("__n").cast("double") / 100.0)
+    resid = F.col("value") - mean
+    return (e.join(F.broadcast(base), ["__dow", "__hr"])
+             .select("event_id", "event_type",
+                     roundn(F.col("value")).alias("value"),
+                     roundn(mean).alias("baseline_mean"),
+                     roundn(resid).alias("residual"))
+             .orderBy(F.desc(F.abs(F.col("residual"))),
+                      F.asc("event_id"))
+             .limit(20))
+
+
+def q_dup_size_histogram(spark, sf_dir):
+    """Near-dup cluster-size distribution, HASH-VERIFIED: the audit
+    artifact a dedup run reports — how many duplicate groups of each
+    size, and how many documents they hold.  Two tiny aggregates on the
+    component labeling (which is itself exact-checked against a
+    recursive-CTE fixpoint in q_dup_components)."""
+    from .pipeline.dedup import duplicate_components, ngram_jaccard_pairs
+    pairs = ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                threshold=0.5)
+    comp = duplicate_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("size"))
+    return (sizes.groupBy("size")
+                 .agg(F.count(F.lit(1)).alias("n_components"),
+                      (F.count(F.lit(1)) * F.col("size"))
+                      .alias("n_docs")))
+
+
 def q_wasserstein_drift(spark, sf_dir):
     """Exact Wasserstein-1 (earth-mover) drift between purchase and
     error value distributions, HASH-VERIFIED: the magnitude-aware
@@ -4476,6 +4524,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_seasonal_anomalies": q_seasonal_anomalies,
+    "q_dup_size_histogram": q_dup_size_histogram,
     "q_wasserstein_drift": q_wasserstein_drift,
     "q_k_anonymity": q_k_anonymity,
     "q_theta_overlap": q_theta_overlap,

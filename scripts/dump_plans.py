@@ -203,6 +203,26 @@ AUDITED: dict[str, str] = {
         "bucket RUNNING MAX: in-row bucket ids, local window, "
         "partitions-row offset fold — the only unpartitioned window "
         "is the offsets pass; final filter joins the grain back."),
+    "q_kcore": (
+        "Three peel rounds, each reading the previous round's pinned "
+        "checkpoint: degree agg + two co-partitioned semi joins; plan "
+        "depth stays O(1) — no round re-executes its predecessors."),
+    "q_cusum_drift": (
+        "Group stats broadcast back; the DECIMAL prefix walk is a "
+        "group-partitioned window (parallel across groups — no global "
+        "window); one closing aggregate."),
+    "q_window_funnel": (
+        "Single shuffle to the entity grain: sorted-array collect + "
+        "in-row fold; the hot-key guard rides the live count column "
+        "(no extra pass)."),
+    "q_theta_overlap": (
+        "State built once and pinned; summaries, both self-join sides, "
+        "and the estimate all run on groups·k state rows — the member "
+        "sets never move."),
+    "q_wasserstein_drift": (
+        "Pinned distinct-value grain feeds ONE bucket staging (cumsum "
+        "keep_pid) reused by the prefix sums AND the neighbor-gap "
+        "pass; DECIMAL interval terms; one final division."),
 }
 
 
