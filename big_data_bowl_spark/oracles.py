@@ -4911,3 +4911,72 @@ SELECT CAST(size AS BIGINT) AS size,
        CAST(count(*) * size AS BIGINT) AS n_docs
 FROM csize GROUP BY size
 """
+
+# q_cuped — exact HUGEINT user-grain moments (the metric_correlations
+# twin discipline), identical final expression tree; epoch-midpoint
+# cutoff with floor semantics on both engines.
+ORACLES["q_cuped"] = """
+WITH e AS (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ep
+    FROM events WHERE value IS NOT NULL),
+b AS (
+    SELECT CAST(floor((min(ep) + max(ep)) / 2.0) AS BIGINT) AS cut
+    FROM e),
+users AS (
+    SELECT user_id,
+           CAST(sum(CASE WHEN ep < cut THEN vc ELSE 0 END) AS BIGINT)
+             AS x,
+           CAST(sum(CASE WHEN ep >= cut THEN vc ELSE 0 END) AS BIGINT)
+             AS y,
+           user_id % 2 AS arm
+    FROM e CROSS JOIN b GROUP BY user_id),
+m AS (
+    SELECT CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(x) AS HUGEINT) AS sx,
+           CAST(sum(y) AS HUGEINT) AS sy,
+           CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+           CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+           CAST(sum(CASE WHEN arm = 1 THEN 0 ELSE 1 END) AS HUGEINT)
+             AS na,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT)
+             AS nb,
+           CAST(sum(CASE WHEN arm = 1 THEN 0 ELSE x END) AS HUGEINT)
+             AS sxa,
+           CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS HUGEINT)
+             AS sxb,
+           CAST(sum(CASE WHEN arm = 1 THEN 0 ELSE y END) AS HUGEINT)
+             AS sya,
+           CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS HUGEINT)
+             AS syb
+    FROM users),
+f AS (
+    SELECT *,
+           CAST(n * sxy - sx * sy AS DOUBLE) AS cov_n,
+           CAST(n * sxx - sx * sx AS DOUBLE) AS varx_n,
+           CAST(n * syy - sy * sy AS DOUBLE) AS vary_n
+    FROM m),
+g AS (
+    SELECT *,
+           CASE WHEN varx_n > 0 THEN cov_n / varx_n ELSE 0.0 END
+             AS theta,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) / 100.0 AS mean_x
+    FROM f)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0, 6)
+         AS mean_y_a,
+       round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0, 6)
+         AS mean_y_b,
+       round(CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+             - theta * (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) / 100.0
+                        - mean_x), 6) AS adj_mean_a,
+       round(CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+             - theta * (CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE) / 100.0
+                        - mean_x), 6) AS adj_mean_b,
+       round(theta, 6) AS theta,
+       CASE WHEN varx_n > 0 AND vary_n > 0
+            THEN round((cov_n * cov_n) / (varx_n * vary_n), 6)
+            ELSE 0.0 END AS var_reduction
+FROM g
+"""

@@ -4139,6 +4139,76 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_cuped(spark, sf_dir):
+    """CUPED variance reduction (Deng et al. 2013), HASH-VERIFIED: the
+    standard pre-experiment covariate adjustment — users' pre-period
+    spend x (first half of the time range) explains post-period spend y,
+    θ = cov(x,y)/var(x), adjusted arm means ȳ_arm − θ·(x̄_arm − x̄),
+    variance reduction = corr(x,y)².  Every moment is a DECIMAL(38,0)
+    sum of integer cents at the user grain (the q_metric_correlations
+    discipline — built-in covar/corr would NOT hash-match), per-arm
+    sums ride the SAME single aggregate as conditional sums, and the
+    finals are one identical double expression tree.  The time cutoff
+    is the epoch-second midpoint (floor semantics on both engines)."""
+    from .functions.scalar import cents
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", "ts", cents(F.col("value")).alias("__vc")))
+    bounds = e.agg(
+        ((F.min(F.unix_timestamp("ts"))
+          + F.max(F.unix_timestamp("ts"))) / 2)
+        .cast("long").alias("__cut"))
+    pre = F.unix_timestamp("ts") < F.col("__cut")
+    users = (e.crossJoin(F.broadcast(bounds))
+              .groupBy("user_id")
+              .agg(F.sum(F.when(pre, F.col("__vc")).otherwise(0))
+                    .alias("x"),
+                   F.sum(F.when(~pre, F.col("__vc")).otherwise(0))
+                    .alias("y"))
+              .withColumn("__b", F.pmod(F.col("user_id"), F.lit(2))))
+    dec = "decimal(38,0)"
+    x, y = F.col("x").cast(dec), F.col("y").cast(dec)
+    is_b = F.col("__b") == 1
+    agg = users.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"), F.sum(x * y).alias("sxy"),
+        F.sum(y * y).alias("syy"),
+        F.sum(F.when(is_b, 0).otherwise(1)).cast(dec).alias("na"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast(dec).alias("nb"),
+        F.sum(F.when(is_b, F.lit(0).cast(dec)).otherwise(x)).alias("sxa"),
+        F.sum(F.when(is_b, x).otherwise(F.lit(0).cast(dec))).alias("sxb"),
+        F.sum(F.when(is_b, F.lit(0).cast(dec)).otherwise(y)).alias("sya"),
+        F.sum(F.when(is_b, y).otherwise(F.lit(0).cast(dec))).alias("syb"))
+    d = lambda c: F.col(c).cast("double")
+    # moment combinations stay EXACT decimal integers until the single
+    # cast (n·sxx ≈ 1e32 even at 1e9 users × 1e5-dollar spends — inside
+    # DECIMAL(38,0); the metric_correlations ceiling note applies)
+    cov_n = (F.col("n") * F.col("sxy")
+             - F.col("sx") * F.col("sy")).cast("double")   # n²·cov
+    varx_n = (F.col("n") * F.col("sxx")
+              - F.col("sx") * F.col("sx")).cast("double")  # n²·var(x)
+    vary_n = (F.col("n") * F.col("syy")
+              - F.col("sy") * F.col("sy")).cast("double")
+    theta = F.when(varx_n > 0, cov_n / varx_n).otherwise(F.lit(0.0))
+    mean_x = d("sx") / d("n") / 100.0
+    adj = lambda sy_, sx_, n_: (d(sy_) / d(n_) / 100.0
+                                - theta * (d(sx_) / d(n_) / 100.0
+                                           - mean_x))
+    var_red = F.when((varx_n > 0) & (vary_n > 0),
+                     (cov_n * cov_n) / (varx_n * vary_n)) \
+               .otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round(d("sya") / d("na") / 100.0, 6).alias("mean_y_a"),
+        F.round(d("syb") / d("nb") / 100.0, 6).alias("mean_y_b"),
+        F.round(adj("sya", "sxa", "na"), 6).alias("adj_mean_a"),
+        F.round(adj("syb", "sxb", "nb"), 6).alias("adj_mean_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(var_red, 6).alias("var_reduction"))
+
+
 def q_seasonal_anomalies(spark, sf_dir):
     """Seasonality-adjusted anomaly shortlist, HASH-VERIFIED: each
     event's value against its (day-of-week × hour) baseline mean, top
@@ -4524,6 +4594,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_cuped": q_cuped,
     "q_seasonal_anomalies": q_seasonal_anomalies,
     "q_dup_size_histogram": q_dup_size_histogram,
     "q_wasserstein_drift": q_wasserstein_drift,
