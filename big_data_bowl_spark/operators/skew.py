@@ -64,3 +64,43 @@ def salted_broadcast_join(fact: DataFrame, dim: DataFrame, key: str,
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return (fact_s.join(dim_s, [key, "__salt"], "left")
                   .drop("__salt"))
+
+
+def skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Shuffle-key skew advisor: for each CANDIDATE key column, the
+    group-size distribution statistics that decide whether a
+    groupBy/join on that key needs salting (:func:`salted_agg`) or AQE
+    skew splitting — max group share, and the p99/median group-size
+    ratio (a hot-key detector that, unlike max alone, distinguishes
+    one-big-key skew from a generally heavy tail).
+
+    Per candidate: one count aggregate to the key grain, then one
+    5-stat aggregate over the (small) size distribution — candidates
+    evaluate independently and union, so profiling k keys costs k
+    linear passes, no cross-key shuffle.  Returns one row per candidate
+    (key, n_groups, n_rows, max_size, max_share, p50_size, p99_size,
+    skew_ratio)."""
+    from functools import reduce
+
+    from ..schemas import require_columns
+    require_columns(df, key_cols, "skew_profile")
+    outs = []
+    for key in key_cols:
+        sizes = (df.groupBy(key)
+                   .agg(F.count(F.lit(1)).alias("__n")))
+        outs.append(sizes.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_size"),
+            F.round(F.percentile("__n", F.lit(0.5)), 6).alias("p50_size"),
+            F.round(F.percentile("__n", F.lit(0.99)), 6).alias("p99_size"))
+            .select(
+                F.lit(key).alias("key"),
+                "n_groups", "n_rows", "max_size",
+                F.round(F.col("max_size").cast("double")
+                        / F.col("n_rows").cast("double"), 6)
+                 .alias("max_share"),
+                "p50_size", "p99_size",
+                F.round(F.col("p99_size") / F.col("p50_size"), 6)
+                 .alias("skew_ratio")))
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -4980,3 +4980,33 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
             ELSE 0.0 END AS var_reduction
 FROM g
 """
+
+# q_skew_advisor — per-candidate group-size stats; quantile_cont is the
+# established F.percentile twin.
+ORACLES["q_skew_advisor"] = """
+WITH su AS (
+    SELECT count(*) AS n FROM events GROUP BY user_id),
+se AS (
+    SELECT count(*) AS n FROM events GROUP BY event_type),
+a AS (
+    SELECT 'user_id' AS key, count(*) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_size,
+           round(quantile_cont(n, 0.5), 6) AS p50_size,
+           round(quantile_cont(n, 0.99), 6) AS p99_size
+    FROM su),
+b AS (
+    SELECT 'event_type' AS key, count(*) AS n_groups,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_size,
+           round(quantile_cont(n, 0.5), 6) AS p50_size,
+           round(quantile_cont(n, 0.99), 6) AS p99_size
+    FROM se),
+u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+SELECT key, n_groups, n_rows, max_size,
+       round(CAST(max_size AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+         AS max_share,
+       p50_size, p99_size,
+       round(p99_size / p50_size, 6) AS skew_ratio
+FROM u
+"""

@@ -4139,6 +4139,18 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_skew_advisor(spark, sf_dir):
+    """Shuffle-key skew profile, HASH-VERIFIED: for each candidate
+    shuffle key of the events fact (user_id, event_type), the
+    group-size distribution stats that decide between a plain groupBy,
+    AQE skew splitting, and explicit salting (q_salted_agg) — max group
+    share and the p99/median size ratio.  Independent linear passes per
+    candidate, unioned; exact percentiles over the size distribution."""
+    from .operators.skew import skew_profile
+    e = _t(spark, sf_dir, "events")
+    return skew_profile(e, ["user_id", "event_type"])
+
+
 def q_cuped(spark, sf_dir):
     """CUPED variance reduction (Deng et al. 2013), HASH-VERIFIED: the
     standard pre-experiment covariate adjustment — users' pre-period
@@ -4594,6 +4606,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_skew_advisor": q_skew_advisor,
     "q_cuped": q_cuped,
     "q_seasonal_anomalies": q_seasonal_anomalies,
     "q_dup_size_histogram": q_dup_size_histogram,
