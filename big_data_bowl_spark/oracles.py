@@ -5010,3 +5010,51 @@ SELECT key, n_groups, n_rows, max_size,
        round(p99_size / p50_size, 6) AS skew_ratio
 FROM u
 """
+
+# q_dedup_canonical — survivor selection on the component fixpoint:
+# max length, ties to min doc_id (integer-only rule, both steps spelled
+# identically).
+ORACLES["q_dedup_canonical"] = """
+WITH RECURSIVE raw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, source, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 50 = 0
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs),
+walk(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+comp AS (
+    SELECT node AS doc_id, min(reach) AS component
+    FROM walk GROUP BY node),
+members AS (
+    SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS nc
+    FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
+stats AS (
+    SELECT component, count(*) AS n_members,
+           CAST(max(nc) AS BIGINT) AS survivor_chars
+    FROM members GROUP BY 1),
+surv AS (
+    SELECT m.component, min(m.doc_id) AS survivor_id
+    FROM members m JOIN stats s ON m.component = s.component
+    WHERE m.nc = s.survivor_chars
+    GROUP BY 1)
+SELECT st.component, st.n_members, sv.survivor_id, st.survivor_chars
+FROM stats st JOIN surv sv ON st.component = sv.component
+"""

@@ -4139,6 +4139,38 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-survivor selection, HASH-VERIFIED — the step after
+    grouping that completes the dedup story (detect pairs → group →
+    pick one member to KEEP): per duplicate component, the longest
+    member survives (max n_chars, ties to the smallest doc_id — an
+    integer-only rule, so no float-tie hazard).  The survivor is the
+    unambiguous two-step max: component stats (n_members, max length)
+    broadcast back, then min doc_id among the members at that length —
+    identical formulation in the oracle, on top of the recursive-CTE
+    component fixpoint."""
+    from .pipeline.dedup import duplicate_components, ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    comp = duplicate_components(pairs)
+    members = (comp.join(d.select("doc_id",
+                                  F.length("text").cast("long")
+                                   .alias("__nc")), "doc_id")
+                   .localCheckpoint(eager=True))
+    stats = members.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("__nc").alias("survivor_chars"))
+    surv = (members.join(F.broadcast(
+                stats.select("component",
+                             F.col("survivor_chars").alias("__mx"))),
+                "component")
+                   .filter(F.col("__nc") == F.col("__mx"))
+                   .groupBy("component")
+                   .agg(F.min("doc_id").alias("survivor_id")))
+    return stats.join(surv, "component").select(
+        "component", "n_members", "survivor_id", "survivor_chars")
+
+
 def q_skew_advisor(spark, sf_dir):
     """Shuffle-key skew profile, HASH-VERIFIED: for each candidate
     shuffle key of the events fact (user_id, event_type), the
@@ -4606,6 +4638,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_dedup_canonical": q_dedup_canonical,
     "q_skew_advisor": q_skew_advisor,
     "q_cuped": q_cuped,
     "q_seasonal_anomalies": q_seasonal_anomalies,
