@@ -163,6 +163,14 @@ HEADLINE = [
     "q_theta_overlap",
     # exact earth-mover drift (distributed-cumsum + boundary-safe gaps)
     "q_wasserstein_drift",
+    # round-7 batch 5: CUPED exact-moment adjustment, the seasonal
+    # TakeOrdered shortlist, dedup survivor selection + size histogram
+    # (component fixpoint consumers), and the skew advisor
+    "q_cuped",
+    "q_seasonal_anomalies",
+    "q_dedup_canonical",
+    "q_dup_size_histogram",
+    "q_skew_advisor",
 ]
 
 
@@ -174,6 +182,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName("bdb-bench")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -84,6 +84,8 @@ def skew_profile(df: DataFrame, key_cols: list[str]) -> DataFrame:
 
     from ..schemas import require_columns
     require_columns(df, key_cols, "skew_profile")
+    if not key_cols:
+        raise ValueError("skew_profile: no candidate key columns given")
     outs = []
     for key in key_cols:
         sizes = (df.groupBy(key)

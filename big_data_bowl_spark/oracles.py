@@ -5044,7 +5044,7 @@ comp AS (
     SELECT node AS doc_id, min(reach) AS component
     FROM walk GROUP BY node),
 members AS (
-    SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS nc
+    SELECT c.component, c.doc_id, CAST(d.n_chars AS BIGINT) AS nc
     FROM comp c JOIN documents d ON c.doc_id = d.doc_id),
 stats AS (
     SELECT component, count(*) AS n_members,

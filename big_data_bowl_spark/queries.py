@@ -4153,8 +4153,10 @@ def q_dedup_canonical(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d, threshold=0.5)
     comp = duplicate_components(pairs)
+    # the catalog already carries n_chars — joining on it keeps the
+    # corpus-scale text column out of the survivor join entirely
     members = (comp.join(d.select("doc_id",
-                                  F.length("text").cast("long")
+                                  F.col("n_chars").cast("long")
                                    .alias("__nc")), "doc_id")
                    .localCheckpoint(eager=True))
     stats = members.groupBy("component").agg(

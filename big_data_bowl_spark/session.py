@@ -33,6 +33,12 @@ def build_session(app_name: str = "big_data_bowl_spark",
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pin the session timezone: hour()/dayofweek()/unix_timestamp
+        # read it, and every query/oracle pair was validated against
+        # DuckDB's NAIVE timestamp arithmetic (≡ UTC).  Without the pin
+        # the parity contract silently depends on the host JVM zone —
+        # correct on a UTC CI box, wrong (and DST-warped) anywhere else.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -22,6 +22,7 @@ spec.loader.exec_module(mod)
 from pyspark.sql import SparkSession  # noqa: E402
 
 spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone", "UTC")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.driver.memory", "8g")
