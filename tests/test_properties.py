@@ -526,3 +526,21 @@ def test_wasserstein_equals_python_integral(spark, a, b):
         w1 += abs(fa - fb) * (nxt - v)
     assert (out.na, out.nb) == (na, nb)
     assert abs(out.w1 - round(float(w1 / 100), 6)) < 2e-6
+
+
+def test_theta_sketch_mode_estimate_accuracy(spark):
+    """In SKETCH mode (sets ≫ k) the theta intersection estimator lands
+    within coarse sampling error of the truth — the accuracy companion
+    of the exactness test above (the HLL 35%-relative precedent)."""
+    from big_data_bowl_spark.operators.sketches import (
+        theta_intersect_pairs, theta_sketch_state)
+    rows = ([Row(g=0, key=k) for k in range(500)]
+            + [Row(g=1, key=k) for k in range(300, 800)])
+    df = spark.createDataFrame(rows)
+    st = theta_sketch_state(df, ["g"], "key", k=64)
+    out = theta_intersect_pairs(st, "g", "key").collect()[0]
+    assert abs(out.est_a - 500) / 500 < 0.35
+    assert abs(out.est_b - 500) / 500 < 0.35
+    # true intersection = 200; bound is loose (m is small at k=64)
+    assert abs(out.est_inter - 200) / 200 < 0.6
+    assert out.m_sample > 0
