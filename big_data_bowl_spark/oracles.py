@@ -5058,3 +5058,48 @@ surv AS (
 SELECT st.component, st.n_members, sv.survivor_id, st.survivor_chars
 FROM stats st JOIN surv sv ON st.component = sv.component
 """
+
+# q_contrastive_pairs — blocked-cosine positives (deterministic argmax)
+# + the hash-family negatives; negs qualify b.partner_id explicitly so
+# DuckDB's lateral column aliasing cannot bind 'pos' to the NEW
+# partner_id computed in the same select list.
+ORACLES["q_contrastive_pairs"] = """
+WITH v AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+p AS (
+    SELECT * FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.emb, b.emb)
+                     / (sqrt(list_dot_product(a.emb, a.emb))
+                        * sqrt(list_dot_product(b.emb, b.emb))), 6)
+                   AS cosine
+        FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.25),
+sym AS (
+    SELECT id_a AS anchor_id, id_b AS partner_id, cosine FROM p
+    UNION ALL
+    SELECT id_b, id_a, cosine FROM p),
+best AS MATERIALIZED (
+    SELECT anchor_id, partner_id, cosine FROM (
+        SELECT anchor_id, partner_id, cosine,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY cosine DESC, partner_id ASC)
+                 AS rn
+        FROM sym)
+    WHERE rn = 1),
+n AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nn FROM embeddings),
+negs AS (
+    SELECT b.anchor_id, (b.anchor_id * 31 + 1) % nn AS partner_id,
+           'neg' AS role, CAST(NULL AS DOUBLE) AS cosine,
+           b.partner_id AS pos
+    FROM best b CROSS JOIN n
+    UNION ALL
+    SELECT b.anchor_id, (b.anchor_id * 31 + 18) % nn,
+           'neg', CAST(NULL AS DOUBLE), b.partner_id
+    FROM best b CROSS JOIN n)
+SELECT anchor_id, partner_id, 'pos' AS role, cosine FROM best
+UNION ALL
+SELECT anchor_id, partner_id, role, cosine
+FROM negs
+WHERE partner_id <> anchor_id AND partner_id <> pos
+"""

@@ -4139,6 +4139,57 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_contrastive_pairs(spark, sf_dir):
+    """Contrastive training-pair mining, HASH-VERIFIED: the
+    (anchor, positive, negatives) construction an embedding-model
+    trainer consumes.  Positives are each anchor's best cosine partner
+    from the BLOCKED near-dup pairs (cosine ≥ 0.25 within label
+    blocks — never all-pairs), picked by the deterministic
+    (rounded-cosine desc, partner asc) argmax; two hard-ish negatives
+    per anchor come from the deterministic hash family the
+    negative-sampling op uses ((anchor·31 + i·17 + 1) mod N over the
+    dense id space), dropped on the (rare, deterministic) collision
+    with the anchor or its positive.  Long-form output
+    (anchor_id, partner_id, role, cosine with NULL for negatives) —
+    one row per pair, ready to groupBy-collect into training
+    examples."""
+    from .pipeline.dedup import embedding_dup_pairs
+    em = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(em, threshold=0.25)
+    sym = (pairs.select(F.col("id_a").alias("anchor_id"),
+                        F.col("id_b").alias("partner_id"), "cosine")
+                .unionByName(
+                    pairs.select(F.col("id_b").alias("anchor_id"),
+                                 F.col("id_a").alias("partner_id"),
+                                 "cosine")))
+    best = (sym.groupBy("anchor_id")
+               .agg(F.max(F.struct(F.col("cosine"),
+                                   (-F.col("partner_id")).alias("__np")))
+                     .alias("__b"))
+               .select("anchor_id",
+                       (-F.col("__b.__np")).alias("partner_id"),
+                       F.col("__b.cosine").alias("cosine"))
+               .localCheckpoint(eager=True))
+    n_ids = em.agg((F.max("vec_id") + 1).alias("__n"))
+    negs = None
+    for i in range(2):
+        cand = F.pmod(F.col("anchor_id") * 31 + i * 17 + 1, F.col("__n"))
+        ni = (best.crossJoin(F.broadcast(n_ids))
+                  .select("anchor_id",
+                          cand.alias("neg_id"),
+                          F.col("partner_id").alias("__pos"))
+                  .filter((F.col("neg_id") != F.col("anchor_id"))
+                          & (F.col("neg_id") != F.col("__pos")))
+                  .select("anchor_id",
+                          F.col("neg_id").alias("partner_id"),
+                          F.lit("neg").alias("role"),
+                          F.lit(None).cast("double").alias("cosine")))
+        negs = ni if negs is None else negs.unionByName(ni)
+    pos = best.select("anchor_id", "partner_id",
+                      F.lit("pos").alias("role"), "cosine")
+    return pos.unionByName(negs)
+
+
 def q_dedup_canonical(spark, sf_dir):
     """Canonical-survivor selection, HASH-VERIFIED — the step after
     grouping that completes the dedup story (detect pairs → group →
@@ -4640,6 +4691,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_contrastive_pairs": q_contrastive_pairs,
     "q_dedup_canonical": q_dedup_canonical,
     "q_skew_advisor": q_skew_advisor,
     "q_cuped": q_cuped,
