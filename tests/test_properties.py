@@ -544,3 +544,31 @@ def test_theta_sketch_mode_estimate_accuracy(spark):
     # true intersection = 200; bound is loose (m is small at k=64)
     assert abs(out.est_inter - 200) / 200 < 0.6
     assert out.m_sample > 0
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(st.tuples(st.integers(0, 6), st.integers(0, 5)),
+                     min_size=1, max_size=40))
+def test_item_similarity_equals_brute_force(spark, rows):
+    """Cosine/Jaccard from co-occurrence ≡ Python set arithmetic."""
+    import math
+    from big_data_bowl_spark.operators.aggregates import item_similarity
+    df = spark.createDataFrame([Row(g=g, item=i) for g, i in rows])
+    got = {(r.item_a, r.item_b): (r.n_ab, r.n_a, r.n_b,
+                                  r.cosine, r.jaccard)
+           for r in item_similarity(df, "g", "item").collect()}
+    groups_of = {}
+    for g, i in set(rows):
+        groups_of.setdefault(i, set()).add(g)
+    items = sorted(groups_of)
+    want = {}
+    for idx, a in enumerate(items):
+        for b in items[idx + 1:]:
+            inter = groups_of[a] & groups_of[b]
+            if not inter:
+                continue
+            na, nb, nab = len(groups_of[a]), len(groups_of[b]), len(inter)
+            want[(a, b)] = (nab, na, nb,
+                            round(nab / math.sqrt(na * nb), 6),
+                            round(nab / (na + nb - nab), 6))
+    assert got == want
