@@ -5103,3 +5103,36 @@ SELECT anchor_id, partner_id, role, cosine
 FROM negs
 WHERE partner_id <> anchor_id AND partner_id <> pos
 """
+
+# q_forecast_backtest — epoch-midpoint temporal split, (type × hour)
+# train means as exact long/long divisions, per-event errors
+# FLOOR-quantized to micro-units (floor, never round: signed errors hit
+# dyadic halves where the engines' round modes diverge).
+ORACLES["q_forecast_backtest"] = """
+WITH e AS (
+    SELECT event_type, value,
+           CAST(round(value * 100) AS BIGINT) AS vc,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ep,
+           hour(ts) AS hr
+    FROM events WHERE value IS NOT NULL),
+b AS (
+    SELECT CAST(floor((min(ep) + max(ep)) / 2.0) AS BIGINT) AS cut
+    FROM e),
+train AS (
+    SELECT event_type, hr, CAST(sum(vc) AS BIGINT) AS tot,
+           count(*) AS n
+    FROM e CROSS JOIN b WHERE ep < cut GROUP BY 1, 2),
+scored AS (
+    SELECT e.event_type,
+           CAST(floor(abs(e.value - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+                          / 100.0) * 1000000) AS BIGINT) AS ae_u,
+           CAST(floor((e.value - CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)
+                       / 100.0) * 1000000) AS BIGINT) AS e_u
+    FROM e CROSS JOIN b
+    JOIN train t ON e.event_type = t.event_type AND e.hr = t.hr
+    WHERE e.ep >= b.cut)
+SELECT event_type, count(*) AS n_scored,
+       round(CAST(sum(ae_u) AS BIGINT) / count(*) / 1000000.0, 6) AS mae,
+       round(CAST(sum(e_u) AS BIGINT) / count(*) / 1000000.0, 6) AS bias
+FROM scored GROUP BY 1
+"""

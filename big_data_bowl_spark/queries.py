@@ -4139,6 +4139,53 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_forecast_backtest(spark, sf_dir):
+    """Temporal backtest of a seasonal-naive baseline, HASH-VERIFIED:
+    train on the first half of the time range (epoch-midpoint cutoff,
+    floor semantics — the q_cuped split), score the second half with
+    the (event_type × hour-of-day) train-mean, report per-type MAE and
+    bias.  Train means are exact long/long divisions off one cell-grain
+    aggregate (≤ types·24 rows, broadcast); per-event absolute/signed
+    errors FLOOR-quantize to integer micro-units before the mean
+    (floor, not round: the signed error can land on an exact dyadic
+    half, where Spark rounds away from zero and DuckDB toward +inf —
+    the established float-free-bucket rule; long sums are order-free),
+    so the backtest metrics are engine-exact.  Test cells unseen in training are
+    dropped (inner join) and counted via n_scored."""
+    from .functions.scalar import cents
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_type", "value",
+                 cents(F.col("value")).alias("__vc"),
+                 F.unix_timestamp("ts").alias("__ep"),
+                 F.hour("ts").alias("__hr")))
+    bounds = e.agg(((F.min("__ep") + F.max("__ep")) / 2)
+                   .cast("long").alias("__cut"))
+    e = e.crossJoin(F.broadcast(bounds))
+    train = (e.filter(F.col("__ep") < F.col("__cut"))
+              .groupBy("event_type", "__hr")
+              .agg(F.sum("__vc").alias("__tot"),
+                   F.count(F.lit(1)).alias("__n")))
+    pred = (F.col("__tot").cast("double")
+            / F.col("__n").cast("double") / 100.0)
+    err = F.col("value") - pred
+    scored = (e.filter(F.col("__ep") >= F.col("__cut"))
+               .join(F.broadcast(train), ["event_type", "__hr"])
+               .select("event_type",
+                       F.floor(F.abs(err) * 1_000_000).cast("long")
+                        .alias("__ae_u"),
+                       F.floor(err * 1_000_000).cast("long")
+                        .alias("__e_u")))
+    return (scored.groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n_scored"),
+                       F.round(F.sum("__ae_u")
+                               / F.count(F.lit(1)) / 1_000_000.0, 6)
+                        .alias("mae"),
+                       F.round(F.sum("__e_u")
+                               / F.count(F.lit(1)) / 1_000_000.0, 6)
+                        .alias("bias")))
+
+
 def q_contrastive_pairs(spark, sf_dir):
     """Contrastive training-pair mining, HASH-VERIFIED: the
     (anchor, positive, negatives) construction an embedding-model
@@ -4691,6 +4738,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_forecast_backtest": q_forecast_backtest,
     "q_contrastive_pairs": q_contrastive_pairs,
     "q_dedup_canonical": q_dedup_canonical,
     "q_skew_advisor": q_skew_advisor,
