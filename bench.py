@@ -171,6 +171,12 @@ HEADLINE = [
     "q_dedup_canonical",
     "q_dup_size_histogram",
     "q_skew_advisor",
+    # seasonal-naive backtest (temporal split + cell-grain baseline).
+    # q_contrastive_pairs is deliberately NOT here: its core is the
+    # blocked exact-cosine self-join (q_embed_dup's, also unbenched) —
+    # ~1.25M interpreted-HOF dot products at sf0.1, a result-size cost
+    # like q_jaccard_prefix's, not a plan-quality signal.
+    "q_forecast_backtest",
 ]
 
 
