@@ -5060,9 +5060,9 @@ FROM stats st JOIN surv sv ON st.component = sv.component
 """
 
 # q_contrastive_pairs — blocked-cosine positives (deterministic argmax)
-# + the hash-family negatives; negs qualify b.partner_id explicitly so
-# DuckDB's lateral column aliasing cannot bind 'pos' to the NEW
-# partner_id computed in the same select list.
+# + wang-mixed negatives (the established chain on seed = anchor·2+i);
+# the seeds CTE qualifies b.partner_id explicitly so DuckDB's lateral
+# column aliasing cannot bind 'pos' to a newly computed alias.
 ORACLES["q_contrastive_pairs"] = """
 WITH v AS (
     SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
@@ -5088,15 +5088,27 @@ best AS MATERIALIZED (
         FROM sym)
     WHERE rn = 1),
 n AS (SELECT CAST(max(vec_id) + 1 AS BIGINT) AS nn FROM embeddings),
-negs AS (
-    SELECT b.anchor_id, (b.anchor_id * 31 + 1) % nn AS partner_id,
-           'neg' AS role, CAST(NULL AS DOUBLE) AS cosine,
-           b.partner_id AS pos
+seeds AS (
+    SELECT b.anchor_id, b.partner_id AS pos, nn,
+           b.anchor_id * 2 + i.i AS seed
     FROM best b CROSS JOIN n
-    UNION ALL
-    SELECT b.anchor_id, (b.anchor_id * 31 + 18) % nn,
-           'neg', CAST(NULL AS DOUBLE), b.partner_id
-    FROM best b CROSS JOIN n)
+    CROSS JOIN (SELECT unnest([0, 1]) AS i) i),
+w0 AS (
+    SELECT anchor_id, pos, nn,
+           ((seed % 2147483648) * 2654435761) % 4294967296 AS hv
+    FROM seeds),
+w1 AS (
+    SELECT anchor_id, pos, nn,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM w0),
+w2 AS (
+    SELECT anchor_id, pos, nn,
+           (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+    FROM w1),
+negs AS (
+    SELECT anchor_id, xor(hv, hv >> 16) % nn AS partner_id,
+           'neg' AS role, CAST(NULL AS DOUBLE) AS cosine, pos
+    FROM w2)
 SELECT anchor_id, partner_id, 'pos' AS role, cosine FROM best
 UNION ALL
 SELECT anchor_id, partner_id, role, cosine

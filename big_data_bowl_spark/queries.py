@@ -4159,7 +4159,7 @@ def q_forecast_backtest(spark, sf_dir):
                  cents(F.col("value")).alias("__vc"),
                  F.unix_timestamp("ts").alias("__ep"),
                  F.hour("ts").alias("__hr")))
-    bounds = e.agg(((F.min("__ep") + F.max("__ep")) / 2)
+    bounds = e.agg(F.floor((F.min("__ep") + F.max("__ep")) / 2)
                    .cast("long").alias("__cut"))
     e = e.crossJoin(F.broadcast(bounds))
     train = (e.filter(F.col("__ep") < F.col("__cut"))
@@ -4172,10 +4172,8 @@ def q_forecast_backtest(spark, sf_dir):
     scored = (e.filter(F.col("__ep") >= F.col("__cut"))
                .join(F.broadcast(train), ["event_type", "__hr"])
                .select("event_type",
-                       F.floor(F.abs(err) * 1_000_000).cast("long")
-                        .alias("__ae_u"),
-                       F.floor(err * 1_000_000).cast("long")
-                        .alias("__e_u")))
+                       F.floor(F.abs(err) * 1_000_000).alias("__ae_u"),
+                       F.floor(err * 1_000_000).alias("__e_u")))
     return (scored.groupBy("event_type")
                   .agg(F.count(F.lit(1)).alias("n_scored"),
                        F.round(F.sum("__ae_u")
@@ -4192,11 +4190,12 @@ def q_contrastive_pairs(spark, sf_dir):
     trainer consumes.  Positives are each anchor's best cosine partner
     from the BLOCKED near-dup pairs (cosine ≥ 0.25 within label
     blocks — never all-pairs), picked by the deterministic
-    (rounded-cosine desc, partner asc) argmax; two hard-ish negatives
-    per anchor come from the deterministic hash family the
-    negative-sampling op uses ((anchor·31 + i·17 + 1) mod N over the
-    dense id space), dropped on the (rare, deterministic) collision
-    with the anchor or its positive.  Long-form output
+    (rounded-cosine desc, partner asc) argmax; two negatives per
+    anchor come from the wang-mixed neutral hash over the dense id
+    space (the negative-sampling op's actual family — every bit mixed,
+    so consecutive anchors do NOT get correlated negatives), dropped
+    on the (rare, deterministic) collision with the anchor or its
+    positive.  Long-form output
     (anchor_id, partner_id, role, cosine with NULL for negatives) —
     one row per pair, ready to groupBy-collect into training
     examples."""
@@ -4217,21 +4216,26 @@ def q_contrastive_pairs(spark, sf_dir):
                        (-F.col("__b.__np")).alias("partner_id"),
                        F.col("__b.cosine").alias("cosine"))
                .localCheckpoint(eager=True))
+    from .pipeline.sampling import wang_mixed_hash
     n_ids = em.agg((F.max("vec_id") + 1).alias("__n"))
-    negs = None
-    for i in range(2):
-        cand = F.pmod(F.col("anchor_id") * 31 + i * 17 + 1, F.col("__n"))
-        ni = (best.crossJoin(F.broadcast(n_ids))
-                  .select("anchor_id",
-                          cand.alias("neg_id"),
-                          F.col("partner_id").alias("__pos"))
-                  .filter((F.col("neg_id") != F.col("anchor_id"))
-                          & (F.col("neg_id") != F.col("__pos")))
-                  .select("anchor_id",
-                          F.col("neg_id").alias("partner_id"),
-                          F.lit("neg").alias("role"),
-                          F.lit(None).cast("double").alias("cosine")))
-        negs = ni if negs is None else negs.unionByName(ni)
+    # one crossJoin + explode over the offset array (the negative_samples
+    # fan-out shape) — NOT one plan branch per offset, which would scan
+    # embeddings for max(vec_id) once per branch
+    cand = F.pmod(wang_mixed_hash(F.col("anchor_id") * 2 + F.col("__i")),
+                  F.col("__n"))
+    negs = (best.crossJoin(F.broadcast(n_ids))
+                .select("anchor_id",
+                        F.col("partner_id").alias("__pos"),
+                        "__n",
+                        F.explode(F.array(F.lit(0), F.lit(1)))
+                         .alias("__i"))
+                .withColumn("__cand", cand)
+                .filter((F.col("__cand") != F.col("anchor_id"))
+                        & (F.col("__cand") != F.col("__pos")))
+                .select("anchor_id",
+                        F.col("__cand").alias("partner_id"),
+                        F.lit("neg").alias("role"),
+                        F.lit(None).cast("double").alias("cosine")))
     pos = best.select("anchor_id", "partner_id",
                       F.lit("pos").alias("role"), "cosine")
     return pos.unionByName(negs)
@@ -4298,9 +4302,11 @@ def q_cuped(spark, sf_dir):
     e = (_t(spark, sf_dir, "events")
          .filter(F.col("value").isNotNull())
          .select("user_id", "ts", cents(F.col("value")).alias("__vc")))
+    # floor, not cast: cast truncates toward zero, which diverges from
+    # the oracle's floor() if the epoch sum ever goes negative
     bounds = e.agg(
-        ((F.min(F.unix_timestamp("ts"))
-          + F.max(F.unix_timestamp("ts"))) / 2)
+        F.floor((F.min(F.unix_timestamp("ts"))
+                 + F.max(F.unix_timestamp("ts"))) / 2)
         .cast("long").alias("__cut"))
     pre = F.unix_timestamp("ts") < F.col("__cut")
     users = (e.crossJoin(F.broadcast(bounds))
