@@ -5148,3 +5148,51 @@ SELECT event_type, count(*) AS n_scored,
        round(CAST(sum(e_u) AS BIGINT) / count(*) / 1000000.0, 6) AS bias
 FROM scored GROUP BY 1
 """
+
+# q_kaplan_meier — product-limit survival via cumulative log factors:
+# integer-second durations, window prefix sums on the distinct-duration
+# grain, ln factors rounded at 9 pre-sum, the -1e9 everyone-dies
+# sentinel underflowing exp to exactly 0.0.
+ORACLES["q_kaplan_meier"] = """
+WITH t1 AS (
+    SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS t0
+    FROM events WHERE event_type = 'view' GROUP BY user_id),
+ev AS (
+    SELECT e.user_id,
+           CAST(floor(epoch(min(e.ts))) AS BIGINT) AS et
+    FROM events e JOIN t1 ON e.user_id = t1.user_id
+    WHERE e.event_type = 'purchase'
+      AND CAST(floor(epoch(e.ts)) AS BIGINT) > t1.t0
+    GROUP BY e.user_id),
+fin AS (
+    SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS endep FROM events),
+u AS (
+    SELECT coalesce(ev.et - t1.t0, endep - t1.t0) AS d,
+           CASE WHEN ev.et IS NOT NULL THEN 1 ELSE 0 END AS f
+    FROM t1 LEFT JOIN ev ON t1.user_id = ev.user_id CROSS JOIN fin),
+nn AS (SELECT count(*) AS n FROM u),
+per AS (
+    SELECT d, CAST(sum(f) AS BIGINT) AS n_event, count(*) AS n_rem
+    FROM u GROUP BY 1),
+cum AS (
+    SELECT d, n_event, n_rem,
+           sum(n_rem) OVER (ORDER BY d) AS cr
+    FROM per),
+rk AS (
+    SELECT d, n_event, CAST(n - (cr - n_rem) AS BIGINT) AS n_risk
+    FROM cum CROSS JOIN nn),
+fac AS (
+    SELECT d, n_event, n_risk,
+           CASE WHEN n_event = 0 THEN 0.0
+                WHEN n_event < n_risk
+                THEN round(ln(1.0 - CAST(n_event AS DOUBLE)
+                                    / CAST(n_risk AS DOUBLE)), 9)
+                ELSE -1000000000.0 END AS lf
+    FROM rk),
+sv AS (
+    SELECT d, n_event, n_risk,
+           sum(lf) OVER (ORDER BY d) AS cl
+    FROM fac)
+SELECT d AS duration, n_risk, n_event, round(exp(cl), 6) AS surv
+FROM sv WHERE n_event > 0
+"""

@@ -4139,6 +4139,67 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier survival curve, HASH-VERIFIED: time from each
+    user's first view to their first subsequent purchase, users with no
+    purchase right-censored at the study end — the retention/
+    time-to-convert curve product analytics reads daily.
+
+    S(t) = Π_{event times ≤ t} (1 − d_i / n_i) with d_i events and n_i
+    at risk.  Exactness discipline: integer-second durations (floored
+    epochs, both engines), removal counts prefix-summed on the
+    DISTINCT-DURATION grain via cumsum_distributed (never a
+    single-reducer fact window), per-time ln(1 − d/n) factors rounded
+    at 9 BEFORE the second distributed prefix sum (order-free), and
+    S = exp(cum) rounded at 6 — |S| ≤ 1, so a last-ulp exp() difference
+    cannot flip the 6th digit.  The everyone-dies boundary (d_i = n_i,
+    ln 0 = −inf) uses a −1e9 sentinel whose exp underflows to exactly
+    0.0 in both engines.  Returns event-time rows
+    (duration, n_risk, n_event, surv)."""
+    from .operators.windows import cumsum_distributed
+    e = _t(spark, sf_dir, "events")
+    t1 = (e.filter(F.col("event_type") == "view")
+           .groupBy("user_id")
+           .agg(F.min(F.unix_timestamp("ts")).alias("__t0")))
+    ev = (e.filter(F.col("event_type") == "purchase")
+           .select("user_id", F.unix_timestamp("ts").alias("__et"))
+           .join(t1, "user_id")
+           .filter(F.col("__et") > F.col("__t0"))
+           .groupBy("user_id")
+           .agg(F.min("__et").alias("__ev")))
+    fin = e.agg(F.max(F.unix_timestamp("ts")).alias("__end"))
+    u = (t1.join(ev, "user_id", "left")
+           .crossJoin(F.broadcast(fin))
+           .select(
+               F.coalesce(F.col("__ev") - F.col("__t0"),
+                          F.col("__end") - F.col("__t0")).alias("__d"),
+               F.col("__ev").isNotNull().cast("long").alias("__f")))
+    nn = u.agg(F.count(F.lit(1)).alias("__n"))
+    per = (u.groupBy("__d")
+            .agg(F.sum("__f").alias("n_event"),
+                 F.count(F.lit(1)).alias("__rem"))
+            .localCheckpoint(eager=True))  # two cumsum passes consume it
+    cum = (cumsum_distributed(per, ["__d"], ["__rem"])
+           .crossJoin(F.broadcast(nn))
+           .withColumn("n_risk", (F.col("__n") - (F.col("cum___rem")
+                                                  - F.col("__rem")))
+                       .cast("long")))
+    p = F.col("n_event").cast("double") / F.col("n_risk").cast("double")
+    fac = cum.withColumn(
+        "__lf",
+        F.when(F.col("n_event") == 0, F.lit(0.0))
+         .when(F.col("n_event") < F.col("n_risk"),
+               F.round(F.log(1.0 - p), 9))
+         .otherwise(F.lit(-1e9))).localCheckpoint(eager=True)
+    sv = cumsum_distributed(fac.select("__d", "n_event", "n_risk",
+                                       "__lf"),
+                            ["__d"], ["__lf"])
+    return (sv.filter(F.col("n_event") > 0)
+              .select(F.col("__d").alias("duration"), "n_risk",
+                      "n_event",
+                      F.round(F.exp(F.col("cum___lf")), 6).alias("surv")))
+
+
 def q_forecast_backtest(spark, sf_dir):
     """Temporal backtest of a seasonal-naive baseline, HASH-VERIFIED:
     train on the first half of the time range (epoch-midpoint cutoff,
@@ -4744,6 +4805,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_kaplan_meier": q_kaplan_meier,
     "q_forecast_backtest": q_forecast_backtest,
     "q_contrastive_pairs": q_contrastive_pairs,
     "q_dedup_canonical": q_dedup_canonical,

@@ -572,3 +572,52 @@ def test_item_similarity_equals_brute_force(spark, rows):
                             round(nab / math.sqrt(na * nb), 6),
                             round(nab / (na + nb - nab), 6))
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_kaplan_meier_equals_python_product_limit(spark, data):
+    """The distributed KM curve ≡ the textbook product-limit estimator
+    computed by a Python fold over (duration, event) pairs."""
+    import datetime as dt
+    import math
+    durs = data.draw(st.lists(
+        st.tuples(st.integers(1, 30), st.booleans()),
+        min_size=1, max_size=25), label="durs")
+    base = dt.datetime(2024, 1, 1)
+    end = base + dt.timedelta(seconds=60)
+    rows = []
+    for uid, (d, ev) in enumerate(durs):
+        rows.append((uid, base, "view"))
+        if ev:
+            rows.append((uid, base + dt.timedelta(seconds=d), "purchase"))
+    rows.append((9999, end, "view"))  # pins the study end
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, et string") \
+             .withColumnRenamed("et", "event_type")
+    from big_data_bowl_spark.queries import q_kaplan_meier
+    import big_data_bowl_spark.queries as Q
+    orig = Q._t
+    try:
+        Q._t = lambda spark_, sf_, name: e  # the query reads one table
+        got = {r.duration: (r.n_risk, r.n_event, r.surv)
+               for r in q_kaplan_meier(spark, "ignored").collect()}
+    finally:
+        Q._t = orig
+    # python model: subjects = events (duration d) + censored (60, and
+    # the end-pin user at 0)
+    subj = [(d, 1) for d, ev in durs if ev] \
+        + [(60, 0) for d, ev in durs if not ev] + [(0, 0)]
+    # cumulative-rounded-log model, mirroring the engine's ladder
+    n_risk, acc = len(subj), 0.0
+    want = {}
+    for d in sorted({x for x, _ in subj}):
+        d_ev = sum(1 for x, f in subj if x == d and f)
+        rem = sum(1 for x, _ in subj if x == d)
+        if d_ev:
+            acc += (round(math.log(1 - d_ev / n_risk), 9)
+                    if d_ev < n_risk else -1e9)
+            want[d] = (n_risk, d_ev, round(math.exp(acc), 6))
+        else:
+            acc += 0.0
+        n_risk -= rem
+    assert got == want
