@@ -177,6 +177,8 @@ HEADLINE = [
     # ~1.25M interpreted-HOF dot products at sf0.1, a result-size cost
     # like q_jaccard_prefix's, not a plan-quality signal.
     "q_forecast_backtest",
+    # Kaplan-Meier product-limit curve (two distributed-cumsum passes)
+    "q_kaplan_meier",
 ]
 
 

@@ -5196,3 +5196,38 @@ sv AS (
 SELECT d AS duration, n_risk, n_event, round(exp(cl), 6) AS surv
 FROM sv WHERE n_event > 0
 """
+
+# q_rfm_segments — user-grain RFM, exact quintile thresholds
+# (quantile_cont ≡ F.percentile), reversed recency score, 3-digit code.
+ORACLES["q_rfm_segments"] = """
+WITH e AS (
+    SELECT user_id, CAST(round(value * 100) AS BIGINT) AS vc,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ep
+    FROM events WHERE value IS NOT NULL),
+fin AS (SELECT max(ep) AS endep FROM e),
+users AS (
+    SELECT user_id,
+           CAST(floor((endep - max(ep)) / 86400.0) AS BIGINT) AS rec,
+           count(*) AS freq,
+           CAST(sum(vc) AS BIGINT) AS mon
+    FROM e CROSS JOIN fin GROUP BY user_id, endep),
+thr AS (
+    SELECT list_transform(quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]),
+                          t -> round(t, 6)) AS tr,
+           list_transform(quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]),
+                          t -> round(t, 6)) AS tf,
+           list_transform(quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]),
+                          t -> round(t, 6)) AS tm
+    FROM users),
+scored AS (
+    SELECT CAST(6 - (len(list_filter(tr, t -> t < rec)) + 1) AS BIGINT)
+             AS r_score,
+           CAST(len(list_filter(tf, t -> t < freq)) + 1 AS BIGINT)
+             AS f_score,
+           CAST(len(list_filter(tm, t -> t < mon)) + 1 AS BIGINT)
+             AS m_score
+    FROM users CROSS JOIN thr)
+SELECT r_score, f_score, m_score, count(*) AS n_users,
+       CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
+FROM scored GROUP BY 1, 2, 3
+"""

@@ -4139,6 +4139,51 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_rfm_segments(spark, sf_dir):
+    """RFM segmentation, HASH-VERIFIED: the classic marketing
+    customer-value grid — per user recency (days since last event),
+    frequency (event count), monetary (integer-cents spend), each cut
+    into quintiles by exact percentile thresholds (1-row broadcast,
+    in-row bin assign — the equidepth discipline; recency quintile is
+    REVERSED so 5 always means best), composed into the familiar
+    3-digit segment code.  One fact collapse to the user grain, one
+    percentile aggregate, one map-side scoring pass.  Returns the
+    segment-grain rollup (r_score, f_score, m_score, segment,
+    n_users)."""
+    from .functions.scalar import cents
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull()))
+    fin = e.agg(F.max(F.unix_timestamp("ts")).alias("__end"))
+    users = (e.crossJoin(F.broadcast(fin))
+              .groupBy("user_id")
+              .agg(F.floor((F.max("__end")
+                            - F.max(F.unix_timestamp("ts"))) / 86400)
+                    .alias("__rec"),
+                   F.count(F.lit(1)).alias("__freq"),
+                   F.sum(cents(F.col("value"))).alias("__mon"))
+              .localCheckpoint(eager=True))  # thresholds + scoring
+    fracs = [k / 5 for k in range(1, 5)]
+    thr = users.agg(*[
+        F.transform(F.percentile(c, F.array(*[F.lit(f) for f in fracs])),
+                    lambda t: F.round(t, 6)).alias(f"__t{c}")
+        for c in ("__rec", "__freq", "__mon")])
+
+    def score(c):
+        return (F.size(F.filter(F.col(f"__t{c}"),
+                                lambda t: t < F.col(c))) + 1).cast("long")
+
+    scored = (users.crossJoin(F.broadcast(thr))
+                   .select((F.lit(6) - score("__rec")).alias("r_score"),
+                           score("__freq").alias("f_score"),
+                           score("__mon").alias("m_score")))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+                  .agg(F.count(F.lit(1)).alias("n_users"))
+                  .withColumn("segment",
+                              (F.col("r_score") * 100
+                               + F.col("f_score") * 10
+                               + F.col("m_score")).cast("long")))
+
+
 def q_kaplan_meier(spark, sf_dir):
     """Kaplan–Meier survival curve, HASH-VERIFIED: time from each
     user's first view to their first subsequent purchase, users with no
@@ -4805,6 +4850,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_rfm_segments": q_rfm_segments,
     "q_kaplan_meier": q_kaplan_meier,
     "q_forecast_backtest": q_forecast_backtest,
     "q_contrastive_pairs": q_contrastive_pairs,
