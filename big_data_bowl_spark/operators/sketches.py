@@ -587,3 +587,90 @@ def theta_sketch_merge(states: DataFrame, group: list[str],
                     "theta_sketch_merge")
     return _bottomk_merge(states, group, key_col, "th_hash", "th_k", k,
                           "theta_sketch_merge")
+
+
+def agms_sketch_build(df: DataFrame, col: str, w: int = 2048,
+                      d: int = 3) -> DataFrame:
+    """Engine-neutral AGMS (signed AMS) sketch over an INTEGER key
+    column: d independent rows of w SIGNED counters,
+
+        counter[i][b] = Σ_{rows with bucket(key)=b} sign(key)
+
+    with bucket = wang_mixed_hash(key + i·1000003) mod w (the
+    probe-offset family the neutral Bloom filter uses) and sign = ±1
+    from the hash bit just above the bucket bits — every counter an
+    exact integer any SQL engine reproduces.  Unlike count-min's
+    nonnegative counters (a sound UPPER bound but loose once
+    collisions dominate: the min-of-rows inner product measured 15×
+    over the true join size at w=1024 on the sf0.01 order keys), the
+    random signs make the inner product of two sketches an UNBIASED
+    join-size estimator with variance ~F2(A)·F2(B)/w — tight at a
+    fraction of the width.  ``w`` must be a power of two (the sign
+    bit is bits[log2 w]).  Same one-explode/one-aggregate build shape
+    and carried-geometry contract as :func:`cms_build`."""
+    require_columns(df, [col], "agms_sketch_build")
+    if w & (w - 1):
+        raise ValueError(f"agms_sketch_build: w={w} must be a power "
+                         "of two (the sign is the next hash bit)")
+    from ..pipeline.sampling import wang_mixed_hash
+    shift = w.bit_length() - 1
+    cells = []
+    for i in range(d):
+        hv = wang_mixed_hash(F.col(col) + i * 1000003)
+        cells.append(F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(hv, F.lit(w)).alias("bucket"),
+            (1 - 2 * F.shiftright(hv, shift).bitwiseAND(F.lit(1)))
+            .alias("sign")))
+    return (df.select(F.explode(F.array(*cells)).alias("c"))
+              .select("c.row", "c.bucket", "c.sign")
+              .groupBy("row", "bucket")
+              .agg(F.sum("sign").alias("cnt"))
+              .withColumn("ams_w", F.lit(w))
+              .withColumn("ams_d", F.lit(d)))
+
+
+def agms_join_size_estimate(sk_a: DataFrame,
+                            sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two AGMS sketches — the
+    cost-based-planner primitive, without touching either fact table
+    again: each hash row's signed inner product Σ_b A[i][b]·B[i][b] is
+    an unbiased estimate of |A ⋈ B| (cross-key terms carry independent
+    random signs and cancel in expectation); the MEDIAN over the d
+    rows tames the variance.  d is pinned to 3 so the median is the
+    exact integer identity sum − min − max (no float percentile of
+    >2^53 integers).  Every term is an exact integer (DECIMAL(38,0)
+    products); cost is a (row, bucket) equi-join of two ≤ d·w-row
+    broadcastable tables.  Geometries must match and ride the state.
+    Returns one row (est_join_size, ≥ 0)."""
+    for side, name in ((sk_a, "sk_a"), (sk_b, "sk_b")):
+        require_columns(side, ["row", "bucket", "cnt", "ams_w", "ams_d"],
+                        f"agms_join_size_estimate[{name}]")
+    sk_a = sk_a.localCheckpoint(eager=True)
+    sk_b = sk_b.localCheckpoint(eager=True)
+    geos = set()
+    for side in (sk_a, sk_b):
+        for r in side.select("ams_w", "ams_d").distinct().collect():
+            geos.add((r["ams_w"], r["ams_d"]))
+    if len(geos) > 1:
+        raise ValueError(
+            f"agms_join_size_estimate: geometry mismatch {sorted(geos)}"
+            " — inner products across different bucket spaces are "
+            "meaningless")
+    if geos and next(iter(geos))[1] != 3:
+        raise ValueError(
+            "agms_join_size_estimate: d must be 3 (median = "
+            "sum − min − max stays exact integer arithmetic)")
+    dec = "decimal(38,0)"
+    per_row = (sk_a.select("row", "bucket",
+                           F.col("cnt").alias("__ca"))
+                   .join(sk_b.select("row", "bucket",
+                                     F.col("cnt").alias("__cb")),
+                         ["row", "bucket"])
+                   .groupBy("row")
+                   .agg(F.sum(F.col("__ca").cast(dec)
+                              * F.col("__cb").cast(dec)).alias("__s")))
+    med = F.sum("__s") - F.min("__s") - F.max("__s")
+    return per_row.agg(
+        F.greatest(med, F.lit(0).cast(dec))
+         .cast("long").alias("est_join_size"))

@@ -5231,3 +5231,55 @@ SELECT r_score, f_score, m_score, count(*) AS n_users,
        CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS segment
 FROM scored GROUP BY 1, 2, 3
 """
+
+# q_join_size_est — both signed AGMS sketches reproduced via the wang
+# chain on (key + i·1000003); bucket = hv mod 2048, sign = bit 11;
+# integer inner products, median over the 3 rows as sum − min − max,
+# clamped at 0; exact join count alongside.
+ORACLES["q_join_size_est"] = """
+WITH offs AS (SELECT unnest([0, 1, 2]) AS i),
+sa AS (
+    SELECT i, o_orderkey + i * 1000003 AS seed
+    FROM orders CROSS JOIN offs),
+a0 AS (SELECT i, ((seed % 2147483648) * 2654435761) % 4294967296 AS hv
+       FROM sa),
+a1 AS (SELECT i, (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+       FROM a0),
+a2 AS (SELECT i, (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+       FROM a1),
+af AS (SELECT i, xor(hv, hv >> 16) AS hv FROM a2),
+sksa AS MATERIALIZED (
+    SELECT i AS row, hv % 2048 AS bucket,
+           CAST(sum(1 - 2 * ((hv >> 11) & 1)) AS BIGINT) AS ca
+    FROM af GROUP BY 1, 2),
+sb AS (
+    SELECT i, l_orderkey + i * 1000003 AS seed
+    FROM lineitem CROSS JOIN offs),
+b0 AS (SELECT i, ((seed % 2147483648) * 2654435761) % 4294967296 AS hv
+       FROM sb),
+b1 AS (SELECT i, (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+       FROM b0),
+b2 AS (SELECT i, (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv
+       FROM b1),
+bf AS (SELECT i, xor(hv, hv >> 16) AS hv FROM b2),
+sksb AS MATERIALIZED (
+    SELECT i AS row, hv % 2048 AS bucket,
+           CAST(sum(1 - 2 * ((hv >> 11) & 1)) AS BIGINT) AS cb
+    FROM bf GROUP BY 1, 2),
+per_row AS (
+    SELECT a.row,
+           CAST(sum(CAST(a.ca AS HUGEINT) * b.cb) AS HUGEINT) AS s
+    FROM sksa a JOIN sksb b ON a.row = b.row AND a.bucket = b.bucket
+    GROUP BY 1),
+est AS (
+    SELECT CAST(greatest(sum(s) - min(s) - max(s), 0) AS BIGINT)
+             AS est_join_size
+    FROM per_row),
+ex AS (
+    SELECT count(*) AS exact_join_size
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT est_join_size, exact_join_size,
+       round(CAST(est_join_size AS DOUBLE)
+             / CAST(exact_join_size AS DOUBLE), 6) AS est_over_exact
+FROM est CROSS JOIN ex
+"""

@@ -4139,6 +4139,33 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_join_size_est(spark, sf_dir):
+    """AGMS join-cardinality estimation, HASH-VERIFIED: size
+    |orders ⋈ lineitem on orderkey| from two signed sketch tables
+    alone — the cost-based-planner primitive, here as a first-class
+    query.  Each hash row's signed inner product is an UNBIASED
+    estimate (cross-key collision terms cancel in expectation — the
+    count-min min-of-rows bound measured 15× over truth at this
+    width); the median over 3 rows is exact integer arithmetic
+    (sum − min − max).  The exact join count rides along so the result
+    reports estimator quality; at 100 TB the estimate costs two d×w
+    broadcastable tables, not a join."""
+    from .operators.sketches import agms_join_size_estimate, \
+        agms_sketch_build
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ca = agms_sketch_build(o, "o_orderkey", w=2048, d=3)
+    cb = agms_sketch_build(li, "l_orderkey", w=2048, d=3)
+    est = agms_join_size_estimate(ca, cb)
+    exact = (o.join(li, o.o_orderkey == li.l_orderkey)
+              .agg(F.count(F.lit(1)).alias("exact_join_size")))
+    return (est.crossJoin(F.broadcast(exact))
+               .select("est_join_size", "exact_join_size",
+                       roundn(F.col("est_join_size").cast("double")
+                              / F.col("exact_join_size").cast("double"))
+                       .alias("est_over_exact")))
+
+
 def q_rfm_segments(spark, sf_dir):
     """RFM segmentation, HASH-VERIFIED: the classic marketing
     customer-value grid — per user recency (days since last event),
@@ -4850,6 +4877,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_join_size_est": q_join_size_est,
     "q_rfm_segments": q_rfm_segments,
     "q_kaplan_meier": q_kaplan_meier,
     "q_forecast_backtest": q_forecast_backtest,
