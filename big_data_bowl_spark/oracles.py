@@ -5283,3 +5283,109 @@ SELECT est_join_size, exact_join_size,
              / CAST(exact_join_size AS DOUBLE), 6) AS est_over_exact
 FROM est CROSS JOIN ex
 """
+
+
+# --- q_markov_attribution: generated unrolled absorption solve ---------------
+# Transitions mirror the engine's journey build (truncate at the FIRST
+# purchase by (ts, event_id), lag → src with a START default); the 5
+# scenarios (base + one removal per channel) each unroll the SAME fixed
+# 12-iteration recursion as 1-row CTE stages whose expression order
+# matches the driver-side Python accumulation term by term (the
+# pca_power / pagerank discipline), so every double is bit-identical.
+_MK_CH = ["view", "click", "signup", "error"]
+_MK_IT = 12
+
+
+def _mk_matrix_cols():
+    cols = []
+    for s in ["START", *_MK_CH]:
+        tot = (f"sum(CASE WHEN src = '{s}' THEN n ELSE 0 END)")
+        for t in [*_MK_CH, "CONV"]:
+            num = (f"sum(CASE WHEN src = '{s}' AND dst = '{t}' "
+                   f"THEN n ELSE 0 END)")
+            cols.append(
+                f"CASE WHEN {tot} = 0 THEN 0.0 ELSE CAST({num} AS DOUBLE)"
+                f" / CAST({tot} AS DOUBLE) END AS p_{s}_{t}")
+    return ",\n           ".join(cols)
+
+
+def _mk_scenario(tag, removed):
+    stages = [f"i{tag}_0 AS (SELECT "
+              + ", ".join(f"0.0 AS v_{c}" for c in _MK_CH) + ")"]
+    for k in range(1, _MK_IT + 1):
+        exprs = []
+        for t in _MK_CH:
+            if t == removed:
+                exprs.append(f"0.0 AS v_{t}")
+            else:
+                e = f"p_{t}_CONV"
+                for u in _MK_CH:
+                    e += f" + p_{t}_{u} * v_{u}"
+                exprs.append(f"{e} AS v_{t}")
+        stages.append(
+            f"i{tag}_{k} AS (SELECT " + ", ".join(exprs)
+            + f" FROM i{tag}_{k - 1} CROSS JOIN m)")
+    final = "p_START_CONV"
+    for u in _MK_CH:
+        final += f" + p_START_{u} * v_{u}"
+    stages.append(f"f{tag} AS (SELECT {final} AS p"
+                  f" FROM i{tag}_{_MK_IT} CROSS JOIN m)")
+    return ",\n".join(stages)
+
+
+def _mk_oracle():
+    scen = [_mk_scenario("b", None)]
+    for c in _MK_CH:
+        scen.append(_mk_scenario(c, c))
+    re_exprs = [
+        f"CASE WHEN pb > 0 THEN 1.0 - p_{c} / pb ELSE 0.0 END AS re_{c}"
+        for c in _MK_CH]
+    tot = " + ".join(f"re_{c}" for c in _MK_CH)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT '{c}' AS channel, round(pb, 6) AS p_conv_base, "
+        f"round(re_{c}, 6) AS removal_effect, "
+        f"CASE WHEN tot_re > 0 THEN round(re_{c} / tot_re, 6) "
+        f"ELSE 0.0 END AS attribution FROM res"
+        for c in _MK_CH)
+    return f"""
+WITH conv AS (
+    SELECT user_id, min(ts) AS cts FROM events
+    WHERE event_type = 'purchase' GROUP BY user_id),
+convk AS (
+    SELECT e.user_id, c.cts, min(e.event_id) AS cid
+    FROM events e JOIN conv c
+      ON e.user_id = c.user_id AND e.ts = c.cts
+    WHERE e.event_type = 'purchase' GROUP BY e.user_id, c.cts),
+j AS (
+    SELECT e.user_id, e.ts, e.event_id,
+           CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+                ELSE e.event_type END AS st
+    FROM events e LEFT JOIN convk k ON e.user_id = k.user_id
+    WHERE k.user_id IS NULL OR e.ts < k.cts
+       OR (e.ts = k.cts AND e.event_id <= k.cid)),
+tr AS (
+    SELECT coalesce(lag(st) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id),
+                    'START') AS src,
+           st AS dst
+    FROM j),
+counts AS MATERIALIZED (
+    SELECT src, dst, count(*) AS n FROM tr GROUP BY 1, 2),
+m AS MATERIALIZED (
+    SELECT {_mk_matrix_cols()}
+    FROM counts),
+{",".join(scen)},
+res AS (
+    SELECT pb, {", ".join(f"re_{c}" for c in _MK_CH)},
+           {tot} AS tot_re
+    FROM (SELECT fb.p AS pb,
+                 {", ".join(f"f{c}.p AS p_raw_{c}" for c in _MK_CH)},
+                 {", ".join(f"CASE WHEN fb.p > 0 THEN 1.0 - f{c}.p / fb.p ELSE 0.0 END AS re_{c}"
+                            for c in _MK_CH)},
+                 {", ".join(f"f{c}.p AS p_{c}" for c in _MK_CH)}
+          FROM fb {" ".join(f"CROSS JOIN f{c}" for c in _MK_CH)}))
+{rows}
+"""
+
+
+ORACLES["q_markov_attribution"] = _mk_oracle()

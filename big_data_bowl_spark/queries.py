@@ -4139,6 +4139,98 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+MARKOV_CHANNELS = ["view", "click", "signup", "error"]
+MARKOV_ITERS = 12
+
+
+def _markov_transitions(spark, sf_dir):
+    """User journeys truncated at FIRST purchase → first-order
+    transition counts over START / channels / CONV (no-conversion ends
+    are the implicit NULL sink: the solve only needs outgoing totals).
+    One window shuffle on the user key; counts collapse to the ≤ 6×6
+    grain."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    conv = (e.filter(F.col("event_type") == "purchase")
+             .groupBy("user_id")
+             .agg(F.min(F.struct("ts", "event_id")).alias("__ck")))
+    j = (e.join(conv, "user_id", "left")
+          .filter(F.col("__ck").isNull()
+                  | (F.struct("ts", "event_id") <= F.col("__ck")))
+          .withColumn("__st",
+                      F.when(F.col("event_type") == "purchase", "CONV")
+                       .otherwise(F.col("event_type")))
+          .withColumn("__src", F.coalesce(F.lag("__st").over(w),
+                                          F.lit("START"))))
+    return (j.groupBy(F.col("__src").alias("src"),
+                      F.col("__st").alias("dst"))
+             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _markov_solve(P, removed):
+    """Fixed-iteration absorption probability of CONV from START with
+    channel ``removed`` pinned to 0 — accumulation order matches the
+    oracle's SQL expression order term by term (left-assoc +)."""
+    v = {c: 0.0 for c in MARKOV_CHANNELS}
+    for _ in range(MARKOV_ITERS):
+        nv = {}
+        for t in MARKOV_CHANNELS:
+            if t == removed:
+                nv[t] = 0.0
+                continue
+            acc = P[t]["CONV"]
+            for u in MARKOV_CHANNELS:
+                acc = acc + P[t][u] * v[u]
+            nv[t] = acc
+        v = nv
+    acc = P["START"]["CONV"]
+    for u in MARKOV_CHANNELS:
+        acc = acc + P["START"][u] * v[u]
+    return acc
+
+
+def q_markov_attribution(spark, sf_dir):
+    """Markov-chain attribution removal effects, HASH-VERIFIED: the
+    data-driven alternative to last-touch — each channel's value is
+    how much the first-order journey chain's conversion probability
+    drops when that channel is removed (its absorption probability
+    pinned to 0), normalized into attribution shares.
+
+    The DISTRIBUTED work is the journey build + transition counts
+    (one user-key window shuffle, collapsing to the ≤ 6×6 grain); the
+    solve collects that tiny matrix to the driver (the BPE-top-K /
+    sketch-geometry collect class) and runs a FIXED 12-iteration
+    absorption recursion per scenario in plain Python floats — every
+    multiply/add in the same textual order as the oracle's unrolled
+    1-row CTE stages (the pca_power / pagerank discipline), so the
+    probabilities are bit-identical.  Returns one row per channel
+    (channel, p_conv_base, removal_effect, attribution)."""
+    counts = {(r["src"], r["dst"]): r["n"]
+              for r in _markov_transitions(spark, sf_dir).collect()}
+    srcs = ["START", *MARKOV_CHANNELS]
+    dsts = [*MARKOV_CHANNELS, "CONV"]
+    P = {}
+    for s in srcs:
+        tot = sum(counts.get((s, t2), 0)
+                  for t2 in [*MARKOV_CHANNELS, "CONV"])
+        P[s] = {t: (counts.get((s, t), 0) / tot if tot else 0.0)
+                for t in dsts}
+    p_base = _markov_solve(P, removed=None)
+    re = {}
+    for c in MARKOV_CHANNELS:
+        pc = _markov_solve(P, removed=c)
+        re[c] = (1.0 - pc / p_base) if p_base > 0 else 0.0
+    tot_re = 0.0
+    for c in MARKOV_CHANNELS:
+        tot_re = tot_re + re[c]
+    rows = [(c, round(p_base, 6), round(re[c], 6),
+             round(re[c] / tot_re, 6) if tot_re > 0 else 0.0)
+            for c in MARKOV_CHANNELS]
+    return spark.createDataFrame(
+        rows, "channel string, p_conv_base double, "
+              "removal_effect double, attribution double")
+
+
 def q_join_size_est(spark, sf_dir):
     """AGMS join-cardinality estimation, HASH-VERIFIED: size
     |orders ⋈ lineitem on orderkey| from two signed sketch tables
@@ -4877,6 +4969,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_markov_attribution": q_markov_attribution,
     "q_join_size_est": q_join_size_est,
     "q_rfm_segments": q_rfm_segments,
     "q_kaplan_meier": q_kaplan_meier,
