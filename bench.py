@@ -179,6 +179,12 @@ HEADLINE = [
     "q_forecast_backtest",
     # Kaplan-Meier product-limit curve (two distributed-cumsum passes)
     "q_kaplan_meier",
+    # round-7 batch 6: RFM quintile grid, AGMS join-size estimation
+    # (staged-hash sketch builds), and Markov attribution (distributed
+    # transition counts + the tiny-matrix driver solve)
+    "q_rfm_segments",
+    "q_join_size_est",
+    "q_markov_attribution",
 ]
 
 
