@@ -203,6 +203,24 @@ AUDITED: dict[str, str] = {
         "bucket RUNNING MAX: in-row bucket ids, local window, "
         "partitions-row offset fold — the only unpartitioned window "
         "is the offsets pass; final filter joins the grain back."),
+    "q_kaplan_meier": (
+        "Two cumsum_distributed passes on the pinned distinct-duration "
+        "grain (removals, then rounded ln factors); three bounded fact "
+        "scans (view-min, purchase-min, study end); no single-reducer "
+        "fact window."),
+    "q_join_size_est": (
+        "Two staged-hash AGMS builds (one linear pass each, hash "
+        "chains as named columns — CSE does not reach through the "
+        "Generate), pinned d×w sketches, a tiny (row, bucket) join; "
+        "the exact join rides alongside only to report quality."),
+    "q_rfm_segments": (
+        "One fact collapse to the pinned user grain; quintile "
+        "thresholds are a 1-row broadcast; scoring is map-side; the "
+        "final rollup is segment-grain."),
+    "q_forecast_backtest": (
+        "Cell-grain train means broadcast onto the test half; "
+        "floor-quantized micro-unit error sums — one combinable "
+        "aggregate, no window anywhere."),
     "q_kcore": (
         "Three peel rounds, each reading the previous round's pinned "
         "checkpoint: degree agg + two co-partitioned semi joins; plan "
