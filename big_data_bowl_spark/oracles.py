@@ -5389,3 +5389,46 @@ res AS (
 
 
 ORACLES["q_markov_attribution"] = _mk_oracle()
+
+# q_vocab_kl — per-source KL vs the corpus unigram mix; terms rounded
+# at 9 pre-sum.
+ORACLES["q_vocab_kl"] = """
+WITH st AS MATERIALIZED (
+    SELECT source, token, count(*) AS n_st FROM (
+        SELECT source,
+               unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                 AS token
+        FROM documents)
+    GROUP BY 1, 2),
+src_tot AS (
+    SELECT source, CAST(sum(n_st) AS BIGINT) AS ns FROM st GROUP BY 1),
+corp AS (
+    SELECT token, CAST(sum(n_st) AS BIGINT) AS nt FROM st GROUP BY 1),
+tot AS (SELECT CAST(sum(n_st) AS BIGINT) AS n FROM st),
+terms AS (
+    SELECT st.source, ns,
+           round((CAST(n_st AS DOUBLE) / CAST(ns AS DOUBLE))
+                 * ln((CAST(n_st AS DOUBLE) / CAST(ns AS DOUBLE))
+                      / (CAST(nt AS DOUBLE) / CAST(n AS DOUBLE))), 9)
+             AS t
+    FROM st JOIN src_tot USING (source) JOIN corp USING (token)
+    CROSS JOIN tot)
+SELECT source, CAST(max(ns) AS BIGINT) AS n_tokens,
+       round(sum(t), 6) AS kl
+FROM terms GROUP BY 1
+"""
+
+# q_burst_detection — trailing 1h RANGE window on epoch seconds.
+ORACLES["q_burst_detection"] = """
+WITH e AS (
+    SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events),
+b AS (
+    SELECT user_id,
+           count(*) OVER (PARTITION BY user_id ORDER BY ep
+                          RANGE BETWEEN 3600 PRECEDING
+                                    AND CURRENT ROW) AS burst
+    FROM e)
+SELECT user_id, count(*) AS n_events,
+       CAST(max(burst) AS BIGINT) AS max_burst_1h
+FROM b GROUP BY 1
+"""

@@ -4139,6 +4139,54 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_vocab_kl(spark, sf_dir):
+    """Per-source vocabulary KL divergence vs the corpus mix,
+    HASH-VERIFIED: KL(P_source ‖ P_corpus) over unigram distributions —
+    the domain-mix drift report that flags which source's language has
+    wandered from the blend.  No smoothing needed: the corpus is a
+    superset of every source, so P_corpus > 0 wherever a term
+    contributes.  ONE token pass to the (source, token) grain; the
+    corpus token table derives from it (vocab-grain second aggregate,
+    joined back on the term); each p·ln(p/q) term rounds at 9 BEFORE
+    the per-source sum (the q_group_entropy order-free discipline)."""
+    d = _t(spark, sf_dir, "documents")
+    from .pipeline.text import _tokens
+    st = (d.select("source", F.explode(_tokens("text")).alias("term"))
+           .groupBy("source", "term")
+           .agg(F.count(F.lit(1)).alias("n_st"))
+           .localCheckpoint(eager=True))  # feeds corpus + source aggs
+    src_tot = st.groupBy("source").agg(F.sum("n_st").alias("__ns"))
+    corp = st.groupBy("term").agg(F.sum("n_st").alias("__nt"))
+    tot = st.agg(F.sum("n_st").alias("__n"))
+    p_s = F.col("n_st").cast("double") / F.col("__ns").cast("double")
+    p_c = F.col("__nt").cast("double") / F.col("__n").cast("double")
+    terms = (st.join(F.broadcast(src_tot), "source")
+               .join(corp, "term")
+               .crossJoin(F.broadcast(tot))
+               .select("source", "__ns",
+                       F.round(p_s * F.log(p_s / p_c), 9).alias("__t")))
+    return (terms.groupBy("source")
+                 .agg(F.max("__ns").alias("n_tokens"),
+                      F.round(F.sum("__t"), 6).alias("kl")))
+
+
+def q_burst_detection(spark, sf_dir):
+    """Per-user burst score, HASH-VERIFIED: the maximum number of
+    events inside any trailing one-hour window — the rate-anomaly / bot
+    signal a simple count threshold misses when activity is bursty but
+    sparse.  One user-partitioned RANGE window over integer epoch
+    seconds (parallel across users, never global), then a per-user max
+    — two aggregates on one exchange's partitioning."""
+    e = (_t(spark, sf_dir, "events")
+         .select("user_id", F.unix_timestamp("ts").alias("__ep")))
+    w = (Window.partitionBy("user_id").orderBy("__ep")
+               .rangeBetween(-3600, 0))
+    return (e.withColumn("__burst", F.count(F.lit(1)).over(w))
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max("__burst").alias("max_burst_1h")))
+
+
 MARKOV_CHANNELS = ["view", "click", "signup", "error"]
 MARKOV_ITERS = 12
 
@@ -4969,6 +5017,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_vocab_kl": q_vocab_kl,
+    "q_burst_detection": q_burst_detection,
     "q_markov_attribution": q_markov_attribution,
     "q_join_size_est": q_join_size_est,
     "q_rfm_segments": q_rfm_segments,
