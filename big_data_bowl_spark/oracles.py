@@ -5432,3 +5432,87 @@ SELECT user_id, count(*) AS n_events,
        CAST(max(burst) AS BIGINT) AS max_burst_1h
 FROM b GROUP BY 1
 """
+
+# q_lead_lag — dense hour grid (generate_series ≡ F.sequence inclusive),
+# per-lag HUGEINT moment aggregates, one identical r expression.
+ORACLES["q_lead_lag"] = """
+WITH hours AS MATERIALIZED (
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2),
+span AS (
+    SELECT CAST(floor(epoch(date_trunc('hour', min(ts)))) AS BIGINT)
+             AS lo,
+           CAST(floor(epoch(date_trunc('hour', max(ts)))) AS BIGINT)
+             AS hi
+    FROM events),
+grid AS MATERIALIZED (
+    SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM span),
+a AS MATERIALIZED (
+    SELECT g.h, CAST(coalesce(x.n, 0) AS BIGINT) AS c
+    FROM grid g LEFT JOIN (SELECT h, n FROM hours
+                           WHERE event_type = 'view') x ON g.h = x.h),
+b AS MATERIALIZED (
+    SELECT g.h, CAST(coalesce(x.n, 0) AS BIGINT) AS c
+    FROM grid g LEFT JOIN (SELECT h, n FROM hours
+                           WHERE event_type = 'purchase') x
+      ON g.h = x.h),
+lags AS (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS k),
+m AS (
+    SELECT k, CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(a.c) AS HUGEINT) AS sx,
+           CAST(sum(b.c) AS HUGEINT) AS sy,
+           CAST(sum(CAST(a.c AS HUGEINT) * a.c) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(b.c AS HUGEINT) * b.c) AS HUGEINT) AS syy,
+           CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS sxy
+    FROM lags JOIN a ON true JOIN b ON b.h - k * 3600 = a.h
+    GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS r
+FROM m
+"""
+
+# q_stratified_rates — direct standardization over nations present in
+# both parity arms; weighted-rate terms rounded at 9 pre-sum.
+ORACLES["q_stratified_rates"] = """
+WITH conv AS (
+    SELECT DISTINCT o_custkey AS c_custkey FROM orders
+    WHERE o_orderpriority = '1-URGENT'),
+u AS (
+    SELECT c.c_nationkey AS s, c.c_custkey % 2 AS arm,
+           CASE WHEN v.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS x
+    FROM customer c LEFT JOIN conv v ON c.c_custkey = v.c_custkey),
+cells AS (
+    SELECT s, arm, count(*) AS n, CAST(sum(x) AS BIGINT) AS cx
+    FROM u GROUP BY 1, 2),
+wide AS (
+    SELECT s, CAST(sum(n) AS BIGINT) AS ns, count(*) AS arms,
+           CAST(sum(CASE WHEN arm = 0 THEN cx END) AS BIGINT) AS xa,
+           CAST(sum(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS na,
+           CAST(sum(CASE WHEN arm = 1 THEN cx END) AS BIGINT) AS xb,
+           CAST(sum(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS nb
+    FROM cells GROUP BY 1
+    HAVING count(*) = 2),
+tot AS (SELECT CAST(sum(ns) AS BIGINT) AS nn FROM wide),
+terms AS (
+    SELECT na, xa, nb, xb,
+           round((CAST(ns AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (CAST(xa AS DOUBLE) / CAST(na AS DOUBLE)), 9) AS ta,
+           round((CAST(ns AS DOUBLE) / CAST(nn AS DOUBLE))
+                 * (CAST(xb AS DOUBLE) / CAST(nb AS DOUBLE)), 9) AS tb
+    FROM wide CROSS JOIN tot)
+SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(xa) AS BIGINT) AS x_a,
+       CAST(sum(nb) AS BIGINT) AS n_b, CAST(sum(xb) AS BIGINT) AS x_b,
+       round(CAST(sum(xa) AS BIGINT) / CAST(sum(na) AS DOUBLE), 6)
+         AS raw_rate_a,
+       round(CAST(sum(xb) AS BIGINT) / CAST(sum(nb) AS DOUBLE), 6)
+         AS raw_rate_b,
+       round(sum(ta), 6) AS adj_rate_a,
+       round(sum(tb), 6) AS adj_rate_b
+FROM terms
+"""

@@ -4139,6 +4139,124 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_lead_lag(spark, sf_dir):
+    """Lead–lag cross-correlation, HASH-VERIFIED: Pearson r between the
+    hourly view series and the hourly purchase series at lags −3..+3 h —
+    the "does activity lead conversion?" time-series diagnostic.  The
+    hour grid is a DENSE explode of the full span (missing hours are
+    true zeros, not dropped rows — dropping them biases r toward
+    co-activity); each lag is one grid self-join plus a 6-moment exact
+    aggregate (DECIMAL(38,0) sums of integer counts — the
+    metric_correlations discipline; built-in corr would not
+    hash-match), and r is one identical double expression.  The grid is
+    span-bounded (hours, not events), so the 7 lag passes cost
+    span × 7 rows total."""
+    e = _t(spark, sf_dir, "events")
+    hours = (e.groupBy(F.unix_timestamp(
+                 F.date_trunc("hour", F.col("ts"))).alias("__h"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    span = e.agg(
+        F.unix_timestamp(F.date_trunc("hour", F.min("ts"))).alias("__lo"),
+        F.unix_timestamp(F.date_trunc("hour", F.max("ts"))).alias("__hi"))
+    grid = (span.select(F.explode(F.sequence(
+                F.col("__lo"), F.col("__hi"),
+                F.lit(3600))).alias("__h")))
+
+    def series(et):
+        return (grid.join(hours.filter(F.col("event_type") == et)
+                               .select("__h", "__n"), "__h", "left")
+                    .select("__h", F.coalesce("__n", F.lit(0))
+                            .alias("__c")))
+
+    a = series("view").localCheckpoint(eager=True)
+    b = series("purchase").localCheckpoint(eager=True)
+    dec = "decimal(38,0)"
+    outs = []
+    for k in range(-3, 4):
+        j = (a.select(F.col("__h"), F.col("__c").alias("__x"))
+              .join(b.select((F.col("__h") - k * 3600).alias("__h"),
+                             F.col("__c").alias("__y")), "__h"))
+        x, y = F.col("__x").cast(dec), F.col("__y").cast(dec)
+        m = j.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                  F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                  F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+                  F.sum(x * y).alias("sxy"))
+        num = (F.col("n") * F.col("sxy")
+               - F.col("sx") * F.col("sy")).cast("double")
+        da = (F.col("n") * F.col("sxx")
+              - F.col("sx") * F.col("sx")).cast("double")
+        db = (F.col("n") * F.col("syy")
+              - F.col("sy") * F.col("sy")).cast("double")
+        outs.append(m.select(
+            F.lit(k).cast("long").alias("lag_hours"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.when((da > 0) & (db > 0),
+                   F.round(num / F.sqrt(da * db), 6))
+             .otherwise(F.lit(0.0)).alias("r")))
+    from functools import reduce as _reduce
+    return _reduce(lambda u, v: u.unionByName(v), outs)
+
+
+def q_stratified_rates(spark, sf_dir):
+    """Direct-standardized conversion rates, HASH-VERIFIED — the
+    Simpson's-paradox guard for experiment readouts: per parity arm,
+    the urgent-order rate among customers both RAW and ADJUSTED to the
+    common nation mix (Σ_s w_s·rate_{arm,s}, w_s = the stratum's share
+    of all customers).  Strata missing either arm are dropped from the
+    adjusted sums ON BOTH SIDES (a one-armed stratum has no comparable
+    rate).  Everything from one customer-grain outcome join + one
+    stratum-grain aggregate; weighted-rate terms round at 9 before the
+    sum."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    conv = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+             .select(F.col("o_custkey").alias("c_custkey")).distinct()
+             .withColumn("__conv", F.lit(1)))
+    u = (c.join(conv, "c_custkey", "left")
+          .select(F.col("c_nationkey").alias("__s"),
+                  F.pmod(F.col("c_custkey"), F.lit(2)).alias("__arm"),
+                  F.coalesce("__conv", F.lit(0)).alias("__x")))
+    cells = (u.groupBy("__s", "__arm")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum("__x").alias("__cx"))
+              .localCheckpoint(eager=True))
+    # strata present in BOTH arms, with the stratum weight from ALL
+    # customers (both arms)
+    wide = (cells.groupBy("__s")
+                 .agg(F.sum("__n").alias("__ns"),
+                      F.count(F.lit(1)).alias("__arms"),
+                      F.sum(F.when(F.col("__arm") == 0, F.col("__cx")))
+                       .alias("__xa"),
+                      F.sum(F.when(F.col("__arm") == 0, F.col("__n")))
+                       .alias("__na"),
+                      F.sum(F.when(F.col("__arm") == 1, F.col("__cx")))
+                       .alias("__xb"),
+                      F.sum(F.when(F.col("__arm") == 1, F.col("__n")))
+                       .alias("__nb"))
+                 .filter(F.col("__arms") == 2))
+    tot = wide.agg(F.sum("__ns").alias("__N"))
+    w_s = F.col("__ns").cast("double") / F.col("__N").cast("double")
+    terms = (wide.crossJoin(F.broadcast(tot))
+                 .select(
+                     "__na", "__xa", "__nb", "__xb",
+                     F.round(w_s * (F.col("__xa").cast("double")
+                                    / F.col("__na").cast("double")), 9)
+                      .alias("__ta"),
+                     F.round(w_s * (F.col("__xb").cast("double")
+                                    / F.col("__nb").cast("double")), 9)
+                      .alias("__tb")))
+    return terms.agg(
+        F.sum("__na").alias("n_a"), F.sum("__xa").alias("x_a"),
+        F.sum("__nb").alias("n_b"), F.sum("__xb").alias("x_b"),
+        F.round(F.sum("__xa") / F.sum("__na").cast("double"), 6)
+         .alias("raw_rate_a"),
+        F.round(F.sum("__xb") / F.sum("__nb").cast("double"), 6)
+         .alias("raw_rate_b"),
+        F.round(F.sum("__ta"), 6).alias("adj_rate_a"),
+        F.round(F.sum("__tb"), 6).alias("adj_rate_b"))
+
+
 def q_vocab_kl(spark, sf_dir):
     """Per-source vocabulary KL divergence vs the corpus mix,
     HASH-VERIFIED: KL(P_source ‖ P_corpus) over unigram distributions —
@@ -5017,6 +5135,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_lead_lag": q_lead_lag,
+    "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
     "q_burst_detection": q_burst_detection,
     "q_markov_attribution": q_markov_attribution,
