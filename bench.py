@@ -185,6 +185,12 @@ HEADLINE = [
     "q_rfm_segments",
     "q_join_size_est",
     "q_markov_attribution",
+    # round-7 batch 7/8: vocab-KL drift, the trailing-window burst
+    # signal, dense-grid lead-lag correlation, standardized rates
+    "q_vocab_kl",
+    "q_burst_detection",
+    "q_lead_lag",
+    "q_stratified_rates",
 ]
 
 

@@ -5516,3 +5516,26 @@ SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(xa) AS BIGINT) AS x_a,
        round(sum(tb), 6) AS adj_rate_b
 FROM terms
 """
+
+# q_degree_distribution — degree histogram + CSN discrete-MLE alpha
+# over degrees >= 2; ln terms rounded at 9 pre-sum.
+ORACLES["q_degree_distribution"] = """
+WITH rel AS (
+    SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b
+    FROM rel x JOIN rel y USING (i)
+    WHERE x.e <> y.e),
+deg AS MATERIALIZED (
+    SELECT node, count(*) AS deg
+    FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+    GROUP BY 1),
+hist AS (SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1),
+alpha AS (
+    SELECT round(1.0 + CAST(count(*) AS DOUBLE)
+                 / sum(round(ln(CAST(deg AS DOUBLE) / 1.5), 9)), 6)
+             AS alpha_hat
+    FROM deg WHERE deg >= 2)
+SELECT CAST(h.deg AS BIGINT) AS deg, h.n_nodes, a.alpha_hat
+FROM hist h CROSS JOIN alpha a
+"""

@@ -4139,6 +4139,40 @@ def q_funnel_stages(spark, sf_dir):
 # WITHOUT a green CORRECTNESS row from any prior round are listed first —
 # maximizing fresh coverage per round; all entries pass the identical
 # check locally (tests/test_oracle_parity.py + the verify driver sim).
+def q_degree_distribution(spark, sf_dir):
+    """Graph degree distribution + power-law exponent, HASH-VERIFIED:
+    the degree histogram of the user co-occurrence graph and the
+    discrete MLE α̂ = 1 + n / Σ ln(d / (d_min − ½)) (Clauset–Shalizi–
+    Newman) over degrees ≥ d_min=2 — the heavy-tail diagnostic that
+    says whether hub-aware strategies (degree-oriented wedges, salted
+    joins) are worth their complexity on this graph.  One degree
+    aggregate off the canonical edge union; the histogram is
+    degree-grain; each ln term rounds at 9 before the sum and α̂ rides
+    every histogram row (a 1-row broadcast)."""
+    from .operators.graph import bipartite_edges
+    e = _t(spark, sf_dir, "events")
+    rel = e.select("user_id",
+                   (F.col("event_id") / 5).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item",
+                            max_entities_per_item=8, undirected=True)
+    edges = edges.localCheckpoint(eager=True)
+    deg = (edges.select(F.col("src").alias("node"))
+                .union(edges.select(F.col("dst").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=True))
+    hist = deg.groupBy("deg").agg(F.count(F.lit(1)).alias("n_nodes"))
+    dmin = 2
+    tail = deg.filter(F.col("deg") >= dmin)
+    alpha = (tail.agg(
+        F.count(F.lit(1)).alias("__nt"),
+        F.sum(F.round(F.log(F.col("deg").cast("double")
+                            / (dmin - 0.5)), 9)).alias("__sl"))
+        .select(F.round(1.0 + F.col("__nt").cast("double")
+                        / F.col("__sl"), 6).alias("alpha_hat")))
+    return (hist.crossJoin(F.broadcast(alpha))
+                .select("deg", "n_nodes", "alpha_hat"))
+
+
 def q_lead_lag(spark, sf_dir):
     """Lead–lag cross-correlation, HASH-VERIFIED: Pearson r between the
     hourly view series and the hourly purchase series at lags −3..+3 h —
@@ -5135,6 +5169,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_kcore": q_kcore,
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
+    "q_degree_distribution": q_degree_distribution,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
