@@ -191,6 +191,7 @@ HEADLINE = [
     "q_burst_detection",
     "q_lead_lag",
     "q_stratified_rates",
+    "q_degree_distribution",
 ]
 
 
