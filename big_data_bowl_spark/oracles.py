@@ -2703,16 +2703,6 @@ WHERE (d.doc_id % 2147483648) * 2654435761 % 4294967296
       / 4294967296.0 < r.rate
 """
 
-ORACLES["q_trending_decay"] = """
-WITH anchor AS (
-    SELECT CAST(floor(epoch(max(ts))) AS BIGINT) AS now FROM events)
-SELECT event_type, count(*) AS n,
-       round(sum(exp(-(now - CAST(floor(epoch(ts)) AS BIGINT))
-                     / 604800.0)), 6) AS trend_score
-FROM events CROSS JOIN anchor
-GROUP BY event_type
-"""
-
 ORACLES["q_attribution"] = """
 WITH purchases AS (
     SELECT event_id, user_id, ts FROM events

@@ -3634,22 +3634,6 @@ def q_quantile_normalize(spark, sf_dir):
              .withColumn("qnorm", roundn(F.percent_rank().over(w))))
 
 
-def q_trending_decay(spark, sf_dir):
-    """Trending score per event_type: exponentially-decayed event count
-    Σ exp(−age/τ) with τ = 7 days, anchored at the corpus max timestamp
-    (in-plan scalar broadcast, no wall clock — deterministic).  The decay
-    weight is map-side; the aggregate is one combinable sum, so 'what's
-    hot now' costs the same as a plain count at any scale."""
-    e = _t(spark, sf_dir, "events")
-    anchor = e.agg(F.max(F.unix_timestamp("ts")).alias("__now"))
-    tau = 7 * 86400.0
-    w = F.exp(-(F.col("__now") - F.unix_timestamp("ts")) / F.lit(tau))
-    return (e.crossJoin(F.broadcast(anchor))
-             .groupBy("event_type")
-             .agg(F.count(F.lit(1)).alias("n"),
-                  roundn(F.sum(w)).alias("trend_score")))
-
-
 def q_temperature_mix(spark, sf_dir):
     """Temperature-2 dataset mixing over the documents sources:
     √n-proportional sampling rates derived in-plan, deterministic hash
