@@ -5221,7 +5221,6 @@ QUERIES: dict[str, QueryFn] = {
     "q_new_vs_returning": q_new_vs_returning,
     "q_group_entropy": q_group_entropy,
     "q_quantile_normalize": q_quantile_normalize,
-    "q_trending_decay": q_trending_decay,
     "q_temperature_mix": q_temperature_mix,
     "q_negative_samples": q_negative_samples,
     "q_synthetic_source": q_synthetic_source,
