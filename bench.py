@@ -192,6 +192,8 @@ HEADLINE = [
     "q_lead_lag",
     "q_stratified_rates",
     "q_degree_distribution",
+    "q_label_propagation",
+    "q_bfs_hops",
 ]
 
 

@@ -240,3 +240,86 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
                         "b", "left_semi")
                   .localCheckpoint(eager=True))
     return degrees(und)
+
+
+def _undirected_neighbors(edges: DataFrame) -> DataFrame:
+    """Canonicalize an edge list to distinct undirected edges, then emit
+    the doubled (node, nb) adjacency — pinned once, because iterative
+    consumers hit it every round (the pagerank:87 discipline)."""
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+                .filter(F.col("a") != F.col("b"))
+                .distinct())
+    return (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
+               .union(und.select(F.col("b").alias("node"),
+                                 F.col("a").alias("nb")))
+               .localCheckpoint(eager=True))
+
+
+def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation (LPA) community detection
+    (Raghavan et al. 2007): every node starts as its own label; each
+    round it adopts the MOST FREQUENT label among its neighbors, ties
+    broken by the smallest label — a deterministic synchronous variant,
+    so a FIXED round unroll is exactly reproducible by a SQL oracle
+    (the pagerank/kcore discipline; asynchronous LPA is run-order
+    dependent and cannot be oracle-checked).
+
+    Per round: ONE shuffle join adjacency⋈labels on the neighbor key +
+    one (node, label) count aggregate; the argmax collapses in the same
+    aggregate pass as ``max(struct(count, -label))`` — no window, no
+    second exchange.  Labels are node-grain (≪ edges) and pin each
+    round so lineage stays O(1).  At 1000-executor scale both the
+    adjacency and the label table shuffle on the node key and stay
+    co-partitioned round to round.
+
+    Returns (node, label) after ``rounds`` synchronous updates; label
+    is the elected community id (a member node id)."""
+    require_columns(edges, ["src", "dst"], "label_propagation")
+    nbr = _undirected_neighbors(edges)
+    labels = (nbr.select("node").distinct()
+                 .withColumn("label", F.col("node")))
+    for _ in range(rounds):
+        votes = (nbr.join(labels.select(F.col("node").alias("nb"),
+                                        "label"), "nb")
+                    .groupBy("node", "label")
+                    .agg(F.count(F.lit(1)).alias("c")))
+        best = F.max(F.struct(F.col("c"),
+                              (-F.col("label")).alias("nl"))).alias("m")
+        labels = (votes.groupBy("node").agg(best)
+                       .select("node", (-F.col("m.nl")).alias("label"))
+                       .localCheckpoint(eager=True))
+    return labels
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame,
+             max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS hop distance: min number of edges from any seed
+    node, frontier-relaxed for a FIXED ``max_hops`` rounds (Bellman-Ford
+    style min-relax — rounds past the true eccentricity are idempotent,
+    the kcore budget argument, so the unrolled SQL oracle only needs the
+    budget to cover the hop cap, and the cap itself is part of the
+    query's semantics: "reachable within k hops").
+
+    Per round: ONE shuffle join adjacency⋈dist on the node key + one
+    min aggregate over (old dist ∪ relaxed candidates); dist is
+    node-grain and pins each round.  This is exactly how Pregel-style
+    SSSP maps onto joins — no driver-side frontier set, no collect.
+
+    ``seeds`` is a 1-column (node) DataFrame; returns (node, hops) for
+    every node reachable within ``max_hops``."""
+    require_columns(edges, ["src", "dst"], "bfs_hops")
+    require_columns(seeds, ["node"], "bfs_hops")
+    nbr = _undirected_neighbors(edges)
+    dist = (seeds.select("node").distinct()
+                 .join(nbr.select("node").distinct(), "node", "left_semi")
+                 .withColumn("hops", F.lit(0).cast("long")))
+    for _ in range(max_hops):
+        relaxed = (nbr.join(dist, "node")
+                      .select(F.col("nb").alias("node"),
+                              (F.col("hops") + 1).alias("hops")))
+        dist = (dist.unionByName(relaxed)
+                    .groupBy("node")
+                    .agg(F.min("hops").alias("hops"))
+                    .localCheckpoint(eager=True))
+    return dist

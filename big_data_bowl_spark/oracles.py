@@ -5529,3 +5529,64 @@ alpha AS (
 SELECT CAST(h.deg AS BIGINT) AS deg, h.n_nodes, a.alpha_hat
 FROM hist h CROSS JOIN alpha a
 """
+
+# q_label_propagation — 3 synchronous LPA rounds unrolled as CTE stages;
+# election is (count DESC, label ASC), identical to the engine's
+# max(struct(c, -label)) aggregate.  Stages materialize because each is
+# referenced by the next round's join (DuckDB re-inlines multi-use CTEs).
+_LPA_ROUND = """\
+c{k} AS (
+    SELECT n.node, l.label, count(*) AS c
+    FROM nbr n JOIN l{p} l ON n.nb = l.node
+    GROUP BY 1, 2),
+l{k} AS MATERIALIZED (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c{k})
+    WHERE rn = 1)"""
+
+ORACLES["q_label_propagation"] = ("""
+WITH rel AS (
+    SELECT DISTINCT user_id AS e, event_id // 2 AS i FROM events
+    WHERE event_type = 'purchase'),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b
+    FROM rel x JOIN rel y USING (i)
+    WHERE x.e <> y.e),
+nbr AS MATERIALIZED (
+    SELECT a AS node, b AS nb FROM und
+    UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+""" + ",\n".join(_LPA_ROUND.format(k=k, p=k - 1) for k in range(1, 4)) + """
+SELECT label AS community, count(*) AS n_members
+FROM l3 GROUP BY 1
+""")
+
+# q_bfs_hops — 3 min-relax rounds unrolled; hops are exact integers.
+_BFS_ROUND = """\
+d{k} AS MATERIALIZED (
+    SELECT node, min(hops) AS hops FROM (
+        SELECT node, hops FROM d{p}
+        UNION ALL
+        SELECT n.nb AS node, d.hops + 1 AS hops
+        FROM nbr n JOIN d{p} d ON n.node = d.node)
+    GROUP BY 1)"""
+
+ORACLES["q_bfs_hops"] = ("""
+WITH rel AS (
+    SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b
+    FROM rel x JOIN rel y USING (i)
+    WHERE x.e <> y.e),
+nbr AS MATERIALIZED (
+    SELECT a AS node, b AS nb FROM und
+    UNION ALL SELECT b, a FROM und),
+d0 AS (
+    SELECT DISTINCT node, 0 AS hops FROM nbr
+    WHERE node % 10 = 0),
+""" + ",\n".join(_BFS_ROUND.format(k=k, p=k - 1) for k in range(1, 4)) + """
+SELECT node AS user_id, CAST(hops AS BIGINT) AS hops FROM d3
+""")

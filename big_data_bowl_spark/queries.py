@@ -5141,6 +5141,50 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(d, F.col("lang") == "en")
 
 
+def q_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities over the user
+    co-occurrence graph, HASH-VERIFIED: 3 LPA rounds (adopt the most
+    frequent neighbor label, min-label tie-break — deterministic, so
+    the oracle unrolls the exact rounds as CTE stages with the same
+    (count DESC, label ASC) election), then the community-size report.
+    The graph is the SPARSE purchase-partner relation (users sharing a
+    purchase pair-slot, fan-out ≤2 per item) — the dense all-events
+    graph is a giant quasi-random component where LPA degenerately
+    collapses to one label; community detection is only meaningful on
+    graphs with actual sparse structure.  Per round one adjacency⋈labels
+    shuffle + one count aggregate whose argmax rides the same pass as
+    max(struct(c, −label)) — no window; labels are node-grain and pin
+    each round (pagerank:87)."""
+    from .operators.graph import bipartite_edges, label_propagation
+    e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    rel = e.select("user_id",
+                   (F.col("event_id") / 2).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item",
+                            max_entities_per_item=8, undirected=True)
+    lab = label_propagation(edges, rounds=3)
+    return (lab.groupBy(F.col("label").alias("community"))
+               .agg(F.count(F.lit(1)).alias("n_members")))
+
+
+def q_bfs_hops(spark, sf_dir):
+    """Multi-source BFS reachability over the user co-occurrence graph,
+    HASH-VERIFIED: hop distance from the seed set (user_id % 10 == 0)
+    relaxed for 3 fixed rounds — the Pregel SSSP shape as joins, one
+    adjacency⋈dist shuffle + one min aggregate per round, dist pinned
+    each round.  The oracle unrolls the same 3 min-relax stages; hops
+    are exact integers, so the match is bit-exact by construction."""
+    from .operators.graph import bipartite_edges, bfs_hops
+    e = _t(spark, sf_dir, "events")
+    rel = e.select("user_id",
+                   (F.col("event_id") / 5).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item",
+                            max_entities_per_item=8, undirected=True)
+    seeds = (e.select(F.col("user_id").alias("node")).distinct()
+              .filter(F.col("node") % 10 == 0))
+    return (bfs_hops(edges, seeds, max_hops=3)
+            .select(F.col("node").alias("user_id"), "hops"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5154,6 +5198,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_cusum_drift": q_cusum_drift,
     "q_woe_iv": q_woe_iv,
     "q_degree_distribution": q_degree_distribution,
+    "q_label_propagation": q_label_propagation,
+    "q_bfs_hops": q_bfs_hops,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

@@ -621,3 +621,74 @@ def test_kaplan_meier_equals_python_product_limit(spark, data):
             acc += 0.0
         n_risk -= rem
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=40), rounds=st.integers(1, 3))
+def test_label_propagation_equals_python_sync_rounds(spark, edges, rounds):
+    """The DataFrame LPA equals a Python synchronous simulation with the
+    same (count DESC, label ASC) election, round for round."""
+    from big_data_bowl_spark.operators.graph import label_propagation
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not es:
+        return
+    nbrs: dict[int, list[int]] = {}
+    for a, b in es:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(rounds):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt: dict[int, int] = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            new[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = new
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in es])
+    got = {r.node: r.label
+           for r in label_propagation(df, rounds=rounds).collect()}
+    assert got == lab
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge edge resolve to exactly their
+    min-member labels — the textbook community split."""
+    from big_data_bowl_spark.operators.graph import label_propagation
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    df = spark.createDataFrame(
+        [Row(src=a, dst=b) for a, b in c1 + c2 + [(3, 10)]])
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+    assert all(got[n] == 0 for n in range(4))
+    assert all(got[n] == 10 for n in range(10, 14))
+
+
+@settings(max_examples=6, deadline=None)
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 11), st.integers(0, 11)),
+    min_size=1, max_size=40), cap=st.integers(1, 4))
+def test_bfs_hops_equals_python_bfs(spark, edges, cap):
+    """Fixed-round min-relax equals true BFS distance clipped at the
+    hop cap (unreached nodes absent); seeds are nodes ≡0 mod 3."""
+    from big_data_bowl_spark.operators.graph import bfs_hops
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not es:
+        return
+    nbrs: dict[int, set[int]] = {}
+    for a, b in es:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    seeds = [n for n in nbrs if n % 3 == 0]
+    want = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for h in range(1, cap + 1):
+        frontier = {m for n in frontier for m in nbrs[n]} - set(want)
+        for m in frontier:
+            want[m] = h
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in es])
+    sdf = spark.createDataFrame([Row(node=n) for n in range(0, 12, 3)])
+    got = {r.node: r.hops for r in bfs_hops(df, sdf, max_hops=cap).collect()}
+    assert got == want
