@@ -5590,3 +5590,30 @@ d0 AS (
 """ + ",\n".join(_BFS_ROUND.format(k=k, p=k - 1) for k in range(1, 4)) + """
 SELECT node AS user_id, CAST(hops AS BIGINT) AS hops FROM d3
 """)
+
+# q_tfidf_topk — sklearn-smoothed idf; the score is one product of
+# engine-identical doubles, so the (score DESC, term ASC) election
+# ranks on the RAW product in both engines.
+ORACLES["q_tfidf_topk"] = """
+WITH tok AS (
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+    FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf,
+           CAST(tf.tf AS DOUBLE)
+           * (ln((1.0 + CAST(n.n_docs AS DOUBLE))
+                 / (1.0 + CAST(d.df AS DOUBLE))) + 1.0) AS s
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
+ranked AS (
+    SELECT doc_id, term, tf, s,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY s DESC, term ASC) AS rnk
+    FROM scored)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf,
+       round(s, 6) AS score
+FROM ranked WHERE rnk <= 3
+"""

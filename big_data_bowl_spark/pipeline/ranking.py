@@ -277,3 +277,44 @@ def pmi_collocations(docs: DataFrame, id_col: str = "doc_id",
     return joined.select(
         "prev", "term", "n_pair", "n_prev", "n_term",
         roundn(F.log(p_ab / (p_a * p_b))).alias("pmi"))
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """TF-IDF keyword extraction: the top-``k`` most characteristic terms
+    per document under the sklearn-style smoothed idf
+
+        score(d, t) = tf(d, t) · (ln((1 + N) / (1 + df(t))) + 1)
+
+    — the zero-training baseline for tagging, faceting, and dedup-key
+    selection over a corpus.
+
+    Shape: tokens explode ONCE into the (doc, term) tf aggregate; df
+    derives from that same table (one term-grain aggregate — vocabulary
+    size, not corpus size); N is a 1-row broadcast.  The df attach is a
+    plain shuffle join on the term (vocabulary-grain, same contract as
+    unigram_scores — AQE may broadcast it at small SF).  The top-k is a
+    row_number window PARTITIONED BY DOCUMENT — group-grain, never a
+    single reducer.  The score is one product of engine-identical
+    doubles (no sum), so ordering needs no quantization; ties break on
+    the term string.
+
+    Returns (doc_id, rnk, term, tf, score) with score rounded at 6.
+    """
+    require_columns(docs, [id_col, text_col], "tfidf_topk")
+    tok = docs.select(F.col(id_col),
+                      F.explode(_tokens(text_col)).alias("term"))
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (F.log((1.0 + F.col("n_docs").cast("double"))
+                 / (1.0 + F.col("df").cast("double"))) + 1.0)
+    scored = (tf.join(dfreq, "term")
+                .crossJoin(F.broadcast(n))
+                .select(F.col(id_col), "term", "tf",
+                        (F.col("tf").cast("double") * idf).alias("__s")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k)
+                  .select(F.col(id_col), F.col("rnk").cast("long").alias("rnk"),
+                          "term", "tf", roundn(F.col("__s")).alias("score")))

@@ -5185,6 +5185,19 @@ def q_bfs_hops(spark, sf_dir):
             .select(F.col("node").alias("user_id"), "hops"))
 
 
+def q_tfidf_topk(spark, sf_dir):
+    """TF-IDF keyword extraction, HASH-VERIFIED: top-3 most
+    characteristic terms per document under the sklearn smoothed idf
+    ln((1+N)/(1+df))+1.  One token explode into the (doc, term) tf
+    aggregate, df from that same table at vocabulary grain, N a 1-row
+    broadcast; the top-k window partitions BY DOCUMENT (group-grain,
+    never a single reducer) and the score is a single product of
+    engine-identical doubles, so rank order needs no quantization."""
+    from .pipeline.ranking import tfidf_topk
+    d = _t(spark, sf_dir, "documents")
+    return tfidf_topk(d, k=3)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5200,6 +5213,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_degree_distribution": q_degree_distribution,
     "q_label_propagation": q_label_propagation,
     "q_bfs_hops": q_bfs_hops,
+    "q_tfidf_topk": q_tfidf_topk,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

@@ -2104,3 +2104,34 @@ def test_span_dedup_incremental_matches_batch_semantics(spark):
                 .agg(F.sum("n_docs").alias("n_docs")))
     whole = {(r["gram"], r["n_docs"]) for r in idx.collect()}
     assert {(r["gram"], r["n_docs"]) for r in merged.collect()} == whole
+
+
+def test_tfidf_topk_matches_brute_force(spark):
+    """tfidf_topk equals a Python brute-force computation on a tiny
+    corpus, including the (score DESC, term ASC) tie-break."""
+    import math
+    from big_data_bowl_spark.pipeline.ranking import tfidf_topk
+    docs = [(0, "cat cat dog fish"), (1, "dog dog dog bird"),
+            (2, "cat bird bird fish fish fish"), (3, "zeta zeta alpha")]
+    want = {}
+    n = len(docs)
+    df_counts: dict[str, int] = {}
+    tfs = []
+    for did, text in docs:
+        tf: dict[str, int] = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        tfs.append((did, tf))
+        for t in tf:
+            df_counts[t] = df_counts.get(t, 0) + 1
+    for did, tf in tfs:
+        scored = sorted(
+            ((t, c, c * (math.log((1 + n) / (1 + df_counts[t])) + 1))
+             for t, c in tf.items()),
+            key=lambda x: (-x[2], x[0]))[:3]
+        for rnk, (t, c, s) in enumerate(scored, 1):
+            want[(did, rnk)] = (t, c, round(s, 6))
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {(r.doc_id, r.rnk): (r.term, r.tf, r.score)
+           for r in tfidf_topk(sdf, k=3).collect()}
+    assert got == want
