@@ -194,6 +194,8 @@ HEADLINE = [
     "q_degree_distribution",
     "q_label_propagation",
     "q_bfs_hops",
+    "q_tfidf_topk",
+    "q_fd_profile",
 ]
 
 

@@ -202,3 +202,42 @@ def anonymity_profile(df: DataFrame, quasi_cols: list[str],
                    F.countDistinct(sensitive_col).alias("l_distinct"))
               .withColumn("at_risk",
                           F.col("class_size") < F.lit(k_threshold)))
+
+
+def fd_profile(candidates: list[tuple[str, DataFrame, list[str],
+                                      str]]) -> DataFrame:
+    """Approximate functional-dependency profile: for each candidate FD
+    ``determinant → dependent`` (name, df, det_cols, dep_col), how close
+    the data comes to satisfying it — the schema-discovery /
+    normalization report profilers (Metanome's TANE family) produce, as
+    a tolerance PROFILE rather than a boolean, because real warehouses
+    hold FDs only approximately (g3-style error: the share of rows
+    sitting in determinant groups that map to more than one dependent
+    value).
+
+    Shape per candidate: ONE shuffle to the determinant grain (count +
+    exact distinct-dependent per group), then a tiny group-grain
+    summary; candidates evaluate independently and union, so nothing
+    serializes.  NULL dependents don't count as a distinct value
+    (countDistinct semantics — a NULL reference is a missing fact, not
+    a conflicting one).
+
+    Returns (fd, n_groups, n_violating_groups, n_rows,
+    violation_row_share) — share rounded at 6, one row per candidate."""
+    outs = []
+    for name, df, det_cols, dep_col in candidates:
+        require_columns(df, det_cols + [dep_col], f"fd_profile[{name}]")
+        g = (df.groupBy(*det_cols)
+               .agg(F.count(F.lit(1)).alias("__n"),
+                    F.countDistinct(dep_col).alias("__nd")))
+        viol = F.col("__nd") > 1
+        outs.append(g.agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(viol, 1).otherwise(0)).alias("n_violating_groups"),
+            F.sum("__n").alias("n_rows"),
+            F.round(F.sum(F.when(viol, F.col("__n")).otherwise(0))
+                     .cast("double") / F.sum("__n").cast("double"), 6)
+             .alias("violation_row_share"))
+            .select(F.lit(name).alias("fd"), "n_groups",
+                    "n_violating_groups", "n_rows", "violation_row_share"))
+    return reduce(lambda a, b: a.unionByName(b), outs)

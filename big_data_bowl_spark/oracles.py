@@ -5617,3 +5617,27 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf,
        round(s, 6) AS score
 FROM ranked WHERE rnk <= 3
 """
+
+# q_fd_profile — g3-style approximate-FD violation report; one grouped
+# subquery per candidate, unioned.  Counts cast to BIGINT for parity.
+_FD_CAND = """\
+SELECT '{name}' AS fd,
+       count(*) AS n_groups,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_groups,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       round(CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS DOUBLE)
+             / CAST(sum(n) AS DOUBLE), 6) AS violation_row_share
+FROM (SELECT {det}, count(*) AS n, count(DISTINCT {dep}) AS nd
+      FROM {tbl} GROUP BY {det})"""
+
+ORACLES["q_fd_profile"] = "\nUNION ALL\n".join(
+    _FD_CAND.format(name=n, det=det, dep=dep, tbl=tbl)
+    for n, tbl, det, dep in [
+        ("events: user_id -> event_type", "events", "user_id",
+         "event_type"),
+        ("events: event_id -> event_type", "events", "event_id",
+         "event_type"),
+        ("documents: source -> lang", "documents", "source", "lang"),
+        ("documents: lang -> source", "documents", "lang", "source"),
+    ])

@@ -5198,6 +5198,24 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(d, k=3)
 
 
+def q_fd_profile(spark, sf_dir):
+    """Approximate functional-dependency profile, HASH-VERIFIED: for
+    four candidate FDs across events/documents, the g3-style violation
+    report (groups, violating groups, violating-row share) that drives
+    schema discovery and normalization decisions.  One determinant-grain
+    shuffle per candidate, candidates independent and unioned — the
+    fd sibling of the referential-integrity orphan profile."""
+    from .operators.checks import fd_profile
+    e = _t(spark, sf_dir, "events")
+    d = _t(spark, sf_dir, "documents")
+    return fd_profile([
+        ("events: user_id -> event_type", e, ["user_id"], "event_type"),
+        ("events: event_id -> event_type", e, ["event_id"], "event_type"),
+        ("documents: source -> lang", d, ["source"], "lang"),
+        ("documents: lang -> source", d, ["lang"], "source"),
+    ])
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5214,6 +5232,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_label_propagation": q_label_propagation,
     "q_bfs_hops": q_bfs_hops,
     "q_tfidf_topk": q_tfidf_topk,
+    "q_fd_profile": q_fd_profile,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

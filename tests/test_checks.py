@@ -204,3 +204,29 @@ def test_attach_observation_free_metrics(spark):
     assert got["bad_types"] == 0
     expected_nulls = e.filter(F.col("value").isNull()).count()
     assert got["null_values"] == expected_nulls
+
+
+def test_fd_profile_counts_planted_violations(spark):
+    """fd_profile counts exactly the planted violating groups/rows and
+    reports zero for a holding FD; NULL dependents don't violate."""
+    from big_data_bowl_spark.operators.checks import fd_profile
+    rows = [
+        # det=1 maps to a,a        -> holds (2 rows)
+        (1, "a"), (1, "a"),
+        # det=2 maps to a,b,b      -> violates (3 rows)
+        (2, "a"), (2, "b"), (2, "b"),
+        # det=3 maps to c,NULL     -> holds (NULL not distinct-counted)
+        (3, "c"), (3, None),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = {r.fd: r for r in fd_profile([
+        ("k -> v", df, ["k"], "v"),
+        ("v -> k", df, ["v"], "k"),
+    ]).collect()}
+    r = out["k -> v"]
+    assert (r.n_groups, r.n_violating_groups, r.n_rows) == (3, 1, 7)
+    assert r.violation_row_share == round(3 / 7, 6)
+    # v -> k: groups a{1,1,2} violates(3 rows incl a), b{2,2} holds,
+    # c{3} holds, NULL{3} group: count(*) counts it, 1 distinct k
+    r2 = out["v -> k"]
+    assert (r2.n_groups, r2.n_violating_groups) == (4, 1)
