@@ -196,6 +196,7 @@ HEADLINE = [
     "q_bfs_hops",
     "q_tfidf_topk",
     "q_fd_profile",
+    "q_poisson_bootstrap",
 ]
 
 

@@ -5641,3 +5641,47 @@ ORACLES["q_fd_profile"] = "\nUNION ALL\n".join(
         ("documents: source -> lang", "documents", "source", "lang"),
         ("documents: lang -> source", "documents", "lang", "source"),
     ])
+
+# q_poisson_bootstrap — hash-deterministic Poisson(1) weights via the
+# wang chain on (key·32 + rep); CDF thresholds are the exact double
+# literals the engine lit()s (pipeline/sampling.py:POISSON1_CDF).
+ORACLES["q_poisson_bootstrap"] = """
+WITH reps AS (SELECT CAST(range AS BIGINT) AS rep FROM range(32)),
+base AS (
+    SELECT r.rep, o.o_orderkey AS k,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS units
+    FROM orders o CROSS JOIN reps r),
+m0 AS (
+    SELECT rep, units,
+           ((((k % 2147483648) * 32 + rep) % 2147483648)
+            * 2654435761) % 4294967296 AS hv
+    FROM base),
+m1 AS (SELECT rep, units,
+              (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv FROM m0),
+m2 AS (SELECT rep, units,
+              (xor(hv, hv >> 16) * 73244475) % 4294967296 AS hv FROM m1),
+w AS (
+    SELECT rep, units,
+           len(list_filter(
+               [0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238462,
+                0.9963401531726562, 0.9994058151824182,
+                0.999916758850712, 0.9999897508033254],
+               c -> c < xor(hv, hv >> 16) / 4294967296.0)) AS w
+    FROM m2),
+g AS (
+    SELECT rep, CAST(sum(w) AS BIGINT) AS n_eff,
+           CAST(sum(w * units) AS BIGINT) AS sum_units
+    FROM w GROUP BY 1),
+means AS (
+    SELECT rep, n_eff,
+           round((CAST(sum_units AS DOUBLE) / CAST(n_eff AS DOUBLE))
+                 / 100.0, 6) AS boot_mean
+    FROM g),
+ci AS (
+    SELECT round(quantile_cont(boot_mean, 0.025), 6) AS ci_lo,
+           round(quantile_cont(boot_mean, 0.975), 6) AS ci_hi
+    FROM means)
+SELECT m.rep, m.n_eff, m.boot_mean, ci.ci_lo, ci.ci_hi
+FROM means m CROSS JOIN ci
+"""

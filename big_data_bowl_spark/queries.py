@@ -5216,6 +5216,33 @@ def q_fd_profile(spark, sf_dir):
     ])
 
 
+def q_poisson_bootstrap(spark, sf_dir):
+    """Distributed bootstrap CI for the mean order value,
+    HASH-VERIFIED: 32 Poisson(1) replicates with hash-deterministic
+    weights (wang-mixed (key·R + rep) → inverse-CDF lookup against
+    engine-identical double literals), replicate means from exact
+    integer-cent sums, and the 95% percentile interval riding every
+    replicate row as a 1-row broadcast.  The ×32 fan-out collapses
+    map-side into the partial aggregate — the cost is one linear pass
+    at any scale, which is exactly why Poisson bootstrap replaced
+    n-out-of-n resampling for big-data CIs."""
+    from .pipeline.sampling import poisson_bootstrap
+    o = _t(spark, sf_dir, "orders")
+    reps = poisson_bootstrap(
+        o.select("o_orderkey", cents(F.col("o_totalprice")).alias("units")),
+        "units", "o_orderkey", reps=32)
+    # 32-row replicate table feeds BOTH the output and the CI agg —
+    # pin it so the x32 fan-out pass runs once (pagerank:87 discipline)
+    means = reps.select(
+        "rep", "n_eff",
+        F.round(F.col("mean_units") / 100.0, 6).alias("boot_mean")) \
+        .localCheckpoint(eager=True)
+    ci = means.agg(
+        F.round(F.percentile("boot_mean", F.lit(0.025)), 6).alias("ci_lo"),
+        F.round(F.percentile("boot_mean", F.lit(0.975)), 6).alias("ci_hi"))
+    return means.crossJoin(F.broadcast(ci))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5233,6 +5260,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bfs_hops": q_bfs_hops,
     "q_tfidf_topk": q_tfidf_topk,
     "q_fd_profile": q_fd_profile,
+    "q_poisson_bootstrap": q_poisson_bootstrap,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

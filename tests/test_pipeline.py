@@ -2135,3 +2135,35 @@ def test_tfidf_topk_matches_brute_force(spark):
     got = {(r.doc_id, r.rnk): (r.term, r.tf, r.score)
            for r in tfidf_topk(sdf, k=3).collect()}
     assert got == want
+
+
+def test_poisson_bootstrap_matches_python_hash_draws(spark):
+    """Replicate aggregates equal a Python recomputation of the wang
+    chain + Poisson(1) inverse-CDF draws, and are invariant to input
+    partitioning (hash-deterministic, not rand()-based)."""
+    from big_data_bowl_spark.pipeline.sampling import (
+        poisson_bootstrap, POISSON1_CDF)
+
+    def wang(x):
+        h = ((x % (1 << 31)) * 2654435761) % (1 << 32)
+        for _ in range(2):
+            h = ((h ^ (h >> 16)) * 0x45D9F3B) % (1 << 32)
+        return h ^ (h >> 16)
+
+    rows = [(k, (k * 37) % 1000 - 200) for k in range(200)]
+    reps = 8
+    want = {}
+    for rep in range(reps):
+        n_eff = su = 0
+        for k, v in rows:
+            u = wang((k % (1 << 31)) * reps + rep) / float(1 << 32)
+            w = sum(1 for c in POISSON1_CDF if c < u)
+            n_eff += w
+            su += w * v
+        want[rep] = (n_eff, su)
+    df = spark.createDataFrame(rows, "k long, units long")
+    for parts in (1, 7):
+        got = {r.rep: (r.n_eff, r.sum_units)
+               for r in poisson_bootstrap(df.repartition(parts),
+                                          "units", "k", reps=reps).collect()}
+        assert got == want
