@@ -197,6 +197,7 @@ HEADLINE = [
     "q_tfidf_topk",
     "q_fd_profile",
     "q_poisson_bootstrap",
+    "q_frequent_triples",
 ]
 
 

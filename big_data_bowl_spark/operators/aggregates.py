@@ -343,3 +343,71 @@ def item_similarity(df: DataFrame, group_col: str, item_col: str,
         F.round(n_ab / (F.col("n_a") + F.col("n_b")
                         - F.col("n_groups")).cast("double"), 6)
          .alias("jaccard"))
+
+
+def frequent_triples(df: DataFrame, group_col: str, item_col: str,
+                     min_support: float = 0.003) -> DataFrame:
+    """Frequent 3-itemsets with level-wise Apriori pruning (Agrawal &
+    Srikant 1994) — the next rung above :func:`basket_lift`'s pairs.
+
+    Level-wise shape: L1 (frequent items) filters the distinct
+    (group, item) relation BEFORE any self-join, so the triple
+    enumeration's per-basket fan-out is C(frequent-items-per-basket, 3),
+    not C(basket-size, 3); L2 (frequent pairs) then prunes candidate
+    triples map-side via three broadcast semi-joins before the count
+    aggregate, bounding the shuffled candidate stream.  By support
+    monotonicity the prune NEVER changes the result (a triple at
+    support θ has every sub-pair at ≥ θ) — it exists purely to cut the
+    candidate volume, which is why the oracle can verify with a direct
+    count-and-threshold formulation.  For catalogs where the frequent-
+    pair set outgrows broadcast range, move the pair prune AFTER the
+    triple aggregate (triple-grain, post-shuffle, small) — same result,
+    one knob.
+
+    Support thresholds compare exact long counts against
+    ``min_support · n_baskets`` as one IEEE double product on both
+    engines.  Returns (item_a, item_b, item_c, n_abc, support)."""
+    require_columns(df, [group_col, item_col], "frequent_triples")
+    items = df.select(group_col, item_col).distinct()
+    total = (items.select(group_col).distinct()
+                  .agg(F.count(F.lit(1)).alias("__nb")))
+    thr = F.lit(float(min_support)) * F.col("__nb").cast("double")
+    f1 = (items.groupBy(item_col)
+               .agg(F.count(F.lit(1)).alias("__n1"))
+               .crossJoin(F.broadcast(total))
+               .filter(F.col("__n1").cast("double") >= thr)
+               .select(item_col))
+    # L1-filtered relation feeds the pair count AND the triple
+    # enumeration's three sides — pin it once
+    bf = (items.join(F.broadcast(f1), item_col, "left_semi")
+               .localCheckpoint(eager=True))
+    a = bf.select(F.col(group_col).alias("__g"),
+                  F.col(item_col).alias("item_a"))
+    b = bf.select(F.col(group_col).alias("__g"),
+                  F.col(item_col).alias("item_b"))
+    c = bf.select(F.col(group_col).alias("__g"),
+                  F.col(item_col).alias("item_c"))
+    f2 = (a.join(b, "__g")
+           .filter(F.col("item_a") < F.col("item_b"))
+           .groupBy("item_a", "item_b")
+           .agg(F.count(F.lit(1)).alias("__n2"))
+           .crossJoin(F.broadcast(total))
+           .filter(F.col("__n2").cast("double") >= thr)
+           .select("item_a", "item_b")
+           .localCheckpoint(eager=True))  # three prune consumers
+    f2_ac = f2.select("item_a", F.col("item_b").alias("item_c"))
+    f2_bc = f2.select(F.col("item_a").alias("item_b"),
+                      F.col("item_b").alias("item_c"))
+    tri = (a.join(b, "__g").filter(F.col("item_a") < F.col("item_b"))
+            .join(c, "__g").filter(F.col("item_b") < F.col("item_c"))
+            .join(F.broadcast(f2), ["item_a", "item_b"], "left_semi")
+            .join(F.broadcast(f2_ac), ["item_a", "item_c"], "left_semi")
+            .join(F.broadcast(f2_bc), ["item_b", "item_c"], "left_semi")
+            .groupBy("item_a", "item_b", "item_c")
+            .agg(F.count(F.lit(1)).alias("n_abc")))
+    return (tri.crossJoin(F.broadcast(total))
+               .filter(F.col("n_abc").cast("double") >= thr)
+               .select("item_a", "item_b", "item_c", "n_abc",
+                       F.round(F.col("n_abc").cast("double")
+                               / F.col("__nb").cast("double"), 6)
+                        .alias("support")))

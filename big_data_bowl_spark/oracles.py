@@ -5685,3 +5685,25 @@ ci AS (
 SELECT m.rep, m.n_eff, m.boot_mean, ci.ci_lo, ci.ci_hi
 FROM means m CROSS JOIN ci
 """
+
+# q_frequent_triples — direct count-and-threshold formulation: the
+# engine's Apriori pair prune is result-neutral by support monotonicity
+# (every sub-pair of a frequent triple is itself frequent), so the
+# match verifies the level-wise machinery without mirroring it.
+ORACLES["q_frequent_triples"] = """
+WITH b AS (
+    SELECT DISTINCT l_orderkey AS g, p_brand AS it
+    FROM lineitem JOIN part ON l_partkey = p_partkey),
+n AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS nb FROM b),
+t AS (
+    SELECT x.it AS item_a, y.it AS item_b, z.it AS item_c,
+           count(*) AS n_abc
+    FROM b x
+    JOIN b y ON x.g = y.g AND x.it < y.it
+    JOIN b z ON y.g = z.g AND y.it < z.it
+    GROUP BY 1, 2, 3)
+SELECT item_a, item_b, item_c, CAST(n_abc AS BIGINT) AS n_abc,
+       round(CAST(n_abc AS DOUBLE) / nb, 6) AS support
+FROM t, n
+WHERE CAST(n_abc AS DOUBLE) >= 0.003::DOUBLE * nb
+"""

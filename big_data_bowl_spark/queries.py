@@ -5243,6 +5243,24 @@ def q_poisson_bootstrap(spark, sf_dir):
     return means.crossJoin(F.broadcast(ci))
 
 
+def q_frequent_triples(spark, sf_dir):
+    """Frequent brand 3-itemsets over order baskets, HASH-VERIFIED:
+    level-wise Apriori — L1 filters the distinct (order, brand)
+    relation before any self-join, L2's frequent pairs prune candidate
+    triples map-side via broadcast semi-joins, and by support
+    monotonicity the prune is result-neutral, so the oracle verifies
+    with a direct count-and-threshold formulation (the triangle-count
+    count-equivalence pattern).  Thresholds are one IEEE product of
+    min_support and the basket total on both engines."""
+    from .operators.aggregates import frequent_triples
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    baskets = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+                 .select("l_orderkey", "p_brand"))
+    return frequent_triples(baskets, "l_orderkey", "p_brand",
+                            min_support=0.003)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5261,6 +5279,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tfidf_topk": q_tfidf_topk,
     "q_fd_profile": q_fd_profile,
     "q_poisson_bootstrap": q_poisson_bootstrap,
+    "q_frequent_triples": q_frequent_triples,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

@@ -692,3 +692,30 @@ def test_bfs_hops_equals_python_bfs(spark, edges, cap):
     sdf = spark.createDataFrame([Row(node=n) for n in range(0, 12, 3)])
     got = {r.node: r.hops for r in bfs_hops(df, sdf, max_hops=cap).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 5)),
+    min_size=1, max_size=40),
+    sup=st.sampled_from([0.1, 0.3, 0.5]))
+def test_frequent_triples_equals_brute_force(spark, rows, sup):
+    """Level-wise Apriori equals brute-force triple counting + threshold
+    (the prune is result-neutral by support monotonicity)."""
+    from big_data_bowl_spark.operators.aggregates import frequent_triples
+    from itertools import combinations
+    baskets: dict[int, set[int]] = {}
+    for g, it in rows:
+        baskets.setdefault(g, set()).add(it)
+    nb = len(baskets)
+    cnt: dict[tuple, int] = {}
+    for its in baskets.values():
+        for tri in combinations(sorted(its), 3):
+            cnt[tri] = cnt.get(tri, 0) + 1
+    want = {tri: (n, round(n / nb, 6)) for tri, n in cnt.items()
+            if float(n) >= sup * float(nb)}
+    df = spark.createDataFrame(rows, "g long, it long")
+    got = {(r.item_a, r.item_b, r.item_c): (r.n_abc, r.support)
+           for r in frequent_triples(df, "g", "it",
+                                     min_support=sup).collect()}
+    assert got == want
