@@ -368,7 +368,11 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
     ``min_support · n_baskets`` as one IEEE double product on both
     engines.  Returns (item_a, item_b, item_c, n_abc, support)."""
     require_columns(df, [group_col, item_col], "frequent_triples")
-    items = df.select(group_col, item_col).distinct()
+    # the distinct relation feeds the basket total, L1, and the L1
+    # semi-join — pin it so the upstream join+dedup runs once (its
+    # absence measured 9s vs ~4s at sf0.1)
+    items = (df.select(group_col, item_col).distinct()
+               .localCheckpoint(eager=True))
     total = (items.select(group_col).distinct()
                   .agg(F.count(F.lit(1)).alias("__nb")))
     thr = F.lit(float(min_support)) * F.col("__nb").cast("double")
@@ -387,9 +391,12 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
                   F.col(item_col).alias("item_b"))
     c = bf.select(F.col(group_col).alias("__g"),
                   F.col(item_col).alias("item_c"))
-    f2 = (a.join(b, "__g")
+    # the per-basket ordered pair stream feeds the L2 count AND the
+    # triple enumeration — pin it so the a⋈b join runs once
+    ab = (a.join(b, "__g")
            .filter(F.col("item_a") < F.col("item_b"))
-           .groupBy("item_a", "item_b")
+           .localCheckpoint(eager=True))
+    f2 = (ab.groupBy("item_a", "item_b")
            .agg(F.count(F.lit(1)).alias("__n2"))
            .crossJoin(F.broadcast(total))
            .filter(F.col("__n2").cast("double") >= thr)
@@ -398,8 +405,7 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
     f2_ac = f2.select("item_a", F.col("item_b").alias("item_c"))
     f2_bc = f2.select(F.col("item_a").alias("item_b"),
                       F.col("item_b").alias("item_c"))
-    tri = (a.join(b, "__g").filter(F.col("item_a") < F.col("item_b"))
-            .join(c, "__g").filter(F.col("item_b") < F.col("item_c"))
+    tri = (ab.join(c, "__g").filter(F.col("item_b") < F.col("item_c"))
             .join(F.broadcast(f2), ["item_a", "item_b"], "left_semi")
             .join(F.broadcast(f2_ac), ["item_a", "item_c"], "left_semi")
             .join(F.broadcast(f2_bc), ["item_b", "item_c"], "left_semi")
