@@ -241,6 +241,19 @@ AUDITED: dict[str, str] = {
         "Pinned distinct-value grain feeds ONE bucket staging (cumsum "
         "keep_pid) reused by the prefix sums AND the neighbor-gap "
         "pass; DECIMAL interval terms; one final division."),
+    "q_label_propagation": (
+        "Three LPA rounds, each reading the previous round's pinned "
+        "node-grain labels: one adjacency join + one count aggregate "
+        "whose argmax is max(struct) — no window, plan depth O(1)."),
+    "q_frequent_triples": (
+        "Pinned distinct relation and pinned a-b pair stream; L1 semi "
+        "join before any self-join; pair prune is three broadcast semi "
+        "joins ahead of the triple count — no re-executed subtree."),
+    "q_poisson_bootstrap": (
+        "x32 explode collapses in the same stage's partial aggregate "
+        "(shuffle carries reps-per-partition partials); the when-chain "
+        "inverse CDF stays in whole-stage codegen; 32-row replicate "
+        "table pinned before the CI agg rides back as a broadcast."),
 }
 
 
