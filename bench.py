@@ -198,6 +198,7 @@ HEADLINE = [
     "q_fd_profile",
     "q_poisson_bootstrap",
     "q_frequent_triples",
+    "q_seasonal_decompose",
 ]
 
 

@@ -5707,3 +5707,27 @@ SELECT item_a, item_b, item_c, CAST(n_abc AS BIGINT) AS n_abc,
 FROM t, n
 WHERE CAST(n_abc AS DOUBLE) >= 0.003::DOUBLE * nb
 """
+
+# q_seasonal_decompose — centered-MA detrend on the integer epoch-hour
+# RANGE frame (gap-aligned), seasonal mean per (type, hour-of-day);
+# trend is exact long/long, detrended terms round at 9 pre-sum.
+ORACLES["q_seasonal_decompose"] = """
+WITH y AS (
+    SELECT event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+           count(*) AS y
+    FROM events GROUP BY 1, 2),
+t AS (
+    SELECT event_type, hr, y,
+           CAST(sum(y) OVER w AS DOUBLE)
+           / CAST(count(*) OVER w AS DOUBLE) AS trend
+    FROM y
+    WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                 RANGE BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+d AS (
+    SELECT event_type, hr % 24 AS hod, round(y - trend, 9) AS det
+    FROM t)
+SELECT event_type, hod, count(*) AS n_hours,
+       round(sum(det) / count(*), 6) AS seasonal
+FROM d GROUP BY 1, 2
+"""

@@ -5261,6 +5261,35 @@ def q_frequent_triples(spark, sf_dir):
                             min_support=0.003)
 
 
+def q_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition (classical moving-average STL
+    precursor), HASH-VERIFIED: the hourly event count per type is
+    detrended by a ±12h centered moving average — a RANGE window on the
+    integer epoch-hour, so calendar gaps stay aligned where a ROWS
+    frame would drift — and the seasonal component is the mean
+    detrended value per (type, hour-of-day).  Trend is an exact
+    long/long division (sum/count over the frame); detrended terms
+    round at 9 before the seasonal mean (the q_group_entropy
+    order-free discipline).  Windows partition by type — group-grain,
+    never a single reducer; the output is the ≤ types×24 profile."""
+    e = _t(spark, sf_dir, "events")
+    y = (e.groupBy("event_type",
+                   F.floor(F.unix_timestamp("ts") / 3600)
+                    .cast("long").alias("hr"))
+          .agg(F.count(F.lit(1)).alias("y")))
+    w = (Window.partitionBy("event_type").orderBy("hr")
+               .rangeBetween(-12, 12))
+    trend = (F.sum("y").over(w).cast("double")
+             / F.count(F.lit(1)).over(w).cast("double"))
+    det = F.round(F.col("y") - trend, 9)
+    return (y.select("event_type", F.pmod(F.col("hr"), F.lit(24))
+                     .alias("hod"), det.alias("__d"))
+             .groupBy("event_type", "hod")
+             .agg(F.count(F.lit(1)).alias("n_hours"),
+                  F.round(F.sum("__d") / F.count(F.lit(1)), 6)
+                   .alias("seasonal")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5280,6 +5309,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_fd_profile": q_fd_profile,
     "q_poisson_bootstrap": q_poisson_bootstrap,
     "q_frequent_triples": q_frequent_triples,
+    "q_seasonal_decompose": q_seasonal_decompose,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
