@@ -569,3 +569,32 @@ def stream_theta_rollup(df: DataFrame, state_dir: str,
         merge_fn=lambda prev, st: theta_sketch_merge(
             prev.unionByName(st), group, key_col, k),
         keep=keep)
+
+
+def stream_bootstrap_rollup(df: DataFrame, state_dir: str,
+                            checkpoint_dir: str, units_col: str,
+                            key_col: str, reps: int = 32, keep: int = 2):
+    """Streaming fold of Poisson-bootstrap replicate state
+    (pipeline/sampling.poisson_bootstrap): per batch, each row's
+    hash-deterministic Poisson(1) weights collapse into the per-replicate
+    (n_eff, sum_units) sums, which merge into the persisted state by
+    plain addition — the state is a perfect monoid (R rows total), so
+    the fold equals the one-shot whole-history bootstrap exactly and a
+    reader computes live confidence intervals from R state rows without
+    rescanning the stream.  Weights are hash-draws on (key, rep), so a
+    key replayed in a retried batch yields identical weights and the
+    versioned fold stays idempotent.  Returns the started query."""
+    from ..pipeline.sampling import poisson_bootstrap
+
+    def build(b: DataFrame) -> DataFrame:
+        return (poisson_bootstrap(b, units_col, key_col, reps)
+                .select("rep", "n_eff", "sum_units"))
+
+    def merge(prev: DataFrame, st: DataFrame) -> DataFrame:
+        return (prev.unionByName(st)
+                    .groupBy("rep")
+                    .agg(F.sum("n_eff").alias("n_eff"),
+                         F.sum("sum_units").alias("sum_units")))
+
+    return _stream_fold(df, state_dir, checkpoint_dir,
+                        build_fn=build, merge_fn=merge, keep=keep)

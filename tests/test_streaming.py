@@ -748,3 +748,37 @@ def test_stream_theta_equals_batch(spark, tmp_path):
     want = sorted(map(tuple, theta_intersect_pairs(
         whole, "event_type", "user_id").collect()))
     assert got == want
+
+
+def test_stream_bootstrap_rollup_equals_batch(spark, tmp_path):
+    """Streaming Poisson-bootstrap fold: per-replicate (n_eff, sum)
+    state summed across micro-batches equals the one-shot whole-table
+    bootstrap exactly — weights are hash-draws on (key, rep), so the
+    fold is partition- and batch-boundary-proof."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.functions.scalar import cents
+    from big_data_bowl_spark.pipeline.sampling import poisson_bootstrap
+    from big_data_bowl_spark.streaming.stream_ops import (
+        read_latest_state, stream_bootstrap_rollup)
+
+    ev = (read_table(spark, SF_SMALL, "events")
+          .filter(F.col("value").isNotNull())
+          .select("event_id", cents(F.col("value")).alias("units")))
+    watch = _stage_chunks(ev, tmp_path)
+
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    q = stream_bootstrap_rollup(
+        stream, str(tmp_path / "bstate"), str(tmp_path / "bckpt"),
+        "units", "event_id", reps=8)
+    q.awaitTermination(120)
+
+    state = {r.rep: (r.n_eff, r.sum_units)
+             for r in read_latest_state(
+                 spark, str(tmp_path / "bstate")).collect()}
+    whole = {r.rep: (r.n_eff, r.sum_units)
+             for r in poisson_bootstrap(ev, "units", "event_id",
+                                        reps=8).collect()}
+    assert state == whole
