@@ -199,6 +199,7 @@ HEADLINE = [
     "q_poisson_bootstrap",
     "q_frequent_triples",
     "q_seasonal_decompose",
+    "q_weighted_median",
 ]
 
 

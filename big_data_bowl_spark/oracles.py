@@ -5731,3 +5731,25 @@ SELECT event_type, hod, count(*) AS n_hours,
        round(sum(det) / count(*), 6) AS seasonal
 FROM d GROUP BY 1, 2
 """
+
+# q_weighted_median — value-grain cumulative weights, lower-median rule
+# 2·cum >= total on exact longs; median cents back to currency is one
+# division.
+ORACLES["q_weighted_median"] = """
+WITH w AS (SELECT l_orderkey, count(*) AS w FROM lineitem GROUP BY 1),
+r AS (
+    SELECT o_orderpriority AS prio,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS v, w.w
+    FROM orders JOIN w ON o_orderkey = l_orderkey),
+vg AS (SELECT prio, v, CAST(sum(w) AS BIGINT) AS wv FROM r GROUP BY 1, 2),
+c AS (
+    SELECT prio, v,
+           sum(wv) OVER (PARTITION BY prio ORDER BY v) AS cum,
+           sum(wv) OVER (PARTITION BY prio) AS tot
+    FROM vg)
+SELECT prio AS o_orderpriority,
+       CAST(min(tot) AS BIGINT) AS total_w,
+       round(CAST(min(v) AS DOUBLE) / 100.0, 6) AS wmedian
+FROM c WHERE 2 * cum >= tot
+GROUP BY 1
+"""

@@ -5290,6 +5290,36 @@ def q_seasonal_decompose(spark, sf_dir):
                    .alias("seasonal")))
 
 
+def q_weighted_median(spark, sf_dir):
+    """Exact weighted median per group, HASH-VERIFIED: the median order
+    value per priority where each order weighs its lineitem count —
+    the volume-weighted center the plain median misstates.  Two-pass
+    shape: reduce to the DISTINCT-VALUE grain first (groupBy(group,
+    cents) summing weights — the q_ks_drift discipline, so the window
+    walks values, not rows), then one group-partitioned cumulative sum
+    and the lower-median rule 2·cum ≥ total on exact longs.  Groups
+    here are few-and-large; for a single enormous group swap the
+    value-grain window for the rank_distributed range-partition form
+    (operators/windows.py) — the value-grain reduction is what makes
+    either walk cheap."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    w = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("__w"))
+    r = (o.join(w, o.o_orderkey == w.l_orderkey)
+          .select(F.col("o_orderpriority").alias("prio"),
+                  cents(F.col("o_totalprice")).alias("__v"), "__w"))
+    vg = r.groupBy("prio", "__v").agg(F.sum("__w").alias("__wv"))
+    cum = F.sum("__wv").over(
+        Window.partitionBy("prio").orderBy("__v"))
+    tot = F.sum("__wv").over(Window.partitionBy("prio"))
+    c = vg.select("prio", "__v", cum.alias("__cum"), tot.alias("__tot"))
+    return (c.filter(F.col("__cum") * 2 >= F.col("__tot"))
+             .groupBy(F.col("prio").alias("o_orderpriority"))
+             .agg(F.min("__tot").alias("total_w"),
+                  F.round(F.min("__v").cast("double") / 100.0, 6)
+                   .alias("wmedian")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5310,6 +5340,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_poisson_bootstrap": q_poisson_bootstrap,
     "q_frequent_triples": q_frequent_triples,
     "q_seasonal_decompose": q_seasonal_decompose,
+    "q_weighted_median": q_weighted_median,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

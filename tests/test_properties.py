@@ -719,3 +719,39 @@ def test_frequent_triples_equals_brute_force(spark, rows, sup):
            for r in frequent_triples(df, "g", "it",
                                      min_support=sup).collect()}
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-50, 50), st.integers(1, 9)),
+    min_size=1, max_size=60))
+def test_weighted_median_crossing_rule_equals_python(spark, rows):
+    """The 2·cum ≥ total lower-median rule equals the Python definition
+    (smallest value whose cumulative weight reaches half the total)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    want = {}
+    by_g: dict[int, list] = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        agg: dict[int, int] = {}
+        for v, w in vw:
+            agg[v] = agg.get(v, 0) + w
+        tot = sum(agg.values())
+        cum = 0
+        for v in sorted(agg):
+            cum += agg[v]
+            if 2 * cum >= tot:
+                want[g] = (tot, v)
+                break
+    df = spark.createDataFrame(rows, "g long, v long, w long")
+    vg = df.groupBy("g", "v").agg(F.sum("w").alias("wv"))
+    cum = F.sum("wv").over(Window.partitionBy("g").orderBy("v"))
+    tot = F.sum("wv").over(Window.partitionBy("g"))
+    c = vg.select("g", "v", cum.alias("cum"), tot.alias("tot"))
+    got = {r.g: (r.tot, r.med) for r in
+           (c.filter(F.col("cum") * 2 >= F.col("tot"))
+             .groupBy("g").agg(F.min("tot").alias("tot"),
+                               F.min("v").alias("med"))).collect()}
+    assert got == want
