@@ -200,6 +200,7 @@ HEADLINE = [
     "q_frequent_triples",
     "q_seasonal_decompose",
     "q_weighted_median",
+    "q_mutual_nn",
 ]
 
 

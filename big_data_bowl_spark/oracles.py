@@ -5753,3 +5753,27 @@ SELECT prio AS o_orderpriority,
 FROM c WHERE 2 * cum >= tot
 GROUP BY 1
 """
+
+# q_mutual_nn — brute-force nearest within radius, then the reciprocity
+# self-join with id_a < id_b canonicalization.
+ORACLES["q_mutual_nn"] = """
+WITH p AS (
+    SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+f AS (
+    SELECT vec_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.15::DOUBLE * 0.15::DOUBLE),
+nn AS MATERIALIZED (
+    SELECT vec_id, neighbor_id, round(sqrt(d2), 6) AS dist
+    FROM f WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.dist
+FROM nn a JOIN nn b
+  ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < b.vec_id
+"""

@@ -5320,6 +5320,34 @@ def q_weighted_median(spark, sf_dir):
                    .alias("wmedian")))
 
 
+def q_mutual_nn(spark, sf_dir):
+    """Reciprocal (mutual) nearest-neighbor pairs, HASH-VERIFIED: the
+    pairs where each point is the other's radius-bounded top-1 — the
+    high-precision merge signal SemDeDup-style cluster consolidation
+    and record-linkage survivorship use (a one-way nearest hit is a
+    candidate; a MUTUAL hit is near-certain).  Composition: the
+    grid-bucketed nearest table (J6's cell-key discipline — never a
+    cross join) pinned once, then one self-join on the reciprocity
+    condition with id_a < id_b canonicalization.  The nearest table is
+    point-grain, so the mutuality join shuffles n rows, not pairs."""
+    from .operators.separation import grid_nearest
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    nn = (grid_nearest(pts, radius=0.15, id_col="vec_id")
+          .localCheckpoint(eager=True))  # both self-join sides
+    a = nn.select(F.col("vec_id").alias("id_a"),
+                  F.col("neighbor_id").alias("nb_a"),
+                  F.col("dist").alias("dist"))
+    b = nn.select(F.col("vec_id").alias("id_b"),
+                  F.col("neighbor_id").alias("nb_b"))
+    return (a.join(b, (F.col("nb_a") == F.col("id_b"))
+                      & (F.col("nb_b") == F.col("id_a")))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "dist"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5341,6 +5369,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_frequent_triples": q_frequent_triples,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_weighted_median": q_weighted_median,
+    "q_mutual_nn": q_mutual_nn,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
