@@ -201,6 +201,7 @@ HEADLINE = [
     "q_seasonal_decompose",
     "q_weighted_median",
     "q_mutual_nn",
+    "q_time_weighted_avg",
 ]
 
 

@@ -5777,3 +5777,29 @@ FROM nn a JOIN nn b
   ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
 WHERE a.vec_id < b.vec_id
 """
+
+# q_time_weighted_avg — step-function TWAP per (user, type) stream;
+# integer-second durations x exact cents, one long/long division.
+ORACLES["q_time_weighted_avg"] = """
+WITH e AS (
+    SELECT user_id, event_type, event_id,
+           CAST(round(value * 100) AS BIGINT) AS c,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t
+    FROM events WHERE value IS NOT NULL),
+s AS (
+    SELECT user_id, event_type, c,
+           lead(t) OVER (PARTITION BY user_id, event_type
+                         ORDER BY t, event_id) - t AS dur
+    FROM e),
+g AS (
+    SELECT user_id, event_type,
+           count(*) AS n_intervals,
+           CAST(sum(dur) AS BIGINT) AS span_s,
+           CAST(sum(c * dur) AS BIGINT) AS wsum
+    FROM s WHERE dur IS NOT NULL
+    GROUP BY 1, 2)
+SELECT user_id, event_type, n_intervals, span_s,
+       round(CAST(wsum AS DOUBLE) / CAST(span_s AS DOUBLE) / 100.0, 6)
+         AS twap
+FROM g WHERE span_s > 0
+"""

@@ -5348,6 +5348,41 @@ def q_mutual_nn(spark, sf_dir):
              .select("id_a", "id_b", "dist"))
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average value per (user, type) stream,
+    HASH-VERIFIED: each observation holds until the stream's next
+    event (step-function semantics — the TWAP every metering/pricing
+    pipeline needs, where a plain mean over-weights bursty periods).
+    One lead window per (user_id, event_type) partition — thousands of
+    independent groups, never a global window; durations are exact
+    integer seconds (floor-epoch), values exact cents, so
+    Σ cents·dur / Σ dur is int64-exact under any association and the
+    final long/long division is bit-identical on both engines.
+    Streams whose total span is zero (single event or all-tied
+    timestamps) are excluded — there is no interval to average over."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("user_id", "event_type", "event_id",
+                 cents(F.col("value")).alias("__c"),
+                 F.unix_timestamp("ts").alias("__t")))
+    w = (Window.partitionBy("user_id", "event_type")
+               .orderBy("__t", "event_id"))
+    dur = (F.lead("__t").over(w) - F.col("__t")).alias("__dur")
+    stepped = e.select("user_id", "event_type", "__c", dur).filter(
+        F.col("__dur").isNotNull())
+    return (stepped.groupBy("user_id", "event_type")
+                   .agg(F.count(F.lit(1)).alias("n_intervals"),
+                        F.sum("__dur").alias("span_s"),
+                        F.sum(F.col("__c") * F.col("__dur"))
+                         .alias("__wsum"))
+                   .filter(F.col("span_s") > 0)
+                   .select("user_id", "event_type", "n_intervals",
+                           "span_s",
+                           F.round(F.col("__wsum").cast("double")
+                                   / F.col("span_s").cast("double")
+                                   / 100.0, 6).alias("twap")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5370,6 +5405,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_weighted_median": q_weighted_median,
     "q_mutual_nn": q_mutual_nn,
+    "q_time_weighted_avg": q_time_weighted_avg,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
