@@ -202,6 +202,7 @@ HEADLINE = [
     "q_weighted_median",
     "q_mutual_nn",
     "q_time_weighted_avg",
+    "q_isotonic_calibration",
 ]
 
 

@@ -5803,3 +5803,40 @@ SELECT user_id, event_type, n_intervals, span_s,
          AS twap
 FROM g WHERE span_s > 0
 """
+
+# q_isotonic_calibration — exact minimax PAV: fitted[i] =
+# max_{j<=i} min_{k>=i} of the interval positive-rate means, all on the
+# <=10-row bin grain; interval means are exact long/long divisions.
+ORACLES["q_isotonic_calibration"] = """
+WITH e AS (
+    SELECT value,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+    FROM events WHERE value IS NOT NULL),
+bounds AS (
+    SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+    FROM e),
+bins AS MATERIALIZED (
+    SELECT CAST(len(list_filter(bo.b, x -> e.value > x)) AS BIGINT)
+             AS bin,
+           count(*) AS n, CAST(sum(is_pos) AS BIGINT) AS pos
+    FROM e CROSS JOIN bounds bo GROUP BY 1),
+iv AS MATERIALIZED (
+    SELECT j.bin AS j, k.bin AS k,
+           CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE)
+             AS mean
+    FROM bins j
+    JOIN bins k ON j.bin <= k.bin
+    JOIN bins m ON m.bin >= j.bin AND m.bin <= k.bin
+    GROUP BY 1, 2),
+lo AS (
+    SELECT i.bin AS i, iv.j, min(iv.mean) AS lo
+    FROM bins i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+    GROUP BY 1, 2),
+fitted AS (
+    SELECT i, round(max(lo), 6) AS iso_rate FROM lo GROUP BY 1)
+SELECT b.bin, b.n,
+       CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS pos_rate,
+       f.iso_rate
+FROM bins b JOIN fitted f ON b.bin = f.i
+"""

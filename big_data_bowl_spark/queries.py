@@ -5383,6 +5383,60 @@ def q_time_weighted_avg(spark, sf_dir):
                                    / 100.0, 6).alias("twap")))
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Isotonic (monotone) calibration of the reliability curve,
+    HASH-VERIFIED: the weighted isotonic regression of per-decile
+    positive rates via the exact minimax characterization
+    fitted[i] = max_{j≤i} min_{k≥i} mean(y[j..k]) — mathematically THE
+    PAV solution, but as pure relational algebra over the BIN-GRAIN
+    table instead of a sequential pool-merge loop, so both engines
+    compute the identical joins/aggregates and no iteration order
+    exists to disagree on.  The corpus-scale work is the one pass
+    reducing events to ≤10 decile bins (the q_calibration_bins
+    discipline); everything after runs on ≤10/55/550-row bin-grain
+    tables (minimax is O(b³) relational — the right trade for
+    calibration's bounded bin counts; a driver-side PAV would be O(b)
+    but order-dependent).  Interval means are exact long/long
+    divisions; min/max of bit-identical doubles is deterministic."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("value",
+                 (F.col("event_type") == "purchase").cast("long")
+                  .alias("is_pos")))
+    bounds = e.agg(F.percentile(
+        "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]))
+        .alias("__b"))
+    bin_of = F.size(F.filter(
+        "__b", lambda b: F.col("value") > b)).cast("long").alias("bin")
+    bins = (e.crossJoin(F.broadcast(bounds))
+             .select(bin_of, "is_pos")
+             .groupBy("bin")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("is_pos").alias("pos"))
+             .localCheckpoint(eager=True))  # 4 tiny-state consumers
+    jk = (bins.select(F.col("bin").alias("j"))
+              .join(F.broadcast(bins.select(F.col("bin").alias("k"))),
+                    F.col("j") <= F.col("k")))
+    iv = (jk.join(F.broadcast(bins.select(F.col("bin").alias("m"),
+                                          "n", "pos")),
+                  (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+            .groupBy("j", "k")
+            .agg((F.sum("pos").cast("double")
+                  / F.sum("n").cast("double")).alias("__mean")))
+    fitted = (bins.select(F.col("bin").alias("i"))
+                  .join(F.broadcast(iv),
+                        (F.col("j") <= F.col("i"))
+                        & (F.col("k") >= F.col("i")))
+                  .groupBy("i", "j").agg(F.min("__mean").alias("__lo"))
+                  .groupBy("i").agg(F.round(F.max("__lo"), 6)
+                                    .alias("iso_rate")))
+    return (bins.join(fitted, bins.bin == fitted.i)
+                .select("bin", "n",
+                        (F.col("pos").cast("double")
+                         / F.col("n").cast("double")).alias("pos_rate"),
+                        "iso_rate"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5406,6 +5460,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_weighted_median": q_weighted_median,
     "q_mutual_nn": q_mutual_nn,
     "q_time_weighted_avg": q_time_weighted_avg,
+    "q_isotonic_calibration": q_isotonic_calibration,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

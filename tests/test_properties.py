@@ -755,3 +755,53 @@ def test_weighted_median_crossing_rule_equals_python(spark, rows):
              .groupBy("g").agg(F.min("tot").alias("tot"),
                                F.min("v").alias("med"))).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(bins=st.lists(
+    st.tuples(st.integers(1, 20), st.integers(0, 20)),
+    min_size=1, max_size=10))
+def test_isotonic_minimax_equals_pav(spark, bins):
+    """The relational minimax characterization max_{j<=i} min_{k>=i}
+    mean(y[j..k]) equals the classic sequential PAV pool-merge fit."""
+    from pyspark.sql import functions as F
+    bins = [(n, min(p, n)) for n, p in bins]
+    # classic PAV: pools of (weight, sum) merged while decreasing,
+    # tracking how many bins each pool absorbed
+    fitted_py = []
+    pools = []
+    members = []
+    for n, p in bins:
+        pools.append([n, p])
+        members.append(1)
+        while len(pools) > 1 and \
+                pools[-2][1] * pools[-1][0] > pools[-1][1] * pools[-2][0]:
+            b = pools.pop()
+            mb = members.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+            members[-1] += mb
+    for (w, s), m in zip(pools, members):
+        fitted_py.extend([round(s / w, 6)] * m)
+
+    df = spark.createDataFrame(
+        [(i, n, p) for i, (n, p) in enumerate(bins)],
+        "bin long, n long, pos long")
+    jk = (df.select(F.col("bin").alias("j"))
+            .join(F.broadcast(df.select(F.col("bin").alias("k"))),
+                  F.col("j") <= F.col("k")))
+    iv = (jk.join(F.broadcast(df.select(F.col("bin").alias("m"),
+                                        "n", "pos")),
+                  (F.col("m") >= F.col("j")) & (F.col("m") <= F.col("k")))
+            .groupBy("j", "k")
+            .agg((F.sum("pos").cast("double")
+                  / F.sum("n").cast("double")).alias("mean")))
+    got_rows = (df.select(F.col("bin").alias("i"))
+                  .join(F.broadcast(iv),
+                        (F.col("j") <= F.col("i"))
+                        & (F.col("k") >= F.col("i")))
+                  .groupBy("i", "j").agg(F.min("mean").alias("lo"))
+                  .groupBy("i").agg(F.round(F.max("lo"), 6).alias("f"))
+                  .collect())
+    got = [r.f for r in sorted(got_rows, key=lambda r: r.i)]
+    assert got == fitted_py
