@@ -203,6 +203,7 @@ HEADLINE = [
     "q_mutual_nn",
     "q_time_weighted_avg",
     "q_isotonic_calibration",
+    "q_modularity",
 ]
 
 

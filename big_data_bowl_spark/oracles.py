@@ -5840,3 +5840,47 @@ SELECT b.bin, b.n,
        f.iso_rate
 FROM bins b JOIN fitted f ON b.bin = f.i
 """
+
+# q_modularity — the LPA unroll (same stages as q_label_propagation)
+# followed by Newman's Q on the canonical edge set; identical IEEE
+# expression order for the per-community terms.
+ORACLES["q_modularity"] = ("""
+WITH rel AS (
+    SELECT DISTINCT user_id AS e, event_id // 2 AS i FROM events
+    WHERE event_type = 'purchase'),
+und AS MATERIALIZED (
+    SELECT DISTINCT least(x.e, y.e) AS a, greatest(x.e, y.e) AS b
+    FROM rel x JOIN rel y USING (i)
+    WHERE x.e <> y.e),
+nbr AS MATERIALIZED (
+    SELECT a AS node, b AS nb FROM und
+    UNION ALL SELECT b, a FROM und),
+l0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+""" + ",\n".join(_LPA_ROUND.format(k=k, p=k - 1) for k in range(1, 4)) + """,
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+e_in AS (
+    SELECT la.label AS community, count(*) AS e_in
+    FROM und
+    JOIN l3 la ON und.a = la.node
+    JOIN l3 lb ON und.b = lb.node
+    WHERE la.label = lb.label
+    GROUP BY 1),
+degc AS (
+    SELECT l.label AS community, CAST(sum(d.deg) AS BIGINT) AS deg_sum
+    FROM (SELECT node, count(*) AS deg FROM nbr GROUP BY 1) d
+    JOIN l3 l ON d.node = l.node
+    GROUP BY 1),
+terms AS (
+    SELECT dc.community,
+           CAST(coalesce(ei.e_in, 0) AS BIGINT) AS e_in,
+           dc.deg_sum,
+           round(CAST(coalesce(ei.e_in, 0) AS DOUBLE) / m.m
+                 - (CAST(dc.deg_sum AS DOUBLE) / (2.0 * m.m))
+                   * (CAST(dc.deg_sum AS DOUBLE) / (2.0 * m.m)), 9)
+             AS term
+    FROM degc dc LEFT JOIN e_in ei ON dc.community = ei.community
+    CROSS JOIN m),
+q AS (SELECT round(sum(term), 6) AS modularity FROM terms)
+SELECT t.community, t.e_in, t.deg_sum, t.term, q.modularity
+FROM terms t CROSS JOIN q
+""")
