@@ -5884,3 +5884,80 @@ q AS (SELECT round(sum(term), 6) AS modularity FROM terms)
 SELECT t.community, t.e_in, t.deg_sum, t.term, q.modularity
 FROM terms t CROSS JOIN q
 """)
+
+# q_lsh_precision — the q_minhash_neutral pipeline through candidate
+# pairs, then EXACT 3-shingle Jaccard restricted to those pairs;
+# >=tau is the integer cross-multiply, per-pair |est-true| rounds at 9.
+ORACLES["q_lsh_precision"] = f"""
+WITH w AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS wds
+    FROM documents),
+sh AS (
+    SELECT doc_id, array_to_string(list_slice(wds, i, i + 2), ' ') AS s
+    FROM w, UNNEST(generate_series(1, greatest(len(wds) - 2, 1))) t(i)),
+bh AS (
+    SELECT doc_id, list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(range(1, length(s) + 1),
+                              i -> ascii(substr(s, i, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS h
+    FROM sh),
+perm(j, a, b) AS (
+    VALUES {_PERM_VALUES}),
+slots AS MATERIALIZED (
+    SELECT doc_id, j, min((a * h + b) % 2147483647) AS slot
+    FROM bh CROSS JOIN perm GROUP BY 1, 2),
+bnd AS (
+    SELECT doc_id, CAST(j // {_RPB} AS BIGINT) AS band,
+           list(slot ORDER BY j) AS bs
+    FROM slots GROUP BY 1, 2),
+bkt AS (
+    SELECT doc_id, band,
+           list_reduce(list_prepend(band, bs),
+                       (acc, s) -> (acc * 31 + s) % 1000000007) AS bucket
+    FROM bnd),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bkt a JOIN bkt b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id),
+eq AS (
+    SELECT c.doc_a, c.doc_b,
+           count(*) FILTER (sa.slot = sb.slot) AS m
+    FROM cand c
+    JOIN slots sa ON sa.doc_id = c.doc_a
+    JOIN slots sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+    GROUP BY 1, 2),
+cp AS MATERIALIZED (
+    SELECT doc_a, doc_b, round(m / {float(_N_MINHASH)}, 6) AS est
+    FROM eq WHERE m >= {-(-_N_MINHASH // 2)}),
+shd AS MATERIALIZED (SELECT DISTINCT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_s FROM shd GROUP BY 1),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cp c
+    JOIN shd a ON a.doc_id = c.doc_a
+    JOIN shd b ON b.doc_id = c.doc_b AND b.s = a.s
+    GROUP BY 1, 2),
+jj AS (
+    SELECT cp.est, coalesce(i.i, 0) AS i,
+           sa.n_s + sb.n_s - coalesce(i.i, 0) AS u
+    FROM cp
+    LEFT JOIN inter i USING (doc_a, doc_b)
+    JOIN sizes sa ON sa.doc_id = cp.doc_a
+    JOIN sizes sb ON sb.doc_id = cp.doc_b),
+e AS (
+    SELECT i, u,
+           round(abs(est - CAST(i AS DOUBLE) / CAST(u AS DOUBLE)), 9)
+             AS err
+    FROM jj)
+SELECT count(*) AS n_candidates,
+       CAST(sum(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true,
+       round(CAST(sum(CASE WHEN 2 * i >= u THEN 1 ELSE 0 END) AS BIGINT)
+             / CAST(count(*) AS DOUBLE), 6) AS precision,
+       round(sum(err) / count(*), 6) AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err
+FROM e
+"""

@@ -5489,6 +5489,63 @@ def q_modularity(spark, sf_dir):
     return terms.crossJoin(F.broadcast(q))
 
 
+def q_lsh_precision(spark, sf_dir):
+    """LSH candidate-quality audit, HASH-VERIFIED: every MinHash+LSH
+    candidate pair gets its EXACT 3-shingle Jaccard (intersection join
+    restricted to candidate pairs — cost ∝ candidates · shingles, never
+    all-pairs), and the report states precision at τ=0.5 plus the
+    estimator's mean/max absolute error — the audit that tells you
+    whether the banding geometry is tuned before you trust it on 100 TB.
+    The ≥τ test is the integer cross-multiply 2·inter ≥ union (no float
+    boundary); est is dyadic (m/32); per-pair errors round at 9 before
+    the mean.  Zero-overlap bucket collisions keep their row (inter
+    coalesces to 0) — hiding them would overstate precision."""
+    from .pipeline.dedup import minhash_neutral_pairs
+    d = _t(spark, sf_dir, "documents")
+    cands = (minhash_neutral_pairs(d, min_est_jaccard=0.5)
+             .localCheckpoint(eager=True))
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    sh = (d.select("doc_id", F.explode(shingles).alias("s"))
+           .distinct()
+           .localCheckpoint(eager=True))  # sizes + both join sides
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s"))
+    inter = (cands.select("doc_a", "doc_b")
+                  .join(sh.select(F.col("doc_id").alias("doc_a"), "s"),
+                        "doc_a")
+                  .join(sh.select(F.col("doc_id").alias("doc_b"), "s"),
+                        ["doc_b", "s"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count(F.lit(1)).alias("__i")))
+    j = (cands
+         .join(inter, ["doc_a", "doc_b"], "left")
+         .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                            F.col("n_s").alias("__na")), "doc_a")
+         .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                            F.col("n_s").alias("__nb")), "doc_b")
+         .select("est_jaccard",
+                 F.coalesce(F.col("__i"), F.lit(0)).alias("__i"),
+                 (F.col("__na") + F.col("__nb")
+                  - F.coalesce(F.col("__i"), F.lit(0))).alias("__u")))
+    err = F.round(F.abs(F.col("est_jaccard")
+                        - F.col("__i").cast("double")
+                        / F.col("__u").cast("double")), 9)
+    return (j.select("__i", "__u", err.alias("__e"))
+             .agg(F.count(F.lit(1)).alias("n_candidates"),
+                  F.sum(F.when(2 * F.col("__i") >= F.col("__u"), 1)
+                         .otherwise(0)).alias("n_true"),
+                  F.round(F.sum(F.when(2 * F.col("__i") >= F.col("__u"),
+                                       1).otherwise(0))
+                          / F.count(F.lit(1)).cast("double"), 6)
+                   .alias("precision"),
+                  F.round(F.sum("__e") / F.count(F.lit(1)), 6)
+                   .alias("mean_abs_err"),
+                  F.round(F.max("__e"), 6).alias("max_abs_err")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5514,6 +5571,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_time_weighted_avg": q_time_weighted_avg,
     "q_isotonic_calibration": q_isotonic_calibration,
     "q_modularity": q_modularity,
+    "q_lsh_precision": q_lsh_precision,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
