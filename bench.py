@@ -204,6 +204,7 @@ HEADLINE = [
     "q_time_weighted_avg",
     "q_isotonic_calibration",
     "q_modularity",
+    "q_hilbert_values",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -5961,3 +5961,50 @@ SELECT count(*) AS n_candidates,
        round(max(err), 6) AS max_abs_err
 FROM e
 """
+
+# q_hilbert_values — the 8 reflect/swap rounds as chained CTE stages
+# (nested expressions would grow ~3x per round); reflection against the
+# full grid keeps x,y in [0, 256) so plain bit tests suffice.
+_HILBERT_BITS = 8
+_HILBERT_N = 1 << _HILBERT_BITS
+
+
+def _hilbert_round_sql(k: int, i: int) -> str:
+    s = 1 << i
+    n1 = _HILBERT_N - 1
+    return f"""\
+h{k} AS (
+    SELECT event_id,
+           d + {s * s} * xor(3 * (CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END),
+                             (CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)) AS d,
+           CASE WHEN (y & {s}) = 0
+                THEN CASE WHEN (x & {s}) > 0 THEN {n1} - y ELSE y END
+                ELSE x END AS x,
+           CASE WHEN (y & {s}) = 0
+                THEN CASE WHEN (x & {s}) > 0 THEN {n1} - x ELSE x END
+                ELSE y END AS y
+    FROM h{k - 1})"""
+
+
+ORACLES["q_hilbert_values"] = ("""
+WITH base AS (
+    SELECT event_id, user_id AS bx,
+           CAST(floor(epoch(ts)) AS BIGINT) AS by
+    FROM events),
+ext AS (
+    SELECT min(bx) AS xlo, max(bx) AS xhi, min(by) AS ylo, max(by) AS yhi
+    FROM base),
+h0 AS (
+    SELECT event_id,
+           CASE WHEN xhi = xlo THEN 0
+                ELSE CAST(floor((bx - xlo) * 255 / (xhi - xlo)) AS BIGINT)
+           END AS x,
+           CASE WHEN yhi = ylo THEN 0
+                ELSE CAST(floor((by - ylo) * 255 / (yhi - ylo)) AS BIGINT)
+           END AS y,
+           CAST(0 AS BIGINT) AS d
+    FROM base, ext),
+""" + ",\n".join(_hilbert_round_sql(k, _HILBERT_BITS - k)
+                 for k in range(1, _HILBERT_BITS + 1)) + """
+SELECT event_id, d AS hval FROM h8
+""")

@@ -5546,6 +5546,23 @@ def q_lsh_precision(spark, sf_dir):
                   F.round(F.max("__e"), 6).alias("max_abs_err")))
 
 
+def q_hilbert_values(spark, sf_dir):
+    """Hilbert-curve layout values over (user_id, event time),
+    HASH-VERIFIED: the space-filling key with strictly better locality
+    than Z-order (consecutive cells are always grid-adjacent), built as
+    8 staged reflect/swap rounds of pure integer arithmetic — the SQL
+    oracle mirrors the rounds as chained CTE stages and the curve's
+    defining properties (bijectivity, unit-step adjacency, engine ≡
+    Python reference) carry their own tests.  Same min-max
+    normalization contract as q_zorder_values."""
+    from .sources.layout import with_hilbert
+    e = _t(spark, sf_dir, "events")
+    base = e.select("event_id", "user_id",
+                    F.unix_timestamp("ts").alias("__ep"))
+    return (with_hilbert(base, "user_id", "__ep", bits=8)
+            .select("event_id", "hval"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5572,6 +5589,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_isotonic_calibration": q_isotonic_calibration,
     "q_modularity": q_modularity,
     "q_lsh_precision": q_lsh_precision,
+    "q_hilbert_values": q_hilbert_values,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

@@ -2167,3 +2167,36 @@ def test_poisson_bootstrap_matches_python_hash_draws(spark):
                for r in poisson_bootstrap(df.repartition(parts),
                                           "units", "k", reps=reps).collect()}
         assert got == want
+
+
+def test_hilbert_reference_is_bijective_and_adjacent():
+    """The Python Hilbert reference is a bijection onto [0, n²) whose
+    consecutive indices are grid-adjacent — the defining locality
+    property the layout key exists for (Morton/Z-order violates
+    adjacency at power-of-two boundaries)."""
+    from big_data_bowl_spark.sources.layout import hilbert_xy2d_py
+    bits = 4
+    n = 1 << bits
+    seen = {}
+    for x in range(n):
+        for y in range(n):
+            d = hilbert_xy2d_py(bits, x, y)
+            assert 0 <= d < n * n and d not in seen
+            seen[d] = (x, y)
+    for d in range(n * n - 1):
+        (x0, y0), (x1, y1) = seen[d], seen[d + 1]
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_with_hilbert_matches_python_reference(spark):
+    """The staged-round column build equals the Python reference on
+    random in-range coordinates (normalize=False isolates the rounds)."""
+    from big_data_bowl_spark.sources.layout import (
+        hilbert_xy2d_py, with_hilbert)
+    pts = [(i, (i * 37) % 256, (i * 101 + 13) % 256) for i in range(300)]
+    df = spark.createDataFrame(pts, "i long, x long, y long")
+    got = {r.i: r.hval
+           for r in with_hilbert(df, "x", "y", bits=8,
+                                 normalize=False).collect()}
+    want = {i: hilbert_xy2d_py(8, x, y) for i, x, y in pts}
+    assert got == want
