@@ -205,6 +205,7 @@ HEADLINE = [
     "q_isotonic_calibration",
     "q_modularity",
     "q_hilbert_values",
+    "q_acf",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -6008,3 +6008,40 @@ h0 AS (
                  for k in range(1, _HILBERT_BITS + 1)) + """
 SELECT event_id, d AS hval FROM h8
 """)
+
+# q_acf — the q_lead_lag machinery on one series, lags 1..12.
+ORACLES["q_acf"] = """
+WITH hours AS MATERIALIZED (
+    SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS h,
+           count(*) AS n
+    FROM events GROUP BY 1),
+span AS (
+    SELECT CAST(floor(epoch(date_trunc('hour', min(ts)))) AS BIGINT)
+             AS lo,
+           CAST(floor(epoch(date_trunc('hour', max(ts)))) AS BIGINT)
+             AS hi
+    FROM events),
+grid AS MATERIALIZED (
+    SELECT unnest(generate_series(lo, hi, 3600)) AS h FROM span),
+s AS MATERIALIZED (
+    SELECT g.h, CAST(coalesce(x.n, 0) AS BIGINT) AS c
+    FROM grid g LEFT JOIN hours x ON g.h = x.h),
+lags AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12]) AS k),
+m AS (
+    SELECT k, CAST(count(*) AS HUGEINT) AS n,
+           CAST(sum(a.c) AS HUGEINT) AS sx,
+           CAST(sum(b.c) AS HUGEINT) AS sy,
+           CAST(sum(CAST(a.c AS HUGEINT) * a.c) AS HUGEINT) AS sxx,
+           CAST(sum(CAST(b.c AS HUGEINT) * b.c) AS HUGEINT) AS syy,
+           CAST(sum(CAST(a.c AS HUGEINT) * b.c) AS HUGEINT) AS sxy
+    FROM lags JOIN s a ON true JOIN s b ON b.h - k * 3600 = a.h
+    GROUP BY 1)
+SELECT CAST(k AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+             AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+            ELSE 0.0 END AS r
+FROM m
+"""

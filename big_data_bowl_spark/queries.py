@@ -5563,6 +5563,55 @@ def q_hilbert_values(spark, sf_dir):
             .select("event_id", "hval"))
 
 
+def q_acf(spark, sf_dir):
+    """Autocorrelation function of the hourly event-count series at lags
+    1–12h, HASH-VERIFIED: the seasonality/memory diagnostic that says
+    which lags matter before anyone fits a forecaster (the q_lead_lag
+    machinery turned on a single series).  Dense hour grid with true
+    zeros, pinned once; each lag is one shifted self-join + a 6-moment
+    exact aggregate (DECIMAL(38,0) sums of integer counts) and one
+    identical Pearson expression.  Cost: span × 12 rows total — hours,
+    not events."""
+    e = _t(spark, sf_dir, "events")
+    hours = (e.groupBy(F.unix_timestamp(
+                 F.date_trunc("hour", F.col("ts"))).alias("__h"))
+              .agg(F.count(F.lit(1)).alias("__n")))
+    span = e.agg(
+        F.unix_timestamp(F.date_trunc("hour", F.min("ts"))).alias("__lo"),
+        F.unix_timestamp(F.date_trunc("hour", F.max("ts"))).alias("__hi"))
+    grid = (span.select(F.explode(F.sequence(
+                F.col("__lo"), F.col("__hi"),
+                F.lit(3600))).alias("__h")))
+    s = (grid.join(hours, "__h", "left")
+             .select("__h", F.coalesce("__n", F.lit(0)).alias("__c"))
+             .localCheckpoint(eager=True))  # both sides of all 12 lags
+    dec = "decimal(38,0)"
+    outs = []
+    for k in range(1, 13):
+        j = (s.select(F.col("__h"), F.col("__c").alias("__x"))
+              .join(s.select((F.col("__h") - k * 3600).alias("__h"),
+                             F.col("__c").alias("__y")), "__h"))
+        x, y = F.col("__x").cast(dec), F.col("__y").cast(dec)
+        m = j.agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                  F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                  F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+                  F.sum(x * y).alias("sxy"))
+        num = (F.col("n") * F.col("sxy")
+               - F.col("sx") * F.col("sy")).cast("double")
+        da = (F.col("n") * F.col("sxx")
+              - F.col("sx") * F.col("sx")).cast("double")
+        db = (F.col("n") * F.col("syy")
+              - F.col("sy") * F.col("sy")).cast("double")
+        outs.append(m.select(
+            F.lit(k).cast("long").alias("lag_hours"),
+            F.col("n").cast("long").alias("n_hours"),
+            F.when((da > 0) & (db > 0),
+                   F.round(num / F.sqrt(da * db), 6))
+             .otherwise(F.lit(0.0)).alias("r")))
+    from functools import reduce as _reduce
+    return _reduce(lambda u, v: u.unionByName(v), outs)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5590,6 +5639,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_modularity": q_modularity,
     "q_lsh_precision": q_lsh_precision,
     "q_hilbert_values": q_hilbert_values,
+    "q_acf": q_acf,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
