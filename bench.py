@@ -206,6 +206,8 @@ HEADLINE = [
     "q_modularity",
     "q_hilbert_values",
     "q_acf",
+    "q_did",
+    "q_theil_sen",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -6045,3 +6045,77 @@ SELECT CAST(k AS BIGINT) AS lag_hours, CAST(n AS BIGINT) AS n_hours,
             ELSE 0.0 END AS r
 FROM m
 """
+
+# q_did — 2x2 difference-in-differences; epoch-midpoint cutoff with
+# floor semantics (the q_cuped discipline), exact-cents cell means.
+ORACLES["q_did"] = """
+WITH e AS (
+    SELECT user_id % 2 AS treat,
+           CAST(round(value * 100) AS BIGINT) AS c,
+           CAST(floor(epoch(ts)) AS BIGINT) AS t
+    FROM events WHERE value IS NOT NULL),
+cut AS (
+    SELECT CAST(floor((min(t) + max(t)) / 2) AS BIGINT) AS cut FROM e),
+cells AS (
+    SELECT treat, CASE WHEN t >= cut THEN 1 ELSE 0 END AS post,
+           count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+    FROM e, cut GROUP BY 1, 2),
+wide AS (
+    SELECT CAST(sum(n) AS BIGINT) AS n_events,
+           max(CASE WHEN treat = 1 AND post = 1
+                    THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               END) AS tp,
+           max(CASE WHEN treat = 1 AND post = 0
+                    THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               END) AS tq,
+           max(CASE WHEN treat = 0 AND post = 1
+                    THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               END) AS cp,
+           max(CASE WHEN treat = 0 AND post = 0
+                    THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+               END) AS cq
+    FROM cells)
+SELECT n_events,
+       round(tp - tq, 6) AS treat_delta,
+       round(cp - cq, 6) AS control_delta,
+       round((tp - tq) - (cp - cq), 6) AS did
+FROM wide
+"""
+
+# q_theil_sen — median pairwise slope at the calendar-bounded day grain;
+# exact percentiles, intercept from the rounded slope.
+ORACLES["q_theil_sen"] = """
+WITH days AS MATERIALIZED (
+    SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS r
+    FROM orders GROUP BY 1),
+slopes AS MATERIALIZED (
+    SELECT a.d AS di, b.d AS dj,
+           CAST(b.r - a.r AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+           / 100.0 AS s
+    FROM days a JOIN days b ON a.d < b.d),
+ranked AS (
+    SELECT s, row_number() OVER (ORDER BY s ASC, di ASC, dj ASC) AS p,
+           count(*) OVER () AS n
+    FROM slopes),
+sl AS (
+    SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+           round(avg(s), 6) AS sen_slope
+    FROM ranked
+    WHERE p = (n + 1) // 2 OR p = n // 2 + 1),
+resid AS (
+    SELECT sl.n_pairs, sl.sen_slope, days.d,
+           CAST(days.r AS DOUBLE) / 100.0 - sl.sen_slope * days.d AS e
+    FROM days CROSS JOIN sl),
+rr AS (
+    SELECT n_pairs, sen_slope, e,
+           row_number() OVER (ORDER BY e ASC, d ASC) AS p,
+           count(*) OVER () AS nd
+    FROM resid)
+SELECT n_pairs, sen_slope, CAST(max(nd) AS BIGINT) AS n_days,
+       round(avg(e), 6) AS intercept
+FROM rr
+WHERE p = (nd + 1) // 2 OR p = nd // 2 + 1
+GROUP BY 1, 2
+"""

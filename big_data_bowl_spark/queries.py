@@ -5612,6 +5612,108 @@ def q_acf(spark, sf_dir):
     return _reduce(lambda u, v: u.unionByName(v), outs)
 
 
+def q_did(spark, sf_dir):
+    """Difference-in-differences estimate, HASH-VERIFIED: the 2×2
+    experimentation workhorse — treatment (odd user_id) vs control,
+    pre vs post (epoch-midpoint cutoff with floor semantics, the
+    q_cuped discipline), outcome = mean event value per cell from
+    exact integer cents, and DiD = (T_post − T_pre) − (C_post − C_pre).
+    One cell-grain aggregate (4 rows) off a single scan; every mean is
+    a long/long division and the estimate is one identical expression
+    tree over the four exact means."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(F.pmod(F.col("user_id"), F.lit(2)).alias("__treat"),
+                 cents(F.col("value")).alias("__c"),
+                 F.unix_timestamp("ts").alias("__t")))
+    cut = e.agg(F.floor((F.min("__t") + F.max("__t")) / 2)
+                 .cast("long").alias("__cut"))
+    cells = (e.crossJoin(F.broadcast(cut))
+              .groupBy("__treat",
+                       (F.col("__t") >= F.col("__cut")).cast("long")
+                        .alias("__post"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("__c").alias("__s"))
+              .localCheckpoint(eager=True))
+    mean = (F.col("__s").cast("double") / F.col("n").cast("double")
+            / 100.0)
+    wide = (cells.select("__treat", "__post", "n", mean.alias("__m"))
+                 .groupBy()
+                 .agg(F.sum("n").alias("n_events"),
+                      F.max(F.when((F.col("__treat") == 1)
+                                   & (F.col("__post") == 1),
+                                   F.col("__m"))).alias("__tp"),
+                      F.max(F.when((F.col("__treat") == 1)
+                                   & (F.col("__post") == 0),
+                                   F.col("__m"))).alias("__tq"),
+                      F.max(F.when((F.col("__treat") == 0)
+                                   & (F.col("__post") == 1),
+                                   F.col("__m"))).alias("__cp"),
+                      F.max(F.when((F.col("__treat") == 0)
+                                   & (F.col("__post") == 0),
+                                   F.col("__m"))).alias("__cq")))
+    return wide.select(
+        "n_events",
+        F.round(F.col("__tp") - F.col("__tq"), 6).alias("treat_delta"),
+        F.round(F.col("__cp") - F.col("__cq"), 6).alias("control_delta"),
+        F.round((F.col("__tp") - F.col("__tq"))
+                - (F.col("__cp") - F.col("__cq")), 6).alias("did"))
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil–Sen robust trend of daily revenue, HASH-VERIFIED: the
+    median of all pairwise slopes (breakdown point 29% — one bad day
+    cannot move it, unlike OLS), plus the median-residual intercept.
+    The quadratic pair set lives at the DAY grain, which is bounded by
+    the calendar, not the corpus — the same argument that makes the
+    distinct-value-grain windows scale — so ~2.9M slope pairs is the
+    CEILING at any SF.  Slopes are one division of exact cent/day
+    deltas; medians are exact percentiles (swap in the distributed
+    rank form for series past ~10⁴ points); the intercept pass reuses
+    the pinned day series with the rounded slope as a 1-row
+    broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    days = (o.groupBy(F.floor(F.unix_timestamp("o_orderdate") / 86400)
+                       .cast("long").alias("__d"))
+             .agg(F.sum(cents(F.col("o_totalprice"))).alias("__r"))
+             .localCheckpoint(eager=True))  # pairs + intercept pass
+    a = days.select(F.col("__d").alias("__di"), F.col("__r").alias("__ri"))
+    b = days.select(F.col("__d").alias("__dj"), F.col("__r").alias("__rj"))
+    slopes = (a.join(b, F.col("__di") < F.col("__dj"))
+               .select("__di", "__dj",
+                       ((F.col("__rj") - F.col("__ri")).cast("double")
+                        / (F.col("__dj") - F.col("__di")).cast("double")
+                        / 100.0).alias("__s"))
+               .localCheckpoint(eager=True))  # 3 passes consume it
+    # exact median WITHOUT the single-reducer F.percentile sort (10s at
+    # 2.9M slopes): histogram SELECTION (median_distributed) — two
+    # linear scans locate and sort only the ~n/1024-row target buckets.
+    # Order statistics are algorithm-independent, so the oracle picks
+    # the same positions with a plain row_number and both engines
+    # average the identical two middle values.
+    from .operators.windows import median_distributed
+    sl = (median_distributed(slopes, "__s", tiebreak=["__di", "__dj"])
+          .select(F.col("n").alias("n_pairs"),
+                  F.round(F.col("median"), 6).alias("sen_slope")))
+    resid = (days.crossJoin(F.broadcast(sl))
+                 .select("n_pairs", "sen_slope", "__d",
+                         (F.col("__r").cast("double") / 100.0
+                          - F.col("sen_slope") * F.col("__d"))
+                          .alias("__e")))
+    # intercept median runs on the DAY grain (calendar-bounded, ≤ a few
+    # thousand rows) — a plain position pick via one tiny window
+    wm = Window.orderBy(F.asc("__e"), F.asc("__d"))
+    nd = resid.agg(F.count(F.lit(1)).alias("__nd"))
+    rr = (resid.withColumn("__p", F.row_number().over(wm))
+               .crossJoin(F.broadcast(nd)))
+    d1 = F.floor((F.col("__nd") + 1) / 2)
+    d2 = F.floor(F.col("__nd") / 2) + 1
+    return (rr.filter((F.col("__p") == d1) | (F.col("__p") == d2))
+              .groupBy("n_pairs", "sen_slope")
+              .agg(F.max("__nd").alias("n_days"),
+                   F.round(F.avg("__e"), 6).alias("intercept")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5640,6 +5742,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_lsh_precision": q_lsh_precision,
     "q_hilbert_values": q_hilbert_values,
     "q_acf": q_acf,
+    "q_did": q_did,
+    "q_theil_sen": q_theil_sen,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

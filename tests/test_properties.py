@@ -805,3 +805,52 @@ def test_isotonic_minimax_equals_pav(spark, bins):
                   .collect())
     got = [r.f for r in sorted(got_rows, key=lambda r: r.i)]
     assert got == fitted_py
+
+
+@settings(max_examples=8, deadline=None)
+@given(vals=st.lists(st.integers(-1000, 1000), min_size=1, max_size=60),
+       buckets=st.sampled_from([4, 16, 1024]))
+def test_median_distributed_equals_statistics_median(spark, vals, buckets):
+    """Histogram-selection median ≡ statistics.median (quantile_cont
+    0.5 semantics) across bucket counts, duplicates, and tiny inputs."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.windows import median_distributed
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], "i long, v double")
+    got = median_distributed(df, "v", tiebreak=["i"],
+                             buckets=buckets).collect()[0]
+    assert got.n == len(vals)
+    assert abs(got.median - statistics.median(vals)) < 1e-12
+
+
+@settings(max_examples=6, deadline=None)
+@given(pts=st.lists(st.tuples(st.integers(0, 30), st.integers(-500, 500)),
+                    min_size=2, max_size=20, unique_by=lambda t: t[0]))
+def test_theil_sen_slope_equals_brute_force(spark, pts):
+    """The engine's pairwise-slope median equals the Python Theil–Sen
+    estimator on arbitrary small series."""
+    import statistics
+
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.windows import median_distributed
+    df = spark.createDataFrame(pts, "d long, r long")
+    a = df.select(F.col("d").alias("di"), F.col("r").alias("ri"))
+    b = df.select(F.col("d").alias("dj"), F.col("r").alias("rj"))
+    slopes = (a.join(b, F.col("di") < F.col("dj"))
+               .select("di", "dj",
+                       ((F.col("rj") - F.col("ri")).cast("double")
+                        / (F.col("dj") - F.col("di")).cast("double"))
+                       .alias("s")))
+    got = median_distributed(slopes, "s",
+                             tiebreak=["di", "dj"]).collect()[0]
+    slopes_py = [(rj - ri) / (dj - di)
+                 for (di, ri) in pts
+                 for (dj, rj) in pts
+                 if di < dj]
+    want = statistics.median(slopes_py)
+    assert got.n == len(slopes_py)
+    assert abs(got.median - want) < 1e-12
