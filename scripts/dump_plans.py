@@ -254,6 +254,15 @@ AUDITED: dict[str, str] = {
         "(shuffle carries reps-per-partition partials); the when-chain "
         "inverse CDF stays in whole-stage codegen; 32-row replicate "
         "table pinned before the CI agg rides back as a broadcast."),
+    "q_theil_sen": (
+        "Pair set at the calendar-bounded day grain; exact median via "
+        "histogram SELECTION (median_distributed): two linear scans + "
+        "a sort of only the ~n/1024-row target buckets — no global "
+        "sort, no single-reducer percentile buffer."),
+    "q_acf": (
+        "Pinned dense hour grid; 12 shifted self-joins of hour-grain "
+        "rows with DECIMAL moment aggregates — cost is span x 12 "
+        "rows, independent of event count."),
 }
 
 
