@@ -224,6 +224,9 @@ def fd_profile(candidates: list[tuple[str, DataFrame, list[str],
 
     Returns (fd, n_groups, n_violating_groups, n_rows,
     violation_row_share) — share rounded at 6, one row per candidate."""
+    if not candidates:
+        raise ValueError("fd_profile: empty candidate list — nothing "
+                         "to profile (check the caller's FD config)")
     outs = []
     for name, df, det_cols, dep_col in candidates:
         require_columns(df, det_cols + [dep_col], f"fd_profile[{name}]")

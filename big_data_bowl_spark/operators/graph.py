@@ -307,12 +307,14 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
     SSSP maps onto joins — no driver-side frontier set, no collect.
 
     ``seeds`` is a 1-column (node) DataFrame; returns (node, hops) for
-    every node reachable within ``max_hops``."""
+    every node reachable within ``max_hops``.  A seed is reachable from
+    itself at hops 0 even when it has no edges — isolated seeds KEEP
+    their row (review finding: an earlier semi-join against the
+    adjacency silently dropped them, breaking the stated contract)."""
     require_columns(edges, ["src", "dst"], "bfs_hops")
     require_columns(seeds, ["node"], "bfs_hops")
     nbr = _undirected_neighbors(edges)
     dist = (seeds.select("node").distinct()
-                 .join(nbr.select("node").distinct(), "node", "left_semi")
                  .withColumn("hops", F.lit(0).cast("long")))
     for _ in range(max_hops):
         relaxed = (nbr.join(dist, "node")

@@ -337,6 +337,11 @@ def median_distributed(df: DataFrame, col: str,
     value-equal, so the result is unaffected either way.  Returns a
     1-row DataFrame (n, median)."""
     require_columns(df, [col], "median_distributed")
+    # NULLs are excluded up front (quantile_cont semantics): counting
+    # them in n while least(buckets-1, NULL) dumps them into the top
+    # bucket would shift every selected position — a review-confirmed
+    # wrong-median bug on NULL-bearing inputs.
+    df = df.filter(F.col(col).isNotNull())
     # 1-row/2-row intermediates pin eagerly: each broadcast consumer
     # would otherwise re-execute the full upstream scan per reference
     ext = df.agg(F.min(col).alias("__lo"), F.max(col).alias("__hi"),

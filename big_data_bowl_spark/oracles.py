@@ -5585,15 +5585,16 @@ nbr AS MATERIALIZED (
     SELECT a AS node, b AS nb FROM und
     UNION ALL SELECT b, a FROM und),
 d0 AS (
-    SELECT DISTINCT node, 0 AS hops FROM nbr
-    WHERE node % 10 = 0),
+    SELECT DISTINCT user_id AS node, 0 AS hops FROM events
+    WHERE user_id % 10 = 0),
 """ + ",\n".join(_BFS_ROUND.format(k=k, p=k - 1) for k in range(1, 4)) + """
 SELECT node AS user_id, CAST(hops AS BIGINT) AS hops FROM d3
 """)
 
-# q_tfidf_topk — sklearn-smoothed idf; the score is one product of
-# engine-identical doubles, so the (score DESC, term ASC) election
-# ranks on the RAW product in both engines.
+# q_tfidf_topk — sklearn-smoothed idf; the election orders on the
+# ROUND-9 score (libm ln is 1-ulp, not correctly rounded — raw-product
+# ordering of near-ties is not a cross-engine guarantee), term ASC on
+# rounded ties; the output score double-rounds 9→6 like the engine.
 ORACLES["q_tfidf_topk"] = """
 WITH tok AS (
     SELECT doc_id,
@@ -5604,9 +5605,9 @@ dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT count(*) AS n_docs FROM documents),
 scored AS (
     SELECT tf.doc_id, tf.term, tf.tf,
-           CAST(tf.tf AS DOUBLE)
-           * (ln((1.0 + CAST(n.n_docs AS DOUBLE))
-                 / (1.0 + CAST(d.df AS DOUBLE))) + 1.0) AS s
+           round(CAST(tf.tf AS DOUBLE)
+                 * (ln((1.0 + CAST(n.n_docs AS DOUBLE))
+                       / (1.0 + CAST(d.df AS DOUBLE))) + 1.0), 9) AS s
     FROM tf JOIN dfreq d USING (term) CROSS JOIN n),
 ranked AS (
     SELECT doc_id, term, tf, s,

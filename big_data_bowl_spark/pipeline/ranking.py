@@ -295,9 +295,12 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     plain shuffle join on the term (vocabulary-grain, same contract as
     unigram_scores — AQE may broadcast it at small SF).  The top-k is a
     row_number window PARTITIONED BY DOCUMENT — group-grain, never a
-    single reducer.  The score is one product of engine-identical
-    doubles (no sum), so ordering needs no quantization; ties break on
-    the term string.
+    single reducer.  The rank ORDERS ON THE ROUND-9 SCORE: ln is only
+    1-ulp-accurate (not correctly rounded) in both engines' libm, so a
+    raw-product ordering of near-tied terms is not a cross-engine
+    guarantee — quantizing to 9 decimals before the election is (the
+    q_benford_audit float-log discipline); rounded ties break on the
+    term string.
 
     Returns (doc_id, rnk, term, tf, score) with score rounded at 6.
     """
@@ -312,7 +315,8 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     scored = (tf.join(dfreq, "term")
                 .crossJoin(F.broadcast(n))
                 .select(F.col(id_col), "term", "tf",
-                        (F.col("tf").cast("double") * idf).alias("__s")))
+                        F.round(F.col("tf").cast("double") * idf, 9)
+                         .alias("__s")))
     w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("term"))
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k)

@@ -4157,41 +4157,28 @@ def q_degree_distribution(spark, sf_dir):
                 .select("deg", "n_nodes", "alpha_hat"))
 
 
-def q_lead_lag(spark, sf_dir):
-    """Lead–lag cross-correlation, HASH-VERIFIED: Pearson r between the
-    hourly view series and the hourly purchase series at lags −3..+3 h —
-    the "does activity lead conversion?" time-series diagnostic.  The
-    hour grid is a DENSE explode of the full span (missing hours are
-    true zeros, not dropped rows — dropping them biases r toward
-    co-activity); each lag is one grid self-join plus a 6-moment exact
-    aggregate (DECIMAL(38,0) sums of integer counts — the
-    metric_correlations discipline; built-in corr would not
-    hash-match), and r is one identical double expression.  The grid is
-    span-bounded (hours, not events), so the 7 lag passes cost
-    span × 7 rows total."""
-    e = _t(spark, sf_dir, "events")
-    hours = (e.groupBy(F.unix_timestamp(
-                 F.date_trunc("hour", F.col("ts"))).alias("__h"),
-                       "event_type")
-              .agg(F.count(F.lit(1)).alias("__n")))
+def _hourly_grid(e):
+    """Dense hour grid spanning the events table: missing hours must be
+    TRUE ZEROS for any correlation over the series (dropping them
+    biases r toward co-activity).  Shared by q_lead_lag and q_acf."""
     span = e.agg(
         F.unix_timestamp(F.date_trunc("hour", F.min("ts"))).alias("__lo"),
         F.unix_timestamp(F.date_trunc("hour", F.max("ts"))).alias("__hi"))
-    grid = (span.select(F.explode(F.sequence(
-                F.col("__lo"), F.col("__hi"),
-                F.lit(3600))).alias("__h")))
+    return span.select(F.explode(F.sequence(
+        F.col("__lo"), F.col("__hi"), F.lit(3600))).alias("__h"))
 
-    def series(et):
-        return (grid.join(hours.filter(F.col("event_type") == et)
-                               .select("__h", "__n"), "__h", "left")
-                    .select("__h", F.coalesce("__n", F.lit(0))
-                            .alias("__c")))
 
-    a = series("view").localCheckpoint(eager=True)
-    b = series("purchase").localCheckpoint(eager=True)
+def _lagged_pearson(a, b, lags):
+    """Pearson r between hour series ``a`` and ``b`` shifted by each lag
+    (hours): one grid self-join + a 6-moment exact aggregate per lag —
+    DECIMAL(38,0) sums of integer counts (the metric_correlations
+    discipline; built-in corr would not hash-match) and ONE identical r
+    expression, so q_lead_lag and q_acf cannot drift apart (review
+    finding: the two copies had to be kept bit-identical by hand).
+    Both inputs are (__h, __c) and should be pinned by the caller."""
     dec = "decimal(38,0)"
     outs = []
-    for k in range(-3, 4):
+    for k in lags:
         j = (a.select(F.col("__h"), F.col("__c").alias("__x"))
               .join(b.select((F.col("__h") - k * 3600).alias("__h"),
                              F.col("__c").alias("__y")), "__h"))
@@ -4214,6 +4201,36 @@ def q_lead_lag(spark, sf_dir):
              .otherwise(F.lit(0.0)).alias("r")))
     from functools import reduce as _reduce
     return _reduce(lambda u, v: u.unionByName(v), outs)
+
+
+def q_lead_lag(spark, sf_dir):
+    """Lead–lag cross-correlation, HASH-VERIFIED: Pearson r between the
+    hourly view series and the hourly purchase series at lags −3..+3 h —
+    the "does activity lead conversion?" time-series diagnostic.  The
+    hour grid is a DENSE explode of the full span (missing hours are
+    true zeros, not dropped rows — dropping them biases r toward
+    co-activity); each lag is one grid self-join plus a 6-moment exact
+    aggregate (DECIMAL(38,0) sums of integer counts — the
+    metric_correlations discipline; built-in corr would not
+    hash-match), and r is one identical double expression.  The grid is
+    span-bounded (hours, not events), so the 7 lag passes cost
+    span × 7 rows total."""
+    e = _t(spark, sf_dir, "events")
+    hours = (e.groupBy(F.unix_timestamp(
+                 F.date_trunc("hour", F.col("ts"))).alias("__h"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("__n")))
+    grid = _hourly_grid(e)
+
+    def series(et):
+        return (grid.join(hours.filter(F.col("event_type") == et)
+                               .select("__h", "__n"), "__h", "left")
+                    .select("__h", F.coalesce("__n", F.lit(0))
+                            .alias("__c")))
+
+    a = series("view").localCheckpoint(eager=True)
+    b = series("purchase").localCheckpoint(eager=True)
+    return _lagged_pearson(a, b, range(-3, 4))
 
 
 def q_stratified_rates(spark, sf_dir):
@@ -5576,40 +5593,10 @@ def q_acf(spark, sf_dir):
     hours = (e.groupBy(F.unix_timestamp(
                  F.date_trunc("hour", F.col("ts"))).alias("__h"))
               .agg(F.count(F.lit(1)).alias("__n")))
-    span = e.agg(
-        F.unix_timestamp(F.date_trunc("hour", F.min("ts"))).alias("__lo"),
-        F.unix_timestamp(F.date_trunc("hour", F.max("ts"))).alias("__hi"))
-    grid = (span.select(F.explode(F.sequence(
-                F.col("__lo"), F.col("__hi"),
-                F.lit(3600))).alias("__h")))
-    s = (grid.join(hours, "__h", "left")
-             .select("__h", F.coalesce("__n", F.lit(0)).alias("__c"))
-             .localCheckpoint(eager=True))  # both sides of all 12 lags
-    dec = "decimal(38,0)"
-    outs = []
-    for k in range(1, 13):
-        j = (s.select(F.col("__h"), F.col("__c").alias("__x"))
-              .join(s.select((F.col("__h") - k * 3600).alias("__h"),
-                             F.col("__c").alias("__y")), "__h"))
-        x, y = F.col("__x").cast(dec), F.col("__y").cast(dec)
-        m = j.agg(F.count(F.lit(1)).cast(dec).alias("n"),
-                  F.sum(x).alias("sx"), F.sum(y).alias("sy"),
-                  F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
-                  F.sum(x * y).alias("sxy"))
-        num = (F.col("n") * F.col("sxy")
-               - F.col("sx") * F.col("sy")).cast("double")
-        da = (F.col("n") * F.col("sxx")
-              - F.col("sx") * F.col("sx")).cast("double")
-        db = (F.col("n") * F.col("syy")
-              - F.col("sy") * F.col("sy")).cast("double")
-        outs.append(m.select(
-            F.lit(k).cast("long").alias("lag_hours"),
-            F.col("n").cast("long").alias("n_hours"),
-            F.when((da > 0) & (db > 0),
-                   F.round(num / F.sqrt(da * db), 6))
-             .otherwise(F.lit(0.0)).alias("r")))
-    from functools import reduce as _reduce
-    return _reduce(lambda u, v: u.unionByName(v), outs)
+    s = (_hourly_grid(e).join(hours, "__h", "left")
+         .select("__h", F.coalesce("__n", F.lit(0)).alias("__c"))
+         .localCheckpoint(eager=True))  # both sides of all 12 lags
+    return _lagged_pearson(s, s, range(1, 13))
 
 
 def q_did(spark, sf_dir):

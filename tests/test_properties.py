@@ -672,7 +672,9 @@ def test_label_propagation_two_cliques(spark):
     min_size=1, max_size=40), cap=st.integers(1, 4))
 def test_bfs_hops_equals_python_bfs(spark, edges, cap):
     """Fixed-round min-relax equals true BFS distance clipped at the
-    hop cap (unreached nodes absent); seeds are nodes ≡0 mod 3."""
+    hop cap (unreached nodes absent); seeds are 0,3,6,9 — including
+    seeds with no edges, which keep their hops-0 row (a seed is
+    reachable from itself)."""
     from big_data_bowl_spark.operators.graph import bfs_hops
     es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
     if not es:
@@ -681,11 +683,12 @@ def test_bfs_hops_equals_python_bfs(spark, edges, cap):
     for a, b in es:
         nbrs.setdefault(a, set()).add(b)
         nbrs.setdefault(b, set()).add(a)
-    seeds = [n for n in nbrs if n % 3 == 0]
+    seeds = list(range(0, 12, 3))
     want = {n: 0 for n in seeds}
     frontier = set(seeds)
     for h in range(1, cap + 1):
-        frontier = {m for n in frontier for m in nbrs[n]} - set(want)
+        frontier = {m for n in frontier
+                    for m in nbrs.get(n, ())} - set(want)
         for m in frontier:
             want[m] = h
     df = spark.createDataFrame([Row(src=a, dst=b) for a, b in es])
