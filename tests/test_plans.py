@@ -542,3 +542,41 @@ def test_span_dedup_single_scan(spark):
     from big_data_bowl_spark.plans import executed_plan
     plan = executed_plan(_q(spark, "q_span_dedup"))
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_poisson_bootstrap_single_shuffle(spark):
+    """The x32 replicate fan-out collapses map-side: the replicate
+    aggregate's plan carries exactly ONE exchange (the 32-row rep
+    groupBy) — fan-out rows never shuffle."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.functions.scalar import cents
+    from big_data_bowl_spark.pipeline.sampling import poisson_bootstrap
+    from big_data_bowl_spark.sources.io import read_table
+
+    o = read_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("units"))
+    reps = poisson_bootstrap(o, "units", "o_orderkey", reps=32)
+    assert count_exchanges(reps) == 1, explain_formatted(reps)
+
+
+def test_frequent_triples_prunes_via_broadcast_semi_joins(spark):
+    """The Apriori pair prune rides BroadcastHashJoin LeftSemi nodes
+    ahead of the triple count — candidate rows never shuffle for the
+    prune — and the plan has no cartesian product."""
+    plan = explain_formatted(_q(spark, "q_frequent_triples"))
+    semis = plan.count("LeftSemi")
+    assert semis >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hilbert_rounds_are_map_only(spark):
+    """The 8 staged reflect/swap rounds are pure map-side arithmetic:
+    the ONLY exchange is the 1-row min-max bounds aggregate (a
+    SinglePartition collapse of 4 agg values) riding back as a
+    broadcast — the fact rows never shuffle."""
+    df = _q(spark, "q_hilbert_values")
+    plan = explain_formatted(df)
+    assert count_exchanges(df) == 1, plan
+    assert "Exchange SinglePartition" in plan
+    assert "hashpartitioning" not in plan, plan
