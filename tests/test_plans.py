@@ -577,6 +577,8 @@ def test_hilbert_rounds_are_map_only(spark):
     broadcast — the fact rows never shuffle."""
     df = _q(spark, "q_hilbert_values")
     plan = explain_formatted(df)
-    assert count_exchanges(df) == 1, plan
-    assert "Exchange SinglePartition" in plan
+    # exactly one shuffle Exchange node (formatted trees print shuffles
+    # as "- Exchange (n)" and broadcasts as "- BroadcastExchange (n)";
+    # count_exchanges' substring count would lump them together)
+    assert plan.count("- Exchange (") == 1, plan
     assert "hashpartitioning" not in plan, plan
