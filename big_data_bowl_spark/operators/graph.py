@@ -325,3 +325,69 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
                     .agg(F.min("hops").alias("hops"))
                     .localCheckpoint(eager=True))
     return dist
+
+
+def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
+                          iters: int = 5, damping: float = 0.85,
+                          checkpoint_every: int = 2) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: teleport lands on the
+    ``seeds`` set instead of uniformly, so rank mass concentrates in
+    the seeds' neighborhood — the classic relatedness/recommendation
+    score (Haveliwala 2002).  r' = e·((1−d) + d·dm) + d·A^T r with
+    e = 1/|S| on seeds (restricted to graph nodes), 0 elsewhere, and
+    dangling mass dm re-teleporting to the seeds; total mass stays 1.
+
+    Same scale shape as :func:`pagerank` (whose edge-pin discipline and
+    per-round cost notes apply verbatim): the teleport vector is CARRIED
+    as a column of the node-grain ranks relation, so each round is still
+    one edges⋈ranks shuffle + one aggregate + a 1-row dangling
+    broadcast.  Deterministic and fixed-iteration, so the oracle unrolls
+    the rounds exactly like the PageRank one.  Returns (node, rank)."""
+    require_columns(edges, ["src", "dst"], "personalized_pagerank")
+    require_columns(seeds, ["node"], "personalized_pagerank")
+    if checkpoint_every < 1:
+        raise ValueError("personalized_pagerank: checkpoint_every >= 1")
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+                  .union(edges.select(F.col("dst").alias("node")))
+                  .distinct())
+    seed_nodes = (seeds.select("node").distinct()
+                       .join(nodes, "node", "left_semi")
+                       .withColumn("__is_seed", F.lit(1)))
+    n_seeds = seed_nodes.count()
+    if n_seeds == 0:
+        raise ValueError("personalized_pagerank: no seed appears in "
+                         "the graph — teleport mass has nowhere to go")
+    outdeg = edges.groupBy(F.col("src").alias("node")) \
+                  .agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = (nodes.join(outdeg, "node", "left")
+                  .join(seed_nodes, "node", "left")
+                  .withColumn("tele",
+                              F.when(F.col("__is_seed") == 1,
+                                     F.lit(1.0 / n_seeds))
+                               .otherwise(F.lit(0.0)))
+                  .withColumn("rank", F.col("tele"))
+                  .select("node", "outdeg", "tele", "rank")
+                  .localCheckpoint(eager=True))
+    for i in range(iters):
+        contrib = (edges.join(ranks.select(F.col("node").alias("src"),
+                                           "rank", "outdeg"), "src")
+                        .groupBy(F.col("dst").alias("node"))
+                        .agg(F.sum(F.col("rank") / F.col("outdeg"))
+                              .alias("inflow")))
+        dangling = (ranks.filter(F.col("outdeg").isNull())
+                         .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                               .alias("__dm")))
+        ranks = (ranks.select("node", "outdeg", "tele")
+                      .join(contrib, "node", "left")
+                      .crossJoin(F.broadcast(dangling))
+                      .select("node", "outdeg", "tele",
+                              (F.col("tele")
+                               * ((1 - damping)
+                                  + damping * F.col("__dm"))
+                               + damping
+                               * F.coalesce(F.col("inflow"), F.lit(0.0)))
+                              .alias("rank")))
+        if (i + 1) % checkpoint_every == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("node", "rank")

@@ -6120,3 +6120,47 @@ FROM rr
 WHERE p = (nd + 1) // 2 OR p = nd // 2 + 1
 GROUP BY 1, 2
 """
+
+# q_personalized_pagerank — PPR unroll: teleport on the seed set,
+# dangling mass re-teleports to seeds; identical IEEE constants to the
+# engine (1 - 0.85::DOUBLE reproduces Python's 0.15000000000000002).
+_PPR_ROUND = """p{k} AS (
+    SELECT b.node, b.outdeg, b.tele,
+           (b.tele * ((1 - 0.85::DOUBLE) + 0.85::DOUBLE * d.dm)
+            + 0.85::DOUBLE * COALESCE(c.inflow, 0)) AS rank
+    FROM base b
+    LEFT JOIN (SELECT e.dst AS node, sum(r.rank / r.outdeg) AS inflow
+               FROM edges e JOIN p{p} r ON e.src = r.node
+               GROUP BY 1) c USING (node)
+    CROSS JOIN (SELECT COALESCE(sum(rank), 0::DOUBLE) AS dm
+                FROM p{p} WHERE outdeg IS NULL) d)"""
+
+ORACLES["q_personalized_pagerank"] = ("""
+WITH pairs AS (
+    SELECT DISTINCT user_id AS e, event_id // 5 AS i FROM events),
+edges AS MATERIALIZED (
+    SELECT DISTINCT a.e AS src, b.e AS dst
+    FROM pairs a JOIN pairs b USING (i)
+    WHERE a.e <> b.e),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (
+    SELECT DISTINCT user_id AS node FROM events
+    WHERE user_id % 25 = 0),
+sn AS MATERIALIZED (
+    SELECT s.node FROM seeds s JOIN nodes n ON s.node = n.node),
+ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM sn),
+outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY 1),
+base AS MATERIALIZED (
+    SELECT n.node, o.outdeg,
+           CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.ns
+                ELSE 0::DOUBLE END AS tele
+    FROM nodes n
+    LEFT JOIN outdeg o USING (node)
+    LEFT JOIN sn s ON n.node = s.node
+    CROSS JOIN ns),
+p0 AS (SELECT node, outdeg, tele, tele AS rank FROM base),
+""" + ",\n".join(_PPR_ROUND.format(k=k, p=k - 1) for k in range(1, 6)) + """
+SELECT node AS user_id, round(rank, 9) AS rank FROM p5
+ORDER BY rank DESC, user_id ASC
+LIMIT 20
+""")

@@ -5701,6 +5701,30 @@ def q_theil_sen(spark, sf_dir):
                    F.round(F.avg("__e"), 6).alias("intercept")))
 
 
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the user_id % 25 == 0 seed set over
+    the co-interaction graph, HASH-VERIFIED: teleport mass lands on the
+    seeds (dangling mass re-teleports there too), so rank concentrates
+    in their neighborhood — the topic-sensitive relatedness score
+    recommenders build on.  5 rounds, same per-round shape as
+    q_pagerank (one edges⋈ranks shuffle, one aggregate, a 1-row
+    dangling broadcast; teleport carried as a ranks column); the oracle
+    unrolls the rounds with IEEE-identical constants.  Top 20 by
+    rounded rank, user_id tie-break."""
+    from .operators.graph import bipartite_edges, personalized_pagerank
+    e = _t(spark, sf_dir, "events")
+    rel = e.select("user_id",
+                   (F.col("event_id") / 5).cast("long").alias("item"))
+    edges = bipartite_edges(rel, "user_id", "item", max_entities_per_item=8)
+    seeds = (e.select(F.col("user_id").alias("node")).distinct()
+              .filter(F.col("node") % 25 == 0))
+    pr = personalized_pagerank(edges, seeds, iters=5)
+    return (pr.select(F.col("node").alias("user_id"),
+                      F.round(F.col("rank"), 9).alias("rank"))
+              .orderBy(F.desc("rank"), F.asc("user_id"))
+              .limit(20))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5731,6 +5755,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_acf": q_acf,
     "q_did": q_did,
     "q_theil_sen": q_theil_sen,
+    "q_personalized_pagerank": q_personalized_pagerank,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

@@ -857,3 +857,31 @@ def test_theil_sen_slope_equals_brute_force(spark, pts):
     want = statistics.median(slopes_py)
     assert got.n == len(slopes_py)
     assert abs(got.median - want) < 1e-12
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    """PPR invariants: total rank mass stays 1 (teleport + dangling
+    re-teleport conserve it), nodes unreachable from the seeds get
+    exactly zero rank, and a seed outranks symmetric non-seeds."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.graph import personalized_pagerank
+    # two components: a path 0-1-2 (seeded at 0) and a pair 10-11
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10)],
+        "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    pr = {r.node: r.rank
+          for r in personalized_pagerank(edges, seeds, iters=8).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-9
+    assert pr[10] == 0.0 and pr[11] == 0.0
+    assert pr[0] > pr[1] > pr[2] > 0
+
+
+def test_personalized_pagerank_requires_in_graph_seed(spark):
+    from big_data_bowl_spark.operators.graph import personalized_pagerank
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    seeds = spark.createDataFrame([(99,)], "node long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="no seed"):
+        personalized_pagerank(edges, seeds)
