@@ -209,6 +209,8 @@ HEADLINE = [
     "q_did",
     "q_theil_sen",
     "q_personalized_pagerank",
+    "q_session_stats",
+    "q_conversion_lag",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

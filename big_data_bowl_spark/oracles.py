@@ -6164,3 +6164,70 @@ SELECT node AS user_id, round(rank, 9) AS rank FROM p5
 ORDER BY rank DESC, user_id ASC
 LIMIT 20
 """)
+
+# q_session_stats — gaps-and-islands sessions, value-grain lower median
+# of session length, exact bounce rate.
+ORACLES["q_session_stats"] = """
+WITH marked AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events),
+islands AS (
+    SELECT user_id,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked),
+sess AS MATERIALIZED (
+    SELECT count(*) AS n_events
+    FROM islands GROUP BY user_id, session_id),
+vg AS (SELECT n_events, count(*) AS w FROM sess GROUP BY 1),
+c AS (
+    SELECT n_events,
+           sum(w) OVER (ORDER BY n_events) AS cum,
+           sum(w) OVER () AS tot
+    FROM vg),
+med AS (
+    SELECT CAST(min(n_events) AS BIGINT) AS median_session_events
+    FROM c WHERE 2 * cum >= tot)
+SELECT (SELECT count(*) FROM sess) AS n_sessions,
+       (SELECT CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM sess) AS n_bounces,
+       round((SELECT CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) FROM sess)
+             / CAST((SELECT count(*) FROM sess) AS DOUBLE), 6)
+         AS bounce_rate,
+       med.median_session_events
+FROM med
+"""
+
+# q_conversion_lag — first-view -> first-purchase integer-second gaps;
+# exact mean and the quantile_cont(0.5) position-pick median.
+ORACLES["q_conversion_lag"] = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view'
+                    THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fv,
+           min(CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(epoch(ts)) AS BIGINT) END) AS fp
+    FROM events GROUP BY 1),
+delays AS MATERIALIZED (
+    SELECT user_id, fp - fv AS d
+    FROM firsts
+    WHERE fv IS NOT NULL AND fp IS NOT NULL AND fv < fp),
+rr AS (
+    SELECT d, row_number() OVER (ORDER BY d ASC, user_id ASC) AS p,
+           count(*) OVER () AS n
+    FROM delays),
+med AS (
+    SELECT round(avg(CAST(d AS DOUBLE)), 6) AS median_delay_s
+    FROM rr WHERE p = (n + 1) // 2 OR p = n // 2 + 1)
+SELECT (SELECT count(*) FROM delays) AS n_converters,
+       round((SELECT CAST(sum(d) AS DOUBLE) FROM delays)
+             / CAST((SELECT count(*) FROM delays) AS DOUBLE), 6)
+         AS mean_delay_s,
+       med.median_delay_s
+FROM med
+"""

@@ -5725,6 +5725,68 @@ def q_personalized_pagerank(spark, sf_dir):
               .limit(20))
 
 
+def q_session_stats(spark, sf_dir):
+    """Session-quality summary over the gap-sessionized stream,
+    HASH-VERIFIED: session count, bounce rate (single-event sessions —
+    the engagement metric every product dashboard leads with), and the
+    LOWER-median session length via the 2·cum ≥ total crossing rule on
+    the SESSION-LENGTH value grain (lengths are small integers, so the
+    grain is tiny no matter how many sessions exist — the
+    q_weighted_median discipline).  One session aggregate + one
+    value-grain pass; everything long/long exact."""
+    from .streaming.stream_ops import sessionize
+    e = _t(spark, sf_dir, "events")
+    s = (sessionize(e, gap="30 minutes").select("n_events")
+         .localCheckpoint(eager=True))  # summary + value grain
+    vg = s.groupBy("n_events").agg(F.count(F.lit(1)).alias("__w"))
+    cum = F.sum("__w").over(Window.orderBy("n_events"))
+    tot = F.sum("__w").over(Window.partitionBy())
+    c = vg.select("n_events", cum.alias("__cum"), tot.alias("__tot"))
+    med = (c.filter(F.col("__cum") * 2 >= F.col("__tot"))
+            .agg(F.min("n_events").alias("median_session_events")))
+    summary = s.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+         .alias("n_bounces"))
+    return (summary.crossJoin(F.broadcast(med))
+                   .select("n_sessions", "n_bounces",
+                           F.round(F.col("n_bounces").cast("double")
+                                   / F.col("n_sessions").cast("double"),
+                                   6).alias("bounce_rate"),
+                           "median_session_events"))
+
+
+def q_conversion_lag(spark, sf_dir):
+    """First-view → first-purchase conversion latency, HASH-VERIFIED:
+    per user the gap in integer seconds between their first view and
+    first purchase (users whose first view precedes their first
+    purchase), with the exact mean (long/long) and the exact median via
+    median_distributed — the histogram-selection median, so the
+    user-grain delay table never hits a single-reducer percentile
+    buffer at any scale."""
+    from .operators.windows import median_distributed
+    e = _t(spark, sf_dir, "events")
+    firsts = (e.groupBy("user_id")
+               .agg(F.min(F.when(F.col("event_type") == "view",
+                                 F.unix_timestamp("ts"))).alias("__fv"),
+                    F.min(F.when(F.col("event_type") == "purchase",
+                                 F.unix_timestamp("ts"))).alias("__fp")))
+    delays = (firsts
+              .filter(F.col("__fv").isNotNull()
+                      & F.col("__fp").isNotNull()
+                      & (F.col("__fv") < F.col("__fp")))
+              .select("user_id",
+                      (F.col("__fp") - F.col("__fv")).alias("__d"))
+              .localCheckpoint(eager=True))  # summary + median passes
+    med = (median_distributed(delays, "__d", tiebreak=["user_id"])
+           .select(F.round(F.col("median"), 6).alias("median_delay_s")))
+    return (delays.agg(F.count(F.lit(1)).alias("n_converters"),
+                       F.round(F.sum("__d").cast("double")
+                               / F.count(F.lit(1)).cast("double"), 6)
+                        .alias("mean_delay_s"))
+                  .crossJoin(F.broadcast(med)))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5756,6 +5818,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_did": q_did,
     "q_theil_sen": q_theil_sen,
     "q_personalized_pagerank": q_personalized_pagerank,
+    "q_session_stats": q_session_stats,
+    "q_conversion_lag": q_conversion_lag,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
