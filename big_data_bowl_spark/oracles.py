@@ -6231,3 +6231,63 @@ SELECT (SELECT count(*) FROM delays) AS n_converters,
        med.median_delay_s
 FROM med
 """
+
+# q_stationary_dist — 5 unrolled power-iteration rounds over the
+# states^2 chain; P entries are exact long/long divisions; absorbing
+# states keep their mass (the engine's anti-join stay term).
+_SD_ROUND = """\
+pi{k} AS MATERIALIZED (
+    SELECT s.state,
+           COALESCE(f.infl, 0::DOUBLE) + COALESCE(kp.keep, 0::DOUBLE)
+             AS pi
+    FROM states s
+    LEFT JOIN (SELECT p.next_state AS state, sum(r.pi * p.p) AS infl
+               FROM pi{pr} r JOIN p ON r.state = p.prev_state
+               GROUP BY 1) f ON s.state = f.state
+    LEFT JOIN (SELECT r.state, r.pi AS keep FROM pi{pr} r
+               WHERE r.state NOT IN (SELECT prev_state FROM p)) kp
+      ON s.state = kp.state)"""
+
+ORACLES["q_stationary_dist"] = ("""
+WITH seq AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+    FROM events),
+pairs AS (
+    SELECT prev AS prev_state, event_type AS next_state, count(*) AS n
+    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+tot AS (SELECT prev_state, CAST(sum(n) AS BIGINT) AS t
+        FROM pairs GROUP BY 1),
+p AS MATERIALIZED (
+    SELECT pairs.prev_state, pairs.next_state,
+           CAST(n AS DOUBLE) / CAST(t AS DOUBLE) AS p
+    FROM pairs JOIN tot USING (prev_state)),
+states AS MATERIALIZED (
+    SELECT prev_state AS state FROM p
+    UNION SELECT next_state FROM p),
+ns AS (SELECT count(*) AS ns FROM states),
+pi0 AS (SELECT state, 1.0 / CAST(ns AS DOUBLE) AS pi
+        FROM states CROSS JOIN ns),
+""" + ",\n".join(_SD_ROUND.format(k=k, pr=k - 1) for k in range(1, 6)) + """
+SELECT state, round(pi, 6) AS pi FROM pi5
+""")
+
+# q_zipf_tokens — the CSN discrete power-law MLE on the token
+# count-of-counts (q_degree_distribution pointed at vocabulary).
+ORACLES["q_zipf_tokens"] = """
+WITH tok AS (
+    SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS tk
+    FROM documents),
+counts AS MATERIALIZED (
+    SELECT tk, count(*) AS cnt FROM tok GROUP BY 1),
+hist AS (SELECT cnt, count(*) AS n_tokens FROM counts GROUP BY 1),
+alpha AS (
+    SELECT round(1.0 + CAST(count(*) AS DOUBLE)
+                 / sum(round(ln(CAST(cnt AS DOUBLE) / 1.5), 9)), 6)
+             AS alpha_hat
+    FROM counts WHERE cnt >= 2)
+SELECT CAST(h.cnt AS BIGINT) AS cnt, h.n_tokens, a.alpha_hat
+FROM hist h CROSS JOIN alpha a
+"""

@@ -5787,6 +5787,82 @@ def q_conversion_lag(spark, sf_dir):
                   .crossJoin(F.broadcast(med)))
 
 
+def q_stationary_dist(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain,
+    HASH-VERIFIED: 5 power-iteration rounds π' = πP from the uniform
+    start over the observed states — the long-run where-do-users-end-up
+    summary the transition matrix (q_transition_matrix) only states
+    locally.  The chain lives at the states² grain (≤ 25 rows here), so
+    every round is a tiny join + aggregate; the corpus-scale work is
+    the ONE lag-window pass counting transitions.  P entries are exact
+    long/long divisions; per-round sums drift only at ~1e-16 relative
+    (the q_pagerank argument), far inside the round-6 output."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("__prev"))
+    pairs = (seq.filter(F.col("__prev").isNotNull())
+                .groupBy(F.col("__prev").alias("prev_state"),
+                         F.col("event_type").alias("next_state"))
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .localCheckpoint(eager=True))  # totals + 5 rounds
+    tot = pairs.groupBy("prev_state").agg(F.sum("__n").alias("__t"))
+    p = (pairs.join(tot, "prev_state")
+              .select("prev_state", "next_state",
+                      (F.col("__n").cast("double")
+                       / F.col("__t").cast("double")).alias("__p"))
+              .localCheckpoint(eager=True))
+    states = (p.select(F.col("prev_state").alias("state"))
+               .union(p.select("next_state")).distinct()
+               .localCheckpoint(eager=True))
+    ns = states.agg(F.count(F.lit(1)).alias("__ns"))
+    pi = (states.crossJoin(F.broadcast(ns))
+                .select("state", (1.0 / F.col("__ns")).alias("pi")))
+    for _ in range(5):
+        # absorbing states (no outgoing transitions) keep their mass:
+        # flow = pi·P for rows with outgoing edges, self-loop otherwise
+        flow = (pi.join(p, pi.state == p.prev_state)
+                  .groupBy(F.col("next_state").alias("state"))
+                  .agg(F.sum(F.col("pi") * F.col("__p")).alias("__in")))
+        stay = (pi.join(p.select(F.col("prev_state").alias("state"))
+                         .distinct(), "state", "left_anti")
+                  .select("state", F.col("pi").alias("__keep")))
+        pi = (states.join(flow, "state", "left")
+                    .join(stay, "state", "left")
+                    .select("state",
+                            (F.coalesce(F.col("__in"), F.lit(0.0))
+                             + F.coalesce(F.col("__keep"), F.lit(0.0)))
+                            .alias("pi"))
+                    .localCheckpoint(eager=True))
+    return pi.select("state", F.round(F.col("pi"), 6).alias("pi"))
+
+
+def q_zipf_tokens(spark, sf_dir):
+    """Zipf diagnostic of the token-frequency distribution,
+    HASH-VERIFIED: the count-of-counts histogram (how many tokens occur
+    c times) plus the Clauset–Shalizi–Newman discrete power-law MLE
+    α̂ = 1 + n / Σ ln(c / (c_min − ½)) over tokens with c ≥ 2 — the
+    q_degree_distribution estimator pointed at vocabulary instead of
+    degrees; it decides whether frequency-based vocab truncation has a
+    heavy tail to exploit.  One token pass to the vocabulary grain, one
+    count-grain histogram; ln terms round at 9 pre-sum."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(F.filter(F.split(F.col("text"), " "),
+                                      lambda t: t != "")).alias("tk"))
+    counts = (tok.groupBy("tk").agg(F.count(F.lit(1)).alias("cnt"))
+                 .localCheckpoint(eager=True))  # histogram + alpha
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_tokens"))
+    tail = counts.filter(F.col("cnt") >= 2)
+    alpha = (tail.agg(
+        F.count(F.lit(1)).alias("__nt"),
+        F.sum(F.round(F.log(F.col("cnt").cast("double") / 1.5), 9))
+         .alias("__sl"))
+        .select(F.round(1.0 + F.col("__nt").cast("double")
+                        / F.col("__sl"), 6).alias("alpha_hat")))
+    return (hist.crossJoin(F.broadcast(alpha))
+                .select("cnt", "n_tokens", "alpha_hat"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5820,6 +5896,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_personalized_pagerank": q_personalized_pagerank,
     "q_session_stats": q_session_stats,
     "q_conversion_lag": q_conversion_lag,
+    "q_stationary_dist": q_stationary_dist,
+    "q_zipf_tokens": q_zipf_tokens,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
