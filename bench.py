@@ -213,6 +213,7 @@ HEADLINE = [
     "q_conversion_lag",
     "q_stationary_dist",
     "q_zipf_tokens",
+    "q_mde",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -6291,3 +6291,31 @@ alpha AS (
 SELECT CAST(h.cnt AS BIGINT) AS cnt, h.n_tokens, a.alpha_hat
 FROM hist h CROSS JOIN alpha a
 """
+
+# q_mde — two-proportion minimum detectable effect; z constants are the
+# same shortest-repr doubles the engine lit()s, summed with one IEEE add.
+ORACLES["q_mde"] = """
+WITH u AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv,
+           user_id % 2 AS arm
+    FROM events GROUP BY user_id),
+wide AS (
+    SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_b,
+           CAST(sum(conv) AS BIGINT) AS x
+    FROM u)
+SELECT n_a, n_b,
+       round(CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE), 6)
+         AS baseline_rate,
+       round((1.959963984540054::DOUBLE + 0.8416212335729143::DOUBLE)
+             * sqrt(CAST(x AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+                    * (1.0 - CAST(x AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) AS mde_abs
+FROM wide
+"""

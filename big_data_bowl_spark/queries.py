@@ -5863,6 +5863,35 @@ def q_zipf_tokens(spark, sf_dir):
                 .select("cnt", "n_tokens", "alpha_hat"))
 
 
+def q_mde(spark, sf_dir):
+    """Minimum detectable effect for the standing A/B setup,
+    HASH-VERIFIED: given the parity-arm user counts and the pooled
+    baseline conversion rate (exact longs from one user-grain pass),
+    the two-proportion MDE at α=5% (two-sided) / 80% power —
+    MDE = (z_{α/2} + z_β)·√(p(1−p)·(1/n_a + 1/n_b)) — the experiment-
+    planning readout that says what lift this traffic can even see.
+    The z constants are shortest-repr double literals identical in both
+    engines; everything else is one expression over exact counts."""
+    e = _t(spark, sf_dir, "events")
+    users = (e.groupBy("user_id")
+              .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)).alias("__conv"))
+              .withColumn("__arm", F.pmod(F.col("user_id"), F.lit(2))))
+    wide = users.agg(
+        F.sum(F.when(F.col("__arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("__arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum("__conv").alias("x"))
+    z = 1.959963984540054 + 0.8416212335729143
+    p = (F.col("x").cast("double")
+         / (F.col("n_a") + F.col("n_b")).cast("double"))
+    mde = F.lit(z) * F.sqrt(p * (1.0 - p)
+                            * (1.0 / F.col("n_a").cast("double")
+                               + 1.0 / F.col("n_b").cast("double")))
+    return wide.select("n_a", "n_b",
+                       F.round(p, 6).alias("baseline_rate"),
+                       F.round(mde, 6).alias("mde_abs"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5898,6 +5927,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_conversion_lag": q_conversion_lag,
     "q_stationary_dist": q_stationary_dist,
     "q_zipf_tokens": q_zipf_tokens,
+    "q_mde": q_mde,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
