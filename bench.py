@@ -214,6 +214,7 @@ HEADLINE = [
     "q_stationary_dist",
     "q_zipf_tokens",
     "q_mde",
+    "q_silhouette",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -6319,3 +6319,31 @@ SELECT n_a, n_b,
                        + 1.0 / CAST(n_b AS DOUBLE))), 6) AS mde_abs
 FROM wide
 """
+
+# q_silhouette — the q_lloyd_kmeans unroll (same stages, same final d4
+# distance table) extended with the second-nearest pick and the
+# simplified-silhouette expression; per-point s rounds at 9 pre-mean.
+ORACLES["q_silhouette"] = (
+    ORACLES["q_lloyd_kmeans"].rsplit("SELECT vec_id", 1)[0] + """,
+rk AS (
+    SELECT vec_id, cl, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, cl ASC) AS rn
+    FROM d4),
+ab AS (
+    SELECT vec_id,
+           max(CASE WHEN rn = 1 THEN cl END) AS cluster,
+           max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+           max(CASE WHEN rn = 2 THEN d2 END) AS b2
+    FROM rk WHERE rn <= 2 GROUP BY 1),
+sv AS (
+    SELECT cluster,
+           CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+                THEN round((sqrt(b2) - sqrt(a2))
+                           / greatest(sqrt(a2), sqrt(b2)), 9)
+                ELSE 0.0 END AS s
+    FROM ab)
+SELECT cluster, count(*) AS n_points,
+       round(sum(s) / count(*), 6) AS mean_silhouette
+FROM sv GROUP BY 1
+""")

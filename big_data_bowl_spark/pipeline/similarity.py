@@ -500,6 +500,21 @@ def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
     cents = (label_centroids(df, id_col, vec_col, label_col)
              .select(F.col(label_col).cast("long").alias("cand_label"),
                      "centroid"))
+    cents = lloyd_centroids(vecs, cents, iters, id_col=id_col,
+                            checkpoint_every=checkpoint_every)
+    return (assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
+            .select(F.col(id_col),
+                    F.col("assigned_label").alias("cluster"), "score"))
+
+
+def lloyd_centroids(vecs: DataFrame, cents: DataFrame, iters: int,
+                    id_col: str = "vec_id",
+                    checkpoint_every: int = 2) -> DataFrame:
+    """The Lloyd update loop alone: ``iters`` rounds of map-only
+    assignment + posexplode-mean update over an initial (cand_label,
+    centroid) table, returning the FINAL centroids — extracted from
+    :func:`lloyd_kmeans` so evaluation queries (silhouette) can reuse
+    the identical iteration instead of re-implementing it."""
     for it in range(iters):
         assign = assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
         comp = (vecs.join(assign.select(id_col, "assigned_label"), id_col)
@@ -514,9 +529,7 @@ def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
                              lambda s: s["c"]).alias("centroid")))
         if (it + 1) % checkpoint_every == 0 or it == iters - 1:
             cents = cents.localCheckpoint(eager=True)
-    return (assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
-            .select(F.col(id_col),
-                    F.col("assigned_label").alias("cluster"), "score"))
+    return cents
 
 
 def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,

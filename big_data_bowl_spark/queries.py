@@ -5892,6 +5892,50 @@ def q_mde(spark, sf_dir):
                        F.round(mde, 6).alias("mde_abs"))
 
 
+def q_silhouette(spark, sf_dir):
+    """Simplified silhouette of the Lloyd clustering, HASH-VERIFIED:
+    per point a = distance to its own (final) centroid and b = distance
+    to the nearest OTHER centroid, s = (b−a)/max(a,b), averaged per
+    cluster — the centroid-based silhouette (Hruschka et al.), which is
+    MAP-ONLY given the K-row codebook, where the classic pairwise form
+    is O(n²).  The iteration is the exact q_lloyd_kmeans loop
+    (lloyd_centroids — same code object), so the oracle reuses that
+    query's unrolled stages and adds a second-nearest pick; per-point s
+    rounds at 9 before the cluster mean."""
+    from .pipeline.similarity import (_as_double, assign_to_centroids,
+                                      label_centroids, lloyd_centroids)
+    em = _t(spark, sf_dir, "embeddings")
+    vecs = em.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    cents0 = (label_centroids(em, "vec_id", "embedding", "label")
+              .select(F.col("label").cast("long").alias("cand_label"),
+                      "centroid"))
+    cents = lloyd_centroids(vecs, cents0, iters=3)
+    nested = cents.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("cand_label", "centroid"))),
+            lambda s: s["centroid"]).alias("__cts"),
+        F.sort_array(F.collect_list("cand_label")).alias("__lbls"))
+    l2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (vecs.crossJoin(F.broadcast(nested))
+                  .withColumn("__d", F.transform(F.col("__cts"), l2))
+                  .withColumn("__a2", F.array_min("__d"))
+                  .withColumn("__i", F.array_position(
+                      F.col("__d"), F.col("__a2")).cast("int"))
+                  .withColumn("__b2", F.array_min(F.filter(
+                      "__d", lambda x, i: i != F.col("__i") - 1))))
+    a, b = F.sqrt(F.col("__a2")), F.sqrt(F.col("__b2"))
+    s = F.when(F.greatest(a, b) > 0,
+               F.round((b - a) / F.greatest(a, b), 9)).otherwise(0.0)
+    return (scored.select(F.element_at("__lbls", F.col("__i"))
+                           .alias("cluster"), s.alias("__s"))
+                  .groupBy("cluster")
+                  .agg(F.count(F.lit(1)).alias("n_points"),
+                       F.round(F.sum("__s") / F.count(F.lit(1)), 6)
+                        .alias("mean_silhouette")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5928,6 +5972,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_stationary_dist": q_stationary_dist,
     "q_zipf_tokens": q_zipf_tokens,
     "q_mde": q_mde,
+    "q_silhouette": q_silhouette,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
