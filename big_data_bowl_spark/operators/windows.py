@@ -340,7 +340,12 @@ def median_distributed(df: DataFrame, col: str,
     # NULLs are excluded up front (quantile_cont semantics): counting
     # them in n while least(buckets-1, NULL) dumps them into the top
     # bucket would shift every selected position — a review-confirmed
-    # wrong-median bug on NULL-bearing inputs.
+    # wrong-median bug on NULL-bearing inputs.  CALLER NOTE: this
+    # IS NOT NULL predicate can be pushed below upstream joins, where
+    # ANSI mode evaluates it on rows the join condition would exclude —
+    # if ``col`` is a division (or other partial expression) guarded by
+    # a join condition, build it with try_divide/try_* (see
+    # q_theil_sen's slopes, which hit exactly this).
     df = df.filter(F.col(col).isNotNull())
     # 1-row/2-row intermediates pin eagerly: each broadcast consumer
     # would otherwise re-execute the full upstream scan per reference

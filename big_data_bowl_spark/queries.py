@@ -5666,10 +5666,17 @@ def q_theil_sen(spark, sf_dir):
              .localCheckpoint(eager=True))  # pairs + intercept pass
     a = days.select(F.col("__d").alias("__di"), F.col("__r").alias("__ri"))
     b = days.select(F.col("__d").alias("__dj"), F.col("__r").alias("__rj"))
+    # try_divide, not /: median_distributed's IS NOT NULL filter gets
+    # pushed into the cartesian join as a predicate, and ANSI evaluates
+    # the division on di == dj pairs BEFORE the < conjunct — a plain /
+    # throws DIVIDE_BY_ZERO on rows the condition would have excluded
+    # (caught by the hypothesis sweep).  For every KEPT row the divisor
+    # is ≥ 1, so try_divide is value-identical.
     slopes = (a.join(b, F.col("__di") < F.col("__dj"))
                .select("__di", "__dj",
-                       ((F.col("__rj") - F.col("__ri")).cast("double")
-                        / (F.col("__dj") - F.col("__di")).cast("double")
+                       (F.try_divide(
+                           (F.col("__rj") - F.col("__ri")).cast("double"),
+                           (F.col("__dj") - F.col("__di")).cast("double"))
                         / 100.0).alias("__s"))
                .localCheckpoint(eager=True))  # 3 passes consume it
     # exact median WITHOUT the single-reducer F.percentile sort (10s at

@@ -263,6 +263,14 @@ AUDITED: dict[str, str] = {
         "Pinned dense hour grid; 12 shifted self-joins of hour-grain "
         "rows with DECIMAL moment aggregates — cost is span x 12 "
         "rows, independent of event count."),
+    "q_personalized_pagerank": (
+        "Teleport carried as a ranks column: each of the 5 rounds is "
+        "one edges-ranks shuffle + one aggregate + a 1-row dangling "
+        "broadcast — the q_pagerank shape, no node-grain broadcast."),
+    "q_silhouette": (
+        "Lloyd loop shared with q_lloyd_kmeans (lloyd_centroids); the "
+        "silhouette pass is map-only against the broadcast K-row "
+        "codebook — the quadratic pairwise form never materializes."),
 }
 
 

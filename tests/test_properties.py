@@ -843,10 +843,13 @@ def test_theil_sen_slope_equals_brute_force(spark, pts):
     df = spark.createDataFrame(pts, "d long, r long")
     a = df.select(F.col("d").alias("di"), F.col("r").alias("ri"))
     b = df.select(F.col("d").alias("dj"), F.col("r").alias("rj"))
+    # try_divide: the operator's null filter pushes into the cartesian
+    # join and ANSI evaluates the division on diagonal pairs first
     slopes = (a.join(b, F.col("di") < F.col("dj"))
                .select("di", "dj",
-                       ((F.col("rj") - F.col("ri")).cast("double")
-                        / (F.col("dj") - F.col("di")).cast("double"))
+                       F.try_divide(
+                           (F.col("rj") - F.col("ri")).cast("double"),
+                           (F.col("dj") - F.col("di")).cast("double"))
                        .alias("s")))
     got = median_distributed(slopes, "s",
                              tiebreak=["di", "dj"]).collect()[0]
