@@ -6347,3 +6347,46 @@ SELECT cluster, count(*) AS n_points,
        round(sum(s) / count(*), 6) AS mean_silhouette
 FROM sv GROUP BY 1
 """)
+
+# q_bm25_batch — the bm25_rank scoring formula per (query, doc); df is
+# per term (query-independent); per-query row_number on rounded score.
+ORACLES["q_bm25_batch"] = """
+WITH q(query_id, term) AS (
+    VALUES (0, 'spark'), (0, 'hash'), (1, 'join'), (1, 'merge'),
+           (2, 'window'), (2, 'sort'), (2, 'batch')),
+tok AS (
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl,
+           unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS term
+    FROM documents),
+stats AS (
+    SELECT count(*) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    t -> t <> ''))) AS BIGINT) AS sum_dl
+    FROM documents),
+tf AS (
+    SELECT q.query_id, tok.doc_id, tok.dl, tok.term, count(*) AS tf
+    FROM tok JOIN q ON tok.term = q.term
+    GROUP BY 1, 2, 3, 4),
+dfreq AS (
+    SELECT term, count(*) AS df
+    FROM (SELECT DISTINCT doc_id, term FROM tf) GROUP BY term),
+scored AS (
+    SELECT tf.query_id, tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                        / (CAST(sum_dl AS DOUBLE)
+                           / CAST(n_docs AS DOUBLE))))),
+                 6) AS score
+    FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN stats
+    GROUP BY 1, 2)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, n_terms, score
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC)
+               AS rnk
+      FROM scored)
+WHERE rnk <= 5
+"""

@@ -322,3 +322,51 @@ def tfidf_topk(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
                   .filter(F.col("rnk") <= k)
                   .select(F.col(id_col), F.col("rnk").cast("long").alias("rnk"),
                           "term", "tf", roundn(F.col("__s")).alias("score")))
+
+
+def bm25_batch(docs: DataFrame, queries: DataFrame, k1: float = 1.2,
+               b: float = 0.75, topk: int = 5, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Batch BM25: N keyword queries answered in ONE corpus pass —
+    the retrieval-serving shape (an offline eval set, a query log
+    replay) where running :func:`bm25_rank` per query would rescan the
+    corpus N times.  ``queries`` is a (query_id, term) table; the
+    exploded token stream joins it ONCE (broadcast — a query set is
+    tiny by definition), so the shuffle carries only (query, doc, term)
+    hits and corpus cost is independent of N.
+
+    Scoring matches bm25_rank exactly (Okapi with the +1 idf floor);
+    df is per (query, term) — identical to the single-query df since a
+    term's document frequency does not depend on the query.  The top-k
+    window partitions BY QUERY (group-grain).  Scores round at 6 before
+    ranking; doc ties break on id.  Returns (query_id, rnk, doc_id,
+    n_terms, score)."""
+    require_columns(docs, [id_col, text_col], "bm25_batch")
+    require_columns(queries, ["query_id", "term"], "bm25_batch")
+    toks = _tokens(text_col)
+    dl = F.size(toks).cast("long")
+    tok = (docs.select(F.col(id_col), dl.alias("dl"),
+                       F.explode(toks).alias("term"))
+               .join(F.broadcast(queries.distinct()), "term"))
+    tf = (tok.groupBy("query_id", id_col, "dl", "term")
+             .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.select(id_col, "term").distinct()
+               .groupBy("term").agg(F.count(F.lit(1)).alias("df")))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum(dl).alias("sum_dl"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tscore = (idf * F.col("tf") * (k1 + 1)
+              / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+                .crossJoin(F.broadcast(stats))
+                .groupBy("query_id", id_col)
+                .agg(F.count(F.lit(1)).alias("n_terms"),
+                     roundn(F.sum(tscore)).alias("score")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"),
+                                               F.asc(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w)
+                              .cast("long"))
+                  .filter(F.col("rnk") <= topk)
+                  .select("query_id", "rnk", id_col, "n_terms", "score"))

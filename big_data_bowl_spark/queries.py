@@ -5943,6 +5943,23 @@ def q_silhouette(spark, sf_dir):
                         .alias("mean_silhouette")))
 
 
+def q_bm25_batch(spark, sf_dir):
+    """Batch BM25 retrieval, HASH-VERIFIED: three keyword queries
+    answered in ONE corpus pass — the exploded token stream joins the
+    broadcast (query_id, term) table once, so the shuffle carries only
+    hits and corpus cost is independent of query count (running
+    q_bm25_rank per query would rescan the corpus N times).  Scoring is
+    the identical Okapi formula; df is per term (query-independent);
+    top-5 per query by rounded score with doc_id tie-break."""
+    from .pipeline.ranking import bm25_batch
+    d = _t(spark, sf_dir, "documents")
+    q = spark.createDataFrame(
+        [(0, "spark"), (0, "hash"), (1, "join"), (1, "merge"),
+         (2, "window"), (2, "sort"), (2, "batch")],
+        "query_id long, term string")
+    return bm25_batch(d, q, topk=5)
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5980,6 +5997,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_zipf_tokens": q_zipf_tokens,
     "q_mde": q_mde,
     "q_silhouette": q_silhouette,
+    "q_bm25_batch": q_bm25_batch,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
