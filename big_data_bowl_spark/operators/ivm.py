@@ -13,10 +13,11 @@ sum-of-squares extension) are derived from the state at finalize time,
 exactly how Spark's own partial aggregation splits partial/final — this
 operator is that same shape lifted to a persistable table boundary.
 
-Append-only by design: min/max are monoid-mergeable but NOT retractable
-(deleting the row that held the max needs a rescan of its group), so
-CDC-style retraction is out of scope here — route deletes through
-``merge_upsert`` + a group rescan of the touched keys instead.
+The append path is pure monoid merging.  Deletes split by
+invertibility: count/sum retract with a signed merge, while min/max
+(semilattice — deleting the row that held the max says nothing about
+the new max) recompute for exactly the touched groups — see
+:func:`retract_state`.
 
 Sums reduce as integer cents (exact int64) per the engine-stability
 rule in the verify conventions: a float fold's association-order drift
@@ -78,3 +79,46 @@ def finalize_state(state: DataFrame, keys: list[str]) -> DataFrame:
         F.round(F.col("__sum_cents").cast("double")
                 / (100.0 * F.col("__n").cast("double")), 6)
          .alias("mean_value"))
+
+
+def retract_state(state: DataFrame, deleted: DataFrame,
+                  remaining: DataFrame, keys: list[str],
+                  value_col: str) -> DataFrame:
+    """CDC delete support for the rollup state — the module docstring's
+    'route deletes through a group rescan of the touched keys' made
+    code: count/sum are GROUP-invertible and retract by a signed merge,
+    while min/max are semilattice aggregates (not invertible — deleting
+    the row that held the max says nothing about the new max) and
+    recompute FROM ``remaining`` for exactly the touched groups; every
+    untouched group keeps its stored extrema.  Cost is
+    O(deleted + touched-group rows + groups), never O(base) — the
+    partial-recompute shape every production IVM engine (Materialize,
+    Delta live tables) uses for non-invertible aggregates.
+
+    ``remaining`` must be the post-delete base relation (callers have
+    it by construction: it is what their MERGE/DELETE produced).
+    Groups whose every row was deleted drop out of the state.  Returns
+    a state table with the standard STATE_COLS."""
+    require_columns(state, [*keys, *STATE_COLS], "retract_state")
+    require_columns(deleted, [*keys, value_col], "retract_state")
+    require_columns(remaining, [*keys, value_col], "retract_state")
+    cents = F.round(F.col(value_col) * 100).cast("long")
+    neg = deleted.groupBy(*keys).agg(
+        (-F.count(F.lit(1))).alias("__n"),
+        (-F.sum(cents)).alias("__sum_cents"))
+    ns = (state.select(*keys, "__n", "__sum_cents")
+               .unionByName(neg)
+               .groupBy(*keys)
+               .agg(F.sum("__n").alias("__n"),
+                    F.sum("__sum_cents").alias("__sum_cents")))
+    touched = deleted.select(*keys).distinct().localCheckpoint(eager=True)
+    mm_re = (remaining.join(touched, keys, "left_semi")
+                      .groupBy(*keys)
+                      .agg(F.min(cents).alias("__min_cents"),
+                           F.max(cents).alias("__max_cents")))
+    mm_keep = (state.join(touched, keys, "left_anti")
+                    .select(*keys, "__min_cents", "__max_cents"))
+    mm = mm_keep.unionByName(mm_re)
+    return (ns.filter(F.col("__n") > 0)
+              .join(mm, keys)
+              .select(*keys, *STATE_COLS))

@@ -6390,3 +6390,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM scored)
 WHERE rnk <= 5
 """
+
+# q_ivm_retract — the retraction path must equal aggregating the
+# remaining rows from scratch (the q_ivm_refresh proof pattern).
+ORACLES["q_ivm_retract"] = """
+WITH c AS (
+    SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events
+    WHERE value IS NOT NULL AND event_id % 10 <> 3)
+SELECT event_type,
+       count(*) AS n,
+       round(CAST(sum(cents) AS DOUBLE) / 100.0, 6) AS sum_value,
+       round(CAST(min(cents) AS DOUBLE) / 100.0, 6) AS min_value,
+       round(CAST(max(cents) AS DOUBLE) / 100.0, 6) AS max_value,
+       round(CAST(sum(cents) AS DOUBLE)
+             / (100.0 * count(*)), 6) AS mean_value
+FROM c GROUP BY 1
+"""

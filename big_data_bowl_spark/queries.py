@@ -5960,6 +5960,28 @@ def q_bm25_batch(spark, sf_dir):
     return bm25_batch(d, q, topk=5)
 
 
+def q_ivm_retract(spark, sf_dir):
+    """IVM rollup under DELETES, HASH-VERIFIED: the maintained state
+    retracts a deterministic deleted slice (event_id % 10 == 3) —
+    counts/sums via a signed merge (group-invertible), min/max by
+    recomputing ONLY the touched groups from the remaining base
+    (semilattice aggregates are not invertible) — and the finalized
+    result must equal aggregating the remaining rows from scratch,
+    which is exactly what the oracle does.  Cost is O(deleted +
+    touched-group rows + groups), never O(base)."""
+    from .operators.ivm import agg_state, finalize_state, retract_state
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select("event_id", "event_type", "value")
+         .localCheckpoint(eager=True))  # state + split consumers
+    state = agg_state(e, ["event_type"], "value")
+    deleted = e.filter(F.pmod(F.col("event_id"), F.lit(10)) == 3)
+    remaining = e.filter(F.pmod(F.col("event_id"), F.lit(10)) != 3)
+    out = retract_state(state, deleted, remaining,
+                        ["event_type"], "value")
+    return finalize_state(out, ["event_type"])
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -5998,6 +6020,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_mde": q_mde,
     "q_silhouette": q_silhouette,
     "q_bm25_batch": q_bm25_batch,
+    "q_ivm_retract": q_ivm_retract,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

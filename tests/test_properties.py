@@ -888,3 +888,30 @@ def test_personalized_pagerank_requires_in_graph_seed(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="no seed"):
         personalized_pagerank(edges, seeds)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-500, 500)),
+    min_size=1, max_size=40),
+    dels=st.sets(st.integers(0, 39)))
+def test_retract_state_equals_scratch_rebuild(spark, rows, dels):
+    """State after retraction ≡ aggregating the remaining rows from
+    scratch — including groups that vanish entirely and deletes that
+    removed a group's extremum."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.ivm import agg_state, retract_state
+    data = [(i, g, v / 100.0) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "i long, g long, v double")
+    state = agg_state(df, ["g"], "v")
+    deleted = df.filter(F.col("i").isin(*dels) if dels else F.lit(False))
+    remaining = df.filter(~F.col("i").isin(*dels) if dels else F.lit(True))
+    got = sorted(map(tuple, retract_state(
+        state, deleted, remaining, ["g"], "v")
+        .select("g", "__n", "__sum_cents", "__min_cents", "__max_cents")
+        .collect()))
+    want = sorted(map(tuple, agg_state(remaining, ["g"], "v")
+                      .select("g", "__n", "__sum_cents",
+                              "__min_cents", "__max_cents").collect()))
+    assert got == want
