@@ -244,3 +244,72 @@ def fd_profile(candidates: list[tuple[str, DataFrame, list[str],
             .select(F.lit(name).alias("fd"), "n_groups",
                     "n_violating_groups", "n_rows", "violation_row_share"))
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def expectation_report(df: DataFrame,
+                       expectations: list[tuple[str, str, object]]
+                       ) -> DataFrame:
+    """Declarative data-contract report (the Deequ/Great-Expectations
+    shape on the module's fail-loud primitives): run a list of named
+    expectations against one relation and emit (check, observed,
+    threshold, passed) per row — a PROFILE like referential_profile, so
+    pipelines gate on the report instead of dying mid-plan.
+
+    Supported kinds (name, kind, arg):
+      ("events nonempty",  "min_rows",       n)        observed = count
+      ("value nulls",      "max_null_share", (col, s)) observed = share
+      ("event_id unique",  "unique",         [cols])   observed = dupes
+      ("value range",      "in_range",       (col, lo, hi))
+                                                       observed = out-of-range rows
+      ("type domain",      "allowed",        (col, [values]))
+                                                       observed = bad rows
+
+    Each expectation is ONE independent aggregate over the relation
+    (counts are exact longs; shares one long/long division) and the
+    report is their union — nothing serializes, and a caller that
+    pins ``df`` pays one scan per check, the price of independent
+    verdicts.  Returns (check, observed, threshold, passed)."""
+    if not expectations:
+        raise ValueError("expectation_report: empty expectation list")
+    outs = []
+    for name, kind, arg in expectations:
+        if kind == "min_rows":
+            agg = df.agg(F.count(F.lit(1)).cast("double")
+                          .alias("observed"))
+            thr, passed = float(arg), F.col("observed") >= float(arg)
+        elif kind == "max_null_share":
+            col, share = arg
+            agg = df.agg((F.sum(F.when(F.col(col).isNull(), 1)
+                                 .otherwise(0))
+                          / F.count(F.lit(1)).cast("double"))
+                         .alias("observed"))
+            thr, passed = float(share), F.col("observed") <= float(share)
+        elif kind == "unique":
+            agg = (df.groupBy(*arg).agg(F.count(F.lit(1)).alias("__c"))
+                     .agg(F.sum(F.when(F.col("__c") > 1,
+                                       F.col("__c") - 1).otherwise(0))
+                           .cast("double").alias("observed")))
+            thr, passed = 0.0, F.col("observed") <= 0
+        elif kind == "in_range":
+            col, lo, hi = arg
+            agg = df.agg(F.sum(F.when(F.col(col).isNotNull()
+                                      & ((F.col(col) < lo)
+                                         | (F.col(col) > hi)), 1)
+                                .otherwise(0)).cast("double")
+                          .alias("observed"))
+            thr, passed = 0.0, F.col("observed") <= 0
+        elif kind == "allowed":
+            col, values = arg
+            agg = df.agg(F.sum(F.when(F.col(col).isNotNull()
+                                      & ~F.col(col).isin(*values), 1)
+                                .otherwise(0)).cast("double")
+                          .alias("observed"))
+            thr, passed = 0.0, F.col("observed") <= 0
+        else:
+            raise ValueError(f"expectation_report: unknown kind {kind!r}")
+        outs.append(agg.select(
+            F.lit(name).alias("check"),
+            F.round(F.col("observed"), 6).alias("observed"),
+            F.lit(thr).alias("threshold"),
+            passed.alias("passed")))
+    return reduce(lambda a, b: a.unionByName(b), outs)

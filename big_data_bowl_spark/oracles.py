@@ -6407,3 +6407,62 @@ SELECT event_type,
              / (100.0 * count(*)), 6) AS mean_value
 FROM c GROUP BY 1
 """
+
+# q_expectations — six independent single-aggregate verdicts unioned;
+# passed compares the RAW observed value, output rounds at 6 (the
+# operator's expression order).
+ORACLES["q_expectations"] = """
+SELECT 'rows >= 100' AS check,
+       round(CAST(count(*) AS DOUBLE), 6) AS observed,
+       100.0 AS threshold,
+       CAST(count(*) AS DOUBLE) >= 100.0 AS passed
+FROM events
+UNION ALL
+SELECT 'value null share <= 5%',
+       round(CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) / CAST(count(*) AS DOUBLE), 6),
+       0.05,
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       / CAST(count(*) AS DOUBLE) <= 0.05
+FROM events
+UNION ALL
+SELECT 'props null share <= 50%',
+       round(CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) / CAST(count(*) AS DOUBLE), 6),
+       0.5,
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       / CAST(count(*) AS DOUBLE) <= 0.5
+FROM events
+UNION ALL
+SELECT 'event_id unique',
+       round(CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END),
+                           0) AS DOUBLE), 6),
+       0.0,
+       CAST(coalesce(sum(CASE WHEN c > 1 THEN c - 1 ELSE 0 END), 0)
+            AS DOUBLE) <= 0
+FROM (SELECT event_id, count(*) AS c FROM events GROUP BY 1)
+UNION ALL
+SELECT 'value in [-10000, 10000]',
+       round(CAST(sum(CASE WHEN value IS NOT NULL
+                            AND (value < -10000.0 OR value > 10000.0)
+                           THEN 1 ELSE 0 END) AS DOUBLE), 6),
+       0.0,
+       CAST(sum(CASE WHEN value IS NOT NULL
+                      AND (value < -10000.0 OR value > 10000.0)
+                     THEN 1 ELSE 0 END) AS DOUBLE) <= 0
+FROM events
+UNION ALL
+SELECT 'event_type domain',
+       round(CAST(sum(CASE WHEN event_type IS NOT NULL
+                            AND event_type NOT IN
+                                ('view', 'click', 'purchase', 'error',
+                                 'signup')
+                           THEN 1 ELSE 0 END) AS DOUBLE), 6),
+       0.0,
+       CAST(sum(CASE WHEN event_type IS NOT NULL
+                      AND event_type NOT IN
+                          ('view', 'click', 'purchase', 'error',
+                           'signup')
+                     THEN 1 ELSE 0 END) AS DOUBLE) <= 0
+FROM events
+"""

@@ -5982,6 +5982,30 @@ def q_ivm_retract(spark, sf_dir):
     return finalize_state(out, ["event_type"])
 
 
+def q_expectations(spark, sf_dir):
+    """Data-contract expectation report over events, HASH-VERIFIED: six
+    declared expectations (row floor, null-share ceilings, key
+    uniqueness, value range, type domain) each as ONE independent
+    aggregate, unioned into the (check, observed, threshold, passed)
+    report a pipeline gates on — the Deequ shape on the engine's
+    fail-loud primitives, as a profile instead of an exception.  The
+    relation pins once so six verdicts cost six cheap scans of a
+    materialized table, not six source reads."""
+    from .operators.checks import expectation_report
+    e = _t(spark, sf_dir, "events").localCheckpoint(eager=True)
+    return expectation_report(e, [
+        ("rows >= 100", "min_rows", 100),
+        ("value null share <= 5%", "max_null_share", ("value", 0.05)),
+        ("props null share <= 50%", "max_null_share", ("props", 0.5)),
+        ("event_id unique", "unique", ["event_id"]),
+        ("value in [-10000, 10000]", "in_range",
+         ("value", -10000.0, 10000.0)),
+        ("event_type domain", "allowed",
+         ("event_type", ["view", "click", "purchase", "error",
+                         "signup"])),
+    ])
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -6021,6 +6045,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_silhouette": q_silhouette,
     "q_bm25_batch": q_bm25_batch,
     "q_ivm_retract": q_ivm_retract,
+    "q_expectations": q_expectations,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,

@@ -230,3 +230,28 @@ def test_fd_profile_counts_planted_violations(spark):
     # c{3} holds, NULL{3} group: count(*) counts it, 1 distinct k
     r2 = out["v -> k"]
     assert (r2.n_groups, r2.n_violating_groups) == (4, 1)
+
+
+def test_expectation_report_verdicts(spark):
+    """Each expectation kind passes/fails on planted data, with the
+    observed value it claims."""
+    from big_data_bowl_spark.operators.checks import expectation_report
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (1, "b", None), (2, "a", 50.0)],
+        "k long, t string, v double")
+    got = {r.check: (r.observed, r.passed)
+           for r in expectation_report(df, [
+               ("rows", "min_rows", 5),
+               ("v nulls", "max_null_share", ("v", 0.5)),
+               ("k unique", "unique", ["k"]),
+               ("v range", "in_range", ("v", 0.0, 10.0)),
+               ("t domain", "allowed", ("t", ["a"])),
+           ]).collect()}
+    assert got["rows"] == (3.0, False)
+    assert got["v nulls"] == (round(1 / 3, 6), True)
+    assert got["k unique"] == (1.0, False)    # k=1 twice -> 1 extra row
+    assert got["v range"] == (1.0, False)     # 50.0 out of range
+    assert got["t domain"] == (1.0, False)    # 'b' not allowed
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="empty expectation"):
+        expectation_report(df, [])
