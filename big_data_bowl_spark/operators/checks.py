@@ -278,32 +278,38 @@ def expectation_report(df: DataFrame,
                           .alias("observed"))
             thr, passed = float(arg), F.col("observed") >= float(arg)
         elif kind == "max_null_share":
+            # every sum-based observed coalesces to 0 so an EMPTY
+            # relation yields a real verdict, not passed=NULL that a
+            # ~passed gate would silently wave through (review finding)
             col, share = arg
-            agg = df.agg((F.sum(F.when(F.col(col).isNull(), 1)
-                                 .otherwise(0))
-                          / F.count(F.lit(1)).cast("double"))
-                         .alias("observed"))
+            agg = df.agg(F.coalesce(
+                F.sum(F.when(F.col(col).isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"), F.lit(0.0))
+                .alias("observed"))
             thr, passed = float(share), F.col("observed") <= float(share)
         elif kind == "unique":
             agg = (df.groupBy(*arg).agg(F.count(F.lit(1)).alias("__c"))
-                     .agg(F.sum(F.when(F.col("__c") > 1,
-                                       F.col("__c") - 1).otherwise(0))
-                           .cast("double").alias("observed")))
+                     .agg(F.coalesce(
+                         F.sum(F.when(F.col("__c") > 1,
+                                      F.col("__c") - 1).otherwise(0)),
+                         F.lit(0)).cast("double").alias("observed")))
             thr, passed = 0.0, F.col("observed") <= 0
         elif kind == "in_range":
             col, lo, hi = arg
-            agg = df.agg(F.sum(F.when(F.col(col).isNotNull()
-                                      & ((F.col(col) < lo)
-                                         | (F.col(col) > hi)), 1)
-                                .otherwise(0)).cast("double")
-                          .alias("observed"))
+            agg = df.agg(F.coalesce(
+                F.sum(F.when(F.col(col).isNotNull()
+                             & ((F.col(col) < lo)
+                                | (F.col(col) > hi)), 1)
+                       .otherwise(0)), F.lit(0)).cast("double")
+                .alias("observed"))
             thr, passed = 0.0, F.col("observed") <= 0
         elif kind == "allowed":
             col, values = arg
-            agg = df.agg(F.sum(F.when(F.col(col).isNotNull()
-                                      & ~F.col(col).isin(*values), 1)
-                                .otherwise(0)).cast("double")
-                          .alias("observed"))
+            agg = df.agg(F.coalesce(
+                F.sum(F.when(F.col(col).isNotNull()
+                             & ~F.col(col).isin(*values), 1)
+                       .otherwise(0)), F.lit(0)).cast("double")
+                .alias("observed"))
             thr, passed = 0.0, F.col("observed") <= 0
         else:
             raise ValueError(f"expectation_report: unknown kind {kind!r}")

@@ -351,9 +351,13 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     nodes = (edges.select(F.col("src").alias("node"))
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())
+    # pinned: the caller's seed pipeline (often a corpus scan +
+    # distinct) and the nodes union would otherwise execute once for
+    # the count and AGAIN when ranks materializes (review finding)
     seed_nodes = (seeds.select("node").distinct()
                        .join(nodes, "node", "left_semi")
-                       .withColumn("__is_seed", F.lit(1)))
+                       .withColumn("__is_seed", F.lit(1))
+                       .localCheckpoint(eager=True))
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed appears in "

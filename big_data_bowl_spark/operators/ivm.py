@@ -111,14 +111,27 @@ def retract_state(state: DataFrame, deleted: DataFrame,
                .groupBy(*keys)
                .agg(F.sum("__n").alias("__n"),
                     F.sum("__sum_cents").alias("__sum_cents")))
+    # NULL-SAFE key joins throughout: groupBy treats NULL as a
+    # legitimate group (agg_state does), but a name-list join would
+    # silently drop NULL-keyed groups from the maintained state — a
+    # review-confirmed corruption on NULL group keys.
     touched = deleted.select(*keys).distinct().localCheckpoint(eager=True)
-    mm_re = (remaining.join(touched, keys, "left_semi")
+    t_alias = touched.select(*[F.col(k).alias(f"__t_{k}") for k in keys])
+    t_cond = reduce(lambda a, b: a & b,
+                    [F.col(k).eqNullSafe(F.col(f"__t_{k}"))
+                     for k in keys])
+    mm_re = (remaining.join(t_alias, t_cond, "left_semi")
                       .groupBy(*keys)
                       .agg(F.min(cents).alias("__min_cents"),
                            F.max(cents).alias("__max_cents")))
-    mm_keep = (state.join(touched, keys, "left_anti")
+    mm_keep = (state.join(t_alias, t_cond, "left_anti")
                     .select(*keys, "__min_cents", "__max_cents"))
     mm = mm_keep.unionByName(mm_re)
+    m_alias = mm.select(*[F.col(k).alias(f"__m_{k}") for k in keys],
+                        "__min_cents", "__max_cents")
+    m_cond = reduce(lambda a, b: a & b,
+                    [F.col(k).eqNullSafe(F.col(f"__m_{k}"))
+                     for k in keys])
     return (ns.filter(F.col("__n") > 0)
-              .join(mm, keys)
+              .join(m_alias, m_cond)
               .select(*keys, *STATE_COLS))

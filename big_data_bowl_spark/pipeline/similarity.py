@@ -515,6 +515,10 @@ def lloyd_centroids(vecs: DataFrame, cents: DataFrame, iters: int,
     centroid) table, returning the FINAL centroids — extracted from
     :func:`lloyd_kmeans` so evaluation queries (silhouette) can reuse
     the identical iteration instead of re-implementing it."""
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"lloyd_centroids: checkpoint_every must be >= 1, got "
+            f"{checkpoint_every}")
     for it in range(iters):
         assign = assign_to_centroids(vecs, cents, id_col, "v", metric="l2")
         comp = (vecs.join(assign.select(id_col, "assigned_label"), id_col)
@@ -814,3 +818,36 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.9,
              .withColumn("cosine", cos)
              .filter(F.col("cosine") >= threshold)
              .select("keep_id", "drop_id", "cell", "cosine"))
+
+
+def assign_with_runnerup(vecs: DataFrame, cents: DataFrame,
+                         id_col: str = "vec_id") -> DataFrame:
+    """:func:`assign_to_centroids` (l2) extended with the second-nearest
+    squared distance — the extra output cluster-evaluation needs
+    (silhouette's b term) that the argmin-only form cannot provide.
+    Same staging discipline: the nested codebook broadcasts as ONE row,
+    the distance array materializes once as a named column (HOF-CSE
+    rule), and the runner-up is an array_min over the non-argmin
+    positions — all map-side.  ``vecs`` carries (id, v double-array).
+    Returns (id, assigned_label, d2_best, d2_runnerup); ties pick the
+    smallest label first, matching assign_to_centroids."""
+    nested = cents.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("cand_label", "centroid"))),
+            lambda s: s["centroid"]).alias("__cts"),
+        F.sort_array(F.collect_list("cand_label")).alias("__lbls"))
+    l2 = lambda c: F.aggregate(  # noqa: E731
+        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (vecs.crossJoin(F.broadcast(nested))
+                .withColumn("__d", F.transform(F.col("__cts"), l2))
+                .withColumn("__a2", F.array_min("__d"))
+                .withColumn("__i", F.array_position(
+                    F.col("__d"), F.col("__a2")).cast("int"))
+                .select(F.col(id_col),
+                        F.element_at("__lbls", F.col("__i"))
+                         .alias("assigned_label"),
+                        F.col("__a2").alias("d2_best"),
+                        F.array_min(F.filter(
+                            "__d", lambda x, i: i != F.col("__i") - 1))
+                         .alias("d2_runnerup")))

@@ -5909,7 +5909,7 @@ def q_silhouette(spark, sf_dir):
     (lloyd_centroids — same code object), so the oracle reuses that
     query's unrolled stages and adds a second-nearest pick; per-point s
     rounds at 9 before the cluster mean."""
-    from .pipeline.similarity import (_as_double, assign_to_centroids,
+    from .pipeline.similarity import (_as_double, assign_with_runnerup,
                                       label_centroids, lloyd_centroids)
     em = _t(spark, sf_dir, "embeddings")
     vecs = em.select("vec_id", _as_double(F.col("embedding")).alias("v"))
@@ -5917,26 +5917,12 @@ def q_silhouette(spark, sf_dir):
               .select(F.col("label").cast("long").alias("cand_label"),
                       "centroid"))
     cents = lloyd_centroids(vecs, cents0, iters=3)
-    nested = cents.groupBy().agg(
-        F.transform(F.array_sort(F.collect_list(
-            F.struct("cand_label", "centroid"))),
-            lambda s: s["centroid"]).alias("__cts"),
-        F.sort_array(F.collect_list("cand_label")).alias("__lbls"))
-    l2 = lambda c: F.aggregate(  # noqa: E731
-        F.zip_with(F.col("v"), c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0), lambda acc, x: acc + x)
-    scored = (vecs.crossJoin(F.broadcast(nested))
-                  .withColumn("__d", F.transform(F.col("__cts"), l2))
-                  .withColumn("__a2", F.array_min("__d"))
-                  .withColumn("__i", F.array_position(
-                      F.col("__d"), F.col("__a2")).cast("int"))
-                  .withColumn("__b2", F.array_min(F.filter(
-                      "__d", lambda x, i: i != F.col("__i") - 1))))
-    a, b = F.sqrt(F.col("__a2")), F.sqrt(F.col("__b2"))
+    scored = assign_with_runnerup(vecs, cents)
+    a, b = F.sqrt(F.col("d2_best")), F.sqrt(F.col("d2_runnerup"))
     s = F.when(F.greatest(a, b) > 0,
                F.round((b - a) / F.greatest(a, b), 9)).otherwise(0.0)
-    return (scored.select(F.element_at("__lbls", F.col("__i"))
-                           .alias("cluster"), s.alias("__s"))
+    return (scored.select(F.col("assigned_label").alias("cluster"),
+                          s.alias("__s"))
                   .groupBy("cluster")
                   .agg(F.count(F.lit(1)).alias("n_points"),
                        F.round(F.sum("__s") / F.count(F.lit(1)), 6)

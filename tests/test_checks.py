@@ -255,3 +255,22 @@ def test_expectation_report_verdicts(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="empty expectation"):
         expectation_report(df, [])
+
+
+def test_expectation_report_empty_relation_has_real_verdicts(spark):
+    """Sum-based expectations on an EMPTY relation coalesce to 0 and
+    return true booleans — never passed=NULL a ~passed gate would
+    silently wave through."""
+    from big_data_bowl_spark.operators.checks import expectation_report
+    df = spark.createDataFrame([], "k long, t string, v double")
+    got = {r.check: (r.observed, r.passed)
+           for r in expectation_report(df, [
+               ("rows", "min_rows", 1),
+               ("v nulls", "max_null_share", ("v", 0.5)),
+               ("k unique", "unique", ["k"]),
+               ("v range", "in_range", ("v", 0.0, 10.0)),
+               ("t domain", "allowed", ("t", ["a"])),
+           ]).collect()}
+    assert got["rows"] == (0.0, False)
+    for name in ("v nulls", "k unique", "v range", "t domain"):
+        assert got[name] == (0.0, True), (name, got[name])

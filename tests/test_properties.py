@@ -863,9 +863,13 @@ def test_theil_sen_slope_equals_brute_force(spark, pts):
 
 
 def test_personalized_pagerank_mass_and_locality(spark):
-    """PPR invariants: total rank mass stays 1 (teleport + dangling
-    re-teleport conserve it), nodes unreachable from the seeds get
-    exactly zero rank, and a seed outranks symmetric non-seeds."""
+    """PPR invariants that hold at EVERY iteration count: total rank
+    mass stays 1 (teleport + dangling re-teleport conserve it), nodes
+    unreachable from the seeds get exactly zero rank, and every node on
+    the seeds' component gets strictly positive rank.  (Per-node
+    orderings on a short path are power-iteration oscillation
+    artifacts, not invariants — a previous assertion of one flipped
+    between even and odd iteration counts.)"""
     from pyspark.sql import functions as F
 
     from big_data_bowl_spark.operators.graph import personalized_pagerank
@@ -874,11 +878,13 @@ def test_personalized_pagerank_mass_and_locality(spark):
         [(0, 1), (1, 0), (1, 2), (2, 1), (10, 11), (11, 10)],
         "src long, dst long")
     seeds = spark.createDataFrame([(0,)], "node long")
-    pr = {r.node: r.rank
-          for r in personalized_pagerank(edges, seeds, iters=8).collect()}
-    assert abs(sum(pr.values()) - 1.0) < 1e-9
-    assert pr[10] == 0.0 and pr[11] == 0.0
-    assert pr[0] > pr[1] > pr[2] > 0
+    for iters in (7, 8):
+        pr = {r.node: r.rank
+              for r in personalized_pagerank(edges, seeds,
+                                             iters=iters).collect()}
+        assert abs(sum(pr.values()) - 1.0) < 1e-9
+        assert pr[10] == 0.0 and pr[11] == 0.0
+        assert pr[0] > 0 and pr[1] > 0 and pr[2] > 0
 
 
 def test_personalized_pagerank_requires_in_graph_seed(spark):
@@ -915,3 +921,26 @@ def test_retract_state_equals_scratch_rebuild(spark, rows, dels):
                       .select("g", "__n", "__sum_cents",
                               "__min_cents", "__max_cents").collect()))
     assert got == want
+
+
+def test_retract_state_keeps_null_keyed_groups(spark):
+    """NULL is a legitimate group key for agg_state; retraction must
+    not drop it (the joins are null-safe)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.ivm import agg_state, retract_state
+    df = spark.createDataFrame(
+        [(0, None, 1.0), (1, None, 2.0), (2, 1, 3.0), (3, 1, 4.0)],
+        "i long, g long, v double")
+    state = agg_state(df, ["g"], "v")
+    deleted = df.filter(F.col("i") == 2)
+    remaining = df.filter(F.col("i") != 2)
+    got = sorted(map(tuple, retract_state(
+        state, deleted, remaining, ["g"], "v")
+        .select("g", "__n", "__sum_cents", "__min_cents",
+                "__max_cents").collect()), key=repr)
+    want = sorted(map(tuple, agg_state(remaining, ["g"], "v")
+                      .select("g", "__n", "__sum_cents", "__min_cents",
+                              "__max_cents").collect()), key=repr)
+    assert got == want
+    assert any(r[0] is None for r in got)  # the NULL group survived
