@@ -6466,3 +6466,40 @@ SELECT 'event_type domain',
                      THEN 1 ELSE 0 END) AS DOUBLE) <= 0
 FROM events
 """
+
+# q_uplift_deciles — user-grain collapse, decile bounds from one
+# percentile array, exact-count cells, identical uplift subtraction.
+ORACLES["q_uplift_deciles"] = """
+WITH u AS (
+    SELECT user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS conv,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(count(*) AS DOUBLE)) AS score,
+           user_id % 2 AS treat
+    FROM events WHERE value IS NOT NULL
+    GROUP BY user_id),
+bounds AS (
+    SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                 0.6, 0.7, 0.8, 0.9]) AS b
+    FROM u),
+cells AS (
+    SELECT CAST(len(list_filter(bo.b, x -> u.score > x)) AS BIGINT)
+             AS decile,
+           CAST(sum(CASE WHEN treat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_t,
+           CAST(sum(CASE WHEN treat = 1 THEN conv ELSE 0 END)
+                AS BIGINT) AS x_t,
+           CAST(sum(CASE WHEN treat = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_c,
+           CAST(sum(CASE WHEN treat = 0 THEN conv ELSE 0 END)
+                AS BIGINT) AS x_c
+    FROM u CROSS JOIN bounds bo
+    GROUP BY 1)
+SELECT decile, n_t, x_t, n_c, x_c,
+       CASE WHEN n_t > 0 AND n_c > 0
+            THEN round(CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                       - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE), 6)
+       END AS uplift
+FROM cells
+"""

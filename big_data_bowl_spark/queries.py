@@ -5992,6 +5992,53 @@ def q_expectations(spark, sf_dir):
     ])
 
 
+def q_uplift_deciles(spark, sf_dir):
+    """Uplift-by-score-decile readout, HASH-VERIFIED: users bin into
+    deciles of their mean event value (boundaries from one
+    percentile-array row, the q_calibration_bins discipline), and each
+    decile reports treatment vs control conversion with the uplift
+    delta — the targeting diagnostic that says WHERE a treatment works,
+    which the single overall z-test (q_ab_test) averages away.  User
+    grain collapses first (one exchange); scores are exact-cents
+    means; rates are long/long divisions; uplift is one identical
+    subtraction rounded at 6."""
+    e = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    users = (e.groupBy("user_id")
+              .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                          .otherwise(0)).alias("__conv"),
+                   (F.sum(cents(F.col("value")))
+                    / (100.0 * F.count(F.lit(1)).cast("double")))
+                   .alias("__score"))
+              .withColumn("__treat", F.pmod(F.col("user_id"), F.lit(2)))
+              .localCheckpoint(eager=True))  # bounds + binning
+    bounds = users.agg(F.percentile(
+        "__score", F.array(*[F.lit(i / 10.0) for i in range(1, 10)]))
+        .alias("__b"))
+    bin_of = F.size(F.filter(
+        "__b", lambda b: F.col("__score") > b)).cast("long").alias("decile")
+    cells = (users.crossJoin(F.broadcast(bounds))
+                  .select(bin_of, "__treat", "__conv")
+                  .groupBy("decile")
+                  .agg(F.sum(F.when(F.col("__treat") == 1, 1)
+                              .otherwise(0)).alias("n_t"),
+                       F.sum(F.when(F.col("__treat") == 1,
+                                    F.col("__conv")).otherwise(0))
+                        .alias("x_t"),
+                       F.sum(F.when(F.col("__treat") == 0, 1)
+                              .otherwise(0)).alias("n_c"),
+                       F.sum(F.when(F.col("__treat") == 0,
+                                    F.col("__conv")).otherwise(0))
+                        .alias("x_c")))
+    # a decile missing an arm has no uplift (and ANSI raises on the
+    # division, even for doubles) — NULL, matching the oracle's CASE
+    rt = F.col("x_t").cast("double") / F.col("n_t").cast("double")
+    rc = F.col("x_c").cast("double") / F.col("n_c").cast("double")
+    uplift = F.when((F.col("n_t") > 0) & (F.col("n_c") > 0),
+                    F.round(rt - rc, 6))
+    return cells.select("decile", "n_t", "x_t", "n_c", "x_c",
+                        uplift.alias("uplift"))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -6032,6 +6079,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_bm25_batch": q_bm25_batch,
     "q_ivm_retract": q_ivm_retract,
     "q_expectations": q_expectations,
+    "q_uplift_deciles": q_uplift_deciles,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
