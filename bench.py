@@ -219,6 +219,7 @@ HEADLINE = [
     "q_ivm_retract",
     "q_expectations",
     "q_uplift_deciles",
+    "q_ece",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

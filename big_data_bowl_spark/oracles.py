@@ -6503,3 +6503,36 @@ SELECT decile, n_t, x_t, n_c, x_c,
        END AS uplift
 FROM cells
 """
+
+# q_ece — min-max-normalized pseudo-probability, decile bins, round-9
+# weighted |acc - conf| terms.
+ORACLES["q_ece"] = """
+WITH e AS (
+    SELECT CAST(round(value * 100) AS BIGINT) AS c,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+    FROM events WHERE value IS NOT NULL),
+ext AS (SELECT min(c) AS lo, max(c) AS hi FROM e),
+binned AS (
+    SELECT least(9, CAST(floor(
+               CASE WHEN hi = lo THEN 0.0
+                    ELSE CAST(c - lo AS DOUBLE)
+                         / CAST(hi - lo AS DOUBLE) END * 10)
+               AS BIGINT)) AS b,
+           c - lo AS pu, pos, hi - lo AS span
+    FROM e CROSS JOIN ext),
+cells AS (
+    SELECT b, count(*) AS n,
+           CAST(sum(pu) AS BIGINT) AS sp,
+           CAST(sum(pos) AS BIGINT) AS x,
+           CAST(max(span) AS BIGINT) AS span
+    FROM binned GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+terms AS (
+    SELECT round(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+                 * abs(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                       - CAST(sp AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * CAST(span AS DOUBLE))),
+                 9) AS t
+    FROM cells CROSS JOIN tot)
+SELECT count(*) AS n_bins, round(sum(t), 6) AS ece FROM terms
+"""

@@ -6039,6 +6039,54 @@ def q_uplift_deciles(spark, sf_dir):
                         uplift.alias("uplift"))
 
 
+def q_ece(spark, sf_dir):
+    """Expected calibration error, HASH-VERIFIED: the single-number
+    summary of the reliability diagram (q_calibration_bins) — scores
+    min-max-normalize to a [0,1] pseudo-probability (exact-integer
+    bounds from one 1-row broadcast), bin into deciles of the
+    normalized score, and ECE = Σ (n_b/N)·|acc_b − conf_b| with
+    per-bin terms rounded at 9 before the sum.  Confidence is the
+    bin's mean normalized score from exact long sums; accuracy the
+    long/long positive rate; one cell-grain aggregate end to end."""
+    e = (_t(spark, sf_dir, "events")
+         .filter(F.col("value").isNotNull())
+         .select(cents(F.col("value")).alias("__c"),
+                 (F.col("event_type") == "purchase").cast("long")
+                  .alias("__pos")))
+    ext = e.agg(F.min("__c").alias("__lo"), F.max("__c").alias("__hi"))
+    # span-0 guard: a constant score column would make the normalizer
+    # 0/0, which ANSI raises on even for doubles (the q_uplift lesson)
+    p = F.when(F.col("__hi") == F.col("__lo"), F.lit(0.0)).otherwise(
+        (F.col("__c") - F.col("__lo")).cast("double")
+        / (F.col("__hi") - F.col("__lo")).cast("double"))
+    binned = (e.crossJoin(F.broadcast(ext))
+               .select(F.least(F.lit(9), F.floor(p * 10)).cast("long")
+                        .alias("__b"),
+                       (F.col("__c") - F.col("__lo")).alias("__pu"),
+                       "__pos",
+                       (F.col("__hi") - F.col("__lo")).alias("__span")))
+    cells = (binned.groupBy("__b")
+                   .agg(F.count(F.lit(1)).alias("__n"),
+                        F.sum("__pu").alias("__sp"),
+                        F.sum("__pos").alias("__x"),
+                        F.max("__span").alias("__span"))
+                   .localCheckpoint(eager=True))  # totals + terms
+    # __ntot, not __N: column resolution is case-insensitive, so __N
+    # would be ambiguous against the per-bin __n
+    tot = cells.agg(F.sum("__n").alias("__ntot"))
+    conf = (F.col("__sp").cast("double")
+            / (F.col("__n").cast("double")
+               * F.col("__span").cast("double")))
+    acc = F.col("__x").cast("double") / F.col("__n").cast("double")
+    term = F.round(F.col("__n").cast("double")
+                   / F.col("__ntot").cast("double")
+                   * F.abs(acc - conf), 9)
+    return (cells.crossJoin(F.broadcast(tot))
+                 .select(term.alias("__t"))
+                 .agg(F.count(F.lit(1)).alias("n_bins"),
+                      F.round(F.sum("__t"), 6).alias("ece")))
+
+
 QUERIES: dict[str, QueryFn] = {
     "q_pmi_collocations": q_pmi_collocations,
     "q_mutual_information": q_mutual_information,
@@ -6080,6 +6128,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivm_retract": q_ivm_retract,
     "q_expectations": q_expectations,
     "q_uplift_deciles": q_uplift_deciles,
+    "q_ece": q_ece,
     "q_lead_lag": q_lead_lag,
     "q_stratified_rates": q_stratified_rates,
     "q_vocab_kl": q_vocab_kl,
