@@ -3562,11 +3562,16 @@ def q_path_analysis(spark, sf_dir):
     for the path count."""
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = (F.unix_timestamp("ts")
-           - F.unix_timestamp(F.lag("ts").over(w)))
+    # gap in exact MICROSECONDS (unix_micros), not truncated seconds:
+    # unix_timestamp floors each side, so a sub-second-straddling gap
+    # of 1799.5s could round UP to 1800 and split a session the
+    # oracle's microsecond-precise INTERVAL comparison keeps together —
+    # the full-sf0.1 sweep caught exactly two such sessions.
+    gap = (F.unix_micros("ts")
+           - F.unix_micros(F.lag("ts").over(w)))
     marked = e.select(
         "user_id", "ts", "event_id", "event_type",
-        F.when(gap.isNull() | (gap >= 1800), F.lit(1))
+        F.when(gap.isNull() | (gap >= 1800 * 1_000_000), F.lit(1))
          .otherwise(F.lit(0)).alias("new_session"))
     islands = marked.withColumn(
         "session_id",
