@@ -70,4 +70,11 @@ def unpivot_sequences(df: DataFrame, group: list[str], actual: str,
                       F.col("t").cast("long").alias("t"),
                       F.col("__z.a").alias("actual"),
                       F.col("__z.p").alias("pred"),
-                      (F.col("__z.a") - F.col("__z.p")).alias("residual")))
+                      # Subtract in DOUBLE, not float32: widening the two
+                      # float32 values first makes the difference exact
+                      # (the house rule q_submission_spine hash-proves);
+                      # float32-arithmetic subtraction re-rounds and can
+                      # land one 1e-6 floor-quantum away from any SQL
+                      # engine's double math.
+                      (F.col("__z.a").cast("double")
+                       - F.col("__z.p").cast("double")).alias("residual")))

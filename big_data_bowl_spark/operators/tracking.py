@@ -151,9 +151,17 @@ def compute_truespeed(residuals: DataFrame, agg: str = "mean",
     reference call site uses); pass PLAYER_KEYS when nfl_id is needed
     downstream (as the Submission pipeline does)."""
     c = F.col(residual_col)
+    # "mae_q6" is the hash-verifiable twin of "mae": residuals quantize
+    # to integer micro-units with FLOOR before the sum, so the reduction
+    # is a long-sum — associative, partition-order-free, and engine-
+    # stable (the house rule proven by q_submission_spine; floor is
+    # applied BEFORE abs to match it bit-for-bit).  Plain "mae" stays the
+    # reference-faithful float mean (metrics.py:13-57).
+    q6 = F.abs(F.floor(c.cast("double") * 1e6).cast("long"))
     dispatch = {
         "mean": F.avg(c), "median": F.median(c), "sum": F.sum(c),
         "mae": F.avg(F.abs(c)), "rmse": F.sqrt(F.avg(F.pow(c, 2))),
+        "mae_q6": F.sum(q6) / F.count(F.lit(1)) / F.lit(1e6),
     }
     if agg not in dispatch:
         raise ValueError(f"agg must be one of {sorted(dispatch)}, got {agg!r}")

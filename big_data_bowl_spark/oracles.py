@@ -1724,6 +1724,58 @@ SELECT doc_id,
 FROM tok GROUP BY doc_id
 """
 
+ORACLES["q_dup_ngrams"] = """
+WITH toks AS MATERIALIZED (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents),
+c2 AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS gram
+          FROM toks)
+    GROUP BY doc_id, gram),
+s2 AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_occ,
+           CAST(max(c) AS BIGINT) AS top_c
+    FROM c2 GROUP BY doc_id),
+c3 AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(1, len(tk) - 1),
+                        i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+                   AS gram
+          FROM toks)
+    GROUP BY doc_id, gram),
+s3 AS (
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+             AS dup_occ,
+           CAST(max(c) AS BIGINT) AS top_c
+    FROM c3 GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(s2.n_grams, 0) AS bg_n_grams,
+       COALESCE(s2.dup_occ, 0) AS bg_dup_gram_occurrences,
+       round(COALESCE(s2.dup_occ / CAST(s2.n_grams AS DOUBLE), 0.0), 6)
+         AS bg_dup_gram_fraction,
+       round(COALESCE(s2.top_c / CAST(s2.n_grams AS DOUBLE), 0.0), 6)
+         AS bg_top_gram_share,
+       COALESCE(s3.n_grams, 0) AS tg_n_grams,
+       COALESCE(s3.dup_occ, 0) AS tg_dup_gram_occurrences,
+       round(COALESCE(s3.dup_occ / CAST(s3.n_grams AS DOUBLE), 0.0), 6)
+         AS tg_dup_gram_fraction,
+       round(COALESCE(s3.top_c / CAST(s3.n_grams AS DOUBLE), 0.0), 6)
+         AS tg_top_gram_share
+FROM documents d
+LEFT JOIN s2 ON d.doc_id = s2.doc_id
+LEFT JOIN s3 ON d.doc_id = s3.doc_id
+"""
+
 ORACLES["q_stratified_sample"] = """
 SELECT doc_id, lang, source, n_chars::BIGINT AS n_chars
 FROM documents
@@ -2028,6 +2080,59 @@ SELECT t.nfl_id, t.truespeed, t.n_steps,
        CAST(t.play_id % 20 AS DOUBLE) AS yards_gained,
        rank() OVER (ORDER BY t.truespeed DESC) AS rank
 FROM ts t LEFT JOIN sep s ON t.play_id = s.play_id
+"""
+
+ORACLES["q_submission_pipeline"] = """
+WITH base AS MATERIALIZED (
+    SELECT play_id, frame_id,
+           CASE WHEN play_id % 2 = 0 THEN 'left' ELSE 'right' END AS dirn,
+           (CASE WHEN value % 100 < 0 THEN value % 100 + 100
+                 ELSE value % 100 END) + 10.0 AS x,
+           CASE WHEN (value * 7) % 50 < 0 THEN (value * 7) % 50 + 50
+                ELSE (value * 7) % 50 END AS y
+    FROM (SELECT user_id AS play_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS frame_id
+          FROM events WHERE value IS NOT NULL AND user_id < 300)
+    WHERE frame_id <= 8),
+feat AS MATERIALIZED (
+    SELECT play_id, play_id AS nfl_id, frame_id,
+           sqrt(power(60.0 - CASE WHEN dirn = 'left'
+                                  THEN 120.0 - x ELSE x END, 2)
+                + power(25.0 - y, 2)) AS dist
+    FROM base
+    WHERE play_id % 10 < 8),
+conv AS (
+    SELECT play_id, nfl_id, frame_id, dist,
+           COALESCE(-(dist - lag(dist) OVER (PARTITION BY play_id, nfl_id
+                                             ORDER BY frame_id)),
+                    0.0) AS cr
+    FROM feat),
+steps AS (
+    SELECT play_id, nfl_id,
+           CAST(cr AS REAL) AS a32,
+           CASE WHEN CAST(cr AS REAL) = 0 AND CAST(dist AS REAL) = 0
+                THEN CAST(0.0 AS REAL)
+                ELSE CAST(0.5 * CAST(CAST(cr AS REAL) AS DOUBLE)
+                          + 0.25 * CAST(CAST(dist AS REAL) AS DOUBLE)
+                          AS REAL) END AS p32
+    FROM conv),
+ts AS (
+    SELECT play_id, nfl_id,
+           CAST(sum(abs(CAST(floor((CAST(a32 AS DOUBLE)
+                                    - CAST(p32 AS DOUBLE)) * 1e6)
+                             AS BIGINT))) AS BIGINT)
+             / count(*) / 1e6 AS truespeed
+    FROM steps GROUP BY 1, 2),
+card AS (
+    SELECT nfl_id,
+           avg(truespeed) AS truespeed,
+           count(*) AS n_targets,
+           sum(CAST(play_id % 20 AS DOUBLE)) AS total_yards
+    FROM ts GROUP BY 1)
+SELECT nfl_id, truespeed, n_targets, total_yards,
+       rank() OVER (ORDER BY truespeed DESC) AS rank
+FROM card
 """
 
 ORACLES["q_scorecard_golden"] = """

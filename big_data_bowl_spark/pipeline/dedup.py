@@ -299,8 +299,12 @@ def minhash_lsh_match(new_df: DataFrame, index_sig: DataFrame,
     if n_hashes % bands != 0:
         raise ValueError(f"n_hashes ({n_hashes}) must be divisible by "
                          f"bands ({bands})")
+    # localCheckpoint (GC-released), not a bare .persist(): the batch
+    # signature table feeds banding AND the join-back, but its lifetime
+    # should end with the plan object — repeated incremental ingests in
+    # one session must not accumulate cached signature tables.
     new_sig = minhash_signatures(new_df, id_col, text_col, n_hashes,
-                                 neutral=neutral).persist()
+                                 neutral=neutral).localCheckpoint(eager=True)
     nb = _band_buckets(new_sig, id_col, n_hashes, bands, neutral=neutral)
     ib = _band_buckets(index_sig, id_col, n_hashes, bands, neutral=neutral)
     pairs = (nb.alias("a")
@@ -352,12 +356,14 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                          f"bands ({bands}) — trailing slots would be "
                          "silently excluded from banding")
     # The signature table feeds BOTH sides of the band self-join and the
-    # two post-dedup signature join-backs; persist it (memory-and-disk,
-    # spillable) so the CPU-bound hashing runs exactly once — it is the
-    # narrow (id, 32 longs) table any LSH index materializes anyway
-    # (minhash_signatures is the persistable-index form of this step).
+    # two post-dedup signature join-backs; pin it (eager localCheckpoint,
+    # GC-released with the plan object) so the CPU-bound hashing runs
+    # exactly once — it is the narrow (id, 32 longs) table any LSH index
+    # materializes anyway (minhash_signatures is the persistable-index
+    # form of this step), and repeated calls in one session must not
+    # accumulate cached copies the way a bare .persist() would.
     sig = minhash_signatures(df, id_col, text_col, n_hashes,
-                             neutral=neutral).persist()
+                             neutral=neutral).localCheckpoint(eager=True)
     banded = _band_buckets(sig, id_col, n_hashes, bands, neutral=neutral)
     # Candidate pairs carry ONLY the two ids through the band shuffle and
     # the pair-dedup; the 2 × n_hashes-long signature arrays are joined

@@ -87,7 +87,7 @@ def run_submission_pipeline(spark: SparkSession, tracking: DataFrame,
     # caching the small derived table here is the difference between one
     # upstream pass and ~k_iter+3 of them, at any scale.
     feats = chk_unique(route_features(targets), PLAYER_KEYS,
-                       "one-route-per-player").persist()
+                       "one-route-per-player").localCheckpoint(eager=True)
     _, preds = fit_route_clusters(feats, ROUTE_FEATURE_COLS,
                                   k=k_clusters, seed=seed)
     emb = one_hot_labels(preds.select(*PLAYER_KEYS, "cluster"),

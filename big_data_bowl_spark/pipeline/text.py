@@ -253,6 +253,67 @@ def repetition_features(df: DataFrame, id_col: str = "doc_id",
                        .alias("top_token_share")))
 
 
+def _token_ngrams(text_col: str, n: int):
+    """Contiguous token n-grams as an in-row array (space-joined) —
+    zip_with over shifted slices, pure codegen, no shuffle to BUILD
+    grams (counting them is the explode→two-level agg below)."""
+    toks = _tokens(text_col)
+    size = F.size(toks)
+    grams = F.slice(toks, 1, F.greatest(size - (n - 1), F.lit(0)))
+    for off in range(1, n):
+        nxt = F.slice(toks, 1 + off, F.greatest(size - (n - 1), F.lit(0)))
+        grams = F.zip_with(grams, nxt,
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return grams
+
+
+def dup_ngram_features(df: DataFrame, n: int = 2, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Within-document n-gram repetition rules (the Gopher/MassiveText
+    repetition filters, Rae et al. 2021 §A1.1, re-expressed on token
+    n-grams): per doc,
+
+    - ``dup_gram_fraction`` — share of n-gram OCCURRENCES whose gram
+      appears more than once in the doc (occurrence-weighted duplicate
+      fraction; integer-ratio exact, no char-overlap ambiguity),
+    - ``top_gram_share`` — occurrences of the single most frequent
+      n-gram over all occurrences (degenerate-generation signal).
+
+    Same scale shape as repetition_features: explode → (doc, gram)
+    partial count (map-side combinable) → doc-grain reduce; the shuffle
+    carries one row per DISTINCT gram per doc, linear at 100 TB.  Docs
+    shorter than n tokens emit zero grams and are kept with zero
+    fractions (filters must SEE short docs, not silently drop them)."""
+    require_columns(df, [id_col, text_col], "dup_ngram_features")
+    gram_counts = (df.select(F.col(id_col),
+                             F.explode(_token_ngrams(text_col, n))
+                              .alias("gram"))
+                     .groupBy(id_col, "gram")
+                     .agg(F.count(F.lit(1)).alias("c")))
+    stats = (gram_counts.groupBy(id_col)
+             .agg(F.sum("c").cast("long").alias("n_grams"),
+                  F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+                  F.sum(F.when(F.col("c") > 1, F.col("c"))
+                         .otherwise(F.lit(0))).cast("long")
+                   .alias("dup_gram_occurrences"),
+                  F.max("c").cast("long").alias("top_gram_count")))
+    return (df.select(id_col).join(stats, id_col, "left")
+              .select(F.col(id_col),
+                      F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                      F.coalesce("n_distinct_grams", F.lit(0))
+                       .alias("n_distinct_grams"),
+                      F.coalesce("dup_gram_occurrences", F.lit(0))
+                       .alias("dup_gram_occurrences"),
+                      F.coalesce("top_gram_count", F.lit(0))
+                       .alias("top_gram_count"),
+                      roundn(F.coalesce(
+                          F.col("dup_gram_occurrences") / F.col("n_grams"),
+                          F.lit(0.0))).alias("dup_gram_fraction"),
+                      roundn(F.coalesce(
+                          F.col("top_gram_count") / F.col("n_grams"),
+                          F.lit(0.0))).alias("top_gram_share")))
+
+
 def cdc_chunk_documents(df: DataFrame, window: int = 4, divisor: int = 16,
                         id_col: str = "doc_id",
                         text_col: str = "text") -> DataFrame:

@@ -2110,6 +2110,26 @@ def q_repetition(spark, sf_dir):
     return repetition_features(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Gopher/MassiveText n-gram repetition rules (Rae et al. 2021
+    §A1.1) on token n-grams: per doc, the duplicate-occurrence fraction
+    and top-gram share for bigrams AND trigrams — the
+    degenerate/boilerplate text filters a pretraining pipeline runs
+    after the token-level q_repetition pass.  Gram build is in-row
+    (zip_with over shifted slices, codegen); counting is the same
+    map-side-combinable explode → (doc, gram) → doc two-level agg, one
+    shuffled row per distinct gram per doc."""
+    from .pipeline.text import dup_ngram_features
+    docs = _t(spark, sf_dir, "documents")
+    bg = dup_ngram_features(docs, n=2)
+    tg = dup_ngram_features(docs, n=3)
+    pick = ["n_grams", "dup_gram_occurrences", "dup_gram_fraction",
+            "top_gram_share"]
+    bg = bg.select("doc_id", *[F.col(c).alias(f"bg_{c}") for c in pick])
+    tg = tg.select("doc_id", *[F.col(c).alias(f"tg_{c}") for c in pick])
+    return bg.join(tg, "doc_id")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Per-language deterministic downsampling: dominant language at 10%,
     tail languages at 50% — rate is a broadcast when-chain, membership is
@@ -2285,26 +2305,35 @@ def _submission_inputs(spark, sf_dir):
 
 
 def q_submission_pipeline(spark, sf_dir):
-    """Entry point A (§3.1, Submission.ipynb) END TO END under the driver:
-    normalize → initial separation → target select → completed semi-join →
-    post-throw geometry → label attach → converge rate → route features →
-    k-means clusters → one-hot embeddings → sequence build → numpy-LSTM
-    training (reference topology, head-only Adam — ml/lstm.py) →
-    broadcast-model inference → un-pivot → TrueSpeed → scorecard.
-
-    Rows-only BY DESIGN: this run trains and applies the REAL recurrent
-    model, so no SQL twin exists — the identical relational spine is
-    hash-verified by q_submission_spine (predictions injected), and every
-    stage has its own oracle-checked query besides."""
+    """Entry point A (§3.1, Submission.ipynb) END TO END through
+    ``run_submission_pipeline`` — normalize → initial separation → target
+    select → completed semi-join → frame kinematics → post-throw geometry
+    → label attach → converge rate → route features → k-means clusters →
+    one-hot embeddings → sequence build → broadcast-model inference
+    (the real pandas-UDF seam) → un-pivot → TrueSpeed → scorecard —
+    HASH-VERIFIED since r8.  The model seam is pinned to the injected
+    LinearBlendModel (the bit-reproducible float32/float64 composition
+    q_submission_spine proved) and TrueSpeed uses the order-free
+    quantized reduction (``mae_q6``: FLOOR to integer micro-units before
+    the long-sum), so the whole pipeline is a pure IEEE function the
+    DuckDB oracle reproduces.  No in-engine rounding (see
+    q_submission_spine's note — raw doubles hash identically; the driver
+    normalizes).  The trained-LSTM run of the SAME pipeline (model=None
+    → numpy LSTM with the reference topology, ml/lstm.py) is exercised
+    end-to-end in tests/test_tracking_pipeline.py, where a SQL twin is
+    impossible by nature."""
+    from .ml.lstm import LinearBlendModel
     from .pipeline.submission import run_submission_pipeline
     tracking, labels, supp = _submission_inputs(spark, sf_dir)
     out = run_submission_pipeline(spark, tracking, labels, supp,
                                   k_clusters=4, max_len=8,
+                                  model=LinearBlendModel(0.5, 0.25),
+                                  truespeed_agg="mae_q6",
                                   eager_checks=False)
     return out["scorecard"].select(
-        "nfl_id", roundn(F.col("truespeed")).alias("truespeed"),
+        "nfl_id", "truespeed",
         F.col("n_targets").cast("long").alias("n_targets"),
-        roundn(F.col("total_yards")).alias("total_yards"),
+        F.col("total_yards").alias("total_yards"),
         F.col("rank").cast("long").alias("rank"))
 
 
@@ -3862,11 +3891,13 @@ def q_hll_incremental(spark, sf_dir):
     the day-grain states merged."""
     from .operators.sketches import hll_neutral_registers, hll_neutral_rollup
     e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    # persist() stands in for the parquet the state table would live in:
-    # both consumers (merge, batch count) read the day-grain state, never
-    # the fact table twice
+    # localCheckpoint (GC-released) stands in for the parquet the state
+    # table would live in: both consumers (merge, batch count) read the
+    # day-grain state, never the fact table twice — and unlike a bare
+    # .persist(), repeated invocation in a long session doesn't
+    # accumulate cached register tables (see q_hll_overlap's pin note).
     daily = hll_neutral_registers(e, ["event_type", "day"], "user_id") \
-        .persist()
+        .localCheckpoint(eager=True)
     est = hll_neutral_rollup(daily, ["event_type"])
     batches = (daily.select("event_type", "day").distinct()
                     .groupBy("event_type")
@@ -6312,6 +6343,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_tpch_q20": q_tpch_q20,
     "q_tpch_q21": q_tpch_q21,
     "q_repetition": q_repetition,
+    "q_dup_ngrams": q_dup_ngrams,
     "q_stratified_sample": q_stratified_sample,
     "q_nearest_centroid": q_nearest_centroid,
     "q_doc_histogram": q_doc_histogram,

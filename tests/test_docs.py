@@ -21,7 +21,7 @@ def test_registry_invariants():
     assert all(callable(v) for v in QUERIES.values())
     rows_only = sorted(set(QUERIES) - set(ORACLES))
     assert rows_only == ["q_approx_quantiles", "q_ivf_topk", "q_lsh_topk",
-                         "q_near_dup_diff", "q_submission_pipeline"], \
+                         "q_near_dup_diff"], \
         rows_only
 
 

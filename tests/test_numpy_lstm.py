@@ -130,3 +130,43 @@ def test_trained_lstm_quality_anchor_on_tracking_tensors(spark):
     yv = y[mask]
     r2 = 1 - np.sum(e ** 2) / np.sum((yv - yv.mean()) ** 2)
     assert r2 >= 0.93, r2  # reference-scale anchor: 0.9466
+
+
+def test_trained_model_beats_ema_fallback_where_ema_is_suboptimal():
+    """Convergence-threshold anchor (VERDICT r7 item 6): on a sequence
+    task the EMA fallback is PROVABLY bad at — a sign-alternating series,
+    which a lagging exponential smoother averages toward zero — the
+    head-trained numpy LSTM must beat the EmaFallbackModel's masked MSE
+    by a fixed margin.  This is the sandbox stand-in for the reference's
+    R²=0.9466 anchor (bdb2026/models.py:24-138, BDB_2026.ipynb#cell102):
+    it asserts the trainer actually LEARNS the task, not merely that the
+    forward pass runs."""
+    from big_data_bowl_spark.ml.lstm import EmaFallbackModel
+
+    rng = np.random.default_rng(42)
+    n, t, f = 300, 8, 2
+    amp = rng.uniform(0.5, 1.5, (n, 1))
+    signs = (-1.0) ** np.arange(t).reshape(1, t)
+    x = np.zeros((n, t, f), dtype=np.float32)
+    x[:, :, 0] = (amp * signs
+                  + 0.05 * rng.standard_normal((n, t))).astype(np.float32)
+    x[:, :, 1] = rng.uniform(-1, 1, (n, t)).astype(np.float32)
+    for i in range(n):  # tail padding like build_sequences
+        pad = rng.integers(0, 3)
+        if pad:
+            x[i, t - pad:] = 0.0
+    y = x[:, :, 0]
+    mask = np.any(x != 0.0, axis=2)
+
+    ema_err = EmaFallbackModel(alpha=0.3).predict(x)[mask] - y[mask]
+    ema_mse = float(np.mean(ema_err ** 2))
+
+    m = NumpyLSTMModel(n_features=f, seed=5)
+    m.fit(x, y, epochs=1500, lr=2e-2)
+    tr_err = m.predict(x)[mask] - y[mask]
+    tr_mse = float(np.mean(tr_err ** 2))
+
+    # EMA(0.3) on an alternating series lags toward 0 -> MSE near the
+    # signal variance; the trained head tracks it.  Require >=5x better
+    # (measured ~20x at this seed/epoch budget; margin for drift).
+    assert tr_mse < 0.2 * ema_mse, (tr_mse, ema_mse)

@@ -2200,3 +2200,36 @@ def test_with_hilbert_matches_python_reference(spark):
                                  normalize=False).collect()}
     want = {i: hilbert_xy2d_py(8, x, y) for i, x, y in pts}
     assert got == want
+
+
+def test_dup_ngram_features_hand_computed(spark):
+    """Gopher n-gram repetition rules on hand-computable docs: a fully
+    repetitive doc, a fully distinct doc, and a doc SHORTER than n
+    (must be kept with zero grams, not dropped)."""
+    from big_data_bowl_spark.pipeline.text import dup_ngram_features
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"),      # bigrams: ab x3, ba x2 -> all 5 dup
+         (2, "p q r s"),          # bigrams: pq qr rs -> none dup
+         (3, "solo")],            # 1 token -> zero bigrams
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict()
+           for r in dup_ngram_features(docs, n=2).collect()}
+    assert got[1]["n_grams"] == 5
+    assert got[1]["n_distinct_grams"] == 2
+    assert got[1]["dup_gram_occurrences"] == 5
+    assert got[1]["dup_gram_fraction"] == 1.0
+    assert got[1]["top_gram_count"] == 3
+    assert got[1]["top_gram_share"] == 0.6
+    assert got[2]["n_grams"] == 3
+    assert got[2]["dup_gram_occurrences"] == 0
+    assert got[2]["dup_gram_fraction"] == 0.0
+    assert got[3]["n_grams"] == 0
+    assert got[3]["dup_gram_fraction"] == 0.0
+    # trigrams of doc 1: aba x2, bab x2 -> 4 occurrences, all dup
+    got3 = {r["doc_id"]: r.asDict()
+            for r in dup_ngram_features(docs, n=3).collect()}
+    assert got3[1]["n_grams"] == 4
+    assert got3[1]["dup_gram_occurrences"] == 4
+    assert got3[2]["dup_gram_occurrences"] == 0
+    assert got3[3]["n_grams"] == 0

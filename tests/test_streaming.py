@@ -782,3 +782,61 @@ def test_stream_bootstrap_rollup_equals_batch(spark, tmp_path):
              for r in poisson_bootstrap(ev, "units", "event_id",
                                         reps=8).collect()}
     assert state == whole
+
+
+def _stage_chrono_chunks(df, tmp_path, n=3):
+    """Chronological variant of _stage_chunks: chunk i holds the i-th
+    time-ordered third of the rows, so the file stream replays history
+    the way a landing directory receives it — and the watermark never
+    retro-drops rows (a mod-split would interleave the full time range
+    into every batch and the 2h watermark would discard 'late' rows,
+    testing a different semantics than batch equality)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    chunked = df.withColumn(
+        "__chunk",
+        F.ntile(n).over(Window.orderBy("ts", "event_id")) - 1)
+    watch = _stage_chunks(chunked, tmp_path, n=n, mod_col="__chunk")
+    return watch
+
+
+def _read_watch_stream(spark, watch, schema):
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(watch)))
+
+
+def test_hourly_window_agg_across_micro_batches(spark, tmp_path):
+    """End-to-end micro-batch replay of the headline q_window_agg_hourly
+    aggregation (VERDICT r7 item 8): events split into 3 chronological
+    files, streamed one file per trigger with the production 2h
+    watermark, must reproduce the batch result row-for-row — the
+    batch≡stream fold identity exercised through REAL multi-batch state
+    merge, not a single-trigger drain."""
+    events = read_table(spark, SF_SMALL, "events")
+    watch = _stage_chrono_chunks(events, tmp_path, n=3)
+    batch = hourly_window_agg(events)
+    stream = hourly_window_agg(
+        _read_watch_stream(spark, watch, events.schema).drop("__chunk"))
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "hourly_mb_test")
+    got = spark.sql("SELECT * FROM hourly_mb_test")
+    assert _rows(got) == _rows(batch.select(*got.columns))
+
+
+def test_sessionize_across_micro_batches(spark, tmp_path):
+    """Same replay for the headline q_sessionize session_window plan:
+    sessions that STRADDLE a micro-batch boundary must merge across
+    triggers (the session-state hard case a single-trigger drain never
+    exercises)."""
+    events = read_table(spark, SF_SMALL, "events")
+    watch = _stage_chrono_chunks(events, tmp_path, n=3)
+    batch = sessionize(events, gap="30 minutes")
+    stream = sessionize(
+        _read_watch_stream(spark, watch, events.schema).drop("__chunk"),
+        gap="30 minutes")
+    assert stream.isStreaming
+    run_stream_to_memory(stream, "session_mb_test")
+    got = spark.sql("SELECT * FROM session_mb_test")
+    assert _rows(got) == _rows(batch.select(*got.columns))
