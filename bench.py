@@ -220,6 +220,17 @@ HEADLINE = [
     "q_expectations",
     "q_uplift_deciles",
     "q_ece",
+    # round-8 additions: the Gopher n-gram repetition rules (bigram +
+    # trigram dup fractions — two explode→two-level-agg passes + a
+    # doc-grain join) and greedy k-center coreset selection (7 rounds of
+    # broadcast + map-only fold + 1-row argmax; the measured time is
+    # dominated by per-round fixed job latency in local mode — the
+    # q_theil_sen profile — since no fact rows ever shuffle)
+    "q_dup_ngrams",
+    "q_kcenter_coreset",
+    # JL ±1 projection: map-only in-row folds (the shrink-before-index
+    # step ahead of LSH/IVF) — times the pure-codegen path on vectors
+    "q_jl_project",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -2499,6 +2499,60 @@ FROM batch b LEFT JOIN idx i ON b.gram = i.gram
 GROUP BY 1
 """
 
+def _kcenter_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy k-center (q_kcenter_coreset's fixed-k run): the
+    q_pagerank discipline — every selection round is a chained
+    MATERIALIZED CTE pair (m{r}: min-distance state after center r-1;
+    sel{r}: the quantized argmax pick).  The distance fold is the same
+    left-to-right (a-b)·(a-b) accumulation the engine runs
+    (list_reduce with a prepended 0.0 init ≡ F.aggregate's init+fold),
+    FLOOR-quantized to integer micro-units before the ORDER BY so the
+    argmax is float-tie-free in both engines."""
+    dist = ("CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(range(1, len(p.v) + 1), "
+            "i -> (p.v[i] - c.v[i]) * (p.v[i] - c.v[i]))), "
+            "(acc, e) -> acc + e) * 1e6) AS BIGINT)")
+    ctes = ["pts AS MATERIALIZED (SELECT vec_id AS id, "
+            "embedding::DOUBLE[] AS v FROM embeddings)",
+            "sel1 AS MATERIALIZED (SELECT id, v, CAST(NULL AS BIGINT) "
+            "AS q FROM pts ORDER BY id LIMIT 1)"]
+    for r in range(2, k + 1):
+        prev = "pts" if r == 2 else f"m{r - 1}"
+        q_expr = dist if r == 2 else f"least(p.q, {dist})"
+        ctes.append(f"m{r} AS MATERIALIZED (SELECT p.id, p.v, "
+                    f"{q_expr} AS q FROM {prev} p, sel{r - 1} c)")
+        excl = " UNION ALL ".join(f"SELECT id FROM sel{i}"
+                                  for i in range(1, r))
+        ctes.append(f"sel{r} AS MATERIALIZED (SELECT p.id, p.v, p.q "
+                    f"FROM m{r} p WHERE p.id NOT IN ({excl}) "
+                    f"ORDER BY p.q DESC, p.id ASC LIMIT 1)")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS sel_order, id AS vec_id, "
+        f"CAST(q AS DOUBLE) / 1e6 AS radius FROM sel{r}"
+        for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+ORACLES["q_kcenter_coreset"] = _kcenter_oracle_sql(8)
+
+# JL ±1 signs: bit 16 of the multiplicative product on the 1-BASED
+# coordinate pair key (DuckDB lambda indexes are 1-based; the engine
+# adds 1 to Spark's 0-based HOF index to match).  Fold is the prepended-
+# init left reduce ≡ F.aggregate; the 0.25 scale multiplies AFTER the
+# fold in both engines.
+ORACLES["q_jl_project"] = """
+SELECT e.vec_id, j.dim,
+       list_reduce(
+         list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(e.v, (x, i) ->
+             x * CAST(1 - 2 * ((((((i * 10007 + j.dim * 31 + 1)
+                                   % 2147483648) * 2654435761)
+                                  % 4294967296) >> 16) & 1) AS DOUBLE))),
+         (acc, el) -> acc + el) * 0.25 AS value
+FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e,
+     (SELECT CAST(unnest(range(16)) AS BIGINT) AS dim) j
+"""
+
 ORACLES["q_semdedup"] = """
 WITH vecs AS (
     SELECT vec_id, CAST(label AS BIGINT) AS label,

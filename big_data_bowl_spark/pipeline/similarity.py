@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalar import roundn
 from ..schemas import require_columns
+from .sampling import HASH_KEY_MOD, HASH_MOD, HASH_MULT
 
 
 def _as_double(col) -> Column:
@@ -851,3 +852,127 @@ def assign_with_runnerup(vecs: DataFrame, cents: DataFrame,
                         F.array_min(F.filter(
                             "__d", lambda x, i: i != F.col("__i") - 1))
                          .alias("d2_runnerup")))
+
+
+def kcenter_coreset(df: DataFrame, k: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985, the classic 2-approx):
+    pick ``k`` maximally-spread exemplars from an embedding column —
+    the coreset / diversity-sampling primitive of training-data
+    curation (cover the embedding space with few points; the dual of
+    SemDeDup's remove-the-redundant).
+
+    Deterministic and engine-stable by construction: the seed is the
+    LOWEST id; each round selects the point whose min-squared-distance
+    to the chosen set is largest, with distances quantized to integer
+    micro-units via FLOOR before the argmax (the float-tie-free house
+    rule) and ties broken by lowest id — so a fixed-k unrolled SQL
+    oracle reproduces the selection exactly.  The distance fold is the
+    same left-to-right ``(a-b)·(a-b)`` accumulation both engines run
+    bit-identically (q_cosine_topk's proven arithmetic).
+
+    Scale shape: NO fact shuffle anywhere.  The per-round state
+    (id, vector, qmind) updates map-only — one chosen center broadcasts
+    as a 1-row crossJoin, the fold runs in-row, and the argmax is a
+    1-row partial-aggregable reduce; the driver holds only the k chosen
+    ids (driver-scale state, like the Markov matrix).  localCheckpoint
+    per round bounds lineage and stands in for the parquet staging a
+    100 TB run would use between rounds (the IVF/PQ staged-index
+    discipline); cost is k map-only passes over the vectors.
+
+    Returns (sel_order 1..k, id, radius = quantized min-distance² at
+    selection time; NULL for the seed) — radius is the coverage
+    guarantee curve callers cut off at."""
+    require_columns(df, [id_col, vec_col], "kcenter_coreset")
+    spark = df.sparkSession
+    pts = (df.select(F.col(id_col).cast("long").alias("__id"),
+                     _as_double(F.col(vec_col)).alias("__v"))
+             .localCheckpoint(eager=True))
+    seed_id = pts.agg(F.min("__id")).first()[0]
+    if seed_id is None:
+        raise ValueError("kcenter_coreset: empty input")
+    chosen: list[tuple[int, int, int | None]] = [(1, int(seed_id), None)]
+    state = pts.withColumn("__qmind", F.lit(None).cast("long"))
+    cur_id = int(seed_id)
+    for r in range(2, k + 1):
+        state = _kcenter_update(state, cur_id).localCheckpoint(eager=True)
+        top = (state.filter(~F.col("__id")
+                             .isin([c[1] for c in chosen]))
+                    .agg(F.max(F.struct(
+                        F.col("__qmind").alias("q"),
+                        (-F.col("__id")).alias("nid"))).alias("m"))
+                    .select(F.col("m.q").alias("q"),
+                            (-F.col("m.nid")).alias("id"))
+                    .first())
+        if top is None or top["id"] is None:
+            break  # fewer than k points
+        chosen.append((r, int(top["id"]), int(top["q"])))
+        cur_id = int(top["id"])
+    out = spark.createDataFrame(
+        chosen, "sel_order long, id long, q long")
+    return out.select("sel_order", F.col("id").alias(id_col),
+                      (F.col("q") / F.lit(1e6)).alias("radius"))
+
+
+def _kcenter_update(state: DataFrame, cur_id: int) -> DataFrame:
+    """One k-center round's min-distance state update — MAP-ONLY on the
+    fact side by contract (plan-pinned): the newest center broadcasts as
+    one row, the squared-distance fold runs in-row, and least() folds it
+    into the running quantized minimum.  Split out of the loop so the
+    plan test can assert the no-fact-shuffle shape directly."""
+    cen = F.broadcast(state.filter(F.col("__id") == cur_id)
+                           .select(F.col("__v").alias("__c")))
+    d2 = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("__c"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    qd = F.floor(d2 * F.lit(1e6)).cast("long")
+    return (state.crossJoin(cen)
+                 .select("__id", "__v",
+                         F.least(F.col("__qmind"), qd).alias("__qmind")))
+
+
+def jl_project(df: DataFrame, d_out: int = 16, id_col: str = "vec_id",
+               vec_col: str = "embedding", seed: int = 1) -> DataFrame:
+    """Sparse-sign Johnson-Lindenstrauss random projection (Achlioptas
+    2003's ±1 variant): map each vector to ``d_out`` dims as
+    out_j = (1/√d_out)·Σᵢ vᵢ·s(i,j) with s(i,j) ∈ {−1,+1} derived from a
+    deterministic multiplicative hash of the (1-based) coordinate pair —
+    the shrink-before-index step a 100 TB embedding pipeline runs ahead
+    of LSH/IVF (JL: pairwise distances survive within ε at
+    d_out = O(log n / ε²)).
+
+    Engine-stable end to end: the sign is integer hash arithmetic (the
+    sampling family's multiplicative reduction; bit 16 of the product —
+    parity-grade mixing, verified by the distance-preservation property
+    test), the fold is the house left-to-right accumulation, and the
+    1/√d_out scale is applied AFTER the fold (exact dyadic for
+    power-of-4 d_out).  Map-only: no shuffle, no UDF — d_out in-row
+    folds inside whole-stage codegen.
+
+    Returns (id, dim 0..d_out-1, value) exploded long-form — scalar
+    doubles, so the driver's float normalization applies directly."""
+    require_columns(df, [id_col, vec_col], "jl_project")
+    v = _as_double(F.col(vec_col))
+    scale = F.lit(d_out ** -0.5)
+    def make_signed(_j):
+        # transform() infers lambda arity from the SIGNATURE — bind j
+        # via closure, never a default param (the documented HOF-arity
+        # landmine); (i + 1) matches DuckDB's 1-based lambda index
+        def signed(x, i):
+            key = F.pmod((i + 1) * F.lit(10007) + F.lit(_j * 31 + seed),
+                         F.lit(HASH_KEY_MOD))
+            h = F.pmod(key.cast("long") * F.lit(HASH_MULT),
+                       F.lit(HASH_MOD))
+            bit = F.shiftright(h, 16).bitwiseAND(F.lit(1))
+            return x * (F.lit(1) - F.lit(2) * bit).cast("double")
+        return signed
+
+    outs = []
+    for j in range(d_out):
+        outs.append(F.aggregate(F.transform(v, make_signed(j)), F.lit(0.0),
+                                lambda acc, x: acc + x) * scale)
+    return (df.select(F.col(id_col),
+                      F.posexplode(F.array(*outs)).alias("dim", "value"))
+              .select(id_col, F.col("dim").cast("long").alias("dim"),
+                      "value"))

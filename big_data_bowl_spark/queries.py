@@ -2780,6 +2780,35 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_jl_project(spark, sf_dir):
+    """Sparse-sign Johnson-Lindenstrauss projection of the embedding
+    table to 16 dims (Achlioptas ±1 signs from the deterministic
+    multiplicative hash of the coordinate pair), HASH-VERIFIED: pure
+    map-only in-row folds, no shuffle, no UDF — the shrink-before-index
+    step ahead of LSH/IVF at 100 TB.  Exploded to (id, dim, value)
+    scalar rows so the driver's float normalization applies; the
+    1/√16 = 0.25 scale is exact dyadic."""
+    from .pipeline.similarity import jl_project
+    em = _t(spark, sf_dir, "embeddings")
+    return jl_project(em, d_out=16)
+
+
+def q_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center coreset selection (Gonzalez 1985) over the
+    embedding table, HASH-VERIFIED: seed = lowest id, then 7 rounds of
+    pick-the-farthest with min-squared-distances FLOOR-quantized to
+    integer micro-units before the argmax (float-tie-free, id
+    tiebreak) — the diversity-sampling primitive of training-data
+    curation (the dual of SemDeDup: keep the spread, not prune the
+    redundant).  No fact shuffle: each round is a 1-row center
+    broadcast + in-row distance fold + 1-row argmax reduce.  Oracle
+    unrolls the 8 selections as chained MATERIALIZED CTE stages (the
+    q_pagerank discipline)."""
+    from .pipeline.similarity import kcenter_coreset
+    em = _t(spark, sf_dir, "embeddings")
+    return kcenter_coreset(em, k=8)
+
+
 def q_sequence_packing(spark, sf_dir):
     """GPT-style contiguous sequence packing, HASH-VERIFIED: documents
     laid end-to-end in id order, cut into 1024-token training bins
@@ -6267,6 +6296,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_span_dedup": q_span_dedup,
     "q_span_dedup_incremental": q_span_dedup_incremental,
     "q_semdedup": q_semdedup,
+    "q_kcenter_coreset": q_kcenter_coreset,
+    "q_jl_project": q_jl_project,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,

@@ -2233,3 +2233,71 @@ def test_dup_ngram_features_hand_computed(spark):
     assert got3[1]["dup_gram_occurrences"] == 4
     assert got3[2]["dup_gram_occurrences"] == 0
     assert got3[3]["n_grams"] == 0
+
+
+def test_kcenter_coreset_hand_computed_and_invariants(spark):
+    """Greedy k-center on a hand-computable 1-D layout: seed is the
+    lowest id; each pick is the farthest-from-chosen point; the radius
+    column is non-increasing (the Gonzalez coverage guarantee)."""
+    from big_data_bowl_spark.pipeline.similarity import kcenter_coreset
+
+    # points on a line: 0.0, 1.0, 10.0, 10.5, 20.0 (ids 1..5)
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [10.0, 0.0]),
+            (4, [10.5, 0.0]), (5, [20.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["sel_order"]: r for r in kcenter_coreset(df, k=4).collect()}
+    assert got[1]["vec_id"] == 1 and got[1]["radius"] is None  # seed: min id
+    assert got[2]["vec_id"] == 5          # farthest from 0 is 20 (d2=400)
+    assert got[2]["radius"] == 400.0
+    assert got[3]["vec_id"] == 3          # min(d2 to {0,20}) max: 10 -> 100
+    assert got[3]["radius"] == 100.0
+    # remaining: id2 min-d2=1; id4 min( 0.25, 90.25 )=0.25 -> pick id2
+    assert got[4]["vec_id"] == 2 and got[4]["radius"] == 1.0
+    radii = [got[i]["radius"] for i in (2, 3, 4)]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_kcenter_coreset_k_exceeding_points_stops_clean(spark):
+    from big_data_bowl_spark.pipeline.similarity import kcenter_coreset
+
+    df = spark.createDataFrame([(7, [1.0]), (9, [2.0])],
+                               "vec_id long, embedding array<double>")
+    out = kcenter_coreset(df, k=5).collect()
+    assert [r["vec_id"] for r in out] == [7, 9]  # stops at the point count
+
+
+def test_jl_projection_preserves_pairwise_distances(spark):
+    """JL guarantee, empirically: project 40 random 64-d vectors to 16
+    dims and check the pairwise squared-distance RATIO stays within a
+    loose band (sparse ±1 signs at d_out=16 give ε ≈ 0.75-ish tails;
+    the band asserts the hash signs behave like a real JL matrix — a
+    broken/constant sign pattern collapses distances and fails this).
+    Also pins determinism: two runs produce identical values."""
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.similarity import jl_project
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 64))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<double>")
+    out = jl_project(df, d_out=16).collect()
+    proj = np.zeros((40, 16))
+    for r in out:
+        proj[r["vec_id"], r["dim"]] = r["value"]
+    ratios = []
+    for a in range(0, 40, 3):
+        for b in range(a + 1, 40, 7):
+            d_in = float(np.sum((vecs[a] - vecs[b]) ** 2))
+            d_out_ = float(np.sum((proj[a] - proj[b]) ** 2))
+            ratios.append(d_out_ / d_in)
+    ratios = np.asarray(ratios)
+    assert 0.8 < float(np.median(ratios)) < 1.25, float(np.median(ratios))
+    # tails at d_out=16 are chi-square-heavy (measured max 4.18 at this
+    # seed); the band only guards against collapse/blow-up, the median
+    # above is the real JL signal
+    assert float(ratios.min()) > 0.1 and float(ratios.max()) < 8.0, \
+        (ratios.min(), ratios.max())
+    again = jl_project(df, d_out=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

@@ -582,3 +582,47 @@ def test_hilbert_rounds_are_map_only(spark):
     # count_exchanges' substring count would lump them together)
     assert plan.count("- Exchange (") == 1, plan
     assert "hashpartitioning" not in plan, plan
+
+
+def test_dup_ngrams_two_level_agg_shape(spark):
+    """q_dup_ngrams' gram counting must stay the map-side-combinable
+    two-level aggregate: grams are BUILT in-row (zip_with over shifted
+    slices — no explode before the partial agg sees a combiner), each
+    n's count chain contributes its (doc, gram) and doc exchanges, and
+    nothing degenerates to a cartesian or a whole-partition window."""
+    plan = executed_plan(_q(spark, "q_dup_ngrams"))
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan
+    # partial_count before each shuffle = map-side combine is in place
+    assert plan.count("partial_count") >= 2, plan
+    # 2 gram sizes x (gram-grain + doc-grain) shuffles + the doc joins;
+    # anything beyond 8 means a lost exchange reuse
+    assert plan.count("hashpartitioning") <= 8, plan
+
+
+def test_kcenter_round_update_is_map_only(spark):
+    """Each k-center selection round must never shuffle the fact side:
+    the newest center arrives as a 1-row BroadcastExchange into a
+    BroadcastNestedLoopJoin, the distance fold is in-row, and the state
+    update carries no hash exchange, no Window, no sort."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.pipeline.similarity import _kcenter_update
+
+    df = spark.range(50).select(
+        F.col("id").alias("__id"),
+        F.array(F.col("id").cast("double"),
+                (F.col("id") * 2).cast("double")).alias("__v"),
+        F.lit(None).cast("long").alias("__qmind"))
+    plan = executed_plan(_kcenter_update(df, 0))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "hashpartitioning" not in plan, plan
+    assert "Window" not in plan and "Sort" not in plan, plan
+
+
+def test_jl_project_is_map_only(spark):
+    """The JL projection is pure codegen: scan → project → posexplode,
+    no exchange of any kind, no Python."""
+    plan = executed_plan(_q(spark, "q_jl_project"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
