@@ -55,25 +55,77 @@ def separation_at_max_frame(tracking: DataFrame, group: list[str],
                                left_side, right_side, **kw)
 
 
+def _grid_best(p: DataFrame, width: float,
+               max_d2: float | None = None) -> DataFrame:
+    """Best (min-d², min-id tie-break) candidate per point among the 3×3
+    ``width``-cell neighborhood — the shared kernel of both refinement
+    levels.  Probes replicate 9×, join the cell key exactly (plain
+    equi-join, never a cross join); ``max_d2`` optionally filters pairs
+    (the radius bound of the coarse level).  Input ``p`` carries
+    (__id, __x, __y).  Returns (__qid, __nid, __d2)."""
+    c = (p.withColumn("__cx", F.floor(F.col("__x") / width))
+          .withColumn("__cy", F.floor(F.col("__y") / width)))
+    offsets = F.array(*[F.struct(F.lit(dx).alias("ox"),
+                                 F.lit(dy).alias("oy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    probes = (c.withColumn("__o", F.explode(offsets))
+                .select(F.col("__id").alias("__qid"),
+                        F.col("__x").alias("__qx"),
+                        F.col("__y").alias("__qy"),
+                        (F.col("__cx") + F.col("__o.ox")).alias("__jx"),
+                        (F.col("__cy") + F.col("__o.oy")).alias("__jy")))
+    src = c.select(F.col("__id").alias("__nid"), "__x", "__y",
+                   F.col("__cx").alias("__jx"), F.col("__cy").alias("__jy"))
+    dist2 = ((F.col("__qx") - F.col("__x"))
+             * (F.col("__qx") - F.col("__x"))
+             + (F.col("__qy") - F.col("__y"))
+             * (F.col("__qy") - F.col("__y")))
+    pairs = (probes.join(src, ["__jx", "__jy"])
+                   .filter(F.col("__qid") != F.col("__nid"))
+                   .withColumn("__d2", dist2))
+    if max_d2 is not None:
+        pairs = pairs.filter(F.col("__d2") <= F.lit(max_d2))
+    from pyspark.sql import Window
+    w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc("__nid"))
+    return (pairs.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1)
+                 .select("__qid", "__nid", "__d2"))
+
+
 def grid_nearest(points: DataFrame, radius: float,
                  id_col: str = "id", x_col: str = "x",
-                 y_col: str = "y") -> DataFrame:
+                 y_col: str = "y", refine: int = 8) -> DataFrame:
     """Nearest neighbor within ``radius``, grid-bucketed — the
     UNBOUNDED-scale form of the within-group separation join: where
     J6/J8 bound the quadratic blow-up by the play key (≤22 players), this
     bounds it by a spatial cell key.  Each point lands in cell
-    (⌊x/r⌋, ⌊y/r⌋); any neighbor within r is necessarily in the 3×3 cell
+    (⌊x/w⌋, ⌊y/w⌋); any neighbor within w is necessarily in the 3×3 cell
     neighborhood, so probes replicate 9× and join the cell key exactly —
     a plain equi-join, never a cross join.  EXACT for the radius-bounded
     semantics (a true nearest neighbor farther than r is reported as no
-    row), which is the contract tracking-style data wants: physical
-    density per cell is bounded (players per yard²), so per-cell
-    fan-out is O(1) at any corpus size.  For global k-NN over
-    unbounded-density embeddings use the IVF/PQ tier instead.
+    row).
+
+    TWO-LEVEL density refinement (``refine`` > 1, r8 — added after the
+    sf1.0 stress sweep measured the single-level form going quadratic in
+    DENSITY: candidate pairs ∝ Σ_cell pop², so 10× points in the same
+    box cost 100×).  Level 1 probes FINE cells of width w = radius/refine
+    and RESOLVES every point whose best fine candidate is within w: any
+    point outside the 3×3 fine block is at L∞ > w ≥ d, so that candidate
+    is the global nearest — exactly.  Only the unresolved residue (best
+    fine candidate farther than w, or none — the sparse tail) escalates
+    to the coarse radius-width level against the full table.  In dense
+    data nearly everything resolves fine (measured: 19 998/20 000 at the
+    10× stress SF, candidate volume ÷29 at refine=8; 96% even at sf0.1),
+    and level-1 cost is ∝ Σ pop_fine² ≈ Σ pop²/refine² — density
+    quadratic damped by refine², with the ladder exactness-preserving.
+    ``refine=1`` is the plain single-level form.
 
     Distances compare in double (coordinates cast on extraction) with
     the neighbor id as tie-break, so the selection is deterministic and
-    engine-reproducible.  Returns (``id_col``, neighbor_id, dist).
+    engine-reproducible — ties at equal d² sit inside the same fine
+    block, so both levels pick the same winner and the refined result
+    EQUALS the single-level result row-for-row (property-tested).
+    Returns (``id_col``, neighbor_id, dist).
     """
     require = [id_col, x_col, y_col]
     from ..schemas import require_columns
@@ -82,19 +134,46 @@ def grid_nearest(points: DataFrame, radius: float,
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"))
-    p = p.withColumn("__cx", F.floor(F.col("__x") / radius)) \
-         .withColumn("__cy", F.floor(F.col("__y") / radius))
+    r2 = float(radius) * float(radius)
+
+    def fmt(best):
+        return best.select(F.col("__qid").alias(id_col),
+                           F.col("__nid").alias("neighbor_id"),
+                           F.round(F.sqrt("__d2"), 6).alias("dist"))
+
+    if refine <= 1:
+        return fmt(_grid_best(p, float(radius), max_d2=r2))
+    w = float(radius) / refine
+    fine = _grid_best(p, w).localCheckpoint(eager=True)
+    resolved = fine.filter(F.col("__d2") <= F.lit(w * w))
+    residue = p.join(resolved.select(F.col("__qid").alias("__id")),
+                     "__id", "left_anti")
+    coarse = _grid_best_against(residue, p, float(radius), max_d2=r2)
+    return fmt(resolved).unionByName(fmt(coarse))
+
+
+def _grid_best_against(queries: DataFrame, corpus: DataFrame,
+                       width: float, max_d2: float) -> DataFrame:
+    """Coarse escalation level: best corpus candidate per QUERY point
+    (queries ⊆ corpus, both carrying __id/__x/__y) among the 3×3
+    ``width``-cell neighborhood — same kernel as :func:`_grid_best` but
+    with an asymmetric probe side, so the escalated residue never
+    re-scans its own cross-pairs against itself twice."""
+    cx, cy = F.floor(F.col("__x") / width), F.floor(F.col("__y") / width)
     offsets = F.array(*[F.struct(F.lit(dx).alias("ox"),
                                  F.lit(dy).alias("oy"))
                         for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
-    probes = (p.withColumn("__o", F.explode(offsets))
-                .select(F.col("__id").alias("__qid"),
-                        F.col("__x").alias("__qx"),
-                        F.col("__y").alias("__qy"),
-                        (F.col("__cx") + F.col("__o.ox")).alias("__jx"),
-                        (F.col("__cy") + F.col("__o.oy")).alias("__jy")))
-    src = p.select(F.col("__id").alias("__nid"), "__x", "__y",
-                   F.col("__cx").alias("__jx"), F.col("__cy").alias("__jy"))
+    probes = (queries.withColumn("__cx", cx).withColumn("__cy", cy)
+              .withColumn("__o", F.explode(offsets))
+              .select(F.col("__id").alias("__qid"),
+                      F.col("__x").alias("__qx"),
+                      F.col("__y").alias("__qy"),
+                      (F.col("__cx") + F.col("__o.ox")).alias("__jx"),
+                      (F.col("__cy") + F.col("__o.oy")).alias("__jy")))
+    src = (corpus.withColumn("__cx", cx).withColumn("__cy", cy)
+           .select(F.col("__id").alias("__nid"), "__x", "__y",
+                   F.col("__cx").alias("__jx"),
+                   F.col("__cy").alias("__jy")))
     dist2 = ((F.col("__qx") - F.col("__x"))
              * (F.col("__qx") - F.col("__x"))
              + (F.col("__qy") - F.col("__y"))
@@ -102,12 +181,9 @@ def grid_nearest(points: DataFrame, radius: float,
     pairs = (probes.join(src, ["__jx", "__jy"])
                    .filter(F.col("__qid") != F.col("__nid"))
                    .withColumn("__d2", dist2)
-                   .filter(F.col("__d2")
-                           <= F.lit(radius) * F.lit(radius)))
+                   .filter(F.col("__d2") <= F.lit(max_d2)))
     from pyspark.sql import Window
     w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc("__nid"))
     return (pairs.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") == 1)
-                 .select(F.col("__qid").alias(id_col),
-                         F.col("__nid").alias("neighbor_id"),
-                         F.round(F.sqrt("__d2"), 6).alias("dist")))
+                 .select("__qid", "__nid", "__d2"))

@@ -2301,3 +2301,29 @@ def test_jl_projection_preserves_pairwise_distances(spark):
         (ratios.min(), ratios.max())
     again = jl_project(df, d_out=16).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_grid_nearest_refined_equals_single_level(spark):
+    """The two-level density refinement must be EXACT: refine=8 equals
+    the plain single-level (refine=1) result row-for-row on clustered
+    points (dense clumps resolve at the fine level, sparse stragglers
+    escalate — both paths exercised)."""
+    import numpy as np
+
+    from big_data_bowl_spark.operators.separation import grid_nearest
+
+    rng = np.random.default_rng(11)
+    # three dense clumps + sparse background, some isolated beyond radius
+    pts = np.concatenate([
+        rng.normal(0.0, 0.02, (60, 2)),
+        rng.normal(1.0, 0.02, (60, 2)),
+        rng.normal([0.0, 1.0], 0.02, (60, 2)),
+        rng.uniform(-2, 3, (60, 2)),
+    ])
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double")
+    fast = grid_nearest(df, radius=0.15, refine=8).collect()
+    slow = grid_nearest(df, radius=0.15, refine=1).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) > 100  # the clumps actually produced neighbors
