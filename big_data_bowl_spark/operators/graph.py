@@ -395,3 +395,50 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "rank")
+
+
+def hits(edges: DataFrame, iters: int = 3,
+         quantum: int = 1_000_000) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
+    list (src, dst), INTEGER-EXACT: scores start at ``quantum`` micro-
+    units and each round runs the two classic sweeps —
+    auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v) — as LONG
+    sums, which are associative and partition-order-free, so the
+    fixpoint is bit-identical on any engine (the house rule).  The
+    usual per-round normalization is omitted deliberately: HITS scores
+    are scale-invariant (only ratios/ordering carry meaning — Kleinberg
+    normalizes purely to keep floats bounded), and at 3 rounds the
+    integer iterates stay far inside int64 (≤ quantum·(max_deg)^(2·3)).
+    Presentation scaling is the caller's concern.
+
+    Scale shape: the pagerank discipline — scores are node-grain and
+    join edges on the node key (never broadcast), one shuffle join +
+    one long-sum aggregate per sweep, state pinned per round with
+    localCheckpoint.  Returns (node, hub, auth) longs."""
+    require_columns(edges, ["src", "dst"], "hits")
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+                  .union(edges.select(F.col("dst").alias("node")))
+                  .distinct())
+    state = nodes.withColumn("hub", F.lit(quantum).cast("long")) \
+                 .withColumn("auth", F.lit(quantum).cast("long"))
+    for _ in range(iters):
+        auth = (edges.join(state.select(F.col("node").alias("src"),
+                                        "hub"), "src")
+                     .groupBy(F.col("dst").alias("node"))
+                     .agg(F.sum("hub").cast("long").alias("__a")))
+        st_a = (state.select("node", "hub").join(auth, "node", "left")
+                     .select("node", "hub",
+                             F.coalesce("__a", F.lit(0))
+                              .cast("long").alias("auth")))
+        hub = (edges.join(st_a.select(F.col("node").alias("dst"),
+                                      "auth"), "dst")
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(F.sum("auth").cast("long").alias("__h")))
+        state = (st_a.select("node", "auth").join(hub, "node", "left")
+                     .select("node",
+                             F.coalesce("__h", F.lit(0))
+                              .cast("long").alias("hub"),
+                             "auth")
+                     .localCheckpoint(eager=True))
+    return state.select("node", "hub", "auth")

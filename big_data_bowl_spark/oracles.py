@@ -2535,6 +2535,84 @@ def _kcenter_oracle_sql(k: int = 8) -> str:
 
 ORACLES["q_kcenter_coreset"] = _kcenter_oracle_sql(8)
 
+
+def _set_cover_oracle_sql(k: int = 8) -> str:
+    """Unrolled greedy max-coverage (q_set_cover): round r's pick is the
+    doc with the most grams outside the MATERIALIZED covered set
+    cov{r-1}; cov{r} folds the winner's grams in via UNION (dedup).
+    Integer gains + lowest-id tie-break — no float anywhere.  An
+    exhausted universe yields empty sel rounds from then on, matching
+    the engine's early break."""
+    ctes = [
+        "dg AS MATERIALIZED (SELECT DISTINCT doc_id AS id, gram AS g "
+        "FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)), "
+        "i -> tk[i] || ' ' || tk[i + 1])) AS gram "
+        "FROM (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS tk FROM documents)))",
+        "sel1 AS MATERIALIZED (SELECT id, count(*) AS gain FROM dg "
+        "GROUP BY 1 ORDER BY gain DESC, id ASC LIMIT 1)",
+        "cov1 AS MATERIALIZED (SELECT DISTINCT d.g FROM dg d "
+        "JOIN sel1 s ON d.id = s.id)"]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT id, count(*) AS gain "
+            f"FROM dg WHERE g NOT IN (SELECT g FROM cov{r - 1}) "
+            f"GROUP BY 1 ORDER BY gain DESC, id ASC LIMIT 1)")
+        ctes.append(
+            f"cov{r} AS MATERIALIZED (SELECT g FROM cov{r - 1} "
+            f"UNION SELECT d.g FROM dg d JOIN sel{r} s ON d.id = s.id)")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS sel_order, id AS doc_id, "
+        f"CAST(gain AS BIGINT) AS gain FROM sel{r}"
+        for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+ORACLES["q_set_cover"] = _set_cover_oracle_sql(8)
+
+
+def _hits_oracle_sql(iters: int = 3, quantum: int = 1_000_000) -> str:
+    """Unrolled HITS (q_hits): 2 sweeps per round as chained CTEs —
+    auth{r} = Σ in-neighbor hubs, hub{r} = Σ out-neighbor fresh auths —
+    all BIGINT (sum casts guard DuckDB's HUGEINT promotion), dangling
+    sides coalesce to 0, identical to the engine's integer fixpoint."""
+    ctes = ["""ed AS MATERIALIZED (
+    SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+    FROM (SELECT event_id // 5 AS item, user_id, ts, event_id
+          FROM events) a
+    JOIN (SELECT event_id // 5 AS item, user_id, ts, event_id
+          FROM events) b
+      ON a.item = b.item
+     AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))
+     AND a.user_id <> b.user_id)""",
+            "n AS MATERIALIZED (SELECT src AS node FROM ed "
+            "UNION SELECT dst FROM ed)",
+            f"s0 AS MATERIALIZED (SELECT node, "
+            f"CAST({quantum} AS BIGINT) AS hub, "
+            f"CAST({quantum} AS BIGINT) AS auth FROM n)"]
+    for r in range(1, iters + 1):
+        prev = f"s{r - 1}"
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT s.node, s.hub, "
+            f"CAST(COALESCE(x.a, 0) AS BIGINT) AS auth "
+            f"FROM {prev} s LEFT JOIN "
+            f"(SELECT e.dst AS node, CAST(sum(p.hub) AS BIGINT) AS a "
+            f"FROM ed e JOIN {prev} p ON e.src = p.node GROUP BY 1) x "
+            f"ON s.node = x.node)")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT s.node, "
+            f"CAST(COALESCE(y.h, 0) AS BIGINT) AS hub, s.auth "
+            f"FROM a{r} s LEFT JOIN "
+            f"(SELECT e.src AS node, CAST(sum(q.auth) AS BIGINT) AS h "
+            f"FROM ed e JOIN a{r} q ON e.dst = q.node GROUP BY 1) y "
+            f"ON s.node = y.node)")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT node AS user_id, hub, auth FROM s{iters} "
+            "ORDER BY auth DESC, node ASC LIMIT 20")
+
+
+ORACLES["q_hits"] = _hits_oracle_sql(3)
+
 # JL ±1 signs: bit 16 of the multiplicative product on the 1-BASED
 # coordinate pair key (DuckDB lambda indexes are 1-based; the engine
 # adds 1 to Spark's 0-based HOF index to match).  Fold is the prepended-

@@ -409,3 +409,53 @@ def poisson_bootstrap(df: DataFrame, units_col: str, key_col: str,
                 .withColumn("mean_units",
                             F.col("sum_units").cast("double")
                             / F.col("n_eff").cast("double")))
+
+
+def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
+                     text_col: str = "text", n: int = 2) -> DataFrame:
+    """Greedy maximum-coverage document selection (the classic
+    (1−1/e)-approximation): pick ``k`` docs that together cover the most
+    distinct token n-grams — the vocabulary/coverage-based curation
+    primitive (choose a small, diverse seed corpus; the coverage dual of
+    k-center's geometric spread).
+
+    Each round counts every doc's UNCOVERED grams (integer gains — no
+    float anywhere, so cross-engine determinism is free), picks the max
+    with lowest-id tie-break, and folds the winner's grams into the
+    covered set.  The covered set and chosen list are driver-scale
+    (k docs × the winner's distinct grams) and broadcast back as an
+    isin filter; the (doc, gram) table is fact-grain and never
+    shuffles after its one distinct — each round is a broadcast-filtered
+    re-aggregation of the same pinned table.  Rounds stop early when no
+    doc adds coverage (both engines converge to the same fixpoint: an
+    exhausted universe keeps yielding empty rounds).
+
+    Returns (sel_order 1..≤k, id, gain = newly covered grams)."""
+    from .text import _token_ngrams
+    require_columns(df, [id_col, text_col], "greedy_set_cover")
+    spark = df.sparkSession
+    dg = (df.select(F.col(id_col).cast("long").alias("__id"),
+                    F.explode(_token_ngrams(text_col, n)).alias("__g"))
+            .distinct().localCheckpoint(eager=True))
+    covered: set[str] = set()
+    chosen: list[tuple[int, int, int]] = []
+    for r in range(1, k + 1):
+        cand = dg
+        if covered:
+            cand = dg.filter(~F.col("__g").isin(sorted(covered)))
+        top = (cand.groupBy("__id")
+                   .agg(F.count(F.lit(1)).alias("gain"))
+                   .agg(F.max(F.struct(F.col("gain"),
+                                       (-F.col("__id")).alias("nid")))
+                        .alias("m"))
+                   .select(F.col("m.gain").alias("gain"),
+                           (-F.col("m.nid")).alias("id"))
+                   .first())
+        if top is None or top["id"] is None:
+            break  # universe exhausted
+        chosen.append((r, int(top["id"]), int(top["gain"])))
+        new_grams = (cand.filter(F.col("__id") == int(top["id"]))
+                         .select("__g").collect())
+        covered.update(g[0] for g in new_grams)
+    out = spark.createDataFrame(chosen, "sel_order long, id long, gain long")
+    return out.select("sel_order", F.col("id").alias(id_col), "gain")

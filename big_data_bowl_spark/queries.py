@@ -2780,6 +2780,17 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_set_cover(spark, sf_dir):
+    """Greedy maximum-coverage selection of 8 docs over the bigram
+    vocabulary (the (1−1/e) set-cover greedy), HASH-VERIFIED: integer
+    gains end-to-end, lowest-id tie-break, early stop on an exhausted
+    universe — the coverage-based seed-corpus curation primitive (the
+    vocabulary dual of q_kcenter_coreset's geometric spread).  Oracle
+    unrolls the 8 rounds as chained MATERIALIZED covered-set CTEs."""
+    from .pipeline.sampling import greedy_set_cover
+    return greedy_set_cover(_t(spark, sf_dir, "documents"), k=8)
+
+
 def q_jl_project(spark, sf_dir):
     """Sparse-sign Johnson-Lindenstrauss projection of the embedding
     table to 16 dims (Achlioptas ±1 signs from the deterministic
@@ -5248,6 +5259,33 @@ def q_label_propagation(spark, sf_dir):
                .agg(F.count(F.lit(1)).alias("n_members")))
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs/authorities over the DIRECTED influence graph (within
+    each 5-event item slot, the earlier event's user points to each
+    later one — a citation-style direction), HASH-VERIFIED: 3
+    integer-exact sweeps (long sums of micro-unit scores — no floats,
+    no normalization; HITS is scale-invariant and the iterates stay far
+    inside int64), top-20 by authority with node tie-break.  Oracle
+    unrolls the 6 sweeps as CTE stages with the same coalesce-0
+    dangling handling."""
+    from .operators.graph import hits
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") / 5).cast("long").alias("item"),
+        "user_id", "ts", "event_id")
+    a, b = e.alias("a"), e.alias("b")
+    earlier = (F.col("a.ts") < F.col("b.ts")) | \
+              ((F.col("a.ts") == F.col("b.ts"))
+               & (F.col("a.event_id") < F.col("b.event_id")))
+    edges = (a.join(b, "item")
+              .filter(earlier & (F.col("a.user_id") != F.col("b.user_id")))
+              .select(F.col("a.user_id").alias("src"),
+                      F.col("b.user_id").alias("dst"))
+              .distinct())
+    out = hits(edges, iters=3)
+    return (out.orderBy(F.desc("auth"), F.asc("node")).limit(20)
+               .select(F.col("node").alias("user_id"), "hub", "auth"))
+
+
 def q_bfs_hops(spark, sf_dir):
     """Multi-source BFS reachability over the user co-occurrence graph,
     HASH-VERIFIED: hop distance from the seed set (user_id % 10 == 0)
@@ -6298,6 +6336,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_semdedup": q_semdedup,
     "q_kcenter_coreset": q_kcenter_coreset,
     "q_jl_project": q_jl_project,
+    "q_set_cover": q_set_cover,
+    "q_hits": q_hits,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,

@@ -2327,3 +2327,44 @@ def test_grid_nearest_refined_equals_single_level(spark):
     slow = grid_nearest(df, radius=0.15, refine=1).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) > 100  # the clumps actually produced neighbors
+
+
+def test_greedy_set_cover_hand_computed(spark):
+    """Greedy max-coverage on hand-computable docs: the biggest gram set
+    wins round 1, the best MARGINAL (not absolute) gain wins round 2,
+    ties break to the lowest id, and rounds stop when the universe is
+    exhausted."""
+    from big_data_bowl_spark.pipeline.sampling import greedy_set_cover
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),        # bigrams {ab, bc, cd}
+         (2, "a b c"),          # {ab, bc} subset of doc 1
+         (3, "x y z a b"),      # {xy, yz, za, ab} — 4 grams, wins round 1
+         (4, "c d x y")],       # {cd, dx, xy} — marginal 2 after doc 3
+        ["doc_id", "text"])
+    got = greedy_set_cover(docs, k=8).collect()
+    sel = [(r["sel_order"], r["doc_id"], r["gain"]) for r in got]
+    # round 1: doc 3 (4 grams); round 2: doc 1 adds {bc, cd} (ab covered)
+    # = 2 = doc 4's {cd, dx} marginal 2 -> tie, lowest id wins (doc 1);
+    # round 3: doc 4 adds {dx} = 1; round 4: doc 2 adds nothing -> absent,
+    # universe exhausted -> early stop
+    assert sel == [(1, 3, 4), (2, 1, 2), (3, 4, 1)], sel
+
+
+def test_hits_hand_computed_directed_star(spark):
+    """HITS on a hand-computable directed graph: hub 1 -> {2,3,4},
+    plus 5 -> 2.  Quantum q=1e6, 1 round: auth(2)=2q, auth(3)=auth(4)=q,
+    auth(1)=auth(5)=0; hub(1)=auth(2)+auth(3)+auth(4)=4q, hub(5)=2q,
+    hub(2..4)=0.  Asymmetric by construction, so it catches any
+    direction mix-up the symmetric co-occurrence graph would hide."""
+    from big_data_bowl_spark.operators.graph import hits
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (5, 2)], "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(edges, iters=1).collect()}
+    q = 1_000_000
+    assert got[2] == (0, 2 * q)
+    assert got[3] == (0, q) and got[4] == (0, q)
+    assert got[1] == (4 * q, 0)
+    assert got[5] == (2 * q, 0)
