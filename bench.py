@@ -231,6 +231,12 @@ HEADLINE = [
     # JL ±1 projection: map-only in-row folds (the shrink-before-index
     # step ahead of LSH/IVF) — times the pure-codegen path on vectors
     "q_jl_project",
+    # greedy max-coverage selection (broadcast covered-set rounds) and
+    # integer-exact HITS (node-grain score joins) — both fixed-round
+    # iterative, so local-mode job latency dominates like q_theil_sen
+    "q_set_cover",
+    "q_hits",
+    "q_mmr_rerank",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -2613,6 +2613,50 @@ def _hits_oracle_sql(iters: int = 3, quantum: int = 1_000_000) -> str:
 
 ORACLES["q_hits"] = _hits_oracle_sql(3)
 
+
+def _mmr_oracle_sql(k: int = 8) -> str:
+    """Unrolled MMR (q_mmr_rerank, λ=1/2): qrel quantizes once, each
+    round folds the newest pick's quantized similarity into the running
+    max, and the pick is the integer argmax of qrel − qmaxsim with id
+    tie-break — the kcenter oracle discipline with max-sim replacing
+    min-dist.  The query vector joins in from vec 0's own row."""
+    def dot(a, b):
+        return (f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+                f"list_transform(range(1, len({a}) + 1), "
+                f"i -> {a}[i] * {b}[i])), (acc, e) -> acc + e)")
+    ctes = [
+        "qv AS MATERIALIZED (SELECT embedding::DOUBLE[] AS q "
+        "FROM embeddings WHERE vec_id = 0)",
+        f"pts AS MATERIALIZED (SELECT e.id, e.v, "
+        f"CAST(floor({dot('e.v', 'q')} * 1e6) AS BIGINT) AS qrel "
+        f"FROM (SELECT vec_id AS id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE vec_id <> 0) e, qv)",
+        "sel1 AS MATERIALIZED (SELECT id, v, qrel, "
+        "CAST(NULL AS BIGINT) AS qm, qrel AS s FROM pts "
+        "ORDER BY qrel DESC, id ASC LIMIT 1)"]
+    for r in range(2, k + 1):
+        prev = "pts" if r == 2 else f"m{r - 1}"
+        qm = (f"CAST(floor({dot('p.v', 'c.v')} * 1e6) AS BIGINT)"
+              if r == 2 else
+              f"greatest(p.qm, CAST(floor({dot('p.v', 'c.v')} * 1e6) "
+              f"AS BIGINT))")
+        ctes.append(f"m{r} AS MATERIALIZED (SELECT p.id, p.v, p.qrel, "
+                    f"{qm} AS qm FROM {prev} p, sel{r - 1} c)")
+        excl = " UNION ALL ".join(f"SELECT id FROM sel{i}"
+                                  for i in range(1, r))
+        ctes.append(f"sel{r} AS MATERIALIZED (SELECT id, v, qrel, qm, "
+                    f"qrel - qm AS s FROM m{r} "
+                    f"WHERE id NOT IN ({excl}) "
+                    f"ORDER BY s DESC, id ASC LIMIT 1)")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS sel_order, id AS vec_id, "
+        f"CAST(s AS DOUBLE) / 1e6 AS score FROM sel{r}"
+        for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+ORACLES["q_mmr_rerank"] = _mmr_oracle_sql(8)
+
 # JL ±1 signs: bit 16 of the multiplicative product on the 1-BASED
 # coordinate pair key (DuckDB lambda indexes are 1-based; the engine
 # adds 1 to Spark's 0-based HOF index to match).  Fold is the prepended-

@@ -976,3 +976,70 @@ def jl_project(df: DataFrame, d_out: int = 16, id_col: str = "vec_id",
                       F.posexplode(F.array(*outs)).alias("dim", "value"))
               .select(id_col, F.col("dim").cast("long").alias("dim"),
                       "value"))
+
+
+def mmr_rerank(df: DataFrame, query_vec: list[float], k: int = 8,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998, λ = 1/2): greedily pick ``k`` items maximizing
+    relevance − redundancy, where relevance is the dot product with the
+    query and redundancy is the max dot product with anything already
+    selected — the diversity-aware final stage of a retrieval stack
+    (after BM25/RRF/ANN candidate generation).
+
+    Engine-stable like :func:`kcenter_coreset`: relevance quantizes ONCE
+    to integer micro-units (FLOOR), the running max-similarity state is
+    a long, and each round's pick is argmax(qrel − qmaxsim) with
+    lowest-id tie-break — at λ = 1/2 the blend λ·rel − (1−λ)·maxsim is
+    monotone in (rel − maxsim), so the integer difference IS the MMR
+    objective and no float comparison ever decides a pick.  Per round:
+    one 1-row selected-vector broadcast, an in-row dot-product fold, a
+    map-only greatest() state update, and a 1-row argmax — no fact
+    shuffle; localCheckpoint stands in for the parquet staging a
+    100 TB run would use.  Returns (sel_order, id, score = the
+    quantized objective at selection; relevance alone for the first
+    pick)."""
+    require_columns(df, [id_col, vec_col], "mmr_rerank")
+    spark = df.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    rel = F.aggregate(F.zip_with(_as_double(F.col(vec_col)), q,
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pts = (df.select(F.col(id_col).cast("long").alias("__id"),
+                     _as_double(F.col(vec_col)).alias("__v"),
+                     F.floor(rel * F.lit(1e6)).cast("long").alias("__qrel"))
+             .withColumn("__qmaxsim", F.lit(None).cast("long"))
+             .localCheckpoint(eager=True))
+    chosen: list[tuple[int, int, int]] = []
+    state, cur_id = pts, None
+    for r in range(1, k + 1):
+        if cur_id is not None:
+            cen = F.broadcast(state.filter(F.col("__id") == cur_id)
+                                   .select(F.col("__v").alias("__c")))
+            sim = F.aggregate(F.zip_with(F.col("__v"), F.col("__c"),
+                                         lambda a, b: a * b),
+                              F.lit(0.0), lambda acc, x: acc + x)
+            qsim = F.floor(sim * F.lit(1e6)).cast("long")
+            state = (state.crossJoin(cen)
+                          .select("__id", "__v", "__qrel",
+                                  F.greatest(F.col("__qmaxsim"), qsim)
+                                   .alias("__qmaxsim"))
+                          .localCheckpoint(eager=True))
+        obj = F.col("__qrel") - F.coalesce(F.col("__qmaxsim"), F.lit(0))
+        top = (state.filter(~F.col("__id")
+                             .isin([c[1] for c in chosen]))
+                    .agg(F.max(F.struct(obj.alias("s"),
+                                        (-F.col("__id")).alias("nid")))
+                         .alias("m"))
+                    .select(F.col("m.s").alias("s"),
+                            (-F.col("m.nid")).alias("id"))
+                    .first())
+        if top is None or top["id"] is None:
+            break
+        chosen.append((r, int(top["id"]), int(top["s"])))
+        cur_id = int(top["id"])
+    out = spark.createDataFrame(
+        chosen, "sel_order long, id long, s long")
+    return out.select("sel_order", F.col("id").alias(id_col),
+                      (F.col("s") / F.lit(1e6)).alias("score"))

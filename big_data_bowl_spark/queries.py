@@ -2780,6 +2780,23 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diverse re-ranking (λ=1/2) of the embedding corpus against
+    vec 0's embedding as the query, HASH-VERIFIED: relevance and the
+    running max-similarity state both FLOOR-quantize to integer
+    micro-units, so every greedy pick is an integer argmax with id
+    tie-break (at λ=1/2 the blend is monotone in rel − maxsim) — the
+    diversity-aware final stage of the retrieval stack, after
+    BM25/RRF/ANN candidate generation.  Oracle unrolls the 8 picks as
+    MATERIALIZED CTE stages, the query vector joined in-SQL from the
+    same row the engine collected."""
+    from .pipeline.similarity import mmr_rerank
+    em = _t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          em.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return mmr_rerank(em.filter(F.col("vec_id") != 0), qv, k=8)
+
+
 def q_set_cover(spark, sf_dir):
     """Greedy maximum-coverage selection of 8 docs over the bigram
     vocabulary (the (1−1/e) set-cover greedy), HASH-VERIFIED: integer
@@ -6338,6 +6355,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_jl_project": q_jl_project,
     "q_set_cover": q_set_cover,
     "q_hits": q_hits,
+    "q_mmr_rerank": q_mmr_rerank,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,

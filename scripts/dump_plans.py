@@ -85,9 +85,13 @@ AUDITED: dict[str, str] = {
         "the sink; boundaries are local so the op is embarrassingly "
         "parallel at any scale."),
     "q_grid_nearest": (
-        "Probe side replicates 9× on cell offsets and equi-joins the "
-        "cell key — never a cross join; the only window is the per-probe "
-        "argmin. Cell key bounds fan-out like the play key in J6/J8."),
+        "TWO-LEVEL since r8 (sf1.0 stress fix): fine pass at radius/8 "
+        "resolves points whose best candidate sits within the fine "
+        "width (exact by the L∞ block bound — candidate volume ÷29 in "
+        "dense data); only the sparse residue escalates to the coarse "
+        "radius-width level.  Both levels: probes replicate 9× on cell "
+        "offsets and equi-join the cell key — never a cross join; the "
+        "only windows are the per-probe argmins."),
     "q_pca_embed": (
         "ZERO exchanges in the projection plan: the d-grain moment row "
         "aggregates in its own map-combinable job, the power loop runs "

@@ -2368,3 +2368,39 @@ def test_hits_hand_computed_directed_star(spark):
     assert got[3] == (0, q) and got[4] == (0, q)
     assert got[1] == (4 * q, 0)
     assert got[5] == (2 * q, 0)
+
+
+def test_mmr_rerank_hand_computed(spark):
+    """MMR (λ=1/2) on hand-computable 2-D vectors, query = (1, 0):
+    pick 1 = highest relevance; pick 2 must NOT be the near-duplicate of
+    pick 1 (its redundancy cancels its relevance) but the orthogonal
+    item — the diversity behavior that distinguishes MMR from plain
+    top-k."""
+    from big_data_bowl_spark.pipeline.similarity import mmr_rerank
+
+    rows = [(1, [1.0, 0.0]),    # rel 1.0
+            (2, [0.99, 0.0]),   # rel .99, sim to #1 = .99 -> obj 0
+            (3, [0.0, 1.0]),    # rel 0, sim to #1 = 0 -> obj 0, id beats 2? no: obj tie -> lowest id = 2
+            (4, [0.5, 0.5])]    # rel .5, sim to #1 = .5 -> obj 0
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["sel_order"], r["vec_id"], r["score"])
+           for r in mmr_rerank(df, [1.0, 0.0], k=3).collect()]
+    # pick 1: id 1 (rel 1.0).  After it: obj(2) = .99-.99 = 0,
+    # obj(3) = 0-0 = 0, obj(4) = .5-.5 = 0 -> tie at 0, lowest id (2).
+    # After 2: obj(3) = 0, obj(4) = .5 - max(.5, .495) = 0 -> id 3.
+    assert got == [(1, 1, 1.0), (2, 2, 0.0), (3, 3, 0.0)], got
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """A redundant item with HIGHER relevance than a diverse item loses
+    round 2 once redundancy is subtracted — the behavior that separates
+    MMR from plain top-k (which would rank id 2 second)."""
+    from big_data_bowl_spark.pipeline.similarity import mmr_rerank
+
+    rows = [(1, [2.0, 0.0]),    # rel 2.0 — pick 1
+            (2, [1.0, 0.1]),    # rel 1.0, sim to #1 = 2.0 -> obj -1.0
+            (3, [0.2, 1.5])]    # rel 0.2, sim to #1 = 0.4 -> obj -0.2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [(r["sel_order"], r["vec_id"]) for r in
+           mmr_rerank(df, [1.0, 0.0], k=2).collect()]
+    assert got == [(1, 1), (2, 3)], got  # diverse id 3 beats redundant id 2
