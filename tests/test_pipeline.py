@@ -2404,3 +2404,111 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     got = [(r["sel_order"], r["vec_id"]) for r in
            mmr_rerank(df, [1.0, 0.0], k=2).collect()]
     assert got == [(1, 1), (2, 3)], got  # diverse id 3 beats redundant id 2
+
+
+def test_kcenter_equals_independent_numpy_greedy(spark):
+    """Third-implementation check: the Spark k-center selection must
+    equal an INDEPENDENT numpy greedy (the unrolled SQL oracle mirrors
+    the engine's formulation, so a shared conceptual bug could pass
+    both — this one can't)."""
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.similarity import kcenter_coreset
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((80, 4))
+    ids = rng.permutation(1000)[:80]  # non-contiguous ids
+    df = spark.createDataFrame(
+        [(int(ids[i]), [float(x) for x in vecs[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>")
+    got = [(r["sel_order"], r["vec_id"]) for r in
+           kcenter_coreset(df, k=6).collect()]
+
+    # independent greedy with the same quantization contract
+    order = np.argsort(ids)
+    chosen = [int(np.min(ids))]
+    qmind = None
+    expect = [(1, chosen[0])]
+    id2vec = {int(ids[i]): vecs[i] for i in range(80)}
+    qm = {int(i): None for i in ids}
+    for r in range(2, 7):
+        c = id2vec[chosen[-1]]
+        for i in ids:
+            d2 = float(np.sum((id2vec[int(i)] - c) ** 2))
+            qd = int(np.floor(d2 * 1e6))
+            qm[int(i)] = qd if qm[int(i)] is None else min(qm[int(i)], qd)
+        cand = [(qm[int(i)], -int(i)) for i in ids if int(i) not in chosen]
+        best = max(cand)
+        chosen.append(-best[1])
+        expect.append((r, -best[1]))
+    assert got == expect, (got, expect)
+
+
+def test_mmr_equals_independent_numpy_greedy(spark):
+    """Same third-implementation check for MMR (λ=1/2)."""
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.similarity import mmr_rerank
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((60, 5))
+    q = rng.standard_normal(5)
+    df = spark.createDataFrame(
+        [(i + 10, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>")
+    got = [(r["sel_order"], r["vec_id"]) for r in
+           mmr_rerank(df, [float(x) for x in q], k=5).collect()]
+
+    qrel = {i + 10: int(np.floor(float(vecs[i] @ q) * 1e6))
+            for i in range(60)}
+    qmax: dict[int, int | None] = {i + 10: None for i in range(60)}
+    chosen: list[int] = []
+    expect = []
+    for r in range(1, 6):
+        cand = [(qrel[i] - (qmax[i] or 0), -i)
+                for i in qrel if i not in chosen]
+        best = max(cand)
+        pick = -best[1]
+        chosen.append(pick)
+        expect.append((r, pick))
+        cvec = vecs[pick - 10]
+        for i in qrel:
+            qs = int(np.floor(float(vecs[i - 10] @ cvec) * 1e6))
+            qmax[i] = qs if qmax[i] is None else max(qmax[i], qs)
+    assert got == expect, (got, expect)
+
+
+def test_set_cover_equals_independent_python_greedy(spark):
+    """Third-implementation check for greedy max-coverage on a random
+    corpus: marginal-gain greedy with lowest-id tie-break in plain
+    Python sets."""
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.sampling import greedy_set_cover
+
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = []
+    for d in range(25):
+        n = int(rng.integers(3, 12))
+        toks = [vocab[int(j)] for j in rng.integers(0, 30, n)]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = [(r["sel_order"], r["doc_id"], r["gain"]) for r in
+           greedy_set_cover(df, k=6).collect()]
+
+    def bigrams(text):
+        t = text.split()
+        return {f"{a} {b}" for a, b in zip(t, t[1:])}
+
+    grams = {d: bigrams(t) for d, t in docs}
+    covered: set = set()
+    expect = []
+    for r in range(1, 7):
+        cand = [(len(g - covered), -d) for d, g in grams.items()]
+        gain, nd = max(cand)
+        if gain == 0:
+            break
+        expect.append((r, -nd, gain))
+        covered |= grams[-nd]
+    assert got == expect, (got, expect)
