@@ -237,6 +237,9 @@ HEADLINE = [
     "q_set_cover",
     "q_hits",
     "q_mmr_rerank",
+    # hard-negative mining: the refined grid with a label-mismatch
+    # candidate predicate — times the predicate-carrying two-level path
+    "q_hard_negatives",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

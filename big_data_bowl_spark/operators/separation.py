@@ -56,13 +56,21 @@ def separation_at_max_frame(tracking: DataFrame, group: list[str],
 
 
 def _grid_best(p: DataFrame, width: float,
-               max_d2: float | None = None) -> DataFrame:
+               max_d2: float | None = None,
+               carry: tuple[str, ...] = (),
+               predicate=None) -> DataFrame:
     """Best (min-d², min-id tie-break) candidate per point among the 3×3
     ``width``-cell neighborhood — the shared kernel of both refinement
     levels.  Probes replicate 9×, join the cell key exactly (plain
     equi-join, never a cross join); ``max_d2`` optionally filters pairs
-    (the radius bound of the coarse level).  Input ``p`` carries
-    (__id, __x, __y).  Returns (__qid, __nid, __d2)."""
+    (the radius bound of the coarse level).  ``carry`` threads extra
+    columns through both sides (as __q_<c> / __n_<c>) and ``predicate``
+    (a 0-arg callable returning a Column over those) restricts the
+    candidate SUBSET — e.g. hard-negative mining's label mismatch.  The
+    two-level refinement stays exact for any such row predicate: the
+    subset is identical at both levels, so the L∞ block bound applies
+    unchanged.  Input ``p`` carries (__id, __x, __y, *carry).
+    Returns (__qid, __nid, __d2)."""
     c = (p.withColumn("__cx", F.floor(F.col("__x") / width))
           .withColumn("__cy", F.floor(F.col("__y") / width)))
     offsets = F.array(*[F.struct(F.lit(dx).alias("ox"),
@@ -73,9 +81,11 @@ def _grid_best(p: DataFrame, width: float,
                         F.col("__x").alias("__qx"),
                         F.col("__y").alias("__qy"),
                         (F.col("__cx") + F.col("__o.ox")).alias("__jx"),
-                        (F.col("__cy") + F.col("__o.oy")).alias("__jy")))
+                        (F.col("__cy") + F.col("__o.oy")).alias("__jy"),
+                        *[F.col(cc).alias(f"__q_{cc}") for cc in carry]))
     src = c.select(F.col("__id").alias("__nid"), "__x", "__y",
-                   F.col("__cx").alias("__jx"), F.col("__cy").alias("__jy"))
+                   F.col("__cx").alias("__jx"), F.col("__cy").alias("__jy"),
+                   *[F.col(cc).alias(f"__n_{cc}") for cc in carry])
     dist2 = ((F.col("__qx") - F.col("__x"))
              * (F.col("__qx") - F.col("__x"))
              + (F.col("__qy") - F.col("__y"))
@@ -83,6 +93,8 @@ def _grid_best(p: DataFrame, width: float,
     pairs = (probes.join(src, ["__jx", "__jy"])
                    .filter(F.col("__qid") != F.col("__nid"))
                    .withColumn("__d2", dist2))
+    if predicate is not None:
+        pairs = pairs.filter(predicate())
     if max_d2 is not None:
         pairs = pairs.filter(F.col("__d2") <= F.lit(max_d2))
     from pyspark.sql import Window
@@ -94,7 +106,9 @@ def _grid_best(p: DataFrame, width: float,
 
 def grid_nearest(points: DataFrame, radius: float,
                  id_col: str = "id", x_col: str = "x",
-                 y_col: str = "y", refine: int = 8) -> DataFrame:
+                 y_col: str = "y", refine: int = 8,
+                 carry: tuple[str, ...] = (),
+                 predicate=None) -> DataFrame:
     """Nearest neighbor within ``radius``, grid-bucketed — the
     UNBOUNDED-scale form of the within-group separation join: where
     J6/J8 bound the quadratic blow-up by the play key (≤22 players), this
@@ -127,13 +141,14 @@ def grid_nearest(points: DataFrame, radius: float,
     EQUALS the single-level result row-for-row (property-tested).
     Returns (``id_col``, neighbor_id, dist).
     """
-    require = [id_col, x_col, y_col]
+    require = [id_col, x_col, y_col, *carry]
     from ..schemas import require_columns
     require_columns(points, require, "grid_nearest")
     p = points.select(
         F.col(id_col).alias("__id"),
         F.col(x_col).cast("double").alias("__x"),
-        F.col(y_col).cast("double").alias("__y"))
+        F.col(y_col).cast("double").alias("__y"),
+        *carry)
     r2 = float(radius) * float(radius)
 
     def fmt(best):
@@ -142,20 +157,25 @@ def grid_nearest(points: DataFrame, radius: float,
                            F.round(F.sqrt("__d2"), 6).alias("dist"))
 
     if refine <= 1:
-        return fmt(_grid_best(p, float(radius), max_d2=r2))
+        return fmt(_grid_best(p, float(radius), max_d2=r2,
+                              carry=carry, predicate=predicate))
     w = float(radius) / refine
-    fine = _grid_best(p, w).localCheckpoint(eager=True)
+    fine = _grid_best(p, w, carry=carry,
+                      predicate=predicate).localCheckpoint(eager=True)
     resolved = fine.filter(F.col("__d2") <= F.lit(w * w))
     residue = p.join(resolved.select(F.col("__qid").alias("__id")),
                      "__id", "left_anti")
-    coarse = _grid_best_against(residue, p, float(radius), max_d2=r2)
+    coarse = _grid_best_against(residue, p, float(radius), max_d2=r2,
+                                carry=carry, predicate=predicate)
     return fmt(resolved).unionByName(fmt(coarse))
 
 
 def _grid_best_against(queries: DataFrame, corpus: DataFrame,
-                       width: float, max_d2: float) -> DataFrame:
+                       width: float, max_d2: float,
+                       carry: tuple[str, ...] = (),
+                       predicate=None) -> DataFrame:
     """Coarse escalation level: best corpus candidate per QUERY point
-    (queries ⊆ corpus, both carrying __id/__x/__y) among the 3×3
+    (queries ⊆ corpus, both carrying __id/__x/__y/*carry) among the 3×3
     ``width``-cell neighborhood — same kernel as :func:`_grid_best` but
     with an asymmetric probe side, so the escalated residue never
     re-scans its own cross-pairs against itself twice."""
@@ -169,19 +189,23 @@ def _grid_best_against(queries: DataFrame, corpus: DataFrame,
                       F.col("__x").alias("__qx"),
                       F.col("__y").alias("__qy"),
                       (F.col("__cx") + F.col("__o.ox")).alias("__jx"),
-                      (F.col("__cy") + F.col("__o.oy")).alias("__jy")))
+                      (F.col("__cy") + F.col("__o.oy")).alias("__jy"),
+                      *[F.col(cc).alias(f"__q_{cc}") for cc in carry]))
     src = (corpus.withColumn("__cx", cx).withColumn("__cy", cy)
            .select(F.col("__id").alias("__nid"), "__x", "__y",
                    F.col("__cx").alias("__jx"),
-                   F.col("__cy").alias("__jy")))
+                   F.col("__cy").alias("__jy"),
+                   *[F.col(cc).alias(f"__n_{cc}") for cc in carry]))
     dist2 = ((F.col("__qx") - F.col("__x"))
              * (F.col("__qx") - F.col("__x"))
              + (F.col("__qy") - F.col("__y"))
              * (F.col("__qy") - F.col("__y")))
     pairs = (probes.join(src, ["__jx", "__jy"])
                    .filter(F.col("__qid") != F.col("__nid"))
-                   .withColumn("__d2", dist2)
-                   .filter(F.col("__d2") <= F.lit(max_d2)))
+                   .withColumn("__d2", dist2))
+    if predicate is not None:
+        pairs = pairs.filter(predicate())
+    pairs = pairs.filter(F.col("__d2") <= F.lit(max_d2))
     from pyspark.sql import Window
     w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc("__nid"))
     return (pairs.withColumn("__rn", F.row_number().over(w))

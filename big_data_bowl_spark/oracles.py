@@ -2657,6 +2657,25 @@ def _mmr_oracle_sql(k: int = 8) -> str:
 
 ORACLES["q_mmr_rerank"] = _mmr_oracle_sql(8)
 
+ORACLES["q_hard_negatives"] = """
+WITH p AS (
+    SELECT vec_id, label,
+           embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b
+      ON a.vec_id <> b.vec_id AND a.label <> b.label),
+f AS (
+    SELECT vec_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.5::DOUBLE * 0.5::DOUBLE)
+SELECT vec_id, neighbor_id, round(sqrt(d2), 6) AS dist
+FROM f WHERE rn = 1
+"""
+
 # JL ±1 signs: bit 16 of the multiplicative product on the 1-BASED
 # coordinate pair key (DuckDB lambda indexes are 1-based; the engine
 # adds 1 to Spark's 0-based HOF index to match).  Fold is the prepended-

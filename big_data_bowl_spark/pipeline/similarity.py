@@ -1043,3 +1043,29 @@ def mmr_rerank(df: DataFrame, query_vec: list[float], k: int = 8,
         chosen, "sel_order long, id long, s long")
     return out.select("sel_order", F.col("id").alias(id_col),
                       (F.col("s") / F.lit(1e6)).alias("score"))
+
+
+def hard_negatives(df: DataFrame, radius: float = 0.5,
+                   id_col: str = "vec_id", label_col: str = "label",
+                   x_col: str = "x", y_col: str = "y",
+                   refine: int = 8) -> DataFrame:
+    """Hard-negative mining for contrastive/triplet training: per point,
+    the NEAREST point with a DIFFERENT label within ``radius`` — the
+    near-the-boundary negatives that carry the training signal (far
+    negatives are easy; same-label neighbors are positives).
+
+    Pure composition: :func:`operators.separation.grid_nearest` with the
+    label threaded through both probe sides (``carry``) and the
+    mismatch as the candidate ``predicate``.  The two-level density
+    refinement stays EXACT under any row predicate — the candidate
+    subset is identical at both levels, so the L∞ block bound holds
+    unchanged (the r8 stress-fix machinery, reused as designed).
+    Returns (id, neighbor_id = the hard negative, dist)."""
+    from ..operators.separation import grid_nearest
+    require_columns(df, [id_col, label_col, x_col, y_col],
+                    "hard_negatives")
+    return grid_nearest(
+        df, radius, id_col=id_col, x_col=x_col, y_col=y_col,
+        refine=refine, carry=(label_col,),
+        predicate=lambda: F.col(f"__q_{label_col}")
+                          != F.col(f"__n_{label_col}"))

@@ -2780,6 +2780,22 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining over the embeddings' first two dims: per
+    point, the nearest DIFFERENT-label point within radius 0.5 — the
+    triplet-mining primitive of contrastive training data prep,
+    HASH-VERIFIED against the brute-force all-pairs oracle.  Reuses the
+    two-level refined grid (exact under the label-mismatch predicate:
+    the candidate subset is identical at both levels, so the L∞
+    resolution bound holds unchanged)."""
+    from .pipeline.similarity import hard_negatives
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id", "label",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    return hard_negatives(pts, radius=0.5)
+
+
 def q_mmr_rerank(spark, sf_dir):
     """MMR diverse re-ranking (λ=1/2) of the embedding corpus against
     vec 0's embedding as the query, HASH-VERIFIED: relevance and the
@@ -6356,6 +6372,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_set_cover": q_set_cover,
     "q_hits": q_hits,
     "q_mmr_rerank": q_mmr_rerank,
+    "q_hard_negatives": q_hard_negatives,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,

@@ -2512,3 +2512,31 @@ def test_set_cover_equals_independent_python_greedy(spark):
         expect.append((r, -nd, gain))
         covered |= grams[-nd]
     assert got == expect, (got, expect)
+
+
+def test_hard_negatives_refined_equals_single_level_and_excludes_same_label(spark):
+    """Hard-negative mining must (a) never return a same-label neighbor,
+    (b) pick the nearest different-label point even when a same-label
+    point is closer, and (c) stay EXACT under the two-level refinement
+    with the predicate applied at both levels."""
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.similarity import hard_negatives
+
+    rng = np.random.default_rng(17)
+    pts = rng.normal(0, 0.3, (120, 2))
+    rows = [(i, int(i % 3), float(x), float(y))
+            for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, x double, y double")
+    fast = hard_negatives(df, radius=0.4, refine=8).collect()
+    slow = hard_negatives(df, radius=0.4, refine=1).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    lbl = {r[0]: r[1] for r in rows}
+    assert all(lbl[r["vec_id"]] != lbl[r["neighbor_id"]] for r in fast)
+    # (b) hand case: same-label twin at dist .01, different-label at .1
+    df2 = spark.createDataFrame(
+        [(1, 0, 0.0, 0.0), (2, 0, 0.01, 0.0), (3, 1, 0.1, 0.0)],
+        "vec_id long, label int, x double, y double")
+    got = {r["vec_id"]: r["neighbor_id"]
+           for r in hard_negatives(df2, radius=0.5).collect()}
+    assert got[1] == 3 and got[2] == 3 and got[3] in (1, 2)
