@@ -2657,6 +2657,28 @@ def _mmr_oracle_sql(k: int = 8) -> str:
 
 ORACLES["q_mmr_rerank"] = _mmr_oracle_sql(8)
 
+ORACLES["q_psm_match"] = """
+WITH u AS (
+    SELECT user_id,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             / count(*) / 100.0 AS score,
+           CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS treated
+    FROM events
+    WHERE user_id % 7 = 0 AND value IS NOT NULL
+    GROUP BY user_id),
+d AS (
+    SELECT t.user_id AS treated_user, c.user_id AS control_user,
+           (t.score - c.score) * (t.score - c.score) AS d2
+    FROM u t JOIN u c ON t.treated = 1 AND c.treated = 0),
+f AS (
+    SELECT treated_user, control_user, d2,
+           row_number() OVER (PARTITION BY treated_user
+                              ORDER BY d2, control_user) AS rn
+    FROM d WHERE d2 <= 1.0::DOUBLE * 1.0::DOUBLE)
+SELECT treated_user, control_user, round(sqrt(d2), 6) AS score_gap
+FROM f WHERE rn = 1
+"""
+
 ORACLES["q_hard_negatives"] = """
 WITH p AS (
     SELECT vec_id, label,

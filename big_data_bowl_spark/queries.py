@@ -2780,6 +2780,41 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_psm_match(spark, sf_dir):
+    """Propensity-score matching with a caliper (the causal-inference
+    workhorse): every TREATED unit matches its nearest CONTROL by
+    propensity score within caliper 1.0, nearest-neighbor
+    with-replacement — implemented as the refined 1-D grid (y pinned to
+    0, treatment flags carried, treated→control as the candidate
+    predicate), HASH-VERIFIED against the brute-force all-pairs oracle.
+    The score is a deterministic stand-in (per-user mean value in exact
+    integer cents → one long/long division, bit-identical in both
+    engines); treatment = user_id % 3 == 0; units thinned to
+    user_id % 7 == 0 so the oracle's quadratic pair table stays
+    tractable at the sweep SFs while the engine side scales by the
+    caliper-cell key like any grid query."""
+    from .functions.scalar import cents
+    e = _t(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 7 == 0) & F.col("value").isNotNull())
+    units = (e.groupBy("user_id")
+              .agg((F.sum(cents(F.col("value")))
+                    / F.count(F.lit(1)) / 100.0).alias("score"))
+              .withColumn("treated",
+                          (F.col("user_id") % 3 == 0).cast("int")))
+    pts = units.select(F.col("user_id").alias("vec_id"),
+                       F.col("treated").alias("label"),
+                       F.col("score").alias("x"), F.lit(0.0).alias("y"))
+    from .operators.separation import grid_nearest
+    matched = grid_nearest(
+        pts, 1.0, id_col="vec_id", x_col="x", y_col="y", refine=8,
+        carry=("label",),
+        predicate=lambda: (F.col("__q_label") == 1)
+                          & (F.col("__n_label") == 0))
+    return matched.select(F.col("vec_id").alias("treated_user"),
+                          F.col("neighbor_id").alias("control_user"),
+                          F.col("dist").alias("score_gap"))
+
+
 def q_hard_negatives(spark, sf_dir):
     """Hard-negative mining over the embeddings' first two dims: per
     point, the nearest DIFFERENT-label point within radius 0.5 — the
@@ -6373,6 +6408,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_hits": q_hits,
     "q_mmr_rerank": q_mmr_rerank,
     "q_hard_negatives": q_hard_negatives,
+    "q_psm_match": q_psm_match,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,

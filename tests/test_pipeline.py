@@ -2540,3 +2540,28 @@ def test_hard_negatives_refined_equals_single_level_and_excludes_same_label(spar
     got = {r["vec_id"]: r["neighbor_id"]
            for r in hard_negatives(df2, radius=0.5).collect()}
     assert got[1] == 3 and got[2] == 3 and got[3] in (1, 2)
+
+
+def test_psm_match_hand_computed_caliper_semantics(spark):
+    """Caliper nearest-control matching on hand-placed scores: each
+    treated unit takes its nearest control within the caliper,
+    with-replacement (two treated may share a control), and a treated
+    unit with no control inside the caliper is DROPPED (the PSM
+    semantics that make the estimate caliper-robust)."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.separation import grid_nearest
+
+    rows = [  # (id, treated, score)
+        (1, 1, 0.50), (2, 1, 0.52), (3, 1, 0.90),   # treated
+        (4, 0, 0.49), (5, 0, 0.60)]                 # controls
+    df = spark.createDataFrame(rows, "vec_id long, label int, x double")
+    pts = df.select("vec_id", "label", "x", F.lit(0.0).alias("y"))
+    got = {r["vec_id"]: r["neighbor_id"] for r in grid_nearest(
+        pts, 0.1, id_col="vec_id", x_col="x", y_col="y", refine=4,
+        carry=("label",),
+        predicate=lambda: (F.col("__q_label") == 1)
+                          & (F.col("__n_label") == 0)).collect()}
+    assert got == {1: 4, 2: 4}, got  # 1->4 (.01), 2->4 (.03, shared);
+    # treated 3 (.90): nearest control .60 is outside caliper -> dropped;
+    # controls never appear as queries (predicate is one-directional)
