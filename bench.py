@@ -240,6 +240,10 @@ HEADLINE = [
     # hard-negative mining: the refined grid with a label-mismatch
     # candidate predicate — times the predicate-carrying two-level path
     "q_hard_negatives",
+    # the r8 flagship composite: four sequential curation gates + the
+    # per-source survival report in one plan (dedup window + bigram
+    # two-level agg + final aggregate)
+    "q_curation_funnel",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -2657,6 +2657,43 @@ def _mmr_oracle_sql(k: int = 8) -> str:
 
 ORACLES["q_mmr_rerank"] = _mmr_oracle_sql(8)
 
+ORACLES["q_curation_funnel"] = """
+WITH toks AS MATERIALIZED (
+    SELECT doc_id, source, text,
+           list_filter(string_split(text, ' '), t -> t <> '') AS tk,
+           row_number() OVER (PARTITION BY md5(text)
+                              ORDER BY doc_id) = 1 AS uniq
+    FROM documents),
+c2 AS (
+    SELECT doc_id, gram, count(*) AS c
+    FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+                 i -> tk[i] || ' ' || tk[i + 1])) AS gram
+          FROM toks)
+    GROUP BY doc_id, gram),
+bg AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS ng,
+           CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+    FROM c2 GROUP BY doc_id),
+g AS (
+    SELECT t.source, t.uniq,
+           t.uniq AND len(t.tk) >= 30 AS len_ok,
+           t.uniq AND len(t.tk) >= 30
+             AND 100 * len(list_distinct(t.tk)) >= 35 * len(t.tk)
+             AS rep_ok,
+           t.uniq AND len(t.tk) >= 30
+             AND 100 * len(list_distinct(t.tk)) >= 35 * len(t.tk)
+             AND 10 * b.dup <= b.ng AS dup_ok
+    FROM toks t JOIN bg b USING (doc_id))
+SELECT source,
+       count(*) AS n_raw,
+       CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+       CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(sum(CASE WHEN rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lowrep,
+       CAST(sum(CASE WHEN dup_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+FROM g GROUP BY source
+"""
+
 ORACLES["q_psm_match"] = """
 WITH u AS (
     SELECT user_id,

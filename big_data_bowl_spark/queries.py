@@ -2780,6 +2780,43 @@ def q_semdedup(spark, sf_dir):
     return semantic_dedup_pairs(em, threshold=0.35)
 
 
+def q_curation_funnel(spark, sf_dir):
+    """Round-8 flagship composite — the pretraining curation FUNNEL as
+    one lazy plan: per source, how many docs survive each sequential
+    gate (raw → exact-dedup keep-min → length ≥ 30 tokens →
+    distinct-token ratio ≥ 0.35 → bigram dup fraction ≤ 0.10), the
+    drop-count report every pipeline operator actually watches.  Every
+    ratio gate compares as INTEGER cross-multiplication
+    (100·distinct ≥ 35·tokens; 10·dup_occ ≤ grams) so no float boundary
+    can ever flip a count between engines.  Shuffles: the dedup window,
+    the (doc, gram) bigram aggregation pair, and the final per-source
+    report — token stats are in-row."""
+    from .pipeline.text import dup_ngram_features
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    base = (d.select("doc_id", "source", "text")
+             .withColumn("__uniq", F.row_number().over(w) == 1)
+             .withColumn("__ntok", F.size(toks))
+             .withColumn("__ndis", F.size(F.array_distinct(toks))))
+    bg = dup_ngram_features(d, n=2).select(
+        "doc_id", F.col("n_grams").alias("__ng"),
+        F.col("dup_gram_occurrences").alias("__dup"))
+    g = (base.join(bg, "doc_id")
+             .withColumn("__len_ok", F.col("__uniq")
+                         & (F.col("__ntok") >= 30))
+             .withColumn("__rep_ok", F.col("__len_ok")
+                         & (100 * F.col("__ndis") >= 35 * F.col("__ntok")))
+             .withColumn("__dup_ok", F.col("__rep_ok")
+                         & (10 * F.col("__dup") <= F.col("__ng"))))
+    return (g.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_raw"),
+                  F.sum(F.col("__uniq").cast("long")).alias("n_unique"),
+                  F.sum(F.col("__len_ok").cast("long")).alias("n_len"),
+                  F.sum(F.col("__rep_ok").cast("long")).alias("n_lowrep"),
+                  F.sum(F.col("__dup_ok").cast("long")).alias("n_final")))
+
+
 def q_psm_match(spark, sf_dir):
     """Propensity-score matching with a caliper (the causal-inference
     workhorse): every TREATED unit matches its nearest CONTROL by
@@ -6409,6 +6446,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_mmr_rerank": q_mmr_rerank,
     "q_hard_negatives": q_hard_negatives,
     "q_psm_match": q_psm_match,
+    "q_curation_funnel": q_curation_funnel,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,
