@@ -2571,6 +2571,47 @@ def _set_cover_oracle_sql(k: int = 8) -> str:
 ORACLES["q_set_cover"] = _set_cover_oracle_sql(8)
 
 
+def _weighted_cover_oracle_sql(k: int = 8) -> str:
+    """Unrolled cost-weighted greedy coverage (q_weighted_cover): the
+    per-round pick maximizes gain·10⁶ // cost (DuckDB integer division
+    of the same bounded integers the engine floors — provably equal),
+    lowest-id tie-break; covered grams accumulate via UNION."""
+    ctes = [
+        "tk AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t <> '') AS tk "
+        "FROM documents)",
+        "dg AS MATERIALIZED (SELECT DISTINCT t.doc_id AS id, gram AS g, "
+        "len(t.tk) AS cost FROM tk t, "
+        "unnest(list_transform(range(1, len(t.tk)), "
+        "i -> t.tk[i] || ' ' || t.tk[i + 1])) AS u(gram) "
+        "WHERE len(t.tk) > 0)",
+        "sel1 AS MATERIALIZED (SELECT id, count(*) AS gain, "
+        "any_value(cost) AS cost, "
+        "count(*) * 1000000 // any_value(cost) AS qr FROM dg "
+        "GROUP BY id ORDER BY qr DESC, id ASC LIMIT 1)",
+        "cov1 AS MATERIALIZED (SELECT DISTINCT d.g FROM dg d "
+        "JOIN sel1 s ON d.id = s.id)"]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"sel{r} AS MATERIALIZED (SELECT id, count(*) AS gain, "
+            f"any_value(cost) AS cost, "
+            f"count(*) * 1000000 // any_value(cost) AS qr FROM dg "
+            f"WHERE g NOT IN (SELECT g FROM cov{r - 1}) "
+            f"GROUP BY id ORDER BY qr DESC, id ASC LIMIT 1)")
+        ctes.append(
+            f"cov{r} AS MATERIALIZED (SELECT g FROM cov{r - 1} "
+            f"UNION SELECT d.g FROM dg d JOIN sel{r} s ON d.id = s.id)")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS sel_order, id AS doc_id, "
+        f"CAST(gain AS BIGINT) AS gain, CAST(cost AS BIGINT) AS cost, "
+        f"CAST(qr AS BIGINT) AS qratio FROM sel{r}"
+        for r in range(1, k + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+ORACLES["q_weighted_cover"] = _weighted_cover_oracle_sql(8)
+
+
 def _hits_oracle_sql(iters: int = 3, quantum: int = 1_000_000) -> str:
     """Unrolled HITS (q_hits): 2 sweeps per round as chained CTEs —
     auth{r} = Σ in-neighbor hubs, hub{r} = Σ out-neighbor fresh auths —

@@ -459,3 +459,63 @@ def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
         covered.update(g[0] for g in new_grams)
     out = spark.createDataFrame(chosen, "sel_order long, id long, gain long")
     return out.select("sel_order", F.col("id").alias(id_col), "gain")
+
+
+def greedy_weighted_cover(df: DataFrame, k: int = 8,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          n: int = 2) -> DataFrame:
+    """Cost-weighted greedy coverage (the classic ln(n)-approx for
+    weighted set cover): like :func:`greedy_set_cover` but each round
+    maximizes the BANG-PER-BUCK ratio — newly covered grams per TOKEN
+    of document length — so a short doc covering 20 new grams beats a
+    rambling one covering 25.  The selection budget a curation pipeline
+    actually optimizes is tokens, not documents.
+
+    The ratio argmax is FLOOR(gain·10⁶ / cost) — one integer division,
+    identical in both engines (never a float ratio, whose rounding
+    could flip a pick at a boundary) — with lowest-id tie-break.  Same
+    scale shape as the unweighted form: one pinned (doc, gram) table,
+    a broadcast covered-set filter per round, a driver-scale chosen
+    list.  Returns (sel_order, id, gain, cost, qratio)."""
+    from .text import _token_ngrams, _tokens
+    require_columns(df, [id_col, text_col], "greedy_weighted_cover")
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).cast("long").alias("__id"),
+                     F.col(text_col))
+    costs = (base.select("__id", F.size(_tokens(text_col))
+                          .cast("long").alias("__cost"))
+                 .filter(F.col("__cost") > 0))
+    dg = (base.select("__id",
+                      F.explode(_token_ngrams(text_col, n)).alias("__g"))
+              .distinct().join(costs, "__id")
+              .localCheckpoint(eager=True))
+    covered: set[str] = set()
+    chosen: list[tuple[int, int, int, int, int]] = []
+    for r in range(1, k + 1):
+        cand = dg
+        if covered:
+            cand = dg.filter(~F.col("__g").isin(sorted(covered)))
+        qratio = F.floor(F.count(F.lit(1)) * F.lit(1_000_000)
+                         / F.first("__cost")).cast("long")
+        top = (cand.groupBy("__id")
+                   .agg(F.count(F.lit(1)).alias("gain"),
+                        F.first("__cost").alias("cost"),
+                        qratio.alias("qr"))
+                   .agg(F.max(F.struct(F.col("qr"),
+                                       (-F.col("__id")).alias("nid")))
+                        .alias("m"))
+                   .select((-F.col("m.nid")).alias("id"))
+                   .first())
+        if top is None or top["id"] is None:
+            break
+        pick = int(top["id"])
+        new_rows = (cand.filter(F.col("__id") == pick)
+                        .select("__g", "__cost").collect())
+        gain, cost = len(new_rows), int(new_rows[0]["__cost"])
+        chosen.append((r, pick, gain, cost, gain * 1_000_000 // cost))
+        covered.update(g["__g"] for g in new_rows)
+    out = spark.createDataFrame(
+        chosen,
+        "sel_order long, id long, gain long, cost long, qratio long")
+    return out.select("sel_order", F.col("id").alias(id_col),
+                      "gain", "cost", "qratio")

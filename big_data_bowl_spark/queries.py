@@ -2896,6 +2896,19 @@ def q_set_cover(spark, sf_dir):
     return greedy_set_cover(_t(spark, sf_dir, "documents"), k=8)
 
 
+def q_weighted_cover(spark, sf_dir):
+    """Cost-weighted greedy coverage (ln(n)-approx weighted set cover):
+    each round picks the doc with the best newly-covered-grams per
+    TOKEN ratio — the token-budgeted seed-corpus selection.
+    HASH-VERIFIED: the ratio compares as FLOOR(gain·10⁶ / cost) — the
+    quotient of bounded integers is ≥ 1/cost ≈ 10⁻³ away from any
+    integer unless exact, far above double ulp, so the double-division
+    floor equals exact integer division in both engines.  Oracle
+    unrolls the rounds with DuckDB's // on the same integers."""
+    from .pipeline.sampling import greedy_weighted_cover
+    return greedy_weighted_cover(_t(spark, sf_dir, "documents"), k=8)
+
+
 def q_jl_project(spark, sf_dir):
     """Sparse-sign Johnson-Lindenstrauss projection of the embedding
     table to 16 dims (Achlioptas ±1 signs from the deterministic
@@ -6447,6 +6460,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_hard_negatives": q_hard_negatives,
     "q_psm_match": q_psm_match,
     "q_curation_funnel": q_curation_funnel,
+    "q_weighted_cover": q_weighted_cover,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,

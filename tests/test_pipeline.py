@@ -2565,3 +2565,28 @@ def test_psm_match_hand_computed_caliper_semantics(spark):
     assert got == {1: 4, 2: 4}, got  # 1->4 (.01), 2->4 (.03, shared);
     # treated 3 (.90): nearest control .60 is outside caliper -> dropped;
     # controls never appear as queries (predicate is one-directional)
+
+
+def test_weighted_cover_prefers_bang_per_buck(spark):
+    """Cost-weighted coverage must pick the SHORT doc with a better
+    gain/token ratio over the long doc with more absolute gain — the
+    behavior that separates it from unweighted set cover."""
+    from big_data_bowl_spark.pipeline.sampling import greedy_weighted_cover
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m n o p"),  # 16 tokens, 15 new grams
+         (2, "x y z w")],                          # 4 tokens, 3 new grams
+        ["doc_id", "text"])
+    got = [(r["sel_order"], r["doc_id"], r["gain"], r["cost"])
+           for r in greedy_weighted_cover(docs, k=2).collect()]
+    # ratios: doc1 15/16 = 0.937e6; doc2 3/4 = 0.75e6 -> doc1 first
+    assert got[0] == (1, 1, 15, 16)
+    assert got[1] == (2, 2, 3, 4)
+    # flip: make the short doc denser than the long one
+    docs2 = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c"),  # 12 tokens, only 3 distinct grams
+         (2, "x y z w")],                 # 4 tokens, 3 grams
+        ["doc_id", "text"])
+    got2 = [(r["sel_order"], r["doc_id"]) for r in
+            greedy_weighted_cover(docs2, k=2).collect()]
+    assert got2[0] == (1, 2), got2  # 3/4 beats 3/12 despite equal gain
