@@ -2611,6 +2611,32 @@ def _weighted_cover_oracle_sql(k: int = 8) -> str:
 
 ORACLES["q_weighted_cover"] = _weighted_cover_oracle_sql(8)
 
+ORACLES["q_novelty_scores"] = """
+WITH g AS MATERIALIZED (
+    SELECT doc_id, source, gram
+    FROM (SELECT doc_id, source,
+                 unnest(list_transform(range(1, len(tk)),
+                        i -> tk[i] || ' ' || tk[i + 1])) AS gram
+          FROM (SELECT doc_id, source,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS tk
+                FROM documents))),
+ref AS MATERIALIZED (
+    SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+cand AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+nov AS (
+    SELECT c.doc_id, count(*) AS n_novel
+    FROM cand c LEFT JOIN ref r ON c.gram = r.gram
+    WHERE r.gram IS NULL GROUP BY c.doc_id),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM cand GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+       round(COALESCE(v.n_novel, 0) / CAST(t.n_grams AS DOUBLE), 6)
+         AS novelty
+FROM tot t LEFT JOIN nov v ON t.doc_id = v.doc_id
+"""
+
 
 def _hits_oracle_sql(iters: int = 3, quantum: int = 1_000_000) -> str:
     """Unrolled HITS (q_hits): 2 sweeps per round as chained CTEs —

@@ -2896,6 +2896,37 @@ def q_set_cover(spark, sf_dir):
     return greedy_set_cover(_t(spark, sf_dir, "documents"), k=8)
 
 
+def q_novelty_scores(spark, sf_dir):
+    """Per-doc novelty vs a reference corpus: the share of a candidate
+    doc's bigram OCCURRENCES whose gram never appears in the reference
+    partition (source src0) — the contribution-scoring dual of
+    decontamination (there: drop overlap with eval; here: rank by what
+    a doc ADDS to what the corpus already holds).  Candidate grams
+    LEFT-ANTI the distinct reference gram set on the gram key (at
+    100 TB the reference set is corpus-scale, so this is a key shuffle
+    join, never a broadcast — the q_unigram_scores rule); counts are
+    integers, the ratio is one division of exact longs."""
+    from .pipeline.text import _token_ngrams
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select("doc_id", "source",
+                     F.explode(_token_ngrams("text", 2)).alias("g"))
+    ref = (grams.filter(F.col("source") == "src0")
+                .select("g").distinct())
+    cand = grams.filter(F.col("source") != "src0")
+    novel = (cand.join(ref, "g", "left_anti")
+                 .groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("__novel")))
+    return (cand.groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_grams"))
+                .join(novel, "doc_id", "left")
+                .select("doc_id",
+                        F.col("n_grams").cast("long").alias("n_grams"),
+                        F.coalesce("__novel", F.lit(0)).cast("long")
+                         .alias("n_novel"),
+                        roundn(F.coalesce(F.col("__novel"), F.lit(0))
+                               / F.col("n_grams")).alias("novelty")))
+
+
 def q_weighted_cover(spark, sf_dir):
     """Cost-weighted greedy coverage (ln(n)-approx weighted set cover):
     each round picks the doc with the best newly-covered-grams per
@@ -6461,6 +6492,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_psm_match": q_psm_match,
     "q_curation_funnel": q_curation_funnel,
     "q_weighted_cover": q_weighted_cover,
+    "q_novelty_scores": q_novelty_scores,
     "q_sequence_packing": q_sequence_packing,
     "q_packed_bins": q_packed_bins,
     "q_redact_pii": q_redact_pii,
