@@ -361,10 +361,16 @@ def main() -> None:
         "sf": sf_val,
         "detail_file": "BENCH_DETAIL.json",
     }
-    # $SPARK_GRAFT_DETAIL redirects the full map (stress sweeps at other
-    # SFs must not clobber the committed sf0.1 record)
+    # $SPARK_GRAFT_DETAIL redirects the full map; WITHOUT it, only a
+    # run at the canonical sf0.1 may write the committed
+    # BENCH_DETAIL.json — any other SF (stress sweeps, sf0.01 smoke
+    # runs) gets an SF-suffixed filename so it can never silently
+    # clobber the per-query record the driver compares across rounds
+    here = os.path.dirname(os.path.abspath(__file__))
+    default_name = ("BENCH_DETAIL.json" if sf_val == 0.1
+                    else f"BENCH_DETAIL_sf{sf}.json")
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+        here, default_name)
     with open(detail_path, "w") as fh:
         json.dump({**summary, "queries": timings}, fh, indent=1,
                   sort_keys=True)

@@ -397,6 +397,11 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     return ranks.select("node", "rank")
 
 
+# rescale only when a sweep max passes this; below it the classic
+# micro-unit values are exact and small graphs stay hand-computable
+_HITS_RESCALE_TRIGGER = 1 << 31
+
+
 def hits(edges: DataFrame, iters: int = 3,
          quantum: int = 1_000_000) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a DIRECTED edge
@@ -404,11 +409,19 @@ def hits(edges: DataFrame, iters: int = 3,
     units and each round runs the two classic sweeps —
     auth(v) = Σ_{u→v} hub(u), then hub(u) = Σ_{u→v} auth(v) — as LONG
     sums, which are associative and partition-order-free, so the
-    fixpoint is bit-identical on any engine (the house rule).  The
-    usual per-round normalization is omitted deliberately: HITS scores
-    are scale-invariant (only ratios/ordering carry meaning — Kleinberg
-    normalizes purely to keep floats bounded), and at 3 rounds the
-    integer iterates stay far inside int64 (≤ quantum·(max_deg)^(2·3)).
+    fixpoint is bit-identical on any engine (the house rule).  Kleinberg
+    normalizes per round purely to keep floats bounded; the integer
+    analogue here is a DETERMINISTIC integer rescale after each sweep,
+    TRIGGERED only when the sweep max exceeds 2³¹: s = max DIV quantum,
+    col = col DIV s (Spark's integral DIV ≡ DuckDB's // on BIGINT —
+    never float division, which loses ulps past 2^53).  Below the
+    trigger the iterates are untouched, so small graphs keep the exact
+    classic micro-unit values; above it every sweep starts from
+    < 2³¹-scale scores, so a sweep's long sum is < 2³¹·max_deg and
+    overflow would need a degree above 2³² (≥4 billion distinct
+    neighbors) — without the rescale, iterates grow like
+    quantum·max_deg^(2·iters) and a max degree of ~143 already wraps
+    int64 at 3 rounds, silently under Spark's non-ANSI long sum.
     Presentation scaling is the caller's concern.
 
     Scale shape: the pagerank discipline — scores are node-grain and
@@ -422,23 +435,35 @@ def hits(edges: DataFrame, iters: int = 3,
                   .distinct())
     state = nodes.withColumn("hub", F.lit(quantum).cast("long")) \
                  .withColumn("auth", F.lit(quantum).cast("long"))
+
+    def _rescaled(df: DataFrame, col: str) -> DataFrame:
+        # one driver-scale max per sweep; integral DIV keeps it exact
+        mx = df.agg(F.max(col)).first()[0] or 0
+        if mx <= _HITS_RESCALE_TRIGGER:
+            return df
+        s = mx // quantum
+        return df.withColumn(col, F.expr(f"{col} DIV {s}"))
+
     for _ in range(iters):
         auth = (edges.join(state.select(F.col("node").alias("src"),
                                         "hub"), "src")
                      .groupBy(F.col("dst").alias("node"))
                      .agg(F.sum("hub").cast("long").alias("__a")))
-        st_a = (state.select("node", "hub").join(auth, "node", "left")
-                     .select("node", "hub",
-                             F.coalesce("__a", F.lit(0))
-                              .cast("long").alias("auth")))
+        st_a = _rescaled(
+            state.select("node", "hub").join(auth, "node", "left")
+                 .select("node", "hub",
+                         F.coalesce("__a", F.lit(0))
+                          .cast("long").alias("auth"))
+                 .localCheckpoint(eager=True), "auth")
         hub = (edges.join(st_a.select(F.col("node").alias("dst"),
                                       "auth"), "dst")
                     .groupBy(F.col("src").alias("node"))
                     .agg(F.sum("auth").cast("long").alias("__h")))
-        state = (st_a.select("node", "auth").join(hub, "node", "left")
-                     .select("node",
-                             F.coalesce("__h", F.lit(0))
-                              .cast("long").alias("hub"),
-                             "auth")
-                     .localCheckpoint(eager=True))
+        state = _rescaled(
+            st_a.select("node", "auth").join(hub, "node", "left")
+                .select("node",
+                        F.coalesce("__h", F.lit(0))
+                         .cast("long").alias("hub"),
+                        "auth")
+                .localCheckpoint(eager=True), "hub")
     return state.select("node", "hub", "auth")

@@ -2642,7 +2642,13 @@ def _hits_oracle_sql(iters: int = 3, quantum: int = 1_000_000) -> str:
     """Unrolled HITS (q_hits): 2 sweeps per round as chained CTEs —
     auth{r} = Σ in-neighbor hubs, hub{r} = Σ out-neighbor fresh auths —
     all BIGINT (sum casts guard DuckDB's HUGEINT promotion), dangling
-    sides coalesce to 0, identical to the engine's integer fixpoint."""
+    sides coalesce to 0, identical to the engine's integer fixpoint.
+    Each sweep ends with the engine's deterministic integer rescale,
+    triggered only past 2³¹ (col // (max(col) // quantum) when
+    max(col) > 2³¹, else untouched — DuckDB // ≡ Spark DIV on
+    non-negative BIGINT), which keeps every sweep's input < 2³¹ scale
+    instead of quantum·deg^(2·iters) and so inside int64 on any
+    graph, while small graphs keep the exact classic values."""
     ctes = ["""ed AS MATERIALIZED (
     SELECT DISTINCT a.user_id AS src, b.user_id AS dst
     FROM (SELECT event_id // 5 AS item, user_id, ts, event_id
@@ -2660,19 +2666,31 @@ def _hits_oracle_sql(iters: int = 3, quantum: int = 1_000_000) -> str:
     for r in range(1, iters + 1):
         prev = f"s{r - 1}"
         ctes.append(
-            f"a{r} AS MATERIALIZED (SELECT s.node, s.hub, "
+            f"a{r}r AS MATERIALIZED (SELECT s.node, s.hub, "
             f"CAST(COALESCE(x.a, 0) AS BIGINT) AS auth "
             f"FROM {prev} s LEFT JOIN "
             f"(SELECT e.dst AS node, CAST(sum(p.hub) AS BIGINT) AS a "
             f"FROM ed e JOIN {prev} p ON e.src = p.node GROUP BY 1) x "
             f"ON s.node = x.node)")
         ctes.append(
-            f"s{r} AS MATERIALIZED (SELECT s.node, "
+            f"a{r} AS MATERIALIZED (SELECT node, hub, "
+            f"CAST(auth // (CASE WHEN "
+            f"(SELECT max(auth) FROM a{r}r) > {1 << 31} THEN "
+            f"(SELECT max(auth) FROM a{r}r) // {quantum} ELSE 1 END) "
+            f"AS BIGINT) AS auth FROM a{r}r)")
+        ctes.append(
+            f"s{r}r AS MATERIALIZED (SELECT s.node, "
             f"CAST(COALESCE(y.h, 0) AS BIGINT) AS hub, s.auth "
             f"FROM a{r} s LEFT JOIN "
             f"(SELECT e.src AS node, CAST(sum(q.auth) AS BIGINT) AS h "
             f"FROM ed e JOIN a{r} q ON e.dst = q.node GROUP BY 1) y "
             f"ON s.node = y.node)")
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT node, "
+            f"CAST(hub // (CASE WHEN "
+            f"(SELECT max(hub) FROM s{r}r) > {1 << 31} THEN "
+            f"(SELECT max(hub) FROM s{r}r) // {quantum} ELSE 1 END) "
+            f"AS BIGINT) AS hub, auth FROM s{r}r)")
     return ("WITH " + ",\n".join(ctes) +
             f"\nSELECT node AS user_id, hub, auth FROM s{iters} "
             "ORDER BY auth DESC, node ASC LIMIT 20")
@@ -2749,8 +2767,12 @@ g AS (
              AS rep_ok,
            t.uniq AND len(t.tk) >= 30
              AND 100 * len(list_distinct(t.tk)) >= 35 * len(t.tk)
-             AND 10 * b.dup <= b.ng AS dup_ok
-    FROM toks t JOIN bg b USING (doc_id))
+             AND 10 * COALESCE(b.dup, 0) <= COALESCE(b.ng, 0) AS dup_ok
+    -- LEFT JOIN: docs with <2 tokens emit zero bigrams and are absent
+    -- from bg, but the engine's dup_ngram_features left-joins back to
+    -- all docs with zero fractions — short docs must stay in every
+    -- funnel count (n_raw/n_unique especially)
+    FROM toks t LEFT JOIN bg b USING (doc_id))
 SELECT source,
        count(*) AS n_raw,
        CAST(sum(CASE WHEN uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,

@@ -411,6 +411,26 @@ def poisson_bootstrap(df: DataFrame, units_col: str, key_col: str,
                             / F.col("n_eff").cast("double")))
 
 
+def _anti_covered(dg: DataFrame, covered: set[str]) -> DataFrame:
+    """Filter out already-covered grams via a broadcast LEFT ANTI join
+    against a single-column covered-grams frame.
+
+    NOT ``~isin(sorted(covered))``: an IN-list serializes every covered
+    gram as a plan literal, and the set grows with k × the winners'
+    distinct grams — at real document lengths that is a multi-megabyte
+    plan re-analyzed every round (driver/analysis pressure, not
+    shuffle).  A broadcast anti-join ships the same driver-scale set
+    through the DATA path instead, keeping the plan O(1) regardless of
+    how much has been covered.  Grams are never null (explode of
+    ngrams), so anti-join equality ≡ the isin complement."""
+    if not covered:
+        return dg
+    spark = dg.sparkSession
+    cov = spark.createDataFrame(
+        [(g,) for g in sorted(covered)], "__g string")
+    return dg.join(F.broadcast(cov), "__g", "left_anti")
+
+
 def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 2) -> DataFrame:
     """Greedy maximum-coverage document selection (the classic
@@ -423,10 +443,11 @@ def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     float anywhere, so cross-engine determinism is free), picks the max
     with lowest-id tie-break, and folds the winner's grams into the
     covered set.  The covered set and chosen list are driver-scale
-    (k docs × the winner's distinct grams) and broadcast back as an
-    isin filter; the (doc, gram) table is fact-grain and never
-    shuffles after its one distinct — each round is a broadcast-filtered
-    re-aggregation of the same pinned table.  Rounds stop early when no
+    (k docs × the winner's distinct grams) and shipped back as a
+    broadcast LEFT ANTI join (never an isin literal — see
+    :func:`_anti_covered`); the (doc, gram) table is fact-grain and
+    never shuffles after its one distinct — each round is a
+    broadcast-filtered re-aggregation of the same pinned table.  Rounds stop early when no
     doc adds coverage (both engines converge to the same fixpoint: an
     exhausted universe keeps yielding empty rounds).
 
@@ -440,9 +461,7 @@ def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     covered: set[str] = set()
     chosen: list[tuple[int, int, int]] = []
     for r in range(1, k + 1):
-        cand = dg
-        if covered:
-            cand = dg.filter(~F.col("__g").isin(sorted(covered)))
+        cand = _anti_covered(dg, covered)
         top = (cand.groupBy("__id")
                    .agg(F.count(F.lit(1)).alias("gain"))
                    .agg(F.max(F.struct(F.col("gain"),
@@ -475,8 +494,8 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
     identical in both engines (never a float ratio, whose rounding
     could flip a pick at a boundary) — with lowest-id tie-break.  Same
     scale shape as the unweighted form: one pinned (doc, gram) table,
-    a broadcast covered-set filter per round, a driver-scale chosen
-    list.  Returns (sel_order, id, gain, cost, qratio)."""
+    a broadcast covered-set ANTI-join per round (:func:`_anti_covered`),
+    a driver-scale chosen list.  Returns (sel_order, id, gain, cost, qratio)."""
     from .text import _token_ngrams, _tokens
     require_columns(df, [id_col, text_col], "greedy_weighted_cover")
     spark = df.sparkSession
@@ -492,9 +511,7 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
     covered: set[str] = set()
     chosen: list[tuple[int, int, int, int, int]] = []
     for r in range(1, k + 1):
-        cand = dg
-        if covered:
-            cand = dg.filter(~F.col("__g").isin(sorted(covered)))
+        cand = _anti_covered(dg, covered)
         qratio = F.floor(F.count(F.lit(1)) * F.lit(1_000_000)
                          / F.first("__cost")).cast("long")
         top = (cand.groupBy("__id")

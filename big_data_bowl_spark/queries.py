@@ -5412,11 +5412,15 @@ def q_hits(spark, sf_dir):
     """HITS hubs/authorities over the DIRECTED influence graph (within
     each 5-event item slot, the earlier event's user points to each
     later one — a citation-style direction), HASH-VERIFIED: 3
-    integer-exact sweeps (long sums of micro-unit scores — no floats,
-    no normalization; HITS is scale-invariant and the iterates stay far
-    inside int64), top-20 by authority with node tie-break.  Oracle
-    unrolls the 6 sweeps as CTE stages with the same coalesce-0
-    dangling handling."""
+    integer-exact sweeps (long sums of micro-unit scores — no floats),
+    each sweep closed by the deterministic integer rescale
+    (col DIV (max(col) DIV quantum), triggered only past 2³¹) that
+    keeps every sweep's input below 2³¹ scale — the integer analogue
+    of Kleinberg's per-round normalization, without which a max degree
+    of ~143 already wraps int64 at 3 rounds.  Top-20 by authority with
+    node tie-break.
+    Oracle unrolls the 6 sweeps + rescales as CTE stages with the same
+    coalesce-0 dangling handling."""
     from .operators.graph import hits
     e = _t(spark, sf_dir, "events").select(
         (F.col("event_id") / 5).cast("long").alias("item"),

@@ -23,6 +23,9 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.session.timeZone", "UTC")
+         # no \r progress frames: they can overwrite an in-flight
+         # "ok ..." line and make a green query look unreported
+         .config("spark.ui.showConsoleProgress", "false")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.driver.memory", "8g")
@@ -87,11 +90,11 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             failures.append((name, f"spark error: {ex}"))
-            print(f"FAIL {name}: spark error: {str(ex)[:200]}", flush=True)
+            print(f"\nFAIL {name}: spark error: {str(ex)[:200]}", flush=True)
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"ok(rows-only) {name}: {len(srows)} rows "
+            print(f"\nok(rows-only) {name}: {len(srows)} rows "
                   f"[{time.time()-t0:.1f}s]", flush=True)
             continue
         try:
@@ -100,7 +103,7 @@ def main():
             orows = res.fetchall()
         except Exception as ex:
             failures.append((name, f"oracle error: {ex}"))
-            print(f"FAIL {name}: oracle error: {str(ex)[:200]}", flush=True)
+            print(f"\nFAIL {name}: oracle error: {str(ex)[:200]}", flush=True)
             continue
         probs = []
         if len(srows) != len(orows):
@@ -111,9 +114,9 @@ def main():
             probs.append("hash mismatch")
         if probs:
             failures.append((name, "; ".join(probs)))
-            print(f"FAIL {name}: {'; '.join(probs)}", flush=True)
+            print(f"\nFAIL {name}: {'; '.join(probs)}", flush=True)
         else:
-            print(f"ok {name}: {len(srows)} rows [{time.time()-t0:.1f}s]",
+            print(f"\nok {name}: {len(srows)} rows [{time.time()-t0:.1f}s]",
                   flush=True)
 
     print(f"\n{len(failures)} failures / {len(qs)} queries")

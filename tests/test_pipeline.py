@@ -2590,3 +2590,43 @@ def test_weighted_cover_prefers_bang_per_buck(spark):
     got2 = [(r["sel_order"], r["doc_id"]) for r in
             greedy_weighted_cover(docs2, k=2).collect()]
     assert got2[0] == (1, 2), got2  # 3/4 beats 3/12 despite equal gain
+
+
+def test_curation_funnel_keeps_short_docs(spark, tmp_path):
+    """Engine ≡ oracle on a corpus containing docs with <2 tokens
+    (zero bigrams): dup_ngram_features left-joins back to ALL docs, so
+    a 1-token doc must appear in every funnel count (n_raw, n_unique)
+    on both sides — the oracle's bg CTE only has docs with ≥1 bigram
+    and must LEFT JOIN it.  Regression for the latent divergence the
+    r8 advice flagged (testdata has no short docs, so the sweep alone
+    can't catch it)."""
+    import duckdb
+
+    from big_data_bowl_spark.oracles import ORACLES
+    from big_data_bowl_spark.queries import QUERIES
+
+    long_txt = " ".join(f"w{i}" for i in range(40))
+    rows = [(1, "solo", "en", "web", 4),           # 1 token, 0 bigrams
+            (2, "", "en", "web", 0),               # 0 tokens
+            (3, long_txt, "en", "web", len(long_txt)),
+            (4, long_txt, "en", "book", len(long_txt)),  # dup of 3
+            (5, "a b a b a b a b", "en", "book", 15)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r["source"]: (r["n_raw"], r["n_unique"], r["n_len"],
+                         r["n_lowrep"], r["n_final"])
+           for r in QUERIES["q_curation_funnel"](
+               spark, str(tmp_path)).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet/*.parquet')")
+    want = {r[0]: tuple(r[1:])
+            for r in con.execute(ORACLES["q_curation_funnel"]).fetchall()}
+    con.close()
+    assert got == want, (got, want)
+    # the short docs are counted in web's raw/unique totals
+    assert got["web"][0] == 3 and got["web"][1] == 3, got

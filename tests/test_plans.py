@@ -626,3 +626,27 @@ def test_jl_project_is_map_only(spark):
     plan = executed_plan(_q(spark, "q_jl_project"))
     assert "Exchange" not in plan, plan
     assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
+def test_greedy_cover_round_has_no_in_list(spark):
+    """The per-round covered-set filter must be a broadcast LEFT ANTI
+    join, never a literal IN-list: an isin over the covered grams grows
+    the plan with k × the winners' distinct grams (multi-megabyte plans
+    re-analyzed each round at real document lengths).  The anti-join
+    ships the same driver-scale set through the data path — plan size
+    O(1) no matter how much has been covered."""
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.pipeline.sampling import _anti_covered
+
+    dg = spark.range(100).select(
+        F.col("id").alias("__id"),
+        F.concat(F.lit("g"), (F.col("id") % 37)).alias("__g"))
+    covered = {f"g{i}" for i in range(20)}
+    cand = _anti_covered(dg, covered)
+    plan = executed_plan(cand)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # no covered gram may appear as a plan literal
+    optimized = cand._jdf.queryExecution().optimizedPlan().toString()
+    assert " IN (" not in optimized, optimized
+    assert "g19" not in optimized, optimized

@@ -6,7 +6,7 @@ frames: each example runs real Spark jobs.
 
 from __future__ import annotations
 
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import Row
 
@@ -764,6 +764,11 @@ def test_weighted_median_crossing_rule_equals_python(spark, rows):
 @given(bins=st.lists(
     st.tuples(st.integers(1, 20), st.integers(0, 20)),
     min_size=1, max_size=10))
+# regression: pooled mean 21/128 = 0.1640625 is a half-quantum at 6
+# decimals — Spark/DuckDB round() is HALF_UP, Python round() is
+# banker's-to-even, so the twin must round HALF_UP too
+@example(bins=[(5, 5), (5, 5), (6, 4), (7, 1), (14, 1), (15, 2),
+               (17, 0), (19, 0), (20, 0), (20, 3)])
 def test_isotonic_minimax_equals_pav(spark, bins):
     """The relational minimax characterization max_{j<=i} min_{k>=i}
     mean(y[j..k]) equals the classic sequential PAV pool-merge fit."""
@@ -784,8 +789,16 @@ def test_isotonic_minimax_equals_pav(spark, bins):
             pools[-1][0] += b[0]
             pools[-1][1] += b[1]
             members[-1] += mb
+    from decimal import ROUND_HALF_UP, Decimal
     for (w, s), m in zip(pools, members):
-        fitted_py.extend([round(s / w, 6)] * m)
+        # round HALF_UP like the engine: Spark's F.round(double) goes
+        # through BigDecimal.valueOf (shortest decimal repr, same as
+        # Python repr()) then ROUND_HALF_UP; Python's built-in round()
+        # is banker's-to-even and disagrees on exact half-quanta
+        # (e.g. 21/128 = 0.1640625 at 6 decimals)
+        f = float(Decimal(repr(s / w)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+        fitted_py.extend([f] * m)
 
     df = spark.createDataFrame(
         [(i, n, p) for i, (n, p) in enumerate(bins)],
@@ -944,3 +957,141 @@ def test_retract_state_keeps_null_keyed_groups(spark):
                               "__max_cents").collect()), key=repr)
     assert got == want
     assert any(r[0] is None for r in got)  # the NULL group survived
+
+
+# ---------------------------------------------------------------------------
+# Third-implementation equivalence for the ITERATIVE ops (r9): the DuckDB
+# oracles for pagerank/hits/lloyd mirror the engine's own formulation
+# (unrolled CTE twins), so a shared conceptual bug would pass the hash
+# gate.  An independent numpy implementation of the textbook algorithm is
+# the only check that can't share that bug.
+
+
+def test_pagerank_equals_numpy_twin(spark):
+    """Engine PageRank ≡ an independent dense numpy power iteration
+    (rank' = (1-d) + d·(Aᵀ(rank/outdeg) + dangling/n)) on a seeded
+    random digraph with dangling nodes.  Tolerance 1e-9: both sides are
+    float64, differing only in summation order."""
+    import random
+
+    import numpy as np
+
+    from big_data_bowl_spark.operators.graph import pagerank
+
+    rng = random.Random(97)
+    n = 40
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(160)})
+    edges = [(s, d) for s, d in edges if s != d]
+    # force dangling nodes: strip all out-edges from nodes 0-4
+    edges = [(s, d) for s, d in edges if s >= 5]
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+
+    outdeg = np.zeros(m)
+    A = np.zeros((m, m))
+    for s, d in edges:
+        A[idx[s], idx[d]] += 1.0
+        outdeg[idx[s]] += 1.0
+    rank = np.ones(m)
+    damp = 0.85
+    for _ in range(10):
+        share = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
+        inflow = A.T @ share
+        dm = rank[outdeg == 0].sum()
+        rank = (1 - damp) + damp * (inflow + dm / m)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=10).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[idx[v]]) < 1e-9, (v, got[v], rank[idx[v]])
+
+
+def test_hits_equals_python_int_twin_dense(spark):
+    """Engine HITS ≡ an independent arbitrary-precision Python-int twin
+    (which cannot overflow) on a dense digraph whose max degree (~59)
+    would previously have pushed quantum·deg^6 ≈ 4e16 iterates near the
+    int64 cliff at more rounds — run at 4 rounds so the 2³¹ rescale
+    trigger actually fires, proving the engine's int64 path implements
+    exactly the documented rescale rule and never wraps."""
+    import random
+
+    from big_data_bowl_spark.operators.graph import hits
+
+    rng = random.Random(31)
+    n = 60
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(1800) if True})
+    edges = [(s, d) for s, d in edges if s != d]
+
+    quantum, trigger = 1_000_000, 1 << 31
+    nodes = sorted({v for e in edges for v in e})
+    hub = {v: quantum for v in nodes}
+    auth = {v: quantum for v in nodes}
+
+    def rescale(col):
+        mx = max(col.values())
+        if mx > trigger:
+            s = mx // quantum
+            for k in col:
+                col[k] //= s
+        return col
+
+    for _ in range(4):
+        new_auth = {v: 0 for v in nodes}
+        for s, d in edges:
+            new_auth[d] += hub[s]
+        auth = rescale(new_auth)
+        new_hub = {v: 0 for v in nodes}
+        for s, d in edges:
+            new_hub[s] += auth[d]
+        hub = rescale(new_hub)
+        assert max(max(hub.values()), max(auth.values())) < 2**63
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"])
+           for r in hits(df, iters=4).collect()}
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+
+
+def test_lloyd_kmeans_equals_numpy_twin(spark):
+    """Engine Lloyd ≡ an independent numpy Lloyd (per-label mean init,
+    argmin squared-L2 assignment with smallest-label tie-break, per-dim
+    mean update, empty clusters dropped) on integer-coordinate points —
+    integer coordinates make every squared distance exact in float64,
+    so the argmin can never flip on summation order and the final
+    ASSIGNMENT must match exactly."""
+    import random
+
+    import numpy as np
+
+    from big_data_bowl_spark.pipeline.similarity import lloyd_kmeans
+
+    rng = random.Random(7)
+    pts = [(i, [float(rng.randrange(-20, 21)),
+                float(rng.randrange(-20, 21)),
+                float(rng.randrange(-20, 21))], i % 4)
+           for i in range(120)]
+
+    X = np.array([p[1] for p in pts])
+    labels0 = np.array([p[2] for p in pts])
+    cents = {lb: X[labels0 == lb].mean(axis=0) for lb in sorted(set(labels0))}
+    for _ in range(3):
+        lbs = sorted(cents)
+        C = np.array([cents[lb] for lb in lbs])
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.array([lbs[j] for j in d2.argmin(axis=1)])
+        cents = {lb: X[assign == lb].mean(axis=0)
+                 for lb in lbs if (assign == lb).any()}
+    lbs = sorted(cents)
+    C = np.array([cents[lb] for lb in lbs])
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = {pts[i][0]: lbs[j] for i, j in enumerate(d2.argmin(axis=1))}
+
+    df = spark.createDataFrame(
+        pts, "vec_id long, embedding array<double>, label long")
+    got = {r["vec_id"]: r["cluster"]
+           for r in lloyd_kmeans(df, iters=3).collect()}
+    assert got == want
