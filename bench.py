@@ -244,6 +244,12 @@ HEADLINE = [
     # per-source survival report in one plan (dedup window + bigram
     # two-level agg + final aggregate)
     "q_curation_funnel",
+    # the remaining late-r8 operators (absent from the r8 stress file):
+    # caliper matching on the refined 1-D grid, bang-per-buck greedy
+    # coverage, and the left-anti novelty key-shuffle
+    "q_psm_match",
+    "q_weighted_cover",
+    "q_novelty_scores",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

@@ -74,29 +74,43 @@ N_PLANES = 8
 
 def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = N_PLANES, dim: int = 64,
-                      seed: int = 42) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH.
+                      n_planes: int = 6, n_tables: int = 16,
+                      dim: int = 64, seed: int = 42) -> DataFrame:
+    """Approximate top-k via MULTI-TABLE random-hyperplane LSH — the
+    standard OR-of-ANDs construction (Indyk-Motwani; E2LSH practice):
+    ``n_tables`` independent tables of ``n_planes`` sign bits each, a
+    candidate is anything sharing a bucket with the query in ANY table,
+    then exact cosine re-rank.  Per-table collision probability for
+    angle θ is (1-θ/π)^n_planes, so recall@k ≈ 1-(1-p)^n_tables —
+    n_planes controls bucket size (candidate cost), n_tables buys
+    recall exponentially.  A single table (r1-r8 shape) measured
+    recall@3 = 0.0 at sf0.1: on weakly-structured 64-dim data the true
+    neighbors sit at θ≈64°, p ≈ 0.64^8 ≈ 3% — a one-table lottery.
+    The 6-plane × 16-table default measures 0.87 (recorded in SCALE.md
+    and asserted by tests/test_recall_sf01.py).
 
     Hyperplanes are deterministic pseudo-random vectors derived from
-    xxhash64(seed, plane, component) — reproducible across runs with no
-    driver-side RNG state.  Vectors sharing the sign-pattern bucket are the
-    only candidates, so the join is bucket-equi, not cross.  Approximate →
-    no SQL oracle; tested by containment against the exact result.
+    xxhash64(seed, table, plane, component) — reproducible across runs
+    with no driver-side RNG state.  Scale shape: the corpus explodes
+    ×n_tables into the (table, bucket) index — the classic LSH space/
+    recall trade — and the candidate join is equi on (table, bucket),
+    never cross; duplicate candidates from multiple tables collapse in
+    a (query, neighbor)-grain distinct before the re-rank window.
+    Approximate → no SQL oracle; containment + measured-recall tested.
     """
     require_columns(df, [id_col, vec_col], "lsh_bucketed_topk")
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
 
-    def plane_component(p: int, i: Column) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(p), i)
+    def plane_component(t: int, p: int, i: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), i)
         return (h % 1000).cast("double") / 500.0 - 1.0
 
-    def bucket_bits(v: Column) -> Column:
+    def bucket_bits(v: Column, t: int) -> Column:
         bits = [
             F.when(
                 F.aggregate(
                     F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)),
-                               lambda x, i: x * plane_component(p, i)),
+                               lambda x, i: x * plane_component(t, p, i)),
                     F.lit(0.0), lambda acc, x: acc + x) > 0, 1).otherwise(0)
             for p in range(n_planes)]
         out = F.lit(0)
@@ -104,19 +118,26 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
             out = F.shiftleft(out, 1) + b
         return out
 
-    bucketed = vecs.withColumn("bucket", bucket_bits(F.col("v")))
+    all_buckets = F.array(*[bucket_bits(F.col("v"), t)
+                            for t in range(n_tables)])
+    bucketed = vecs.select(
+        F.col(id_col), "v",
+        F.posexplode(all_buckets).alias("table", "bucket"))
     q = (bucketed.filter(F.col(id_col).isin(query_ids))
                  .select(F.col(id_col).alias("query_id"),
-                         F.col("v").alias("qv"), "bucket"))
+                         F.col("v").alias("qv"), "table", "bucket"))
     pairs = (F.broadcast(q)
              .join(bucketed.select(F.col(id_col).alias("neighbor_id"),
-                                   F.col("v").alias("nv"), "bucket"),
-                   "bucket")
+                                   F.col("v").alias("nv"),
+                                   "table", "bucket"),
+                   ["table", "bucket"])
              .filter(F.col("query_id") != F.col("neighbor_id")))
     cos = _dot(F.col("qv"), F.col("nv")) / (_norm(F.col("qv")) * _norm(F.col("nv")))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
                                                F.asc("neighbor_id"))
-    return (pairs.withColumn("cosine", roundn(cos))
+    return (pairs.select("query_id", "neighbor_id",
+                         roundn(cos).alias("cosine"))
+                 .distinct()
                  .withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") <= k)
                  .select("query_id", "neighbor_id", "cosine"))

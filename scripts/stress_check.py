@@ -1,0 +1,144 @@
+"""Recurring density-stress leg (round 9): time the density-sensitive
+query subset at the bench SF (sf0.1) AND the stress SF (sf1.0 replica
+data from gen_stress_sf.py), and assert each query's sf1.0/sf0.1 ratio
+stays within its recorded budget x MARGIN.
+
+Why this exists: the r8 one-off stress sweep caught the only real plan
+defect of rounds 6-8 (grid NN density-quadratic candidate blowup) that
+three rounds of sf0.1 benching never surfaced — fixed-geometry cell
+methods are linear in rows but QUADRATIC in density, and only a
+decade-up measurement exposes that term.  This script makes that
+detection recurring instead of a one-off.
+
+Budgets live in scripts/stress_budgets.json as the measured post-fix
+ratios; a watched query failing `ratio > budget * MARGIN` exits
+non-zero (close_round.sh runs this as its stress leg).  Re-record after
+an intentional plan change with:
+
+    python scripts/stress_check.py --record
+
+Usage:
+    python scripts/stress_check.py [--record]
+Env:
+    STRESS_SF_DIR  (default /tmp/stress_sf1.0; generated on demand by
+                    gen_stress_sf.py if absent)
+    BENCH_SF_DIR   (default /root/testdata/sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(HERE))
+
+BENCH_SF = os.environ.get("BENCH_SF_DIR", "/root/testdata/sf0.1")
+STRESS_SF = os.environ.get("STRESS_SF_DIR", "/tmp/stress_sf1.0")
+BUDGETS_PATH = os.path.join(HERE, "stress_budgets.json")
+MARGIN = 1.5
+
+# the density-sensitive set: fixed-geometry cell methods (quadratic in
+# density without the refinement ladder), cell-bounded semantic pairs
+# (result-bound — budget documents the honest output growth), and the
+# gram shuffle (linear; budget pins it stays that way)
+WATCHED = [
+    "q_grid_nearest",
+    "q_mutual_nn",
+    "q_semdedup",
+    "q_hard_negatives",
+    "q_psm_match",
+    "q_span_dedup",
+]
+
+
+def main() -> None:
+    record = "--record" in sys.argv
+
+    if not os.path.isdir(STRESS_SF):
+        print(f"stress data missing; generating {STRESS_SF} ...",
+              flush=True)
+        subprocess.run(
+            [sys.executable, os.path.join(HERE, "gen_stress_sf.py"),
+             STRESS_SF, "10", BENCH_SF], check=True)
+
+    from pyspark.sql import SparkSession
+
+    from big_data_bowl_spark.queries import QUERIES
+    from big_data_bowl_spark.sources.io import read_table
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024))
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .appName("stress_check").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df):
+        df.write.mode("overwrite").format("noop").save()
+
+    def time_at(sf_dir: str) -> dict[str, float]:
+        # warm the file index + parquet footers so timings measure
+        # compute, not first-touch listing
+        for t in ("events", "documents", "embeddings"):
+            read_table(spark, sf_dir, t).limit(1).count()
+        out: dict[str, float] = {}
+        # two interleaved passes, min per query — same stall-window
+        # discipline as bench.py
+        for _ in range(2):
+            for name in WATCHED:
+                t0 = time.perf_counter()
+                force(QUERIES[name](spark, sf_dir))
+                dt = time.perf_counter() - t0
+                out[name] = min(out.get(name, dt), dt)
+        return out
+
+    base = time_at(BENCH_SF)
+    stress = time_at(STRESS_SF)
+    ratios = {n: round(stress[n] / max(base[n], 1e-9), 2)
+              for n in WATCHED}
+
+    report = {
+        "bench_sf_dir": BENCH_SF,
+        "stress_sf_dir": STRESS_SF,
+        "base_sec": {n: round(base[n], 3) for n in WATCHED},
+        "stress_sec": {n: round(stress[n], 3) for n in WATCHED},
+        "ratio": ratios,
+    }
+    print(json.dumps(report, indent=1, sort_keys=True))
+    spark.stop()
+
+    if record:
+        with open(BUDGETS_PATH, "w") as fh:
+            json.dump({"margin": MARGIN, "ratio_budget": ratios},
+                      fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"recorded budgets -> {BUDGETS_PATH}")
+        return
+
+    with open(BUDGETS_PATH) as fh:
+        budgets = json.load(fh)["ratio_budget"]
+    bad = [(n, ratios[n], budgets[n]) for n in WATCHED
+           if ratios[n] > budgets[n] * MARGIN]
+    if bad:
+        for n, r, b in bad:
+            print(f"STRESS REGRESSION {n}: ratio {r} > budget {b} "
+                  f"x {MARGIN} = {b * MARGIN:.1f}")
+        sys.exit(1)
+    print("stress_check: all watched ratios within budget")
+
+
+if __name__ == "__main__":
+    main()
