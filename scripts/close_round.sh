@@ -1,12 +1,23 @@
 #!/bin/bash
-# Round-closing ritual: the full dual-SF oracle sweep (272 queries vs
+# Round-closing ritual: the full dual-SF oracle sweep (every query vs
 # DuckDB at sf0.01 AND sf0.1) that caught q_path_analysis's
 # microsecond-floor bug in r7 — run before declaring a round done.
 # Fails non-zero on the first SF that has any failure.
+#
+# r9 adds the STRESS LEG: the density-sensitive subset timed at sf1.0
+# (replica stress data, generated on demand) with per-query
+# sf1.0/sf0.1 ratio budgets (scripts/stress_budgets.json, x1.5 margin).
+# The r8 one-off stress sweep caught the only real plan defect of
+# rounds 6-8 (grid NN density-quadratic); this makes that detection
+# recurring.  Skip with SKIP_STRESS=1 when iterating on correctness.
 set -e
 cd "$(dirname "$0")/.."
 echo "=== sweep sf0.01 ==="
 DRIVE_SF_DIR=/root/testdata/sf0.01 python scripts/drive_driver.py
 echo "=== sweep sf0.1 ==="
 DRIVE_SF_DIR=/root/testdata/sf0.1 python scripts/drive_driver.py
-echo "close_round: both sweeps green"
+if [ -z "$SKIP_STRESS" ]; then
+  echo "=== stress leg (sf1.0 density watch) ==="
+  python scripts/stress_check.py
+fi
+echo "close_round: all legs green"

@@ -1095,3 +1095,94 @@ def test_lloyd_kmeans_equals_numpy_twin(spark):
     got = {r["vec_id"]: r["cluster"]
            for r in lloyd_kmeans(df, iters=3).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_equals_numpy_twin(spark):
+    """Engine PPR ≡ an independent numpy iteration (r' = e·((1−d) +
+    d·dm) + d·Aᵀ(r/outdeg), e = 1/|S| on seeds) on a seeded random
+    digraph with dangling nodes and an off-graph seed (which must be
+    ignored).  Tolerance 1e-9 (float64, summation order only)."""
+    import random
+
+    import numpy as np
+
+    from big_data_bowl_spark.operators.graph import personalized_pagerank
+
+    rng = random.Random(193)
+    n = 35
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(140)})
+    edges = [(s, d) for s, d in edges if s != d and s >= 4]  # 0-3 dangle
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    m = len(nodes)
+    seeds = [v for v in nodes if v % 5 == 0][:4]
+
+    A = np.zeros((m, m))
+    outdeg = np.zeros(m)
+    for s, d in edges:
+        A[idx[s], idx[d]] += 1.0
+        outdeg[idx[s]] += 1.0
+    tele = np.zeros(m)
+    for v in seeds:
+        tele[idx[v]] = 1.0 / len(seeds)
+    rank = tele.copy()
+    damp = 0.85
+    for _ in range(5):
+        share = np.where(outdeg > 0, rank / np.maximum(outdeg, 1), 0.0)
+        dm = rank[outdeg == 0].sum()
+        rank = tele * ((1 - damp) + damp * dm) + damp * (A.T @ share)
+
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    sdf = spark.createDataFrame(
+        [(v,) for v in seeds] + [(999_999,)], "node long")  # off-graph seed
+    got = {r["node"]: r["rank"]
+           for r in personalized_pagerank(edf, sdf, iters=5).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[idx[v]]) < 1e-9, (v, got[v], rank[idx[v]])
+
+
+def test_pca_power_equals_numpy_eigh_twin(spark):
+    """Engine power-iteration PCA ≡ numpy's eigh-based PCA on data with
+    a strong spectral gap (variances ~25 : 4 : 0.01·I): 50 power rounds
+    converge to ~(λ2/λ1)^50 ≈ 1e-40, so the projections must agree to
+    1e-6 after the shared sign canon (largest-|loading| coordinate
+    positive).  eigh shares no code path with the engine's one-pass
+    moment aggregation + deflated power loop — the independent check
+    the engine-mirroring CTE oracle can't provide."""
+    import random
+
+    import numpy as np
+
+    from big_data_bowl_spark.ml.clustering import pca_power_2d
+
+    rng = random.Random(11)
+    d = 6
+    e1 = np.array([1.0, 2.0, -1.0, 0.5, 0.0, 1.5])
+    e1 /= np.linalg.norm(e1)
+    e2 = np.array([2.0, -1.0, 0.0, 1.0, 1.0, 0.0])
+    e2 -= (e2 @ e1) * e1
+    e2 /= np.linalg.norm(e2)
+    X = np.array([rng.gauss(0, 5) * e1 + rng.gauss(0, 2) * e2
+                  + np.array([rng.gauss(0, 0.1) for _ in range(d)])
+                  for _ in range(300)])
+
+    Xc = X - X.mean(axis=0)
+    cov = np.cov(Xc.T, ddof=1)
+    w, V = np.linalg.eigh(cov)
+    comps = []
+    for c in (V[:, -1], V[:, -2]):
+        mx = np.abs(c).max()
+        lead = np.flatnonzero(np.abs(c) == mx)[0]
+        comps.append(c if c[lead] > 0 else -c)
+    want = Xc @ np.column_stack(comps)
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: (r["pc1"], r["pc2"])
+           for r in pca_power_2d(df, n_dims=6, iters=50).collect()}
+    for i in range(len(X)):
+        assert abs(got[i][0] - want[i, 0]) < 1e-6, (i, got[i], want[i])
+        assert abs(got[i][1] - want[i, 1]) < 1e-6, (i, got[i], want[i])
