@@ -1611,7 +1611,10 @@ def q_simhash(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Random-hyperplane LSH approximate cosine top-k."""
+    """Multi-table random-hyperplane LSH approximate cosine top-k
+    (16 tables × 6 sign bits, OR-of-ANDs — r9; the single-table r1–r8
+    shape measured recall@3 = 0.0 at sf0.1).  Measured recall@3 = 0.533
+    at sf0.1, asserted ≥ 0.4 by tests/test_recall_sf01.py."""
     from .pipeline.similarity import lsh_bucketed_topk
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"),
                              query_ids=[0, 1, 2, 3, 4], k=3)
