@@ -250,6 +250,13 @@ HEADLINE = [
     "q_psm_match",
     "q_weighted_cover",
     "q_novelty_scores",
+    # r9 additions: asymmetric containment (quote/subset dup), full
+    # SWA winnowing pairs (fingerprint-density dedup join — the
+    # ~2/(w+1)-of-gram-volume contrast to q_span_dedup), and the
+    # dup-component-grain leakage-safe split composite
+    "q_containment",
+    "q_winnow_pairs",
+    "q_leakage_split",
     # q_lsh_precision is deliberately NOT here: it audits the
     # engine-NEUTRAL minhash twin (interpreted arithmetic hash family,
     # like q_minhash_neutral, also unbenched) — its runtime measures the

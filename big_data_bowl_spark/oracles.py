@@ -488,6 +488,111 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5
 """
 
+ORACLES["q_containment"] = """
+WITH raw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, source, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 50 = 0
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(n_inter / sa.n_tok, 6) AS containment,
+       CAST(sa.n_tok AS BIGINT) AS n_a,
+       CAST(sb.n_tok AS BIGINT) AS n_b
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / sa.n_tok, 6) >= 0.8 AND sb.n_tok > sa.n_tok
+"""
+
+ORACLES["q_winnow_pairs"] = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents),
+th AS (
+    SELECT doc_id,
+           list_transform(tk, t -> list_reduce(
+             list_prepend(7::BIGINT,
+               list_transform(range(1, length(t) + 1),
+                              c -> ascii(substr(t, c, 1))::BIGINT)),
+             (acc, c) -> (acc * 31 + c) % 1000000007)) AS hs
+    FROM toks),
+grams AS (
+    SELECT doc_id, i,
+           list_reduce(list_prepend(7::BIGINT, list_slice(hs, i, i + 3)),
+                       (acc, h) -> (acc * 31 + h) % 1000000007) AS h
+    FROM th, UNNEST(generate_series(1, len(hs) - 3)) AS t(i)),
+nw AS (SELECT doc_id, greatest(count(*) - 4 + 1, 1) AS n_win
+       FROM grams GROUP BY 1),
+wins AS (SELECT doc_id, j
+         FROM nw, UNNEST(generate_series(1, n_win)) AS s(j)),
+sel AS (
+    SELECT w.doc_id, w.j, g.h
+    FROM wins w JOIN grams g
+      ON g.doc_id = w.doc_id AND g.i BETWEEN w.j AND w.j + 3
+    QUALIFY row_number() OVER (PARTITION BY w.doc_id, w.j
+                               ORDER BY g.h ASC, g.i DESC) = 1),
+fp AS (SELECT DISTINCT doc_id, h FROM sel),
+dfreq AS (SELECT h, count(*) AS df FROM fp GROUP BY 1),
+kept AS (SELECT fp.doc_id, fp.h FROM fp JOIN dfreq USING (h)
+         WHERE dfreq.df <= 100)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+ORACLES["q_leakage_split"] = """
+WITH RECURSIVE raw AS (
+    SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+    FROM documents),
+tok AS (SELECT DISTINCT doc_id, source, token FROM raw WHERE token <> ''),
+sizes AS (SELECT doc_id, count(*) AS n_tok FROM tok GROUP BY 1),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+    FROM tok a JOIN tok b
+      ON a.source = b.source AND a.token = b.token AND a.doc_id <> b.doc_id
+    WHERE a.doc_id % 50 = 0
+    GROUP BY 1, 2),
+pairs AS (
+    SELECT doc_a, doc_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_inter / (sa.n_tok + sb.n_tok - n_inter), 6) >= 0.5),
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs),
+walk(node, reach) AS (
+    SELECT a, a FROM edges
+    UNION
+    SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a),
+comp AS (SELECT node AS doc_id, min(reach) AS component
+         FROM walk GROUP BY node),
+tagged AS (
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS gkey,
+           CASE WHEN coalesce(c.component, d.doc_id) % 5 = 0
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)),
+leaks AS (
+    SELECT count(*) AS n_leaked_pairs
+    FROM pairs p
+    JOIN tagged ta ON p.doc_a = ta.doc_id
+    JOIN tagged tb ON p.doc_b = tb.doc_id
+    WHERE ta.split <> tb.split)
+SELECT split, count(*) AS n_docs,
+       count(DISTINCT gkey) AS n_groups,
+       (SELECT n_leaked_pairs FROM leaks) AS n_leaked_pairs
+FROM tagged GROUP BY split
+"""
+
 ORACLES["q_asof_join"] = """
 WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
 views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')

@@ -150,6 +150,56 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                 .select("doc_a", "doc_b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, threshold: float = 0.8,
+                      probe_mod: int = 50, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      bucket_col: str = "source") -> DataFrame:
+    """ASYMMETRIC token-set containment join: C(A→B) = |A∩B| / |A|.
+
+    Jaccard misses the quote/subset duplicate — a short document wholly
+    embedded in a much longer one scores J = |A|/|B| ≈ 0 but C(A→B) = 1.
+    Containment is the statistic the dedup literature (Broder's
+    "resemblance and containment") pairs with Jaccard for exactly this
+    case, and the one a curation pipeline needs to drop quoted/excerpted
+    near-copies that LSH-on-Jaccard keeps.
+
+    Same bucketed candidate plan as :func:`ngram_jaccard_pairs` (probes =
+    ``id % probe_mod == 0`` vs every same-bucket doc; explode → distinct →
+    equi-join on (bucket, token) → count): the candidate set stays linear
+    in the corpus, every stage is key-partitioned.  Only the probe-side
+    size table broadcasts (bounded by probe_mod); the corpus-side sizes
+    join stays a shuffle join at scale.
+
+    Returns (doc_a, doc_b, containment, n_a, n_b) with containment ≥ τ
+    and n_b > n_a — doc_a is (mostly) inside the strictly-larger doc_b,
+    so the pair reads "a is contained in b", never the symmetric dup that
+    the Jaccard path already reports.
+    """
+    require_columns(df, [id_col, text_col, bucket_col], "containment_pairs")
+    tok = _tokens_distinct(df, id_col, text_col, [bucket_col])
+    sizes = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    probes = tok.filter(F.col(id_col) % probe_mod == 0)
+    inter = (probes.alias("a")
+             .join(tok.alias("b"),
+                   (F.col(f"a.{bucket_col}") == F.col(f"b.{bucket_col}"))
+                   & (F.col("a.token") == F.col("b.token"))
+                   & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    sa = (sizes.filter(F.col(id_col) % probe_mod == 0)
+               .select(F.col(id_col).alias("doc_a"),
+                       F.col("n_tok").alias("n_a")))
+    sb = sizes.select(F.col(id_col).alias("doc_b"),
+                      F.col("n_tok").alias("n_b"))
+    cont = F.col("n_inter") / F.col("n_a")
+    return (inter.join(F.broadcast(sa), "doc_a").join(sb, "doc_b")
+                 .withColumn("containment", roundn(cont))
+                 .filter((F.col("containment") >= threshold)
+                         & (F.col("n_b") > F.col("n_a")))
+                 .select("doc_a", "doc_b", "containment", "n_a", "n_b"))
+
+
 N_MINHASH = 32
 LSH_BANDS = 8  # 8 bands × 4 rows — s-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
 

@@ -6,7 +6,7 @@ oracle twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.scalar import roundn, safe_div
@@ -215,15 +215,112 @@ def polynomial_token_hash2(token) -> "F.Column":
 def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text",
                           window: int = 8) -> DataFrame:
-    """Winnowing-style document fingerprint: the minimum token hash over the
+    """Single-value document fingerprint: the minimum token hash over the
     leading position window (rolling-hash class).  Deterministic and
     oracle-checkable (polynomial hash, not an engine-specific digest); used
-    as a cheap near-dup prefilter.  Returns (doc_id, fingerprint)."""
+    as a cheap near-dup prefilter.  For the full Schleimer–Wilkerson–Aiken
+    winnowing (sliding-window minima with the ≥ w+k−1 shared-run detection
+    guarantee) see :func:`winnow_fingerprints`.
+    Returns (doc_id, fingerprint)."""
     require_columns(df, [id_col, text_col], "fingerprint_documents")
     toks = _tokens(text_col)
     hashes = F.transform(toks, polynomial_token_hash)
     fp = F.array_min(F.slice(hashes, 1, window))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def winnow_fingerprints(df: DataFrame, k: int = 4, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """FULL winnowing (Schleimer–Wilkerson–Aiken, the MOSS algorithm):
+    per document, hash every k-token gram, slide a w-gram window, and
+    select each window's minimum hash with the RIGHTMOST-position
+    tie-break (robust winnowing).  Upgrades :func:`fingerprint_documents`
+    (leading-window min only) to the real guarantee: any token run of
+    length ≥ w+k−1 shared by two documents yields at least one shared
+    fingerprint, at expected density 2/(w+1) of the gram count.
+
+    That density IS the 100 TB story: a gram-index dedup
+    (``span_dedup``) shuffles every gram; winnowing ships ~2/(w+1) of
+    that volume with a detection guarantee instead of a heuristic —
+    the standard local-fingerprinting trade.
+
+    Plan: posexplode tokens → per-token char hash ONCE (row grain, so
+    nothing re-evaluates per gram — the array-lambda form re-walks the
+    token-hash array inside each higher-order call after Catalyst
+    inlines the projection, an O(chars·grams) interpreted trap measured
+    at 10× this plan) → gram hash folds the k lead() token hashes →
+    per-window minima via min(struct(h, −pos)) over a rowsBetween(0,
+    w−1) frame, the struct order encoding the rightmost tie-break.
+    ONE shuffle (the doc-key window), row-linear at any scale; the
+    frame min never materializes a per-doc array.  Short docs (fewer
+    than w grams) winnow their single partial window, so every doc
+    with ≥ k tokens emits ≥ 1 fingerprint.
+
+    Returns (doc_id, pos, fp): the distinct selected fingerprints with
+    their 1-based gram positions.
+    """
+    require_columns(df, [id_col, text_col], "winnow_fingerprints")
+    tok = (df.select(F.col(id_col),
+                     F.posexplode(_tokens(text_col))
+                      .alias("__p0", "__tok"))
+             .select(F.col(id_col), (F.col("__p0") + 1).alias("__pos"),
+                     polynomial_token_hash(F.col("__tok")).alias("__th")))
+    w_doc = Window.partitionBy(id_col).orderBy("__pos")
+    gram_h = F.lit(7).cast("long")
+    for j in range(k):
+        nxt = F.col("__th") if j == 0 else F.lead("__th", j).over(w_doc)
+        gram_h = (gram_h * 31 + nxt) % FP_PRIME
+    grams = (tok.select(F.col(id_col), F.col("__pos"),
+                        gram_h.alias("__h"),
+                        F.count(F.lit(1)).over(
+                            Window.partitionBy(id_col)).alias("__n"))
+                .filter(F.col("__pos") <= F.col("__n") - k + 1))
+    # window j's minimum lives on gram row j: min struct over the
+    # forward frame [j, j+w−1]; only rows j ≤ n_win head a window
+    w_frame = (Window.partitionBy(id_col).orderBy("__pos")
+                     .rowsBetween(0, w - 1))
+    sel = (grams.select(
+               F.col(id_col), F.col("__pos"),
+               F.min(F.struct(F.col("__h").alias("h"),
+                              (-F.col("__pos")).alias("negpos")))
+                .over(w_frame).alias("__s"),
+               F.count(F.lit(1)).over(
+                   Window.partitionBy(id_col)).alias("__ng"))
+              .filter(F.col("__pos")
+                      <= F.greatest(F.col("__ng") - w + 1, F.lit(1))))
+    return (sel.select(F.col(id_col),
+                       (-F.col("__s.negpos")).alias("pos"),
+                       F.col("__s.h").alias("fp"))
+               .distinct())
+
+
+def winnow_pairs(df: DataFrame, k: int = 4, w: int = 4,
+                 min_shared: int = 2, max_df: int = 100,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs from shared winnowed fingerprints — the
+    plagiarism-detection join at fingerprint density instead of gram
+    density.  Stop-fingerprints (appearing in more than ``max_df`` docs)
+    drop before the self-join, the standard bound that keeps the
+    bucket-quadratic term from a corpus-common phrase; the join key is
+    the fingerprint value, so every stage is key-partitioned.
+
+    Returns (doc_a, doc_b, n_shared), doc_a < doc_b, sharing ≥
+    ``min_shared`` distinct fingerprints.
+    """
+    fp = (winnow_fingerprints(df, k=k, w=w, id_col=id_col,
+                              text_col=text_col)
+          .select(id_col, "fp").distinct())
+    dfreq = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+    kept = fp.join(dfreq.filter(F.col("__df") <= max_df), "fp")
+    return (kept.select(F.col(id_col).alias("doc_a"), "fp")
+                .join(kept.select(F.col(id_col).alias("doc_b"), "fp"),
+                      "fp")
+                .filter(F.col("doc_a") < F.col("doc_b"))
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count(F.lit(1)).alias("n_shared"))
+                .filter(F.col("n_shared") >= min_shared))
 
 
 def repetition_features(df: DataFrame, id_col: str = "doc_id",

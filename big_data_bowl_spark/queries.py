@@ -599,6 +599,64 @@ def q_dup_components(spark, sf_dir):
     return duplicate_components(pairs)
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric containment near-dup pairs, C(A→B) = |A∩B|/|A| ≥ 0.8
+    with |B| > |A| — the quote/excerpt duplicate Jaccard scores near
+    zero (J = |A|/|B| for A ⊆ B) but a curation pipeline must drop.
+    Same bucketed candidate plan as q_ngram_jaccard; only the bounded
+    probe-side size table broadcasts."""
+    from .pipeline.dedup import containment_pairs
+    return containment_pairs(_t(spark, sf_dir, "documents"),
+                             threshold=0.8)
+
+
+def q_winnow_pairs(spark, sf_dir):
+    """Near-dup candidates from FULL winnowing (Schleimer–Wilkerson–
+    Aiken/MOSS: k=4-gram polynomial hashes, w=4 sliding window, min with
+    rightmost tie-break): docs sharing ≥ 2 selected fingerprints, after
+    dropping stop-fingerprints seen in > 100 docs.  The scale contrast
+    with q_span_dedup: the gram index ships EVERY gram; winnowing ships
+    ~2/(w+1) of them with the ≥ w+k−1 shared-run detection guarantee."""
+    from .pipeline.text import winnow_pairs
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe corpus split at the DUP-COMPONENT grain: near-dup
+    pairs → connected components (min-label fixpoint); every doc splits
+    train/val by its component canonical (singletons by their own id),
+    so near-duplicates can never straddle the split — the
+    train/eval contamination a row-grain split can't prevent.  Output:
+    per-split doc/group counts plus the cross-split near-dup pair
+    count, COMPUTED from the pair table (0 by construction — the
+    invariant both engines must derive, not a literal).  Modulo hasher
+    for oracle parity (q_group_split discipline); the library crc32
+    hasher is property-tested."""
+    from .pipeline.dedup import duplicate_components, ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")
+    pairs = (ngram_jaccard_pairs(d, threshold=0.5)
+             .select("doc_a", "doc_b")
+             .localCheckpoint(eager=True))  # reused by components AND leak audit
+    comp = duplicate_components(pairs)
+    keyed = (d.select("doc_id")
+              .join(comp, "doc_id", "left")
+              .withColumn("gkey", F.coalesce("component", "doc_id")))
+    tagged = (keyed.withColumn(
+        "split", F.when(F.col("gkey") % 5 == 0, "val").otherwise("train"))
+        .localCheckpoint(eager=True))
+    sa = tagged.select(F.col("doc_id").alias("doc_a"),
+                       F.col("split").alias("__sa"))
+    sb = tagged.select(F.col("doc_id").alias("doc_b"),
+                       F.col("split").alias("__sb"))
+    leaks = (pairs.join(sa, "doc_a").join(sb, "doc_b")
+                  .filter(F.col("__sa") != F.col("__sb"))
+                  .agg(F.count(F.lit(1)).alias("n_leaked_pairs")))
+    return (tagged.groupBy("split")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.countDistinct("gkey").alias("n_groups"))
+                  .crossJoin(F.broadcast(leaks)))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3/PaLM n-gram rule): docs with
     doc_id % 97 == 0 play the eval benchmark; every other doc sharing ≥ 5
@@ -6620,6 +6678,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_text_quality": q_text_quality,
     "q_language_id": q_language_id,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_containment": q_containment,
+    "q_winnow_pairs": q_winnow_pairs,
+    "q_leakage_split": q_leakage_split,
     "q_dup_components": q_dup_components,
     "q_cosine_topk": q_cosine_topk,
     "q_asof_join": q_asof_join,

@@ -2630,3 +2630,115 @@ def test_curation_funnel_keeps_short_docs(spark, tmp_path):
     assert got == want, (got, want)
     # the short docs are counted in web's raw/unique totals
     assert got["web"][0] == 3 and got["web"][1] == 3, got
+
+
+def test_containment_subset_detected_jaccard_blind(spark):
+    """The operator's reason to exist: A ⊂ B with |B| ≫ |A| has
+    containment 1.0 but Jaccard |A|/|B| ≈ 0.23 — the quote/excerpt dup
+    the Jaccard path scores as unrelated.  Direction must be a→b only
+    (n_b > n_a excludes the reverse and the same-size symmetric pair)."""
+    from big_data_bowl_spark.pipeline.dedup import containment_pairs
+
+    quote = "alpha bravo charlie delta echo foxtrot"
+    filler = " ".join(f"x{i}" for i in range(20))
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text=quote, source="s"),                 # the excerpt
+        Row(doc_id=1, text=quote + " " + filler, source="s"),  # the container
+        Row(doc_id=2, text=quote, source="s"),                 # same-size twin of 0
+    ])
+    got = {(r.doc_a, r.doc_b): (r.containment, r.n_a, r.n_b)
+           for r in containment_pairs(docs, threshold=0.8,
+                                      probe_mod=1).collect()}
+    assert got == {(0, 1): (1.0, 6, 26), (2, 1): (1.0, 6, 26)}, got
+
+
+def test_winnow_equals_independent_python_twin(spark):
+    """Engine winnowing ≡ an independent pure-Python implementation
+    (third-implementation discipline): same k-gram polynomial hashes,
+    same rightmost-min window selection, exact (pos, fp) set equality —
+    over docs hitting every length regime (0 tokens, < k, = k, between
+    k and w+k−1, long)."""
+    import random
+
+    from big_data_bowl_spark.pipeline.text import winnow_fingerprints
+
+    P, K, W = 1_000_000_007, 4, 4
+
+    def py_winnow(text):
+        toks = [t for t in text.split(" ") if t]
+        def ph(s):
+            h = 7
+            for ch in s:
+                h = (h * 31 + ord(ch)) % P
+            return h
+        ths = [ph(t) for t in toks]
+        def gh(seg):
+            h = 7
+            for x in seg:
+                h = (h * 31 + x) % P
+            return h
+        hs = [gh(ths[i:i + K]) for i in range(len(toks) - K + 1)]
+        if not hs:
+            return set()
+        out = set()
+        for j in range(max(len(hs) - W + 1, 1)):
+            win = hs[j:j + W]
+            m = min(win)
+            pos = j + max(i for i, h in enumerate(win) if h == m)
+            out.add((pos + 1, m))
+        return out
+
+    rng = random.Random(42)
+    vocab = [f"tok{i}" for i in range(12)]  # small vocab → hash ties happen
+    texts = ["", "a b c", "a b c d", "p q r s t u",
+             " ".join(rng.choice(vocab) for _ in range(30))]
+    for n in (7, 8, 15, 40, 80):
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(docs, k=K, w=W).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    want = {i: py_winnow(t) for i, t in enumerate(texts) if py_winnow(t)}
+    assert got == want, (got, want)
+
+
+def test_winnow_guarantee_and_stop_fingerprint_cap(spark):
+    """The SWA guarantee: two docs sharing a token run of length
+    w+k−1 = 7 share at least one selected fingerprint, so winnow_pairs
+    reports them (min_shared=1).  And a fingerprint present in more
+    than max_df docs is a stop-fingerprint: with the shared run in
+    3 docs and max_df=2, no pair survives."""
+    from big_data_bowl_spark.pipeline.text import winnow_pairs
+
+    run = "r1 r2 r3 r4 r5 r6 r7"
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="a1 a2 a3 a4 a5 " + run + " a6 a7 a8 a9"),
+        Row(doc_id=1, text="b1 b2 b3 b4 " + run + " b5 b6 b7 b8 b9"),
+        Row(doc_id=2, text="c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),
+    ])
+    pairs = {(r.doc_a, r.doc_b)
+             for r in winnow_pairs(docs, min_shared=1).collect()}
+    assert (0, 1) in pairs, pairs
+    assert not any(2 in p for p in pairs), pairs
+
+    docs3 = docs.union(spark.createDataFrame(
+        [Row(doc_id=3, text="d1 d2 d3 d4 " + run + " d5 d6 d7 d8")]))
+    capped = winnow_pairs(docs3, min_shared=1, max_df=2).collect()
+    shared_run_pairs = {(r.doc_a, r.doc_b) for r in capped
+                        if r.doc_a in (0, 1, 3) and r.doc_b in (0, 1, 3)}
+    assert not shared_run_pairs, shared_run_pairs
+
+
+def test_leakage_split_no_cross_split_near_dups(spark):
+    """The split invariant, computed not asserted: every near-dup pair
+    lands on one side (n_leaked_pairs = 0 on every output row), and the
+    split partitions the corpus (doc counts sum to the table size)."""
+    from big_data_bowl_spark.queries import QUERIES
+    from big_data_bowl_spark.sources.io import read_table
+
+    rows = QUERIES["q_leakage_split"](spark, SF_SMALL).collect()
+    assert {r.split for r in rows} == {"train", "val"}
+    assert all(r.n_leaked_pairs == 0 for r in rows), rows
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs, rows
