@@ -372,7 +372,6 @@ def main() -> None:
         "n_queries": len(timings),
         "calibration_sec": calibrate(),
         "sf": sf_val,
-        "detail_file": "BENCH_DETAIL.json",
     }
     # $SPARK_GRAFT_DETAIL redirects the full map; WITHOUT it, only a
     # run at the canonical sf0.1 may write the committed
@@ -384,6 +383,7 @@ def main() -> None:
                     else f"BENCH_DETAIL_sf{sf}.json")
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL") or os.path.join(
         here, default_name)
+    summary["detail_file"] = os.path.basename(detail_path)
     with open(detail_path, "w") as fh:
         json.dump({**summary, "queries": timings}, fh, indent=1,
                   sort_keys=True)

@@ -86,8 +86,10 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     recall exponentially.  A single table (r1-r8 shape) measured
     recall@3 = 0.0 at sf0.1: on weakly-structured 64-dim data the true
     neighbors sit at θ≈64°, p ≈ 0.64^8 ≈ 3% — a one-table lottery.
-    The 6-plane × 16-table default measures 0.87 (recorded in SCALE.md
-    and asserted by tests/test_recall_sf01.py).
+    The 6-plane × 16-table default measures recall@3 = 0.533 at sf0.1
+    (recorded in SCALE.md and asserted by tests/test_recall_sf01.py);
+    the theoretical 1-(1-p)^16 estimate is higher because real bucket
+    occupancy is skewed — trust the measured number.
 
     Hyperplanes are deterministic pseudo-random vectors derived from
     xxhash64(seed, table, plane, component) — reproducible across runs

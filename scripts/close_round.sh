@@ -10,8 +10,17 @@
 # The r8 one-off stress sweep caught the only real plan defect of
 # rounds 6-8 (grid NN density-quadratic); this makes that detection
 # recurring.  Skip with SKIP_STRESS=1 when iterating on correctness.
+#
+# r10 adds the PYTEST LEG: r8 and r9 both closed with a red test the
+# oracle sweeps can't see (PAV twin; README count self-check).  The
+# ritual now runs the full suite first, so a red test fails the round.
+# Skip with SKIP_PYTEST=1 only when iterating on a single query.
 set -e
 cd "$(dirname "$0")/.."
+if [ -z "$SKIP_PYTEST" ]; then
+  echo "=== pytest leg ==="
+  python -m pytest tests/ -q
+fi
 echo "=== sweep sf0.01 ==="
 DRIVE_SF_DIR=/root/testdata/sf0.01 python scripts/drive_driver.py
 echo "=== sweep sf0.1 ==="

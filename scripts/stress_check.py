@@ -129,13 +129,21 @@ def main() -> None:
         return
 
     with open(BUDGETS_PATH) as fh:
-        budgets = json.load(fh)["ratio_budget"]
+        recorded = json.load(fh)
+    budgets = recorded["ratio_budget"]
+    margin = float(recorded.get("margin", MARGIN))
+    missing = [n for n in WATCHED if n not in budgets]
+    if missing:
+        print(f"STRESS: no budget recorded for {missing} — run "
+              f"`python scripts/stress_check.py --record` after "
+              f"adding a query to WATCHED")
+        sys.exit(1)
     bad = [(n, ratios[n], budgets[n]) for n in WATCHED
-           if ratios[n] > budgets[n] * MARGIN]
+           if ratios[n] > budgets[n] * margin]
     if bad:
         for n, r, b in bad:
             print(f"STRESS REGRESSION {n}: ratio {r} > budget {b} "
-                  f"x {MARGIN} = {b * MARGIN:.1f}")
+                  f"x {margin} = {b * margin:.1f}")
         sys.exit(1)
     print("stress_check: all watched ratios within budget")
 
