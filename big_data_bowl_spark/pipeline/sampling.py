@@ -411,24 +411,25 @@ def poisson_bootstrap(df: DataFrame, units_col: str, key_col: str,
                             / F.col("n_eff").cast("double")))
 
 
-def _anti_covered(dg: DataFrame, covered: set[str]) -> DataFrame:
-    """Filter out already-covered grams via a broadcast LEFT ANTI join
-    against a single-column covered-grams frame.
+def _anti_covered(dg: DataFrame, covered: DataFrame | None) -> DataFrame:
+    """Filter out already-covered grams via a LEFT ANTI join against the
+    accumulated covered-grams frame (``None`` = nothing covered yet).
 
-    NOT ``~isin(sorted(covered))``: an IN-list serializes every covered
-    gram as a plan literal, and the set grows with k × the winners'
-    distinct grams — at real document lengths that is a multi-megabyte
-    plan re-analyzed every round (driver/analysis pressure, not
-    shuffle).  A broadcast anti-join ships the same driver-scale set
-    through the DATA path instead, keeping the plan O(1) regardless of
-    how much has been covered.  Grams are never null (explode of
-    ngrams), so anti-join equality ≡ the isin complement."""
-    if not covered:
+    NOT ``~isin(...)``: an IN-list serializes every covered gram as a
+    plan literal — a multi-megabyte plan re-analyzed every round at
+    real document lengths.  And NOT a per-round driver round-trip
+    (r9's fix collected the winner's grams and re-created + broadcast
+    a covered frame each round — plan O(1) but k driver round-trips of
+    gram strings, the r9 bench's #2/#3 cost): the covered set stays
+    DISTRIBUTED — each round unions the winner's (already-anti-joined,
+    hence new) grams and ``localCheckpoint``s, so lineage stays flat,
+    driver traffic is O(k) scalars, and the anti-join side carries
+    accurate size stats for AQE to broadcast while it is small without
+    forcing a driver-memory ceiling at corpus scale.  Grams are never
+    null (explode of ngrams), so anti-join ≡ the isin complement."""
+    if covered is None:
         return dg
-    spark = dg.sparkSession
-    cov = spark.createDataFrame(
-        [(g,) for g in sorted(covered)], "__g string")
-    return dg.join(F.broadcast(cov), "__g", "left_anti")
+    return dg.join(covered, "__g", "left_anti")
 
 
 def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
@@ -442,14 +443,15 @@ def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     Each round counts every doc's UNCOVERED grams (integer gains — no
     float anywhere, so cross-engine determinism is free), picks the max
     with lowest-id tie-break, and folds the winner's grams into the
-    covered set.  The covered set and chosen list are driver-scale
-    (k docs × the winner's distinct grams) and shipped back as a
-    broadcast LEFT ANTI join (never an isin literal — see
-    :func:`_anti_covered`); the (doc, gram) table is fact-grain and
-    never shuffles after its one distinct — each round is a
-    broadcast-filtered re-aggregation of the same pinned table.  Rounds stop early when no
-    doc adds coverage (both engines converge to the same fixpoint: an
-    exhausted universe keeps yielding empty rounds).
+    covered set.  The covered set stays a DISTRIBUTED single-column
+    frame extended by union + localCheckpoint each round (never an
+    isin literal, never a per-round gram collect — see
+    :func:`_anti_covered`); only the chosen list (k scalar triples)
+    crosses the driver.  The (doc, gram) table is fact-grain and never
+    shuffles after its one distinct — each round is an anti-join-
+    filtered re-aggregation of the same pinned table.  Rounds stop
+    early when no doc adds coverage (both engines converge to the same
+    fixpoint: an exhausted universe keeps yielding empty rounds).
 
     Returns (sel_order 1..≤k, id, gain = newly covered grams)."""
     from .text import _token_ngrams
@@ -458,7 +460,7 @@ def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
     dg = (df.select(F.col(id_col).cast("long").alias("__id"),
                     F.explode(_token_ngrams(text_col, n)).alias("__g"))
             .distinct().localCheckpoint(eager=True))
-    covered: set[str] = set()
+    covered: DataFrame | None = None
     chosen: list[tuple[int, int, int]] = []
     for r in range(1, k + 1):
         cand = _anti_covered(dg, covered)
@@ -473,9 +475,12 @@ def greedy_set_cover(df: DataFrame, k: int = 8, id_col: str = "doc_id",
         if top is None or top["id"] is None:
             break  # universe exhausted
         chosen.append((r, int(top["id"]), int(top["gain"])))
-        new_grams = (cand.filter(F.col("__id") == int(top["id"]))
-                         .select("__g").collect())
-        covered.update(g[0] for g in new_grams)
+        if r < k:  # last round never filters again
+            win = (cand.filter(F.col("__id") == int(top["id"]))
+                       .select("__g"))
+            covered = (win if covered is None
+                       else covered.unionByName(win)
+                       ).localCheckpoint(eager=True)
     out = spark.createDataFrame(chosen, "sel_order long, id long, gain long")
     return out.select("sel_order", F.col("id").alias(id_col), "gain")
 
@@ -493,9 +498,12 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
     The ratio argmax is FLOOR(gain·10⁶ / cost) — one integer division,
     identical in both engines (never a float ratio, whose rounding
     could flip a pick at a boundary) — with lowest-id tie-break.  Same
-    scale shape as the unweighted form: one pinned (doc, gram) table,
-    a broadcast covered-set ANTI-join per round (:func:`_anti_covered`),
-    a driver-scale chosen list.  Returns (sel_order, id, gain, cost, qratio)."""
+    scale shape as the unweighted form: one pinned (doc, gram) table, a
+    distributed covered-set ANTI-join per round (:func:`_anti_covered`),
+    a driver-scale chosen list — the winner's gain/cost/ratio ride the
+    argmax struct, so each round is ONE ``first()`` plus the covered
+    checkpoint, no gram ever crossing the driver.
+    Returns (sel_order, id, gain, cost, qratio)."""
     from .text import _token_ngrams, _tokens
     require_columns(df, [id_col, text_col], "greedy_weighted_cover")
     spark = df.sparkSession
@@ -508,29 +516,38 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
                       F.explode(_token_ngrams(text_col, n)).alias("__g"))
               .distinct().join(costs, "__id")
               .localCheckpoint(eager=True))
-    covered: set[str] = set()
+    covered: DataFrame | None = None
     chosen: list[tuple[int, int, int, int, int]] = []
     for r in range(1, k + 1):
         cand = _anti_covered(dg, covered)
         qratio = F.floor(F.count(F.lit(1)) * F.lit(1_000_000)
                          / F.first("__cost")).cast("long")
+        # (qr, nid) is unique per doc, so gain/cost tag along in the
+        # max-struct without affecting the ordering — the winner's
+        # scalars come back in the SAME first(), no second action
         top = (cand.groupBy("__id")
                    .agg(F.count(F.lit(1)).alias("gain"),
                         F.first("__cost").alias("cost"),
                         qratio.alias("qr"))
                    .agg(F.max(F.struct(F.col("qr"),
-                                       (-F.col("__id")).alias("nid")))
+                                       (-F.col("__id")).alias("nid"),
+                                       F.col("gain"), F.col("cost")))
                         .alias("m"))
-                   .select((-F.col("m.nid")).alias("id"))
+                   .select((-F.col("m.nid")).alias("id"),
+                           F.col("m.qr").alias("qr"),
+                           F.col("m.gain").alias("gain"),
+                           F.col("m.cost").alias("cost"))
                    .first())
         if top is None or top["id"] is None:
             break
         pick = int(top["id"])
-        new_rows = (cand.filter(F.col("__id") == pick)
-                        .select("__g", "__cost").collect())
-        gain, cost = len(new_rows), int(new_rows[0]["__cost"])
-        chosen.append((r, pick, gain, cost, gain * 1_000_000 // cost))
-        covered.update(g["__g"] for g in new_rows)
+        chosen.append((r, pick, int(top["gain"]), int(top["cost"]),
+                       int(top["qr"])))
+        if r < k:
+            win = cand.filter(F.col("__id") == pick).select("__g")
+            covered = (win if covered is None
+                       else covered.unionByName(win)
+                       ).localCheckpoint(eager=True)
     out = spark.createDataFrame(
         chosen,
         "sel_order long, id long, gain long, cost long, qratio long")

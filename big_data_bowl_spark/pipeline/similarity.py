@@ -86,10 +86,15 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     recall exponentially.  A single table (r1-r8 shape) measured
     recall@3 = 0.0 at sf0.1: on weakly-structured 64-dim data the true
     neighbors sit at θ≈64°, p ≈ 0.64^8 ≈ 3% — a one-table lottery.
-    The 6-plane × 16-table default measures recall@3 = 0.533 at sf0.1
-    (recorded in SCALE.md and asserted by tests/test_recall_sf01.py);
-    the theoretical 1-(1-p)^16 estimate is higher because real bucket
-    occupancy is skewed — trust the measured number.
+    The 6-plane × 16-table default measures recall@3 = 0.620 at sf0.1
+    over 50 query ids (recorded in SCALE.md and asserted by
+    tests/test_recall_sf01.py); the theoretical 1-(1-p)^16 estimate is
+    higher because real bucket occupancy is skewed — trust the measured
+    number.  Measured trade curve (SCALE.md r10): equal-cost 7×24 =
+    0.593 (reshaping doesn't pay), 6×24 = 0.740, 6×32 = 0.793 — recall
+    above 0.7 costs ~1.5× candidates, and extra candidate budget is
+    better spent on MORE TABLES than wider buckets (5×16 = 0.707 at
+    the same 2× cost as 6×32).
 
     Hyperplanes are deterministic pseudo-random vectors derived from
     xxhash64(seed, table, plane, component) — reproducible across runs
@@ -1079,10 +1084,13 @@ def hard_negatives(df: DataFrame, radius: float = 0.5,
 
     Pure composition: :func:`operators.separation.grid_nearest` with the
     label threaded through both probe sides (``carry``) and the
-    mismatch as the candidate ``predicate``.  The two-level density
-    refinement stays EXACT under any row predicate — the candidate
-    subset is identical at both levels, so the L∞ block bound holds
-    unchanged (the r8 stress-fix machinery, reused as designed).
+    mismatch as the candidate ``predicate``.  The density-adaptive
+    refinement ladder stays EXACT under any row predicate — the
+    candidate subset is identical at every rung, so the L∞ block bound
+    holds unchanged (r10: the fixed-width two-level form measured
+    51.6× at the 10× stress SF — the density-blind fine width, not the
+    predicate, was the quadratic term; the adaptive ladder measures
+    2.58×, see SCALE.md).
     Returns (id, neighbor_id = the hard negative, dist)."""
     from ..operators.separation import grid_nearest
     require_columns(df, [id_col, label_col, x_col, y_col],

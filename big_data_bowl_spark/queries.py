@@ -1671,8 +1671,9 @@ def q_simhash(spark, sf_dir):
 def q_lsh_topk(spark, sf_dir):
     """Multi-table random-hyperplane LSH approximate cosine top-k
     (16 tables × 6 sign bits, OR-of-ANDs — r9; the single-table r1–r8
-    shape measured recall@3 = 0.0 at sf0.1).  Measured recall@3 = 0.533
-    at sf0.1, asserted ≥ 0.4 by tests/test_recall_sf01.py."""
+    shape measured recall@3 = 0.0 at sf0.1).  Measured recall@3 = 0.620
+    at sf0.1 over 50 query ids, asserted ≥ 0.52 by
+    tests/test_recall_sf01.py (trade curve in SCALE.md r10)."""
     from .pipeline.similarity import lsh_bucketed_topk
     return lsh_bucketed_topk(_t(spark, sf_dir, "embeddings"),
                              query_ids=[0, 1, 2, 3, 4], k=3)
@@ -2918,9 +2919,10 @@ def q_hard_negatives(spark, sf_dir):
     point, the nearest DIFFERENT-label point within radius 0.5 — the
     triplet-mining primitive of contrastive training data prep,
     HASH-VERIFIED against the brute-force all-pairs oracle.  Reuses the
-    two-level refined grid (exact under the label-mismatch predicate:
-    the candidate subset is identical at both levels, so the L∞
-    resolution bound holds unchanged)."""
+    density-adaptive refined grid (exact under the label-mismatch
+    predicate: the candidate subset is identical at every rung, so the
+    L∞ resolution bound holds unchanged; 51.6× → 2.58× at the 10×
+    stress SF, SCALE.md r10)."""
     from .pipeline.similarity import hard_negatives
     em = _t(spark, sf_dir, "embeddings")
     pts = em.select("vec_id", "label",

@@ -2327,6 +2327,36 @@ def test_grid_nearest_refined_equals_single_level(spark):
     slow = grid_nearest(df, radius=0.15, refine=1).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) > 100  # the clumps actually produced neighbors
+    # the legacy fixed-width two-level ladder must agree too
+    legacy = grid_nearest(df, radius=0.15, refine=8,
+                          target_occupancy=None).collect()
+    assert sorted(map(tuple, legacy)) == sorted(map(tuple, slow))
+
+
+def test_grid_nearest_adaptive_ladder_on_stacked_duplicates(spark):
+    """The density-adaptive ladder (r10) must stay EXACT on the stress
+    artifact's worst shape: exact stacked duplicates (2-D projections of
+    per-replica sign flips collide) plus isolated points that must
+    escalate all the way to the radius backstop.  Dense data drives the
+    adaptive w0 far below radius, so this exercises a multi-rung ladder;
+    the tiny-occupancy variant forces the deepest one."""
+    import numpy as np
+
+    from big_data_bowl_spark.operators.separation import grid_nearest
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(0.0, 0.05, (80, 2))
+    pts = np.concatenate([base, base, base,          # 3x exact stacking
+                          rng.uniform(2.0, 2.4, (6, 2))])  # sparse tail
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double")
+    slow = sorted(map(tuple, grid_nearest(df, 0.5, refine=1).collect()))
+    fast = grid_nearest(df, 0.5).collect()
+    assert sorted(map(tuple, fast)) == slow
+    deep = grid_nearest(df, 0.5, target_occupancy=2.0).collect()
+    assert sorted(map(tuple, deep)) == slow
+    assert len(fast) >= 240  # every stacked point found its dup at d=0
 
 
 def test_greedy_set_cover_hand_computed(spark):

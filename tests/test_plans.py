@@ -629,12 +629,14 @@ def test_jl_project_is_map_only(spark):
 
 
 def test_greedy_cover_round_has_no_in_list(spark):
-    """The per-round covered-set filter must be a broadcast LEFT ANTI
-    join, never a literal IN-list: an isin over the covered grams grows
-    the plan with k × the winners' distinct grams (multi-megabyte plans
-    re-analyzed each round at real document lengths).  The anti-join
-    ships the same driver-scale set through the data path — plan size
-    O(1) no matter how much has been covered."""
+    """The per-round covered-set filter must be a LEFT ANTI join against
+    the DISTRIBUTED covered frame, never a literal IN-list (an isin over
+    the covered grams grows the plan with k × the winners' distinct
+    grams — multi-megabyte plans re-analyzed each round at real document
+    lengths) and never a forced broadcast of driver-collected grams
+    (r9's shape: k gram round-trips through the driver and a hard
+    driver-memory ceiling at corpus scale).  The covered side is
+    checkpointed, so AQE sees its true size and broadcasts while small."""
     from pyspark.sql import functions as F
 
     from big_data_bowl_spark.pipeline.sampling import _anti_covered
@@ -642,10 +644,13 @@ def test_greedy_cover_round_has_no_in_list(spark):
     dg = spark.range(100).select(
         F.col("id").alias("__id"),
         F.concat(F.lit("g"), (F.col("id") % 37)).alias("__g"))
-    covered = {f"g{i}" for i in range(20)}
+    covered = (spark.range(20)
+               .select(F.concat(F.lit("g"), F.col("id")).alias("__g"))
+               .localCheckpoint(eager=True))
     cand = _anti_covered(dg, covered)
-    plan = executed_plan(cand)
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    plan = executed_plan(cand, execute=True)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # AQE: small side broadcast
     # no covered gram may appear as a plan literal
     optimized = cand._jdf.queryExecution().optimizedPlan().toString()
     assert " IN (" not in optimized, optimized

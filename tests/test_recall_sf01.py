@@ -20,41 +20,49 @@ SF_BENCH = "/root/testdata/sf0.1"
 
 def test_lsh_topk_recall_sf01(spark):
     """Multi-table hyperplane LSH recall@3 vs exact cosine top-3 at
-    sf0.1: measured 0.533 with the 6-plane x 16-table default (the
-    single-table r8 shape measured 0.0 — the reason the operator grew
-    tables).  Floor 0.4 leaves room for testdata regeneration noise;
-    the construction is deterministic, so today's value is exact."""
+    sf0.1, measured over 50 query ids (150 neighbor pairs — the r9
+    5-query sample moved 0.067 per flipped neighbor; 50 queries bring
+    that to 0.007): 6-plane x 16-table default measures 0.620.  Floor
+    0.52 (within 0.1 of the measurement) leaves room for testdata
+    regeneration noise; the construction is deterministic, so today's
+    value is exact.  The tables/planes trade at this SF (SCALE.md r10):
+    equal-candidate-cost 7x24 measures 0.593 — reshaping does NOT lift
+    recall on weakly-structured data; >0.7 costs real candidates
+    (6x24 = 0.740 at 1.5x, 6x32 = 0.793 at 2x), and spending those
+    candidates on MORE TABLES beats WIDER BUCKETS (5x16, also 2x cost,
+    only 0.707)."""
     from big_data_bowl_spark.pipeline.similarity import (
         cosine_topk,
         lsh_bucketed_topk,
     )
 
     em = read_table(spark, SF_BENCH, "embeddings")
-    qids = [0, 1, 2, 3, 4]
+    qids = list(range(50))
     exact = {(r["query_id"], r["neighbor_id"])
              for r in cosine_topk(em, qids, k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
               for r in lsh_bucketed_topk(em, qids, k=3).collect()}
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.4, f"LSH recall@3 fell to {recall:.3f}"
+    assert recall >= 0.52, f"LSH recall@3 fell to {recall:.3f}"
 
 
 def test_ivf_topk_recall_sf01(spark):
-    """IVF (8 cells, nprobe=2) recall@3 vs exact cosine top-3 at sf0.1:
-    measured 0.4 — probing 1/4 of the cells on structure-free synthetic
-    embeddings.  Floor 0.25; full probe ≡ brute force is pinned
-    separately by test_ivf_full_probe_equals_brute_force."""
+    """IVF (8 cells, nprobe=2) recall@3 vs exact cosine top-3 at sf0.1
+    over 50 query ids: measured 0.620 probing 1/4 of the cells (the r9
+    5-query sample read 0.4 — thin-sample pessimism).  Floor 0.52;
+    full probe ≡ brute force is pinned separately by
+    test_ivf_full_probe_equals_brute_force."""
     from big_data_bowl_spark.pipeline.similarity import cosine_topk, ivf_topk
 
     em = read_table(spark, SF_BENCH, "embeddings")
-    qids = [0, 1, 2, 3, 4]
+    qids = list(range(50))
     exact = {(r["query_id"], r["neighbor_id"])
              for r in cosine_topk(em, qids, k=3).collect()}
     approx = {(r["query_id"], r["neighbor_id"])
               for r in ivf_topk(em, qids, k=3, n_cells=8,
                                 nprobe=2).collect()}
     recall = len(approx & exact) / len(exact)
-    assert recall >= 0.25, f"IVF recall@3 fell to {recall:.3f}"
+    assert recall >= 0.52, f"IVF recall@3 fell to {recall:.3f}"
 
 
 def test_approx_quantiles_rank_error_sf01(spark):
