@@ -292,6 +292,53 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a partition: per community c,
+    term(c) = e_in(c)/m − (deg(c)/2m)², Q = Σ term — the standard
+    community-quality score evaluated over a canonical undirected edge
+    list (one (src, dst) row per edge, src < dst) and a (node, label)
+    partition (e.g. :func:`label_propagation` output).
+
+    e_in is one join of edges against labels on BOTH endpoints
+    (node-grain build side), deg(c) one degree aggregate joined to
+    labels; per-community terms round at 9 before the sum and Q rides
+    every community row as a 1-row broadcast.  Everything after the
+    inputs is two aggregates on community-grain tables.  Returns
+    (community, e_in, deg_sum, term, modularity)."""
+    require_columns(edges, ["src", "dst"], "modularity")
+    require_columns(labels, ["node", "label"], "modularity")
+    m = edges.agg(F.count(F.lit(1)).alias("__m"))
+    la = labels.select(F.col("node").alias("src"),
+                       F.col("label").alias("__la"))
+    lb = labels.select(F.col("node").alias("dst"),
+                       F.col("label").alias("__lb"))
+    e_in = (edges.join(la, "src").join(lb, "dst")
+                 .filter(F.col("__la") == F.col("__lb"))
+                 .groupBy(F.col("__la").alias("community"))
+                 .agg(F.count(F.lit(1)).alias("e_in")))
+    deg = (edges.select(F.col("src").alias("node"))
+                .union(edges.select(F.col("dst").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("__d")))
+    degc = (deg.join(labels, "node")
+               .groupBy(F.col("label").alias("community"))
+               .agg(F.sum("__d").alias("deg_sum")))
+    terms = (degc.join(e_in, "community", "left")
+                 .select("community", "deg_sum",
+                         F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"))
+                 .crossJoin(F.broadcast(m))
+                 .select("community", "e_in", "deg_sum",
+                         F.round(F.col("e_in").cast("double")
+                                 / F.col("__m").cast("double")
+                                 - (F.col("deg_sum").cast("double")
+                                    / (2.0 * F.col("__m").cast("double")))
+                                 * (F.col("deg_sum").cast("double")
+                                    / (2.0 * F.col("__m").cast("double"))),
+                                 9).alias("term"))
+                 .localCheckpoint(eager=True))
+    q = terms.agg(F.round(F.sum("term"), 6).alias("modularity"))
+    return terms.crossJoin(F.broadcast(q))
+
+
 def bfs_hops(edges: DataFrame, seeds: DataFrame,
              max_hops: int = 3) -> DataFrame:
     """Multi-source BFS hop distance: min number of edges from any seed

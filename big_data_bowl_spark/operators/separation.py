@@ -136,8 +136,8 @@ def grid_nearest(points: DataFrame, radius: float,
     √(area/n), the fine-pass resolution rate stays flat as density
     grows (measured at K=32: 98.9% resolved / 178k pairs at sf0.1 →
     96.0% / 2.0M at 10× — ×11 pairs for ×10 rows).  Unresolved points
-    escalate a GEOMETRIC ladder (w₀, 4w₀, 16w₀, …) and finally the
-    radius-width backstop against the full table; each level resolves
+    escalate a GEOMETRIC ladder (w₀, 8w₀, 64w₀, … below radius/2) and
+    finally the radius-width backstop against the full table; each level resolves
     exactly the points whose best candidate is within that level's
     width — the L∞ block bound below — so every rung is
     exactness-preserving.  Degenerate geometries fall back sanely:
@@ -198,11 +198,14 @@ def grid_nearest(points: DataFrame, radius: float,
             w0 = k * max(ex, ey) / (3.0 * n)
         else:
             return single  # all points coincide: no grid can help
+        # geometric rungs ×8, skipping any within ×2 of the radius —
+        # such a rung resolves little the backstop wouldn't, but costs
+        # a full re-grid + checkpoint of job latency (the small-SF tax)
         widths = []
         w = w0
-        while w < float(radius):
+        while w < float(radius) / 2.0:
             widths.append(w)
-            w *= 4.0
+            w *= 8.0
         if not widths:
             return single  # sparse: occupancy < K even at radius width
     parts = []

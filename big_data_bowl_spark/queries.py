@@ -5783,8 +5783,13 @@ def q_modularity(spark, sf_dir):
     side), deg(c) one degree aggregate joined to labels; per-community
     terms round at 9 before the sum and Q rides every community row as
     a 1-row broadcast.  Everything after the LPA rounds is two
-    aggregates on community-grain tables."""
-    from .operators.graph import bipartite_edges, label_propagation
+    aggregates on community-grain tables (operators.graph.modularity,
+    r10 — factored out so the numpy twin can target it directly)."""
+    from .operators.graph import (
+        bipartite_edges,
+        label_propagation,
+        modularity,
+    )
     e = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     rel = e.select("user_id",
                    (F.col("event_id") / 2).cast("long").alias("item"))
@@ -5793,36 +5798,7 @@ def q_modularity(spark, sf_dir):
            .localCheckpoint(eager=True))  # m, e_in, and degrees
     lab = (label_propagation(und, rounds=3)
            .localCheckpoint(eager=True))  # joined three times
-    m = und.agg(F.count(F.lit(1)).alias("__m"))
-    la = lab.select(F.col("node").alias("src"),
-                    F.col("label").alias("__la"))
-    lb = lab.select(F.col("node").alias("dst"),
-                    F.col("label").alias("__lb"))
-    e_in = (und.join(la, "src").join(lb, "dst")
-               .filter(F.col("__la") == F.col("__lb"))
-               .groupBy(F.col("__la").alias("community"))
-               .agg(F.count(F.lit(1)).alias("e_in")))
-    deg = (und.select(F.col("src").alias("node"))
-              .union(und.select(F.col("dst").alias("node")))
-              .groupBy("node").agg(F.count(F.lit(1)).alias("__d")))
-    degc = (deg.join(lab, "node")
-               .groupBy(F.col("label").alias("community"))
-               .agg(F.sum("__d").alias("deg_sum")))
-    terms = (degc.join(e_in, "community", "left")
-                 .select("community", "deg_sum",
-                         F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"))
-                 .crossJoin(F.broadcast(m))
-                 .select("community", "e_in", "deg_sum",
-                         F.round(F.col("e_in").cast("double")
-                                 / F.col("__m").cast("double")
-                                 - (F.col("deg_sum").cast("double")
-                                    / (2.0 * F.col("__m").cast("double")))
-                                 * (F.col("deg_sum").cast("double")
-                                    / (2.0 * F.col("__m").cast("double"))),
-                                 9).alias("term"))
-                 .localCheckpoint(eager=True))
-    q = terms.agg(F.round(F.sum("term"), 6).alias("modularity"))
-    return terms.crossJoin(F.broadcast(q))
+    return modularity(und, lab)
 
 
 def q_lsh_precision(spark, sf_dir):

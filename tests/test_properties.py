@@ -1186,3 +1186,147 @@ def test_pca_power_equals_numpy_eigh_twin(spark):
     for i in range(len(X)):
         assert abs(got[i][0] - want[i, 0]) < 1e-6, (i, got[i], want[i])
         assert abs(got[i][1] - want[i, 1]) < 1e-6, (i, got[i], want[i])
+
+
+def test_label_propagation_equals_python_twin(spark):
+    """Engine synchronous LPA ≡ an independent pure-Python twin (every
+    node starts as its own label; each round adopts the most frequent
+    neighbor label, ties to the smallest label, all nodes updated
+    simultaneously) on a seeded random graph — the engine's SQL oracle
+    unrolls the engine's own formulation, so only a third
+    implementation catches a shared conceptual bug (r10, extending the
+    r9 pagerank/hits/lloyd/ppr/pca twin pattern)."""
+    import random
+    from collections import defaultdict
+
+    from big_data_bowl_spark.operators.graph import label_propagation
+
+    rng = random.Random(41)
+    n = 50
+    edges = sorted({(rng.randrange(n), rng.randrange(n))
+                    for _ in range(200)})
+    edges = [(s, d) for s, d in edges if s != d]
+
+    adj = defaultdict(set)
+    for s, d in edges:
+        a, b = min(s, d), max(s, d)
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    lab = {v: v for v in nodes}
+    for _ in range(3):
+        new = {}
+        for v in nodes:
+            counts = defaultdict(int)
+            for nb in adj[v]:
+                counts[lab[nb]] += 1
+            mx = max(counts.values())
+            new[v] = min(c for c, k in counts.items() if k == mx)
+        lab = new
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"]
+           for r in label_propagation(df, rounds=3).collect()}
+    assert got == lab
+
+
+def test_kcore_fixed_unroll_reaches_textbook_fixpoint(spark):
+    """Engine k-core (fixed-round peel) ≡ the textbook
+    peel-until-fixpoint k-core when the round budget covers the peel
+    depth: the twin loops until NOTHING changes (no round budget at
+    all), so agreement proves both the per-round peel rule and the
+    idempotence argument the fixed unroll rests on.  The graph is
+    sized so the peel takes several rounds (chains hanging off a dense
+    core strip one link per round)."""
+    import random
+    from collections import defaultdict
+
+    from big_data_bowl_spark.operators.graph import kcore
+
+    rng = random.Random(59)
+    n = 30
+    edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(120)}
+    # hang 3-node chains off the graph: each peel round removes one
+    # link, forcing multi-round convergence
+    nxt = n
+    for anchor in range(0, n, 7):
+        edges |= {(anchor, nxt), (nxt, nxt + 1), (nxt + 1, nxt + 2)}
+        nxt += 3
+    edges = sorted(edges)
+    edges = [(s, d) for s, d in edges if s != d]
+
+    cur = {(min(s, d), max(s, d)) for s, d in edges}
+    while True:
+        deg = defaultdict(int)
+        for a, b in cur:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= 3}
+        nxt_edges = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt_edges == cur:
+            break
+        cur = nxt_edges
+    want = defaultdict(int)
+    for a, b in cur:
+        want[a] += 1
+        want[b] += 1
+    want = dict(want)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["deg"]
+           for r in kcore(df, k=3, rounds=10).collect()}
+    assert got == want
+    assert len(want) > 0  # the dense core survived — test has teeth
+
+
+def test_modularity_equals_python_twin(spark):
+    """Engine Newman modularity ≡ an independent pure-Python
+    Q = Σ_c [e_in(c)/m − (deg(c)/2m)²] over a seeded random bipartite
+    projection, with the partition coming from the ENGINE's LPA (so the
+    formula is what's under test, fed identical inputs).  Terms round
+    at 9, Q at 6 — both sides quantize identically, so equality is
+    exact."""
+    import random
+    from collections import defaultdict
+
+    from big_data_bowl_spark.operators.graph import (
+        label_propagation,
+        modularity,
+    )
+
+    rng = random.Random(73)
+    rel = sorted({(rng.randrange(30), rng.randrange(12))
+                  for _ in range(90)})
+    by_item = defaultdict(set)
+    for e, i in rel:
+        by_item[i].add(e)
+    und = sorted({(a, b) for es in by_item.values()
+                  for a in es for b in es if a < b})
+
+    edf = spark.createDataFrame(und, "src long, dst long")
+    lab_df = label_propagation(edf, rounds=3)
+    lab = {r["node"]: r["label"] for r in lab_df.collect()}
+
+    m = len(und)
+    deg = defaultdict(int)
+    e_in = defaultdict(int)
+    degc = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+        if lab[a] == lab[b]:
+            e_in[lab[a]] += 1
+    for v, d in deg.items():
+        degc[lab[v]] += d
+    terms = {c: round(e_in.get(c, 0) / m - (degc[c] / (2 * m)) ** 2, 9)
+             for c in degc}
+    q = round(sum(terms.values()), 6)
+
+    got = modularity(edf, lab_df).collect()
+    assert len(got) == len(terms)
+    for r in got:
+        c = r["community"]
+        assert r["e_in"] == e_in.get(c, 0), (c, r["e_in"])
+        assert r["deg_sum"] == degc[c], (c, r["deg_sum"])
+        assert r["term"] == terms[c], (c, r["term"], terms[c])
+        assert r["modularity"] == q, (r["modularity"], q)
