@@ -240,6 +240,8 @@ HEADLINE = [
     # hard-negative mining: the refined grid with a label-mismatch
     # candidate predicate — times the predicate-carrying two-level path
     "q_hard_negatives",
+    # radius-bounded kNN on the adaptive ladder (full-k rung resolution)
+    "q_grid_knn",
     # the r8 flagship composite: four sequential curation gates + the
     # per-source survival report in one plan (dedup window + bigram
     # two-level agg + final aggregate)

@@ -60,7 +60,7 @@ def separation_at_max_frame(tracking: DataFrame, group: list[str],
 def _grid_best(p: DataFrame, width: float,
                max_d2: float | None = None,
                carry: tuple[str, ...] = (),
-               predicate=None) -> DataFrame:
+               predicate=None, k: int = 1) -> DataFrame:
     """Best (min-d², min-id tie-break) candidate per point among the 3×3
     ``width``-cell neighborhood — the shared kernel of both refinement
     levels.  Probes replicate 9×, join the cell key exactly (plain
@@ -102,8 +102,54 @@ def _grid_best(p: DataFrame, width: float,
     from pyspark.sql import Window
     w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc("__nid"))
     return (pairs.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") == 1)
-                 .select("__qid", "__nid", "__d2"))
+                 .filter(F.col("__rn") <= k)
+                 .select("__qid", "__nid", "__d2", "__rn"))
+
+
+def _ladder_widths(p: DataFrame, radius: float, refine: int,
+                   target_occupancy: float | None) -> list[float] | None:
+    """Derive the refinement-ladder rung widths for a point frame
+    (``__x``/``__y`` columns).  ``None`` means run single-level at the
+    radius width (sparse / degenerate / refine<=1).
+
+    Adaptive mode (``target_occupancy`` = K): one driver-scale stats
+    job (count + bbox, 5 scalars) sizes the finest width so the
+    EXPECTED candidates per probe is K — w₀ = √(K·area/(9n)) in 2-D,
+    K·extent/(3n) when one extent collapses below a cell (1-D data) —
+    then geometric rungs ×8, skipping any within ×2 of the radius
+    (such a rung resolves little the backstop wouldn't, but costs a
+    full re-grid + checkpoint of job latency — the small-SF tax).
+    Legacy mode (``target_occupancy=None``): the fixed r8 two-level
+    ladder at radius/refine, no stats job."""
+    if refine <= 1:
+        return None
+    if target_occupancy is None:
+        return [float(radius) / refine]
+    st = p.agg(F.count(F.lit(1)).alias("n"),
+               F.min("__x").alias("x0"), F.max("__x").alias("x1"),
+               F.min("__y").alias("y0"), F.max("__y").alias("y1")
+               ).first()
+    n = st["n"] or 0
+    if n <= 1:
+        return None
+    ex = max(float(st["x1"]) - float(st["x0"]), 0.0)
+    ey = max(float(st["y1"]) - float(st["y0"]), 0.0)
+    k = float(target_occupancy)
+    if ex > 0.0 and ey > 0.0:
+        w0 = math.sqrt(k * ex * ey / (9.0 * n))
+        if min(ex, ey) < w0:
+            # thin extent < one 2-D cell: effectively 1-D occupancy
+            w0 = k * max(ex, ey) / (3.0 * n)
+    elif max(ex, ey) > 0.0:
+        w0 = k * max(ex, ey) / (3.0 * n)
+    else:
+        return None  # all points coincide: no grid can help
+    widths = []
+    w = w0
+    while w < float(radius) / 2.0:
+        widths.append(w)
+        w *= 8.0
+    return widths or None  # sparse: occupancy < K even at radius width
 
 
 def grid_nearest(points: DataFrame, radius: float,
@@ -172,42 +218,9 @@ def grid_nearest(points: DataFrame, radius: float,
 
     single = fmt(_grid_best(p, float(radius), max_d2=r2,
                             carry=carry, predicate=predicate))
-    if refine <= 1:
+    widths = _ladder_widths(p, radius, refine, target_occupancy)
+    if widths is None:
         return single
-    if target_occupancy is None:
-        widths = [float(radius) / refine]
-    else:
-        # one driver-scale stats job (5 scalars): size the finest width
-        # from the observed density so occupancy stays O(1) at any SF
-        st = p.agg(F.count(F.lit(1)).alias("n"),
-                   F.min("__x").alias("x0"), F.max("__x").alias("x1"),
-                   F.min("__y").alias("y0"), F.max("__y").alias("y1")
-                   ).first()
-        n = st["n"] or 0
-        if n <= 1:
-            return single
-        ex = max(float(st["x1"]) - float(st["x0"]), 0.0)
-        ey = max(float(st["y1"]) - float(st["y0"]), 0.0)
-        k = float(target_occupancy)
-        if ex > 0.0 and ey > 0.0:
-            w0 = math.sqrt(k * ex * ey / (9.0 * n))
-            if min(ex, ey) < w0:
-                # thin extent < one 2-D cell: effectively 1-D occupancy
-                w0 = k * max(ex, ey) / (3.0 * n)
-        elif max(ex, ey) > 0.0:
-            w0 = k * max(ex, ey) / (3.0 * n)
-        else:
-            return single  # all points coincide: no grid can help
-        # geometric rungs ×8, skipping any within ×2 of the radius —
-        # such a rung resolves little the backstop wouldn't, but costs
-        # a full re-grid + checkpoint of job latency (the small-SF tax)
-        widths = []
-        w = w0
-        while w < float(radius) / 2.0:
-            widths.append(w)
-            w *= 8.0
-        if not widths:
-            return single  # sparse: occupancy < K even at radius width
     parts = []
     residue = p
     first = True
@@ -231,10 +244,88 @@ def grid_nearest(points: DataFrame, radius: float,
     return out.unionByName(fmt(coarse))
 
 
+def grid_knn(points: DataFrame, radius: float, k: int = 3,
+             id_col: str = "id", x_col: str = "x", y_col: str = "y",
+             refine: int = 8, carry: tuple[str, ...] = (),
+             predicate=None,
+             target_occupancy: float | None = 32.0) -> DataFrame:
+    """Radius-bounded k-nearest-neighbors, grid-bucketed — the
+    multi-neighbor form of :func:`grid_nearest` (kNN-graph
+    construction, multi-negative contrastive mining, density
+    estimation).  EXACT for the radius-bounded semantics: per point,
+    UP TO ``k`` rows (fewer when fewer true neighbors exist within
+    ``radius``), ranked by distance with neighbor-id tie-break.
+
+    Same density-adaptive ladder as grid_nearest, with the k-resolution
+    rule: every rung filters candidates to d ≤ w BEFORE the per-query
+    top-k window, so a query that retains a FULL k rows is resolved
+    exactly — its k candidates all sit at d ≤ w, any point outside the
+    3×3 block is at L∞ > w (strictly: ≥2-cell offsets exceed one cell
+    width), hence farther than all k, and in-block candidates past w
+    are farther than every kept row; ties at the k-boundary are
+    in-block by the same bound, so the (d², id) window order matches
+    the global brute-force order row-for-row.  Queries with fewer than
+    k in-rung matches escalate (they may still have k true neighbors
+    at larger d, or genuinely fewer than k within the radius — only
+    the radius-width backstop can tell).  Per-rung cost is the same
+    O(n·K) candidate volume; only the window keeps k rows instead
+    of 1.  Returns (``id_col``, neighbor_id, rank 1..k, dist)."""
+    require = [id_col, x_col, y_col, *carry]
+    from ..schemas import require_columns
+    require_columns(points, require, "grid_knn")
+    p = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        *carry)
+    r2 = float(radius) * float(radius)
+
+    def fmt(best):
+        # rank cast long: DuckDB row_number is BIGINT (oracle parity)
+        return best.select(F.col("__qid").alias(id_col),
+                           F.col("__nid").alias("neighbor_id"),
+                           F.col("__rn").cast("long").alias("rank"),
+                           F.round(F.sqrt("__d2"), 6).alias("dist"))
+
+    widths = _ladder_widths(p, radius, refine, target_occupancy)
+    if widths is None:
+        return fmt(_grid_best(p, float(radius), max_d2=r2,
+                              carry=carry, predicate=predicate, k=k))
+    from pyspark.sql import Window
+    parts = []
+    residue = p
+    first = True
+    for wk in widths:
+        best = (_grid_best(residue, wk, max_d2=wk * wk, carry=carry,
+                           predicate=predicate, k=k)
+                if first else
+                _grid_best_against(residue, p, wk, max_d2=wk * wk,
+                                   carry=carry, predicate=predicate,
+                                   k=k))
+        best = best.localCheckpoint(eager=True)
+        # resolved ⟺ the rung kept a FULL k rows (all at d ≤ w by the
+        # pre-window filter) — the window count is rung-local, no join
+        full = (best.withColumn(
+                    "__ct", F.count(F.lit(1)).over(
+                        Window.partitionBy("__qid")))
+                    .filter(F.col("__ct") == k).drop("__ct"))
+        parts.append(full)
+        residue = residue.join(
+            full.select(F.col("__qid").alias("__id")).distinct(),
+            "__id", "left_anti")
+        first = False
+    coarse = _grid_best_against(residue, p, float(radius), max_d2=r2,
+                                carry=carry, predicate=predicate, k=k)
+    out = fmt(parts[0])
+    for part in parts[1:]:
+        out = out.unionByName(fmt(part))
+    return out.unionByName(fmt(coarse))
+
+
 def _grid_best_against(queries: DataFrame, corpus: DataFrame,
                        width: float, max_d2: float,
                        carry: tuple[str, ...] = (),
-                       predicate=None) -> DataFrame:
+                       predicate=None, k: int = 1) -> DataFrame:
     """Coarse escalation level: best corpus candidate per QUERY point
     (queries ⊆ corpus, both carrying __id/__x/__y/*carry) among the 3×3
     ``width``-cell neighborhood — same kernel as :func:`_grid_best` but
@@ -270,5 +361,5 @@ def _grid_best_against(queries: DataFrame, corpus: DataFrame,
     from pyspark.sql import Window
     w = Window.partitionBy("__qid").orderBy(F.asc("__d2"), F.asc("__nid"))
     return (pairs.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") == 1)
-                 .select("__qid", "__nid", "__d2"))
+                 .filter(F.col("__rn") <= k)
+                 .select("__qid", "__nid", "__d2", "__rn"))

@@ -3761,6 +3761,27 @@ SELECT vec_id, neighbor_id, round(sqrt(d2), 6) AS dist
 FROM f WHERE rn = 1
 """
 
+# --- q_grid_knn: brute-force radius-bounded k-nearest-neighbors -------------
+# Same coordinate/arithmetic discipline as q_grid_nearest; rank is the
+# per-query row_number over (d2, neighbor_id), BIGINT in both engines.
+ORACLES["q_grid_knn"] = """
+WITH p AS (
+    SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+f AS (
+    SELECT vec_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.3::DOUBLE * 0.3::DOUBLE)
+SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       round(sqrt(d2), 6) AS dist
+FROM f WHERE rn <= 3
+"""
+
 # --- q_hll_neutral: explicit-register HyperLogLog, reproduced in SQL --------
 # Same multiplicative hash as the sampling family (int64-exact); register
 # index = h mod 256, rho = 1 + trailing zeros of the 24-bit word (w & -w is

@@ -4028,6 +4028,24 @@ def q_grid_nearest(spark, sf_dir):
     return grid_nearest(pts, radius=0.15, id_col="vec_id")
 
 
+def q_grid_knn(spark, sf_dir):
+    """Radius-bounded k-nearest-neighbors (k=3) over the embeddings'
+    first two dims, grid-bucketed with the density-adaptive ladder —
+    the kNN-graph construction primitive (mutual-kNN clustering,
+    multi-negative contrastive mining, local density estimation).
+    EXACT: per point up to 3 rows ranked by distance with neighbor-id
+    tie-break; the oracle brute-forces all pairs.  A rung resolves a
+    query only when it retains a FULL k rows at d ≤ w (the L∞ block
+    bound then covers all k), so partially-matched queries escalate to
+    the radius backstop."""
+    from .operators.separation import grid_knn
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    return grid_knn(pts, radius=0.3, k=3, id_col="vec_id")
+
+
 def q_simhash_neutral(spark, sf_dir):
     """Engine-neutral SimHash: 60-bit fingerprint from two polynomial
     character hashes with bit voting — integer arithmetic end-to-end, so
@@ -6502,6 +6520,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_cdc_chunks": q_cdc_chunks,
     "q_simhash_neutral": q_simhash_neutral,
     "q_grid_nearest": q_grid_nearest,
+    "q_grid_knn": q_grid_knn,
     "q_near_dup_diff": q_near_dup_diff,
     "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,

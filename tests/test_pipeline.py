@@ -2359,6 +2359,53 @@ def test_grid_nearest_adaptive_ladder_on_stacked_duplicates(spark):
     assert len(fast) >= 240  # every stacked point found its dup at d=0
 
 
+def test_grid_knn_ladder_equals_single_level_and_python_twin(spark):
+    """grid_knn (k=3) must be EXACT at every ladder depth: adaptive and
+    deep-ladder results equal the single-level result row-for-row, and
+    all equal an independent Python brute force — including partial
+    rows (points with fewer than k true neighbors within the radius,
+    which must escalate to the backstop and emit what exists) and
+    rank/tie-break order."""
+    import numpy as np
+
+    from big_data_bowl_spark.operators.separation import grid_knn
+
+    rng = np.random.default_rng(31)
+    pts = np.concatenate([
+        rng.normal(0.0, 0.04, (50, 2)),        # dense clump
+        rng.normal(1.0, 0.04, (50, 2)),        # second clump
+        np.array([[3.0, 3.0], [3.05, 3.0]]),   # isolated pair: 1 nb each
+        np.array([[5.0, 5.0]]),                # loner: zero rows
+    ])
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    def brute(radius, k):
+        out = []
+        for i, (xi, yi) in enumerate(pts):
+            cands = sorted(
+                (round(float((xi - xj) ** 2 + (yi - yj) ** 2), 12), j)
+                for j, (xj, yj) in enumerate(pts) if j != i)
+            kept = [(d2, j) for d2, j in cands
+                    if d2 <= radius * radius][:k]
+            out += [(i, j, r + 1, round(float(np.sqrt(d2)), 6))
+                    for r, (d2, j) in enumerate(kept)]
+        return sorted(out)
+
+    want = brute(0.2, 3)
+    single = sorted(map(tuple, grid_knn(df, 0.2, k=3,
+                                        refine=1).collect()))
+    fast = sorted(map(tuple, grid_knn(df, 0.2, k=3).collect()))
+    deep = sorted(map(tuple, grid_knn(df, 0.2, k=3,
+                                      target_occupancy=2.0).collect()))
+    assert single == want
+    assert fast == want
+    assert deep == want
+    got_ids = {t[0] for t in fast}
+    assert 102 not in got_ids          # the loner emits nothing
+    assert sum(1 for t in fast if t[0] == 100) == 1  # partial: 1 of k=3
+
+
 def test_greedy_set_cover_hand_computed(spark):
     """Greedy max-coverage on hand-computable docs: the biggest gram set
     wins round 1, the best MARGINAL (not absolute) gain wins round 2,
