@@ -3782,6 +3782,50 @@ SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
 FROM f WHERE rn <= 3
 """
 
+# --- q_hard_negatives_k: brute-force k nearest different-label points -------
+ORACLES["q_hard_negatives_k"] = """
+WITH p AS (
+    SELECT vec_id, label,
+           embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b
+      ON a.vec_id <> b.vec_id AND a.label <> b.label),
+f AS (
+    SELECT vec_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.5::DOUBLE * 0.5::DOUBLE)
+SELECT vec_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+       round(sqrt(d2), 6) AS dist
+FROM f WHERE rn <= 3
+"""
+
+# --- q_mutual_knn: reciprocity self-join over the brute-force kNN table -----
+ORACLES["q_mutual_knn"] = """
+WITH p AS (
+    SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+f AS (
+    SELECT vec_id, neighbor_id, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.3::DOUBLE * 0.3::DOUBLE),
+nn AS (
+    SELECT vec_id, neighbor_id, round(sqrt(d2), 6) AS dist
+    FROM f WHERE rn <= 3)
+SELECT a.vec_id AS id_a, a.neighbor_id AS id_b, a.dist
+FROM nn a JOIN nn b
+  ON a.neighbor_id = b.vec_id AND b.neighbor_id = a.vec_id
+WHERE a.vec_id < a.neighbor_id
+"""
+
 # --- q_hll_neutral: explicit-register HyperLogLog, reproduced in SQL --------
 # Same multiplicative hash as the sampling family (int64-exact); register
 # index = h mod 256, rho = 1 + trailing zeros of the 24-bit word (w & -w is

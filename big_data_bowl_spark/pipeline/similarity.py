@@ -1100,3 +1100,52 @@ def hard_negatives(df: DataFrame, radius: float = 0.5,
         refine=refine, carry=(label_col,),
         predicate=lambda: F.col(f"__q_{label_col}")
                           != F.col(f"__n_{label_col}"))
+
+
+def hard_negatives_k(df: DataFrame, radius: float = 0.5, k: int = 3,
+                     id_col: str = "vec_id", label_col: str = "label",
+                     x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Multi-negative mining: per point, the ``k`` NEAREST
+    different-label points within ``radius``, ranked — what an InfoNCE /
+    multiple-negatives contrastive batch actually consumes (k hard
+    negatives per anchor, hardest first), vs :func:`hard_negatives`'
+    single triplet negative.  Same composition over
+    :func:`operators.separation.grid_knn`; the full-k rung-resolution
+    rule is exact under the label predicate because the candidate
+    subset is identical at every rung.  Returns (id, neighbor_id,
+    rank 1..≤k, dist)."""
+    from ..operators.separation import grid_knn
+    require_columns(df, [id_col, label_col, x_col, y_col],
+                    "hard_negatives_k")
+    return grid_knn(
+        df, radius, k=k, id_col=id_col, x_col=x_col, y_col=y_col,
+        carry=(label_col,),
+        predicate=lambda: F.col(f"__q_{label_col}")
+                          != F.col(f"__n_{label_col}"))
+
+
+def mutual_knn_edges(df: DataFrame, radius: float, k: int = 3,
+                     id_col: str = "vec_id", x_col: str = "x",
+                     y_col: str = "y") -> DataFrame:
+    """Mutual-kNN graph: edge (a, b) iff b is among a's k nearest
+    (within ``radius``) AND a is among b's — the symmetrized kNN graph
+    density-based clustering and manifold methods build on (mutual
+    edges are the high-precision subset; one-way edges are hub noise).
+    Composition: the :func:`operators.separation.grid_knn` table pinned
+    once, then ONE self-join on the reciprocity condition with
+    id_a < id_b canonicalization — the kNN table is (point × ≤k)-grain,
+    so the mutuality join shuffles n·k rows, never candidate pairs.
+    Returns (id_a, id_b, dist)."""
+    from ..operators.separation import grid_knn
+    require_columns(df, [id_col, x_col, y_col], "mutual_knn_edges")
+    nn = (grid_knn(df, radius, k=k, id_col=id_col,
+                   x_col=x_col, y_col=y_col)
+          .localCheckpoint(eager=True))  # both self-join sides
+    a = nn.select(F.col(id_col).alias("id_a"),
+                  F.col("neighbor_id").alias("nb_a"), "dist")
+    b = nn.select(F.col(id_col).alias("id_b"),
+                  F.col("neighbor_id").alias("nb_b"))
+    return (a.join(b, (F.col("nb_a") == F.col("id_b"))
+                      & (F.col("nb_b") == F.col("id_a")))
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "dist"))

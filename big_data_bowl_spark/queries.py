@@ -4046,6 +4046,37 @@ def q_grid_knn(spark, sf_dir):
     return grid_knn(pts, radius=0.3, k=3, id_col="vec_id")
 
 
+def q_hard_negatives_k(spark, sf_dir):
+    """Multi-negative mining, HASH-VERIFIED: per point the 3 nearest
+    DIFFERENT-label points within radius 0.5, ranked hardest-first —
+    the InfoNCE / multiple-negatives batch shape (vs q_hard_negatives'
+    single triplet negative).  grid_knn's full-k rung resolution stays
+    exact under the label predicate (identical candidate subset at
+    every rung); the oracle brute-forces all label-mismatched pairs."""
+    from .pipeline.similarity import hard_negatives_k
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id", "label",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    return hard_negatives_k(pts, radius=0.5, k=3)
+
+
+def q_mutual_knn(spark, sf_dir):
+    """Mutual-kNN graph over the embeddings' first two dims,
+    HASH-VERIFIED: edge (a, b) iff each is among the other's 3 nearest
+    within radius 0.3 — the symmetrized kNN graph density clustering
+    builds on (mutual edges are the high-precision subset; one-way
+    kNN edges are hub noise).  The kNN table pins once at
+    (point × ≤k) grain, then one reciprocity self-join — n·k rows
+    through the mutuality shuffle, never candidate pairs."""
+    from .pipeline.similarity import mutual_knn_edges
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    return mutual_knn_edges(pts, radius=0.3, k=3)
+
+
 def q_simhash_neutral(spark, sf_dir):
     """Engine-neutral SimHash: 60-bit fingerprint from two polynomial
     character hashes with bit voting — integer arithmetic end-to-end, so
@@ -6521,6 +6552,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_simhash_neutral": q_simhash_neutral,
     "q_grid_nearest": q_grid_nearest,
     "q_grid_knn": q_grid_knn,
+    "q_hard_negatives_k": q_hard_negatives_k,
+    "q_mutual_knn": q_mutual_knn,
     "q_near_dup_diff": q_near_dup_diff,
     "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,
