@@ -3826,6 +3826,32 @@ FROM nn a JOIN nn b
 WHERE a.vec_id < a.neighbor_id
 """
 
+# --- q_triplet_mining: nearest same-label + nearest diff-label per anchor ---
+ORACLES["q_triplet_mining"] = """
+WITH p AS (
+    SELECT vec_id, label,
+           embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y
+    FROM embeddings),
+d AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+           a.label = b.label AS same,
+           (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+    FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+f AS (
+    SELECT vec_id, neighbor_id, same, d2,
+           row_number() OVER (PARTITION BY vec_id, same
+                              ORDER BY d2, neighbor_id) AS rn
+    FROM d WHERE d2 <= 0.5::DOUBLE * 0.5::DOUBLE),
+pos AS (
+    SELECT vec_id, neighbor_id AS pos_id, round(sqrt(d2), 6) AS pos_dist
+    FROM f WHERE same AND rn = 1),
+neg AS (
+    SELECT vec_id, neighbor_id AS neg_id, round(sqrt(d2), 6) AS neg_dist
+    FROM f WHERE NOT same AND rn = 1)
+SELECT pos.vec_id AS vec_id, pos_id, pos_dist, neg_id, neg_dist
+FROM pos JOIN neg ON pos.vec_id = neg.vec_id
+"""
+
 # --- q_hll_neutral: explicit-register HyperLogLog, reproduced in SQL --------
 # Same multiplicative hash as the sampling family (int64-exact); register
 # index = h mod 256, rho = 1 + trailing zeros of the 24-bit word (w & -w is

@@ -1124,6 +1124,43 @@ def hard_negatives_k(df: DataFrame, radius: float = 0.5, k: int = 3,
                           != F.col(f"__n_{label_col}"))
 
 
+def triplet_mining(df: DataFrame, radius: float = 0.5,
+                   id_col: str = "vec_id", label_col: str = "label",
+                   x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """Triplet mining for metric learning: per anchor, the nearest
+    SAME-label point (the hardest positive is actually the FARTHEST,
+    but the nearest is the standard easy-positive baseline and the one
+    with radius-bounded semantics) and the nearest DIFFERENT-label
+    point (the hard negative), both within ``radius`` — anchors missing
+    either side drop (an inner join on the anchor id), which is the
+    batch-construction contract: a triplet needs all three legs.
+
+    Two :func:`operators.separation.grid_nearest` passes over the same
+    points — one with a label-match predicate, one with the mismatch —
+    joined on the anchor: each side is point-grain, so the final join
+    shuffles n rows.  Returns (id, pos_id, pos_dist, neg_id,
+    neg_dist)."""
+    from ..operators.separation import grid_nearest
+    require_columns(df, [id_col, label_col, x_col, y_col],
+                    "triplet_mining")
+    pos = grid_nearest(
+        df, radius, id_col=id_col, x_col=x_col, y_col=y_col,
+        carry=(label_col,),
+        predicate=lambda: F.col(f"__q_{label_col}")
+                          == F.col(f"__n_{label_col}"))
+    neg = grid_nearest(
+        df, radius, id_col=id_col, x_col=x_col, y_col=y_col,
+        carry=(label_col,),
+        predicate=lambda: F.col(f"__q_{label_col}")
+                          != F.col(f"__n_{label_col}"))
+    return (pos.select(id_col, F.col("neighbor_id").alias("pos_id"),
+                       F.col("dist").alias("pos_dist"))
+               .join(neg.select(id_col,
+                                F.col("neighbor_id").alias("neg_id"),
+                                F.col("dist").alias("neg_dist")),
+                     id_col))
+
+
 def mutual_knn_edges(df: DataFrame, radius: float, k: int = 3,
                      id_col: str = "vec_id", x_col: str = "x",
                      y_col: str = "y") -> DataFrame:

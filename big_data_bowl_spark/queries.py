@@ -4077,6 +4077,21 @@ def q_mutual_knn(spark, sf_dir):
     return mutual_knn_edges(pts, radius=0.3, k=3)
 
 
+def q_triplet_mining(spark, sf_dir):
+    """Triplet mining, HASH-VERIFIED: per anchor the nearest SAME-label
+    point (positive) and nearest DIFFERENT-label point (hard negative)
+    within radius 0.5, inner-joined on the anchor (a triplet needs all
+    three legs) — the metric-learning batch primitive, two adaptive-grid
+    passes + one point-grain join.  Oracle: two brute-force ranked CTEs
+    joined the same way."""
+    from .pipeline.similarity import triplet_mining
+    em = _t(spark, sf_dir, "embeddings")
+    pts = em.select("vec_id", "label",
+                    F.element_at("embedding", 1).alias("x"),
+                    F.element_at("embedding", 2).alias("y"))
+    return triplet_mining(pts, radius=0.5)
+
+
 def q_simhash_neutral(spark, sf_dir):
     """Engine-neutral SimHash: 60-bit fingerprint from two polynomial
     character hashes with bit voting — integer arithmetic end-to-end, so
@@ -6554,6 +6569,7 @@ QUERIES: dict[str, QueryFn] = {
     "q_grid_knn": q_grid_knn,
     "q_hard_negatives_k": q_hard_negatives_k,
     "q_mutual_knn": q_mutual_knn,
+    "q_triplet_mining": q_triplet_mining,
     "q_near_dup_diff": q_near_dup_diff,
     "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,
