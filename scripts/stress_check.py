@@ -47,6 +47,7 @@ MARGIN = 1.5
 # gram shuffle (linear; budget pins it stays that way)
 WATCHED = [
     "q_grid_nearest",
+    "q_grid_knn",
     "q_mutual_nn",
     "q_semdedup",
     "q_hard_negatives",
