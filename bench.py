@@ -242,6 +242,11 @@ HEADLINE = [
     "q_hard_negatives",
     # radius-bounded kNN on the adaptive ladder (full-k rung resolution)
     "q_grid_knn",
+    # the r10 kNN-graph family: k hard negatives, reciprocity self-join,
+    # and the two-pass triplet builder
+    "q_hard_negatives_k",
+    "q_mutual_knn",
+    "q_triplet_mining",
     # the r8 flagship composite: four sequential curation gates + the
     # per-source survival report in one plan (dedup window + bigram
     # two-level agg + final aggregate)

@@ -1090,7 +1090,7 @@ def hard_negatives(df: DataFrame, radius: float = 0.5,
     holds unchanged (r10: the fixed-width two-level form measured
     51.6× at the 10× stress SF — the density-blind fine width, not the
     predicate, was the quadratic term; the adaptive ladder measures
-    1.84×, see SCALE.md).
+    ~3×, see SCALE.md r10).
     Returns (id, neighbor_id = the hard negative, dist)."""
     from ..operators.separation import grid_nearest
     require_columns(df, [id_col, label_col, x_col, y_col],

@@ -2921,7 +2921,7 @@ def q_hard_negatives(spark, sf_dir):
     HASH-VERIFIED against the brute-force all-pairs oracle.  Reuses the
     density-adaptive refined grid (exact under the label-mismatch
     predicate: the candidate subset is identical at every rung, so the
-    L∞ resolution bound holds unchanged; 51.6× → 1.84× at the 10×
+    L∞ resolution bound holds unchanged; 51.6× → ~3× at the 10×
     stress SF, SCALE.md r10)."""
     from .pipeline.similarity import hard_negatives
     em = _t(spark, sf_dir, "embeddings")
