@@ -247,6 +247,12 @@ HEADLINE = [
     "q_hard_negatives_k",
     "q_mutual_knn",
     "q_triplet_mining",
+    # the r10 curation trio: hashed linear filter (map-only), per-lang
+    # perplexity tertiles over the bigram LM, and uniform-target
+    # domain mixture reweighting
+    "q_quality_classifier",
+    "q_perplexity_buckets",
+    "q_mixture_weights",
     # the r8 flagship composite: four sequential curation gates + the
     # per-source survival report in one plan (dedup window + bigram
     # two-level agg + final aggregate)

@@ -3852,6 +3852,94 @@ SELECT pos.vec_id AS vec_id, pos_id, pos_dist, neg_id, neg_dist
 FROM pos JOIN neg ON pos.vec_id = neg.vec_id
 """
 
+# --- q_quality_classifier: hashed linear filter, reproduced in SQL ----------
+# Same polynomial char hash family as the fingerprint/minhash oracles;
+# the bucket->weight map, integer sum, and single long/double division
+# are spelled out so both engines compute the identical score.
+ORACLES["q_quality_classifier"] = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents),
+w AS (
+    SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(tk, t ->
+               (list_reduce(list_prepend(7::BIGINT,
+                  list_transform(range(1, length(t) + 1),
+                                 c -> ascii(substr(t, c, 1))::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) % 1024)
+               * 2654435761 % 4096 - 2048)),
+             (acc, x) -> acc + x) AS sw
+    FROM toks WHERE len(tk) > 0)
+SELECT doc_id, n_tokens,
+       round(sw / (2048::DOUBLE * n_tokens), 6) AS score,
+       CASE WHEN sw > 0 THEN 1 ELSE 0 END AS keep
+FROM w
+"""
+
+# --- q_perplexity_buckets: bigram LM scores + per-lang ntile tertiles -------
+ORACLES["q_perplexity_buckets"] = """
+WITH tok AS MATERIALIZED (
+    SELECT doc_id, t.pos, t.term FROM documents,
+      LATERAL (SELECT unnest(list_filter(string_split(text, ' '),
+                                         x -> x <> '')) AS term,
+                      generate_subscripts(list_filter(
+                          string_split(text, ' '), x -> x <> ''), 1)
+                        AS pos) t),
+pairs AS MATERIALIZED (
+    SELECT doc_id, prev, term FROM (
+        SELECT doc_id, term,
+               lag(term) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM tok)
+    WHERE prev IS NOT NULL),
+uni AS (SELECT term, count(*) AS ucnt FROM tok GROUP BY 1),
+total AS (SELECT CAST(sum(ucnt) AS BIGINT) AS total FROM uni),
+big AS MATERIALIZED (
+    SELECT prev, term, count(*) AS bcnt FROM pairs GROUP BY 1, 2),
+ptot AS (
+    SELECT prev, CAST(sum(bcnt) AS BIGINT) AS ptot FROM big GROUP BY 1),
+lp AS (
+    SELECT b.prev, b.term,
+           CAST(round(ln(0.75::DOUBLE * (CAST(bcnt AS DOUBLE)
+                                         / CAST(ptot AS DOUBLE))
+                         + 0.25::DOUBLE * (CAST(ucnt AS DOUBLE)
+                                           / CAST(total AS DOUBLE)))
+                      * 1000000) AS BIGINT) AS lp_u
+    FROM big b JOIN ptot USING (prev) JOIN uni USING (term)
+    CROSS JOIN total),
+scores AS (
+    SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(lp_u) AS BIGINT) / count(*) / 1000000.0, 6)
+             AS avg_logp
+    FROM pairs p JOIN lp ON p.prev = lp.prev AND p.term = lp.term
+    GROUP BY 1)
+SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logp,
+       CAST(ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY s.avg_logp DESC, s.doc_id)
+            AS BIGINT) AS bucket
+FROM scores s JOIN documents d USING (doc_id)
+"""
+
+# --- q_mixture_weights: uniform-target domain reweighting --------------------
+ORACLES["q_mixture_weights"] = """
+WITH per AS (
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(list_filter(string_split(text, ' '),
+                                    t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents GROUP BY 1),
+tot AS (
+    SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+           CAST(count(*) AS BIGINT) AS ng
+    FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(tot AS DOUBLE) / CAST(ng * n_tokens AS DOUBLE), 6)
+         AS weight,
+       round(least(1.0::DOUBLE,
+                   CAST(tot AS DOUBLE) / CAST(ng * n_tokens AS DOUBLE)),
+             6) AS sample_rate
+FROM per CROSS JOIN tot
+"""
+
 # --- q_hll_neutral: explicit-register HyperLogLog, reproduced in SQL --------
 # Same multiplicative hash as the sampling family (int64-exact); register
 # index = h mod 256, rho = 1 + trailing zeros of the 24-bit word (w & -w is

@@ -370,3 +370,33 @@ def bm25_batch(docs: DataFrame, queries: DataFrame, k1: float = 1.2,
                               .cast("long"))
                   .filter(F.col("rnk") <= topk)
                   .select("query_id", "rnk", id_col, "n_terms", "score"))
+
+
+def perplexity_buckets(docs: DataFrame, n_buckets: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       lang_col: str = "lang",
+                       lam: float = 0.75) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    interpolated bigram LM (:func:`bigram_scores`), then split each
+    language into ``n_buckets`` equal-count tiers by score — head
+    (bucket 1, highest mean log-prob = lowest perplexity), middle,
+    tail.  The head/middle/tail split is the standard web-corpus
+    quality stratification (keep head, sample middle, drop tail).
+
+    One ntile window per language partition over the already-computed
+    scores — the LM scoring dominates; the bucketing adds a single
+    lang-key shuffle of doc-grain rows.  Ordering is (avg_logp desc,
+    doc_id) — avg_logp is a long/long division, bit-identical across
+    engines, so the tier boundaries are deterministic and
+    oracle-exact.  Covers documents with ≥2 tokens (the LM's domain).
+    Returns (doc_id, lang, n_bigrams, avg_logp, bucket)."""
+    require_columns(docs, [id_col, text_col, lang_col],
+                    "perplexity_buckets")
+    scores = bigram_scores(docs, id_col=id_col, text_col=text_col,
+                           lam=lam)
+    withlang = scores.join(docs.select(id_col, lang_col), id_col)
+    w = (Window.partitionBy(lang_col)
+               .orderBy(F.desc("avg_logp"), F.asc(id_col)))
+    return withlang.select(
+        id_col, lang_col, "n_bigrams", "avg_logp",
+        F.ntile(n_buckets).over(w).cast("long").alias("bucket"))

@@ -553,3 +553,40 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
         "sel_order long, id long, gain long, cost long, qratio long")
     return out.select("sel_order", F.col("id").alias(id_col),
                       "gain", "cost", "qratio")
+
+
+def mixture_weights(docs: DataFrame, group_col: str = "source",
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Domain-mixture reweighting (the DoReMi / data-mixing primitive):
+    per group, the observed token share vs a UNIFORM target mixture —
+    weight(g) = target_share / observed_share = total_tokens /
+    (n_groups · tokens(g)) — and the with-replacement-free sampling
+    rate min(1, weight) a pipeline applies to hit the target mix
+    without upsampling.  Under-represented domains get weight > 1
+    (upsample or keep fully), over-represented ones get the keep
+    fraction.
+
+    One token-count aggregate per group (in-row ``size``, no explode)
+    + a 1-row totals broadcast; weights are ONE double division of
+    exact integer counts — bit-identical across engines, positive, so
+    the rounding is tie-safe.  Returns (group, n_docs, n_tokens,
+    weight, sample_rate)."""
+    from ..functions.scalar import roundn
+    from .text import _tokens
+    require_columns(docs, [group_col, text_col], "mixture_weights")
+    per = (docs.select(F.col(group_col),
+                       F.size(_tokens(text_col)).cast("long")
+                        .alias("__nt"))
+               .groupBy(group_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("__nt").alias("n_tokens")))
+    totals = per.agg(F.sum("n_tokens").alias("__tot"),
+                     F.count(F.lit(1)).alias("__ng"))
+    weight = (F.col("__tot").cast("double")
+              / (F.col("__ng") * F.col("n_tokens")).cast("double"))
+    return (per.crossJoin(F.broadcast(totals))
+               .select(group_col, "n_docs", "n_tokens",
+                       roundn(weight).alias("weight"),
+                       roundn(F.least(F.lit(1.0), weight))
+                       .alias("sample_rate")))

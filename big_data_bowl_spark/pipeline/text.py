@@ -504,3 +504,41 @@ def readability(df: DataFrame, id_col: str = "doc_id",
         n_long.alias("n_long_words"),
         roundn(n_words.cast("double") / sdiv
                + 100.0 * n_long.cast("double") / wdiv).alias("lix"))
+
+
+def quality_classifier(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       n_buckets: int = 1024) -> DataFrame:
+    """Hashed linear quality classifier — the fastText-style filter
+    shape every web-corpus pipeline runs (CCNet / LLaMA data prep: a
+    linear model over hashed token features, thresholded to keep/drop).
+    Each token hashes into one of ``n_buckets`` feature buckets via the
+    engine-neutral polynomial rolling hash; bucket j carries the fixed
+    pseudo-random integer weight w(j) = (j·2654435761 mod 4096) − 2048
+    (a stand-in for trained weights — the Spark-side plumbing, feature
+    hashing, and thresholding are the real artifact; swap the weight
+    expression for a broadcast-joined trained table in production).
+    Doc score = Σ w(bucket(t)) / (2048·n_tokens) ∈ (−1, 1).
+
+    Everything is IN-ROW array arithmetic (transform + aggregate over
+    the token array — no explode, no shuffle, map-only at any corpus
+    size); the weight sum is an exact integer, the score ONE long/long
+    double division (bit-identical across engines), and the keep flag
+    an integer sign test, so the whole pipeline is oracle-exact.
+    Returns (id, n_tokens, score, keep) for non-empty docs."""
+    require_columns(df, [id_col, text_col], "quality_classifier")
+    toks = _tokens(text_col)
+    wt = F.transform(
+        toks,
+        lambda t: (polynomial_token_hash(t) % n_buckets)
+                  * 2654435761 % 4096 - 2048)
+    sum_w = F.aggregate(wt, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(toks).cast("long")
+    return (df.select(F.col(id_col), n.alias("n_tokens"),
+                      sum_w.alias("__sw"))
+              .filter(F.col("n_tokens") > 0)
+              .select(id_col, "n_tokens",
+                      roundn(F.col("__sw")
+                             / (F.lit(2048.0) * F.col("n_tokens")))
+                      .alias("score"),
+                      (F.col("__sw") > 0).cast("int").alias("keep")))

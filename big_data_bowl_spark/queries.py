@@ -4092,6 +4092,40 @@ def q_triplet_mining(spark, sf_dir):
     return triplet_mining(pts, radius=0.5)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality classifier (fastText-style keep/drop
+    filter), HASH-VERIFIED: tokens hash into 1024 feature buckets via
+    the engine-neutral polynomial hash, bucket weights are a fixed
+    pseudo-random integer map, doc score = one long/long double
+    division, keep = an integer sign test.  Map-only (in-row array
+    transform + aggregate — no explode, no shuffle at any corpus
+    size)."""
+    from .pipeline.text import quality_classifier
+    return quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing, HASH-VERIFIED: every document
+    scored by the interpolated bigram LM (q_bigram_scores' machinery),
+    then split into head/middle/tail tertiles PER LANGUAGE by an ntile
+    window over (avg_logp desc, doc_id) — the standard web-corpus
+    quality stratification (keep head, sample middle, drop tail).  The
+    tier boundary is deterministic because avg_logp is a long/long
+    division, bit-identical across engines."""
+    from .pipeline.ranking import perplexity_buckets
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixture reweighting (DoReMi-style data mixing),
+    HASH-VERIFIED: per source, observed token share vs the uniform
+    target — weight = total_tokens / (n_sources · source_tokens), one
+    double division of exact integer counts — and the sampling rate
+    min(1, weight).  One group aggregate + a 1-row totals broadcast."""
+    from .pipeline.sampling import mixture_weights
+    return mixture_weights(_t(spark, sf_dir, "documents"))
+
+
 def q_simhash_neutral(spark, sf_dir):
     """Engine-neutral SimHash: 60-bit fingerprint from two polynomial
     character hashes with bit voting — integer arithmetic end-to-end, so
@@ -6570,6 +6604,9 @@ QUERIES: dict[str, QueryFn] = {
     "q_hard_negatives_k": q_hard_negatives_k,
     "q_mutual_knn": q_mutual_knn,
     "q_triplet_mining": q_triplet_mining,
+    "q_quality_classifier": q_quality_classifier,
+    "q_perplexity_buckets": q_perplexity_buckets,
+    "q_mixture_weights": q_mixture_weights,
     "q_near_dup_diff": q_near_dup_diff,
     "q_hll_neutral": q_hll_neutral,
     "q_resample_ffill": q_resample_ffill,
