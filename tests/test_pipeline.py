@@ -2819,3 +2819,89 @@ def test_leakage_split_no_cross_split_near_dups(spark):
     assert all(r.n_leaked_pairs == 0 for r in rows), rows
     n_docs = read_table(spark, SF_SMALL, "documents").count()
     assert sum(r.n_docs for r in rows) == n_docs, rows
+
+
+def test_quality_classifier_hand_computed(spark):
+    """The hashed linear filter on hand-computable docs: score =
+    Σ w(bucket(token)) / (2048·n) with w(j) = (j·2654435761 mod 4096) −
+    2048 over the polynomial token hash mod 1024 — recomputed
+    independently in Python per token; empty docs drop."""
+    from big_data_bowl_spark.pipeline.text import quality_classifier
+
+    P = 1_000_000_007
+
+    def phash(t):
+        h = 7
+        for ch in t:
+            h = (h * 31 + ord(ch)) % P
+        return h
+
+    def weight(t):
+        return (phash(t) % 1024) * 2654435761 % 4096 - 2048
+
+    docs = [(1, "alpha beta gamma"), (2, "delta"), (3, ""),
+            (4, "alpha alpha alpha alpha")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+           for r in quality_classifier(df).collect()}
+    assert 3 not in got  # empty doc dropped
+    for did, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        sw = sum(weight(t) for t in toks)
+        want = round(sw / (2048.0 * len(toks)), 6)
+        assert got[did] == (len(toks), want, int(sw > 0)), (did, got[did])
+
+
+def test_mixture_weights_uniform_target_semantics(spark):
+    """Mixture weights on hand-placed sources: a source holding half
+    the tokens at a 4-source uniform target gets weight 0.5 (downsample
+    to half); a source holding 1/8 gets weight 2 but sample_rate caps
+    at 1; weights times observed shares always average to 1 across
+    sources (the uniform-target identity)."""
+    from big_data_bowl_spark.pipeline.sampling import mixture_weights
+
+    rows = []
+    did = 0
+    for src, n_tok, n_docs in [("a", 8, 4), ("b", 4, 2),
+                               ("c", 2, 1), ("d", 2, 1)]:
+        for _ in range(n_docs):
+            rows.append((did, src, " ".join(["w"] * n_tok)))
+            did += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in mixture_weights(df).collect()}
+    # totals: a=32, b=8, c=2, d=2 -> 44 tokens, 4 sources
+    assert got["a"]["n_tokens"] == 32 and got["a"]["n_docs"] == 4
+    assert got["a"]["weight"] == round(44 / (4 * 32), 6)
+    assert got["c"]["weight"] == round(44 / (4 * 2), 6)
+    assert got["c"]["sample_rate"] == 1.0          # capped
+    assert got["a"]["sample_rate"] == got["a"]["weight"]  # < 1 kept
+    ident = sum(g["weight"] * g["n_tokens"] for g in got.values()) / 44
+    assert abs(ident - 1.0) < 1e-6
+
+
+def test_perplexity_buckets_tertile_semantics(spark):
+    """Per-language ntile(3): within each language the head bucket
+    holds the HIGHEST mean log-probs (most-predictable docs), every
+    scored doc lands in exactly one bucket, and bucket sizes differ by
+    at most one (the ntile contract)."""
+    from collections import Counter
+
+    from big_data_bowl_spark.pipeline.ranking import perplexity_buckets
+
+    rows = [(i, "en" if i % 2 == 0 else "fr",
+             " ".join(f"t{j % (2 + i % 5)}" for j in range(12)))
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = perplexity_buckets(df).collect()
+    assert len(got) == 24  # all docs have >= 2 tokens -> all scored
+    for lang in ("en", "fr"):
+        sub = sorted((r for r in got if r["lang"] == lang),
+                     key=lambda r: (-r["avg_logp"], r["doc_id"]))
+        sizes = Counter(r["bucket"] for r in sub)
+        assert set(sizes) == {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        # buckets are contiguous in score order
+        seq = [r["bucket"] for r in sub]
+        assert seq == sorted(seq)
