@@ -1330,3 +1330,42 @@ def test_modularity_equals_python_twin(spark):
         assert r["deg_sum"] == degc[c], (c, r["deg_sum"])
         assert r["term"] == terms[c], (c, r["term"], terms[c])
         assert r["modularity"] == q, (r["modularity"], q)
+
+
+@settings(max_examples=6, deadline=None)
+@given(data=st.data())
+def test_grid_knn_ladder_equals_brute_force_randomized(spark, data):
+    """Randomized adversarial check of the r10 density-adaptive ladder:
+    random point clouds (clustered + stacked duplicates + uniform
+    noise), random radius and k, vs an independent Python brute force —
+    every rung-resolution decision (full-k at d ≤ w) must reproduce the
+    global top-k exactly, including partial rows and tie-breaks."""
+    import numpy as np
+
+    from big_data_bowl_spark.operators.separation import grid_knn
+
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    k = data.draw(st.integers(1, 4))
+    radius = data.draw(st.sampled_from([0.1, 0.25, 0.6]))
+    occ = data.draw(st.sampled_from([2.0, 8.0, 32.0]))
+    rng = np.random.default_rng(seed)
+    base = rng.normal(0.0, 0.1, (rng.integers(10, 40), 2))
+    pts = np.concatenate([
+        base, base[: len(base) // 2],          # partial exact stacking
+        rng.uniform(-1.0, 1.0, (rng.integers(5, 30), 2)),
+    ])
+    rows = [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+
+    want = []
+    for i, (xi, yi) in enumerate(pts):
+        cands = sorted(
+            (float((xi - xj) ** 2 + (yi - yj) ** 2), j)
+            for j, (xj, yj) in enumerate(pts) if j != i)
+        kept = [(d2, j) for d2, j in cands if d2 <= radius * radius][:k]
+        want += [(i, j, r + 1, round(float(np.sqrt(d2)), 6))
+                 for r, (d2, j) in enumerate(kept)]
+
+    got = sorted(map(tuple, grid_knn(df, radius, k=k,
+                                     target_occupancy=occ).collect()))
+    assert got == sorted(want), (seed, k, radius, occ)
