@@ -628,6 +628,16 @@ def test_jl_project_is_map_only(spark):
     assert "Python" not in plan and "BatchEvalPython" not in plan, plan
 
 
+def test_quality_classifier_is_map_only(spark):
+    """The hashed linear filter must stay MAP-ONLY as its docstring
+    claims: in-row token-array transform + aggregate — scan → project →
+    filter, no exchange of any kind, no Python.  At 100 TB this is the
+    difference between a pass over the corpus and a shuffle of it."""
+    plan = executed_plan(_q(spark, "q_quality_classifier"))
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan and "BatchEvalPython" not in plan, plan
+
+
 def test_greedy_cover_round_has_no_in_list(spark):
     """The per-round covered-set filter must be a LEFT ANTI join against
     the DISTRIBUTED covered frame, never a literal IN-list (an isin over
