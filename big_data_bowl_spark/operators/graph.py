@@ -299,29 +299,36 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     list (one (src, dst) row per edge, src < dst) and a (node, label)
     partition (e.g. :func:`label_propagation` output).
 
+    EVERY quantity — m, e_in, deg — is computed from the LABEL-COVERED
+    edge set (both endpoints labeled), so a partition that does not
+    cover every endpoint yields the exact modularity of the labeled
+    subgraph rather than a silently skewed Q (an uncovered edge used
+    to inflate m while contributing to neither e_in nor deg).  Under
+    full coverage (e.g. LPA output, whose labels span every endpoint)
+    the covered set IS the edge set and nothing changes.
+
     e_in is one join of edges against labels on BOTH endpoints
-    (node-grain build side), deg(c) one degree aggregate joined to
-    labels; per-community terms round at 9 before the sum and Q rides
-    every community row as a 1-row broadcast.  Everything after the
-    inputs is two aggregates on community-grain tables.  Returns
-    (community, e_in, deg_sum, term, modularity)."""
+    (node-grain build side); deg(c) reuses the same joined frame (each
+    edge contributes one endpoint-slot to each side's community), so
+    labels join exactly once; per-community terms round at 9 before
+    the sum and Q rides every community row as a 1-row broadcast.
+    Everything after the inputs is two aggregates on community-grain
+    tables.  Returns (community, e_in, deg_sum, term, modularity)."""
     require_columns(edges, ["src", "dst"], "modularity")
     require_columns(labels, ["node", "label"], "modularity")
-    m = edges.agg(F.count(F.lit(1)).alias("__m"))
     la = labels.select(F.col("node").alias("src"),
                        F.col("label").alias("__la"))
     lb = labels.select(F.col("node").alias("dst"),
                        F.col("label").alias("__lb"))
-    e_in = (edges.join(la, "src").join(lb, "dst")
-                 .filter(F.col("__la") == F.col("__lb"))
-                 .groupBy(F.col("__la").alias("community"))
-                 .agg(F.count(F.lit(1)).alias("e_in")))
-    deg = (edges.select(F.col("src").alias("node"))
-                .union(edges.select(F.col("dst").alias("node")))
-                .groupBy("node").agg(F.count(F.lit(1)).alias("__d")))
-    degc = (deg.join(labels, "node")
-               .groupBy(F.col("label").alias("community"))
-               .agg(F.sum("__d").alias("deg_sum")))
+    cov = edges.join(la, "src").join(lb, "dst")
+    m = cov.agg(F.count(F.lit(1)).alias("__m"))
+    e_in = (cov.filter(F.col("__la") == F.col("__lb"))
+               .groupBy(F.col("__la").alias("community"))
+               .agg(F.count(F.lit(1)).alias("e_in")))
+    degc = (cov.select(F.col("__la").alias("community"))
+               .union(cov.select(F.col("__lb").alias("community")))
+               .groupBy("community")
+               .agg(F.count(F.lit(1)).alias("deg_sum")))
     terms = (degc.join(e_in, "community", "left")
                  .select("community", "deg_sum",
                          F.coalesce(F.col("e_in"), F.lit(0)).alias("e_in"))

@@ -23,6 +23,10 @@ from ..functions.scalar import euclidean
 from .joins import nearest_in_group
 from .windows import argmax_rows
 
+# Hard cap on adaptive-ladder depth: each rung is a full re-grid plus an
+# eager checkpoint job, so a pathological geometry must not buy dozens.
+_MAX_RUNGS = 8
+
 
 def separation_at_frame(tracking: DataFrame, group: list[str],
                         entity: str, side_col: str,
@@ -125,6 +129,10 @@ def _ladder_widths(p: DataFrame, radius: float, refine: int,
         return None
     if target_occupancy is None:
         return [float(radius) / refine]
+    if not (target_occupancy > 0.0):  # also rejects NaN
+        raise ValueError(
+            f"target_occupancy must be > 0 (got {target_occupancy!r}); "
+            "pass None for the legacy fixed-width ladder")
     st = p.agg(F.count(F.lit(1)).alias("n"),
                F.min("__x").alias("x0"), F.max("__x").alias("x1"),
                F.min("__y").alias("y0"), F.max("__y").alias("y1")
@@ -144,9 +152,15 @@ def _ladder_widths(p: DataFrame, radius: float, refine: int,
         w0 = k * max(ex, ey) / (3.0 * n)
     else:
         return None  # all points coincide: no grid can help
+    # Near-coincident clouds (tiny nonzero bbox, large n) would yield an
+    # unbounded rung count — each rung is a full re-grid + checkpoint job —
+    # and an underflowed w0 == 0.0 would loop forever.  Floor w0 so the
+    # ladder is at most _MAX_RUNGS deep; below that width every occupied
+    # cell is one dense clump the grid can't split further anyway.
+    w0 = max(w0, float(radius) / 2.0 / 8.0 ** _MAX_RUNGS)
     widths = []
     w = w0
-    while w < float(radius) / 2.0:
+    while w < float(radius) / 2.0 and len(widths) < _MAX_RUNGS:
         widths.append(w)
         w *= 8.0
     return widths or None  # sparse: occupancy < K even at radius width

@@ -3926,7 +3926,8 @@ WITH per AS (
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(len(list_filter(string_split(text, ' '),
                                     t -> t <> ''))) AS BIGINT) AS n_tokens
-    FROM documents GROUP BY 1),
+    FROM documents GROUP BY 1
+    HAVING n_tokens > 0),
 tot AS (
     SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
            CAST(count(*) AS BIGINT) AS ng

@@ -520,29 +520,33 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
     chosen: list[tuple[int, int, int, int, int]] = []
     for r in range(1, k + 1):
         cand = _anti_covered(dg, covered)
-        qratio = F.floor(F.count(F.lit(1)) * F.lit(1_000_000)
-                         / F.first("__cost")).cast("long")
         # (qr, nid) is unique per doc, so gain/cost tag along in the
         # max-struct without affecting the ordering — the winner's
-        # scalars come back in the SAME first(), no second action
+        # scalars come back in the SAME first(), no second action.
+        # qr uses SQL `div` — TRUE integer division on longs (Spark `/`
+        # on longs is double division, one ulp from flipping a
+        # boundary pick vs the oracle's exact `//`).
         top = (cand.groupBy("__id")
                    .agg(F.count(F.lit(1)).alias("gain"),
-                        F.first("__cost").alias("cost"),
-                        qratio.alias("qr"))
+                        F.first("__cost").alias("cost"))
+                   .withColumn("qr", F.expr(
+                       "(gain * CAST(1000000 AS BIGINT)) div cost"))
                    .agg(F.max(F.struct(F.col("qr"),
                                        (-F.col("__id")).alias("nid"),
                                        F.col("gain"), F.col("cost")))
                         .alias("m"))
                    .select((-F.col("m.nid")).alias("id"),
-                           F.col("m.qr").alias("qr"),
                            F.col("m.gain").alias("gain"),
                            F.col("m.cost").alias("cost"))
                    .first())
         if top is None or top["id"] is None:
             break
         pick = int(top["id"])
-        chosen.append((r, pick, int(top["gain"]), int(top["cost"]),
-                       int(top["qr"])))
+        gain, cost = int(top["gain"]), int(top["cost"])
+        # report the ratio from exact Python integer arithmetic — the
+        # argmax expression above is the same `div`, this just removes
+        # any engine between the winner's scalars and the output row
+        chosen.append((r, pick, gain, cost, gain * 1_000_000 // cost))
         if r < k:
             win = cand.filter(F.col("__id") == pick).select("__g")
             covered = (win if covered is None
@@ -556,7 +560,6 @@ def greedy_weighted_cover(df: DataFrame, k: int = 8,
 
 
 def mixture_weights(docs: DataFrame, group_col: str = "source",
-                    id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Domain-mixture reweighting (the DoReMi / data-mixing primitive):
     per group, the observed token share vs a UNIFORM target mixture —
@@ -570,8 +573,12 @@ def mixture_weights(docs: DataFrame, group_col: str = "source",
     One token-count aggregate per group (in-row ``size``, no explode)
     + a 1-row totals broadcast; weights are ONE double division of
     exact integer counts — bit-identical across engines, positive, so
-    the rounding is tie-safe.  Returns (group, n_docs, n_tokens,
-    weight, sample_rate)."""
+    the rounding is tie-safe.  Groups whose documents are ALL empty
+    (n_tokens = 0) are dropped before the totals pass: they contribute
+    nothing to any token mixture and would otherwise divide by zero
+    (NULL weight under non-ANSI Spark, ±inf under DuckDB — a
+    cross-engine trap, not a meaningful row).  Returns (group, n_docs,
+    n_tokens, weight, sample_rate)."""
     from ..functions.scalar import roundn
     from .text import _tokens
     require_columns(docs, [group_col, text_col], "mixture_weights")
@@ -580,7 +587,8 @@ def mixture_weights(docs: DataFrame, group_col: str = "source",
                         .alias("__nt"))
                .groupBy(group_col)
                .agg(F.count(F.lit(1)).alias("n_docs"),
-                    F.sum("__nt").alias("n_tokens")))
+                    F.sum("__nt").alias("n_tokens"))
+               .filter(F.col("n_tokens") > 0))
     totals = per.agg(F.sum("n_tokens").alias("__tot"),
                      F.count(F.lit(1)).alias("__ng"))
     weight = (F.col("__tot").cast("double")

@@ -2359,6 +2359,38 @@ def test_grid_nearest_adaptive_ladder_on_stacked_duplicates(spark):
     assert len(fast) >= 240  # every stacked point found its dup at d=0
 
 
+def test_ladder_rejects_bad_occupancy_and_caps_depth(spark):
+    """r11 guards (ADVICE): target_occupancy <= 0 must raise (not spin
+    the driver in `while w < radius/2: w *= 8`), and a near-coincident
+    cloud — tiny nonzero bbox under many points, which sizes w0 near
+    zero — must produce a BOUNDED ladder (each rung is a full re-grid +
+    checkpoint job) while staying exact."""
+    import numpy as np
+    import pytest as _pt
+
+    from big_data_bowl_spark.operators.separation import (
+        _MAX_RUNGS, _ladder_widths, grid_nearest)
+
+    rng = np.random.default_rng(7)
+    # 400 points inside a 1e-9-wide box, radius 1.0: w0 underflows far
+    # below radius/8**_MAX_RUNGS without the floor
+    pts = rng.uniform(0.0, 1e-9, (400, 2))
+    df = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(pts)],
+        "id long, x double, y double")
+    p = df.selectExpr("id as __id", "x as __x", "y as __y")
+    for bad in (0.0, -1.0, float("nan")):
+        with _pt.raises(ValueError, match="target_occupancy"):
+            _ladder_widths(p, radius=1.0, refine=8, target_occupancy=bad)
+    widths = _ladder_widths(p, radius=1.0, refine=8, target_occupancy=32.0)
+    assert widths is not None and len(widths) <= _MAX_RUNGS
+    assert all(w > 0.0 for w in widths)
+    # and the full operator still matches the single-level form
+    slow = sorted(map(tuple, grid_nearest(df, 1.0, refine=1).collect()))
+    fast = sorted(map(tuple, grid_nearest(df, 1.0).collect()))
+    assert fast == slow and len(fast) == 400
+
+
 def test_grid_knn_ladder_equals_single_level_and_python_twin(spark):
     """grid_knn (k=3) must be EXACT at every ladder depth: adaptive and
     deep-ladder results equal the single-level result row-for-row, and
@@ -2879,6 +2911,49 @@ def test_mixture_weights_uniform_target_semantics(spark):
     assert got["a"]["sample_rate"] == got["a"]["weight"]  # < 1 kept
     ident = sum(g["weight"] * g["n_tokens"] for g in got.values()) / 44
     assert abs(ident - 1.0) < 1e-6
+
+
+def test_mixture_weights_drops_zero_token_groups(spark):
+    """r11 guard (ADVICE): a group whose documents are ALL empty text
+    has n_tokens = 0 and must be dropped (it would otherwise divide by
+    zero — NULL weight under non-ANSI Spark, ±inf under DuckDB), and
+    its zero tokens must not perturb the surviving groups' weights."""
+    from big_data_bowl_spark.pipeline.sampling import mixture_weights
+
+    rows = [(0, "a", "x y z"), (1, "a", "x"),
+            (2, "empty", ""), (3, "empty", "   "),
+            (4, "b", "p q")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["source"]: r for r in mixture_weights(df).collect()}
+    assert set(got) == {"a", "b"}          # zero-token group gone
+    # totals over SURVIVING groups: 6 tokens, 2 groups
+    assert got["a"]["weight"] == round(6 / (2 * 4), 6)
+    assert got["b"]["weight"] == round(6 / (2 * 2), 6)
+    assert all(g["weight"] is not None for g in got.values())
+
+
+def test_modularity_partial_coverage_is_subgraph_modularity(spark):
+    """r11 guard (ADVICE): modularity with labels that do NOT cover
+    every endpoint must equal the exact modularity of the label-covered
+    subgraph (uncovered edges used to inflate m while contributing to
+    neither e_in nor deg — a silently wrong Q)."""
+    from big_data_bowl_spark.operators.graph import modularity
+
+    # covered subgraph: two triangles {1,2,3} and {4,5,6} + 1 bridge;
+    # node 99 is UNLABELED, its two edges must be ignored entirely
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4),
+             (1, 99), (99, 6)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    lab = spark.createDataFrame(
+        [(n, 1 if n <= 3 else 2) for n in range(1, 7)],
+        "node long, label long")
+    got = {r["community"]: r for r in modularity(e, lab).collect()}
+    # subgraph: m=7; community 1: e_in=3, deg=3*2+1=7; same for 2
+    assert got[1]["e_in"] == 3 and got[1]["deg_sum"] == 7
+    assert got[2]["e_in"] == 3 and got[2]["deg_sum"] == 7
+    want_term = round(3 / 7 - (7 / 14) ** 2, 9)
+    assert got[1]["term"] == want_term
+    assert got[1]["modularity"] == round(2 * want_term, 6)
 
 
 def test_perplexity_buckets_tertile_semantics(spark):
