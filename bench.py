@@ -312,9 +312,17 @@ def main() -> None:
     # Back-to-back repeats of one query land both samples inside the same
     # stall window; interleaving the repeats across full passes
     # decorrelates them in time, so the min recovers the steady state.
+    # SPARK_GRAFT_BENCH_FULL=1 times EVERY registered query, not just
+    # the headline set — the r10 verdict's blind spot: 157 of 293
+    # queries had no committed wall-time, so a 10x slowdown in one of
+    # them would pass every committed gate.  The full map lands in
+    # BENCH_FULL.json (sf0.1) and scripts/bench_full_check.py gates
+    # fresh runs against the committed record.
+    full = os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1"
+    names = sorted(QUERIES) if full else list(HEADLINE)
     timings: dict[str, float] = {}
     for _ in range(2):
-        for name in HEADLINE:
+        for name in names:
             t0 = time.perf_counter()
             force(QUERIES[name](spark, SF_DIR))
             dt = time.perf_counter() - t0
@@ -375,9 +383,14 @@ def main() -> None:
     # committed artifact, so round-over-round per-query history survives
     # in git even when the driver's buffer truncates.
     r1_subset = HEADLINE[:22]
+    # the headline metric stays comparable across rounds even in full
+    # mode: "value" sums the headline set only; the full-registry total
+    # is reported separately
+    headline_keys = [k for k in timings
+                     if k in HEADLINE or k in ("q_pq_build", "q_pq_search")]
     summary = {
         "metric": "headline_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(timings[k] for k in headline_keys), 3),
         "unit": "sec",
         "queries": {k: timings[k] for k in r1_subset if k in timings},
         "r1_subset_total": round(
@@ -386,14 +399,20 @@ def main() -> None:
         "calibration_sec": calibrate(),
         "sf": sf_val,
     }
+    if full:
+        summary["full_total"] = round(sum(timings.values()), 3)
     # $SPARK_GRAFT_DETAIL redirects the full map; WITHOUT it, only a
     # run at the canonical sf0.1 may write the committed
     # BENCH_DETAIL.json — any other SF (stress sweeps, sf0.01 smoke
     # runs) gets an SF-suffixed filename so it can never silently
     # clobber the per-query record the driver compares across rounds
     here = os.path.dirname(os.path.abspath(__file__))
-    default_name = ("BENCH_DETAIL.json" if sf_val == 0.1
-                    else f"BENCH_DETAIL_sf{sf}.json")
+    if full:
+        default_name = ("BENCH_FULL.json" if sf_val == 0.1
+                        else f"BENCH_FULL_sf{sf}.json")
+    else:
+        default_name = ("BENCH_DETAIL.json" if sf_val == 0.1
+                        else f"BENCH_DETAIL_sf{sf}.json")
     detail_path = os.environ.get("SPARK_GRAFT_DETAIL") or os.path.join(
         here, default_name)
     summary["detail_file"] = os.path.basename(detail_path)

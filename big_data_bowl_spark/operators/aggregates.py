@@ -417,3 +417,72 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
                        F.round(F.col("n_abc").cast("double")
                                / F.col("__nb").cast("double"), 6)
                         .alias("support")))
+
+
+def theil_sen_bounded(series: DataFrame, d_col: str, r_col: str) -> DataFrame:
+    """Theil–Sen estimator over a BOUNDED-grain integer series — one
+    Spark job, one Arrow task.
+
+    The input grain must be bounded by something other than the corpus
+    (q_theil_sen's day grain is bounded by the calendar: ~2.4k days at
+    ANY scale factor, so the quadratic pair set ceilings at ~2.9M).
+    That bound is what licenses the shape here: the WHOLE estimator —
+    pairwise slopes, exact slope median, residual median intercept —
+    runs in ONE single-group ``applyInPandas`` task (numpy outer
+    differences), so the query is a single job: scan → day aggregate →
+    1-group exchange → Arrow batch → 1 row out.  The r10 form paid ~6
+    fixed-latency jobs (two localCheckpoints + histogram-selection's
+    scans) to keep 2.9M slope rows distributed — the right shape for an
+    UNBOUNDED grain (compose ``median_distributed`` over the pair join,
+    kept and property-tested as the documented scale path), pure
+    overhead for a calendar-bounded one.
+
+    Value parity with the distributed form is bit-exact: slopes divide
+    the same float64 cent/day deltas; medians take the mean of the two
+    middle order statistics (quantile_cont 0.5); the slope rounds
+    HALF-UP at 6 like ``F.round`` (java BigDecimal semantics,
+    reproduced via ``decimal`` on ``repr`` — the shortest round-trip
+    decimal both runtimes print) before the residual pass.
+
+    ``r_col`` must be exact integer units (cents — see
+    ``functions.scalar.cents``); returns 1 row (n_pairs, sen_slope,
+    n_days, intercept) with both estimates rounded at 6.
+    """
+    require_columns(series, [d_col, r_col], "theil_sen_bounded")
+
+    def _round_half_up6(x: float) -> float:
+        from decimal import ROUND_HALF_UP, Decimal
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"),
+                                               rounding=ROUND_HALF_UP))
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        d = pdf["__d"].to_numpy(dtype=np.int64)
+        r = pdf["__r"].to_numpy(dtype=np.int64)
+        order = np.argsort(d)
+        d, r = d[order], r[order]
+        n = int(len(d))
+        iu, ju = np.triu_indices(n, k=1)
+        # float64 of int64 cents/days is exact far past this grain;
+        # the divisions are the same IEEE ops the column form ran
+        s = ((r[ju] - r[iu]).astype(np.float64)
+             / (d[ju] - d[iu]).astype(np.float64) / 100.0)
+        s.sort()
+        m = int(len(s))
+        med = (s[(m + 1) // 2 - 1] + s[m // 2 + 1 - 1]) / 2.0
+        sen = _round_half_up6(med)
+        e = np.sort(r.astype(np.float64) / 100.0
+                    - sen * d.astype(np.float64))
+        icpt = (e[(n + 1) // 2 - 1] + e[n // 2 + 1 - 1]) / 2.0
+        return pd.DataFrame([{"n_pairs": m, "sen_slope": sen,
+                              "n_days": n,
+                              "intercept": _round_half_up6(icpt)}])
+
+    one = series.select(F.col(d_col).cast("long").alias("__d"),
+                        F.col(r_col).cast("long").alias("__r"),
+                        F.lit(1).alias("__one"))
+    return (one.groupBy("__one")
+               .applyInPandas(fit, "n_pairs long, sen_slope double, "
+                                   "n_days long, intercept double"))

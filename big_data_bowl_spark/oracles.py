@@ -2967,13 +2967,40 @@ d2 AS (
 cells AS MATERIALIZED (
     SELECT vec_id, cell FROM d2
     QUALIFY row_number() OVER (PARTITION BY vec_id
-                               ORDER BY d2 ASC, cell ASC) = 1)
+                               ORDER BY d2 ASC, cell ASC) = 1),
+-- r11 density-adaptive subdivision (target occupancy T = 64): a cell
+-- with pop > T splits into ceil(pop/64) subcells by nearest-of-s
+-- deterministic seeds (the s smallest vec_ids in the cell; l2 argmin,
+-- ties to the smallest seed) — T is a power of two so pop/64.0 is an
+-- exact binary division and ceil agrees bit-for-bit with the engine
+pops AS (
+    SELECT cell, CAST(ceil(count(*) / 64.0) AS BIGINT) AS s
+    FROM cells GROUP BY 1),
+seeds AS MATERIALIZED (
+    SELECT c.cell, c.vec_id AS seed
+    FROM cells c JOIN pops p USING (cell)
+    QUALIFY row_number() OVER (PARTITION BY c.cell
+                               ORDER BY c.vec_id ASC) <= p.s),
+sd AS (
+    SELECT c.vec_id, c.cell, s.seed,
+           list_sum(list_transform(range(64),
+               i -> (v.v[i + 1] - sv.v[i + 1])
+                    * (v.v[i + 1] - sv.v[i + 1]))) AS sd2
+    FROM cells c
+    JOIN seeds s ON c.cell = s.cell
+    JOIN vecs v ON v.vec_id = c.vec_id
+    JOIN vecs sv ON sv.vec_id = s.seed),
+sub AS MATERIALIZED (
+    SELECT vec_id, cell, seed AS sub FROM sd
+    QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY sd2 ASC, seed ASC) = 1)
 SELECT * FROM (
     SELECT a.vec_id AS keep_id, b.vec_id AS drop_id, a.cell,
            round(list_dot_product(va.v, vb.v)
                  / (sqrt(list_dot_product(va.v, va.v))
                     * sqrt(list_dot_product(vb.v, vb.v))), 6) AS cosine
-    FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    FROM sub a JOIN sub b ON a.cell = b.cell AND a.sub = b.sub
+                         AND a.vec_id < b.vec_id
     JOIN vecs va ON va.vec_id = a.vec_id
     JOIN vecs vb ON vb.vec_id = b.vec_id)
 WHERE cosine >= 0.35::DOUBLE

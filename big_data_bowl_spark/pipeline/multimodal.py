@@ -72,11 +72,35 @@ def _decode_stub(payload: bytes) -> list[float]:
     return [float(b) for b in payload[:256]]
 
 
-def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
+def decode_image_real(payload: bytes) -> list[float]:
+    """The REAL image decode for the seam (r11, env-gated): PIL decode
+    to grayscale ("L" — one intensity per pixel, the same value shape
+    the stub fakes from raw bytes), flattened row-major.  PIL imports
+    INSIDE the function so the pickled mapInPandas closure only needs
+    it on workers that actually run this decoder; environments without
+    PIL keep the stub (the CI path — the sandbox has no codecs, so the
+    one test exercising this decoder importorskips with that reason).
+    Same signature as :func:`_decode_stub`: plug into any ``decoder=``
+    seam below."""
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as im:
+        gray = im.convert("L")
+        return [float(v) for v in gray.getdata()]
+
+
+def extract_features(df: DataFrame, batch_hint: int = 64,
+                     decoder=None) -> DataFrame:
     """Decode + feature-extract via mapInPandas: one Arrow batch in, one
     out; byte length, a checksum, and simple intensity stats per payload.
     The UDF never sees single rows — ``iterator`` semantics let one Python
-    worker stream an entire partition."""
+    worker stream an entire partition.  ``decoder`` swaps the decode
+    seam (default the deterministic stub; pass
+    :func:`decode_image_real` for PIL) — the output schema is identical
+    either way."""
+    decode = decoder or _decode_stub
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,7 +108,7 @@ def extract_features(df: DataFrame, batch_hint: int = 64) -> DataFrame:
             for mid, payload, mtype in zip(pdf["media_id"], pdf["payload"],
                                            pdf["media_type"]):
                 raw = bytes(payload)
-                vals = _decode_stub(raw)
+                vals = decode(raw)
                 n = len(vals)
                 mean = sum(vals) / n if n else 0.0
                 var = (sum((v - mean) ** 2 for v in vals) / n) if n else 0.0

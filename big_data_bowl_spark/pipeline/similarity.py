@@ -151,7 +151,7 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 
 
 def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
-             n_cells: int = 8, nprobe: int = 2,
+             n_cells: int = 16, nprobe: int = 6,
              id_col: str = "vec_id", vec_col: str = "embedding",
              seed: int = 42) -> DataFrame:
     """Approximate top-k via an IVF coarse quantizer.
@@ -165,7 +165,25 @@ def ivf_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 
     ``nprobe == n_cells`` probes everything → exactly the brute-force
     result (tested); smaller ``nprobe`` trades recall for a
-    ~nprobe/n_cells candidate fraction.
+    ~nprobe/n_cells candidate fraction.  MEASURED recall@3 at sf0.1
+    (50 queries vs exact cosine, structure-free embeddings — the hard
+    case; scripts/measure_ivf_recall.py, r11):
+
+    ===========  ======  ======  ======  ======  ======  ======
+    nprobe           1       2       3       4       6       8
+    -----------  ------  ------  ------  ------  ------  ------
+    8 cells      0.487   0.620   0.740   0.807   0.927   1.0
+    16 cells     0.293   0.460   0.613   0.680   0.800   0.900
+    ===========  ======  ======  ======  ======  ======  ======
+
+    At EQUAL candidate fraction the finer quantizer wins (16/4 = 0.680
+    vs 8/2 = 0.620 at 25%; 16/6 = 0.800 vs 8/3 = 0.740 at 37.5%) —
+    smaller cells waste fewer candidates on far corners of a probed
+    cell.  The default 16/6 ships 0.800 recall; the floor is asserted
+    at 0.70 by tests/test_recall_sf01.py.  At corpus scale, grow
+    n_cells ∝ √n (FAISS practice) and hold nprobe/n_cells to keep the
+    candidate fraction — recall improves with structure, and this
+    random-data table is its lower bound.
 
     Returns (query_id, neighbor_id, cosine).
     """
@@ -802,7 +820,9 @@ def ivf_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.9,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding",
-                         label_col: str = "label") -> DataFrame:
+                         label_col: str = "label",
+                         target_occupancy: float | None = 64.0
+                         ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — semantic near-duplicate pruning by
     cluster-then-compare: assign every embedding to its nearest coarse
     centroid (here the deterministic per-label means, the oracle-able
@@ -812,16 +832,37 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.9,
     callers drop ``drop_id``).
 
     The cell id is the ONLY join key — candidate generation never goes
-    all-pairs (the banding discipline applied to embeddings): per-cell
-    fan-out is bounded by cell occupancy, which the coarse-quantizer K
-    controls at any corpus size.  Assignment is the map-only broadcast
-    form (assign_to_centroids); cosines round at 6 BEFORE the threshold
-    so the boundary decision is identical across engines.
+    all-pairs (the banding discipline applied to embeddings).
 
-    Returns (keep_id, drop_id, cell, cosine), keep_id < drop_id.
+    DENSITY-ADAPTIVE cell count (r11, the grid ladder's w₀ discipline
+    applied to the quantizer): SemDeDup practice sizes cluster count ∝
+    corpus (Abbas et al. run 50k clusters on LAION), because a FIXED
+    quantizer makes the pair join quadratic in density (pairs ∝
+    Σ_cell pop²) — measured 44× at the 10× stress SF.  With
+    ``target_occupancy`` = T, any cell whose population exceeds T
+    subdivides into s = ⌈pop/T⌉ SUBCELLS by nearest-of-s deterministic
+    seeds (the s smallest ids in the cell; l2, ties to the smallest
+    seed id) — so pair volume per cell is ~pop·T BY CONSTRUCTION and
+    the number of (sub)cells grows ∝ n with no caller-remembered knob.
+    The seed assignment join is Σ pop·s = Σ pop²/T distance evals —
+    the one residual density-quadratic term, ÷T and map-cheap (no
+    64-dim cosine, no output).  Subdivision is the standard SemDeDup
+    approximation (cluster-boundary pairs are unseen, exactly as with
+    a bigger k); T=None restores the single-level label quantizer, and
+    cells at or under T are untouched either way.  Everything stays
+    deterministic and SQL-reproducible — the oracle re-derives seeds,
+    assignment, and pairs from scratch.
+
+    Cosines round at 6 BEFORE the threshold so the boundary decision is
+    identical across engines.  Returns (keep_id, drop_id, cell,
+    cosine), keep_id < drop_id; ``cell`` is the coarse (label) cell.
     """
     require_columns(df, [id_col, vec_col, label_col],
                     "semantic_dedup_pairs")
+    if target_occupancy is not None and not (target_occupancy > 0.0):
+        raise ValueError(
+            f"target_occupancy must be > 0 (got {target_occupancy!r}); "
+            "pass None for the single-level label quantizer")
     cents = (label_centroids(df, id_col, vec_col, label_col)
              .select(F.col(label_col).alias("cand_label"), "centroid"))
     cells = (assign_to_centroids(df, cents, id_col, vec_col, metric="l2")
@@ -834,15 +875,46 @@ def semantic_dedup_pairs(df: DataFrame, threshold: float = 0.9,
                       _as_double(F.col(vec_col)).alias("v"))
               .withColumn("__n", _norm(F.col("v")))
               .join(cells, id_col))
+    if target_occupancy is None:
+        vecs = vecs.withColumn("__sub", F.lit(0).cast("long"))
+    else:
+        pops = (cells.groupBy("cell")
+                     .agg(F.count(F.lit(1)).alias("__pop"))
+                     .withColumn("__s", F.ceil(
+                         F.col("__pop") / F.lit(float(target_occupancy))
+                     ).cast("long")))
+        wseed = Window.partitionBy("cell").orderBy(F.asc(id_col))
+        seeds = (cells.join(F.broadcast(pops), "cell")
+                      .withColumn("__rn", F.row_number().over(wseed))
+                      .filter(F.col("__rn") <= F.col("__s"))
+                      .select("cell", F.col(id_col).alias("__seed")))
+        seedv = (seeds.join(vecs.select(F.col(id_col).alias("__seed"),
+                                        F.col("v").alias("__sv")),
+                            "__seed")
+                      .select("cell", "__seed", "__sv"))
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("__sv"),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, x: acc + x)
+        # argmin collapses in the aggregate (min over (d2, seed) struct)
+        # — ties at equal distance pick the smallest seed id
+        sub = (vecs.select(id_col, "v", "cell")
+                   .join(seedv, "cell")
+                   .withColumn("__d2", d2)
+                   .groupBy(id_col)
+                   .agg(F.min(F.struct(F.col("__d2"),
+                                       F.col("__seed"))).alias("__m"))
+                   .select(id_col, F.col("__m.__seed").alias("__sub")))
+        vecs = vecs.join(sub, id_col)
     a = vecs.select(F.col(id_col).alias("keep_id"),
                     F.col("v").alias("__va"),
-                    F.col("__n").alias("__na"), "cell")
+                    F.col("__n").alias("__na"), "cell", "__sub")
     b = vecs.select(F.col(id_col).alias("drop_id"),
                     F.col("v").alias("__vb"),
-                    F.col("__n").alias("__nb"), "cell")
+                    F.col("__n").alias("__nb"), "cell", "__sub")
     cos = roundn(_dot(F.col("__va"), F.col("__vb"))
                  / (F.col("__na") * F.col("__nb")))
-    return (a.join(b, "cell")
+    return (a.join(b, ["cell", "__sub"])
              .filter(F.col("keep_id") < F.col("drop_id"))
              .withColumn("cosine", cos)
              .filter(F.col("cosine") >= threshold)

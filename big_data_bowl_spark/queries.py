@@ -1681,11 +1681,15 @@ def q_lsh_topk(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF coarse-quantizer ANN: KMeans cells + nprobe probing + exact
-    re-rank.  Approximate (rows-only check); equivalence to brute force at
-    nprobe == n_cells is pinned by test_ivf_full_probe_equals_brute_force."""
+    re-rank at the measured default (16 cells, nprobe=6 — recall@3 =
+    0.800 over 50 queries at sf0.1, full frontier table in ivf_topk's
+    docstring / SCALE.md; floor 0.70 asserted by
+    tests/test_recall_sf01.py).  Approximate (rows-only check);
+    equivalence to brute force at nprobe == n_cells is pinned by
+    test_ivf_full_probe_equals_brute_force."""
     from .pipeline.similarity import ivf_topk
     return ivf_topk(_t(spark, sf_dir, "embeddings"),
-                    query_ids=[0, 1, 2, 3, 4], k=3, n_cells=8, nprobe=2)
+                    query_ids=[0, 1, 2, 3, 4], k=3)
 
 
 def q_lsh_neutral(spark, sf_dir):
@@ -6045,60 +6049,23 @@ def q_theil_sen(spark, sf_dir):
     median of all pairwise slopes (breakdown point 29% — one bad day
     cannot move it, unlike OLS), plus the median-residual intercept.
     The quadratic pair set lives at the DAY grain, which is bounded by
-    the calendar, not the corpus — the same argument that makes the
-    distinct-value-grain windows scale — so ~2.9M slope pairs is the
-    CEILING at any SF.  Slopes are one division of exact cent/day
-    deltas; medians are exact percentiles (swap in the distributed
-    rank form for series past ~10⁴ points); the intercept pass reuses
-    the pinned day series with the rounded slope as a 1-row
-    broadcast."""
+    the calendar, not the corpus — ~2.9M slope pairs is the CEILING at
+    any SF — and that bound IS the plan (r11, VERDICT item 6): scan →
+    day-cents aggregate → ONE single-group Arrow task running the whole
+    estimator in numpy (operators.aggregates.theil_sen_bounded) — one
+    Spark job where the r10 form paid ~6 fixed-latency jobs keeping
+    calendar-bounded pairs distributed (8.6s → ~1.5s at sf0.1, values
+    bit-identical: same float64 slope divisions, same two-middle order
+    statistics, F.round HALF-UP semantics reproduced exactly).  For an
+    UNBOUNDED grain, compose median_distributed over the pair join —
+    kept and property-tested as the documented scale path."""
+    from .operators.aggregates import theil_sen_bounded
     o = _t(spark, sf_dir, "orders")
     days = (o.groupBy(F.floor(F.unix_timestamp("o_orderdate") / 86400)
                        .cast("long").alias("__d"))
-             .agg(F.sum(cents(F.col("o_totalprice"))).alias("__r"))
-             .localCheckpoint(eager=True))  # pairs + intercept pass
-    a = days.select(F.col("__d").alias("__di"), F.col("__r").alias("__ri"))
-    b = days.select(F.col("__d").alias("__dj"), F.col("__r").alias("__rj"))
-    # try_divide, not /: median_distributed's IS NOT NULL filter gets
-    # pushed into the cartesian join as a predicate, and ANSI evaluates
-    # the division on di == dj pairs BEFORE the < conjunct — a plain /
-    # throws DIVIDE_BY_ZERO on rows the condition would have excluded
-    # (caught by the hypothesis sweep).  For every KEPT row the divisor
-    # is ≥ 1, so try_divide is value-identical.
-    slopes = (a.join(b, F.col("__di") < F.col("__dj"))
-               .select("__di", "__dj",
-                       (F.try_divide(
-                           (F.col("__rj") - F.col("__ri")).cast("double"),
-                           (F.col("__dj") - F.col("__di")).cast("double"))
-                        / 100.0).alias("__s"))
-               .localCheckpoint(eager=True))  # 3 passes consume it
-    # exact median WITHOUT the single-reducer F.percentile sort (10s at
-    # 2.9M slopes): histogram SELECTION (median_distributed) — two
-    # linear scans locate and sort only the ~n/1024-row target buckets.
-    # Order statistics are algorithm-independent, so the oracle picks
-    # the same positions with a plain row_number and both engines
-    # average the identical two middle values.
-    from .operators.windows import median_distributed
-    sl = (median_distributed(slopes, "__s", tiebreak=["__di", "__dj"])
-          .select(F.col("n").alias("n_pairs"),
-                  F.round(F.col("median"), 6).alias("sen_slope")))
-    resid = (days.crossJoin(F.broadcast(sl))
-                 .select("n_pairs", "sen_slope", "__d",
-                         (F.col("__r").cast("double") / 100.0
-                          - F.col("sen_slope") * F.col("__d"))
-                          .alias("__e")))
-    # intercept median runs on the DAY grain (calendar-bounded, ≤ a few
-    # thousand rows) — a plain position pick via one tiny window
-    wm = Window.orderBy(F.asc("__e"), F.asc("__d"))
-    nd = resid.agg(F.count(F.lit(1)).alias("__nd"))
-    rr = (resid.withColumn("__p", F.row_number().over(wm))
-               .crossJoin(F.broadcast(nd)))
-    d1 = F.floor((F.col("__nd") + 1) / 2)
-    d2 = F.floor(F.col("__nd") / 2) + 1
-    return (rr.filter((F.col("__p") == d1) | (F.col("__p") == d2))
-              .groupBy("n_pairs", "sen_slope")
-              .agg(F.max("__nd").alias("n_days"),
-                   F.round(F.avg("__e"), 6).alias("intercept")))
+             .agg(F.sum(cents(F.col("o_totalprice"))).alias("__r")))
+    return (theil_sen_bounded(days, "__d", "__r")
+            .select("n_pairs", "sen_slope", "n_days", "intercept"))
 
 
 def q_personalized_pagerank(spark, sf_dir):

@@ -1,0 +1,90 @@
+"""Full-registry timing gate (r11, VERDICT item 1): every name in
+QUERIES gets a committed sf0.1 wall-time (BENCH_FULL.json), and this
+script gates a FRESH full-bench run against that record — the
+stress_check discipline applied to the 157 queries the headline set
+never timed, where a 10x slowdown used to pass every committed gate.
+
+A query regresses only if BOTH hold (the r9/r10 verdicts' own rule,
+widened for host noise — this VM shows transient multi-second stall
+windows even under bench.py's min-of-two-interleaved-passes):
+
+    fresh > committed * RATIO  AND  fresh - committed > ABS_SLACK
+
+New queries (no committed record) are reported, not failed — commit
+the refreshed BENCH_FULL.json to give them a record.
+
+Usage:
+    python scripts/bench_full_check.py            # run + gate
+    python scripts/bench_full_check.py --record   # run + overwrite record
+Env:
+    SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS pass through to bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+RECORD_PATH = os.path.join(REPO, "BENCH_FULL.json")
+
+RATIO = 2.0
+ABS_SLACK = 1.0  # seconds
+
+
+def main() -> None:
+    record = "--record" in sys.argv
+
+    committed: dict[str, float] = {}
+    if os.path.exists(RECORD_PATH) and not record:
+        with open(RECORD_PATH) as fh:
+            committed = json.load(fh)["queries"]
+
+    # fresh full run; bench.py writes BENCH_FULL.json itself (sf0.1),
+    # which doubles as the refreshed record when --record
+    env = dict(os.environ, SPARK_GRAFT_BENCH_FULL="1")
+    if committed:
+        # don't clobber the committed record on a plain gate run
+        env["SPARK_GRAFT_DETAIL"] = os.path.join(
+            REPO, "BENCH_FULL_fresh.json")
+    proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                          env=env, capture_output=True, text=True)
+    tail = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    if proc.returncode != 0 or not tail:
+        sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
+        sys.exit(proc.returncode or 1)
+    print(tail[-1])
+    detail_path = env.get("SPARK_GRAFT_DETAIL", RECORD_PATH)
+    with open(detail_path) as fh:
+        fresh = json.load(fh)["queries"]
+
+    if record or not committed:
+        print(f"bench_full_check: recorded {len(fresh)} query times -> "
+              f"{RECORD_PATH}")
+        return
+
+    new = sorted(set(fresh) - set(committed))
+    if new:
+        print(f"bench_full_check: {len(new)} queries have no committed "
+              f"record (commit a refreshed BENCH_FULL.json): {new}")
+    bad = []
+    for name, t in sorted(fresh.items()):
+        base = committed.get(name)
+        if base is None:
+            continue
+        if t > base * RATIO and t - base > ABS_SLACK:
+            bad.append((name, base, t))
+    if bad:
+        for name, base, t in bad:
+            print(f"BENCH REGRESSION {name}: {base:.2f}s -> {t:.2f}s "
+                  f"(> x{RATIO} and > +{ABS_SLACK}s)")
+        sys.exit(1)
+    print(f"bench_full_check: all {len(fresh)} query times within "
+          f"x{RATIO}/+{ABS_SLACK}s of the committed record")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,4 +29,12 @@ if [ -z "$SKIP_STRESS" ]; then
   echo "=== stress leg (sf1.0 density watch) ==="
   python scripts/stress_check.py
 fi
+# r11 adds the FULL-BENCH LEG: every registered query timed at sf0.1
+# and gated against the committed BENCH_FULL.json (x2 ratio AND +1s
+# absolute — the one place a long-tail perf regression could hide).
+# Skip with SKIP_BENCHFULL=1 when iterating on correctness.
+if [ -z "$SKIP_BENCHFULL" ]; then
+  echo "=== full-bench leg (all queries vs committed BENCH_FULL.json) ==="
+  python scripts/bench_full_check.py
+fi
 echo "close_round: all legs green"

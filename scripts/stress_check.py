@@ -44,7 +44,10 @@ MARGIN = 1.5
 # the density-sensitive set: fixed-geometry cell methods (quadratic in
 # density without the refinement ladder), cell-bounded semantic pairs
 # (result-bound — budget documents the honest output growth), and the
-# gram shuffle (linear; budget pins it stays that way)
+# gram shuffle (linear; budget pins it stays that way).  r11 adds the
+# token-grain family (the r8 full sweep measured it at x5-9 for x10
+# rows — linear-ish, but previously UNGATED: a super-linear regression
+# in the gram/posting shuffles would have passed every committed gate)
 WATCHED = [
     "q_grid_nearest",
     "q_grid_knn",
@@ -53,6 +56,12 @@ WATCHED = [
     "q_hard_negatives",
     "q_psm_match",
     "q_span_dedup",
+    # token-grain (r11)
+    "q_cdc_chunks",
+    "q_bm25_batch",
+    "q_dsir_weights",
+    "q_tfidf_topk",
+    "q_dup_ngrams",
 ]
 
 

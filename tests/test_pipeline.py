@@ -105,6 +105,50 @@ def test_multimodal_features_match_python(spark):
         assert abs(got.feat_mean - mean) < 1e-9
 
 
+def test_multimodal_real_jpeg_decode(spark):
+    """r11 (VERDICT item 5): the decode seam with a REAL codec —
+    encode a deterministic gradient image as an actual JPEG, push it
+    through extract_features with decode_image_real, and check the
+    schema is IDENTICAL to the stub path and the stats match a local
+    PIL decode of the same bytes.  Env-gated: the sandbox ships no
+    PIL/codecs, so this skips there — the stub test above is the CI
+    path for the same plumbing."""
+    import pytest as _pt
+
+    _pt.importorskip("PIL", reason="no PIL/codecs in this environment; "
+                                   "stub decoder is the CI path")
+    import io
+
+    from PIL import Image
+
+    from big_data_bowl_spark.pipeline.multimodal import decode_image_real
+
+    def jpeg_bytes(seed: int) -> bytes:
+        im = Image.new("L", (16, 16))
+        im.putdata([(x * 16 + y * (seed + 3)) % 256
+                    for x in range(16) for y in range(16)])
+        buf = io.BytesIO()
+        im.save(buf, format="JPEG", quality=90)
+        return buf.getvalue()
+
+    rows = [(i, jpeg_bytes(i), "image/jpeg", 0) for i in range(4)]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, media_type string, "
+              "declared_bytes long")
+    real = extract_features(media, decoder=decode_image_real)
+    stub = extract_features(media)
+    assert real.schema == stub.schema          # identical output schema
+    got = {r.media_id: r for r in real.collect()}
+    for i, payload, _, _ in rows:
+        px = list(Image.open(io.BytesIO(payload)).convert("L").getdata())
+        mean = sum(px) / len(px)
+        var = sum((v - mean) ** 2 for v in px) / len(px)
+        assert got[i].n_bytes == len(payload)
+        assert got[i].checksum == sum(payload) % (1 << 31)
+        assert abs(got[i].feat_mean - mean) < 1e-9
+        assert abs(got[i].feat_std - var ** 0.5) < 1e-9
+
+
 def test_sequence_roundtrip_with_fallback_model(spark):
     """T1 → M7 (pandas-UDF inference with broadcast model) → T2 unpivot:
     the full sequence-model spine without Keras."""
@@ -1837,6 +1881,60 @@ def test_semantic_dedup_matches_brute_force_within_cells(spark):
                 want.add((a, b))
     assert got == want and got, (got, want)
     assert all(a < b for a, b in got)
+
+
+def test_semantic_dedup_auto_k_subdivision(spark):
+    """r11 density-adaptive quantizer (VERDICT item 4): (1) when every
+    cell is at or under target_occupancy the auto-k path is IDENTICAL
+    to the single-level label quantizer (T=None); (2) under forced
+    subdivision (tiny T) exact-duplicate vectors still pair (same
+    nearest seed by construction) while pair volume is capped — the
+    dense same-cell cloud stops going all-pairs; (3) bad T raises."""
+    import numpy as np
+    import pytest as _pt
+
+    from big_data_bowl_spark.pipeline.similarity import (
+        semantic_dedup_pairs)
+
+    rng = np.random.default_rng(9)
+    base = {0: rng.normal(0, 1, 8) + 10, 1: rng.normal(0, 1, 8) - 10}
+    rows = []
+    for i in range(40):
+        lab = i % 2
+        v = base[lab] + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in v], lab))
+    # plant an exact duplicate pair inside label 0 (ids 100, 102)
+    dup = [float(x) for x in base[0] + rng.normal(0, 0.1, 8)]
+    rows += [(100, dup, 0), (102, dup, 0)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+    # (1) T >= any cell population ≡ single-level
+    single = {(r["keep_id"], r["drop_id"], r["cosine"])
+              for r in semantic_dedup_pairs(
+                  df, threshold=0.99, target_occupancy=None).collect()}
+    wide = {(r["keep_id"], r["drop_id"], r["cosine"])
+            for r in semantic_dedup_pairs(
+                df, threshold=0.99, target_occupancy=1000.0).collect()}
+    assert wide == single and single
+
+    # (2) forced subdivision: subset of single-level pairs, exact dup
+    # survives, and the candidate cap binds (strictly fewer pairs at
+    # threshold 0 than all-pairs within cells)
+    deep = {(r["keep_id"], r["drop_id"])
+            for r in semantic_dedup_pairs(
+                df, threshold=0.99, target_occupancy=4.0).collect()}
+    assert deep <= {(a, b) for a, b, _ in single}
+    assert (100, 102) in deep
+    all_single = semantic_dedup_pairs(
+        df, threshold=-1.0, target_occupancy=None).count()
+    all_deep = semantic_dedup_pairs(
+        df, threshold=-1.0, target_occupancy=4.0).count()
+    assert all_deep < all_single
+
+    # (3) validation
+    with _pt.raises(ValueError, match="target_occupancy"):
+        semantic_dedup_pairs(df, target_occupancy=0.0)
 
 
 def test_rrf_fuse_hand_computed(spark):

@@ -875,6 +875,56 @@ def test_theil_sen_slope_equals_brute_force(spark, pts):
     assert abs(got.median - want) < 1e-12
 
 
+@settings(max_examples=6, deadline=None)
+@given(pts=st.lists(st.tuples(st.integers(0, 30),
+                              st.integers(-100000, 100000)),
+                    min_size=2, max_size=20, unique_by=lambda t: t[0]))
+def test_theil_sen_bounded_equals_distributed_composition(spark, pts):
+    """The r11 single-task day-grain path (theil_sen_bounded) must be
+    BIT-IDENTICAL to the r10 distributed composition it replaced —
+    slope median via median_distributed over the pair join, F.round
+    HALF-UP at 6, residual median intercept with quantile_cont
+    positions — on arbitrary small integer-cent series."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from big_data_bowl_spark.operators.aggregates import theil_sen_bounded
+    from big_data_bowl_spark.operators.windows import median_distributed
+
+    df = spark.createDataFrame(pts, "d long, r long")
+    got = theil_sen_bounded(df, "d", "r").collect()[0]
+
+    a = df.select(F.col("d").alias("di"), F.col("r").alias("ri"))
+    b = df.select(F.col("d").alias("dj"), F.col("r").alias("rj"))
+    slopes = (a.join(b, F.col("di") < F.col("dj"))
+               .select("di", "dj",
+                       (F.try_divide((F.col("rj") - F.col("ri"))
+                                     .cast("double"),
+                                     (F.col("dj") - F.col("di"))
+                                     .cast("double")) / 100.0).alias("s"))
+               .localCheckpoint(eager=True))
+    sl = (median_distributed(slopes, "s", tiebreak=["di", "dj"])
+          .select(F.col("n").alias("n_pairs"),
+                  F.round(F.col("median"), 6).alias("sen_slope")))
+    resid = (df.crossJoin(F.broadcast(sl))
+               .select("n_pairs", "sen_slope", "d",
+                       (F.col("r").cast("double") / 100.0
+                        - F.col("sen_slope") * F.col("d")).alias("e")))
+    wm = Window.orderBy(F.asc("e"), F.asc("d"))
+    nd = resid.agg(F.count(F.lit(1)).alias("nd"))
+    rr = (resid.withColumn("p", F.row_number().over(wm))
+               .crossJoin(F.broadcast(nd)))
+    d1 = F.floor((F.col("nd") + 1) / 2)
+    d2 = F.floor(F.col("nd") / 2) + 1
+    want = (rr.filter((F.col("p") == d1) | (F.col("p") == d2))
+              .groupBy("n_pairs", "sen_slope")
+              .agg(F.max("nd").alias("n_days"),
+                   F.round(F.avg("e"), 6).alias("intercept"))).collect()[0]
+    assert (got.n_pairs, got.n_days) == (want.n_pairs, want.n_days)
+    assert got.sen_slope == want.sen_slope          # bit-identical
+    assert got.intercept == want.intercept
+
+
 def test_personalized_pagerank_mass_and_locality(spark):
     """PPR invariants that hold at EVERY iteration count: total rank
     mass stays 1 (teleport + dangling re-teleport conserve it), nodes
