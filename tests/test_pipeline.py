@@ -1371,6 +1371,43 @@ def test_jaccard_prefix_equals_bruteforce(spark):
             if round(j, 6) >= 0.6:
                 want[(a, b)] = round(j, 6)
     assert got == want, (got, want)
+    # this corpus has 9 distinct tokens, so the default took the r11
+    # bitmask set-grain path — force the classic array path and pin
+    # bit-identical output (prefix + LENGTH filter, verified arrays)
+    legacy = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+              for r in jaccard_prefix_pairs(docs, threshold=0.6,
+                                            small_vocab_bits=0).collect()}
+    assert legacy == want, (legacy, want)
+
+
+def test_jaccard_smallvocab_path_equals_array_path(spark):
+    """r11 bitmask fast path ≡ classic array path, bit for bit, on a
+    randomized 40-token corpus with planted exact duplicates (the
+    same-mask shortcut), near-misses at the τ boundary, and length
+    outliers the new LENGTH filter prunes — across two thresholds."""
+    import random
+
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(3, 25)
+        rows.append((i, " ".join(rng.sample(vocab, n))))
+    rows.append((200, rows[5][1]))     # exact dup -> same mask
+    rows.append((201, rows[5][1]))     # triple
+    rows.append((202, " ".join(vocab)))  # the full-vocab outlier
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for tau in (0.5, 0.8):
+        fast = sorted(map(tuple, jaccard_prefix_pairs(
+            docs, threshold=tau).collect()))
+        slow = sorted(map(tuple, jaccard_prefix_pairs(
+            docs, threshold=tau, small_vocab_bits=0).collect()))
+        assert fast == slow and fast, (tau, len(fast), len(slow))
+    # the planted duplicates pair at J = 1.0 in both worlds
+    pairs = {(a, b) for a, b, _ in fast}
+    assert {(5, 200), (5, 201), (200, 201)} <= pairs
 
 
 def test_negative_samples_never_hit_positives(spark):

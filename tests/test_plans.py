@@ -365,8 +365,17 @@ def test_round4_no_node_grain_broadcast_hints(spark):
 
     docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")],
                                  "doc_id long, text string")
-    jp = jaccard_prefix_pairs(docs, 0.5)
+    # the ARRAY path (real corpora, V > 63): the vocabulary table is
+    # corpus-scale and must never carry a broadcast promise
+    jp = jaccard_prefix_pairs(docs, 0.5, small_vocab_bits=0)
     analyzed = jp._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 0, analyzed
+    # the r11 BITMASK path: its ONE broadcast (the token→bit map, ≤
+    # small_vocab_bits rows BY CONSTRUCTION) lives inside the pinned
+    # doc-mask stage, so the downstream plan carries no hint at all —
+    # in particular no node/corpus-grain promise
+    jp_small = jaccard_prefix_pairs(docs, 0.5)
+    analyzed = jp_small._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 0, analyzed
 
     # unigram LM: the only hint is the 1-row corpus total — the
