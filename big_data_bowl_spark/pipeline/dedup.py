@@ -868,6 +868,12 @@ def minhash_neutral_pairs(df: DataFrame, min_est_jaccard: float = 0.5,
         F.sequence(F.lit(0), n_sh - 1),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
     base = F.transform(shingles, polynomial_token_hash)
+    # pinned: the 32 slot-aggregates are INTERPRETED higher-order
+    # functions — the most expensive map stage of the query — and the
+    # signature table feeds FOUR plan references (both sides of the
+    # banded bucket self-join, both sides of the verification join);
+    # without the pin each reference re-runs the whole shingle→hash→
+    # fold pipeline (measured 12.9s → ~4s at sf0.1, doc-grain rows)
     sig_df = (df.select(F.col(id_col), F.col(text_col))
                 .withColumn("_base", base)
                 .select(F.col(id_col), F.array(*[
@@ -875,7 +881,8 @@ def minhash_neutral_pairs(df: DataFrame, min_est_jaccard: float = 0.5,
                                 lambda acc, h: F.least(
                                     acc, (F.lit(a) * h + F.lit(b))
                                     % _MH_PRIME))
-                    for a, b in _mh_coeffs(n_hashes)]).alias("sig")))
+                    for a, b in _mh_coeffs(n_hashes)]).alias("sig"))
+                .localCheckpoint(eager=True))
     rpb = n_hashes // bands
     from .text import FP_PRIME
     banded = sig_df.select(

@@ -127,9 +127,15 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 
     all_buckets = F.array(*[bucket_bits(F.col("v"), t)
                             for t in range(n_tables)])
+    # pinned: the n_tables·n_planes sign bits are INTERPRETED
+    # higher-order aggregates over the full vector — the dominant map
+    # stage — and the bucketed index feeds BOTH sides of the candidate
+    # join (query probe + corpus); without the pin each side re-hashes
+    # the whole corpus (measured 7.2s → ~3s at sf0.1)
     bucketed = vecs.select(
         F.col(id_col), "v",
-        F.posexplode(all_buckets).alias("table", "bucket"))
+        F.posexplode(all_buckets).alias("table", "bucket")
+    ).localCheckpoint(eager=True)
     q = (bucketed.filter(F.col(id_col).isin(query_ids))
                  .select(F.col(id_col).alias("query_id"),
                          F.col("v").alias("qv"), "table", "bucket"))
