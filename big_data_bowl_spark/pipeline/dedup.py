@@ -93,7 +93,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                          id_col: str = "doc_id",
                          text_col: str = "text",
-                         small_vocab_bits: int = 63) -> DataFrame:
+                         small_vocab_bits: int = 504) -> DataFrame:
     """EXACT all-pairs token-Jaccard join with PPJoin prefix filtering —
     the candidate-pruned form that makes an exact threshold join feasible
     where :func:`ngram_jaccard_pairs` needs a probe set or bucket.
@@ -110,20 +110,24 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     so the result EQUALS the naive all-pairs join — same oracle SQL.
 
     SMALL-VOCABULARY fast path (r11, auto-detected): when the DISTINCT
-    token count V fits a machine word (V ≤ ``small_vocab_bits``), a
-    token set IS an int64 bitmask, and Jaccard collapses to integer bit
-    arithmetic at SET grain: docs group by mask (identical sets verify
-    once), the prefix join runs over distinct masks, verification is
-    ``bit_count(maskA & maskB)`` — three codegen integer ops replacing
-    an array_intersect per candidate — and doc pairs expand from set
-    pairs by two mask-keyed joins (the expansion volume IS the output).
-    Same-mask doc pairs are J = 1 by identity and skip verification
-    entirely.  The sf0.1 synthetic corpus (V = 31, 57% of all doc pairs
-    are true duplicates at τ = 0.6 — an output-bound worst case) runs
-    182s → ~35s with bit-identical output.  Real corpora (V ≫ 63) take
-    the classic array path, where the Zipf prefix filter is the lever.
-    The V-count probe is one driver-scale job on the vocabulary table
-    (the `_ladder_widths` stats-job discipline).
+    token count V fits a few machine words (V ≤ ``small_vocab_bits``,
+    default 504 = 8 words), a token set IS a tuple of W = ⌈V/63⌉ int64
+    bitmask COLUMNS, and Jaccard collapses to integer bit arithmetic
+    at SET grain: docs group by mask tuple (identical sets verify
+    once), the prefix join runs over distinct mask tuples,
+    verification is Σ_w ``bit_count(a_w & b_w)`` — a fixed chain of
+    codegen integer ops replacing an array_intersect per candidate —
+    and doc pairs expand from set pairs by two mask-keyed joins (the
+    expansion volume IS the output).  Same-mask doc pairs are J = 1 by
+    identity and skip verification entirely.  The sf0.1 synthetic
+    corpus (V = 31, 57% of all doc pairs are true duplicates at
+    τ = 0.6 — an output-bound worst case) runs 182s → ~24s with
+    bit-identical output; the sf1.0 stress replica (V = 310 → 5 words)
+    stays on this path instead of falling off a cliff to arrays.
+    Real corpora (V ≫ 504) take the classic array path, where the
+    Zipf prefix filter is the lever.  The V-count probe is one
+    driver-scale job on the vocabulary table (the `_ladder_widths`
+    stats-job discipline).
 
     Shuffles (array path): token explode → distinct, one SHUFFLE join
     tok⋈freq on token (the vocabulary is corpus-scale — one row per
@@ -140,8 +144,10 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     tok = _tokens_distinct(df, id_col, text_col, [])
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     tau = float(threshold)
-    if freq.count() <= small_vocab_bits:
-        return _jaccard_smallvocab(tok, freq, tau, id_col)
+    n_distinct = freq.count()
+    if n_distinct <= small_vocab_bits:
+        n_words = max(1, -(-int(n_distinct) // 63))  # ceil(V/63)
+        return _jaccard_smallvocab(tok, freq, tau, id_col, n_words)
     w_doc = Window.partitionBy(id_col)
     w_rank = w_doc.orderBy(F.asc("__df"), F.asc("token"))
     ranked = (tok.join(freq, "token")
@@ -178,62 +184,83 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
 
 
 def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
-                        id_col: str) -> DataFrame:
-    """The V ≤ 63 bitmask set-grain path of :func:`jaccard_prefix_pairs`
-    (see there for the argument).  ``tok`` is (id, token) distinct;
+                        id_col: str, n_words: int) -> DataFrame:
+    """The V ≤ 63·W bitmask set-grain path of
+    :func:`jaccard_prefix_pairs` (see there for the argument),
+    generalized to ``n_words`` mask WORDS (r11): token bit g lives in
+    word (g-1)//63, bit (g-1)%63, each word a NAMED int64 column, so
+    the per-candidate verification |A∩B| = Σ_w bit_count(a_w & b_w) is
+    a fixed chain of codegen integer ops — never an interpreted
+    lambda, never an array op.  ``tok`` is (id, token) distinct;
     ``freq`` is (token, __df)."""
     wg = Window.orderBy(F.asc("__df"), F.asc("token"))  # V rows: tiny
     granks = (freq.withColumn("__g", F.row_number().over(wg))
                   .select("token", "__g"))
-    # per-doc mask + rarest-first rank list (tokens are distinct per
-    # doc, so the sum of distinct powers of two IS the bitwise OR)
+    mask_cols = [f"__m{w}" for w in range(n_words)]
+
+    def word_sum(w: int):
+        # tokens are distinct per doc, so summing distinct powers of
+        # two within a word IS the bitwise OR of that word's bits
+        return F.sum(F.expr(
+            f"CASE WHEN CAST(floor((__g - 1) / 63) AS INT) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), "
+            f"CAST((__g - 1) % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END")).alias(f"__m{w}")
+
     # pinned: the token⋈map join feeds the set table AND four expansion
     # references — one materialization instead of five recomputes (and
     # the ≤V-row broadcast hint stays inside this one stage)
     docs = (tok.join(F.broadcast(granks), "token")
                .groupBy(id_col)
-               .agg(F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), __g - 1)"))
-                     .alias("__mask"),
+               .agg(*[word_sum(w) for w in range(n_words)],
                     F.sort_array(F.collect_list("__g")).alias("__gs"),
                     F.count(F.lit(1)).alias("__n"))
                .localCheckpoint(eager=True))
-    # set grain: one row per distinct mask (rank list/size are
+    # set grain: one row per distinct mask tuple (rank list/size are
     # mask-determined, so first() is deterministic)
-    sets = (docs.groupBy("__mask")
+    sets = (docs.groupBy(*mask_cols)
                 .agg(F.first("__gs").alias("__gs"),
                      F.first("__n").alias("__n")))
     plen = (F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")) + 1
             ).cast("int")
-    spfx = sets.select("__mask", "__n",
+    spfx = sets.select(*mask_cols, "__n",
                        F.explode(F.slice("__gs", 1, plen)).alias("__g"))
-    sa = spfx.select(F.col("__mask").alias("__ma"),
+    a_cols = [f"__a{w}" for w in range(n_words)]
+    b_cols = [f"__b{w}" for w in range(n_words)]
+    sa = spfx.select(*[F.col(m).alias(a) for m, a in zip(mask_cols, a_cols)],
                      F.col("__n").alias("__na"), "__g")
-    sb = spfx.select(F.col("__mask").alias("__mb"),
+    sb = spfx.select(*[F.col(m).alias(b) for m, b in zip(mask_cols, b_cols)],
                      F.col("__n").alias("__nb"), "__g")
-    inter = F.bit_count(F.col("__ma").bitwiseAND(F.col("__mb")))
+    inter = None
+    for a, b in zip(a_cols, b_cols):
+        term = F.bit_count(F.col(a).bitwiseAND(F.col(b)))
+        inter = term if inter is None else inter + term
     jac = roundn(inter / (F.col("__na") + F.col("__nb") - inter))
     spairs = (sa.join(sb, "__g")
-                .filter((F.col("__ma") < F.col("__mb"))
+                .filter((F.struct(*[F.col(a) for a in a_cols])
+                         < F.struct(*[F.col(b) for b in b_cols]))
                         & (F.col("__na").cast("double")
                            >= F.lit(tau) * F.col("__nb"))
                         & (F.col("__nb").cast("double")
                            >= F.lit(tau) * F.col("__na")))
-                .select("__ma", "__na", "__mb", "__nb").distinct()
+                .select(*a_cols, "__na", *b_cols, "__nb").distinct()
                 .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= tau)
-                .select("__ma", "__mb", "jaccard"))
-    ids = docs.select("__mask", F.col(id_col))
+                .select(*a_cols, *b_cols, "jaccard"))
+    ids = docs.select(*mask_cols, F.col(id_col))
     cross = (spairs
-             .join(ids.select(F.col("__mask").alias("__ma"),
-                              F.col(id_col).alias("__ida")), "__ma")
-             .join(ids.select(F.col("__mask").alias("__mb"),
-                              F.col(id_col).alias("__idb")), "__mb")
+             .join(ids.select(*[F.col(m).alias(a)
+                                for m, a in zip(mask_cols, a_cols)],
+                              F.col(id_col).alias("__ida")), a_cols)
+             .join(ids.select(*[F.col(m).alias(b)
+                                for m, b in zip(mask_cols, b_cols)],
+                              F.col(id_col).alias("__idb")), b_cols)
              .select(F.least("__ida", "__idb").alias("doc_a"),
                      F.greatest("__ida", "__idb").alias("doc_b"),
                      "jaccard"))
     # identical sets: J = 1 ≥ any τ ≤ 1, no verification needed
     same = (ids.alias("x")
-               .join(ids.alias("y"), "__mask")
+               .join(ids.alias("y"), mask_cols)
                .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
                .select(F.col(f"x.{id_col}").alias("doc_a"),
                        F.col(f"y.{id_col}").alias("doc_b"),
@@ -241,6 +268,7 @@ def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
     if tau > 1.0:
         same = same.filter(F.lit(False))  # degenerate caller guard
     return cross.unionByName(same)
+
 
 
 def containment_pairs(df: DataFrame, threshold: float = 0.8,

@@ -1419,3 +1419,51 @@ def test_grid_knn_ladder_equals_brute_force_randomized(spark, data):
     got = sorted(map(tuple, grid_knn(df, radius, k=k,
                                      target_occupancy=occ).collect()))
     assert got == sorted(want), (seed, k, radius, occ)
+
+
+@settings(max_examples=5, deadline=None)
+@given(data=st.data())
+def test_jaccard_prefix_both_paths_equal_python_brute_force(spark, data):
+    """Third-implementation check for the exact Jaccard join (r11): the
+    bitmask set-grain path AND the classic array path must both equal
+    an independent Python brute force on randomized corpora — the
+    oracle mirrors the engine's formulation, so only a third
+    implementation catches a shared conceptual bug (duplicate sets,
+    boundary thresholds, singleton docs, disjoint docs all drawn)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    # spans the 63-bit word boundary: small draws run 1 mask word,
+    # large draws run 2-3 words (the r11 multi-word generalization)
+    vocab_n = data.draw(st.sampled_from([4, 9, 12, 70, 130]),
+                        label="vocab_n")
+    n_docs = data.draw(st.integers(2, 18), label="n_docs")
+    tau = data.draw(st.sampled_from([0.34, 0.5, 0.75, 1.0]), label="tau")
+    docs_py = []
+    for i in range(n_docs):
+        toks = data.draw(
+            st.sets(st.integers(0, vocab_n - 1), min_size=1,
+                    max_size=min(vocab_n, 30)), label=f"doc{i}")
+        docs_py.append((i, sorted(toks)))
+    # force some exact duplicates into half the draws
+    if data.draw(st.booleans(), label="plant_dup") and n_docs >= 2:
+        docs_py[-1] = (docs_py[-1][0], docs_py[0][1])
+    rows = [(i, " ".join(f"w{t}" for t in toks)) for i, toks in docs_py]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = {}
+    for ai in range(n_docs):
+        for bi in range(ai + 1, n_docs):
+            a, b = set(docs_py[ai][1]), set(docs_py[bi][1])
+            j = len(a & b) / len(a | b)
+            if round(j, 6) >= tau:
+                want[(ai, bi)] = round(j, 6)
+
+    fast = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(df, threshold=tau).collect()}
+    slow = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_prefix_pairs(df, threshold=tau,
+                                          small_vocab_bits=0).collect()}
+    assert fast == want, (tau, fast, want)
+    assert slow == want, (tau, slow, want)
