@@ -119,11 +119,14 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     codegen integer ops replacing an array_intersect per candidate —
     and doc pairs expand from set pairs by two mask-keyed joins (the
     expansion volume IS the output).  Same-mask doc pairs are J = 1 by
-    identity and skip verification entirely.  The sf0.1 synthetic
-    corpus (V = 31, 57% of all doc pairs are true duplicates at
-    τ = 0.6 — an output-bound worst case) runs 182s → ~24s with
-    bit-identical output; the sf1.0 stress replica (V = 310 → 5 words)
-    stays on this path instead of falling off a cliff to arrays.
+    identity and skip verification entirely.  Candidates are emitted
+    exactly once via the lowest-shared-prefix-bit rule (see
+    :func:`_jaccard_smallvocab`) so there is NO distinct shuffle.  The
+    sf0.1 synthetic corpus (V = 31, 57% of all doc pairs are true
+    duplicates at τ = 0.6 — an output-bound worst case) runs
+    182s → ~9s with bit-identical output; the sf1.0 stress replica
+    (V = 310 → 5 words) stays on this path instead of falling off a
+    cliff to arrays.
     Real corpora (V ≫ 504) take the classic array path, where the
     Zipf prefix filter is the lever.  The V-count probe is one
     driver-scale job on the vocabulary table (the `_ladder_widths`
@@ -183,6 +186,9 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                 .select("doc_a", "doc_b", "jaccard"))
 
 
+_JACCARD_SALTS = 1  # prefix-join salt fan-out; see _jaccard_smallvocab
+
+
 def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
                         id_col: str, n_words: int) -> DataFrame:
     """The V ≤ 63·W bitmask set-grain path of
@@ -192,7 +198,39 @@ def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
     the per-candidate verification |A∩B| = Σ_w bit_count(a_w & b_w) is
     a fixed chain of codegen integer ops — never an interpreted
     lambda, never an array op.  ``tok`` is (id, token) distinct;
-    ``freq`` is (token, __df)."""
+    ``freq`` is (token, __df).
+
+    DEDUP-FREE candidate generation (r11b): a pair sharing k prefix
+    tokens comes out of the prefix equi-join k times, and the original
+    form paid a full shuffle to ``.distinct()`` the duplicates away
+    (measured at sf0.1: 41M generated → 6.0M distinct — a 6.9×
+    inflation through the widest shuffle of the query).  But the
+    prefix IS a bitmask here, so "emit each pair exactly once" is
+    integer arithmetic: carry each set's PREFIX mask through the join
+    and keep a candidate only where the join token __g is the
+    LOWEST-RANKED shared prefix token — no shared bit strictly below
+    __g's bit, i.e. Σ_w (pa_w & pb_w & low_w(__g)) = 0 where low_w
+    masks the bits of word w that rank below __g.  Every surviving row
+    is unique by construction, verification runs in the SAME codegen
+    stage as the join filter, and the 41M-row distinct shuffle is gone.
+
+    Measured at sf0.1 (V = 31, 3,935 distinct sets, 7.1M output pairs):
+    25.6s with the distinct → 8.6–9.4s dedup-free — and the r10 array
+    form was 182.5s, so the small-vocab path is now ~20× end-to-end.
+
+    SKEW KNOB (``_JACCARD_SALTS``, default 1 = off): the prefix join
+    key __g has at most V distinct values, which reads like a skewed
+    join — but the b-side is SET-grain prefix rows (distinct sets ×
+    prefix length), small enough to BROADCAST at any tested scale, so
+    the join never hash-partitions by __g at all and parallelism comes
+    from the a-side's partitioning.  Salting was built and MEASURED:
+    a-side pmod(xxhash64(mask words), S), b-side replicated ×S, each
+    pair still meeting exactly once at (g_min, salt(a)) — and at
+    sf0.1 it made the query 3× SLOWER (25.5s at S = 16 vs 8.6s at
+    S = 1) by inflating the broadcast build side for a skew that the
+    broadcast had already dissolved.  The knob stays (equality-tested
+    at S = 16) for the regime where distinct-set count outgrows the
+    broadcast threshold and the join really does shuffle on __g."""
     wg = Window.orderBy(F.asc("__df"), F.asc("token"))  # V rows: tiny
     granks = (freq.withColumn("__g", F.row_number().over(wg))
                   .select("token", "__g"))
@@ -218,32 +256,72 @@ def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
                .localCheckpoint(eager=True))
     # set grain: one row per distinct mask tuple (rank list/size are
     # mask-determined, so first() is deterministic)
-    sets = (docs.groupBy(*mask_cols)
-                .agg(F.first("__gs").alias("__gs"),
-                     F.first("__n").alias("__n")))
     plen = (F.col("__n") - F.ceil(F.lit(tau) * F.col("__n")) + 1
             ).cast("int")
-    spfx = sets.select(*mask_cols, "__n",
+    pfx_cols = [f"__p{w}" for w in range(n_words)]
+
+    def pfx_mask(w: int):
+        # OR of the prefix tokens' bits that land in word w — an
+        # interpreted HOF, but over ≤ set-count rows × prefix-length
+        # elements (thousands), never the pair grain
+        return F.expr(
+            f"aggregate(slice(__gs, 1, "
+            f"CAST(__n - CEIL({tau!r} * __n) + 1 AS INT)), "
+            f"CAST(0 AS BIGINT), (acc, g) -> acc | "
+            f"(CASE WHEN CAST(floor((g - 1) / 63) AS INT) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), "
+            f"CAST((g - 1) % 63 AS INT)) "
+            f"ELSE CAST(0 AS BIGINT) END))").alias(f"__p{w}")
+
+    sets = (docs.groupBy(*mask_cols)
+                .agg(F.first("__gs").alias("__gs"),
+                     F.first("__n").alias("__n"))
+                .select(*mask_cols, "__gs", "__n",
+                        *[pfx_mask(w) for w in range(n_words)]))
+    spfx = sets.select(*mask_cols, *pfx_cols, "__n",
                        F.explode(F.slice("__gs", 1, plen)).alias("__g"))
     a_cols = [f"__a{w}" for w in range(n_words)]
     b_cols = [f"__b{w}" for w in range(n_words)]
+    pa_cols = [f"__pa{w}" for w in range(n_words)]
+    pb_cols = [f"__pb{w}" for w in range(n_words)]
+    n_salts = _JACCARD_SALTS
     sa = spfx.select(*[F.col(m).alias(a) for m, a in zip(mask_cols, a_cols)],
-                     F.col("__n").alias("__na"), "__g")
+                     *[F.col(p).alias(a) for p, a in zip(pfx_cols, pa_cols)],
+                     F.col("__n").alias("__na"), "__g",
+                     F.pmod(F.xxhash64(*mask_cols),
+                            F.lit(n_salts)).alias("__salt"))
     sb = spfx.select(*[F.col(m).alias(b) for m, b in zip(mask_cols, b_cols)],
-                     F.col("__n").alias("__nb"), "__g")
+                     *[F.col(p).alias(b) for p, b in zip(pfx_cols, pb_cols)],
+                     F.col("__n").alias("__nb"), "__g",
+                     F.explode(F.array(*[F.lit(s) for s in range(n_salts)])
+                               ).alias("__salt"))
     inter = None
     for a, b in zip(a_cols, b_cols):
         term = F.bit_count(F.col(a).bitwiseAND(F.col(b)))
         inter = term if inter is None else inter + term
     jac = roundn(inter / (F.col("__na") + F.col("__nb") - inter))
-    spairs = (sa.join(sb, "__g")
+    # lowest-shared-prefix-bit uniqueness: low_w(__g) = the bits of
+    # word w ranking strictly below __g; the pair survives only at the
+    # minimal shared prefix token, so no distinct is ever needed
+    first_shared = None
+    for w, (pa, pb) in enumerate(zip(pa_cols, pb_cols)):
+        c = F.expr(
+            f"({pa} & {pb} & "
+            f"(CASE WHEN {w} < CAST(floor((__g - 1) / 63) AS INT) "
+            f"THEN CAST(-1 AS BIGINT) "
+            f"WHEN {w} = CAST(floor((__g - 1) / 63) AS INT) "
+            f"THEN shiftleft(CAST(1 AS BIGINT), "
+            f"CAST((__g - 1) % 63 AS INT)) - CAST(1 AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END)) = 0")
+        first_shared = c if first_shared is None else (first_shared & c)
+    spairs = (sa.join(sb, ["__g", "__salt"])
                 .filter((F.struct(*[F.col(a) for a in a_cols])
                          < F.struct(*[F.col(b) for b in b_cols]))
                         & (F.col("__na").cast("double")
                            >= F.lit(tau) * F.col("__nb"))
                         & (F.col("__nb").cast("double")
-                           >= F.lit(tau) * F.col("__na")))
-                .select(*a_cols, "__na", *b_cols, "__nb").distinct()
+                           >= F.lit(tau) * F.col("__na"))
+                        & first_shared)
                 .withColumn("jaccard", jac)
                 .filter(F.col("jaccard") >= tau)
                 .select(*a_cols, *b_cols, "jaccard"))

@@ -1410,6 +1410,34 @@ def test_jaccard_smallvocab_path_equals_array_path(spark):
     assert {(5, 200), (5, 201), (200, 201)} <= pairs
 
 
+def test_jaccard_salt_knob_preserves_output(spark):
+    """The _JACCARD_SALTS skew knob (off by default — salting measured
+    3× slower at sf0.1 where the b-side broadcasts) must stay EXACT
+    when enabled: each pair meets exactly once at (g_min, salt(a)), so
+    S = 16 output ≡ S = 1 output, no duplicates, no losses."""
+    import random
+
+    import big_data_bowl_spark.pipeline.dedup as dedup_mod
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(41)
+    vocab = [f"t{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.sample(vocab, rng.randint(3, 20))))
+            for i in range(100)]
+    rows.append((300, rows[7][1]))  # same-mask shortcut stays covered
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(map(tuple, jaccard_prefix_pairs(
+        docs, threshold=0.6).collect()))
+    old = dedup_mod._JACCARD_SALTS
+    try:
+        dedup_mod._JACCARD_SALTS = 16
+        salted = sorted(map(tuple, jaccard_prefix_pairs(
+            docs, threshold=0.6).collect()))
+    finally:
+        dedup_mod._JACCARD_SALTS = old
+    assert salted == base and base, (len(base), len(salted))
+
+
 def test_negative_samples_never_hit_positives(spark):
     from big_data_bowl_spark.pipeline.sampling import negative_samples
     pos = spark.createDataFrame(
