@@ -454,7 +454,16 @@ def minhash_slots(base_col: str, n_hashes: int = N_MINHASH) -> Column:
     functions are interpreted (outside codegen), and Catalyst does not
     common-subexpression-eliminate through lambda bodies — inlining the
     base recomputes split+concat+xxhash64 once PER SLOT, a measured ~45×
-    slowdown at sf0.1."""
+    slowdown at sf0.1.
+
+    Measured and REJECTED (r11): the "codegen" alternative — explode
+    the base hashes to rows and groupBy(doc) with 32 plain
+    ``F.min((a·h+b) mod p)`` aggregates — is ~1.5× SLOWER at sf0.1
+    (4.2s vs 6.4s forced-evaluation A/B, two rounds each).  Either form
+    pays the same 32 buffer updates per base hash; the explode adds row
+    materialization and a doc-grain shuffle that the in-row fold never
+    pays.  The interpreted fold over a STAGED array is the right shape;
+    do not "optimize" it back out."""
     return F.array(*[
         F.aggregate(base_col, F.lit(_MH_PRIME).cast("long"),
                     lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b))

@@ -62,6 +62,10 @@ WATCHED = [
     "q_dsir_weights",
     "q_tfidf_topk",
     "q_dup_ngrams",
+    # exact-Jaccard small-vocab bitmask path (r11b: dedup-free
+    # lowest-shared-prefix-bit generation — output-bound like
+    # q_semdedup, and the sf1.0 replica must STAY on the bitmask path)
+    "q_jaccard_prefix",
 ]
 
 
