@@ -78,9 +78,44 @@ def main() -> None:
         if t > base * RATIO and t - base > ABS_SLACK:
             bad.append((name, base, t))
     if bad:
+        # retry pass (r11): per-query latency on this host is
+        # heavy-tailed (q_theil_sen measured 1.3s / 6.6s / 18.9s across
+        # one four-run sequence — a 1-task applyInPandas paying Python
+        # worker spin-up at the tail), and min-of-two-interleaved-passes
+        # can still land both samples slow.  Re-time ONLY the tripped
+        # queries in a FRESH session (the repo's documented stall-window
+        # rule) and fail only what trips twice; a real regression fails
+        # the retry just the same.
+        names = ",".join(n for n, _, _ in bad)
+        print(f"bench_full_check: {len(bad)} over budget — retrying "
+              f"in a fresh session: {names}")
+        retry_path = os.path.join(REPO, "BENCH_FULL_retry.json")
+        env2 = dict(os.environ, SPARK_GRAFT_BENCH_FULL="1",
+                    SPARK_GRAFT_ONLY=names,
+                    SPARK_GRAFT_DETAIL=retry_path)
+        proc2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env2, capture_output=True, text=True)
+        if proc2.returncode != 0:
+            sys.stderr.write(proc2.stdout[-4000:] + proc2.stderr[-4000:])
+            sys.exit(proc2.returncode)
+        with open(retry_path) as fh:
+            retried = json.load(fh)["queries"]
+        os.remove(retry_path)
+        confirmed = []
+        for name, base, t in bad:
+            t2 = retried.get(name, t)
+            if t2 > base * RATIO and t2 - base > ABS_SLACK:
+                confirmed.append((name, base, min(t, t2)))
+            else:
+                print(f"bench_full_check: {name} recovered on retry "
+                      f"({t:.2f}s -> {t2:.2f}s vs committed {base:.2f}s) "
+                      f"— host noise, not a regression")
+        bad = confirmed
+    if bad:
         for name, base, t in bad:
             print(f"BENCH REGRESSION {name}: {base:.2f}s -> {t:.2f}s "
-                  f"(> x{RATIO} and > +{ABS_SLACK}s)")
+                  f"(> x{RATIO} and > +{ABS_SLACK}s, twice)")
         sys.exit(1)
     print(f"bench_full_check: all {len(fresh)} query times within "
           f"x{RATIO}/+{ABS_SLACK}s of the committed record")
