@@ -419,7 +419,8 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
                         .alias("support")))
 
 
-def theil_sen_bounded(series: DataFrame, d_col: str, r_col: str) -> DataFrame:
+def theil_sen_bounded(series: DataFrame, d_col: str, r_col: str,
+                      max_grain: int = 50_000) -> DataFrame:
     """Theil–Sen estimator over a BOUNDED-grain integer series — one
     Spark job, one Arrow task.
 
@@ -437,6 +438,18 @@ def theil_sen_bounded(series: DataFrame, d_col: str, r_col: str) -> DataFrame:
     kept and property-tested as the documented scale path), pure
     overhead for a calendar-bounded one.
 
+    RUNTIME GUARD (r12): the bounded-grain precondition is ENFORCED,
+    not just documented — the operator is public API, and a caller
+    passing an unbounded grain (user_id, doc_id) would get a silent
+    single-task OOM (O(n²) numpy outer differences) instead of the
+    documented scale path.  One cheap ``count()`` of the input grain
+    runs before the 1-group exchange; above ``max_grain`` (default
+    50k ⇒ ~1.25G pairs ≈ 10 GB of float64 slopes — already past what
+    one Arrow task should hold) the call fails loud with a pointer to
+    the ``median_distributed``-over-pair-join composition.  This is
+    the ``nearest_in_group`` ``max_group`` discipline (SURVEY §4.3
+    item 3): count the grain first, refuse the non-scalable shape.
+
     Value parity with the distributed form is bit-exact: slopes divide
     the same float64 cent/day deltas; medians take the mean of the two
     middle order statistics (quantile_cont 0.5); the slope rounds
@@ -449,6 +462,16 @@ def theil_sen_bounded(series: DataFrame, d_col: str, r_col: str) -> DataFrame:
     n_days, intercept) with both estimates rounded at 6.
     """
     require_columns(series, [d_col, r_col], "theil_sen_bounded")
+    n_grain = series.count()
+    if n_grain > max_grain:
+        raise ValueError(
+            f"theil_sen_bounded: input grain has {n_grain} rows > "
+            f"max_grain={max_grain}; the single-task numpy estimator "
+            f"is O(n^2) in the grain and would OOM one Arrow task. "
+            f"For an unbounded grain, compose the pair join with "
+            f"operators.windows.median_distributed (the documented "
+            f"distributed form), or pre-aggregate to a bounded grain "
+            f"(calendar days, buckets) before calling this.")
 
     def _round_half_up6(x: float) -> float:
         from decimal import ROUND_HALF_UP, Decimal

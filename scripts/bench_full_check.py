@@ -29,14 +29,46 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
 RECORD_PATH = os.path.join(REPO, "BENCH_FULL.json")
+RETRY_LOG = os.path.join(HERE, "bench_retry_log.json")
 
 RATIO = 2.0
 ABS_SLACK = 1.0  # seconds
 
 
+def log_recoveries(entries: list[dict]) -> None:
+    """Append retry-recovered queries to the committed log (r12,
+    ADVICE): a retry that clears a query is the right noise call for
+    one session, but the SAME query recovering round after round is an
+    intermittent real regression hiding behind the retry — the log
+    makes that visible (grep a query name; entry count = strikes)."""
+    hist: list[dict] = []
+    if os.path.exists(RETRY_LOG):
+        with open(RETRY_LOG) as fh:
+            hist = json.load(fh)
+    hist.extend(entries)
+    with open(RETRY_LOG, "w") as fh:
+        json.dump(hist, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    counts: dict[str, int] = {}
+    for e in hist:
+        counts[e["query"]] = counts.get(e["query"], 0) + 1
+    repeat = {q: c for q, c in counts.items() if c > 1}
+    if repeat:
+        print(f"bench_full_check: queries with REPEATED retry "
+              f"recoveries across sessions (see {RETRY_LOG}): {repeat}")
+
+
 def main() -> None:
     record = "--record" in sys.argv
+    if record:
+        # host-health preflight (r12): never write the committed
+        # record from a degraded session — r11's driver host ran 7x
+        # slow and a record written there would loosen every future
+        # gate by that factor
+        import bench
+        bench.require_healthy_host("bench_full_check --record")
 
     committed: dict[str, float] = {}
     if os.path.exists(RECORD_PATH) and not record:
@@ -57,11 +89,22 @@ def main() -> None:
         sys.stderr.write(proc.stdout[-4000:] + proc.stderr[-4000:])
         sys.exit(proc.returncode or 1)
     print(tail[-1])
-    detail_path = env.get("SPARK_GRAFT_DETAIL", RECORD_PATH)
+    summary = json.loads(tail[-1])
+    # bench.py quarantines the committed record to a _degraded name
+    # when the run's calibration lands out of band — follow its
+    # detail_file so a mid-run degradation can't desync this reader
+    detail_path = env.get("SPARK_GRAFT_DETAIL") or os.path.join(
+        REPO, summary.get("detail_file", os.path.basename(RECORD_PATH)))
     with open(detail_path) as fh:
         fresh = json.load(fh)["queries"]
 
     if record or not committed:
+        if summary.get("degraded_host"):
+            sys.stderr.write(
+                "bench_full_check: run degraded mid-session "
+                f"(calibration {summary.get('calibration_sec')}s) — "
+                "committed record NOT refreshed\n")
+            sys.exit(3)
         print(f"bench_full_check: recorded {len(fresh)} query times -> "
               f"{RECORD_PATH}")
         return
@@ -103,6 +146,7 @@ def main() -> None:
             retried = json.load(fh)["queries"]
         os.remove(retry_path)
         confirmed = []
+        recovered = []
         for name, base, t in bad:
             t2 = retried.get(name, t)
             if t2 > base * RATIO and t2 - base > ABS_SLACK:
@@ -111,6 +155,12 @@ def main() -> None:
                 print(f"bench_full_check: {name} recovered on retry "
                       f"({t:.2f}s -> {t2:.2f}s vs committed {base:.2f}s) "
                       f"— host noise, not a regression")
+                recovered.append({
+                    "query": name, "committed_sec": base,
+                    "first_sec": round(t, 3), "retry_sec": round(t2, 3),
+                    "calibration_sec": summary.get("calibration_sec")})
+        if recovered:
+            log_recoveries(recovered)
         bad = confirmed
     if bad:
         for name, base, t in bad:

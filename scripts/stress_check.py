@@ -25,16 +25,32 @@ density-regression signal (the r8 defect was a ~25× stress-time
 blowup) without the noisy division.  The per-session ratio is still
 computed and printed as the scaling documentation, just not gated.
 
-Budgets live in scripts/stress_budgets.json as measured post-fix
-sf1.0 seconds; re-record after an intentional plan change with:
+HOST-SPECIFICITY (r12, ADVICE): the budgets are absolute seconds
+measured on THIS host (local[32], single-thread calibration norm in
+BASELINE.json) — on any other machine they are meaningless until
+re-recorded there.  ratio_info stays in the JSON as the
+hardware-portable scaling documentation and sanity fallback.
 
-    python scripts/stress_check.py --record
+Budgets live in scripts/stress_budgets.json as measured post-fix
+sf1.0 seconds.  ``--record`` is guarded two ways (r12):
+  * host-health preflight — a session whose calibration probe is out
+    of band (bench.require_healthy_host) is REFUSED, because a budget
+    recorded on a degraded host silently loosens every future gate by
+    the host factor (r11's driver session ran 7× slow);
+  * MAX-MERGE — recorded values merge with the committed file via
+    max(), so one fast session can never silently tighten a budget
+    that was deliberately set to the max over multiple clean sessions
+    (the false-alarm class the r11 redesign fixed).  After an
+    intentional plan change that makes a query faster, re-baseline
+    that query with ``--record-reset`` (full overwrite).
 
 Usage:
-    python scripts/stress_check.py [--record]
+    python scripts/stress_check.py [--record | --record-reset]
 Env:
     STRESS_SF_DIR  (default /tmp/stress_sf1.0; generated on demand by
                     gen_stress_sf.py if absent)
+    STRESS_MIDVOCAB_DIR (default /tmp/stress_midvocab; generated on
+                    demand by gen_stress_midvocab.py if absent)
     BENCH_SF_DIR   (default /root/testdata/sf0.1)
 """
 
@@ -51,6 +67,7 @@ sys.path.insert(0, os.path.dirname(HERE))
 
 BENCH_SF = os.environ.get("BENCH_SF_DIR", "/root/testdata/sf0.1")
 STRESS_SF = os.environ.get("STRESS_SF_DIR", "/tmp/stress_sf1.0")
+MIDVOCAB_SF = os.environ.get("STRESS_MIDVOCAB_DIR", "/tmp/stress_midvocab")
 BUDGETS_PATH = os.path.join(HERE, "stress_budgets.json")
 ABS_RATIO = 2.0   # fresh stress-seconds vs budget — both must trip:
 ABS_SLACK = 2.0   # ... and at least this many seconds over
@@ -80,11 +97,38 @@ WATCHED = [
     # lowest-shared-prefix-bit generation — output-bound like
     # q_semdedup, and the sf1.0 replica must STAY on the bitmask path)
     "q_jaccard_prefix",
+    # ANN / signature index family (r12, VERDICT item 4): 4 of the
+    # top 6 in BENCH_FULL, and their cost class (interpreted-HOF
+    # signature stages) was found by ad-hoc profiling in r11, not by a
+    # gate — the sf1.0 budget makes that detection recurring the way
+    # it already is for the grid family.  q_pq_topk times the PQ path
+    # END-TO-END (codebook train + encode + ADC search).
+    "q_minhash_neutral",
+    "q_lsh_precision",
+    "q_lsh_topk",
+    "q_pq_topk",
+    "q_ivf_topk",
 ]
+
+# VARIANT legs (r12, VERDICT item 3): same query, DIFFERENT stress
+# corpus, keyed "<query>@<variant>" in the budgets file.  The sf1.0
+# replica keeps q_jaccard_prefix on the small-vocab bitmask path
+# (V = 310 <= 504); real corpora have V >> 504 and take the classic
+# array path, which otherwise has no recorded stress time at all.
+# The midvocab corpus (V ~ 5k Zipf, gen_stress_midvocab.py) pins it.
+VARIANTS: dict[str, tuple[str, str, str]] = {
+    # key -> (query name, sf_dir, generator script)
+    "q_jaccard_prefix@midvocab": (
+        "q_jaccard_prefix", MIDVOCAB_SF, "gen_stress_midvocab.py"),
+}
 
 
 def main() -> None:
     record = "--record" in sys.argv
+    reset = "--record-reset" in sys.argv
+    if record or reset:
+        import bench
+        bench.require_healthy_host("stress_check --record")
 
     if not os.path.isdir(STRESS_SF):
         print(f"stress data missing; generating {STRESS_SF} ...",
@@ -92,6 +136,13 @@ def main() -> None:
         subprocess.run(
             [sys.executable, os.path.join(HERE, "gen_stress_sf.py"),
              STRESS_SF, "10", BENCH_SF], check=True)
+    for _, sf_dir, gen in VARIANTS.values():
+        if not os.path.isdir(sf_dir):
+            print(f"variant data missing; generating {sf_dir} ...",
+                  flush=True)
+            subprocess.run(
+                [sys.executable, os.path.join(HERE, gen), sf_dir],
+                check=True)
 
     from pyspark.sql import SparkSession
 
@@ -117,16 +168,18 @@ def main() -> None:
     def force(df):
         df.write.mode("overwrite").format("noop").save()
 
-    def time_at(sf_dir: str) -> dict[str, float]:
+    def time_at(sf_dir: str, names: list[str] | None = None,
+                warm: tuple[str, ...] = ("events", "documents",
+                                         "embeddings")) -> dict[str, float]:
         # warm the file index + parquet footers so timings measure
         # compute, not first-touch listing
-        for t in ("events", "documents", "embeddings"):
+        for t in warm:
             read_table(spark, sf_dir, t).limit(1).count()
         out: dict[str, float] = {}
         # two interleaved passes, min per query — same stall-window
         # discipline as bench.py
         for _ in range(2):
-            for name in WATCHED:
+            for name in (names or WATCHED):
                 t0 = time.perf_counter()
                 force(QUERIES[name](spark, sf_dir))
                 dt = time.perf_counter() - t0
@@ -135,26 +188,64 @@ def main() -> None:
 
     base = time_at(BENCH_SF)
     stress = time_at(STRESS_SF)
+    # variant legs: one corpus per entry, query timed under its
+    # variant key; the "base" for a variant is the same query at the
+    # bench SF (informational only — different data, so the ratio
+    # documents corpus shape, not scaling)
+    for key, (qname, sf_dir, _) in VARIANTS.items():
+        t = time_at(sf_dir, names=[qname], warm=("documents",))
+        stress[key] = t[qname]
+        base[key] = base[qname]
+    gated = WATCHED + sorted(VARIANTS)
     ratios = {n: round(stress[n] / max(base[n], 1e-9), 2)
-              for n in WATCHED}
+              for n in gated}
 
     report = {
         "bench_sf_dir": BENCH_SF,
         "stress_sf_dir": STRESS_SF,
-        "base_sec": {n: round(base[n], 3) for n in WATCHED},
-        "stress_sec": {n: round(stress[n], 3) for n in WATCHED},
+        "variants": {k: v[1] for k, v in VARIANTS.items()},
+        "base_sec": {n: round(base[n], 3) for n in gated},
+        "stress_sec": {n: round(stress[n], 3) for n in gated},
         "ratio": ratios,
     }
     print(json.dumps(report, indent=1, sort_keys=True))
     spark.stop()
 
-    if record:
+    if record or reset:
+        fresh = {n: round(stress[n], 3) for n in gated}
+        old_budgets: dict[str, float] = {}
+        old_ratios: dict[str, float] = {}
+        if os.path.exists(BUDGETS_PATH) and not reset:
+            with open(BUDGETS_PATH) as fh:
+                prior = json.load(fh)
+            old_budgets = prior.get("stress_sec_budget", {})
+            old_ratios = prior.get("ratio_info", {})
+        merged: dict[str, float] = {}
+        for n in gated:
+            if n in old_budgets and old_budgets[n] >= fresh[n]:
+                merged[n] = old_budgets[n]
+                print(f"--record keeps committed budget for {n}: "
+                      f"{old_budgets[n]}s >= fresh {fresh[n]}s "
+                      f"(max-merge; use --record-reset to re-baseline)")
+            else:
+                merged[n] = fresh[n]
+        # ratio_info follows the session whose seconds were kept
+        ratio_out = {n: (old_ratios.get(n, ratios[n])
+                         if merged[n] != fresh[n] else ratios[n])
+                     for n in gated}
         with open(BUDGETS_PATH, "w") as fh:
-            json.dump({"abs_ratio": ABS_RATIO, "abs_slack": ABS_SLACK,
-                       "stress_sec_budget":
-                           {n: round(stress[n], 3) for n in WATCHED},
-                       "ratio_info": ratios},
-                      fh, indent=1, sort_keys=True)
+            json.dump({
+                "_note": (
+                    "absolute sf1.0 seconds measured on THIS host "
+                    "(local[32]; calibration norm in BASELINE.json) — "
+                    "meaningless elsewhere until re-recorded there; "
+                    "ratio_info is the hardware-portable scaling doc. "
+                    "--record max-merges with these values; "
+                    "--record-reset overwrites."),
+                "abs_ratio": ABS_RATIO, "abs_slack": ABS_SLACK,
+                "stress_sec_budget": merged,
+                "ratio_info": ratio_out},
+                fh, indent=1, sort_keys=True)
             fh.write("\n")
         print(f"recorded budgets -> {BUDGETS_PATH}")
         return
@@ -164,13 +255,13 @@ def main() -> None:
     budgets = recorded["stress_sec_budget"]
     abs_ratio = float(recorded.get("abs_ratio", ABS_RATIO))
     abs_slack = float(recorded.get("abs_slack", ABS_SLACK))
-    missing = [n for n in WATCHED if n not in budgets]
+    missing = [n for n in gated if n not in budgets]
     if missing:
         print(f"STRESS: no budget recorded for {missing} — run "
               f"`python scripts/stress_check.py --record` after "
               f"adding a query to WATCHED")
         sys.exit(1)
-    bad = [(n, stress[n], budgets[n]) for n in WATCHED
+    bad = [(n, stress[n], budgets[n]) for n in gated
            if stress[n] > budgets[n] * abs_ratio
            and stress[n] - budgets[n] > abs_slack]
     if bad:

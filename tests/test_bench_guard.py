@@ -1,0 +1,79 @@
+"""Host-health preflight on the committed-record paths (r12, VERDICT
+item 1): round 11's driver bench ran on a host whose single-thread
+calibration probe measured 0.363s vs the 0.031-0.051 history — a
+silent 7x degradation.  The comparison gates are noise-robust, but a
+budget/record WRITTEN in such a session would loosen every future
+gate by the host factor, so every --record path must refuse when the
+probe is out of band.  These tests pin the decision logic and run the
+two recording scripts end-to-end with a faked degraded probe
+(SPARK_GRAFT_FAKE_CALIBRATION — the documented test seam) to verify
+they exit before touching the committed files."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402
+
+
+def test_calibration_norm_is_committed():
+    norm = bench.calibration_norm()
+    with open(os.path.join(REPO, "BASELINE.json")) as fh:
+        assert norm == json.load(fh)["calibration_norm_sec"]
+    # the r01-r10 healthy history must sit inside the accepted band
+    for healthy in (0.031, 0.046, 0.051):
+        assert not bench.host_degraded(healthy, norm)
+    # the r11 degraded-session values must trip it
+    for degraded in (0.363, 0.407):
+        assert bench.host_degraded(degraded, norm)
+    # a 2x-FAST probe is equally out of band: budgets recorded there
+    # would fail every honest session later
+    assert bench.host_degraded(norm / 3.0, norm)
+
+
+def test_require_healthy_host_blocks_on_fake_degraded(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION", "0.363")
+    with pytest.raises(SystemExit) as ei:
+        bench.require_healthy_host("unit-test")
+    assert ei.value.code == 3
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION", "0.045")
+    assert bench.require_healthy_host("unit-test") == 0.045
+
+
+@pytest.mark.parametrize("script,args", [
+    ("scripts/stress_check.py", ["--record"]),
+    ("scripts/stress_check.py", ["--record-reset"]),
+    ("scripts/bench_full_check.py", ["--record"]),
+])
+def test_record_paths_refuse_degraded_host(script, args):
+    """End-to-end: a degraded probe makes --record exit(3) BEFORE any
+    Spark work or file write (the refusal happens in the preflight, so
+    the subprocess returns in well under a second)."""
+    budgets_path = os.path.join(REPO, "scripts", "stress_budgets.json")
+    before = open(budgets_path).read()
+    env = dict(os.environ, SPARK_GRAFT_FAKE_CALIBRATION="0.9")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        env=env, capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 3, proc.stderr
+    assert "REFUSING" in proc.stderr
+    assert open(budgets_path).read() == before  # nothing written
+
+
+def test_bench_only_rejects_unknown_query_names():
+    """ADVICE r12: a typo in SPARK_GRAFT_ONLY must fail fast, not
+    silently time an empty set."""
+    env = dict(os.environ, SPARK_GRAFT_ONLY="q_definitely_not_a_query")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 2
+    assert "q_definitely_not_a_query" in proc.stderr

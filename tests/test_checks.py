@@ -274,3 +274,19 @@ def test_expectation_report_empty_relation_has_real_verdicts(spark):
     assert got["rows"] == (0.0, False)
     for name in ("v nulls", "k unique", "v range", "t domain"):
         assert got[name] == (0.0, True), (name, got[name])
+
+
+def test_theil_sen_bounded_guard_refuses_unbounded_grain(spark):
+    """r12 (VERDICT item 2): the single-task O(n^2) estimator must
+    count its grain first and fail loud above max_grain with a pointer
+    to the distributed composition — the nearest_in_group max_group
+    discipline applied to the other single-task operator."""
+    from big_data_bowl_spark.operators.aggregates import theil_sen_bounded
+
+    series = spark.range(40).select(
+        F.col("id").alias("d"), (F.col("id") * 3 + 7).alias("r"))
+    ok = theil_sen_bounded(series, "d", "r").collect()[0]
+    assert ok.sen_slope == pytest.approx(0.03)  # cents/day -> /100
+    assert ok.n_days == 40 and ok.n_pairs == 40 * 39 // 2
+    with pytest.raises(ValueError, match="median_distributed"):
+        theil_sen_bounded(series, "d", "r", max_grain=39)

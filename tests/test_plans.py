@@ -674,3 +674,34 @@ def test_greedy_cover_round_has_no_in_list(spark):
     optimized = cand._jdf.queryExecution().optimizedPlan().toString()
     assert " IN (" not in optimized, optimized
     assert "g19" not in optimized, optimized
+
+
+def test_jaccard_prefix_path_selection(spark):
+    """r12 (VERDICT item 3): jaccard_prefix_pairs auto-selects its
+    physical strategy on the DISTINCT token count V — the bitmask
+    set-grain path (codegen bit_count verification) at V <= 504, the
+    classic array path (rarest-first prefix join + array_intersect
+    verification) above.  Pin the selector so a threshold or probe
+    regression can't silently flip real corpora (V >> 504) onto a
+    path sized for toy vocabularies."""
+    from pyspark.sql import Row
+
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    small = spark.createDataFrame(
+        [Row(doc_id=i, text=f"tok{i % 10} tok{(i + 1) % 10}")
+         for i in range(30)])
+    plan_small = (jaccard_prefix_pairs(small, threshold=0.6)
+                  ._jdf.queryExecution().optimizedPlan().toString())
+    assert "bit_count" in plan_small, plan_small
+    assert "array_intersect" not in plan_small, plan_small
+
+    # 600 distinct tokens > 504 forces the array path (each doc pairs
+    # two neighbors so prefixes are non-trivial)
+    big = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} w{(i + 1) % 600} w{(i + 2) % 600}")
+         for i in range(600)])
+    plan_big = (jaccard_prefix_pairs(big, threshold=0.6)
+                ._jdf.queryExecution().optimizedPlan().toString())
+    assert "array_intersect" in plan_big, plan_big
+    assert "bit_count" not in plan_big, plan_big

@@ -135,3 +135,46 @@ def test_jaccard_pairs_exact_recall_sf01(spark):
             if j >= 0.5:
                 want[(a, b)] = j
     assert got == want, (len(got), len(want))
+
+
+def test_near_dup_diff_summary_exact_sf01(spark):
+    """r12 (VERDICT item 5): q_near_dup_diff's VALUES, not just its
+    candidate set, measured exact at the bench SF.  The candidate
+    generator is pinned bit-for-bit above; this recomputes the difflib
+    roll-up for EVERY pair the query emits at sf0.1 (16,756 pairs)
+    with an independent driver-side SequenceMatcher pass and asserts
+    all seven summary fields match exactly — the UDTF seam (Arrow
+    batching, LATERAL join, per-pair grouping) is what's actually
+    under test, since the oracle harness can't express difflib in
+    SQL.  SequenceMatcher is deterministic, so exactness (not a
+    floor) is the right assertion."""
+    import difflib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from big_data_bowl_spark.queries import QUERIES
+
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in QUERIES["q_near_dup_diff"](
+               spark, SF_BENCH).collect()}
+    assert len(got) > 10_000  # the sf0.1 candidate volume
+
+    texts = {r["doc_id"]: r["text"]
+             for r in read_table(spark, SF_BENCH, "documents")
+             .select("doc_id", "text").collect()}
+    for (a, b), row in got.items():
+        at, bt = texts[a].split(), texts[b].split()
+        sm = difflib.SequenceMatcher(a=at, b=bt, autojunk=False)
+        ops = sm.get_opcodes()
+        eq = sum(i2 - i1 for t, i1, i2, _, _ in ops if t == "equal")
+        ins = sum(j2 - j1 for t, _, _, j1, j2 in ops if t == "insert")
+        dele = sum(i2 - i1 for t, i1, i2, _, _ in ops if t == "delete")
+        rep = sum(i2 - i1 for t, i1, i2, _, _ in ops if t == "replace")
+        sim = float(Decimal(repr(2.0 * eq / (len(at) + len(bt))))
+                    .quantize(Decimal("0.000001"),
+                              rounding=ROUND_HALF_UP))
+        expect = (len(ops), eq, ins, dele, rep, len(at), len(bt), sim)
+        actual = (row["n_ops"], row["tokens_equal"],
+                  row["tokens_inserted"], row["tokens_deleted"],
+                  row["tokens_replaced_a"], row["len_a"], row["len_b"],
+                  row["similarity"])
+        assert actual == expect, (a, b, actual, expect)
