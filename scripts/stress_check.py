@@ -123,6 +123,26 @@ VARIANTS: dict[str, tuple[str, str, str]] = {
 }
 
 
+def merge_budgets(old: dict[str, float], fresh: dict[str, float],
+                  verbose: bool = True) -> dict[str, float]:
+    """MAX-MERGE for --record (r12, ADVICE): per query keep
+    max(committed, fresh), so a single fast session can never silently
+    TIGHTEN a budget that was deliberately set to the max over
+    multiple clean sessions.  New queries take their fresh value;
+    re-baselining after an intentional speedup is --record-reset."""
+    merged: dict[str, float] = {}
+    for n, f in fresh.items():
+        if n in old and old[n] >= f:
+            merged[n] = old[n]
+            if verbose:
+                print(f"--record keeps committed budget for {n}: "
+                      f"{old[n]}s >= fresh {f}s (max-merge; use "
+                      f"--record-reset to re-baseline)")
+        else:
+            merged[n] = f
+    return merged
+
+
 def main() -> None:
     record = "--record" in sys.argv
     reset = "--record-reset" in sys.argv
@@ -220,15 +240,7 @@ def main() -> None:
                 prior = json.load(fh)
             old_budgets = prior.get("stress_sec_budget", {})
             old_ratios = prior.get("ratio_info", {})
-        merged: dict[str, float] = {}
-        for n in gated:
-            if n in old_budgets and old_budgets[n] >= fresh[n]:
-                merged[n] = old_budgets[n]
-                print(f"--record keeps committed budget for {n}: "
-                      f"{old_budgets[n]}s >= fresh {fresh[n]}s "
-                      f"(max-merge; use --record-reset to re-baseline)")
-            else:
-                merged[n] = fresh[n]
+        merged = merge_budgets(old_budgets, fresh)
         # ratio_info follows the session whose seconds were kept
         ratio_out = {n: (old_ratios.get(n, ratios[n])
                          if merged[n] != fresh[n] else ratios[n])

@@ -77,3 +77,19 @@ def test_bench_only_rejects_unknown_query_names():
         env=env, capture_output=True, text=True, timeout=120)
     assert proc.returncode == 2
     assert "q_definitely_not_a_query" in proc.stderr
+
+
+def test_stress_record_max_merge():
+    """r12 (ADVICE): --record merges via max() so one fast session
+    can't tighten a committed multi-session-max budget; new entries
+    take their fresh value; a slower fresh value raises the budget."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from stress_check import merge_budgets
+
+    old = {"q_a": 10.0, "q_b": 5.0}
+    fresh = {"q_a": 7.0, "q_b": 6.5, "q_new": 3.0}
+    merged = merge_budgets(old, fresh, verbose=False)
+    assert merged == {"q_a": 10.0, "q_b": 6.5, "q_new": 3.0}
+    # entries dropped from the watch list don't survive the merge
+    assert "q_gone" not in merge_budgets({"q_gone": 9.9}, fresh,
+                                         verbose=False)
