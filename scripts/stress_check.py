@@ -42,10 +42,12 @@ sf1.0 seconds.  ``--record`` is guarded two ways (r12):
     that was deliberately set to the max over multiple clean sessions
     (the false-alarm class the r11 redesign fixed).  After an
     intentional plan change that makes a query faster, re-baseline
-    that query with ``--record-reset`` (full overwrite).
+    with ``--record-reset`` — scoped to the named queries when names
+    follow the flag (everything else still max-merges), full
+    overwrite when bare.
 
 Usage:
-    python scripts/stress_check.py [--record | --record-reset]
+    python scripts/stress_check.py [--record | --record-reset [q ...]]
 Env:
     STRESS_SF_DIR  (default /tmp/stress_sf1.0; generated on demand by
                     gen_stress_sf.py if absent)
@@ -143,9 +145,33 @@ def merge_budgets(old: dict[str, float], fresh: dict[str, float],
     return merged
 
 
+def prior_for_merge(prior: dict, reset: bool,
+                    reset_names: set[str]) -> tuple[dict, dict]:
+    """Committed (budgets, ratios) that --record should merge against:
+    untouched for a plain --record, emptied for a bare --record-reset,
+    and with only the NAMED queries dropped for a scoped reset — so
+    re-baselining one intentionally-sped-up query can't discard the
+    other multi-session-max budgets."""
+    budgets = dict(prior.get("stress_sec_budget", {}))
+    ratios = dict(prior.get("ratio_info", {}))
+    if reset and not reset_names:
+        return {}, {}
+    for n in reset_names:
+        budgets.pop(n, None)
+        ratios.pop(n, None)
+    return budgets, ratios
+
+
 def main() -> None:
     record = "--record" in sys.argv
     reset = "--record-reset" in sys.argv
+    reset_names = {a for a in sys.argv[1:] if not a.startswith("--")}
+    if reset:
+        unknown = reset_names - set(WATCHED) - set(VARIANTS)
+        if unknown:
+            print(f"stress_check: --record-reset names not watched: "
+                  f"{sorted(unknown)}")
+            sys.exit(2)
     if record or reset:
         import bench
         bench.require_healthy_host("stress_check --record")
@@ -206,17 +232,28 @@ def main() -> None:
                 out[name] = min(out.get(name, dt), dt)
         return out
 
-    base = time_at(BENCH_SF)
-    stress = time_at(STRESS_SF)
+    # a SCOPED --record-reset times ONLY the named queries — the point
+    # is re-baselining one intentionally-changed query, not spending a
+    # full dual-SF sweep (and risking a noisy session's numbers) on
+    # budgets that max-merge anyway
+    scoped = reset and bool(reset_names)
+    run_watched = ([n for n in WATCHED if n in reset_names]
+                   if scoped else WATCHED)
+    run_variants = ({k: v for k, v in VARIANTS.items()
+                     if k in reset_names} if scoped else VARIANTS)
+    base_names = sorted(set(run_watched)
+                        | {v[0] for v in run_variants.values()})
+    base = time_at(BENCH_SF, names=base_names) if base_names else {}
+    stress = time_at(STRESS_SF, names=run_watched) if run_watched else {}
     # variant legs: one corpus per entry, query timed under its
     # variant key; the "base" for a variant is the same query at the
     # bench SF (informational only — different data, so the ratio
     # documents corpus shape, not scaling)
-    for key, (qname, sf_dir, _) in VARIANTS.items():
+    for key, (qname, sf_dir, _) in run_variants.items():
         t = time_at(sf_dir, names=[qname], warm=("documents",))
         stress[key] = t[qname]
         base[key] = base[qname]
-    gated = WATCHED + sorted(VARIANTS)
+    gated = run_watched + sorted(run_variants)
     ratios = {n: round(stress[n] / max(base[n], 1e-9), 2)
               for n in gated}
 
@@ -233,18 +270,22 @@ def main() -> None:
 
     if record or reset:
         fresh = {n: round(stress[n], 3) for n in gated}
-        old_budgets: dict[str, float] = {}
-        old_ratios: dict[str, float] = {}
-        if os.path.exists(BUDGETS_PATH) and not reset:
+        prior: dict = {}
+        if os.path.exists(BUDGETS_PATH):
             with open(BUDGETS_PATH) as fh:
                 prior = json.load(fh)
-            old_budgets = prior.get("stress_sec_budget", {})
-            old_ratios = prior.get("ratio_info", {})
+        old_budgets, old_ratios = prior_for_merge(prior, reset,
+                                                  reset_names)
         merged = merge_budgets(old_budgets, fresh)
         # ratio_info follows the session whose seconds were kept
         ratio_out = {n: (old_ratios.get(n, ratios[n])
                          if merged[n] != fresh[n] else ratios[n])
                      for n in gated}
+        if scoped:
+            # untouched committed entries pass through verbatim — a
+            # scoped reset re-baselines the named queries only
+            merged = {**old_budgets, **merged}
+            ratio_out = {**old_ratios, **ratio_out}
         with open(BUDGETS_PATH, "w") as fh:
             json.dump({
                 "_note": (

@@ -93,3 +93,26 @@ def test_stress_record_max_merge():
     # entries dropped from the watch list don't survive the merge
     assert "q_gone" not in merge_budgets({"q_gone": 9.9}, fresh,
                                          verbose=False)
+
+
+def test_stress_record_reset_scoping():
+    """Scoped --record-reset drops only the named queries from the
+    committed side of the merge; bare reset drops everything."""
+    from stress_check import merge_budgets, prior_for_merge
+
+    prior = {"stress_sec_budget": {"q_a": 10.0, "q_b": 5.0},
+             "ratio_info": {"q_a": 2.0, "q_b": 3.0}}
+    fresh = {"q_a": 4.0, "q_b": 4.0}
+    # plain record: max-merge both
+    old_b, _ = prior_for_merge(prior, reset=False, reset_names=set())
+    assert merge_budgets(old_b, fresh, verbose=False) == \
+        {"q_a": 10.0, "q_b": 5.0}
+    # scoped reset: q_a re-baselines, q_b still max-merges
+    old_b, old_r = prior_for_merge(prior, reset=True,
+                                   reset_names={"q_a"})
+    assert merge_budgets(old_b, fresh, verbose=False) == \
+        {"q_a": 4.0, "q_b": 5.0}
+    assert "q_a" not in old_r and old_r["q_b"] == 3.0
+    # bare reset: everything re-baselines
+    old_b, old_r = prior_for_merge(prior, reset=True, reset_names=set())
+    assert (old_b, old_r) == ({}, {})

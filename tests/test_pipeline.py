@@ -3209,3 +3209,43 @@ def test_perplexity_buckets_tertile_semantics(spark):
         # buckets are contiguous in score order
         seq = [r["bucket"] for r in sub]
         assert seq == sorted(seq)
+
+
+def test_jaccard_array_path_positional_filter_equals_bruteforce(spark):
+    """r12: the ARRAY path (forced via small_vocab_bits=0) with the
+    PPJoin positional filter ≡ naive Python brute force on randomized
+    corpora — directly adversarial to the filter's completeness
+    argument (a true pair must survive at its first shared prefix
+    token), across three thresholds, with planted exact dups, subset
+    pairs, boundary near-misses, and a shared stop-token head that
+    makes late-prefix meetings (the ones the filter kills) common."""
+    import random
+
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    rng = random.Random(29)
+    head = [f"stop{i}" for i in range(6)]       # in most docs
+    tail = [f"rare{i}" for i in range(300)]     # doc-specific
+    rows = []
+    for i in range(90):
+        n_h = rng.randint(2, 6)
+        n_t = rng.randint(2, 12)
+        toks = rng.sample(head, n_h) + rng.sample(tail, n_t)
+        rows.append((i, " ".join(toks)))
+    rows.append((300, rows[3][1]))                       # exact dup
+    rows.append((301, rows[3][1] + " rare299 rare298"))  # superset
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = {i: set(t.split()) for i, t in rows}
+    ids = sorted(toks)
+    for tau in (0.5, 0.6, 0.8):
+        got = sorted(map(tuple, jaccard_prefix_pairs(
+            docs, threshold=tau, small_vocab_bits=0).collect()))
+        want = []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                a, b = ids[x], ids[y]
+                j = round(len(toks[a] & toks[b])
+                          / len(toks[a] | toks[b]), 6)
+                if j >= tau:
+                    want.append((a, b, j))
+        assert got == sorted(want) and got, (tau, len(got), len(want))
