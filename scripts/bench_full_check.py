@@ -37,6 +37,30 @@ RATIO = 2.0
 ABS_SLACK = 1.0  # seconds
 
 
+def host_factor(calibration_sec, norm: float) -> float:
+    """Gate-side twin of the --record preflight (r12): --record REFUSES
+    on a degraded host, but a GATE run can't refuse — the round must
+    still close — so it discounts instead.  The committed budgets were
+    written inside the healthy calibration band (preflight-enforced);
+    when the fresh session's probe reads k× the norm, single-thread /
+    Python-worker-bound queries inflate by ~k on raw seconds with NO
+    code change (observed: q_media_ahash 1.00s → 2.06s while the probe
+    read 0.131 vs norm 0.045 — in calibrated units the query was
+    FASTER than committed).  Scaling the trip thresholds by k keeps
+    the gate meaningful on a sick host: a real 2× plan regression
+    still trips (it regresses in calibrated units too), while pure
+    host noise no longer fails the leg.  Never discounts below 1."""
+    if not calibration_sec or not norm:
+        return 1.0
+    return max(1.0, float(calibration_sec) / norm)
+
+
+def trips(fresh: float, base: float, hf: float = 1.0) -> bool:
+    """The gate rule, host-factor-aware: regression iff fresh exceeds
+    BOTH the ratio and the absolute slack, each scaled by hf."""
+    return fresh > base * RATIO * hf and fresh - base > ABS_SLACK * hf
+
+
 def log_recoveries(entries: list[dict]) -> None:
     """Append retry-recovered queries to the committed log (r12,
     ADVICE): a retry that clears a query is the right noise call for
@@ -113,12 +137,19 @@ def main() -> None:
     if new:
         print(f"bench_full_check: {len(new)} queries have no committed "
               f"record (commit a refreshed BENCH_FULL.json): {new}")
+    import bench
+    norm = bench.calibration_norm()
+    hf = host_factor(summary.get("calibration_sec"), norm)
+    if hf > 1.05:
+        print(f"bench_full_check: host degraded this session "
+              f"(calibration {summary.get('calibration_sec')}s vs norm "
+              f"{norm}s) — trip thresholds scaled x{hf:.2f}")
     bad = []
     for name, t in sorted(fresh.items()):
         base = committed.get(name)
         if base is None:
             continue
-        if t > base * RATIO and t - base > ABS_SLACK:
+        if trips(t, base, hf):
             bad.append((name, base, t))
     if bad:
         # retry pass (r11): per-query latency on this host is
@@ -143,13 +174,19 @@ def main() -> None:
             sys.stderr.write(proc2.stdout[-4000:] + proc2.stderr[-4000:])
             sys.exit(proc2.returncode)
         with open(retry_path) as fh:
-            retried = json.load(fh)["queries"]
+            retry_summary = json.load(fh)
+        retried = retry_summary["queries"]
         os.remove(retry_path)
+        hf2 = host_factor(retry_summary.get("calibration_sec"), norm)
+        if hf2 > 1.05:
+            print(f"bench_full_check: retry session also degraded "
+                  f"(calibration {retry_summary.get('calibration_sec')}s)"
+                  f" — retry thresholds scaled x{hf2:.2f}")
         confirmed = []
         recovered = []
         for name, base, t in bad:
             t2 = retried.get(name, t)
-            if t2 > base * RATIO and t2 - base > ABS_SLACK:
+            if trips(t2, base, hf2):
                 confirmed.append((name, base, min(t, t2)))
             else:
                 print(f"bench_full_check: {name} recovered on retry "

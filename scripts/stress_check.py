@@ -314,9 +314,22 @@ def main() -> None:
               f"`python scripts/stress_check.py --record` after "
               f"adding a query to WATCHED")
         sys.exit(1)
+    # gate-side host discount (r12, the bench_full_check rule): the
+    # budgets were recorded inside the healthy calibration band
+    # (--record preflight); a gate run on a degraded host inflates
+    # Python-bound queries by the host factor with no code change, so
+    # the trip thresholds scale by it — loudly
+    import bench
+    calib = bench.calibrate()
+    norm = bench.calibration_norm()
+    hf = max(1.0, calib / norm) if norm else 1.0
+    if hf > 1.05:
+        print(f"stress_check: host degraded this session (calibration "
+              f"{calib}s vs norm {norm}s) — trip thresholds scaled "
+              f"x{hf:.2f}")
     bad = [(n, stress[n], budgets[n]) for n in gated
-           if stress[n] > budgets[n] * abs_ratio
-           and stress[n] - budgets[n] > abs_slack]
+           if stress[n] > budgets[n] * abs_ratio * hf
+           and stress[n] - budgets[n] > abs_slack * hf]
     if bad:
         for n, s, b in bad:
             print(f"STRESS REGRESSION {n}: sf1.0 {s:.1f}s > budget "

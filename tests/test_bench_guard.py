@@ -116,3 +116,25 @@ def test_stress_record_reset_scoping():
     # bare reset: everything re-baselines
     old_b, old_r = prior_for_merge(prior, reset=True, reset_names=set())
     assert (old_b, old_r) == ({}, {})
+
+
+def test_gate_host_factor_discount():
+    """r12: gate paths DISCOUNT on a degraded host (record paths
+    refuse).  The q_media_ahash incident pinned numerically: committed
+    1.00s, fresh 2.06s in a session whose probe read 0.131 vs norm
+    0.045 — raw rule trips, host-factor rule doesn't; while a genuine
+    2x-in-calibrated-units regression trips under both."""
+    from bench_full_check import host_factor, trips
+
+    norm = 0.045
+    assert host_factor(None, norm) == 1.0
+    assert host_factor(0.045, norm) == 1.0
+    assert host_factor(0.03, norm) == 1.0   # fast probe never tightens
+    hf = host_factor(0.131, norm)
+    assert abs(hf - 0.131 / 0.045) < 1e-9
+    # the incident: host noise, not a regression
+    assert trips(2.06, 1.00, 1.0)
+    assert not trips(2.06, 1.00, hf)
+    # a real regression (4.3x in raw seconds on the same sick host
+    # = >2x in calibrated units) still trips
+    assert trips(8.6, 1.00, hf)
