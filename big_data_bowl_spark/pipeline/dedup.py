@@ -104,10 +104,14 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     J(A,B) ≥ τ shares a token in BOTH prefixes.  So candidates come from
     equi-joining PREFIX tokens only, pruned further by PPJoin's LENGTH
     filter (J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — checked in the join
-    before the pair ever exists, r11).  Under a Zipf vocabulary the
-    prefix join touches the rare tail instead of the stop-word head,
-    collapsing the candidate count.  Candidates verify exactly in-row,
-    so the result EQUALS the naive all-pairs join — same oracle SQL.
+    before the pair ever exists, r11) and PPJoin's POSITIONAL filter
+    (Xiao et al., WWW'08 "Efficient Similarity Joins for Near
+    Duplicate Detection": overlap ≤ 1 + min(|A|−i, |B|−j) at the
+    first shared token — applied in-join, r12).  Under a Zipf
+    vocabulary the prefix join touches the rare tail instead of the
+    stop-word head, collapsing the candidate count.  Candidates verify
+    exactly in-row, so the result EQUALS the naive all-pairs join —
+    same oracle SQL.
 
     SMALL-VOCABULARY fast path (r11, auto-detected): when the DISTINCT
     token count V fits a few machine words (V ≤ ``small_vocab_bits``,
