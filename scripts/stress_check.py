@@ -154,7 +154,12 @@ def prior_for_merge(prior: dict, reset: bool,
     other multi-session-max budgets."""
     budgets = dict(prior.get("stress_sec_budget", {}))
     ratios = dict(prior.get("ratio_info", {}))
-    if reset and not reset_names:
+    if not reset:
+        # a plain --record NEVER drops committed entries (r12 ADVICE:
+        # popping reset_names here let `--record q_foo` silently
+        # re-baseline q_foo, bypassing the max-merge protection)
+        return budgets, ratios
+    if not reset_names:
         return {}, {}
     for n in reset_names:
         budgets.pop(n, None)
@@ -166,6 +171,14 @@ def main() -> None:
     record = "--record" in sys.argv
     reset = "--record-reset" in sys.argv
     reset_names = {a for a in sys.argv[1:] if not a.startswith("--")}
+    if reset_names and not reset:
+        # r12 ADVICE: positional names only mean anything after
+        # --record-reset; with --record (or bare) they'd silently be
+        # ignored by the merge but still LOOK intentional — fail fast
+        print(f"stress_check: positional query names "
+              f"{sorted(reset_names)} require --record-reset "
+              f"(--record always max-merges the full watched set)")
+        sys.exit(2)
     if reset:
         unknown = reset_names - set(WATCHED) - set(VARIANTS)
         if unknown:

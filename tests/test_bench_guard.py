@@ -20,6 +20,10 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+# module-level so every test in this file is runnable in isolation
+# (r12 ADVICE: the insert used to live inside one test body, so
+# `pytest -k test_gate_host_factor_discount` failed on import)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 
 import bench  # noqa: E402
 
@@ -83,7 +87,6 @@ def test_stress_record_max_merge():
     """r12 (ADVICE): --record merges via max() so one fast session
     can't tighten a committed multi-session-max budget; new entries
     take their fresh value; a slower fresh value raises the budget."""
-    sys.path.insert(0, os.path.join(REPO, "scripts"))
     from stress_check import merge_budgets
 
     old = {"q_a": 10.0, "q_b": 5.0}
@@ -116,6 +119,95 @@ def test_stress_record_reset_scoping():
     # bare reset: everything re-baselines
     old_b, old_r = prior_for_merge(prior, reset=True, reset_names=set())
     assert (old_b, old_r) == ({}, {})
+
+
+def test_parallel_probe_gate(monkeypatch):
+    """r13 (VERDICT item 1): the 8-thread parallel probe catches
+    multi-core contention the single probe can't see; gated one-sided
+    (a fast parallel probe is a healthier host, never a refusal)."""
+    norm = bench.calibration_parallel_norm()
+    with open(os.path.join(REPO, "BASELINE.json")) as fh:
+        assert norm == json.load(fh)["calibration_parallel_norm_sec"]
+    assert not bench.host_degraded_parallel(norm, norm)
+    assert not bench.host_degraded_parallel(norm * 1.9, norm)
+    assert bench.host_degraded_parallel(norm * 2.1, norm)
+    # one-sided: fast never trips
+    assert not bench.host_degraded_parallel(norm / 10.0, norm)
+    # require_healthy_host refuses on a degraded PARALLEL probe even
+    # when the single-thread probe reads healthy (the r12 blind spot)
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION", "0.045")
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION_PARALLEL",
+                       str(norm * 3))
+    with pytest.raises(SystemExit) as ei:
+        bench.require_healthy_host("unit-test")
+    assert ei.value.code == 3
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION_PARALLEL",
+                       str(norm))
+    assert bench.require_healthy_host("unit-test") == 0.045
+
+
+def test_fake_seam_warns_loudly(monkeypatch, capsys):
+    """r12 ADVICE: a fake-calibration env var faking a HEALTHY probe
+    must at least announce itself on the record path."""
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION", "0.045")
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION_PARALLEL", "0.31")
+    bench.require_healthy_host("unit-test")
+    err = capsys.readouterr().err
+    assert "FAKED" in err
+    assert "SPARK_GRAFT_FAKE_CALIBRATION" in err
+
+
+def test_plain_record_never_drops_committed(monkeypatch):
+    """r12 ADVICE: prior_for_merge must not pop reset_names unless
+    reset is True (`--record q_foo` used to silently re-baseline)."""
+    from stress_check import prior_for_merge
+
+    prior = {"stress_sec_budget": {"q_a": 10.0},
+             "ratio_info": {"q_a": 2.0}}
+    old_b, old_r = prior_for_merge(prior, reset=False,
+                                   reset_names={"q_a"})
+    assert old_b == {"q_a": 10.0} and old_r == {"q_a": 2.0}
+
+
+def test_stress_positional_args_require_reset_flag():
+    """r12 ADVICE: `stress_check.py --record q_foo` must fail fast
+    instead of silently timing the full set and max-merging."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts/stress_check.py"),
+         "--record", "q_grid_knn"],
+        capture_output=True, text=True, timeout=60)
+    assert proc.returncode == 2
+    assert "--record-reset" in proc.stdout
+
+
+def test_quarantine_path_suffixes_basename_only():
+    """r12 ADVICE: the _degraded rename must touch only the basename
+    (a '.json' in a directory component used to get corrupted)."""
+    assert bench.quarantine_path("/a/b/BENCH_DETAIL.json") == \
+        "/a/b/BENCH_DETAIL_degraded.json"
+    assert bench.quarantine_path("/a/x.json.d/BENCH_FULL.json") == \
+        "/a/x.json.d/BENCH_FULL_degraded.json"
+
+
+def test_flat_slowdown_guard(tmp_path):
+    """r13 (VERDICT item 1): a session whose fresh timings are flat
+    >1.3x the committed record on the fixed pure-JVM subset is
+    host-inflated and must quarantine; one slow outlier (a stall
+    window or a single genuine regression) must NOT trip the median."""
+    committed = {q: 1.0 for q in bench.FLAT_PROBE_SUBSET}
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(json.dumps({"queries": committed}))
+    flat = {q: 1.5 for q in bench.FLAT_PROBE_SUBSET}
+    assert bench.flat_slowdown_vs_committed(flat, str(p)) == 1.5
+    healthy = dict.fromkeys(bench.FLAT_PROBE_SUBSET, 1.05)
+    healthy[bench.FLAT_PROBE_SUBSET[0]] = 9.0  # one stall victim
+    assert bench.flat_slowdown_vs_committed(healthy, str(p)) == 1.05
+    # missing committed record / too few overlapping queries -> None
+    assert bench.flat_slowdown_vs_committed(flat,
+                                            str(tmp_path / "nope")) is None
+    p.write_text(json.dumps({"queries": {"q_tpch_q1": 1.0,
+                                         "q_tpch_q5": 1.0}}))
+    assert bench.flat_slowdown_vs_committed(flat, str(p)) is None
 
 
 def test_gate_host_factor_discount():
