@@ -90,6 +90,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                  .select("doc_a", "doc_b", "jaccard"))
 
 
+# suffix-histogram geometry (r13): 16 hash buckets, 16-bit lanes, 4
+# lanes per int64 word -> 4 words per prefix row per side.  16-bit
+# lanes make the counts EXACT (no saturation arithmetic) for every doc
+# with <= 65535 distinct tokens — guarded with the already-carried
+# length column, see the filter block in jaccard_prefix_pairs.
+_SFX_BUCKETS = 16
+_SFX_LANES = 4   # 16-bit lanes per word
+_SFX_WORDS = _SFX_BUCKETS // _SFX_LANES
+
+
 def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                          id_col: str = "doc_id",
                          text_col: str = "text",
@@ -104,10 +114,15 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     J(A,B) ≥ τ shares a token in BOTH prefixes.  So candidates come from
     equi-joining PREFIX tokens only, pruned further by PPJoin's LENGTH
     filter (J ≥ τ forces τ·|B| ≤ |A| ≤ |B|/τ — checked in the join
-    before the pair ever exists, r11) and PPJoin's POSITIONAL filter
+    before the pair ever exists, r11), PPJoin's POSITIONAL filter
     (Xiao et al., WWW'08 "Efficient Similarity Joins for Near
     Duplicate Detection": overlap ≤ 1 + min(|A|−i, |B|−j) at the
-    first shared token — applied in-join, r12).  Under a Zipf
+    first shared token — applied in-join, r12), and the PPJoin+
+    SUFFIX filter re-expressed as a hashed count-histogram bound
+    (r13 — see the in-line soundness argument at the filter site:
+    16-bucket suffix histograms built by native window sums, carried
+    as 4 int64 words per prefix row, Σ_b min(cntA_b, cntB_b) an exact
+    upper bound on the suffix overlap).  Under a Zipf
     vocabulary the prefix join touches the rare tail instead of the
     stop-word head, collapsing the candidate count.  Candidates verify
     exactly in-row, so the result EQUALS the naive all-pairs join —
@@ -136,19 +151,25 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     driver-scale job on the vocabulary table (the `_ladder_widths`
     stats-job discipline).
 
-    Shuffles (array path): token explode → distinct, one SHUFFLE join
-    tok⋈freq on token (the vocabulary is corpus-scale — one row per
-    distinct token — so it must never be broadcast; tok is already
-    hashed on the same key from the distinct, and AQE may still pick a
-    runtime broadcast at small SF, which is a statistics decision, not
-    a hint), one window (per-doc rank), the prefix self-join, and two
-    id-joins for verification arrays.  Every stage is key-partitioned;
-    nothing is quadratic in the corpus.
+    Shuffles (array path): token explode (dedup is IN-ROW via
+    array_distinct before the explode, r13 — the old post-explode
+    .distinct() was a full (id, token) shuffle buying nothing), one
+    SHUFFLE join tok⋈freq on token (the vocabulary is corpus-scale —
+    one row per distinct token — so it must never be broadcast; AQE
+    may still pick a runtime broadcast at small SF, which is a
+    statistics decision, not a hint), one window (per-doc rank + the
+    r13 suffix-histogram sums, all over the SAME sorted partition),
+    the prefix self-join, and two id-joins for verification arrays.
+    Every stage is key-partitioned; nothing is quadratic in the
+    corpus.
 
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ.
     """
     require_columns(df, [id_col, text_col], "jaccard_prefix_pairs")
-    tok = _tokens_distinct(df, id_col, text_col, [])
+    tok = (df.select(id_col,
+                     F.explode(F.array_remove(F.array_distinct(
+                         F.split(F.col(text_col), " ")), ""))
+                     .alias("token")))
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     tau = float(threshold)
     n_distinct = freq.count()
@@ -157,18 +178,40 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
         return _jaccard_smallvocab(tok, freq, tau, id_col, n_words)
     w_doc = Window.partitionBy(id_col)
     w_rank = w_doc.orderBy(F.asc("__df"), F.asc("token"))
+    w_sfx = w_rank.rowsBetween(1, Window.unboundedFollowing)
     ranked = (tok.join(freq, "token")
                  .withColumn("__n", F.count(F.lit(1)).over(w_doc))
-                 .withColumn("__r", F.row_number().over(w_rank)))
+                 .withColumn("__r", F.row_number().over(w_rank))
+                 .withColumn("__bk", F.pmod(F.xxhash64("token"),
+                                            F.lit(_SFX_BUCKETS))
+                                      .cast("int")))
+    # suffix-histogram words (r13): for each token row, the packed
+    # per-bucket counts of the tokens ranked strictly AFTER it in the
+    # same doc — native window SUMS over the SAME sorted partition the
+    # rank already pays for (frame = 1 FOLLOWING..UNBOUNDED), so the
+    # construction adds no interpreted lambda and no extra shuffle.
+    # Empty suffix (last position) sums to NULL -> 0.
+    for w in range(_SFX_WORDS):
+        lane_inc = F.expr(
+            f"CASE WHEN CAST(__bk / {_SFX_LANES} AS INT) = {w} "
+            f"THEN shiftleft(CAST(1 AS BIGINT), "
+            f"(__bk % {_SFX_LANES}) * 16) "
+            f"ELSE CAST(0 AS BIGINT) END")
+        ranked = ranked.withColumn(
+            f"__s{w}", F.coalesce(F.sum(lane_inc).over(w_sfx), F.lit(0)))
     prefix = ranked.filter(
         F.col("__r") <= F.col("__n")
         - F.ceil(F.lit(tau) * F.col("__n")) + 1)
     pa = prefix.select(F.col(id_col).alias("doc_a"),
                        F.col("__n").alias("__pna"),
-                       F.col("__r").alias("__ra"), "token")
+                       F.col("__r").alias("__ra"), "token",
+                       *[F.col(f"__s{w}").alias(f"__sa{w}")
+                         for w in range(_SFX_WORDS)])
     pb = prefix.select(F.col(id_col).alias("doc_b"),
                        F.col("__n").alias("__pnb"),
-                       F.col("__r").alias("__rb"), "token")
+                       F.col("__r").alias("__rb"), "token",
+                       *[F.col(f"__s{w}").alias(f"__sb{w}")
+                         for w in range(_SFX_WORDS)])
     # PPJoin POSITIONAL filter (r12): at the pair's FIRST shared token
     # (both docs sorted by the same global order) everything before
     # position i in A and j in B is disjoint from the other side, so
@@ -185,6 +228,44 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     # boundary — verification stays exact.
     overlap_ub = 1 + F.least(F.col("__pna") - F.col("__ra"),
                              F.col("__pnb") - F.col("__rb"))
+    # suffix-HISTOGRAM filter (r13) — the PPJoin+ suffix filter (Xiao
+    # et al., WWW'08 §4.2) re-expressed for a distributed join, where
+    # per-candidate binary search of the other record is unaffordable
+    # (carrying full token arrays through the prefix join measured 50x
+    # slower — the arrays ride every of the ~15M meetings).  Instead
+    # each prefix row carries a 16-bucket hashed count histogram of
+    # its SUFFIX tokens, packed 16-bit x 4 lanes into 4 int64 words.
+    # Soundness: |A_sfx ∩ B_sfx| = Σ_b |shared in bucket b| ≤
+    # Σ_b min(cntA_b, cntB_b) — hashing only MERGES buckets, and the
+    # min of merged exact counts never undercounts the shared tokens
+    # that landed there.  At the pair's FIRST meeting the overlap is
+    # exactly 1 + |A_sfx ∩ B_sfx| (everything before the meeting
+    # position is disjoint — the positional filter's argument), so
+    # J >= τ forces 1 + Σ_b min >= ceil(τ(na+nb)/(1+τ)) and a failing
+    # pair can only lose REDUNDANT meetings, never its first: the
+    # distinct'd candidate set stays complete and the result stays
+    # EXACT.  Lane exactness: a lane counts <= __n distinct tokens, so
+    # __n <= 65535 provably cannot overflow a 16-bit lane — larger
+    # docs (never seen in practice; a 65k-distinct-token record) skip
+    # the filter via the guard instead of risking a corrupt count.
+    # Why count-histograms and not the paper's recursive partitioning:
+    # Mann et al. (VLDB'16) measure the suffix filter's probe cost
+    # exceeding its savings on short records; here the construction is
+    # free (window sums over the already-sorted partition) and the
+    # per-meeting cost is 16 integer min/adds, so the tradeoff
+    # inverts.  Measured (50k-doc midvocab stress, V≈45k): distinct
+    # candidates 1.69M -> 85k for the same 73,655 output pairs and
+    # 9.7s -> 6.4s end-to-end; on a 20k-doc long-document corpus
+    # (~290 tokens/doc, the web-page shape) candidates 7.98M -> 1.6M
+    # and 224s -> 42s (5.3x) — the filter's value grows with record
+    # length because it prunes BEFORE the array-fetch joins whose
+    # per-candidate cost is O(doc length).  Output bit-identical on
+    # both corpora.
+    sfx_ub = F.expr(" + ".join(
+        f"least(shiftright(__sa{w}, {lane * 16}) & 65535, "
+        f"shiftright(__sb{w}, {lane * 16}) & 65535)"
+        for w in range(_SFX_WORDS) for lane in range(_SFX_LANES)))
+    lane_guard = (F.col("__pna") > 65535) | (F.col("__pnb") > 65535)
     cand = (pa.join(pb, "token")
               .filter((F.col("doc_a") < F.col("doc_b"))
                       # length filter: τ·nb ≤ na and τ·na ≤ nb
@@ -193,6 +274,10 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
                       & (F.col("__pnb").cast("double")
                          >= F.lit(tau) * F.col("__pna"))
                       & (overlap_ub.cast("double") * F.lit(1.0 + tau)
+                         >= F.lit(tau) * (F.col("__pna")
+                                          + F.col("__pnb")) - 1e-9))
+              .filter(lane_guard
+                      | ((1 + sfx_ub).cast("double") * F.lit(1.0 + tau)
                          >= F.lit(tau) * (F.col("__pna")
                                           + F.col("__pnb")) - 1e-9))
               .select("doc_a", "doc_b").distinct())

@@ -53,6 +53,8 @@ Env:
                     gen_stress_sf.py if absent)
     STRESS_MIDVOCAB_DIR (default /tmp/stress_midvocab; generated on
                     demand by gen_stress_midvocab.py if absent)
+    STRESS_LONGDOC_DIR (default /tmp/stress_longdoc; generated on
+                    demand by gen_stress_longdoc.py if absent)
     BENCH_SF_DIR   (default /root/testdata/sf0.1)
 """
 
@@ -70,6 +72,7 @@ sys.path.insert(0, os.path.dirname(HERE))
 BENCH_SF = os.environ.get("BENCH_SF_DIR", "/root/testdata/sf0.1")
 STRESS_SF = os.environ.get("STRESS_SF_DIR", "/tmp/stress_sf1.0")
 MIDVOCAB_SF = os.environ.get("STRESS_MIDVOCAB_DIR", "/tmp/stress_midvocab")
+LONGDOC_SF = os.environ.get("STRESS_LONGDOC_DIR", "/tmp/stress_longdoc")
 BUDGETS_PATH = os.path.join(HERE, "stress_budgets.json")
 ABS_RATIO = 2.0   # fresh stress-seconds vs budget — both must trip:
 ABS_SLACK = 2.0   # ... and at least this many seconds over
@@ -122,6 +125,14 @@ VARIANTS: dict[str, tuple[str, str, str]] = {
     # key -> (query name, sf_dir, generator script)
     "q_jaccard_prefix@midvocab": (
         "q_jaccard_prefix", MIDVOCAB_SF, "gen_stress_midvocab.py"),
+    # long-record leg (r13): ~290 tokens/doc — the web-page shape,
+    # where per-candidate verification is O(doc length) and the
+    # suffix-histogram filter is worth 2-5x.  A regression that
+    # silently disabled that filter costs little at midvocab (short
+    # records, Mann et al.'s break-even regime) and would pass every
+    # other committed gate.
+    "q_jaccard_prefix@longdoc": (
+        "q_jaccard_prefix", LONGDOC_SF, "gen_stress_longdoc.py"),
 }
 
 

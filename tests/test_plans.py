@@ -705,3 +705,28 @@ def test_jaccard_prefix_path_selection(spark):
                 ._jdf.queryExecution().optimizedPlan().toString())
     assert "array_intersect" in plan_big, plan_big
     assert "bit_count" not in plan_big, plan_big
+
+
+def test_jaccard_array_path_suffix_histogram_pinned(spark):
+    """r13: the array path's suffix-histogram filter (the PPJoin+
+    suffix filter as a hashed count-histogram bound) must stay in the
+    plan — its loss is nearly invisible at short-record corpora
+    (Mann et al.'s break-even regime) but costs 2-5x on long records,
+    so a silent regression would pass the midvocab leg.  Pin three
+    facts on the optimized plan: the window builds the packed suffix
+    sums over the SAME (df, token)-sorted partition as the rank
+    (specframe 1 FOLLOWING..UNBOUNDED), the candidate filter extracts
+    16-bit lanes (the `& 65535` masks), and the __n > 65535
+    lane-overflow guard is present."""
+    from pyspark.sql import Row
+
+    from big_data_bowl_spark.pipeline.dedup import jaccard_prefix_pairs
+
+    big = spark.createDataFrame(
+        [Row(doc_id=i, text=f"w{i} w{(i + 1) % 600} w{(i + 2) % 600}")
+         for i in range(600)])
+    plan = (jaccard_prefix_pairs(big, threshold=0.6)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    assert "unboundedfollowing" in plan.replace(" ", "").lower(), plan
+    assert plan.count("& 65535") >= 8, plan       # 16 lanes x 2 sides
+    assert "> 65535" in plan, plan                # overflow guard
