@@ -24,7 +24,11 @@ if [ -z "$SKIP_PYTEST" ]; then
   python -m pytest tests/ -q
 fi
 echo "=== sweep sf0.01 ==="
-DRIVE_SF_DIR=/root/testdata/sf0.01 python scripts/drive_driver.py
+# the sf0.01 sweep refreshes the committed full-registry correctness
+# artifact (r13, VERDICT item 4): every registered query's oracle
+# evidence in one checkable file
+DRIVE_SF_DIR=/root/testdata/sf0.01 DRIVE_ARTIFACT=CORRECTNESS_FULL.json \
+  python scripts/drive_driver.py
 echo "=== sweep sf0.1 ==="
 DRIVE_SF_DIR=/root/testdata/sf0.1 python scripts/drive_driver.py
 if [ -z "$SKIP_STRESS" ]; then

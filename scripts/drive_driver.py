@@ -1,8 +1,16 @@
 """Driver simulation: import __spark_entry__ by path, run every query at
 sf0.01, compare against the DuckDB oracle (row count, sorted column names,
-order-insensitive value multiset, floats rounded to 6, NaN->null)."""
+order-insensitive value multiset, floats rounded to 6, NaN->null).
+
+DRIVE_ARTIFACT=<path> additionally writes the per-query result map in
+the driver's CORRECTNESS_rN.json format (r13, VERDICT item 4): the
+committed CORRECTNESS_FULL.json gives every registered query a
+checkable oracle-evidence record in one file, instead of ~50 of them
+resting on uncommitted session logs.  Refreshed by close_round.sh's
+sf0.01 sweep."""
 import hashlib
 import importlib.util
+import json
 import math
 import sys
 import time
@@ -11,6 +19,7 @@ import duckdb
 
 import os
 SF_DIR = os.environ.get("DRIVE_SF_DIR", "/root/testdata/sf0.01")
+ARTIFACT = os.environ.get("DRIVE_ARTIFACT")
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -79,6 +88,7 @@ def main():
     qs = mod.queries()
     oracles = mod.oracle_sql()
     failures = []
+    artifact = {}
     only = sys.argv[1:] or None
     for name, fn in qs.items():
         if only and name not in only:
@@ -91,11 +101,19 @@ def main():
         except Exception as ex:
             failures.append((name, f"spark error: {ex}"))
             print(f"\nFAIL {name}: spark error: {str(ex)[:200]}", flush=True)
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": None,
+                              "oracle_rows": None,
+                              "err": f"spark error: {str(ex)[:300]}"}
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"\nok(rows-only) {name}: {len(srows)} rows "
                   f"[{time.time()-t0:.1f}s]", flush=True)
+            artifact[name] = {"rows_match": True, "schema_match": None,
+                              "hash_match": None, "spark_rows": len(srows),
+                              "oracle_rows": None,
+                              "err": None, "rows_only": True}
             continue
         try:
             res = con.execute(sql)
@@ -104,14 +122,29 @@ def main():
         except Exception as ex:
             failures.append((name, f"oracle error: {ex}"))
             print(f"\nFAIL {name}: oracle error: {str(ex)[:200]}", flush=True)
+            artifact[name] = {"rows_match": False, "schema_match": False,
+                              "hash_match": False, "spark_rows": len(srows),
+                              "oracle_rows": None,
+                              "err": f"oracle error: {str(ex)[:300]}"}
             continue
         probs = []
-        if len(srows) != len(orows):
+        rows_match = len(srows) == len(orows)
+        schema_match = sorted(scols) == sorted(ocols)
+        hash_match = (schema_match
+                      and multiset_hash(srows, scols)
+                      == multiset_hash(orows, ocols))
+        if not rows_match:
             probs.append(f"rows {len(srows)} vs {len(orows)}")
-        if sorted(scols) != sorted(ocols):
+        if not schema_match:
             probs.append(f"cols {sorted(scols)} vs {sorted(ocols)}")
-        elif multiset_hash(srows, scols) != multiset_hash(orows, ocols):
+        elif not hash_match:
             probs.append("hash mismatch")
+        artifact[name] = {"rows_match": rows_match,
+                          "schema_match": schema_match,
+                          "hash_match": hash_match,
+                          "spark_rows": len(srows),
+                          "oracle_rows": len(orows),
+                          "err": None}
         if probs:
             failures.append((name, "; ".join(probs)))
             print(f"\nFAIL {name}: {'; '.join(probs)}", flush=True)
@@ -122,6 +155,15 @@ def main():
     print(f"\n{len(failures)} failures / {len(qs)} queries")
     for name, msg in failures:
         print(f"  {name}: {msg}")
+    if ARTIFACT and not only:
+        # a partial (named-subset) run must never masquerade as the
+        # full-registry record
+        with open(ARTIFACT, "w") as fh:
+            json.dump({"_sf_dir": SF_DIR, "_n_queries": len(artifact),
+                       "_n_failures": len(failures), **artifact},
+                      fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"artifact -> {ARTIFACT} ({len(artifact)} queries)")
     sys.exit(1 if failures else 0)
 
 

@@ -113,6 +113,15 @@ WATCHED = [
     "q_lsh_topk",
     "q_pq_topk",
     "q_ivf_topk",
+    # composite end-to-end pipelines (r13, VERDICT item 2): the
+    # queries a real user runs whole, where a regression in ANY
+    # shared operator surfaces first.  q_phase3_pipeline is the most
+    # expensive and most variable headline query; none of the four
+    # had a stress budget before this round.
+    "q_phase3_pipeline",
+    "q_training_prep",
+    "q_corpus_release",
+    "q_curation_funnel",
 ]
 
 # VARIANT legs (r12, VERDICT item 3): same query, DIFFERENT stress
