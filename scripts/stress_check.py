@@ -73,6 +73,7 @@ BENCH_SF = os.environ.get("BENCH_SF_DIR", "/root/testdata/sf0.1")
 STRESS_SF = os.environ.get("STRESS_SF_DIR", "/tmp/stress_sf1.0")
 MIDVOCAB_SF = os.environ.get("STRESS_MIDVOCAB_DIR", "/tmp/stress_midvocab")
 LONGDOC_SF = os.environ.get("STRESS_LONGDOC_DIR", "/tmp/stress_longdoc")
+HOTTOKEN_SF = os.environ.get("STRESS_HOTTOKEN_DIR", "/tmp/stress_hottoken")
 BUDGETS_PATH = os.path.join(HERE, "stress_budgets.json")
 ABS_RATIO = 2.0   # fresh stress-seconds vs budget — both must trip:
 ABS_SLACK = 2.0   # ... and at least this many seconds over
@@ -142,6 +143,16 @@ VARIANTS: dict[str, tuple[str, str, str]] = {
     # other committed gate.
     "q_jaccard_prefix@longdoc": (
         "q_jaccard_prefix", LONGDOC_SF, "gen_stress_longdoc.py"),
+    # hot-token skew leg (r13): one planted token in 3,000 docs'
+    # prefixes -> a 4.5M-meeting cell on a single join key.  Measured
+    # adjudication (SCALE.md r13): the positional filter is blind to
+    # it (all meetings at position (1,1)), the suffix-histogram filter
+    # kills 57%, and the join does NOT need salting — at this SF the
+    # statistics pick broadcast (parallelism from the probe side), and
+    # with broadcast force-disabled AQE's skew-split SMJ runs the same
+    # corpus just as fast.  The leg pins all of that staying true.
+    "q_jaccard_prefix@hottoken": (
+        "q_jaccard_prefix", HOTTOKEN_SF, "gen_stress_hottoken.py"),
 }
 
 
