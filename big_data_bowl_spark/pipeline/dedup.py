@@ -25,12 +25,16 @@ from ..schemas import require_columns
 
 def _tokens_distinct(df: DataFrame, id_col: str, text_col: str,
                      extra: list[str]) -> DataFrame:
-    """Distinct (id, token) pairs: explode once, dedup before any join so
-    token multiplicity never inflates the join."""
+    """Distinct (id, token) pairs: dedup IN-ROW (array_distinct before
+    the explode, r13) so token multiplicity never inflates a join —
+    and without the full (id, token) shuffle the old post-explode
+    .distinct() paid for the same result.  Precondition (all callers):
+    one row per id — the doc tables' grain; cross-ROW duplicate ids
+    would need the shuffle form."""
     return (df.select(id_col, *extra,
-                      F.explode(F.split(F.col(text_col), " ")).alias("token"))
-              .filter(F.col("token") != "")
-              .distinct())
+                      F.explode(F.array_remove(F.array_distinct(
+                          F.split(F.col(text_col), " ")), ""))
+                      .alias("token")))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -166,10 +170,7 @@ def jaccard_prefix_pairs(df: DataFrame, threshold: float = 0.6,
     Returns (doc_a, doc_b, jaccard), doc_a < doc_b, jaccard ≥ τ.
     """
     require_columns(df, [id_col, text_col], "jaccard_prefix_pairs")
-    tok = (df.select(id_col,
-                     F.explode(F.array_remove(F.array_distinct(
-                         F.split(F.col(text_col), " ")), ""))
-                     .alias("token")))
+    tok = _tokens_distinct(df, id_col, text_col, [])
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
     tau = float(threshold)
     n_distinct = freq.count()
