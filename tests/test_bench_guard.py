@@ -44,6 +44,11 @@ def test_calibration_norm_is_committed():
 
 
 def test_require_healthy_host_blocks_on_fake_degraded(monkeypatch):
+    # fake BOTH probes (r13): with only the single probe faked the
+    # healthy-path assertion measures the real parallel probe, which
+    # legitimately reads degraded while the suite itself loads the
+    # host — the test must be hermetic
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION_PARALLEL", "0.31")
     monkeypatch.setenv("SPARK_GRAFT_FAKE_CALIBRATION", "0.363")
     with pytest.raises(SystemExit) as ei:
         bench.require_healthy_host("unit-test")
