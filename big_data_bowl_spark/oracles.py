@@ -4266,6 +4266,78 @@ SELECT new_id, index_id, round(m / {float(_N_MINHASH)}, 6) AS est_jaccard
 FROM eq WHERE m >= 16
 """
 
+# --- q_minhash_oph / q_minhash_oph_pairs: one-permutation hashing -----------
+# OPH signatures (pipeline/dedup.minhash_oph_signatures): the SAME unfiltered
+# shingle split and polynomial base hash as the hot path (w/sh/bh mirror
+# _MH_SIG_CTES), then ONE permutation — bin = h mod 32, min h per non-empty
+# bin — and rotation densification: slot j takes the nearest non-empty bin
+# at cyclic distance k to its right, value mv + k*2^31 (the offset stride
+# exceeds every base hash, so borrowed slots only match borrowed slots of
+# equal distance and value).  Integer arithmetic end-to-end.
+_OPH_BINS = _N_MINHASH
+_OPH_SIG_CTES = f"""w AS (
+    SELECT doc_id, string_split(text, ' ') AS wds
+    FROM documents),
+sh AS (
+    SELECT doc_id, array_to_string(list_slice(wds, i, i + 2), ' ') AS s
+    FROM w, UNNEST(generate_series(1, greatest(len(wds) - 2, 1))) t(i)),
+bh AS (
+    SELECT doc_id,
+           CASE WHEN length(s) = 0 THEN 7
+                ELSE list_reduce(
+                  list_prepend(7::BIGINT,
+                    list_transform(range(1, length(s) + 1),
+                                   i -> ascii(substr(s, i, 1))::BIGINT)),
+                  (acc, c) -> (acc * 31 + c) % 1000000007) END AS h
+    FROM sh),
+bins AS (
+    SELECT doc_id, h % {_OPH_BINS} AS bin, min(h) AS mv
+    FROM bh GROUP BY 1, 2),
+js AS (SELECT unnest(generate_series(0, {_OPH_BINS - 1})) AS j),
+dist AS (
+    SELECT b.doc_id, js.j, b.mv,
+           (b.bin - js.j + {_OPH_BINS}) % {_OPH_BINS} AS k,
+           row_number() OVER (
+             PARTITION BY b.doc_id, js.j
+             ORDER BY (b.bin - js.j + {_OPH_BINS}) % {_OPH_BINS}) AS rn
+    FROM bins b CROSS JOIN js),
+oslots AS (
+    SELECT doc_id, j, mv + k * {1 << 31} AS sval
+    FROM dist WHERE rn = 1)"""
+
+ORACLES["q_minhash_oph"] = f"""
+WITH {_OPH_SIG_CTES}
+SELECT doc_id, CAST(j AS INT) AS slot, sval AS value
+FROM oslots
+"""
+
+ORACLES["q_minhash_oph_pairs"] = f"""
+WITH {_OPH_SIG_CTES},
+obnd AS (
+    SELECT doc_id, CAST(j // {_RPB} AS BIGINT) AS band,
+           list(sval ORDER BY j) AS bs
+    FROM oslots GROUP BY 1, 2),
+obkt AS (
+    SELECT doc_id, band,
+           list_reduce(list_prepend(band, bs),
+                       (acc, s) -> (acc * 31 + s) % 1000000007) AS bucket
+    FROM obnd),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM obkt a JOIN obkt b
+      ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id),
+eq AS (
+    SELECT c.doc_a, c.doc_b,
+           count(*) FILTER (sa.sval = sb.sval) AS m
+    FROM cand c
+    JOIN oslots sa ON sa.doc_id = c.doc_a
+    JOIN oslots sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(m / {float(_OPH_BINS)}, 6) AS est_jaccard
+FROM eq WHERE m >= {-(-_OPH_BINS // 2)}
+"""
+
 # --- q_simhash: band candidates + exact Hamming over neutral fingerprints ---
 # Reuses the verified q_simhash_neutral fingerprint construction; candidates
 # share any 15-bit band, the pair keeps if bit_count(xor) <= 4.  Pure

@@ -759,6 +759,149 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                  .select("doc_a", "doc_b", "est_jaccard"))
 
 
+# Densification offset stride for OPH (one-permutation hashing): strictly
+# larger than any base hash (< _MH_PRIME = 2^31 − 1), so a slot borrowed
+# over k rotation steps can never collide with a native slot or with a
+# slot borrowed over k' ≠ k steps.  Max slot value = (2^31−1) + 31·2^31
+# < 2^36 — safely inside BIGINT for the band fold's acc·31 + s step.
+_OPH_C = 1 << 31
+
+
+def minhash_oph_signatures(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           n_bins: int = N_MINHASH,
+                           neutral: bool = False) -> DataFrame:
+    """MinHash signatures by ONE-PERMUTATION HASHING (Li, Owen, Zhang,
+    NIPS'12) with rotation densification (Shrivastava & Li, ICML'14):
+    ONE hash per shingle binned by ``h mod B``, min per non-empty bin —
+    one codegen-side hash-aggregate update per shingle instead of the
+    classic path's B interpreted affine folds.  Empty bins (short docs)
+    densify by rotation: bin j borrows from the nearest non-empty bin
+    to its right (cyclically), offset by ``k·C`` per step so borrowed
+    values only match when both docs borrowed the same value over the
+    same distance — preserving the matched-slot estimator
+    E[matches/B] ≈ J (property-tested against exact Jaccard).
+
+    **Measured adjudication (r13): on Spark the classic staged-fold
+    path (:func:`minhash_signatures`) WINS at every width and doc
+    length tried, and stays the default.**  Warm min-of-2, same
+    session, local[32]: longdoc corpus (20k docs × ~200 tokens)
+    classic 3.95s vs OPH 7.93s at B=32; classic 8.2s vs OPH 73s at
+    B=128 (the O(B²) coalesce densification leaves codegen); sf0.1
+    documents (short docs) classic ~1.0s vs OPH ~4.6s.  Why the
+    published 32× arithmetic saving doesn't transfer: exploding a
+    shingle to a row costs ~900ns (UnsafeRow + hash-agg probe) ≈ the
+    ~960ns of 32 interpreted fold steps it replaces — Spark's row
+    machinery and its interpreted HOF arithmetic are the SAME order,
+    so OPH saves nothing per shingle and still pays base hashing,
+    two extra shuffles, and densification.  OPH wins where the
+    min-update is a tight C loop (its home turf), not where rows are
+    the currency.  Kept as the hash-verified alternate (q_minhash_oph
+    pins every slot against the DuckDB oracle) and as the recorded
+    no-go; also the shape to revisit if signatures ever need B ≥ 256
+    with a cheaper densification.
+
+    Two implementation lessons preserved in the plan shape below:
+    the narrow projection REPARTITIONS before hashing (a small scan
+    arrives in 1-2 partitions), and the explode is ``explode_outer``
+    (see inline comment — InferFiltersFromGenerate, also excluded
+    session-wide in session.py since r13).
+
+    ``neutral=True`` uses the polynomial shingle hash so any SQL engine
+    reproduces the signature bit-for-bit (q_minhash_oph's DuckDB oracle
+    rebuilds bins, rotation, and offsets exactly).
+
+    Returns (id_col, sig array<long>) with ``n_bins`` slots.
+    """
+    require_columns(df, [id_col, text_col], "minhash_oph_signatures")
+    # fan the narrow (id, text) projection out to full parallelism BEFORE
+    # the per-shingle hashing, exactly like minhash_signatures: a small
+    # parquet scan (or a localCheckpoint) arrives in 1-2 partitions, and
+    # without this the CPU-bound map stage runs on 1-2 cores (measured:
+    # the longdoc corpus went from minutes to seconds)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    binned = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(parallelism)
+                .withColumn("_base", shingle_base_hashes(F.col(text_col),
+                                                         neutral=neutral))
+                # explode_outer, NOT explode: for a plain explode,
+                # Catalyst's InferFiltersFromGenerate synthesizes a
+                # size(_base) > 0 filter and pushes the ENTIRE
+                # shingle-hash expression below the repartition — the
+                # whole corpus re-hashed on the scan's 1-2 partitions
+                # (measured 80s → 4s on the longdoc leg).  The shingle
+                # array is never empty (n_sh = greatest(..., 1)), so
+                # outer ≡ inner here and no filter is inferred.
+                .select(F.col(id_col), F.explode_outer("_base").alias("__h"))
+                .groupBy(id_col,
+                         F.pmod("__h", F.lit(n_bins)).alias("__bin"))
+                .agg(F.min("__h").alias("__mv")))
+    # EVERYTHING below stays inside whole-stage codegen — no maps, no
+    # higher-order functions (a first cut densified via map_keys +
+    # per-slot transform lambdas: ~2k interpreted expression evals per
+    # doc, measured SLOWER than the classic 32-fold path it was meant
+    # to beat).  Stage 2 pivots the ≤ n_bins (bin, min) rows per doc
+    # into n_bins conditional-min buffers; rotation densification is a
+    # coalesce chain per slot — first non-null of b_j + 0·C,
+    # b_{j+1} + 1·C, …  — which short-circuits at the true rotation
+    # distance (almost always 0-1 steps once docs have ≳ B shingles).
+    wide = binned.groupBy(id_col).agg(*[
+        F.min(F.when(F.col("__bin") == j, F.col("__mv")))
+         .alias(f"__b{j}") for j in range(n_bins)])
+
+    def slot(j: int) -> Column:
+        return F.coalesce(*[
+            F.col(f"__b{(j + k) % n_bins}") + F.lit(k * _OPH_C)
+            for k in range(n_bins)])
+
+    return wide.select(
+        F.col(id_col),
+        F.array(*[slot(j) for j in range(n_bins)]).alias("sig"))
+
+
+def minhash_oph_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      n_bins: int = N_MINHASH, bands: int = LSH_BANDS,
+                      min_est_jaccard: float = 0.5,
+                      neutral: bool = False) -> DataFrame:
+    """MinHash+LSH near-dup pairs over OPH signatures — the same
+    band/bucket/estimate composition as :func:`minhash_lsh_pairs`
+    (banding reads any fixed-width signature array), with the signature
+    build swapped for the one-pass :func:`minhash_oph_signatures`.
+    Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b."""
+    import math
+    require_columns(df, [id_col, text_col], "minhash_oph_pairs")
+    if n_bins % bands != 0:
+        raise ValueError(f"n_bins ({n_bins}) must be divisible by "
+                         f"bands ({bands})")
+    sig = minhash_oph_signatures(df, id_col, text_col, n_bins,
+                                 neutral=neutral).localCheckpoint(
+                                     eager=True)
+    banded = _band_buckets(sig, id_col, n_bins, bands, neutral=neutral)
+    pairs = (banded.alias("a")
+             .join(banded.alias("b"),
+                   (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .select(F.col(f"a.{id_col}").alias("doc_a"),
+                     F.col(f"b.{id_col}").alias("doc_b"))
+             .dropDuplicates(["doc_a", "doc_b"]))
+    pairs = (pairs
+             .join(sig.select(F.col(id_col).alias("doc_a"),
+                              F.col("sig").alias("sig_a")), "doc_a")
+             .join(sig.select(F.col(id_col).alias("doc_b"),
+                              F.col("sig").alias("sig_b")), "doc_b"))
+    matches = F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                         lambda x, y: x == y),
+                              lambda v: v))
+    min_matches = math.ceil(min_est_jaccard * n_bins)
+    return (pairs.withColumn("__m", matches)
+                 .filter(F.col("__m") >= min_matches)
+                 .select("doc_a", "doc_b",
+                         roundn(F.col("__m") / F.lit(float(n_bins)))
+                         .alias("est_jaccard")))
+
+
 def simhash_buckets(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text", bits: int = 64) -> DataFrame:
     """SimHash fingerprint per document + a 16-bit band for bucketing.

@@ -62,6 +62,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Engine-level optimizer tuning applied to WHATEVER session runs the
+    # registry (the external driver builds its own): excludedRules is a
+    # runtime-settable SQL conf, and InferFiltersFromGenerate is pure
+    # cost for this workload — it duplicates every exploded
+    # gram/shingle/token array expression into a size(e) > 0 filter and
+    # pushes it below repartitions (measured: q_span_dedup 5.5s → 2.3s
+    # at sf0.1, r13; rationale in session.py).  Idempotent, cheap, and
+    # semantics-preserving by the optimizer-rule contract.
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+                   "org.apache.spark.sql.catalyst.optimizer."
+                   "InferFiltersFromGenerate")
     return read_table(spark, sf_dir, name)
 
 
@@ -4162,6 +4173,35 @@ def q_minhash_neutral(spark, sf_dir):
     return minhash_neutral_pairs(d, min_est_jaccard=0.5)
 
 
+def q_minhash_oph(spark, sf_dir):
+    """One-permutation-hashing MinHash signature table (Li/Owen/Zhang
+    NIPS'12; rotation densification per Shrivastava & Li ICML'14),
+    HASH-VERIFIED slot by slot: the DuckDB oracle rebuilds bins,
+    rotation distances, and densification offsets exactly; exploding
+    to (doc_id, slot, value) verifies the ENTIRE algorithm including
+    the empty-bin borrow logic on every short document.  Measured
+    adjudication (r13): the classic staged-fold path stays the
+    throughput default — see minhash_oph_signatures' docstring for
+    the numbers and the row-cost argument."""
+    from .pipeline.dedup import minhash_oph_signatures
+    sig = minhash_oph_signatures(_t(spark, sf_dir, "documents"),
+                                 neutral=True)
+    return sig.select("doc_id",
+                      F.posexplode("sig").alias("slot", "value"))
+
+
+def q_minhash_oph_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs over ONE-PERMUTATION signatures —
+    the end-to-end OPH pipeline (bin/densify → band fold → bucket join
+    → matched-slot estimate), hash-verified: the oracle reproduces
+    candidates AND estimates bit-for-bit, so the cheap signature path
+    is held to the same standard as the classic one
+    (q_minhash_neutral)."""
+    from .pipeline.dedup import minhash_oph_pairs
+    return minhash_oph_pairs(_t(spark, sf_dir, "documents"),
+                             min_est_jaccard=0.5, neutral=True)
+
+
 def q_entity_resolution(spark, sf_dir):
     """Entity resolution end-to-end, at DICTIONARY grain: dedupe the
     distinct part-name dictionary with the deletion-neighborhood join
@@ -6564,6 +6604,8 @@ QUERIES: dict[str, QueryFn] = {
     "q_ivm_refresh": q_ivm_refresh,
     "q_entity_resolution": q_entity_resolution,
     "q_minhash_neutral": q_minhash_neutral,
+    "q_minhash_oph": q_minhash_oph,
+    "q_minhash_oph_pairs": q_minhash_oph_pairs,
     "q_cdc_chunks": q_cdc_chunks,
     "q_simhash_neutral": q_simhash_neutral,
     "q_grid_nearest": q_grid_nearest,

@@ -38,6 +38,9 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.driver.memory", "8g")
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")  # r13: see session.py
          .appName("drive_driver").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 

@@ -252,6 +252,9 @@ def main() -> None:
                 str(64 * 1024 * 1024))
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")  # r13: see session.py
         .appName("stress_check").getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -10,7 +10,12 @@ from big_data_bowl_spark.ml.clustering import fit_route_clusters
 from big_data_bowl_spark.ml.lstm import EmaFallbackModel, predict_sequences
 from big_data_bowl_spark.ml.split import group_split
 from big_data_bowl_spark.operators.sequences import build_sequences, unpivot_sequences
-from big_data_bowl_spark.pipeline.dedup import minhash_lsh_pairs, simhash_buckets
+from big_data_bowl_spark.pipeline.dedup import (
+    minhash_lsh_pairs,
+    minhash_oph_pairs,
+    minhash_oph_signatures,
+    simhash_buckets,
+)
 from big_data_bowl_spark.pipeline.multimodal import (
     attach_binary_payload,
     extract_features,
@@ -54,6 +59,99 @@ def test_minhash_near_dup_detected(spark, neutral):
     pairs = minhash_lsh_pairs(docs, min_est_jaccard=0.3,
                               neutral=neutral).collect()
     assert pairs and pairs[0].est_jaccard > 0.5
+
+
+def _oph_reference(text: str, n_bins: int = 32) -> list[int]:
+    """Pure-Python twin of minhash_oph_signatures(neutral=True): the same
+    unfiltered split, 3-word shingles, polynomial char hash, h mod B
+    binning, and rotation densification with the 2^31 offset stride."""
+    P = 1_000_000_007
+    words = text.split(" ")
+    n_sh = max(len(words) - 2, 1)
+    shingles = [" ".join(words[i:i + 3]) for i in range(n_sh)]
+
+    def ph(s: str) -> int:
+        h = 7
+        for c in s:
+            h = (h * 31 + ord(c)) % P
+        return h
+
+    bins: dict[int, int] = {}
+    for s in shingles:
+        h = ph(s)
+        b = h % n_bins
+        bins[b] = min(bins.get(b, 1 << 62), h)
+    sig = []
+    for j in range(n_bins):
+        k = min((b - j) % n_bins for b in bins)
+        sig.append(bins[(j + k) % n_bins] + k * (1 << 31))
+    return sig
+
+
+def test_oph_signature_matches_python_reference(spark):
+    """Engine OPH signatures ≡ the independent Python reference on a
+    corpus that exercises every densification regime: long docs (all
+    bins filled), a single-shingle doc (1 non-empty bin, 31 borrows),
+    double-space tokens, and the empty string (one empty shingle →
+    bare seed hash)."""
+    import random
+    rng = random.Random(13)
+    pool = [f"tok{i}" for i in range(400)]
+    texts = [" ".join(rng.choices(pool, k=rng.randint(1, 120)))
+             for _ in range(20)]
+    texts += ["a b", "", "one  two   three", "solo"]
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)])
+    got = {r.doc_id: list(r.sig)
+           for r in minhash_oph_signatures(docs, neutral=True).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _oph_reference(t), f"doc {i}: {t[:40]!r}"
+
+
+def test_oph_estimator_tracks_exact_jaccard():
+    """Matched-slot fraction over OPH signatures is an honest Jaccard
+    estimate: mean |est − J| small over controlled-overlap pairs, and
+    exactly 1.0 for identical docs (pure-Python twin — the engine is
+    pinned ≡ to it by test_oph_signature_matches_python_reference)."""
+    import random
+    rng = random.Random(7)
+    pool = [f"w{i}" for i in range(2000)]
+
+    def jacc(a: str, b: str) -> float:
+        def sh(t):
+            w = t.split(" ")
+            return {" ".join(w[i:i + 3])
+                    for i in range(max(len(w) - 2, 1))}
+        sa, sb = sh(a), sh(b)
+        return len(sa & sb) / len(sa | sb)
+
+    errs = []
+    for _ in range(40):
+        base = rng.sample(pool, 80)
+        keep = rng.randint(20, 80)
+        other = base[:keep] + rng.sample(
+            [w for w in pool if w not in base], 80 - keep)
+        a, b = " ".join(base), " ".join(other)
+        sa, sb = _oph_reference(a), _oph_reference(b)
+        est = sum(x == y for x, y in zip(sa, sb)) / 32.0
+        errs.append(abs(est - jacc(a, b)))
+    assert sum(errs) / len(errs) < 0.10, sum(errs) / len(errs)
+    t = " ".join(rng.sample(pool, 50))
+    assert _oph_reference(t) == _oph_reference(t)
+
+
+def test_oph_pairs_identical_and_disjoint(spark):
+    """End-to-end OPH LSH: identical docs surface at est 1.0; disjoint
+    docs never pair at τ=0.5."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="entirely different vocabulary in this one here"),
+    ])
+    got = {(r.doc_a, r.doc_b): r.est_jaccard
+           for r in minhash_oph_pairs(docs, min_est_jaccard=0.5,
+                                      neutral=True).collect()}
+    assert got == {(1, 2): 1.0}
 
 
 def test_simhash_identical_docs_same_fingerprint(spark):
