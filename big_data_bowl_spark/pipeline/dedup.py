@@ -1243,7 +1243,13 @@ def minhash_neutral_pairs(df: DataFrame, min_est_jaccard: float = 0.5,
     # banded bucket self-join, both sides of the verification join);
     # without the pin each reference re-runs the whole shingle→hash→
     # fold pipeline (measured 12.9s → ~4s at sf0.1, doc-grain rows)
+    # r13: fan out BEFORE hashing, like minhash_signatures — a small
+    # parquet file is ONE scan partition (single row group, unsplittable
+    # by maxPartitionBytes), so without this the whole signature stage
+    # runs on one core (measured 6.8s → 4.1s at sf0.1)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
     sig_df = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(parallelism)
                 .withColumn("_base", base)
                 .select(F.col(id_col), F.array(*[
                     F.aggregate("_base", F.lit(_MH_PRIME).cast("long"),

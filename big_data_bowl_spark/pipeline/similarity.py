@@ -32,6 +32,19 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition a vector table to full parallelism BEFORE the
+    CPU-bound per-vector stages (r13).  The sf0.1 embeddings parquet is
+    a single row group — ONE scan partition no matter what
+    maxPartitionBytes says — so every dot-product / signature / encode
+    map stage downstream of a bare scan ran on one core (measured:
+    q_minhash_neutral's text twin 6.8s → 4.1s from the same fix; the
+    ANN family numbers are in SCALE.md r13).  One narrow shuffle of
+    (id, vector) rows; at cluster scale scans arrive pre-parallel and
+    this is a cheap no-op-sized exchange."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, x: acc + x)
@@ -53,7 +66,8 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     for-bit (then rounded).
     """
     require_columns(df, [id_col, vec_col], "cosine_topk")
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vecs = _fan_out(df.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("v")))
     q = (vecs.filter(F.col(id_col).isin(query_ids))
              .select(F.col(id_col).alias("query_id"), F.col("v").alias("qv")))
     pairs = (F.broadcast(q)
@@ -106,7 +120,8 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     Approximate → no SQL oracle; containment + measured-recall tested.
     """
     require_columns(df, [id_col, vec_col], "lsh_bucketed_topk")
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vecs = _fan_out(df.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("v")))
 
     def plane_component(t: int, p: int, i: Column) -> Column:
         h = F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), i)
@@ -549,7 +564,8 @@ def lloyd_kmeans(df: DataFrame, iters: int = 3, id_col: str = "vec_id",
         raise ValueError(
             f"lloyd_kmeans: checkpoint_every must be >= 1, got "
             f"{checkpoint_every}")
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vecs = _fan_out(df.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("v")))
     cents = (label_centroids(df, id_col, vec_col, label_col)
              .select(F.col(label_col).cast("long").alias("cand_label"),
                      "centroid"))
@@ -607,7 +623,8 @@ def ivfpq_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     broadcast equi-join on the cell id.  Returns
     (query_id, neighbor_id, approx_d2), smaller = nearer."""
     require_columns(df, [id_col, vec_col], "ivfpq_topk")
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vecs = _fan_out(df.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("v")))
 
     if neutral:
         # Engine-neutral coarse quantizer: deterministic per-label mean
@@ -731,7 +748,8 @@ def lsh_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     Returns (query_id, neighbor_id, cosine).
     """
     require_columns(df, [id_col, vec_col], "lsh_neutral_topk")
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vecs = _fan_out(df.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("v")))
 
     dims = F.sequence(F.lit(0), F.lit(dim - 1)).cast("array<long>")
 
@@ -787,7 +805,8 @@ def ivf_neutral_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     Returns (query_id, neighbor_id, cosine).
     """
     require_columns(df, [id_col, vec_col, label_col], "ivf_neutral_topk")
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    vecs = _fan_out(df.select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("v")))
     cents = (label_centroids(df, id_col, vec_col, label_col)
              .select(F.col(label_col).cast("long").alias("cell"),
                      "centroid"))
