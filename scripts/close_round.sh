@@ -17,8 +17,17 @@
 # oracle sweeps can't see (PAV twin; README count self-check).  The
 # ritual now runs the full suite first, so a red test fails the round.
 # Skip with SKIP_PYTEST=1 only when iterating on a single query.
+# r14 adds the BENCH-RECORD INTEGRITY LEG (first): the r12 and r13
+# round-closing commits each replaced the committed clean
+# BENCH_DETAIL.json with a contended driver session's map via a plain
+# `git commit`, bypassing bench.py's --record guards.  The ritual now
+# refuses while the working tree holds a flat-slower record than HEAD's
+# committed copy (same median-ratio rule as bench.py's overwrite guard;
+# SPARK_GRAFT_ALLOW_FLAT_SLOWDOWN=1 is the intentional-change hatch).
 set -e
 cd "$(dirname "$0")/.."
+echo "=== bench-record integrity (working tree vs HEAD) ==="
+python scripts/check_bench_record.py
 if [ -z "$SKIP_PYTEST" ]; then
   echo "=== pytest leg ==="
   python -m pytest tests/ -q

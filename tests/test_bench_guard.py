@@ -235,3 +235,42 @@ def test_gate_host_factor_discount():
     # a real regression (4.3x in raw seconds on the same sick host
     # = >2x in calibrated units) still trips
     assert trips(8.6, 1.00, hf)
+
+
+def test_check_bench_record_blocks_inflated_working_tree(tmp_path,
+                                                        monkeypatch):
+    """r14 (VERDICT item 1): the r12 AND r13 round-closing commits each
+    replaced the committed clean BENCH_DETAIL.json with a contended
+    driver session via plain `git commit` — the one path bench.py's
+    --record guards cannot see.  check_bench_record compares the
+    working-tree record to HEAD's copy and refuses on a flat slowdown."""
+    import check_bench_record as cbr
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+    env = {**os.environ, "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+           "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t"}
+
+    def git(*args):
+        subprocess.run(["git", "-C", str(repo), *args], check=True,
+                       env=env, capture_output=True)
+
+    git("init")
+    clean = {"queries": {q: 1.0 for q in bench.FLAT_PROBE_SUBSET}}
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(clean))
+    git("add", "BENCH_DETAIL.json")
+    git("commit", "-m", "clean record")
+    # working tree == HEAD -> fine
+    assert cbr.check_record(str(repo), "BENCH_DETAIL.json") is None
+    # a flat 1.5x-slower working-tree record (the overwrite shape) -> refuse
+    slow = {"queries": {q: 1.5 for q in bench.FLAT_PROBE_SUBSET}}
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(slow))
+    reason = cbr.check_record(str(repo), "BENCH_DETAIL.json")
+    assert reason and "flat 1.5x slower" in reason
+    # one stall-window victim in an otherwise-clean record -> fine
+    noisy = {"queries": dict.fromkeys(bench.FLAT_PROBE_SUBSET, 1.05)}
+    noisy["queries"][bench.FLAT_PROBE_SUBSET[0]] = 9.0
+    (repo / "BENCH_DETAIL.json").write_text(json.dumps(noisy))
+    assert cbr.check_record(str(repo), "BENCH_DETAIL.json") is None
+    # a record that is not committed at all -> nothing to compare
+    assert cbr.check_record(str(repo), "BENCH_FULL.json") is None

@@ -140,9 +140,13 @@ def test_oph_estimator_tracks_exact_jaccard():
     assert _oph_reference(t) == _oph_reference(t)
 
 
-def test_oph_pairs_identical_and_disjoint(spark):
+@pytest.mark.parametrize("neutral", [False, True],
+                         ids=["xxhash64", "neutral"])
+def test_oph_pairs_identical_and_disjoint(spark, neutral):
     """End-to-end OPH LSH: identical docs surface at est 1.0; disjoint
-    docs never pair at τ=0.5."""
+    docs never pair at τ=0.5.  Parametrized over BOTH hash families
+    (r13 ADVICE: the xxhash64 path was otherwise never exercised —
+    registry queries and the reference-twin tests all run neutral)."""
     docs = spark.createDataFrame([
         Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
         Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
@@ -150,7 +154,7 @@ def test_oph_pairs_identical_and_disjoint(spark):
     ])
     got = {(r.doc_a, r.doc_b): r.est_jaccard
            for r in minhash_oph_pairs(docs, min_est_jaccard=0.5,
-                                      neutral=True).collect()}
+                                      neutral=neutral).collect()}
     assert got == {(1, 2): 1.0}
 
 
