@@ -401,6 +401,18 @@ def _jaccard_smallvocab(tok: DataFrame, freq: DataFrame, tau: float,
                      F.col("__n").alias("__na"), "__g",
                      F.pmod(F.xxhash64(*mask_cols),
                             F.lit(n_salts)).alias("__salt"))
+    # fan the PROBE side out to full parallelism (r14): the set table is
+    # tiny in BYTES (set-count × ~25 longs), so AQE coalesces the
+    # upstream shuffle to 1-2 partitions — and the prefix join's probe
+    # loop, whose meeting volume is quadratic-in-sets-per-token (the
+    # actual cost of the query: ~400M meetings at the sf1.0 smallvocab
+    # replica), then runs on 1-2 cores no matter how many the session
+    # has.  Measured on that leg, same session interleaved min-of-2:
+    # verify stage 102.5s -> 10.6s (~10x), a-side partitions 2 -> 32.
+    # The build side stays the broadcast (plan-confirmed
+    # BroadcastHashJoin at both SFs) — only the probe side's
+    # partitioning carries the parallelism.
+    sa = sa.repartition(spfx.sparkSession.sparkContext.defaultParallelism)
     sb = spfx.select(*[F.col(m).alias(b) for m, b in zip(mask_cols, b_cols)],
                      *[F.col(p).alias(b) for p, b in zip(pfx_cols, pb_cols)],
                      F.col("__n").alias("__nb"), "__g",
@@ -1453,8 +1465,20 @@ def duplicated_spans(df: DataFrame, n: int = 8, min_docs: int = 2,
         F.transform(F.sequence(F.lit(0), F.size(arr) - n),
                     lambda i: F.array_join(F.slice(arr, i + 1, n), " "))
     ).otherwise(F.array().cast("array<string>"))
-    grams = (df.select(F.col(id_col), grams_col.alias("__g"))
-               .select(F.col(id_col), F.explode("__g").alias("gram")))
+    # fan the narrow projection out BEFORE gram construction (r14): the
+    # in-row gram build concatenates n tokens per position (~n× the text
+    # volume in string work) and runs at scan parallelism — one core for
+    # a single-row-group parquet.  The downstream gram groupBy spreads
+    # the SHUFFLE, not this map stage.  Measured at sf0.1, interleaved
+    # min-of-3: 2.90s -> 1.21s (incremental form 3.34s -> 1.84s).
+    # Distinct from the r13 tokenize no-go (q_leakage_split): there the
+    # pre-shuffle work was one split per row; here it is ~n_tokens
+    # n-way array_joins per row.
+    narrow = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(df.sparkSession.sparkContext
+                             .defaultParallelism))
+    grams = (narrow.select(F.col(id_col), grams_col.alias("__g"))
+                   .select(F.col(id_col), F.explode("__g").alias("gram")))
     # SINGLE-SCAN shape: roll positions up to the (gram, doc) grain
     # (map-side combinable), count each gram's documents with a
     # whole-partition window on the SAME relation (per-gram fan-in is
@@ -1490,9 +1514,13 @@ def gram_index(df: DataFrame, n: int = 8, id_col: str = "doc_id",
         F.transform(F.sequence(F.lit(0), F.size(arr) - n),
                     lambda i: F.array_join(F.slice(arr, i + 1, n), " "))
     ).otherwise(F.array().cast("array<string>"))
-    return (df.select(F.col(id_col), F.explode(grams_col).alias("gram"))
-              .groupBy("gram")
-              .agg(F.count_distinct(F.col(id_col)).alias("n_docs")))
+    # fan out before the gram build — see duplicated_spans (r14)
+    narrow = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(df.sparkSession.sparkContext
+                             .defaultParallelism))
+    return (narrow.select(F.col(id_col), F.explode(grams_col).alias("gram"))
+                  .groupBy("gram")
+                  .agg(F.count_distinct(F.col(id_col)).alias("n_docs")))
 
 
 def duplicated_spans_incremental(new_df: DataFrame, index: DataFrame,

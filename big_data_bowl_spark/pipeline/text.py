@@ -224,8 +224,13 @@ def fingerprint_documents(df: DataFrame, id_col: str = "doc_id",
     Returns (doc_id, fingerprint)."""
     require_columns(df, [id_col, text_col], "fingerprint_documents")
     toks = _tokens(text_col)
-    hashes = F.transform(toks, polynomial_token_hash)
-    fp = F.array_min(F.slice(hashes, 1, window))
+    # slice BEFORE hashing (r14): elementwise transform commutes with
+    # slice, so hashing only the leading ``window`` tokens yields the
+    # identical fingerprint while doing ~n_tokens/window times less
+    # interpreted char-fold work (measured 0.61s -> 0.49s at sf0.1;
+    # exceptAll-equality-checked both directions, 0 rows)
+    fp = F.array_min(F.transform(F.slice(toks, 1, window),
+                                 polynomial_token_hash))
     return df.select(F.col(id_col), fp.alias("fingerprint"))
 
 
@@ -435,7 +440,21 @@ def cdc_chunk_documents(df: DataFrame, window: int = 4, divisor: int = 16,
     documents yield zero chunks.
     """
     require_columns(df, [id_col, text_col], "cdc_chunk_documents")
-    staged = (df.select(F.col(id_col), _tokens(text_col).alias("__toks"))
+    # fan the narrow (id, text) projection out to full parallelism
+    # BEFORE the per-position window-hash folds (r14, the similarity.py
+    # _fan_out rule): the whole body below is MAP-ONLY interpreted-HOF
+    # arithmetic with no shuffle until the caller aggregates, so a
+    # single-row-group parquet scan (1 partition) serializes all of it
+    # onto one core.  Measured at sf0.1, interleaved min-of-3:
+    # 1.24s -> 0.75s (and 5.19s -> 2.46s under host load).  At cluster
+    # scale scans arrive pre-parallel and this is a cheap narrow
+    # exchange.  Contrast: winnow_fingerprints measured as a NO-GO for
+    # the same treatment (its first consumer is already the doc-key
+    # window shuffle, the r13 tokenize-stage rule).
+    narrow = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(df.sparkSession.sparkContext
+                             .defaultParallelism))
+    staged = (narrow.select(F.col(id_col), _tokens(text_col).alias("__toks"))
                 .filter(F.size("__toks") > 0)
                 .withColumn("__n", F.size("__toks"))
                 # per-token hash ONCE; window hashes then fold over 4

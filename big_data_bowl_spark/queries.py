@@ -20,6 +20,7 @@ Hash-stability conventions (SURVEY §7.5 risks 4/5):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -61,18 +62,37 @@ from .sources.io import read_table
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+_EXCLUDED_RULE = ("org.apache.spark.sql.catalyst.optimizer."
+                  "InferFiltersFromGenerate")
+# sessions already tuned, so _t() pays the py4j conf round-trip once per
+# session instead of on every table read (r13 ADVICE: the old
+# unconditional set also CLOBBERED any exclusions the driver's own
+# session carried — now the rule is appended to whatever is there).
+# WeakSet, not id()-keyed: a stopped session's id can be reused.
+_TUNED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def _ensure_generate_rule_excluded(spark: SparkSession) -> None:
     # Engine-level optimizer tuning applied to WHATEVER session runs the
     # registry (the external driver builds its own): excludedRules is a
     # runtime-settable SQL conf, and InferFiltersFromGenerate is pure
     # cost for this workload — it duplicates every exploded
     # gram/shingle/token array expression into a size(e) > 0 filter and
     # pushes it below repartitions (measured: q_span_dedup 5.5s → 2.3s
-    # at sf0.1, r13; rationale in session.py).  Idempotent, cheap, and
-    # semantics-preserving by the optimizer-rule contract.
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-                   "org.apache.spark.sql.catalyst.optimizer."
-                   "InferFiltersFromGenerate")
+    # at sf0.1, r13; rationale in session.py).  Semantics-preserving by
+    # the optimizer-rule contract.
+    if spark in _TUNED_SESSIONS:
+        return
+    current = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    rules = [r.strip() for r in (current or "").split(",") if r.strip()]
+    if _EXCLUDED_RULE not in rules:
+        rules.append(_EXCLUDED_RULE)
+        spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
+    _TUNED_SESSIONS.add(spark)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_generate_rule_excluded(spark)
     return read_table(spark, sf_dir, name)
 
 
