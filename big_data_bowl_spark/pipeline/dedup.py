@@ -848,27 +848,50 @@ def minhash_oph_signatures(df: DataFrame, id_col: str = "doc_id",
                 .groupBy(id_col,
                          F.pmod("__h", F.lit(n_bins)).alias("__bin"))
                 .agg(F.min("__h").alias("__mv")))
-    # EVERYTHING below stays inside whole-stage codegen — no maps, no
-    # higher-order functions (a first cut densified via map_keys +
-    # per-slot transform lambdas: ~2k interpreted expression evals per
-    # doc, measured SLOWER than the classic 32-fold path it was meant
-    # to beat).  Stage 2 pivots the ≤ n_bins (bin, min) rows per doc
-    # into n_bins conditional-min buffers; rotation densification is a
-    # coalesce chain per slot — first non-null of b_j + 0·C,
-    # b_{j+1} + 1·C, …  — which short-circuits at the true rotation
-    # distance (almost always 0-1 steps once docs have ≳ B shingles).
+    # Stage 2 pivots the ≤ n_bins (bin, min) rows per doc into n_bins
+    # conditional-min buffers inside whole-stage codegen (a first cut
+    # densified via map_keys + per-slot transform lambdas: ~2k
+    # interpreted expression evals per doc, measured SLOWER than the
+    # classic 32-fold path it was meant to beat).
     wide = binned.groupBy(id_col).agg(*[
         F.min(F.when(F.col("__bin") == j, F.col("__mv")))
          .alias(f"__b{j}") for j in range(n_bins)])
+    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
 
-    def slot(j: int) -> Column:
-        return F.coalesce(*[
-            F.col(f"__b{(j + k) % n_bins}") + F.lit(k * _OPH_C)
-            for k in range(n_bins)])
+    # Rotation densification (r14): slot j = first non-null of
+    # b_{j+k} + k·C over k = 0..B−1 (cyclic).  Because every base hash
+    # is < _MH_PRIME < C, val + k·C < (k+1)·C ≤ any later candidate —
+    # so "first non-null" EQUALS "min over non-null of b_{j+k} + k·C",
+    # which vectorizes.  The original n_bins×n_bins coalesce chain was
+    # a ~1k-node expression tree whose cost was FIXED overhead (the
+    # q_lsh_topk finding): the wide pivot alone ran 2.9s at sf0.1, the
+    # chain pushed the signature stage to 8.3s.  This Arrow batch stage
+    # (optimization-guide §4.2) does the same min in numpy — float64 is
+    # exact here (slot values < 2^36 ≪ 2^53) and nanmin over the
+    # offset-shifted window reproduces every slot bit-for-bit
+    # (oracle-hash-checked at sf0.01/sf0.1; ties are impossible since
+    # the ordering above is strict).
+    b_cols = [f"__b{j}" for j in range(n_bins)]
 
-    return wide.select(
-        F.col(id_col),
-        F.array(*[slot(j) for j in range(n_bins)]).alias("sig"))
+    def _densify(batches):
+        import numpy as np
+        import pandas as pd
+        offs = (float(_OPH_C) * np.arange(n_bins)).astype(np.float64)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            b = pdf[b_cols].to_numpy(dtype=np.float64)   # null -> NaN
+            b2 = np.concatenate([b, b], axis=1)
+            sig = np.empty((n, n_bins), dtype=np.int64)
+            for j in range(n_bins):
+                sig[:, j] = np.nanmin(b2[:, j:j + n_bins] + offs[None, :],
+                                      axis=1).astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "sig": list(sig)})
+
+    return wide.mapInPandas(_densify, f"{id_col} {id_type}, "
+                                      "sig array<long>")
 
 
 def minhash_oph_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -86,6 +86,26 @@ def cosine_topk(df: DataFrame, query_ids: list[int], k: int = 3,
 N_PLANES = 8
 
 
+def _lsh_plane_weights(spark, seed: int, n_tables: int, n_planes: int,
+                       dim: int):
+    """The n_tables·n_planes·dim hyperplane components as a Python list,
+    computed by SPARK's own xxhash64 (one tiny 6k-row job) so the values
+    are bit-identical to the in-expression form they replace.  These are
+    SEED-DERIVED CONSTANTS — no input data flows in, so collecting them
+    is the same bounded-parameter pattern as the sketch-param collects,
+    recomputed fresh on every call."""
+    n = n_tables * n_planes * dim
+    t = (F.col("id") / (n_planes * dim)).cast("int")
+    p = ((F.col("id") % (n_planes * dim)) / dim).cast("int")
+    i = (F.col("id") % dim).cast("int")
+    h = F.xxhash64(F.lit(seed), t, p, i)
+    rows = (spark.range(n)
+                 .select(((h % 1000).cast("double") / 500.0 - 1.0)
+                         .alias("w"))
+                 .collect())
+    return [r["w"] for r in rows]
+
+
 def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       n_planes: int = 6, n_tables: int = 16,
@@ -122,34 +142,59 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     require_columns(df, [id_col, vec_col], "lsh_bucketed_topk")
     vecs = _fan_out(df.select(F.col(id_col),
                               _as_double(F.col(vec_col)).alias("v")))
+    id_type = dict(vecs.dtypes)[id_col]
 
-    def plane_component(t: int, p: int, i: Column) -> Column:
-        h = F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), i)
-        return (h % 1000).cast("double") / 500.0 - 1.0
+    # The 96 sign-bit projections are a (n_tables·n_planes)×dim constant
+    # matrix against every vector.  As JVM expressions this was a
+    # 6,144-node interpreted-HOF tree whose cost was FIXED overhead, not
+    # data: measured 3.2s at sf0.1 (2,000 vectors) and 4.2s at sf0.01
+    # (200 vectors) for the stage alone.  r14 moves the stage to a
+    # vectorized Arrow batch (optimization-guide §4.2): weights come
+    # from Spark's own xxhash64 via _lsh_plane_weights (bit-identical),
+    # and the accumulation loops over dim IN ASCENDING i ORDER — acc +=
+    # v[i]·w[i], the exact fold order of the expression form, so every
+    # projection is the same IEEE double and every bucket bit matches
+    # (exceptAll-verified 0/0 at sf0.1).  Stage: 3.2s → 0.47s (~7×).
+    # A constant-literal weight array in the JVM fold was re-measured as
+    # a NO-GO in a second form this round: 96 copies of a 6,144-double
+    # literal OOM'd the executor heap (r13's 84s plan-explosion no-go).
+    weights = _lsh_plane_weights(df.sparkSession, seed, n_tables,
+                                 n_planes, dim)
 
-    def bucket_bits(v: Column, t: int) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(v, F.sequence(F.lit(0), F.lit(dim - 1)),
-                               lambda x, i: x * plane_component(t, p, i)),
-                    F.lit(0.0), lambda acc, x: acc + x) > 0, 1).otherwise(0)
-            for p in range(n_planes)]
-        out = F.lit(0)
-        for b in bits:
-            out = F.shiftleft(out, 1) + b
-        return out
+    def _bucketize(batches):
+        import numpy as np
+        import pandas as pd
+        wnp = np.array(weights, dtype=np.float64).reshape(
+            n_tables * n_planes, dim)
+        tables = np.arange(n_tables, dtype=np.int32)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            acc = np.zeros((n, n_tables * n_planes), dtype=np.float64)
+            for i in range(dim):     # ascending i == the fold order
+                acc += v[:, i:i + 1] * wnp[None, :, i]
+            bits = acc > 0
+            bucket = np.zeros((n, n_tables), dtype=np.int32)
+            for t in range(n_tables):
+                bt = np.zeros(n, dtype=np.int32)
+                for p in range(n_planes):
+                    bt = (bt << 1) + bits[:, t * n_planes + p]
+                bucket[:, t] = bt
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].values, n_tables),
+                "v": [x for x in pdf["v"].values for _ in range(n_tables)],
+                "table": np.tile(tables, n),
+                "bucket": bucket.reshape(-1),
+            })
 
-    all_buckets = F.array(*[bucket_bits(F.col("v"), t)
-                            for t in range(n_tables)])
-    # pinned: the n_tables·n_planes sign bits are INTERPRETED
-    # higher-order aggregates over the full vector — the dominant map
-    # stage — and the bucketed index feeds BOTH sides of the candidate
-    # join (query probe + corpus); without the pin each side re-hashes
-    # the whole corpus (measured 7.2s → ~3s at sf0.1)
-    bucketed = vecs.select(
-        F.col(id_col), "v",
-        F.posexplode(all_buckets).alias("table", "bucket")
+    # pinned: the bucketed index feeds BOTH sides of the candidate join
+    # (query probe + corpus); without the pin each side re-hashes the
+    # whole corpus (measured 7.2s → ~3s at sf0.1)
+    bucketed = vecs.mapInPandas(
+        _bucketize,
+        f"{id_col} {id_type}, v array<double>, table int, bucket int"
     ).localCheckpoint(eager=True)
     q = (bucketed.filter(F.col(id_col).isin(query_ids))
                  .select(F.col(id_col).alias("query_id"),
@@ -368,28 +413,51 @@ def pq_encode(df: DataFrame, books: DataFrame, m: int = 8,
     """Encode vectors to PQ codes: (id, codes array<int>) with
     ``codes[s]`` the nearest codebook entry of subspace ``s``.
 
-    MAP-ONLY: the whole m×k codebook nests into ONE broadcast row
-    (m·k·d_sub doubles — a few KB) and all m argmins run as in-row array
-    expressions, so encoding a 100 TB corpus is a single scan with zero
+    MAP-ONLY: encoding a 100 TB corpus is a single scan with zero
     exchanges (the old explode → join → groupBy shape shuffled n·m
-    subvector rows twice)."""
+    subvector rows twice).  r14 moved the m·k argmin folds from in-row
+    JVM expressions to one vectorized Arrow batch stage (optimization-
+    guide §4.2): the unrolled m×k fold tree (~128 aggregate nodes) was
+    FIXED overhead like q_lsh_topk's plane folds — measured ~3.2s at
+    sf0.1 for 2,000 vectors.  The codebook is collected driver-side
+    (m·k rows, a few KB — the bounded-parameter collect pattern; it is
+    already localCheckpoint-materialized by pq_codebooks) and the numpy
+    distance loop runs over subvector positions IN ASCENDING ORDER, so
+    every partial distance is the same IEEE double as the JVM fold and
+    np.argmin's first-minimum tie-break equals array_position(min)
+    (lowest code) — oracle-hash-checked (q_pq_topk / q_ivfpq_topk)."""
     require_columns(df, [id_col, vec_col], "pq_encode")
     d_sub = dim // m
-    nested = (_books_per_subspace(books)
-              .groupBy()
-              .agg(F.transform(
-                      F.array_sort(F.collect_list(
-                          F.struct("subspace", "cents"))),
-                      lambda s: s["cents"]).alias("bf")))
-    v = _as_double(F.col(vec_col))
-    # unrolled over the m subspaces (m is tiny and known) — one lambda
-    # level less than transform(sequence(...)) keeps analysis cheap
-    codes = F.array(*[
-        _argmin_code(F.slice(v, s * d_sub + 1, d_sub),
-                     F.element_at(F.col("bf"), s + 1))
-        for s in range(m)])
-    return (df.crossJoin(F.broadcast(nested))
-              .select(F.col(id_col), codes.alias("codes")))
+    rows = _books_per_subspace(books).collect()   # m rows, k×d_sub each
+    cents = [None] * m
+    for r in rows:
+        cents[r["subspace"]] = [list(c) for c in r["cents"]]
+    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+
+    def _encode(batches):
+        import numpy as np
+        import pandas as pd
+        books_np = [np.array(c, dtype=np.float64) for c in cents]  # (k, d_sub)
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            v = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            for s in range(m):
+                sv = v[:, s * d_sub:(s + 1) * d_sub]        # (n, d_sub)
+                c = books_np[s]                             # (k, d_sub)
+                acc = np.zeros((n, c.shape[0]), dtype=np.float64)
+                for i in range(d_sub):                      # fold order
+                    diff = sv[:, i:i + 1] - c[None, :, i]
+                    acc += diff * diff
+                codes[:, s] = np.argmin(acc, axis=1)        # first min
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "codes": list(codes)})
+
+    return vecs.mapInPandas(_encode, f"{id_col} {id_type}, "
+                                     "codes array<int>")
 
 
 def pq_topk_adc(codes: DataFrame, books: DataFrame, queries: DataFrame,
