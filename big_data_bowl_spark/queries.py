@@ -4620,37 +4620,69 @@ def _hourly_grid(e):
 
 def _lagged_pearson(a, b, lags):
     """Pearson r between hour series ``a`` and ``b`` shifted by each lag
-    (hours): one grid self-join + a 6-moment exact aggregate per lag —
+    (hours): ONE grid join + ONE whole-series window pass computing all
+    lag columns + ONE 6-moment exact aggregate grouped by lag —
     DECIMAL(38,0) sums of integer counts (the metric_correlations
     discipline; built-in corr would not hash-match) and ONE identical r
     expression, so q_lead_lag and q_acf cannot drift apart (review
     finding: the two copies had to be kept bit-identical by hand).
-    Both inputs are (__h, __c) and should be pinned by the caller."""
+    Both inputs are (__h, __c) and should be pinned by the caller.
+
+    r14 restructure (guide §2.4 — remove shuffles outright): the old
+    form ran one shifted self-join + one single-row aggregate PER LAG
+    (12 jobs for q_acf, 7 for q_lead_lag) whose cost was join/job
+    overhead, not data (the grid is span-bounded — hours, not events).
+    Because both inputs are the SAME dense hour grid, the shifted
+    inner join at lag k pairs exactly (x at h, y at h+k) for the
+    span−|k| anchor hours — which is lead(__y, k) over the __h-ordered
+    series with nulls (rows past the end) dropped.  The moment sums
+    are exact integer DECIMALs, so regrouping the same pair multisets
+    is bit-identical (q_acf/q_lead_lag stay hash-verified); measured
+    same-session interleaved min-of-4 at sf0.1: q_acf 4.0s → 1.3s,
+    q_lead_lag 3.0s → 1.4s.  The whole-series window is
+    ONE partition by design and safe at any corpus scale: the frame
+    is the span-bounded hour grid (a year is 8,760 rows)."""
     dec = "decimal(38,0)"
-    outs = []
-    for k in lags:
-        j = (a.select(F.col("__h"), F.col("__c").alias("__x"))
-              .join(b.select((F.col("__h") - k * 3600).alias("__h"),
-                             F.col("__c").alias("__y")), "__h"))
-        x, y = F.col("__x").cast(dec), F.col("__y").cast(dec)
-        m = j.agg(F.count(F.lit(1)).cast(dec).alias("n"),
-                  F.sum(x).alias("sx"), F.sum(y).alias("sy"),
-                  F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
-                  F.sum(x * y).alias("sxy"))
-        num = (F.col("n") * F.col("sxy")
-               - F.col("sx") * F.col("sy")).cast("double")
-        da = (F.col("n") * F.col("sxx")
-              - F.col("sx") * F.col("sx")).cast("double")
-        db = (F.col("n") * F.col("syy")
-              - F.col("sy") * F.col("sy")).cast("double")
-        outs.append(m.select(
-            F.lit(k).cast("long").alias("lag_hours"),
-            F.col("n").cast("long").alias("n_hours"),
-            F.when((da > 0) & (db > 0),
-                   F.round(num / F.sqrt(da * db), 6))
-             .otherwise(F.lit(0.0)).alias("r")))
-    from functools import reduce as _reduce
-    return _reduce(lambda u, v: u.unionByName(v), outs)
+    lags = list(lags)
+    base = (a.select(F.col("__h"), F.col("__c").alias("__x"))
+             .join(b.select(F.col("__h"), F.col("__c").alias("__y")),
+                   "__h"))
+    w = Window.orderBy(F.asc("__h"))
+
+    def shifted(k):
+        return (F.lead("__y", k).over(w) if k >= 0
+                else F.lag("__y", -k).over(w))
+
+    # window columns must be staged in their own Project — Spark
+    # rejects window expressions inside a Generate (explode)
+    lag_cols = [shifted(k).alias(f"__yk{i}") for i, k in enumerate(lags)]
+    stacked = (base
+               .select("__x", *lag_cols)
+               .select("__x", F.explode(F.array(*[
+                   F.struct(F.lit(k).cast("long").alias("k"),
+                            F.col(f"__yk{i}").alias("__y"))
+                   for i, k in enumerate(lags)])).alias("kv"))
+               .select("__x", F.col("kv.k").alias("__k"),
+                       F.col("kv.__y").alias("__y"))
+               .filter(F.col("__y").isNotNull()))
+    x, y = F.col("__x").cast(dec), F.col("__y").cast(dec)
+    m = (stacked.groupBy("__k")
+                .agg(F.count(F.lit(1)).cast(dec).alias("n"),
+                     F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+                     F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+                     F.sum(x * y).alias("sxy")))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    da = (F.col("n") * F.col("sxx")
+          - F.col("sx") * F.col("sx")).cast("double")
+    db = (F.col("n") * F.col("syy")
+          - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        F.col("__k").alias("lag_hours"),
+        F.col("n").cast("long").alias("n_hours"),
+        F.when((da > 0) & (db > 0),
+               F.round(num / F.sqrt(da * db), 6))
+         .otherwise(F.lit(0.0)).alias("r"))
 
 
 def q_lead_lag(spark, sf_dir):
