@@ -80,10 +80,11 @@ AUDITED: dict[str, str] = {
         "map-side combinable), one union + merge aggregate, finalize is "
         "a projection — refresh reads deltas, never re-reads the base."),
     "q_cdc_chunks": (
-        "Entirely in-row: staged token + token-hash arrays, window-fold "
-        "cut positions, one posexplode fan-out — ZERO exchanges before "
-        "the sink; boundaries are local so the op is embarrassingly "
-        "parallel at any scale."),
+        "In-row after ONE round-robin fan-out of the narrow (id, text) "
+        "projection (r14): staged token + token-hash arrays, window-fold "
+        "cut positions, one posexplode — no KEY exchange anywhere; "
+        "boundaries are local so the op is embarrassingly parallel at "
+        "any scale."),
     "q_grid_nearest": (
         "TWO-LEVEL since r8 (sf1.0 stress fix): fine pass at radius/8 "
         "resolves points whose best candidate sits within the fine "
@@ -264,9 +265,11 @@ AUDITED: dict[str, str] = {
         "a sort of only the ~n/1024-row target buckets — no global "
         "sort, no single-reducer percentile buffer."),
     "q_acf": (
-        "Pinned dense hour grid; 12 shifted self-joins of hour-grain "
-        "rows with DECIMAL moment aggregates — cost is span x 12 "
-        "rows, independent of event count."),
+        "Pinned dense hour grid; ONE whole-series window computes all "
+        "12 lag columns (span-bounded — hours, not events), one "
+        "groupBy(lag) with DECIMAL moment aggregates (r14; formerly 12 "
+        "shifted self-joins) — cost is span x 12 rows, independent of "
+        "event count."),
     "q_personalized_pagerank": (
         "Teleport carried as a ranks column: each of the 5 rounds is "
         "one edges-ranks shuffle + one aggregate + a 1-row dangling "
