@@ -614,6 +614,112 @@ def minhash_signature(text: Column, n_hashes: int = N_MINHASH,
         for a, b in _mh_coeffs(n_hashes)])
 
 
+def _neutral_minhash_sigs_arrow(df: DataFrame, id_col: str, text_col: str,
+                                n_hashes: int, shingle_len: int,
+                                drop_empty_words: bool) -> DataFrame:
+    """NEUTRAL-family MinHash signatures as ONE vectorized Arrow batch
+    stage — bit-identical to the interpreted-HOF form (r14, guide §4.2).
+
+    The neutral family is explicit integer arithmetic end-to-end
+    (polynomial char hash mod 10^9+7, affine (a·h+b) mod 2^31−1 slots),
+    which the JVM evaluates as INTERPRETED higher-order functions:
+    ~len(shingle) char-fold steps + n_hashes affine folds per shingle,
+    each step an expression-tree walk (~30 ns) — the same per-row cost
+    class as the OPH adjudication above measured.  numpy does the
+    identical uint64 arithmetic at vector throughput.  Exactness: every
+    intermediate is an integer < 2^62 (a < p ≈ 2^31, h < 10^9+7 < 2^30
+    ⇒ a·h+b < 2^61; char fold acc·31+c < 2^35), uint64 is exact, and
+    the char/word/shingle decomposition below reproduces Spark's fold
+    ORDER exactly, so signatures match bit-for-bit (exceptAll 0/0 at
+    sf0.01 + sf0.1 against the expression form; oracle sweeps green).
+
+    Char folds vectorize by POSITION over all words at once (utf-32
+    decode gives code points — exactly Spark's ``ascii(substr(t, i,
+    1))``, probe-verified for ASCII, BMP and astral chars alike);
+    per-shingle hashes then come from the
+    polynomial composition rule h(x·y) = (h(x)·31^len(y) + h0(y)) mod P
+    — each word's (h0, 31^len) is computed once and reused by the ≤
+    ``shingle_len`` shingles containing it (the JVM form re-folds every
+    char ×shingle_len via concat_ws).  Slot minima are
+    ``np.minimum.reduceat`` over doc segments.
+
+    ``drop_empty_words`` selects the caller's split semantics:
+    :func:`minhash_neutral_pairs` filters empty tokens,
+    :func:`shingle_base_hashes` (→ :func:`minhash_signatures`) keeps
+    them — both reproduced exactly (empty shingles fold to the bare
+    seed, matching ``_poly_hash``'s empty-string guard).
+    """
+    from .text import FP_PRIME
+    coeffs = _mh_coeffs(n_hashes)
+    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    narrow = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(parallelism))
+
+    def _sigs(batches):
+        import numpy as np
+        import pandas as pd
+        p = np.uint64(_MH_PRIME)
+        fp = np.uint64(FP_PRIME)
+        a_arr = np.array([a for a, _ in coeffs], dtype=np.uint64)
+        b_arr = np.array([b for _, b in coeffs], dtype=np.uint64)
+        c31 = np.uint64(31)
+        space = np.uint64(32)
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            word_lists = [t.split(" ") for t in pdf[text_col].tolist()]
+            if drop_empty_words:
+                word_lists = [[w for w in ws if w] for ws in word_lists]
+            wcounts = np.array([len(ws) for ws in word_lists],
+                               dtype=np.int64)
+            flat = [w for ws in word_lists for w in ws]
+            n_words = len(flat)
+            if n_words:
+                lens = np.array([len(w) for w in flat], dtype=np.int64)
+                codes = np.frombuffer(
+                    "".join(flat).encode("utf-32-le"),
+                    dtype=np.uint32).astype(np.uint64)
+                starts = np.zeros(n_words, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                h0 = np.zeros(n_words, dtype=np.uint64)   # fold from seed 0
+                p31 = np.ones(n_words, dtype=np.uint64)   # 31^len mod P
+                for pos in range(int(lens.max()) if n_words else 0):
+                    m = lens > pos
+                    h0[m] = (h0[m] * c31 + codes[starts[m] + pos]) % fp
+                    p31[m] = (p31[m] * c31) % fp
+            else:
+                h0 = np.zeros(0, dtype=np.uint64)
+                p31 = np.ones(0, dtype=np.uint64)
+            n_sh = np.maximum(wcounts - (shingle_len - 1), 1)
+            doc_w0 = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(wcounts[:-1], out=doc_w0[1:])
+            sh_starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(n_sh[:-1], out=sh_starts[1:])
+            total_sh = int(n_sh.sum())
+            sh_doc = np.repeat(np.arange(n_docs), n_sh)
+            sh_pos = np.arange(total_sh) - sh_starts[sh_doc]
+            w_first = doc_w0[sh_doc] + sh_pos
+            h = np.full(total_sh, 7, dtype=np.uint64)     # _poly_hash seed
+            for t in range(shingle_len):
+                m = (sh_pos + t) < wcounts[sh_doc]
+                wi = w_first[m] + t
+                if t:
+                    h[m] = (h[m] * c31 + space) % fp      # concat_ws " "
+                h[m] = (h[m] * p31[wi] + h0[wi]) % fp
+            sig = np.empty((n_docs, n_hashes), dtype=np.int64)
+            for i in range(n_hashes):
+                v = (a_arr[i] * h + b_arr[i]) % p
+                sig[:, i] = np.minimum.reduceat(v, sh_starts) \
+                              .astype(np.int64)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "sig": list(sig)})
+
+    return narrow.mapInPandas(_sigs, f"{id_col} {id_type}, "
+                                     "sig array<long>")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = N_MINHASH,
@@ -625,6 +731,14 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     shingle hash family (see :func:`shingle_base_hashes`); an index must
     be queried with the SAME family it was built with."""
     require_columns(df, [id_col, text_col], "minhash_signatures")
+    if neutral:
+        # r14: the neutral family's interpreted char+affine folds move
+        # to one vectorized Arrow stage, bit-identical — see
+        # _neutral_minhash_sigs_arrow (xxhash64 stays the JVM path:
+        # its hashing is a codegen intrinsic numpy cannot reproduce).
+        return _neutral_minhash_sigs_arrow(
+            df, id_col, text_col, n_hashes, shingle_len=3,
+            drop_empty_words=False)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     narrow = df.select(F.col(id_col), F.col(text_col)) \
                .repartition(parallelism)
@@ -1262,37 +1376,23 @@ def minhash_neutral_pairs(df: DataFrame, min_est_jaccard: float = 0.5,
 
     Returns (doc_a, doc_b, est_jaccard), doc_a < doc_b.
     """
-    from .text import polynomial_token_hash
     require_columns(df, [id_col, text_col], "minhash_neutral_pairs")
     import math
 
-    words = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
-    n_sh = F.greatest(F.size(words) - (shingle_len - 1), F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle_len)))
-    base = F.transform(shingles, polynomial_token_hash)
-    # pinned: the 32 slot-aggregates are INTERPRETED higher-order
-    # functions — the most expensive map stage of the query — and the
-    # signature table feeds FOUR plan references (both sides of the
-    # banded bucket self-join, both sides of the verification join);
-    # without the pin each reference re-runs the whole shingle→hash→
-    # fold pipeline (measured 12.9s → ~4s at sf0.1, doc-grain rows)
-    # r13: fan out BEFORE hashing, like minhash_signatures — a small
-    # parquet file is ONE scan partition (single row group, unsplittable
-    # by maxPartitionBytes), so without this the whole signature stage
-    # runs on one core (measured 6.8s → 4.1s at sf0.1)
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    sig_df = (df.select(F.col(id_col), F.col(text_col))
-                .repartition(parallelism)
-                .withColumn("_base", base)
-                .select(F.col(id_col), F.array(*[
-                    F.aggregate("_base", F.lit(_MH_PRIME).cast("long"),
-                                lambda acc, h: F.least(
-                                    acc, (F.lit(a) * h + F.lit(b))
-                                    % _MH_PRIME))
-                    for a, b in _mh_coeffs(n_hashes)]).alias("sig"))
-                .localCheckpoint(eager=True))
+    # pinned: the signature table feeds FOUR plan references (both sides
+    # of the banded bucket self-join, both sides of the verification
+    # join); without the pin each reference re-runs the whole shingle→
+    # hash→fold pipeline (measured 12.9s → ~4s at sf0.1, doc-grain rows)
+    # r14: the signature build itself — previously 32 interpreted affine
+    # folds over interpreted per-char polynomial hashes — is ONE
+    # vectorized Arrow stage, bit-identical (see
+    # _neutral_minhash_sigs_arrow; this call keeps the r13 fan-out
+    # inside the helper).  drop_empty_words=True is THIS function's
+    # historical split semantics (minhash_signatures keeps empties).
+    sig_df = (_neutral_minhash_sigs_arrow(
+                  df, id_col, text_col, n_hashes, shingle_len,
+                  drop_empty_words=True)
+              .localCheckpoint(eager=True))
     rpb = n_hashes // bands
     from .text import FP_PRIME
     banded = sig_df.select(
