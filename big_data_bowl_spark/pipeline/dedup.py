@@ -720,6 +720,49 @@ def _neutral_minhash_sigs_arrow(df: DataFrame, id_col: str, text_col: str,
                                      "sig array<long>")
 
 
+def distinct_word_shingles(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           shingle_len: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word shingles as (id, s string) rows — the
+    exact-verification side of q_lsh_precision, built in one Arrow
+    batch stage (r14, guide §4.2).
+
+    Semantics = the expression form it replaces exactly: words are the
+    non-empty splits on " ", shingle i = the space-joined slice
+    words[i : i+shingle_len], n_shingles = max(n_words−len+1, 1) (so a
+    short doc yields its 1-2-word join and an empty doc the empty
+    string), then DISTINCT over (id, s).  Because the distinct key
+    contains the doc id, global distinct ≡ per-doc distinct — a Python
+    set per doc — so the old explode → global ``distinct()`` SHUFFLE of
+    every shingle string disappears entirely along with the
+    interpreted transform/concat_ws build (measured: the explode+
+    distinct stage was 3.5s and its checkpoint 2.7s at sf0.1; the
+    Arrow stage does both in well under a second).  Output row SET is
+    identical; row order/partitioning differ (immaterial — consumers
+    re-aggregate).
+    """
+    require_columns(df, [id_col, text_col], "distinct_word_shingles")
+    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    narrow = (df.select(F.col(id_col), F.col(text_col))
+                .repartition(parallelism))
+
+    def _shingles(batches):
+        import pandas as pd
+        for pdf in batches:
+            ids, shs = [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                words = [w for w in t.split(" ") if w]
+                n_sh = max(len(words) - (shingle_len - 1), 1)
+                seen = {" ".join(words[j:j + shingle_len])
+                        for j in range(n_sh)}
+                ids.extend([i] * len(seen))
+                shs.extend(seen)
+            yield pd.DataFrame({id_col: ids, "s": shs})
+
+    return narrow.mapInPandas(_shingles, f"{id_col} {id_type}, s string")
+
+
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        n_hashes: int = N_MINHASH,
@@ -1122,9 +1165,16 @@ def embedding_dup_pairs(df: DataFrame, threshold: float = 0.9,
     Returns (id_a, id_b, cosine) with id_a < id_b, cosine pre-rounded.
     """
     require_columns(df, [id_col, vec_col, bucket_col], "embedding_dup_pairs")
-    v = df.select(F.col(id_col), F.col(bucket_col),
-                  F.transform(vec_col, lambda x: x.cast("double"))
-                   .alias("__v"))
+    # r14: fan the narrow projection out BEFORE the per-pair cosine
+    # folds — the embeddings parquet is a single row group, so without
+    # this the blocked self-join's ~|block|² interpreted dot products
+    # all run on the scan's lone partition (measured 3.66 → 0.90s at
+    # sf0.1, the r13 fan-out-before-CPU-bound-stage rule).
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    v = (df.select(F.col(id_col), F.col(bucket_col),
+                   F.transform(vec_col, lambda x: x.cast("double"))
+                    .alias("__v"))
+           .repartition(parallelism))
     # stage the self-norm once per row (CSE does not cross the join)
     v = v.withColumn(
         "__n", F.sqrt(F.aggregate("__v", F.lit(0.0),

@@ -6006,17 +6006,15 @@ def q_lsh_precision(spark, sf_dir):
     boundary); est is dyadic (m/32); per-pair errors round at 9 before
     the mean.  Zero-overlap bucket collisions keep their row (inter
     coalesces to 0) — hiding them would overstate precision."""
-    from .pipeline.dedup import minhash_neutral_pairs
+    from .pipeline.dedup import distinct_word_shingles, minhash_neutral_pairs
     d = _t(spark, sf_dir, "documents")
     cands = (minhash_neutral_pairs(d, min_est_jaccard=0.5)
              .localCheckpoint(eager=True))
-    words = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
-    shingles = F.transform(
-        F.sequence(F.lit(0), n_sh - 1),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
-    sh = (d.select("doc_id", F.explode(shingles).alias("s"))
-           .distinct()
+    # r14: the per-doc distinct shingle table builds in one Arrow batch
+    # stage (per-doc set dedup — distinct key contains doc_id, so the
+    # old explode → GLOBAL distinct shuffle of every shingle string is
+    # equivalent and gone); see distinct_word_shingles
+    sh = (distinct_word_shingles(d, "doc_id", "text", 3)
            .localCheckpoint(eager=True))  # sizes + both join sides
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s"))
     inter = (cands.select("doc_a", "doc_b")

@@ -3351,3 +3351,132 @@ def test_jaccard_array_path_positional_filter_equals_bruteforce(spark):
                 if j >= tau:
                     want.append((a, b, j))
         assert got == sorted(want) and got, (tau, len(got), len(want))
+
+
+# ---------------------------------------------------------------------------
+# r14 Arrow-stage bit-identity pins: the vectorized numpy twins must equal
+# the interpreted expression forms they replaced, slot for slot / row for
+# row, on an adversarial corpus (empty docs, multi-space runs, 1-2-word
+# docs, non-ASCII BMP, astral emoji, long docs)
+# ---------------------------------------------------------------------------
+
+_ADVERSARIAL_DOCS = [
+    (0, "hello world foo bar baz"),
+    (1, ""),
+    (2, " "),
+    (3, "a"),
+    (4, "a b"),
+    (5, "a  b   c"),
+    (6, "  leading and trailing  "),
+    (7, "café naïve 中文 中文词"),
+    (8, "emoji \U0001F600 tail words here"),
+    (9, "x " * 50 + "y"),
+]
+
+
+def test_neutral_sig_arrow_equals_expression_form(spark):
+    """_neutral_minhash_sigs_arrow (the r14 vectorized signature stage)
+    must reproduce the interpreted-HOF form bit-for-bit, in BOTH split
+    variants (minhash_neutral_pairs drops empty tokens,
+    shingle_base_hashes keeps them)."""
+    from big_data_bowl_spark.pipeline.dedup import (
+        _MH_PRIME,
+        _mh_coeffs,
+        _neutral_minhash_sigs_arrow,
+        minhash_slots,
+        shingle_base_hashes,
+    )
+    from big_data_bowl_spark.pipeline.text import polynomial_token_hash
+
+    docs = spark.createDataFrame(_ADVERSARIAL_DOCS,
+                                 "doc_id long, text string")
+
+    # unfiltered variant (shingle_base_hashes semantics)
+    jvm_u = (docs.withColumn("_base",
+                             shingle_base_hashes(F.col("text"),
+                                                 neutral=True))
+                 .select("doc_id", minhash_slots("_base", 32).alias("sig")))
+    # filtered variant (minhash_neutral_pairs semantics)
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    base = F.transform(shingles, polynomial_token_hash)
+    jvm_f = (docs.withColumn("_base", base)
+                 .select("doc_id", F.array(*[
+                     F.aggregate("_base", F.lit(_MH_PRIME).cast("long"),
+                                 lambda acc, h: F.least(
+                                     acc, (F.lit(a) * h + F.lit(b))
+                                     % _MH_PRIME))
+                     for a, b in _mh_coeffs(32)]).alias("sig")))
+    for drop_empty, jvm in ((False, jvm_u), (True, jvm_f)):
+        arrow = _neutral_minhash_sigs_arrow(docs, "doc_id", "text", 32, 3,
+                                            drop_empty_words=drop_empty)
+        got = {r["doc_id"]: list(r["sig"]) for r in arrow.collect()}
+        want = {r["doc_id"]: list(r["sig"]) for r in jvm.collect()}
+        assert got == want, f"drop_empty_words={drop_empty}"
+
+
+def test_distinct_word_shingles_equals_expression_form(spark):
+    """distinct_word_shingles (the r14 Arrow verification-side stage of
+    q_lsh_precision) must emit exactly the row set of the explode +
+    global-distinct expression form it replaced."""
+    from big_data_bowl_spark.pipeline.dedup import distinct_word_shingles
+
+    docs = spark.createDataFrame(_ADVERSARIAL_DOCS,
+                                 "doc_id long, text string")
+    words = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    n_sh = F.greatest(F.size(words) - 2, F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(0), n_sh - 1),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    want = sorted((r["doc_id"], r["s"]) for r in
+                  docs.select("doc_id", F.explode(shingles).alias("s"))
+                      .distinct().collect())
+    got = sorted((r["doc_id"], r["s"]) for r in
+                 distinct_word_shingles(docs).collect())
+    assert got == want
+
+
+def test_pq_assign_equals_expression_argmin(spark):
+    """_pq_assign must match an independently-built in-row expression
+    argmin — including the lowest-position tie-break (duplicate
+    centroids force exact distance ties).  Pins the assignment
+    contract any future rewrite must preserve (the r14 numpy twin was
+    bit-identical under this test but a measured end-to-end NO-GO —
+    interleaved session mins: q_pq_topk 2.98 vs 3.24s, q_pq_build
+    2.14 vs 2.44s, q_ivfpq_topk 3.07 vs 3.40s — the per-round
+    collect + Python boundary cost more than the ~128-node
+    interpreted fold it replaced, so the expression form stays)."""
+    from big_data_bowl_spark.pipeline.similarity import _pq_assign
+
+    # 2 subspaces x 3 codes, with codes 0 and 2 of subspace 0 IDENTICAL
+    # so every row in that subspace ties exactly -> must pick position 0
+    books = spark.createDataFrame(
+        [(0, 0, [1.0, 1.0]), (0, 1, [5.0, 5.0]), (0, 2, [1.0, 1.0]),
+         (1, 0, [0.0, 0.0]), (1, 1, [2.0, 2.0]), (1, 2, [9.0, 9.0])],
+        "subspace int, code int, centroid array<double>")
+    sub = spark.createDataFrame(
+        [(10, 0, [1.1, 0.9]), (10, 1, [1.9, 2.2]),
+         (11, 0, [4.8, 5.3]), (11, 1, [8.0, 8.5]),
+         (12, 0, [1.0, 1.0]), (12, 1, [0.1, -0.1])],
+        "vec_id long, subspace int, sv array<double>")
+
+    got = {(r["vec_id"], r["subspace"]): r["code"]
+           for r in _pq_assign(sub, books).collect()}
+
+    # expression twin (the pre-r14 in-row argmin)
+    from big_data_bowl_spark.pipeline.similarity import _books_per_subspace
+    dists = F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(F.zip_with(F.col("sv"), c,
+                                         lambda x, cc: (x - cc) * (x - cc)),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    expr = (sub.join(F.broadcast(_books_per_subspace(books)), "subspace")
+               .withColumn("code",
+                           (F.array_position(dists, F.array_min(dists)) - 1)
+                           .cast("int")))
+    want = {(r["vec_id"], r["subspace"]): r["code"] for r in expr.collect()}
+    assert got == want
+    assert got[(10, 0)] == 0 and got[(12, 0)] == 0  # tie -> lowest position
