@@ -291,49 +291,57 @@ def with_bloom_maybe_seen(df: DataFrame, state: DataFrame, key_col: str,
                           out: str = "maybe_seen") -> DataFrame:
     """Append the ingest-gate verdict: ``out`` is true iff ALL k probe
     bits of ``key_col`` are set in the (global-grain) ``state`` table.
-    k broadcast joins against the ≤ m_words-row state — zero shuffle of
-    ``df``.  Bloom guarantee: a key the state has absorbed is NEVER
-    flagged new (no false negatives); a "seen" verdict may be a false
-    positive at the documented (1−e^{−kn/m})^k rate — the conservative
-    direction for a dedup gate.  Fails loud if ``state`` was built with
-    a different (m_words, k) geometry."""
+    The ≤ m_words-row state collapses to ONE word→bits map row crossed
+    in as a broadcast, so all k probes are in-row ``element_at``
+    lookups — zero shuffle of ``df`` and a single broadcast build
+    (r14: the previous form ran k SEPARATE broadcast LEFT joins, each
+    embedding its own copy of the word-grain aggregation — 4
+    BroadcastHashJoins and 4 duplicated agg subtrees in the plan for
+    the same verdicts; a missing map key yields NULL exactly where the
+    left join yielded a NULL build row, so the verdict expression is
+    unchanged).  Bloom guarantee: a key the state has absorbed is
+    NEVER flagged new (no false negatives); a "seen" verdict may be a
+    false positive at the documented (1−e^{−kn/m})^k rate — the
+    conservative direction for a dedup gate.  Fails loud if ``state``
+    was built with a different (m_words, k) geometry."""
     require_columns(df, [key_col], "with_bloom_maybe_seen")
     require_columns(state, ["word", "bits", "bloom_m_words", "bloom_k"],
                     "with_bloom_maybe_seen")
-    # pin the (≤ m_words-row) state ONCE: the k broadcast builds below
-    # plus the geometry check are k+1 independent consumers, each of
-    # which would otherwise re-execute whatever pipeline produced the
-    # state (at 100 TB: k+1 scans of the history aggregation)
+    # pin the (≤ m_words-row) state ONCE: the map build below plus the
+    # geometry check are 2 independent consumers, each of which would
+    # otherwise re-execute whatever pipeline produced the state (at
+    # 100 TB: repeated scans of the history aggregation)
     state = state.localCheckpoint(eager=True)
     _bloom_check_params(state, "with_bloom_maybe_seen", m_words, k)
     from ..pipeline.sampling import wang_mixed_hash
     total_bits = m_words * 64
     # collapse to word grain whatever grain the caller hands us (a
-    # day-grain state passed directly would otherwise FAN OUT every
-    # batch row once per matching state row, silently inflating counts);
+    # day-grain state passed directly would otherwise probe one of the
+    # day rows instead of their union, silently weakening the gate);
     # bit_or over the finer grain IS the OR-merge, so this is the
-    # defensive form of "gate against the union of the given states"
-    word_bits = state.groupBy("word").agg(F.bit_or("bits").alias("bits"))
-    got = df
+    # defensive form of "gate against the union of the given states" —
+    # then nest the whole table into one map row (≤ m_words entries,
+    # ~2 KB at the defaults: the bounded-small-side broadcast pattern)
+    word_map = (state.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+                     .groupBy()
+                     .agg(F.map_from_entries(
+                         F.collect_list(F.struct("word", "bits")))
+                          .alias("__bloom_map")))
+    got = df.crossJoin(F.broadcast(word_map))
     flags = []
     for i in range(k):
         h = F.pmod(wang_mixed_hash(F.col(key_col)
                                    + F.lit(i * BLOOM_SEED_STEP)),
                    F.lit(total_bits))
         word = (h / 64).cast("long")
-        b = word_bits.select(F.col("word").alias(f"__w{i}"),
-                             F.col("bits").alias(f"__b{i}"))
-        got = (got.join(F.broadcast(b), word == F.col(f"__w{i}"), "left")
-                  .drop(f"__w{i}"))
+        b = F.element_at(F.col("__bloom_map"), word)
         flags.append(
-            F.when(F.col(f"__b{i}").isNull(), F.lit(False))
-             .otherwise(F.bit_get(F.col(f"__b{i}"),
-                                  F.pmod(h, F.lit(64))) == 1))
+            F.when(b.isNull(), F.lit(False))
+             .otherwise(F.bit_get(b, F.pmod(h, F.lit(64))) == 1))
     seen = flags[0]
     for fl in flags[1:]:
         seen = seen & fl
-    return got.withColumn(out, seen).drop(
-        *[f"__b{i}" for i in range(k)])
+    return got.withColumn(out, seen).drop("__bloom_map")
 
 
 def quantile_sketch_state(df: DataFrame, group: list[str], value_col: str,
