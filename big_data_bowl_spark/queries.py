@@ -4046,6 +4046,13 @@ def q_near_dup_diff(spark, sf_dir):
     # no orderBy: the driver's rows-only check is order-free, and a
     # global sort of the pair summaries would add a range exchange for
     # nothing (the lint discipline applied to ourselves)
+    # r14: fan the pair rows out BEFORE the difflib UDTF — the joined
+    # pair table is tiny in bytes, so AQE coalesces it onto 1-2
+    # partitions and the O(tokens²) SequenceMatcher runs serially (the
+    # fan-out-before-CPU-bound-stage rule; interleaved min-of-3 at
+    # sf0.1: 4.11 → 2.12s)
+    withtext = withtext.repartition(
+        spark.sparkContext.defaultParallelism)
     return diff_summary(withtext)
 
 
