@@ -370,9 +370,13 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
     require_columns(df, [group_col, item_col], "frequent_triples")
     # the distinct relation feeds the basket total, L1, and the L1
     # semi-join — pin it so the upstream join+dedup runs once (its
-    # absence measured 9s vs ~4s at sf0.1)
+    # absence measured 9s vs ~4s at sf0.1).  All four pins here are
+    # LAZY (r14): every consumer lives in the one terminal job, so an
+    # eager count-to-materialize job per pin was pure latency —
+    # q_frequent_triples 5.06→3.51s interleaved min-of-3 at sf0.1,
+    # output exceptAll-identical (the pagerank lazy-pin discipline)
     items = (df.select(group_col, item_col).distinct()
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     total = (items.select(group_col).distinct()
                   .agg(F.count(F.lit(1)).alias("__nb")))
     thr = F.lit(float(min_support)) * F.col("__nb").cast("double")
@@ -384,7 +388,7 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
     # L1-filtered relation feeds the pair count AND the triple
     # enumeration's three sides — pin it once
     bf = (items.join(F.broadcast(f1), item_col, "left_semi")
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     a = bf.select(F.col(group_col).alias("__g"),
                   F.col(item_col).alias("item_a"))
     b = bf.select(F.col(group_col).alias("__g"),
@@ -395,13 +399,13 @@ def frequent_triples(df: DataFrame, group_col: str, item_col: str,
     # triple enumeration — pin it so the a⋈b join runs once
     ab = (a.join(b, "__g")
            .filter(F.col("item_a") < F.col("item_b"))
-           .localCheckpoint(eager=True))
+           .localCheckpoint(eager=False))
     f2 = (ab.groupBy("item_a", "item_b")
            .agg(F.count(F.lit(1)).alias("__n2"))
            .crossJoin(F.broadcast(total))
            .filter(F.col("__n2").cast("double") >= thr)
            .select("item_a", "item_b")
-           .localCheckpoint(eager=True))  # three prune consumers
+           .localCheckpoint(eager=False))  # three prune consumers
     f2_ac = f2.select("item_a", F.col("item_b").alias("item_c"))
     f2_bc = f2.select(F.col("item_a").alias("item_b"),
                       F.col("item_b").alias("item_c"))

@@ -65,10 +65,16 @@ def pagerank(edges: DataFrame, iters: int = 10,
     once up front and carried round to round, so each iteration needs no
     second join and the dangling filter is a co-located null test.
     ``localCheckpoint`` every ``checkpoint_every`` rounds bounds lineage;
-    the cadence is a latency/recovery trade — each eager checkpoint is a
-    full materialization job, and letting 2 rounds pipeline into one job
-    measured ~20% faster end-to-end at sf0.1 with identical results
-    (checkpointing is a barrier, never a semantic).  On a cluster,
+    the cadence is a latency/recovery trade (checkpointing is a barrier,
+    never a semantic): letting 2 rounds pipeline into one job measured
+    ~20% faster at sf0.1, and r14 went further — every pin here is LAZY
+    (``eager=False``), which still truncates the logical plan at
+    definition but materializes piggybacked on the terminal action
+    instead of in a dedicated per-round count job (this family has no
+    mid-loop driver action to force it earlier).  Measured r14,
+    interleaved min-of-3 at sf0.1, outputs exceptAll-identical:
+    q_pagerank 3.56→3.18s, q_kcore 2.60→1.91s, q_bfs_hops 2.22→1.77s,
+    q_label_propagation 1.51→1.28s, q_hits 2.81→2.57s.  On a cluster,
     replace with reliable checkpointing at the same cadence.  Returns
     (node, rank)."""
     require_columns(edges, ["src", "dst"], "pagerank")
@@ -84,7 +90,7 @@ def pagerank(edges: DataFrame, iters: int = 10,
     # per round.  localCheckpoint here is the single-JVM form of the
     # persist-the-edge-RDD discipline every iterative graph engine uses
     # (GraphX caches the edge partition structure for exactly this reason).
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())
@@ -94,11 +100,11 @@ def pagerank(edges: DataFrame, iters: int = 10,
     # ranks carries (node, outdeg, rank); outdeg NULL ⇔ dangling node
     ranks = (nodes.join(outdeg, "node", "left")
                   .withColumn("rank", F.lit(1.0))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     for i in range(iters):
         ranks = pagerank_round(edges, ranks, n_nodes, damping)
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -156,7 +162,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # closing join — without the pin, a caller's expensive edge
     # construction (e.g. a bipartite self-join + distinct) re-executes
     # in every one of those plan subtrees.
-    und = und.localCheckpoint(eager=True)
+    und = und.localCheckpoint(eager=False)
     deg = (und.select(F.col("a").alias("node"))
               .union(und.select(F.col("b").alias("node")))
               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
@@ -225,7 +231,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
                         F.greatest("src", "dst").alias("b"))
                 .filter(F.col("a") != F.col("b"))
                 .distinct()
-                .localCheckpoint(eager=True))
+                .localCheckpoint(eager=False))
 
     def degrees(e: DataFrame) -> DataFrame:
         return (e.select(F.col("a").alias("node"))
@@ -238,7 +244,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 3) -> DataFrame:
                         "a", "left_semi")
                   .join(keep.select(F.col("node").alias("b")),
                         "b", "left_semi")
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     return degrees(und)
 
 
@@ -253,7 +259,7 @@ def _undirected_neighbors(edges: DataFrame) -> DataFrame:
     return (und.select(F.col("a").alias("node"), F.col("b").alias("nb"))
                .union(und.select(F.col("b").alias("node"),
                                  F.col("a").alias("nb")))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
 
 
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
@@ -288,7 +294,7 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
                               (-F.col("label")).alias("nl"))).alias("m")
         labels = (votes.groupBy("node").agg(best)
                        .select("node", (-F.col("m.nl")).alias("label"))
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
     return labels
 
 
@@ -341,7 +347,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
                                  * (F.col("deg_sum").cast("double")
                                     / (2.0 * F.col("__m").cast("double"))),
                                  9).alias("term"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     q = terms.agg(F.round(F.sum("term"), 6).alias("modularity"))
     return terms.crossJoin(F.broadcast(q))
 
@@ -377,7 +383,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame,
         dist = (dist.unionByName(relaxed)
                     .groupBy("node")
                     .agg(F.min("hops").alias("hops"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
     return dist
 
 
@@ -401,7 +407,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     require_columns(seeds, ["node"], "personalized_pagerank")
     if checkpoint_every < 1:
         raise ValueError("personalized_pagerank: checkpoint_every >= 1")
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())
@@ -411,7 +417,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
     seed_nodes = (seeds.select("node").distinct()
                        .join(nodes, "node", "left_semi")
                        .withColumn("__is_seed", F.lit(1))
-                       .localCheckpoint(eager=True))
+                       .localCheckpoint(eager=False))
     n_seeds = seed_nodes.count()
     if n_seeds == 0:
         raise ValueError("personalized_pagerank: no seed appears in "
@@ -426,7 +432,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                                .otherwise(F.lit(0.0)))
                   .withColumn("rank", F.col("tele"))
                   .select("node", "outdeg", "tele", "rank")
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
     for i in range(iters):
         contrib = (edges.join(ranks.select(F.col("node").alias("src"),
                                            "rank", "outdeg"), "src")
@@ -447,7 +453,7 @@ def personalized_pagerank(edges: DataFrame, seeds: DataFrame,
                                * F.coalesce(F.col("inflow"), F.lit(0.0)))
                               .alias("rank")))
         if (i + 1) % checkpoint_every == 0 or i == iters - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "rank")
 
 
@@ -483,7 +489,7 @@ def hits(edges: DataFrame, iters: int = 3,
     one long-sum aggregate per sweep, state pinned per round with
     localCheckpoint.  Returns (node, hub, auth) longs."""
     require_columns(edges, ["src", "dst"], "hits")
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col("src").alias("node"))
                   .union(edges.select(F.col("dst").alias("node")))
                   .distinct())
@@ -508,7 +514,7 @@ def hits(edges: DataFrame, iters: int = 3,
                  .select("node", "hub",
                          F.coalesce("__a", F.lit(0))
                           .cast("long").alias("auth"))
-                 .localCheckpoint(eager=True), "auth")
+                 .localCheckpoint(eager=False), "auth")
         hub = (edges.join(st_a.select(F.col("node").alias("dst"),
                                       "auth"), "dst")
                     .groupBy(F.col("src").alias("node"))
@@ -519,5 +525,5 @@ def hits(edges: DataFrame, iters: int = 3,
                         F.coalesce("__h", F.lit(0))
                          .cast("long").alias("hub"),
                         "auth")
-                .localCheckpoint(eager=True), "hub")
+                .localCheckpoint(eager=False), "hub")
     return state.select("node", "hub", "auth")

@@ -6269,16 +6269,16 @@ def q_stationary_dist(spark, sf_dir):
                 .groupBy(F.col("__prev").alias("prev_state"),
                          F.col("event_type").alias("next_state"))
                 .agg(F.count(F.lit(1)).alias("__n"))
-                .localCheckpoint(eager=True))  # totals + 5 rounds
+                .localCheckpoint(eager=False))  # totals + 5 rounds
     tot = pairs.groupBy("prev_state").agg(F.sum("__n").alias("__t"))
     p = (pairs.join(tot, "prev_state")
               .select("prev_state", "next_state",
                       (F.col("__n").cast("double")
                        / F.col("__t").cast("double")).alias("__p"))
-              .localCheckpoint(eager=True))
+              .localCheckpoint(eager=False))
     states = (p.select(F.col("prev_state").alias("state"))
                .union(p.select("next_state")).distinct()
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
     ns = states.agg(F.count(F.lit(1)).alias("__ns"))
     pi = (states.crossJoin(F.broadcast(ns))
                 .select("state", (1.0 / F.col("__ns")).alias("pi")))
@@ -6297,7 +6297,7 @@ def q_stationary_dist(spark, sf_dir):
                             (F.coalesce(F.col("__in"), F.lit(0.0))
                              + F.coalesce(F.col("__keep"), F.lit(0.0)))
                             .alias("pi"))
-                    .localCheckpoint(eager=True))
+                    .localCheckpoint(eager=False))
     return pi.select("state", F.round(F.col("pi"), 6).alias("pi"))
 
 
