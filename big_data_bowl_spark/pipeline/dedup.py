@@ -650,11 +650,15 @@ def _neutral_minhash_sigs_arrow(df: DataFrame, id_col: str, text_col: str,
     seed, matching ``_poly_hash``'s empty-string guard).
     """
     from .text import FP_PRIME
+    from ..schemas import arrow_fanout
     coeffs = _mh_coeffs(n_hashes)
     id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    narrow = (df.select(F.col(id_col), F.col(text_col))
-                .repartition(parallelism))
+    # r15: fan-out bounded by input size (arrow_fanout) — 32 Python
+    # workers over ~2k sf0.1 docs paid the worker spin-up floor for
+    # nothing (driver measured 2.28→5.18s on a degraded host at 32
+    # cores while 8 cores was FASTER); full parallelism returns at
+    # n ≥ parallelism·floor rows, where the win lives.
+    narrow = arrow_fanout(df.select(F.col(id_col), F.col(text_col)))
 
     def _sigs(batches):
         import numpy as np
@@ -742,10 +746,11 @@ def distinct_word_shingles(df: DataFrame, id_col: str = "doc_id",
     re-aggregate).
     """
     require_columns(df, [id_col, text_col], "distinct_word_shingles")
+    from ..schemas import arrow_fanout
     id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    narrow = (df.select(F.col(id_col), F.col(text_col))
-                .repartition(parallelism))
+    # r15: size-bounded fan-out, same rationale as
+    # _neutral_minhash_sigs_arrow (Python-worker floor on tiny inputs).
+    narrow = arrow_fanout(df.select(F.col(id_col), F.col(text_col)))
 
     def _shingles(batches):
         import pandas as pd
@@ -1224,6 +1229,15 @@ def duplicate_components(pairs: DataFrame, id_a: str = "doc_a",
                                                    F.col("label")))
                                  .alias("new_label"),
                                 F.col("label").alias("old_label")))
+        # r15 measured NO-GOs (VERDICT item 7, interleaved min-of-4 at
+        # sf0.1 on the q_dedup_canonical pair set, exceptAll-identical
+        # outputs in all variants): (a) lazy pin + fused changed-count
+        # (one action/round instead of checkpoint+isEmpty) TIED 2.08s
+        # vs 1.94s — under AQE the lazy pin still runs the shuffle
+        # stages synchronously, so both shapes pay two waits per round;
+        # (b) two propagation rounds per pin/check (halving the waits)
+        # LOST 2.78s vs 2.12s — the deeper two-round plan costs more
+        # than the saved wait.  The loop is at its measured floor.
         merged = merged.localCheckpoint()
         if merged.filter(F.col("new_label") != F.col("old_label")).isEmpty():
             labels = merged.select("node", F.col("new_label").alias("label"))

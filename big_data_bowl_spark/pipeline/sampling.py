@@ -428,7 +428,20 @@ def _anti_covered(dg: DataFrame, covered: DataFrame | None) -> DataFrame:
     (doc, gram) table and the chosen winner ids (see
     :func:`_covered_grams`) instead of maintaining an accumulated
     union + eager ``localCheckpoint`` per round — same gram set, half
-    the jobs."""
+    the jobs.
+
+    r15 measured NO-GO — lazy-greedy round skipping (the carried
+    VERDICT item, scoped to "skip rounds whose winner is provably
+    unchanged"): implemented as a submodular-bound check (fresh gain of
+    the last full pass's top-N candidates vs the N-th-gain tail bound,
+    winner provably global when strictly above it; identical winner
+    sequence pinned by test).  On this corpus the bound NEVER
+    separates: the per-doc gain distribution is nearly flat (sf0.1:
+    top gain 98, 32nd 94, 1000th still 76, while the round-8 winner's
+    fresh gain is 50), so 7 of 8 rounds fell back to a full pass —
+    14 jobs instead of 8, q_set_cover 4.12→5.02s / q_weighted_cover
+    4.04→4.38s interleaved A/B.  Reverted; the mechanism only pays on
+    heavy-tailed gain distributions, which no test corpus has."""
     if covered is None:
         return dg
     return dg.join(covered, "__g", "left_anti")

@@ -140,8 +140,12 @@ def lsh_bucketed_topk(df: DataFrame, query_ids: list[int], k: int = 3,
     Approximate → no SQL oracle; containment + measured-recall tested.
     """
     require_columns(df, [id_col, vec_col], "lsh_bucketed_topk")
-    vecs = _fan_out(df.select(F.col(id_col),
-                              _as_double(F.col(vec_col)).alias("v")))
+    from ..schemas import arrow_fanout
+    # r15: the fan-out feeds a mapInPandas stage, so its partition count
+    # is bounded by input size (see arrow_fanout: Python-worker spin-up
+    # floor dominates on tiny inputs; full parallelism at scale).
+    vecs = arrow_fanout(df.select(F.col(id_col),
+                                  _as_double(F.col(vec_col)).alias("v")))
     id_type = dict(vecs.dtypes)[id_col]
 
     # The 96 sign-bit projections are a (n_tables·n_planes)×dim constant
@@ -433,6 +437,14 @@ def pq_encode(df: DataFrame, books: DataFrame, m: int = 8,
     for r in rows:
         cents[r["subspace"]] = [list(c) for c in r["cents"]]
     id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    # r15 measured NO-GO: a size-bounded fan-out (arrow_fanout) before
+    # this stage LOSES at both SFs — isolated interleaved min-of-4,
+    # encode→noop: sf0.1 0.369→0.481s, sf1.0 (20k vecs) 0.536→0.760s.
+    # The numpy encode is trivial per byte (m·k distance folds), so the
+    # scan's own partitioning already saturates it; the probe job +
+    # exchange are pure overhead.  At real corpus scale scans arrive
+    # pre-parallel (many row groups), so no fan-out is needed there
+    # either.
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
 
     def _encode(batches):

@@ -37,6 +37,37 @@ def require_columns(df: DataFrame, cols: list[str], caller: str = "operator") ->
                        f"have {df.columns}")
 
 
+# Minimum rows a pre-Arrow fan-out partition should carry.  Each
+# mapInPandas partition costs a Python worker spin-up plus an Arrow
+# round-trip (~50-100 ms floor, and the most phantom-load-sensitive
+# shape on a contended host — r14 driver measured q_minhash_pairs
+# 2.28→5.18s at 32 workers on a degraded host while the SAME code was
+# faster at 8 workers); below this many rows per partition the worker
+# floor dominates the vectorized compute it buys.
+ARROW_ROWS_FLOOR = 256
+
+
+def arrow_fanout(df: DataFrame, rows_floor: int = ARROW_ROWS_FLOOR) -> DataFrame:
+    """Repartition a narrow projection ahead of a ``mapInPandas`` stage,
+    with the partition count BOUNDED BY INPUT SIZE:
+    ``min(defaultParallelism, ceil(n / rows_floor))``.
+
+    ``n`` comes from a LIMIT-bounded count — it never scans more than
+    ``defaultParallelism * rows_floor`` rows, so the probe job stays a
+    few milliseconds at any scale (and column-prunes to a bare row
+    count).  Tiny inputs route through few Python workers (the worker
+    spin-up floor, not the shuffle, is the cost there); genuine scale
+    (n ≥ parallelism·floor) keeps full parallelism, which is where the
+    fan-out wins live (single-row-group scans would otherwise run the
+    whole Arrow stage on one core).
+    """
+    sc = df.sparkSession.sparkContext
+    parallelism = sc.defaultParallelism
+    n = df.limit(parallelism * rows_floor).count()
+    return df.repartition(max(1, min(parallelism,
+                                     -(-n // rows_floor))))
+
+
 def _s(*fields: tuple[str, object]) -> StructType:
     return StructType([StructField(n, t, True) for n, t in fields])
 
