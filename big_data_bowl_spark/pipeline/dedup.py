@@ -724,48 +724,66 @@ def _neutral_minhash_sigs_arrow(df: DataFrame, id_col: str, text_col: str,
                                      "sig array<long>")
 
 
-def distinct_word_shingles(df: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text",
-                           shingle_len: int = 3) -> DataFrame:
-    """Per-doc DISTINCT word shingles as (id, s string) rows — the
-    exact-verification side of q_lsh_precision, built in one Arrow
-    batch stage (r14, guide §4.2).
+def word_shingle_sets(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      shingle_len: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word shingles as ONE (id, ss array<string>) row
+    per doc — the exact-verification side of q_lsh_precision, built in
+    one Arrow batch stage (r14, guide §4.2; r15 reshaped to the nested
+    form).
 
     Semantics = the expression form it replaces exactly: words are the
     non-empty splits on " ", shingle i = the space-joined slice
     words[i : i+shingle_len], n_shingles = max(n_words−len+1, 1) (so a
     short doc yields its 1-2-word join and an empty doc the empty
-    string), then DISTINCT over (id, s).  Because the distinct key
-    contains the doc id, global distinct ≡ per-doc distinct — a Python
-    set per doc — so the old explode → global ``distinct()`` SHUFFLE of
-    every shingle string disappears entirely along with the
-    interpreted transform/concat_ws build (measured: the explode+
-    distinct stage was 3.5s and its checkpoint 2.7s at sf0.1; the
-    Arrow stage does both in well under a second).  Output row SET is
-    identical; row order/partitioning differ (immaterial — consumers
-    re-aggregate).
+    string), deduped per doc.  Because the distinct key contains the
+    doc id, global distinct ≡ per-doc distinct — a Python set per doc —
+    so the old explode → global ``distinct()`` SHUFFLE of every shingle
+    string disappears entirely along with the interpreted transform/
+    concat_ws build (r14; measured: the explode+distinct stage was 3.5s
+    and its checkpoint 2.7s at sf0.1).
+
+    r15: the NESTED array output keeps the shingle strings OUT of every
+    downstream join key — the verification intersection becomes an
+    in-row exact ``array_intersect`` after doc-id-keyed joins (VERDICT
+    item 2, delivered without the dictionary build shuffle it scoped:
+    strings cross exactly one exchange, nested, keyed by doc id).
+    Element order within a doc's array is unspecified (a Python set);
+    consumers must treat it as a set — both consumers (explode +
+    array_intersect) do.
     """
-    require_columns(df, [id_col, text_col], "distinct_word_shingles")
+    require_columns(df, [id_col, text_col], "word_shingle_sets")
     from ..schemas import arrow_fanout
     id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
-    # r15: size-bounded fan-out, same rationale as
+    # size-bounded fan-out, same rationale as
     # _neutral_minhash_sigs_arrow (Python-worker floor on tiny inputs).
     narrow = arrow_fanout(df.select(F.col(id_col), F.col(text_col)))
 
     def _shingles(batches):
         import pandas as pd
         for pdf in batches:
-            ids, shs = [], []
+            ids, sets = [], []
             for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
                 words = [w for w in t.split(" ") if w]
                 n_sh = max(len(words) - (shingle_len - 1), 1)
                 seen = {" ".join(words[j:j + shingle_len])
                         for j in range(n_sh)}
-                ids.extend([i] * len(seen))
-                shs.extend(seen)
-            yield pd.DataFrame({id_col: ids, "s": shs})
+                ids.append(i)
+                sets.append(list(seen))
+            yield pd.DataFrame({id_col: ids, "ss": sets})
 
-    return narrow.mapInPandas(_shingles, f"{id_col} {id_type}, s string")
+    return narrow.mapInPandas(_shingles,
+                              f"{id_col} {id_type}, ss array<string>")
+
+
+def distinct_word_shingles(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text",
+                           shingle_len: int = 3) -> DataFrame:
+    """Per-doc DISTINCT word shingles as (id, s string) rows — the
+    exploded view of :func:`word_shingle_sets` (same Arrow stage; see
+    there for semantics and the r14/r15 measurements)."""
+    return (word_shingle_sets(df, id_col, text_col, shingle_len)
+            .select(F.col(id_col), F.explode("ss").alias("s")))
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",

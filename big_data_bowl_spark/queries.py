@@ -6013,34 +6013,36 @@ def q_lsh_precision(spark, sf_dir):
     boundary); est is dyadic (m/32); per-pair errors round at 9 before
     the mean.  Zero-overlap bucket collisions keep their row (inter
     coalesces to 0) — hiding them would overstate precision."""
-    from .pipeline.dedup import distinct_word_shingles, minhash_neutral_pairs
+    from .pipeline.dedup import minhash_neutral_pairs, word_shingle_sets
     d = _t(spark, sf_dir, "documents")
     cands = (minhash_neutral_pairs(d, min_est_jaccard=0.5)
              .localCheckpoint(eager=True))
-    # r14: the per-doc distinct shingle table builds in one Arrow batch
-    # stage (per-doc set dedup — distinct key contains doc_id, so the
-    # old explode → GLOBAL distinct shuffle of every shingle string is
-    # equivalent and gone); see distinct_word_shingles
-    sh = (distinct_word_shingles(d, "doc_id", "text", 3)
-           .localCheckpoint(eager=True))  # sizes + both join sides
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s"))
-    inter = (cands.select("doc_a", "doc_b")
-                  .join(sh.select(F.col("doc_id").alias("doc_a"), "s"),
-                        "doc_a")
-                  .join(sh.select(F.col("doc_id").alias("doc_b"), "s"),
-                        ["doc_b", "s"])
-                  .groupBy("doc_a", "doc_b")
-                  .agg(F.count(F.lit(1)).alias("__i")))
+    # r14: the per-doc distinct shingle build is one Arrow batch stage
+    # (per-doc set dedup — the old explode → GLOBAL distinct shuffle of
+    # every shingle string is equivalent and gone).  r15: the sets stay
+    # NESTED (one array row per doc), so the exact intersection is an
+    # in-row array_intersect (exact string equality — still the exact
+    # Jaccard audit) after two doc-id-keyed joins, and shingle strings
+    # never enter a join key: the old candidates×shingles fact-grain
+    # (doc_b, s) shuffle — 4M string rows on the longdoc stress corpus,
+    # its inter stage alone 4.3s+ — disappears, as does the separate
+    # sizes aggregate (n_s = size(ss) in-row).  Every candidate doc has
+    # a sets row (an empty doc yields the [""] singleton), so the inner
+    # joins keep zero-overlap bucket collisions exactly like the old
+    # left join + coalesce-0 did.
+    sets = (word_shingle_sets(d, "doc_id", "text", 3)
+            .localCheckpoint(eager=True))  # both join sides
     j = (cands
-         .join(inter, ["doc_a", "doc_b"], "left")
-         .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                            F.col("n_s").alias("__na")), "doc_a")
-         .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                            F.col("n_s").alias("__nb")), "doc_b")
-         .select("est_jaccard",
-                 F.coalesce(F.col("__i"), F.lit(0)).alias("__i"),
-                 (F.col("__na") + F.col("__nb")
-                  - F.coalesce(F.col("__i"), F.lit(0))).alias("__u")))
+         .join(sets.select(F.col("doc_id").alias("doc_a"),
+                           F.col("ss").alias("__ssa")), "doc_a")
+         .join(sets.select(F.col("doc_id").alias("doc_b"),
+                           F.col("ss").alias("__ssb")), "doc_b")
+         .withColumn("__i", F.size(F.array_intersect("__ssa", "__ssb"))
+                             .cast("long"))
+         .select("est_jaccard", "__i",
+                 (F.size("__ssa").cast("long")
+                  + F.size("__ssb").cast("long")
+                  - F.col("__i")).alias("__u")))
     err = F.round(F.abs(F.col("est_jaccard")
                         - F.col("__i").cast("double")
                         / F.col("__u").cast("double")), 9)

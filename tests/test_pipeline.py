@@ -3439,6 +3439,62 @@ def test_distinct_word_shingles_equals_expression_form(spark):
     assert got == want
 
 
+def test_shingle_set_intersection_equals_row_join_form(spark):
+    """The r15 nested-set verification path (word_shingle_sets +
+    in-row array_intersect on doc-id-keyed joins) must produce the
+    SAME (pair, intersection, union) integers as the r14 exploded
+    (doc, s)-row join + count form it replaced — including zero-overlap
+    pairs (old form: left join + coalesce 0) and empty docs (the [""]
+    singleton set).  Adversarial corpus, all unordered pairs as
+    candidates."""
+    from big_data_bowl_spark.pipeline.dedup import (
+        distinct_word_shingles,
+        word_shingle_sets,
+    )
+
+    docs = spark.createDataFrame(_ADVERSARIAL_DOCS,
+                                 "doc_id long, text string")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    cands = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b],
+        "doc_a long, doc_b long")
+
+    sh = distinct_word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_s"))
+    inter = (cands.join(sh.select(F.col("doc_id").alias("doc_a"), "s"),
+                        "doc_a")
+                  .join(sh.select(F.col("doc_id").alias("doc_b"), "s"),
+                        ["doc_b", "s"])
+                  .groupBy("doc_a", "doc_b")
+                  .agg(F.count(F.lit(1)).alias("__i")))
+    old = (cands.join(inter, ["doc_a", "doc_b"], "left")
+                .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("n_s").alias("__na")), "doc_a")
+                .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("n_s").alias("__nb")), "doc_b")
+                .select("doc_a", "doc_b",
+                        F.coalesce("__i", F.lit(0)).cast("long")
+                         .alias("i"),
+                        (F.col("__na") + F.col("__nb")
+                         - F.coalesce("__i", F.lit(0))).cast("long")
+                        .alias("u")))
+    sets = word_shingle_sets(docs)
+    new = (cands.join(sets.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("ss").alias("__ssa")), "doc_a")
+                .join(sets.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("ss").alias("__ssb")), "doc_b")
+                .withColumn("i", F.size(F.array_intersect("__ssa",
+                                                          "__ssb"))
+                                  .cast("long"))
+                .select("doc_a", "doc_b", "i",
+                        (F.size("__ssa").cast("long")
+                         + F.size("__ssb").cast("long")
+                         - F.col("i")).alias("u")))
+    want = sorted(map(tuple, old.collect()))
+    got = sorted(map(tuple, new.collect()))
+    assert got == want
+
+
 def test_pq_assign_equals_expression_argmin(spark):
     """_pq_assign must match an independently-built in-row expression
     argmin — including the lowest-position tie-break (duplicate
