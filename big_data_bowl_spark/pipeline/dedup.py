@@ -822,7 +822,14 @@ def _band_buckets(sig_df: DataFrame, id_col: str,
     join key generator shared by the batch and incremental paths.
     ``neutral=True`` folds each band's slots with the polynomial
     (acc·31 + slot) mod 10^9+7 seeded by the band index (engine-
-    reproducible) instead of xxhash64."""
+    reproducible) instead of xxhash64.
+
+    r15 measured NO-GO for an Arrow twin (the interpreted-HOF sweep):
+    the neutral band fold isolates at 0.22-0.30s at BOTH sf0.01 and
+    sf0.1 — already at the ~0.2s Python-worker round-trip floor a new
+    mapInPandas stage would pay, and the fold tree is ~10² nodes/row
+    (below the r14-measured ~10³ pay threshold).  Left as JVM
+    expressions."""
     rows_per_band = n_hashes // bands
     if neutral:
         from .text import FP_PRIME
@@ -1522,31 +1529,78 @@ def simhash_neutral(df: DataFrame, id_col: str = "doc_id",
 
     Returns (doc_id, simhash, band0..band3).
     """
-    from .text import polynomial_token_hash, polynomial_token_hash2
     require_columns(df, [id_col, text_col], "simhash_neutral")
+    from .text import FP_PRIME
+    from ..schemas import arrow_fanout
     bits = 60
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    narrow = df.select(F.col(id_col), F.col(text_col)) \
-               .repartition(parallelism)
-    staged = narrow.withColumn(
-        "_th", F.transform(
-            F.filter(F.split(F.col(text_col), " "), lambda t: t != ""),
-            lambda t: polynomial_token_hash(t) * F.lit(1 << 30)
-                      + polynomial_token_hash2(t)))
-    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
-    counters = F.aggregate(
-        F.col("_th"),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc, masks,
-            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1)
-                              .otherwise(-1)))
-    fingerprint = F.aggregate(
-        F.zip_with(counters, masks,
-                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0))
-                                 .cast("long")),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    out = staged.withColumn("simhash", fingerprint)
+    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    # r15 (guide §4.2, the r14 fixed-overhead finding continued): the
+    # 60-wide per-token vote fold — ~60·n_tokens interpreted zip_with
+    # steps per doc on top of two interpreted char-fold hashes per
+    # token (~10⁴ expression-tree nodes per row, the class the r14
+    # boundary measured as paying) — moves to one vectorized Arrow
+    # batch.  numpy reproduces the integers EXACTLY: char folds
+    # vectorized by position (utf-32 code points = Spark's
+    # ascii(substr), probe-verified in r14 for ASCII/BMP/astral), both
+    # polynomial hashes < FP_PRIME < 2^30 so h1·2^30 + h2 < 2^60 is
+    # exact in uint64, votes are integer sums, and the fingerprint is
+    # a 60-bit OR of disjoint masks — no float anywhere (pinned by
+    # test_simhash_neutral_arrow_equals_expression_form; oracle-hash
+    # q_simhash).  Isolated stage: 0.52s at sf0.1 AND 0.66s at sf0.01
+    # (fixed tree overhead, not data) → ~0.15s.
+    narrow = arrow_fanout(df.select(F.col(id_col), F.col(text_col)))
+
+    def _fps(batches):
+        import numpy as np
+        import pandas as pd
+        fp = np.uint64(FP_PRIME)
+        b31, b37 = np.uint64(31), np.uint64(37)
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            tok_lists = [[w for w in t.split(" ") if w]
+                         for t in pdf[text_col].tolist()]
+            tcounts = np.array([len(ts) for ts in tok_lists],
+                               dtype=np.int64)
+            flat = [w for ts in tok_lists for w in ts]
+            n_tok = len(flat)
+            if n_tok:
+                lens = np.array([len(w) for w in flat], dtype=np.int64)
+                codes = np.frombuffer(
+                    "".join(flat).encode("utf-32-le"),
+                    dtype=np.uint32).astype(np.uint64)
+                starts = np.zeros(n_tok, dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                h1 = np.full(n_tok, 7, dtype=np.uint64)
+                h2 = np.full(n_tok, 11, dtype=np.uint64)
+                for pos in range(int(lens.max())):
+                    m = lens > pos
+                    c = codes[starts[m] + pos]
+                    h1[m] = (h1[m] * b31 + c) % fp
+                    h2[m] = (h2[m] * b37 + c) % fp
+                th = (h1 << np.uint64(30)) + h2          # < 2^60, exact
+                # ±1 votes per bit: 2·bit − 1, summed per doc segment
+                tbits = ((th[:, None] >> np.arange(bits, dtype=np.uint64))
+                         & np.uint64(1)).astype(np.int64)
+                votes = 2 * tbits - 1                     # (n_tok, 60)
+                doc_t0 = np.zeros(n_docs, dtype=np.int64)
+                np.cumsum(tcounts[:-1], out=doc_t0[1:])
+                # reduceat only over docs WITH tokens: an empty doc's
+                # start index duplicates its successor's (or runs past
+                # the end when trailing), which would corrupt segment
+                # boundaries — token-less docs vote 0 by definition
+                nz = tcounts > 0
+                counters = np.zeros((n_docs, bits), dtype=np.int64)
+                counters[nz] = np.add.reduceat(votes, doc_t0[nz], axis=0)
+            else:
+                counters = np.zeros((n_docs, bits), dtype=np.int64)
+            sig = ((counters > 0).astype(np.int64)
+                   << np.arange(bits, dtype=np.int64)).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].values,
+                                "simhash": sig})
+
+    out = narrow.mapInPandas(_fps, f"{id_col} {id_type}, simhash long")
     for k in range(4):
         out = out.withColumn(
             f"band{k}",

@@ -15,8 +15,10 @@ interleave) — engine-reproducible, so it carries a DuckDB oracle twin.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..schemas import require_columns
 
@@ -146,31 +148,37 @@ def with_hilbert(df: DataFrame, col_x: str, col_y: str,
     else:
         cur = (df.withColumn("__hx", F.col(col_x).cast("long"))
                  .withColumn("__hy", F.col(col_y).cast("long")))
-    cur = cur.withColumn("__hd", F.lit(0).cast("long"))
-    carry = [c for c in cur.columns if c not in ("__hx", "__hy", "__hd")]
-    for i in reversed(range(bits)):
-        s = 1 << i
-        cur = cur.select(
-            *carry, "__hx", "__hy", "__hd",
-            F.when(F.col("__hx").bitwiseAND(F.lit(s)) > 0, F.lit(1))
-             .otherwise(F.lit(0)).cast("long").alias("__rx"),
-            F.when(F.col("__hy").bitwiseAND(F.lit(s)) > 0, F.lit(1))
-             .otherwise(F.lit(0)).cast("long").alias("__ry"))
-        cur = cur.select(
-            *carry,
-            (F.col("__hd") + F.lit(s * s).cast("long")
-             * (F.col("__rx") * 3).bitwiseXOR(F.col("__ry")))
-            .alias("__hd"),
-            F.when(F.col("__ry") == 0,
-                   F.when(F.col("__rx") == 1, F.lit(n - 1) - F.col("__hy"))
-                    .otherwise(F.col("__hy")))
-             .otherwise(F.col("__hx")).alias("__hx"),
-            F.when(F.col("__ry") == 0,
-                   F.when(F.col("__rx") == 1, F.lit(n - 1) - F.col("__hx"))
-                    .otherwise(F.col("__hx")))
-             .otherwise(F.col("__hy")).alias("__hy"))
-    return (cur.withColumn(out, F.col("__hd"))
-               .drop("__hx", "__hy", "__hd"))
+    # r15 (guide §4.2, the r14 fixed-overhead finding): the 2·bits
+    # staged reflect/swap projections cost ~0.8s at sf0.1 AND sf0.01 —
+    # fixed whole-stage-codegen compile overhead of the fused 16-stage
+    # pass, not data.  The rounds move to ONE vectorized pandas UDF
+    # over exactly the two normalized long columns (carry columns never
+    # cross the Python boundary — an ArrowEvalPython of (hx, hy) →
+    # hval, §4.1 "pass only the columns the function needs").  Pure
+    # int64 reflect/swap arithmetic — bit-identical to the expression
+    # rounds (pinned by test_hilbert_pandas_rounds_equal_expression_
+    # rounds; the SQL oracle still mirrors the same rounds as CTE
+    # stages).  Rounds stage 0.76→~0.2s; q_hilbert_values ~1.2→~0.6s.
+    @pandas_udf("long")
+    def _hval(hx: pd.Series, hy: pd.Series) -> pd.Series:
+        import numpy as np
+        x = hx.to_numpy(dtype=np.int64).copy()
+        y = hy.to_numpy(dtype=np.int64).copy()
+        d = np.zeros(len(x), dtype=np.int64)
+        for i in reversed(range(bits)):
+            s = 1 << i
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += (s * s) * ((3 * rx) ^ ry)
+            refl_x = np.where(rx == 1, (n - 1) - y, y)
+            refl_y = np.where(rx == 1, (n - 1) - x, x)
+            swap = ry == 0
+            x, y = (np.where(swap, refl_x, x),
+                    np.where(swap, refl_y, y))
+        return pd.Series(d)
+
+    return (cur.withColumn(out, _hval(F.col("__hx"), F.col("__hy")))
+               .drop("__hx", "__hy"))
 
 
 def write_hilbert_clustered(df: DataFrame, path: str, col_x: str,

@@ -3439,6 +3439,52 @@ def test_distinct_word_shingles_equals_expression_form(spark):
     assert got == want
 
 
+def test_simhash_neutral_arrow_equals_expression_form(spark):
+    """simhash_neutral's r15 Arrow vote stage must reproduce the
+    interpreted-HOF bit-voting form EXACTLY — fingerprint and all four
+    bands — on the adversarial corpus plus trailing token-less docs
+    (the np.add.reduceat empty-segment edge)."""
+    from big_data_bowl_spark.pipeline.dedup import simhash_neutral
+    from big_data_bowl_spark.pipeline.text import (
+        polynomial_token_hash,
+        polynomial_token_hash2,
+    )
+
+    docs = spark.createDataFrame(
+        _ADVERSARIAL_DOCS + [(10, ""), (11, "   ")],
+        "doc_id long, text string")
+    bits = 60
+    staged = docs.withColumn(
+        "_th", F.transform(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != ""),
+            lambda t: polynomial_token_hash(t) * F.lit(1 << 30)
+                      + polynomial_token_hash2(t)))
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    counters = F.aggregate(
+        F.col("_th"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc, masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1)
+                              .otherwise(-1)))
+    fingerprint = F.aggregate(
+        F.zip_with(counters, masks,
+                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0))
+                                 .cast("long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    expr = staged.withColumn("simhash", fingerprint)
+    for k in range(4):
+        expr = expr.withColumn(
+            f"band{k}",
+            F.shiftright(F.col("simhash"), 15 * k)
+             .bitwiseAND(F.lit(32767)).cast("long"))
+    want = sorted(map(tuple, expr.select(
+        "doc_id", "simhash", "band0", "band1", "band2",
+        "band3").collect()))
+    got = sorted(map(tuple, simhash_neutral(docs).collect()))
+    assert got == want, (got, want)
+
+
 def test_shingle_set_intersection_equals_row_join_form(spark):
     """The r15 nested-set verification path (word_shingle_sets +
     in-row array_intersect on doc-id-keyed joins) must produce the
